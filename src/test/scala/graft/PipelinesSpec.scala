@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+class PipelinesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("every declared query runs and returns rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      assert(df.count() > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q02 keeps exactly one row per customer") {
+    val df = SparkEntry.queries("q02_dim_latest")(spark, sfDir)
+    assert(df.count() === df.select("customer_id").distinct().count())
+  }
+
+  test("q06 session gaps within a session never exceed 30 minutes") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q06_sessionization")(spark, sfDir)
+    // every session's span is bounded by (events_n - 1) * 30min
+    val bad = df.filter(
+      (unix_timestamp(col("session_end_ts")) - unix_timestamp(col("session_start_ts")))
+        > (col("events_n") - 1) * 1800).count()
+    assert(bad === 0)
+  }
+
+  test("q08 merge actions partition the keyspace") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q08_scd1_merge")(spark, sfDir)
+    val actions = df.groupBy("merge_action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(actions.keySet === Set("updated", "inserted", "unchanged"))
+    // inserted = custkeys divisible by 3 (not in target) and even (in updates)
+    val c = Tables.customer(spark, sfDir)
+    val expectedInserted = c.filter(col("c_custkey") % 3 === 0 && col("c_custkey") % 2 === 0).count()
+    assert(actions("inserted") === expectedInserted)
+  }
+}
