@@ -5,8 +5,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private def registry: Seq[pipelines.Pipelines.Q] =
-    pipelines.Pipelines.all
+  private def registry: Seq[Q] =
+    pipelines.Pipelines.all ++ ops.Dedup.all ++ ops.Similarity.all ++
+      ops.TextOps.all ++ ops.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

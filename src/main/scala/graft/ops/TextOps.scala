@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Text-analysis operators for large-scale training-data pipelines: quality
+  * scoring, language ID, token counting, document fingerprinting. All are
+  * narrow per-row transformations — no shuffle at all — so they scale linearly
+  * with input splits; every expression is codegen'd (functions/HOFs, no UDFs).
+  *
+  * Capability extensions beyond the reference corpus (which has no text ops;
+  * its QA layer consumes document text at /root/reference/qa/build_corpus.py).
+  */
+object TextOps {
+
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+  private def inList(xs: Seq[String]) = xs.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Per-document quality metrics: length, word count, stopword ratio, derived
+    * quality score. Ratios are int/int or pure double chains → bit-identical
+    * across engines, no rounding needed. */
+  val textQuality: Q = Q(
+    "q20_text_quality",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("len_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          expr(s"size(filter(split(text, ' '), w -> w IN ${inList(stopwords)}))")
+            .cast("long").as("stop_n"))
+        .withColumn("stop_ratio", col("stop_n") / col("n_words"))
+        .withColumn("avg_word_len",
+          (col("len_chars") - (col("n_words") - 1)) / col("n_words"))
+        .withColumn("quality_score",
+          when(col("n_words") >= 20, lit(1.0))
+            .otherwise(col("n_words") / lit(20.0)) * (lit(1.0) - col("stop_ratio")))
+    },
+    Some(s"""SELECT doc_id, lang,
+      CAST(length(text) AS BIGINT) AS len_chars,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      CAST(len(list_filter(string_split(text, ' '), w -> w IN ${inList(stopwords)})) AS BIGINT) AS stop_n,
+      CAST(len(list_filter(string_split(text, ' '), w -> w IN ${inList(stopwords)})) AS BIGINT) / CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_ratio,
+      (CAST(length(text) AS BIGINT) - (CAST(len(string_split(text, ' ')) AS BIGINT) - 1)) / CAST(len(string_split(text, ' ')) AS BIGINT) AS avg_word_len,
+      (CASE WHEN len(string_split(text, ' ')) >= 20 THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(len(string_split(text, ' ')) AS BIGINT) / CAST(20.0 AS DOUBLE) END)
+        * (CAST(1.0 AS DOUBLE) - CAST(len(list_filter(string_split(text, ' '), w -> w IN ${inList(stopwords)})) AS BIGINT) / CAST(len(string_split(text, ' ')) AS BIGINT)) AS quality_score
+      FROM documents"""))
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "fr" -> Seq("le", "et", "les"),
+    "es" -> Seq("el", "los", "y"),
+    "de" -> Seq("der", "und", "die"))
+
+  /** Marker-word language ID (n-gram-heuristic class): per-language marker
+    * counts + argmax with a fixed preference order (en > fr > es > de). */
+  val textLangId: Q = Q(
+    "q21_text_langid",
+    (s, dir) => {
+      val base = markers.foldLeft(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))) {
+        case (df, (lg, ws)) =>
+          df.withColumn(s"score_$lg",
+            expr(s"size(filter(split(text, ' '), w -> w IN ${inList(ws)}))").cast("long"))
+      }
+      base
+        .withColumn("predicted_lang",
+          when(col("score_en") >= col("score_fr") && col("score_en") >= col("score_es")
+            && col("score_en") >= col("score_de"), "en")
+            .when(col("score_fr") >= col("score_es") && col("score_fr") >= col("score_de"), "fr")
+            .when(col("score_es") >= col("score_de"), "es")
+            .otherwise("de"))
+        .withColumn("is_correct", when(col("predicted_lang") === col("lang"), 1).otherwise(0))
+        .drop("text")
+    },
+    Some {
+      val scores = markers.map { case (lg, ws) =>
+        s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ${inList(ws)})) AS BIGINT) AS score_$lg"
+      }.mkString(",\n        ")
+      s"""WITH scored AS (
+        SELECT doc_id, lang,
+        $scores
+        FROM documents
+      )
+      SELECT doc_id, lang, score_en, score_fr, score_es, score_de,
+        CASE WHEN score_en >= score_fr AND score_en >= score_es AND score_en >= score_de THEN 'en'
+             WHEN score_fr >= score_es AND score_fr >= score_de THEN 'fr'
+             WHEN score_es >= score_de THEN 'es' ELSE 'de' END AS predicted_lang,
+        CASE WHEN (CASE WHEN score_en >= score_fr AND score_en >= score_es AND score_en >= score_de THEN 'en'
+             WHEN score_fr >= score_es AND score_fr >= score_de THEN 'fr'
+             WHEN score_es >= score_de THEN 'es' ELSE 'de' END) = lang THEN 1 ELSE 0 END AS is_correct
+      FROM scored"""
+    })
+
+  private val tokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token class; chars per
+    * regex token as a double ratio. */
+  val tokenCount: Q = Q(
+    "q22_token_count",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_m"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          regexp_count(col("text"), lit(tokenRe)).cast("long").as("re_tokens"))
+        .withColumn("chars_per_token", col("n_chars_m") / col("re_tokens"))
+    },
+    Some(s"""SELECT doc_id,
+      CAST(length(text) AS BIGINT) AS n_chars_m,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '$tokenRe')) AS BIGINT) AS re_tokens,
+      CAST(length(text) AS BIGINT) / CAST(len(regexp_extract_all(text, '$tokenRe')) AS BIGINT) AS chars_per_token
+      FROM documents"""))
+
+  /** Document fingerprinting: md5 + sha256 over whitespace-normalized text,
+    * plus a 2-hex-char shard bucket (the partitioning key a 100 TB dedup
+    * pipeline would distribute on). */
+  val docFingerprint: Q = Q(
+    "q23_doc_fingerprint",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("norm"))
+        .select(
+          col("doc_id"),
+          md5(col("norm")).as("fp_md5"),
+          sha2(col("norm"), 256).as("fp_sha256"),
+          substring(md5(col("norm")), 1, 2).as("shard_bucket"))
+    },
+    Some("""SELECT doc_id,
+      md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_md5,
+      sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_sha256,
+      substring(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 2) AS shard_bucket
+      FROM documents"""))
+
+  val all: Seq[Q] = Seq(textQuality, textLangId, tokenCount, docFingerprint)
+}

@@ -3,7 +3,7 @@ package graft.pipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.Tables
+import graft.{Q, Tables}
 
 /** The 12 reference example pipelines (`/root/reference/examples/`, see
   * SURVEY.md §2B) re-expressed Spark-first over the driver testdata schemas
@@ -20,11 +20,6 @@ import graft.Tables
   *  - large-group aggregates are integer-valued (counts, integer-valued sums).
   */
 object Pipelines {
-
-  final case class Q(
-      name: String,
-      run: (SparkSession, String) => DataFrame,
-      oracle: Option[String])
 
   /** script_01_bronze_ingest_orders.py (reference :6-27): typed ingest with
     * casts, to_date, upper/lower, when/otherwise ladder, abs, coalesce, filter. */

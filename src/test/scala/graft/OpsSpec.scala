@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q13 exact dedup: canonical ids unique, dup counts sum to row count") {
+    val df = SparkEntry.queries("q13_dedup_exact")(spark, sfDir)
+    val total = df.agg(sum("dup_count")).head().getLong(0)
+    assert(total === Tables.documents(spark, sfDir).count())
+    assert(df.select("canonical_doc_id").distinct().count() === df.count())
+  }
+
+  test("q15 minhash LSH finds the high-jaccard pairs that q14 finds exactly") {
+    val exact = SparkEntry.queries("q14_dedup_ngram_jaccard")(spark, sfDir)
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q15_dedup_minhash_lsh")(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH with 4 bands of 4 hashes catches jaccard>=0.8 pairs w.h.p.
+    val missed = exact -- lsh
+    assert(missed.size <= exact.size / 5, s"LSH missed too many exact pairs: $missed")
+  }
+
+  test("q16 simhash: identical texts get identical simhash") {
+    val sigs = SparkEntry.queries("q16_dedup_simhash")(spark, sfDir).as("s")
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), md5(col("text")).as("h"))
+    val j = docs.as("a").join(docs.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .join(sigs.as("sa"), col("a.doc_id") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("b.doc_id") === col("sb.doc_id"))
+    val diff = j.filter(col("sa.simhash") =!= col("sb.simhash")).count()
+    assert(diff === 0)
+  }
+
+  test("q19 LSH kNN: rank-1 neighbors are real and cosine ordered") {
+    val lsh = SparkEntry.queries("q19_knn_lsh")(spark, sfDir)
+    val brute = SparkEntry.queries("q18_knn_bruteforce")(spark, sfDir)
+    // recall@5 of LSH against brute force, averaged over queries
+    val b = brute.select(col("q_id"), col("neighbor_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val l = lsh.select(col("q_id"), col("neighbor_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = b.map { case (q, bs) => (l.getOrElse(q, Set.empty) & bs).size.toDouble / bs.size }
+    val avg = recalls.sum / recalls.size
+    // 4-bit bands are a coarse filter; still expect far better than random (~2%)
+    assert(avg >= 0.3, s"LSH recall@5 too low: $avg")
+    info(f"LSH recall@5 = $avg%.2f over ${recalls.size} queries")
+  }
+
+  test("q24 multimodal: n_bytes equals n_chars for ascii corpus") {
+    val df = SparkEntry.queries("q24_multimodal_decode")(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    val bad = df.join(docs, "doc_id").filter(col("n_bytes") =!= col("n_chars")).count()
+    assert(bad === 0)
+  }
+
+  test("q21 langid predicts en for english-marker-heavy docs") {
+    val df = SparkEntry.queries("q21_text_langid")(spark, sfDir)
+    val withThe = df.filter(col("score_en") > col("score_fr") * 2 && col("score_en") >= 3)
+    val nonEn = withThe.filter(col("predicted_lang") =!= "en").count()
+    assert(nonEn === 0)
+  }
+}
