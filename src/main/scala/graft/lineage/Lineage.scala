@@ -1,0 +1,141 @@
+package graft.lineage
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+
+/** Canonical lineage edges, repo stitching, dependency graphs and BFS closures
+  * — the reference's postprocess/stitch/QA-graph layer
+  * (lineage_postprocess.py:12-121, stitch_repo.py:4-30, qa/ask.py:167-341) as
+  * Dataset transformations. All inputs/outputs are flat Datasets, so at 100 TB
+  * of lineage metadata every step is a shuffle-partitioned join/groupBy, not a
+  * driver-side dict walk.
+  */
+object Lineage {
+
+  /** Canonical column edges from extracted lineage (A11). Dedup key mirrors
+    * the reference: (df, target, sorted sources) — lineage_postprocess.py:106-118. */
+  def edges(spark: SparkSession, lineages: Seq[ScriptLineage]): Dataset[Edge] = {
+    import spark.implicits._
+    val raw = for {
+      sl <- lineages
+      df <- sl.dfs
+      cd <- df.columns
+      s <- cd.sources
+    } yield {
+      val (srcDf, srcCol) = s.span(_ != '.') match {
+        case (d, c) if c.nonEmpty => (d, c.drop(1))
+        case (c, _) => ("", c)
+      }
+      Edge(sl.script, df.name, cd.name, srcDf, srcCol, cd.transformation)
+    }
+    spark.createDataset(raw)
+      .dropDuplicates("script", "df", "targetCol", "srcDf", "srcCol")
+  }
+
+  /** Writer→reader stitching on shared (already-normalized) asset paths (A12):
+    * an equi-join of writes against reads, trailing slashes stripped —
+    * stitch_repo.py:4-30. */
+  def stitch(spark: SparkSession, lineages: Seq[ScriptLineage]): Dataset[RepoLink] = {
+    import spark.implicits._
+    val assets = spark.createDataset(lineages.flatMap(_.assets))
+      .withColumn("norm", regexp_replace(col("path"), "/+$", ""))
+    val writes = assets.filter(col("direction") === "write")
+      .select(col("script").as("fromScript"), col("norm"))
+    val reads = assets.filter(col("direction") === "read")
+      .select(col("script").as("toScript"), col("norm"))
+    writes.join(reads, "norm")
+      .filter(col("fromScript") =!= col("toScript"))
+      .select(col("fromScript"), col("toScript"), col("norm").as("asset"))
+      .distinct()
+      .as[RepoLink]
+  }
+
+  /** Global column dependency graph (A18): name-level src→dst with reasons —
+    * the reference aliases same-named columns across scripts (qa/ask.py:185-200,
+    * kept deliberately, SURVEY §4.3.5) — plus the df-qualified pair for
+    * precision. */
+  def columnGraph(edges: Dataset[Edge]): DataFrame =
+    edges.select(
+      col("srcCol").as("src"),
+      col("targetCol").as("dst"),
+      concat_ws("", col("script"), lit(": "), col("srcDf"), lit("."), col("srcCol"),
+        lit(" -> "), col("df"), lit("."), col("targetCol"),
+        lit(" ("), col("reason"), lit(")")).as("reason"))
+      .filter(col("src") =!= col("dst")) // self-loops would never terminate BFS usefully
+      .distinct()
+
+  /** Downstream transitive closure from a start column (A19): iterative
+    * frontier join until fixpoint, capped — qa/ask.py:211-223 (limit 2000).
+    * Same loop is checkpoint-per-iteration at scale. */
+  def downstreamClosure(spark: SparkSession, graph: DataFrame, start: String,
+      limit: Int = 2000, maxDepth: Int = 20): DataFrame = {
+    import spark.implicits._
+    val edges = graph.select(col("src"), col("dst")).distinct().cache()
+    var result = Seq((start, 0)).toDF("column", "depth")
+    var frontier = result
+    var depth = 0
+    var done = false
+    while (!done && depth < maxDepth) {
+      depth += 1
+      val next = frontier.select(col("column").as("fcol")).as("f")
+        .join(edges.as("e"), col("fcol") === col("e.src"))
+        .select(col("e.dst").as("column"), lit(depth).as("depth"))
+        .distinct()
+        .join(result.select(col("column").as("seen")), col("column") === col("seen"), "left_anti")
+      val cnt = next.count()
+      if (cnt == 0 || result.count() + cnt > limit) done = true
+      else {
+        result = result.unionByName(next).cache()
+        frontier = next
+      }
+    }
+    edges.unpersist()
+    result.filter(col("column") =!= start).orderBy(col("depth"), col("column"))
+  }
+
+  /** Script-level downstream BFS over stitched links (A21). */
+  def downstreamScripts(spark: SparkSession, links: Dataset[RepoLink],
+      seeds: Seq[String], maxDepth: Int = 20): DataFrame = {
+    import spark.implicits._
+    val edges = links.select(col("fromScript").as("src"), col("toScript").as("dst"))
+      .distinct().cache()
+    var result = seeds.distinct.map((_, 0)).toDF("script", "depth")
+    var frontier = result
+    var depth = 0
+    var done = false
+    while (!done && depth < maxDepth) {
+      depth += 1
+      val next = frontier.select(col("script").as("fscript")).as("f")
+        .join(edges.as("e"), col("fscript") === col("e.src"))
+        .select(col("e.dst").as("script"), lit(depth).as("depth"))
+        .distinct()
+        .join(result.select(col("script").as("seen")), col("script") === col("seen"), "left_anti")
+      if (next.count() == 0) done = true
+      else {
+        result = result.unionByName(next).cache()
+        frontier = next
+      }
+    }
+    edges.unpersist()
+    result
+  }
+
+  /** Scripts whose lineage mentions a column (A21 seed set). */
+  def seedScriptsForColumn(edges: Dataset[Edge], column: String): Seq[String] =
+    edges.filter(col("targetCol") === column || col("srcCol") === column)
+      .select("script").distinct().collect().map(_.getString(0)).toSeq.sorted
+
+  /** Gold outputs among impacted scripts (A22): writes with a 'gold' path
+    * segment — qa/ask.py:343-360. */
+  def goldOutputs(spark: SparkSession, lineages: Seq[ScriptLineage],
+      impacted: DataFrame): DataFrame = {
+    import spark.implicits._
+    val writes = spark.createDataset(lineages.flatMap(_.assets))
+      .filter(col("direction") === "write")
+      .filter(array_contains(split(col("path"), "/"), "gold"))
+      .select(col("script"), col("path"))
+    writes.join(impacted, "script").select(col("script"), col("path")).distinct()
+  }
+}

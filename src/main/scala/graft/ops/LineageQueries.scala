@@ -1,0 +1,106 @@
+package graft.ops
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.lineage.Lineage
+import graft.model.ScriptLineage
+import graft.pipelines.Repo
+import graft.qa.QA
+
+/** The engine's own lineage surface exposed as driver-checkable queries:
+  * plan-extracted column edges, stitched repo links, impact closures, corpus,
+  * retrieval and evidence. Results derive from Catalyst plans (not
+  * SQL-expressible in DuckDB) → rows-only checks, with exact golden assertions
+  * in LineageSpec instead.
+  */
+object LineageQueries {
+
+  private val cache = TrieMap.empty[String, Seq[ScriptLineage]]
+
+  private def lineages(s: SparkSession, dir: String): Seq[ScriptLineage] =
+    cache.getOrElseUpdate(dir, Repo.lineage(s, dir))
+
+  val lineageEdges: Q = Q(
+    "q25_lineage_edges",
+    (s, dir) => Lineage.edges(s, lineages(s, dir)).toDF()
+      .orderBy("script", "df", "targetCol", "srcDf", "srcCol"),
+    None)
+
+  val repoLinks: Q = Q(
+    "q26_repo_links",
+    (s, dir) => Lineage.stitch(s, lineages(s, dir)).toDF()
+      .orderBy("fromScript", "toScript", "asset"),
+    None)
+
+  /** Downstream impact of the bronze `amount` column — columns + depth. */
+  val impactClosure: Q = Q(
+    "q27_impact_closure",
+    (s, dir) => {
+      val graph = Lineage.columnGraph(Lineage.edges(s, lineages(s, dir)))
+      Lineage.downstreamClosure(s, graph, "amount")
+    },
+    None)
+
+  val corpusDocs: Q = Q(
+    "q28_corpus_docs",
+    (s, dir) => {
+      val ls = lineages(s, dir)
+      QA.corpus(s, ls, Lineage.edges(s, ls)).toDF()
+        .select("id", "docType", "script", "df", "column", "text")
+        .orderBy("docType", "script", "df", "column", "id")
+    },
+    None)
+
+  /** Hybrid retrieval for a fixed acceptance question (README.md:261-271
+    * class): top-25 corpus docs by L2 over hashed embeddings. */
+  val qaRetrieval: Q = Q(
+    "q29_qa_retrieval",
+    (s, dir) => {
+      import s.implicits._
+      val ls = lineages(s, dir)
+      val docs = QA.corpus(s, ls, Lineage.edges(s, ls)).toDF().cache()
+      val docVecs = QA.embed(docs, "text").cache()
+      val question = "Where does avg_daily_spend come from and which gold outputs depend on amount?"
+      val qVec = QA.embed(Seq(("question", question)).toDF("id", "text"), "text")
+      QA.retrieve(s, docVecs, qVec)
+        .join(docs.select(col("id").as("doc_id"), col("docType"), col("script")), "doc_id")
+        .select("rank", "doc_id", "dist", "docType", "script")
+        .orderBy("rank")
+    },
+    None)
+
+  /** Full hybrid Q&A evidence for the acceptance question: deterministic
+    * impact sections + retrieval facts (qa/ask.py:391-450). */
+  val qaEvidence: Q = Q(
+    "q30_qa_evidence",
+    (s, dir) => {
+      import s.implicits._
+      val ls = lineages(s, dir)
+      val edges = Lineage.edges(s, ls).cache()
+      val question = "What is impacted downstream if `amount` changes?"
+      val known = edges.select("targetCol").distinct().collect().map(_.getString(0)).toSet ++
+        edges.select("srcCol").distinct().collect().map(_.getString(0)).toSet
+      val cands = QA.candidateColumns(question, known)
+      val graph = Lineage.columnGraph(edges)
+      val impact = cands.map(Lineage.downstreamClosure(s, graph, _))
+        .reduceOption(_ unionByName _)
+        .getOrElse(Seq.empty[(String, Int)].toDF("column", "depth"))
+        .groupBy("column").agg(min("depth").as("depth"))
+      val links = Lineage.stitch(s, ls)
+      val seeds = cands.flatMap(Lineage.seedScriptsForColumn(edges, _)).distinct
+      val scripts = Lineage.downstreamScripts(s, links, seeds)
+      val gold = Lineage.goldOutputs(s, ls, scripts)
+      val docs = QA.corpus(s, ls, edges).cache()
+      val hits = QA.retrieve(s, QA.embed(docs.toDF(), "text"),
+        QA.embed(Seq(("question", question)).toDF("id", "text"), "text")).cache()
+      QA.evidence(s, impact, scripts, gold, hits, docs)
+    },
+    None)
+
+  val all: Seq[Q] = Seq(lineageEdges, repoLinks, impactClosure, corpusDocs,
+    qaRetrieval, qaEvidence)
+}

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lineage.Lineage
+import graft.pipelines.Repo
+import graft.qa.QA
+import graft.render.Mermaid
+
+class LineageSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  lazy val lineages = Repo.lineage(spark, sfDir)
+  lazy val edges = Lineage.edges(spark, lineages)
+
+  /** The reference's stitched graph topology — same 11 writer→reader links as
+    * /root/reference/outputs/repo_graph.json:1-59 (script names sans .py,
+    * asset paths sans bucket prefix). */
+  val goldenLinks = Set(
+    ("script_01_bronze_ingest_orders", "script_03_fact_orders_enriched", "bronze/orders"),
+    ("script_02_dim_customer_latest", "script_03_fact_orders_enriched", "silver/dim_customer"),
+    ("script_03_fact_orders_enriched", "script_05_sales_margin_rank", "gold/fact_orders_enriched"),
+    ("script_04_dim_product_sql_cte", "script_05_sales_margin_rank", "silver/dim_product"),
+    ("script_03_fact_orders_enriched", "script_07_fraud_scoring", "gold/fact_orders_enriched"),
+    ("script_06_web_sessionization", "script_07_fraud_scoring", "gold/web_sessions"),
+    ("script_02_dim_customer_latest", "script_08_delta_merge_scd1_customer", "silver/dim_customer"),
+    ("script_03_fact_orders_enriched", "script_10_mart_customer_value", "gold/fact_orders_enriched"),
+    ("script_07_fraud_scoring", "script_10_mart_customer_value", "gold/fact_orders_risk_scored"),
+    ("script_02_dim_customer_latest", "script_10_mart_customer_value", "silver/dim_customer"),
+    ("script_a_customer_agg", "script_b_join_products", "curated/customer_agg"))
+
+  test("stitching reproduces the reference's 11 cross-script links exactly") {
+    val links = Lineage.stitch(spark, lineages).collect()
+      .map(l => (l.fromScript, l.toScript, l.asset)).toSet
+    assert(links === goldenLinks)
+  }
+
+  test("every script extracts dfs, and sinks/sources are classified") {
+    assert(lineages.size === 12)
+    lineages.foreach { sl =>
+      assert(sl.dfs.nonEmpty, s"${sl.script} has no df nodes")
+      assert(sl.dfs.count(_.kind == "sink") === 1, s"${sl.script} sink count")
+      assert(sl.dfs.exists(_.kind == "source"), s"${sl.script} has no source")
+      assert(sl.assets.exists(_.direction == "read"), s"${sl.script} has no reads")
+      assert(sl.assets.count(_.direction == "write") === 1)
+    }
+  }
+
+  test("plan-based provenance: script_03 rolling sum derives from bronze amount") {
+    val e = edges.filter(col("script") === "script_03_fact_orders_enriched"
+      && col("targetCol") === "rolling_7_sum").collect()
+    assert(e.nonEmpty, "no rolling_7_sum edge")
+    assert(e.exists(_.srcCol == "amount"), s"sources: ${e.map(x => x.srcDf + "." + x.srcCol).mkString(",")}")
+  }
+
+  test("aggregations are captured deterministically (no LLM)") {
+    val aggs = lineages.flatMap(_.aggs)
+    assert(aggs.exists(a => a.script == "script_a_customer_agg" && a.function == "sum"
+      && a.groupBy.contains("l_suppkey")))
+    assert(aggs.exists(a => a.script == "script_06_web_sessionization" && a.function == "count"))
+  }
+
+  test("joins capture type and keys through aliases (exprId-exact)") {
+    val joins = lineages.flatMap(_.joins)
+    val j3 = joins.filter(_.script == "script_03_fact_orders_enriched")
+    assert(j3.exists(j => j.joinType.contains("left") && j.leftCols.contains("o_custkey")
+      && j.rightCols.contains("customer_id")), j3.toString)
+  }
+
+  test("column impact closure: bronze amount reaches mart avg_daily_spend") {
+    val graph = Lineage.columnGraph(edges)
+    val closure = Lineage.downstreamClosure(spark, graph, "amount")
+      .collect().map(_.getString(0)).toSet
+    assert(closure.contains("rolling_7_sum"))
+    assert(closure.contains("daily_spend"))
+    assert(closure.contains("avg_daily_spend"))
+    assert(closure.contains("total_spend"))
+  }
+
+  test("script BFS + gold outputs for amount") {
+    val links = Lineage.stitch(spark, lineages)
+    val seeds = Lineage.seedScriptsForColumn(edges, "amount")
+    val scripts = Lineage.downstreamScripts(spark, links, seeds)
+    val names = scripts.collect().map(_.getString(0)).toSet
+    assert(names.contains("script_10_mart_customer_value"))
+    val gold = Lineage.goldOutputs(spark, lineages, scripts)
+      .collect().map(_.getString(1)).toSet
+    assert(gold.contains("gold/mart_customer_value"))
+    assert(gold.contains("gold/fact_orders_enriched"))
+  }
+
+  test("corpus has all five doc types incl. lineage_edge (reference emits 0)") {
+    val docs = QA.corpus(spark, lineages, edges)
+    val types = docs.groupBy("docType").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(types.keySet === Set("script", "derived", "aggregation", "join", "lineage_edge"))
+    assert(types("script") === 12)
+    assert(types("lineage_edge") > 0)
+    // ids are stable and unique
+    assert(docs.select("id").distinct().count() === docs.count())
+  }
+
+  test("retrieval returns top-25 ranked docs for a question") {
+    val docs = QA.corpus(spark, lineages, edges).toDF()
+    val vecs = QA.embed(docs, "text")
+    import spark.implicits._
+    val qv = QA.embed(Seq(("q", "where does avg_daily_spend come from")).toDF("id", "text"), "text")
+    val hits = QA.retrieve(spark, vecs, qv)
+    assert(hits.count() === 25)
+    val top = hits.orderBy("rank").join(docs.select(col("id").as("doc_id"), col("text")), "doc_id")
+      .limit(5).collect().map(_.getAs[String]("text"))
+    assert(top.exists(_.contains("avg_daily_spend")), top.mkString("\n---\n"))
+  }
+
+  test("candidate extraction: backticks first, then known identifiers, max 3") {
+    val known = Set("amount", "total_spend", "margin")
+    assert(QA.candidateColumns("impact of `net_spend` on amount and margin?", known)
+      === Seq("net_spend", "amount", "margin"))
+    assert(QA.candidateColumns("nothing relevant here", known) === Seq.empty)
+  }
+
+  test("deterministic answerer grounds in evidence or abstains") {
+    assert(QA.DeterministicAnswerer.answer("q", Seq.empty)
+      === "Unknown from available lineage metadata.")
+    val a = QA.DeterministicAnswerer.answer("q",
+      Seq(("IMPACTED_COLUMN", "total_spend (depth 2)"), ("FACT", "[1] SCRIPT: x")))
+    assert(a.contains("total_spend") && a.contains("FACT"))
+  }
+
+  test("mermaid render emits overview + per-script graphs") {
+    val links = Lineage.stitch(spark, lineages).collect().toSeq
+    val html = Mermaid.html(lineages, links, edges.collect().toSeq)
+    assert(html.contains("flowchart LR"))
+    assert(html.contains("script_10_mart_customer_value"))
+    assert(Mermaid.safeId("a.b c/d") === "a_b_c_d")
+  }
+}
