@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expressions for the vector-similarity hot path. The HOF
+  * formulation (`aggregate(zip_with(a, b, ...), ...)`) allocates an
+  * intermediate array per row and interprets a lambda per element; these
+  * codegen a single fused loop. The accumulation order is the same sequential
+  * left-to-right fold, so results stay bit-identical to both the HOF version
+  * and DuckDB's list_dot_product on DOUBLE[] — the oracle parity contract of
+  * graft.ops.Similarity.
+  */
+object VectorFunctions {
+
+  /** Sequential-fold dot product over two double arrays. */
+  case class VecDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_dot"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (Seq(left, right).forall(_.dataType == ArrayType(DoubleType)) ||
+          Seq(left, right).forall(_.dataType == ArrayType(DoubleType, containsNull = false)))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double> inputs, got ${left.dataType} / ${right.dataType}")
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        s"""
+          int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $b.getDouble($i); }
+          ${ev.value} = $s;
+        """
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+      copy(left = l, right = r)
+  }
+
+  /** Sequential-fold squared L2 distance over two double arrays. */
+  case class VecL2Sq(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_l2sq"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (Seq(left, right).forall(_.dataType == ArrayType(DoubleType)) ||
+          Seq(left, right).forall(_.dataType == ArrayType(DoubleType, containsNull = false)))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double> inputs, got ${left.dataType} / ${right.dataType}")
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = a.getDouble(i) - b.getDouble(i)
+        s += d * d
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        val d = ctx.freshName("d")
+        s"""
+          int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $d = $a.getDouble($i) - $b.getDouble($i);
+            $s += $d * $d;
+          }
+          ${ev.value} = $s;
+        """
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): VecL2Sq =
+      copy(left = l, right = r)
+  }
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (es => VecDot(es(0), es(1))),
+    "vec_l2sq" -> (es => VecL2Sq(es(0), es(1))))
+
+  /** Idempotent per-session SQL registration, after which the functions are
+    * usable from expr()/spark.sql. */
+  def register(spark: SparkSession): Unit =
+    fns.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** SparkSessionExtensions entry point: enables
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` registration. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VectorFunctions.VecDot].getName, "vec_dot"),
+      (es: Seq[Expression]) => VectorFunctions.VecDot(es(0), es(1))))
+    e.injectFunction((
+      FunctionIdentifier("vec_l2sq"),
+      new ExpressionInfo(classOf[VectorFunctions.VecL2Sq].getName, "vec_l2sq"),
+      (es: Seq[Expression]) => VectorFunctions.VecL2Sq(es(0), es(1))))
+  }
+}

@@ -79,15 +79,19 @@ object Lineage {
     var done = false
     while (!done && depth < maxDepth) {
       depth += 1
+      // localCheckpoint truncates the logical plan each iteration — without it
+      // the union+anti-join recursion doubles the plan per depth (2^d nodes);
+      // on a cluster this is checkpoint()-per-iteration
       val next = frontier.select(col("column").as("fcol")).as("f")
         .join(edges.as("e"), col("fcol") === col("e.src"))
         .select(col("e.dst").as("column"), lit(depth).as("depth"))
         .distinct()
         .join(result.select(col("column").as("seen")), col("column") === col("seen"), "left_anti")
+        .localCheckpoint(true)
       val cnt = next.count()
       if (cnt == 0 || result.count() + cnt > limit) done = true
       else {
-        result = result.unionByName(next).cache()
+        result = result.unionByName(next).localCheckpoint(true)
         frontier = next
       }
     }
@@ -112,9 +116,10 @@ object Lineage {
         .select(col("e.dst").as("script"), lit(depth).as("depth"))
         .distinct()
         .join(result.select(col("script").as("seen")), col("script") === col("seen"), "left_anti")
+        .localCheckpoint(true)
       if (next.count() == 0) done = true
       else {
-        result = result.unionByName(next).cache()
+        result = result.unionByName(next).localCheckpoint(true)
         frontier = next
       }
     }

@@ -58,7 +58,9 @@ object Dedup {
       val rare = ng.groupBy("ngram").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= maxDf)
         .select("ngram")
-      val ngr = ng.join(rare, "ngram")
+      // ngr feeds four consumers (pair join ×2, sizes, output) — materialize
+      // once instead of re-running the explode+join subtree per consumer
+      val ngr = ng.join(rare, "ngram").persist()
       val sizes = ngr.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = ngr.as("a").join(ngr.as("b"),
           col("a.ngram") === col("b.ngram") && col("a.doc_id") < col("b.doc_id"))
@@ -107,7 +109,7 @@ object Dedup {
       val ng = ngramRows(s, dir)
       val mh = (0 until numHashes).map(i =>
         min(xxhash64(lit(i), col("ngram"))).as(s"mh$i"))
-      val sigs = ng.groupBy("doc_id").agg(mh.head, mh.tail: _*)
+      val sigs = ng.groupBy("doc_id").agg(mh.head, mh.tail: _*).persist()
       val bandCols = (0 until bands).map { b =>
         struct(lit(b).as("band_idx"),
           xxhash64((b * numHashes / bands until (b + 1) * numHashes / bands)

@@ -26,17 +26,19 @@ object Similarity {
   /** vec_id % 50 == 0 → 2% query sample; same modulus in the oracles. */
   private val queryMod = 50
 
-  private def withNorm(s: SparkSession, dir: String): DataFrame =
+  private def withNorm(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     Tables.embeddings(s, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+      .withColumn("norm", expr("sqrt(vec_dot(v, v))"))
+  }
 
   private def scored(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(s, dir)
     val q = e.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
     e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("dot", expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("dot", expr("vec_dot(qv, v)"))
       .withColumn("cos", col("dot") / (col("qn") * col("norm")))
   }
 
@@ -119,7 +121,7 @@ object Similarity {
             && col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("qv"), col("qn"), col("vec_id"), col("v"), col("norm"))
         .dropDuplicates("q_id", "vec_id")
-        .withColumn("dot", expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+        .withColumn("dot", expr("vec_dot(qv, v)"))
         .withColumn("cos", col("dot") / (col("qn") * col("norm")))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
       cand.withColumn("rank", row_number().over(w).cast("long"))

@@ -96,11 +96,11 @@ object QA {
     * broadcast the query vector, one scan, window top-k. */
   def retrieve(spark: SparkSession, docVecs: DataFrame, queryVec: DataFrame,
       k: Int = TopK): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     val q = queryVec.select(col("id").as("q_id"), col("v").as("qv"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("id"))
     docVecs.join(broadcast(q))
-      .withColumn("dist",
-        expr("sqrt(aggregate(zip_with(qv, v, (x, y) -> (x - y) * (x - y)), 0D, (acc, d) -> acc + d))"))
+      .withColumn("dist", expr("sqrt(vec_l2sq(qv, v))"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("id").as("doc_id"), col("rank"), col("dist"))

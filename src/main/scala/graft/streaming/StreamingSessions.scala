@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Q
+
+/** Structured Streaming sessionization — the streaming analog of the batch
+  * gap-based pipeline (q06 / reference script_06_web_sessionization.py:18-21).
+  * The batch trick (lag + flag + running sum) is order-sensitive and
+  * batch-only; the streaming-native formulation is
+  * `session_window(ts, gap)` + watermark, which Spark merges incrementally as
+  * events arrive — the shape a real-time 100 TB/day clickstream pipeline uses.
+  *
+  * The registered query drives the stream to completion from the static events
+  * table via an in-memory sink, so the driver can treat it like any batch
+  * result (same session definition ⇒ same sessions as q06, asserted in tests).
+  */
+object StreamingSessions {
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // INT64 TIMESTAMP(NANOS) read as long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming session aggregation over a parquet source dir. */
+  def sessionStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(
+        count(lit(1)).as("events_n"),
+        round(sum(col("value")), 4).as("session_value"))
+      .select(col("user_id"), col("sw.start").as("session_start_ts"),
+        col("sw.end").as("session_end_ts"), col("events_n"), col("session_value"))
+  }
+
+  /** Run the stream over the static events table to completion and return the
+    * materialized result (memory sink, complete mode). */
+  val streamingSessions: Q = Q(
+    "q31_streaming_sessions",
+    (s, dir) => {
+      val name = "graft_stream_sessions"
+      // the file-stream source requires a directory; stage the single-file
+      // table via symlink
+      val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+      val stageDir = java.nio.file.Paths.get(s"/root/repo/target/graft_stream/$tag")
+      java.nio.file.Files.createDirectories(stageDir)
+      val link = stageDir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(link)) {
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+      }
+      val q = sessionStream(s, stageDir.toString)
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
+      // materialize before the memory sink table is dropped by later runs
+      val out = s.table(name).cache()
+      out.count()
+      out
+    },
+    None)
+
+  val all: Seq[Q] = Seq(streamingSessions)
+}

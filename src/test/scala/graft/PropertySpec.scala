@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lineage.Lineage
+import graft.qa.QA
+
+/** Property-based invariants (SURVEY.md §5.4): closure monotonicity/limits,
+  * cycle safety, stitching normalization, stable-id injectivity, candidate
+  * extraction caps. ScalaCheck generators sampled with fixed seeds (the
+  * scalatest-scalacheck bridge artifact is not in the offline cache).
+  */
+class PropertySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val ident = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(8))
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("downstream closure respects its limit and excludes the seed") {
+    import spark.implicits._
+    val chain = (0 until 30).map(i => (s"c$i", s"c${i + 1}", "r")).toDF("src", "dst", "reason")
+    val limited = Lineage.downstreamClosure(spark, chain, "c0", limit = 10, maxDepth = 50)
+    assert(limited.count() <= 10)
+    assert(!limited.select("column").collect().map(_.getString(0)).contains("c0"))
+    val full = Lineage.downstreamClosure(spark, chain, "c0", limit = 2000, maxDepth = 50)
+    assert(full.count() === 30)
+    val depths = full.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    (1 until 30).foreach(i => assert(depths(s"c$i") === i))
+  }
+
+  test("closure is cycle-safe") {
+    import spark.implicits._
+    val cyc = Seq(("a", "b", "r"), ("b", "c", "r"), ("c", "a", "r")).toDF("src", "dst", "reason")
+    val cl = Lineage.downstreamClosure(spark, cyc, "a", limit = 100, maxDepth = 50)
+    assert(cl.count() === 2) // b, c — and terminates
+  }
+
+  test("candidate extraction never exceeds max and prefers backticks") {
+    samples(Gen.zip(Gen.listOfN(6, ident), Gen.listOfN(6, ident)), 25)
+      .foreach { case (ticked, plain) =>
+        val known = plain.toSet
+        val question = ticked.map(t => s"`$t`").mkString(" ") + " " + plain.mkString(" ")
+        val got = QA.candidateColumns(question, known)
+        assert(got.size <= 3)
+        if (ticked.nonEmpty) assert(got.head === ticked.head)
+      }
+  }
+
+  test("corpus ids are injective on content (sha1 of typed parts)") {
+    samples(Gen.listOfN(20, ident), 5).foreach { words =>
+      val docs = words.distinct.map(w =>
+        graft.model.CorpusDoc("", s"TEXT: $w", "derived", "s", "d", w))
+      val ds = spark.createDataset(docs)(org.apache.spark.sql.Encoders.product).toDF()
+        .withColumn("id", sha1(concat_ws("||", col("docType"), col("script"),
+          col("df"), col("column"), col("text"))))
+      assert(ds.select("id").distinct().count() === docs.size.toLong)
+    }
+  }
+
+  test("trailing-slash normalization makes stitching slash-insensitive") {
+    import graft.model._
+    val l1 = ScriptLineage("w", Nil,
+      Seq(AssetRef("w", "parquet", "gold/x/", "sink", "write")), Nil, Nil, Nil)
+    val l2 = ScriptLineage("r", Nil,
+      Seq(AssetRef("r", "parquet", "gold/x", "src", "read")), Nil, Nil, Nil)
+    val links = Lineage.stitch(spark, Seq(l1, l2)).collect()
+    assert(links.length === 1)
+    assert(links.head.fromScript === "w" && links.head.toScript === "r")
+  }
+}
