@@ -25,9 +25,10 @@ object VectorFunctions {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "vec_dot"
     override def checkInputDataTypes(): TypeCheckResult =
-      if (Seq(left, right).forall(_.dataType == ArrayType(DoubleType)) ||
-          Seq(left, right).forall(_.dataType == ArrayType(DoubleType, containsNull = false)))
-        TypeCheckResult.TypeCheckSuccess
+      if (Seq(left, right).forall(_.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      })) TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires array<double> inputs, got ${left.dataType} / ${right.dataType}")
 
@@ -64,9 +65,10 @@ object VectorFunctions {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "vec_l2sq"
     override def checkInputDataTypes(): TypeCheckResult =
-      if (Seq(left, right).forall(_.dataType == ArrayType(DoubleType)) ||
-          Seq(left, right).forall(_.dataType == ArrayType(DoubleType, containsNull = false)))
-        TypeCheckResult.TypeCheckSuccess
+      if (Seq(left, right).forall(_.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      })) TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires array<double> inputs, got ${left.dataType} / ${right.dataType}")
 

@@ -130,5 +130,41 @@ object Similarity {
     },
     None)
 
-  val all: Seq[Q] = Seq(embeddingNearDup, knnBruteForce, knnLsh)
+  /** IVF-style ANN: seeded KMeans coarse quantizer (16 cells), queries probe
+    * their 3 nearest centroids, exact cosine re-rank inside the probed cells.
+    * The 100 TB shape: the corpus is partitioned by cell, a query touches
+    * 3/16ths of it instead of all of it; recall vs q18 asserted in tests. */
+  val knnIvf: Q = Q(
+    "q34_knn_ivf",
+    (s, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+      val e = withNorm(s, dir).withColumn("features", array_to_vector(col("v")))
+      val model = new KMeans().setK(16).setSeed(42).setMaxIter(10)
+        .setFeaturesCol("features").fit(e)
+      val assigned = model.transform(e)
+        .select(col("vec_id"), col("v"), col("norm"), col("prediction").as("cell"))
+      val centroids = s.createDataFrame(
+          model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) })
+        .toDF("cent_cell", "cvec")
+      val q = assigned.filter(col("vec_id") % queryMod === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
+      // probe: 3 nearest centroids per query (centroid table is tiny → broadcast)
+      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cdist"), col("cent_cell"))
+      val probes = q.join(broadcast(centroids))
+        .withColumn("cdist", expr("vec_l2sq(qv, cvec)"))
+        .withColumn("probe_rank", row_number().over(wProbe))
+        .filter(col("probe_rank") <= 3)
+        .select(col("q_id"), col("qv"), col("qn"), col("cent_cell").as("cell"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", expr("vec_dot(qv, v)") / (col("qn") * col("norm")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(embeddingNearDup, knnBruteForce, knnLsh, knnIvf)
 }

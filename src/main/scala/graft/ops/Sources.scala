@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Source-format coverage beyond plain parquet: CSV (header + inferSchema, the
+  * reference's bronze ingest source — script_01_bronze_ingest_orders.py:6-9)
+  * and JSON columns (get_json_object over the events `props` payload).
+  */
+object Sources {
+
+  /** CSV round-trip: export a projection of orders to CSV (header), read it
+    * back with header+inferSchema, aggregate. Doubles survive the round-trip
+    * exactly (shortest-repr toString parses back to the same bits), so the
+    * DuckDB oracle over the original parquet still hash-matches. */
+  val csvRoundtrip: Q = Q(
+    "q32_csv_ingest",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+      val csvDir = s"/root/repo/target/graft_csv/$tag/orders_csv"
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").option("header", "true").csv(csvDir)
+      s.read.option("header", "true").option("inferSchema", "true").csv(csvDir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_totalprice")).as("min_price"))
+    },
+    Some("""SELECT o_orderstatus, COUNT(1) AS n_orders,
+      COUNT(DISTINCT o_custkey) AS n_customers,
+      MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price
+      FROM orders GROUP BY o_orderstatus"""))
+
+  /** JSON column extraction: pull the numeric `k` field out of the events
+    * props JSON payload and aggregate per event type. */
+  val jsonExtract: Q = Q(
+    "q33_json_extract",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("k")).as("k_sum"),
+          max(col("k")).as("k_max"),
+          countDistinct(col("k")).as("k_distinct"))
+    },
+    Some("""SELECT event_type, COUNT(1) AS n_events,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+      MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+      COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_distinct
+      FROM events GROUP BY event_type"""))
+
+  val all: Seq[Q] = Seq(csvRoundtrip, jsonExtract)
+}

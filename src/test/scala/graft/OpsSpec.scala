@@ -57,6 +57,27 @@ class OpsSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("q34 IVF kNN achieves high recall vs brute force") {
+    val ivf = SparkEntry.queries("q34_knn_ivf")(spark, sfDir)
+    val brute = SparkEntry.queries("q18_knn_bruteforce")(spark, sfDir)
+    val b = brute.select(col("q_id"), col("neighbor_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val l = ivf.select(col("q_id"), col("neighbor_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = b.map { case (q, bs) => (l.getOrElse(q, Set.empty) & bs).size.toDouble / bs.size }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.5, s"IVF recall@5 too low: $avg")
+    info(f"IVF recall@5 = $avg%.2f over ${recalls.size} queries")
+  }
+
+  test("q32 csv roundtrip preserves doubles exactly") {
+    val df = SparkEntry.queries("q32_csv_ingest")(spark, sfDir)
+    val direct = Tables.orders(spark, sfDir).groupBy(col("o_orderstatus"))
+      .agg(max(col("o_totalprice")).as("max_direct"))
+    val j = df.join(direct, "o_orderstatus")
+    assert(j.filter(col("max_price") =!= col("max_direct")).count() === 0)
+  }
+
   test("q21 langid predicts en for english-marker-heavy docs") {
     val df = SparkEntry.queries("q21_text_langid")(spark, sfDir)
     val withThe = df.filter(col("score_en") > col("score_fr") * 2 && col("score_en") >= 3)
