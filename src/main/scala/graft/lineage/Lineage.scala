@@ -99,6 +99,40 @@ object Lineage {
     result.filter(col("column") =!= start).orderBy(col("depth"), col("column"))
   }
 
+  /** GraphX/Pregel variant of the downstream closure — the shape to prefer
+    * when the lineage graph itself is huge (iterative joins re-shuffle per
+    * hop; Pregel keeps the partitioned graph resident across supersteps).
+    * spark-graphx ships in /opt/spark/jars. Equivalence with the iterative
+    * join version is asserted in tests. */
+  def downstreamClosureGraphX(spark: SparkSession, graph: DataFrame, start: String,
+      maxDepth: Int = 20): DataFrame = {
+    import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph, EdgeTriplet, Pregel}
+    import spark.implicits._
+    val edgePairs = graph.select(col("src"), col("dst")).distinct()
+      .as[(String, String)].collect()
+    val names = (edgePairs.map(_._1) ++ edgePairs.map(_._2)).distinct
+    val ids = names.zipWithIndex.map { case (n, i) => n -> i.toLong }.toMap
+    val vertices = spark.sparkContext.parallelize(
+      names.map(n => (ids(n), n)).toSeq)
+    val edges = spark.sparkContext.parallelize(
+      edgePairs.map { case (s, d) => GxEdge(ids(s), ids(d), 1) }.toSeq)
+    val g = GxGraph(vertices, edges)
+      .mapVertices((id, name) => if (name == start) 0 else Int.MaxValue)
+    val res = Pregel(g, Int.MaxValue, maxIterations = maxDepth)(
+      (_, attr, msg) => math.min(attr, msg),
+      (t: EdgeTriplet[Int, Int]) =>
+        if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
+          Iterator((t.dstId, t.srcAttr + 1))
+        else Iterator.empty,
+      (a, b) => math.min(a, b))
+    val idToName = names.zipWithIndex.map { case (n, i) => i.toLong -> n }.toMap
+    val bc = spark.sparkContext.broadcast(idToName)
+    res.vertices
+      .filter { case (_, d) => d != Int.MaxValue && d > 0 }
+      .map { case (id, d) => (bc.value(id), d) }
+      .toDF("column", "depth")
+  }
+
   /** Script-level downstream BFS over stitched links (A21). */
   def downstreamScripts(spark: SparkSession, links: Dataset[RepoLink],
       seeds: Seq[String], maxDepth: Int = 20): DataFrame = {

@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Analytic-surface coverage beyond the reference corpus: the window functions
+  * it doesn't use (ntile/cume_dist/first/last/nth_value), set operations,
+  * ROLLUP with GROUPING flags, a composed as-of join, and SQL DDL/DML
+  * (managed-table CTAS + INSERT INTO). All fully oracled.
+  */
+object Analytics {
+
+  /** Window-function suite over per-customer order history. */
+  val windowSuite: Q = Q(
+    "q35_window_suite",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("cum_dist", cume_dist().over(w))
+        .withColumn("first_amount", first(col("o_totalprice")).over(wf))
+        .withColumn("last_amount", last(col("o_totalprice")).over(wf))
+        .withColumn("second_amount", nth_value(col("o_totalprice"), 2).over(wf))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("quartile"), col("cum_dist"), col("first_amount"),
+          col("last_amount"), col("second_amount"))
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+      CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      cume_dist() OVER w AS cum_dist,
+      first_value(o_totalprice) OVER wf AS first_amount,
+      last_value(o_totalprice) OVER wf AS last_amount,
+      nth_value(o_totalprice, 2) OVER wf AS second_amount
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""))
+
+  /** UNION (distinct) / INTERSECT / EXCEPT between high-value and urgent
+    * customer sets, tagged into one result. */
+  val setOps: Q = Q(
+    "q36_set_ops",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val hi = o.filter(col("o_totalprice") >= 200000).select(col("o_custkey"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      hi.union(urgent).distinct().select(lit("union").as("set_op"), col("o_custkey"))
+        .unionByName(hi.intersect(urgent).select(lit("intersect").as("set_op"), col("o_custkey")))
+        .unionByName(hi.except(urgent).select(lit("except").as("set_op"), col("o_custkey")))
+    },
+    Some("""WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice >= 200000),
+      urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      SELECT 'union' AS set_op, o_custkey FROM (SELECT o_custkey FROM hi UNION SELECT o_custkey FROM urgent)
+      UNION ALL SELECT 'intersect' AS set_op, o_custkey FROM (SELECT o_custkey FROM hi INTERSECT SELECT o_custkey FROM urgent)
+      UNION ALL SELECT 'except' AS set_op, o_custkey FROM (SELECT o_custkey FROM hi EXCEPT SELECT o_custkey FROM urgent)"""))
+
+  /** ROLLUP over (status, priority) with GROUPING flags — subtotals + grand
+    * total in one pass (map-side partial aggregation per grouping set). */
+  val rollup: Q = Q(
+    "q37_rollup",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n_orders,
+      ROUND(SUM(o_totalprice), 2) AS total_price,
+      CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+      FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"""))
+
+  /** Composed as-of join (no native Spark operator): for each purchase event,
+    * the latest signup of the same user at or before it. Implemented as the
+    * scalable union-sort-carry pattern — tag both sides, sort within the key
+    * partition by (time, side), carry the right payload forward with
+    * last(ignoreNulls) — one shuffle, no range explosion. Oracle: DuckDB's
+    * native ASOF LEFT JOIN. */
+  val asofJoin: Q = Q(
+    "q38_asof_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value"))
+      val l = purchases.select(col("user_id"), col("ts").as("t"), lit(1).as("is_left"),
+        col("event_id"), col("value").as("p_value"),
+        lit(null).cast("timestamp").as("s_ts"), lit(null).cast("double").as("s_value"))
+      val r = signups.select(col("user_id"), col("ts").as("t"), lit(0).as("is_left"),
+        lit(null).cast("long").as("event_id"), lit(null).cast("double").as("p_value"),
+        col("ts").as("s_ts"), col("value").as("s_value"))
+      // right rows sort before left at equal t → inclusive (p.ts >= s.ts)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("is_left"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      l.unionByName(r)
+        .withColumn("signup_ts", last(col("s_ts"), ignoreNulls = true).over(w))
+        .withColumn("signup_value", last(col("s_value"), ignoreNulls = true).over(w))
+        .filter(col("is_left") === 1)
+        .select(col("event_id"), col("user_id"), col("t").as("purchase_ts"),
+          col("p_value").as("purchase_value"), col("signup_ts"), col("signup_value"))
+    },
+    Some("""WITH ev AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+      ), p AS (
+        SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'purchase'
+      ), sg AS (
+        SELECT user_id, ts, value FROM ev WHERE event_type = 'signup'
+      )
+      SELECT p.event_id, p.user_id, p.ts AS purchase_ts, p.value AS purchase_value,
+             sg.ts AS signup_ts, sg.value AS signup_value
+      FROM p ASOF LEFT JOIN sg ON p.user_id = sg.user_id AND p.ts >= sg.ts"""))
+
+  /** SQL DDL + DML: managed-table CTAS (USING parquet) + INSERT INTO + read
+    * back — the script_09 DDL surface with the parquet fallback (SURVEY §2B). */
+  val sqlDdl: Q = Q(
+    "q39_sql_ddl",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql("DROP TABLE IF EXISTS graft_orders_summary")
+      // the in-memory catalog forgets the table across JVMs but its warehouse
+      // dir survives — clear it so CTAS doesn't hit LOCATION_ALREADY_EXISTS
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_orders_summary")
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      s.sql("""CREATE TABLE graft_orders_summary USING parquet AS
+        SELECT o_orderstatus, COUNT(1) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders GROUP BY o_orderstatus""")
+      s.sql("""INSERT INTO graft_orders_summary
+        SELECT 'ALL', COUNT(1), ROUND(SUM(o_totalprice), 2) FROM orders""")
+      s.sql("SELECT * FROM graft_orders_summary")
+    },
+    Some("""SELECT o_orderstatus, COUNT(1) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
+      FROM orders GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'ALL', COUNT(1), ROUND(SUM(o_totalprice), 2) FROM orders"""))
+
+  val all: Seq[Q] = Seq(windowSuite, setOps, rollup, asofJoin, sqlDdl)
+}

@@ -1,0 +1,31 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins with hot keys: salt the (large, skewed) left side
+  * into `salt` sub-keys and replicate the right side once per salt value, so a
+  * hot key's rows spread across `salt` tasks instead of one straggler. AQE's
+  * skew-join handles the sort-merge case at runtime; explicit salting is the
+  * deterministic-plan alternative and the only option for non-AQE engines or
+  * aggregate-under-join shapes.
+  */
+object Skew {
+
+  /** Equi-join `left.leftKey == right.rightKey` with left-side salting.
+    * Semantics identical to the plain join (verified in SkewSpec); cost is a
+    * `salt`× replication of the right side — use when right ≪ left.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      joinType: String = "inner", salt: Int = 8): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    // deterministic pseudo-random salt from the whole left row
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(left(_)): _*), lit(salt)).cast("int"))
+    val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+      .withColumn("__salt", col("__salt").cast("int"))
+    l.join(r, leftKey === rightKey && l("__salt") === r("__salt"), joinType)
+      .drop("__salt")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.extract.WriteCapture
+import graft.lineage.Lineage
+import graft.ops.Skew
+
+/** Cluster-infrastructure mechanics: runtime write capture, skew salting,
+  * GraphX closure equivalence, bucketed shuffle-free joins. */
+class InfraSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("QueryExecutionListener captures physical write paths at runtime") {
+    val cap = WriteCapture.install(spark)
+    try {
+      val out = "/root/repo/target/graft_writecap/demo"
+      Tables.region(spark, sfDir).write.mode("overwrite").parquet(out)
+      assert(cap.await(1), "no write captured within timeout")
+      val paths = cap.captured.map(_._2)
+      assert(paths.exists(_.contains("graft_writecap/demo")), paths.mkString(","))
+      assert(cap.captured.exists(_._1 == "parquet"))
+    } finally WriteCapture.uninstall(spark, cap)
+  }
+
+  test("salted join is semantically identical to the plain join") {
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    val plain = li.join(p, li("l_partkey") === p("p_partkey"), "inner")
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"))
+    val salted = Skew.saltedJoin(li, p, li("l_partkey"), p("p_partkey"), "inner", salt = 8)
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"))
+    assert(salted.count() === plain.count())
+    assert(salted.except(plain).count() === 0)
+    assert(plain.except(salted).count() === 0)
+  }
+
+  test("GraphX Pregel closure matches the iterative-join closure") {
+    import spark.implicits._
+    val chain = ((0 until 10).map(i => (s"c$i", s"c${i + 1}", "r")) ++
+      Seq(("c3", "x1", "r"), ("x1", "c7", "r"))).toDF("src", "dst", "reason")
+    val viaJoins = Lineage.downstreamClosure(spark, chain, "c0", limit = 2000, maxDepth = 30)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val viaGx = Lineage.downstreamClosureGraphX(spark, chain, "c0", maxDepth = 30)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(viaGx === viaJoins)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS p_bucketed")
+    for (t <- Seq("li_bucketed", "p_bucketed")) {
+      val loc = new org.apache.hadoop.fs.Path(wh, t)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
+    Tables.lineitem(spark, sfDir).write
+      .bucketBy(4, "l_partkey").sortBy("l_partkey").saveAsTable("li_bucketed")
+    Tables.part(spark, sfDir).write
+      .bucketBy(4, "p_partkey").sortBy("p_partkey").saveAsTable("p_bucketed")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("li_bucketed").join(spark.table("p_bucketed"),
+        col("l_partkey") === col("p_partkey"))
+      j.count()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+}
