@@ -77,28 +77,9 @@ object LineageQueries {
     * impact sections + retrieval facts (qa/ask.py:391-450). */
   val qaEvidence: Q = Q(
     "q30_qa_evidence",
-    (s, dir) => {
-      import s.implicits._
-      val ls = lineages(s, dir)
-      val edges = Lineage.edges(s, ls).cache()
-      val question = "What is impacted downstream if `amount` changes?"
-      val known = edges.select("targetCol").distinct().collect().map(_.getString(0)).toSet ++
-        edges.select("srcCol").distinct().collect().map(_.getString(0)).toSet
-      val cands = QA.candidateColumns(question, known)
-      val graph = Lineage.columnGraph(edges)
-      val impact = cands.map(Lineage.downstreamClosure(s, graph, _))
-        .reduceOption(_ unionByName _)
-        .getOrElse(Seq.empty[(String, Int)].toDF("column", "depth"))
-        .groupBy("column").agg(min("depth").as("depth"))
-      val links = Lineage.stitch(s, ls)
-      val seeds = cands.flatMap(Lineage.seedScriptsForColumn(edges, _)).distinct
-      val scripts = Lineage.downstreamScripts(s, links, seeds)
-      val gold = Lineage.goldOutputs(s, ls, scripts)
-      val docs = QA.corpus(s, ls, edges).cache()
-      val hits = QA.retrieve(s, QA.embed(docs.toDF(), "text"),
-        QA.embed(Seq(("question", question)).toDF("id", "text"), "text")).cache()
-      QA.evidence(s, impact, scripts, gold, hits, docs)
-    },
+    (s, dir) =>
+      QA.Questions.headOption.map(q => graft.qa.Ask.evidenceFrame(s, dir, q)._1)
+        .getOrElse(sys.error("no acceptance question configured")),
     None)
 
   val all: Seq[Q] = Seq(lineageEdges, repoLinks, impactClosure, corpusDocs,

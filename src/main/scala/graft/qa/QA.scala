@@ -24,6 +24,12 @@ object QA {
   val Dim = 256
   val TopK = 25 // qa/ask.py:32
 
+  /** Acceptance questions (reference README.md:261-271 class). */
+  val Questions: Seq[String] = Seq(
+    "What is impacted downstream if `amount` changes?",
+    "Where does avg_daily_spend come from?",
+    "Which scripts reference total_spend?")
+
   /** Corpus docs with stable sha1 ids (A14; qa/build_corpus.py:50-198). */
   def corpus(spark: SparkSession, lineages: Seq[ScriptLineage],
       edges: Dataset[Edge]): Dataset[CorpusDoc] = {
