@@ -6,7 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registry: Seq[Q] =
-    pipelines.Pipelines.all ++ ops.Dedup.all ++ ops.Similarity.all ++
+    pipelines.Pipelines.all ++ ops.Dedup.all ++ ops.DedupCluster.all ++
+      ops.Similarity.all ++
       ops.TextOps.all ++ ops.Multimodal.all ++ ops.Sources.all ++
       ops.Analytics.all ++ ops.LineageQueries.all ++ streaming.StreamingSessions.all
 

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+
+/** Duplicate clustering — the step after candidate-pair mining in a real
+  * 100 TB dedup pipeline: connected components over the near-dup pair graph,
+  * keeping one canonical doc per component. Implemented as iterative min-label
+  * propagation over the edge Dataset (each round: every node takes the min
+  * label among itself and its neighbors; converges in O(diameter) rounds,
+  * each one shuffle on the node id) with per-round localCheckpoint — the same
+  * loop is checkpoint() on a cluster. Deterministic: labels are doc_ids.
+  */
+object DedupCluster {
+
+  /** Connected components of an undirected pair graph (doc_a, doc_b) →
+    * (doc_id, component) where component = min doc_id reachable. */
+  def connectedComponents(spark: SparkSession, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    // undirected: propagate both ways
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      it += 1
+      val viaNeighbors = edges.as("e")
+        .join(labels.as("l"), col("e.v") === col("l.doc_id"))
+        .select(col("e.u").as("doc_id"), col("l.component").as("component"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy("doc_id").agg(min("component").as("component"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.component") =!= col("o.component")).count()
+      labels = next
+    }
+    labels
+  }
+
+  /** Cluster the verified n-gram-Jaccard near-dup pairs (q14) and emit one row
+    * per clustered document with its canonical representative. Docs in no pair
+    * are their own canonical (identity components are omitted here — the
+    * interesting output is the dup groups). */
+  val dedupClusters: Q = Q(
+    "q40_dedup_clusters",
+    (s, dir) => {
+      val pairs = Dedup.ngramJaccard.run(s, dir).select("doc_a", "doc_b")
+      connectedComponents(s, pairs)
+        .withColumn("is_canonical", when(col("doc_id") === col("component"), 1).otherwise(0))
+        .orderBy("component", "doc_id")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(dedupClusters)
+}

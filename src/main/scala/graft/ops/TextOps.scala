@@ -136,5 +136,38 @@ object TextOps {
       substring(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 2) AS shard_bucket
       FROM documents"""))
 
-  val all: Seq[Q] = Seq(textQuality, textLangId, tokenCount, docFingerprint)
+  /** Repetition score — the dominant-token fraction (max per-word count over
+    * total words), a standard low-quality/boilerplate signal in LLM data
+    * pipelines. Distributed shape: explode → two-level aggregation, no
+    * collect; ratio is int/int → bit-exact cross-engine. */
+  val repetitionScore: Q = Q(
+    "q41_repetition_score",
+    (s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val counts = words.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      counts.groupBy("doc_id")
+        .agg(
+          max(col("cnt")).as("top_word_count"),
+          sum(col("cnt")).as("n_words"),
+          countDistinct(col("w")).as("vocab"))
+        .withColumn("repetition_ratio", col("top_word_count") / col("n_words"))
+        .withColumn("type_token_ratio", col("vocab") / col("n_words"))
+        .withColumn("is_repetitive", when(col("repetition_ratio") > 0.2, 1).otherwise(0))
+    },
+    Some("""WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ), counts AS (
+        SELECT doc_id, w, count(1) AS cnt FROM words GROUP BY doc_id, w
+      )
+      SELECT doc_id, MAX(cnt) AS top_word_count,
+        CAST(SUM(cnt) AS BIGINT) AS n_words,
+        COUNT(DISTINCT w) AS vocab,
+        MAX(cnt) / CAST(SUM(cnt) AS BIGINT) AS repetition_ratio,
+        COUNT(DISTINCT w) / CAST(SUM(cnt) AS BIGINT) AS type_token_ratio,
+        CASE WHEN MAX(cnt) / CAST(SUM(cnt) AS BIGINT) > 0.2 THEN 1 ELSE 0 END AS is_repetitive
+      FROM counts GROUP BY doc_id"""))
+
+  val all: Seq[Q] = Seq(textQuality, textLangId, tokenCount, docFingerprint,
+    repetitionScore)
 }

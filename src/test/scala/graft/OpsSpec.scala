@@ -78,6 +78,32 @@ class OpsSpec extends AnyFunSuite {
     assert(j.filter(col("max_price") =!= col("max_direct")).count() === 0)
   }
 
+  test("q40 components: every doc maps to the min doc_id of its group") {
+    val pairs = SparkEntry.queries("q14_dedup_ngram_jaccard")(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val comps = SparkEntry.queries("q40_dedup_clusters")(spark, sfDir)
+      .select("doc_id", "component").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference union-find on the driver
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    assert(comps === expected)
+  }
+
+  test("q41 repetition ratio bounded and consistent with vocab") {
+    val df = SparkEntry.queries("q41_repetition_score")(spark, sfDir)
+    assert(df.filter(col("repetition_ratio") > 1 || col("repetition_ratio") <= 0).count() === 0)
+    assert(df.filter(col("vocab") > col("n_words")).count() === 0)
+  }
+
   test("q21 langid predicts en for english-marker-heavy docs") {
     val df = SparkEntry.queries("q21_text_langid")(spark, sfDir)
     val withThe = df.filter(col("score_en") > col("score_fr") * 2 && col("score_en") >= 3)
