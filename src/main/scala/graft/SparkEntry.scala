@@ -9,7 +9,8 @@ object SparkEntry {
     pipelines.Pipelines.all ++ ops.Dedup.all ++ ops.DedupCluster.all ++
       ops.Similarity.all ++
       ops.TextOps.all ++ ops.Multimodal.all ++ ops.Sources.all ++
-      ops.Analytics.all ++ ops.LineageQueries.all ++ streaming.StreamingSessions.all
+      ops.Analytics.all ++ ops.TypedAgg.all ++ ops.LineageQueries.all ++
+      streaming.StreamingSessions.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
