@@ -41,6 +41,11 @@ object LineageDump {
     val html = Mermaid.html(ls, links.collect().toSeq, edges.collect().toSeq)
     Files.createDirectories(Paths.get(outDir))
     Files.writeString(Paths.get(s"$outDir/lineage_repo.html"), html)
+    // reference-schema per-script JSON (drop-in for tooling against outputs/)
+    val refDir = Paths.get(s"$outDir/reference_schema")
+    Files.createDirectories(refDir)
+    ls.foreach(sl => Files.writeString(
+      refDir.resolve(s"${sl.script}.json"), ReferenceJson.render(sl)))
     println(s"lineage artifacts written to $outDir " +
       s"(${ls.size} scripts, ${edges.count()} edges, ${links.count()} links)")
     spark.stop()

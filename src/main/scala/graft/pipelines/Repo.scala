@@ -300,7 +300,8 @@ object Repo {
           .replaceAll("\\.parquet$", "")
         a.copy(path = logical)
       }
-      val write = AssetRef(st.script, "parquet", st.writeAsset, "sink", "write")
+      val sinkDf = base.dfs.find(_.kind == "sink").map(_.name).getOrElse("sink")
+      val write = AssetRef(st.script, "parquet", st.writeAsset, sinkDf, "write")
       base.copy(assets = reads :+ write)
     }
   }

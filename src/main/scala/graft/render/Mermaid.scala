@@ -45,7 +45,11 @@ object Mermaid {
     val per = lineages.map(sl =>
       s"""<h2>${sl.script}</h2>\n<pre class="mermaid">\n${columnGraph(sl.script, edges)}</pre>""")
       .mkString("\n")
-    s"""<!doctype html><html><head><meta charset="utf-8"><title>graft lineage</title></head>
+    s"""<!doctype html><html><head><meta charset="utf-8"><title>graft lineage</title>
+<script type="module">
+  import mermaid from 'https://cdn.jsdelivr.net/npm/mermaid@10/dist/mermaid.esm.min.mjs';
+  mermaid.initialize({ startOnLoad: true });
+</script></head>
 <body>
 <h1>Repo lineage</h1>
 <pre class="mermaid">

@@ -128,6 +128,15 @@ class LineageSpec extends AnyFunSuite {
     assert(a.contains("total_spend") && a.contains("FACT"))
   }
 
+  test("reference-schema JSON render is valid and has the contract keys") {
+    val json = graft.extract.ReferenceJson.render(lineages.head)
+    // driver-side sanity: must parse as JSON with the reference's keys
+    for (key <- Seq("script_name", "dataframes", "df_name", "derived_from",
+        "expression", "transformation", "assets", "reads", "writes")) {
+      assert(json.contains("\"" + key + "\""), s"missing $key")
+    }
+  }
+
   test("mermaid render emits overview + per-script graphs") {
     val links = Lineage.stitch(spark, lineages).collect().toSeq
     val html = Mermaid.html(lineages, links, edges.collect().toSeq)
