@@ -77,5 +77,44 @@ object StreamingSessions {
     },
     None)
 
+  /** Event row for the stateful API (ts in epoch microseconds). */
+  final case class Ev(user_id: Long, ts_us: Long, value: Double)
+  final case class SessionOut(user_id: Long, session_start_us: Long,
+      session_end_us: Long, events_n: Long)
+
+  /** Custom-state sessionization via flatMapGroupsWithState — the
+    * arbitrary-state streaming API (KeyValueGroupedDataset), for session
+    * logic `session_window` can't express (e.g. value-dependent gap rules).
+    * Here: same 30-min gap, emitting closed sessions per invocation.
+    */
+  def statefulSessions(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.readStream.schema(eventsSchema).parquet(path)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("value")).as[Ev]
+    def fn(userId: Long, rows: Iterator[Ev],
+        state: GroupState[List[Long]]): Iterator[SessionOut] = {
+      // all timestamps for the key in this batch + carried state, sessionized
+      val ts = (state.getOption.getOrElse(Nil) ++ rows.map(_.ts_us)).sorted
+      state.update(Nil)
+      if (ts.isEmpty) Iterator.empty
+      else {
+        val gapUs = 1800L * 1000000L
+        val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+          if (t - acc.head.head <= gapUs) (t :: acc.head) :: acc.tail
+          else List(t) :: acc
+        }
+        sessions.reverseIterator.map(s =>
+          SessionOut(userId, s.last, s.head, s.size.toLong))
+      }
+    }
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
   val all: Seq[Q] = Seq(streamingSessions)
 }

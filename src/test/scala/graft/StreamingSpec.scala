@@ -21,4 +21,21 @@ class StreamingSpec extends AnyFunSuite {
     val be = batch.agg(sum("events_n")).head().getLong(0)
     assert(se === be)
   }
+
+  test("flatMapGroupsWithState sessionization matches session_window") {
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val stageDir = s"/root/repo/target/graft_stream/$tag"
+    val q = graft.streaming.StreamingSessions.statefulSessions(spark, stageDir)
+      .writeStream.format("memory").queryName("graft_stateful").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val stateful = spark.table("graft_stateful").cache()
+    stateful.count()
+    val sw = SparkEntry.queries("q31_streaming_sessions")(spark, sfDir)
+    assert(stateful.count() === sw.count())
+    val a = stateful.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = sw.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
 }
