@@ -37,6 +37,9 @@ object LineageDump {
     edges.coalesce(1).write.mode("overwrite").json(s"$outDir/edges")
     links.coalesce(1).write.mode("overwrite").json(s"$outDir/repo_graph")
     docs.coalesce(1).write.mode("overwrite").json(s"$outDir/corpus")
+    // persisted vector index (id + embedding), the embed_index.py artifact
+    QA.embed(docs.toDF(), "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/index")
 
     val html = Mermaid.html(ls, links.collect().toSeq, edges.collect().toSeq)
     Files.createDirectories(Paths.get(outDir))

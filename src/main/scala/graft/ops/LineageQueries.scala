@@ -82,6 +82,23 @@ object LineageQueries {
         .getOrElse(sys.error("no acceptance question configured")),
     None)
 
+  /** Retrieval-only variant (the reference's simple `qa.py` mode: TOP_K=6, no
+    * deterministic graphs — qa.py:34,208-248). */
+  val qaRetrievalSimple: Q = Q(
+    "q44_qa_retrieval_simple",
+    (s, dir) => {
+      import s.implicits._
+      val ls = lineages(s, dir)
+      val docs = QA.corpus(s, ls, Lineage.edges(s, ls)).toDF().cache()
+      val qVec = QA.embed(
+        Seq(("question", "Which scripts write gold outputs?")).toDF("id", "text"), "text")
+      QA.retrieve(s, QA.embed(docs, "text"), qVec, k = 6)
+        .join(docs.select(col("id").as("doc_id"), col("docType"), col("script")), "doc_id")
+        .select("rank", "doc_id", "dist", "docType", "script")
+        .orderBy("rank")
+    },
+    None)
+
   val all: Seq[Q] = Seq(lineageEdges, repoLinks, impactClosure, corpusDocs,
-    qaRetrieval, qaEvidence)
+    qaRetrieval, qaRetrievalSimple, qaEvidence)
 }

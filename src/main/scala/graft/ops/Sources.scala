@@ -41,7 +41,11 @@ object Sources {
     (s, dir) => {
       Tables.events(s, dir)
         .select(col("event_id"), col("event_type"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
+          // both JSON APIs: path extraction and schema-full parsing
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k").as("k2"))
+        .withColumn("k", coalesce(col("k"), col("k2"))).drop("k2")
         .groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
@@ -55,5 +59,24 @@ object Sources {
       COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_distinct
       FROM events GROUP BY event_type"""))
 
-  val all: Seq[Q] = Seq(csvRoundtrip, jsonExtract)
+  /** ORC round-trip: the second columnar sink format (built-in orc-core);
+    * lossless for these types, so the oracle over the source parquet matches. */
+  val orcRoundtrip: Q = Q(
+    "q43_orc_ingest",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+      val orcDir = s"/root/repo/target/graft_orc/$tag/customer_orc"
+      Tables.customer(s, dir).write.mode("overwrite").orc(orcDir)
+      s.read.orc(orcDir)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("total_balance"),
+          max(col("c_custkey")).as("max_key"))
+    },
+    Some("""SELECT c_mktsegment, COUNT(1) AS n_customers,
+      ROUND(SUM(c_acctbal), 2) AS total_balance, MAX(c_custkey) AS max_key
+      FROM customer GROUP BY c_mktsegment"""))
+
+  val all: Seq[Q] = Seq(csvRoundtrip, jsonExtract, orcRoundtrip)
 }
