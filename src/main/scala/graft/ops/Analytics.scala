@@ -142,5 +142,24 @@ object Analytics {
       UNION ALL
       SELECT 'ALL', COUNT(1), ROUND(SUM(o_totalprice), 2) FROM orders"""))
 
-  val all: Seq[Q] = Seq(windowSuite, setOps, rollup, asofJoin, sqlDdl)
+  /** Sketch-based distinct counting — the 100 TB substitute for exact
+    * COUNT(DISTINCT): HyperLogLog++ (mergeable, fixed memory, one pass, no
+    * second shuffle). Exact counts sit beside the sketch so the driver's
+    * rows-only check still sees the real values; the ≤5% relative error is
+    * asserted in tests. */
+  val approxDistinct: Q = Q(
+    "q45_approx_distinct",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_suppkey")).as("exact_supps"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(windowSuite, setOps, rollup, asofJoin, sqlDdl,
+    approxDistinct)
 }

@@ -104,6 +104,14 @@ class OpsSpec extends AnyFunSuite {
     assert(df.filter(col("vocab") > col("n_words")).count() === 0)
   }
 
+  test("q45 HLL sketch within 5% of exact distinct counts") {
+    val df = SparkEntry.queries("q45_approx_distinct")(spark, sfDir)
+    val bad = df.filter(
+      abs(col("approx_parts") - col("exact_parts")) > col("exact_parts") * 0.05 ||
+      abs(col("approx_supps") - col("exact_supps")) > col("exact_supps") * 0.05).count()
+    assert(bad === 0)
+  }
+
   test("q21 langid predicts en for english-marker-heavy docs") {
     val df = SparkEntry.queries("q21_text_langid")(spark, sfDir)
     val withThe = df.filter(col("score_en") > col("score_fr") * 2 && col("score_en") >= 3)
