@@ -145,7 +145,7 @@ object Similarity {
       val assigned = model.transform(e)
         .select(col("vec_id"), col("v"), col("norm"), col("prediction").as("cell"))
       val centroids = s.createDataFrame(
-          model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) })
+          model.clusterCenters.zipWithIndex.toSeq.map { case (c, i) => (i, c.toArray.toSeq) })
         .toDF("cent_cell", "cvec")
       val q = assigned.filter(col("vec_id") % queryMod === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))

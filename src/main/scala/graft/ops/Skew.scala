@@ -22,7 +22,7 @@ object Skew {
     require(salt > 0, "salt must be positive")
     // deterministic pseudo-random salt from the whole left row
     val l = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(left(_)): _*), lit(salt)).cast("int"))
+      pmod(xxhash64(left.columns.toIndexedSeq.map(left(_)): _*), lit(salt)).cast("int"))
     val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
       .withColumn("__salt", col("__salt").cast("int"))
     l.join(r, leftKey === rightKey && l("__salt") === r("__salt"), joinType)
