@@ -62,6 +62,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("FP contract: round(sum, 2) of 2-decimal money is permutation-invariant") {
+    // the engine's oracle hash-compare relies on this: group sums of p-decimal
+    // inputs rounded at p are identical regardless of aggregation order
+    val rnd = new scala.util.Random(7)
+    val money = Seq.fill(5000)(math.floor(rnd.nextDouble() * 1e7) / 100.0)
+    def roundedSum(xs: Seq[Double]): Double = {
+      val s = xs.foldLeft(0.0)(_ + _)
+      java.math.BigDecimal.valueOf(s).setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val base = roundedSum(money)
+    (1 to 10).foreach { i =>
+      val shuffled = new scala.util.Random(i).shuffle(money)
+      assert(roundedSum(shuffled) === base, s"permutation $i diverged")
+      // and two-level (partition-then-merge) aggregation, like shuffle partials
+      val parts = shuffled.grouped(137).map(_.foldLeft(0.0)(_ + _)).toSeq
+      val merged = java.math.BigDecimal.valueOf(parts.foldLeft(0.0)(_ + _))
+        .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(merged === base, s"partitioned sum $i diverged")
+    }
+  }
+
   test("trailing-slash normalization makes stitching slash-insensitive") {
     import graft.model._
     val l1 = ScriptLineage("w", Nil,
