@@ -144,9 +144,11 @@ object Analytics {
 
   /** Sketch-based distinct counting — the 100 TB substitute for exact
     * COUNT(DISTINCT): HyperLogLog++ (mergeable, fixed memory, one pass, no
-    * second shuffle). Exact counts sit beside the sketch so the driver's
-    * rows-only check still sees the real values; the ≤5% relative error is
-    * asserted in tests. */
+    * second shuffle). The HLL values themselves are implementation-specific
+    * (Spark's sketch ≠ DuckDB's), so the oracled output carries the exact
+    * counts bit-for-bit plus a 1/0 within-5%-of-exact flag per sketch; the
+    * oracle pins the flags to 1, making the DuckDB gate enforce the sketch
+    * error bound. Raw sketch values are additionally asserted in OpsSpec. */
   val approxDistinct: Q = Q(
     "q45_approx_distinct",
     (s, dir) => {
@@ -157,8 +159,17 @@ object Analytics {
           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           countDistinct(col("l_suppkey")).as("exact_supps"),
           approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+          when(abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.05, 1).otherwise(0).as("approx_parts_ok"),
+          when(abs(col("approx_supps") - col("exact_supps")) <=
+            col("exact_supps") * 0.05, 1).otherwise(0).as("approx_supps_ok"))
     },
-    None)
+    Some("""SELECT l_returnflag,
+        COUNT(DISTINCT l_partkey) AS exact_parts,
+        COUNT(DISTINCT l_suppkey) AS exact_supps,
+        1 AS approx_parts_ok, 1 AS approx_supps_ok
+      FROM lineitem GROUP BY l_returnflag"""))
 
   val all: Seq[Q] = Seq(windowSuite, setOps, rollup, asofJoin, sqlDdl,
     approxDistinct)

@@ -46,7 +46,11 @@ object DedupCluster {
   /** Cluster the verified n-gram-Jaccard near-dup pairs (q14) and emit one row
     * per clustered document with its canonical representative. Docs in no pair
     * are their own canonical (identity components are omitted here — the
-    * interesting output is the dup groups). */
+    * interesting output is the dup groups).
+    *
+    * Oracled: DuckDB recursive CTE enumerates (node, reachable-label) pairs
+    * over the undirected pair graph; MIN(label) per node = the component's
+    * minimum doc_id, exactly the fixpoint of min-label propagation. */
   val dedupClusters: Q = Q(
     "q40_dedup_clusters",
     (s, dir) => {
@@ -55,7 +59,20 @@ object DedupCluster {
         .withColumn("is_canonical", when(col("doc_id") === col("component"), 1).otherwise(0))
         .orderBy("component", "doc_id")
     },
-    None)
+    Some(s"""WITH RECURSIVE pairs AS (
+        ${Dedup.ngramJaccard.oracle.get}
+      ), cc_edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+      ), walk AS (
+        SELECT u AS doc_id, u AS label FROM cc_edges
+        UNION
+        SELECT e.u AS doc_id, w.label FROM cc_edges e JOIN walk w ON e.v = w.doc_id
+      )
+      SELECT doc_id, MIN(label) AS component,
+             CASE WHEN doc_id = MIN(label) THEN 1 ELSE 0 END AS is_canonical
+      FROM walk GROUP BY doc_id"""))
 
   val all: Seq[Q] = Seq(dedupClusters)
 }

@@ -75,7 +75,29 @@ object StreamingSessions {
       out.count()
       out
     },
-    None)
+    // `session_window(ts, gap)` semantics in ANSI SQL: an event opens window
+    // [ts, ts+gap); overlapping windows merge, so a NEW session starts exactly
+    // when ts - prev_ts >= gap (µs precision), and the merged window's end is
+    // max(ts) + gap. The q06 batch trick differs only in the boundary compare
+    // (> vs >=, seconds vs µs) and the end definition (max ts vs max ts + gap).
+    Some("""WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+      ), flagged AS (
+        SELECT user_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ), sess AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        FROM flagged
+      )
+      SELECT user_id,
+        MIN(ts) AS session_start_ts,
+        MAX(ts) + INTERVAL 30 MINUTE AS session_end_ts,
+        COUNT(1) AS events_n,
+        ROUND(SUM(value), 4) AS session_value
+      FROM sess GROUP BY user_id, seq"""))
 
   /** Event row for the stateful API (ts in epoch microseconds). */
   final case class Ev(user_id: Long, ts_us: Long, value: Double)
