@@ -89,8 +89,17 @@ object Lineage {
         .join(result.select(col("column").as("seen")), col("column") === col("seen"), "left_anti")
         .localCheckpoint(true)
       val cnt = next.count()
-      if (cnt == 0 || result.count() + cnt > limit) done = true
-      else {
+      val have = result.count()
+      if (cnt == 0) done = true
+      else if (have + cnt > limit) {
+        // cap semantics match the reference (qa/ask.py limit=2000): truncate
+        // the overflowing frontier to exactly `limit` total nodes
+        // (deterministic: ordered by column) instead of dropping it whole
+        result = result
+          .unionByName(next.orderBy(col("column")).limit((limit - have).toInt))
+          .localCheckpoint(true)
+        done = true
+      } else {
         result = result.unionByName(next).localCheckpoint(true)
         frontier = next
       }
@@ -108,28 +117,35 @@ object Lineage {
       maxDepth: Int = 20): DataFrame = {
     import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph, EdgeTriplet, Pregel}
     import spark.implicits._
+    // vertex ids are assigned distributively (zipWithUniqueId over the
+    // distinct-name Dataset) and joined back onto the edges — no driver-side
+    // edge collect, so the lineage graph can exceed driver memory
     val edgePairs = graph.select(col("src"), col("dst")).distinct()
-      .as[(String, String)].collect()
-    val names = (edgePairs.map(_._1) ++ edgePairs.map(_._2)).distinct
-    val ids = names.zipWithIndex.map { case (n, i) => n -> i.toLong }.toMap
-    val vertices = spark.sparkContext.parallelize(
-      names.map(n => (ids(n), n)).toSeq)
-    val edges = spark.sparkContext.parallelize(
-      edgePairs.map { case (s, d) => GxEdge(ids(s), ids(d), 1) }.toSeq)
+    val ids = edgePairs.select(col("src").as("name"))
+      .unionByName(edgePairs.select(col("dst").as("name")))
+      .distinct().as[String].rdd.zipWithUniqueId()
+    val idsDf = ids.toDF("name", "vid")
+    val edges = edgePairs
+      .join(idsDf.select(col("name").as("src"), col("vid").as("src_vid")), "src")
+      .join(idsDf.select(col("name").as("dst"), col("vid").as("dst_vid")), "dst")
+      .select(col("src_vid"), col("dst_vid")).as[(Long, Long)]
+      .rdd.map { case (s, d) => GxEdge(s, d, 1) }
+    // vertex attr carries (name, dist) so the result maps back to names
+    // without a driver-side id→name table
+    val vertices = ids.map { case (n, id) =>
+      (id, (n, if (n == start) 0 else Int.MaxValue))
+    }
     val g = GxGraph(vertices, edges)
-      .mapVertices((id, name) => if (name == start) 0 else Int.MaxValue)
     val res = Pregel(g, Int.MaxValue, maxIterations = maxDepth)(
-      (_, attr, msg) => math.min(attr, msg),
-      (t: EdgeTriplet[Int, Int]) =>
-        if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
-          Iterator((t.dstId, t.srcAttr + 1))
+      (_, attr, msg) => (attr._1, math.min(attr._2, msg)),
+      (t: EdgeTriplet[(String, Int), Int]) =>
+        if (t.srcAttr._2 != Int.MaxValue && t.srcAttr._2 + 1 < t.dstAttr._2)
+          Iterator((t.dstId, t.srcAttr._2 + 1))
         else Iterator.empty,
       (a, b) => math.min(a, b))
-    val idToName = names.zipWithIndex.map { case (n, i) => i.toLong -> n }.toMap
-    val bc = spark.sparkContext.broadcast(idToName)
     res.vertices
-      .filter { case (_, d) => d != Int.MaxValue && d > 0 }
-      .map { case (id, d) => (bc.value(id), d) }
+      .flatMap { case (_, (name, d)) =>
+        if (d != Int.MaxValue && d > 0) Some((name, d)) else None }
       .toDF("column", "depth")
   }
 

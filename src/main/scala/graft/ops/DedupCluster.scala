@@ -16,7 +16,12 @@ import graft.Q
 object DedupCluster {
 
   /** Connected components of an undirected pair graph (doc_a, doc_b) →
-    * (doc_id, component) where component = min doc_id reachable. */
+    * (doc_id, component) where component = min doc_id reachable.
+    *
+    * Frontier-based: each round only the nodes whose label changed last round
+    * send messages, so per-round join input shrinks as components settle, and
+    * convergence is read off the (already-materialized-by-checkpoint)
+    * frontier's count — no extra join+count job per round. */
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
     // undirected: propagate both ways
@@ -26,19 +31,22 @@ object DedupCluster {
     var labels = edges.select(col("u").as("doc_id")).distinct()
       .withColumn("component", col("doc_id"))
       .localCheckpoint(true)
-    var changed = 1L
+    var frontier = labels
     var it = 0
-    while (changed > 0 && it < maxIter) {
+    var frontierSize = 1L
+    while (frontierSize > 0 && it < maxIter) {
       it += 1
-      val viaNeighbors = edges.as("e")
-        .join(labels.as("l"), col("e.v") === col("l.doc_id"))
-        .select(col("e.u").as("doc_id"), col("l.component").as("component"))
-      val next = labels.unionByName(viaNeighbors)
-        .groupBy("doc_id").agg(min("component").as("component"))
+      val msgs = edges.as("e")
+        .join(frontier.as("f"), col("e.v") === col("f.doc_id"))
+        .groupBy(col("e.u").as("doc_id")).agg(min(col("f.component")).as("cand"))
+      val merged = labels.as("l").join(msgs.as("m"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("l.component"), coalesce(col("m.cand"), col("l.component"))).as("component"),
+          (col("m.cand") < col("l.component")).as("improved"))
         .localCheckpoint(true)
-      changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.component") =!= col("o.component")).count()
-      labels = next
+      frontier = merged.filter(col("improved")).select("doc_id", "component")
+      frontierSize = frontier.count() // scan of the checkpointed merged, no join
+      labels = merged.select("doc_id", "component")
     }
     labels
   }
