@@ -13,13 +13,25 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Equi-join `left.leftKey == right.rightKey` with left-side salting.
-    * Semantics identical to the plain join (verified in SkewSpec); cost is a
-    * `salt`× replication of the right side — use when right ≪ left.
+    * Semantics identical to the plain join (verified in SkewSpec, incl. the
+    * left-outer case) for join types that preserve each left row's single
+    * salt value; cost is a `salt`× replication of the right side — use when
+    * right ≪ left.
+    *
+    * Right/full outer joins are rejected: the right side is exploded once per
+    * salt value, so each unmatched right row would surface `salt` times as
+    * duplicate null-extended rows. Salt the other way around (swap the
+    * inputs) for a right-heavy skew.
     */
   def saltedJoin(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
       joinType: String = "inner", salt: Int = 8): DataFrame = {
     require(salt > 0, "salt must be positive")
+    val ok = Set("inner", "cross", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(ok.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin does not support joinType=$joinType: unmatched right rows " +
+        "would be replicated once per salt value; swap the inputs instead")
     // deterministic pseudo-random salt from the whole left row
     val l = left.withColumn("__salt",
       pmod(xxhash64(left.columns.toIndexedSeq.map(left(_)): _*), lit(salt)).cast("int"))

@@ -113,11 +113,13 @@ object QA {
   }
 
   /** Candidate column extraction from a question (A20; qa/ask.py:226-244):
-    * backticked tokens first, then identifier tokens ∩ known columns, max 3. */
+    * backticked tokens first, then bare identifier tokens — BOTH filtered to
+    * the known-column set, matching the reference (an unknown ticked token
+    * must not consume one of the max-3 slots). */
   def candidateColumns(question: String, known: Set[String], max: Int = 3): Seq[String] = {
     val ticked = "`([A-Za-z0-9_]+)`".r.findAllMatchIn(question).map(_.group(1)).toSeq
     val idents = "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(question).toSeq
-    (ticked ++ idents.filter(known.contains)).distinct.take(max)
+    (ticked ++ idents).filter(known.contains).distinct.take(max)
   }
 
   /** Evidence assembly (A23; qa/ask.py:391-450): deterministic sections with

@@ -99,42 +99,66 @@ object StreamingSessions {
         ROUND(SUM(value), 4) AS session_value
       FROM sess GROUP BY user_id, seq"""))
 
-  /** Event row for the stateful API (ts in epoch microseconds). */
-  final case class Ev(user_id: Long, ts_us: Long, value: Double)
+  /** Event row for the stateful API (ts in epoch microseconds; ts_t is the
+    * same instant as a timestamp — the watermark column must survive into the
+    * stateful operator's input or the analyzer rejects event-time timeout). */
+  final case class Ev(user_id: Long, ts_us: Long, value: Double,
+      ts_t: java.sql.Timestamp)
   final case class SessionOut(user_id: Long, session_start_us: Long,
       session_end_us: Long, events_n: Long)
 
   /** Custom-state sessionization via flatMapGroupsWithState — the
     * arbitrary-state streaming API (KeyValueGroupedDataset), for session
     * logic `session_window` can't express (e.g. value-dependent gap rules).
-    * Here: same 30-min gap, emitting closed sessions per invocation.
-    */
-  def statefulSessions(spark: SparkSession, path: String): DataFrame = {
+    *
+    * Cross-batch correct: only sessions CLOSED by a later event's gap are
+    * emitted eagerly; the trailing open session's timestamps stay in state so
+    * a session spanning micro-batches is never split. The open session is
+    * flushed by an event-time timeout once the watermark passes its gap
+    * deadline (last event + 30 min) — the same close rule `session_window`
+    * applies internally. */
+  def statefulSessions(spark: SparkSession, path: String,
+      readerOptions: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.readStream.schema(eventsSchema).parquet(path)
+    val gapUs = 1800L * 1000000L
+    val ev = spark.readStream.schema(eventsSchema).options(readerOptions).parquet(path)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_t", "1 hour")
       .select(col("user_id"), expr("ts div 1000").as("ts_us"),
-        col("value")).as[Ev]
+        col("value"), col("ts_t")).as[Ev]
     def fn(userId: Long, rows: Iterator[Ev],
         state: GroupState[List[Long]]): Iterator[SessionOut] = {
-      // all timestamps for the key in this batch + carried state, sessionized
-      val ts = (state.getOption.getOrElse(Nil) ++ rows.map(_.ts_us)).sorted
-      state.update(Nil)
-      if (ts.isEmpty) Iterator.empty
-      else {
-        val gapUs = 1800L * 1000000L
-        val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
-          if (t - acc.head.head <= gapUs) (t :: acc.head) :: acc.tail
-          else List(t) :: acc
+      if (state.hasTimedOut) {
+        // watermark passed the open session's gap deadline: it can no longer
+        // grow (later events would be late beyond the watermark) — flush it
+        val held = state.getOption.getOrElse(Nil)
+        state.remove()
+        if (held.isEmpty) Iterator.empty
+        else Iterator.single(SessionOut(userId, held.last, held.head, held.size.toLong))
+      } else {
+        // carried open-session timestamps + this batch, re-sessionized
+        val ts = (state.getOption.getOrElse(Nil) ++ rows.map(_.ts_us)).sorted
+        if (ts.isEmpty) Iterator.empty
+        else {
+          // fold keeps each session newest-first, sessions list newest-first
+          val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+            if (t - acc.head.head < gapUs) (t :: acc.head) :: acc.tail
+            else List(t) :: acc
+          }
+          state.update(sessions.head)
+          state.setTimeoutTimestamp(math.max(
+            (sessions.head.head + gapUs) / 1000L,
+            state.getCurrentWatermarkMs() + 1))
+          sessions.tail.reverseIterator.map(s =>
+            SessionOut(userId, s.last, s.head, s.size.toLong))
         }
-        sessions.reverseIterator.map(s =>
-          SessionOut(userId, s.last, s.head, s.size.toLong))
       }
     }
     ev.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
       .toDF()
   }
 

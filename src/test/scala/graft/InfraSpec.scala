@@ -36,6 +36,32 @@ class InfraSpec extends AnyFunSuite {
     assert(plain.except(salted).count() === 0)
   }
 
+  test("salted left-outer join preserves unmatched left rows exactly once") {
+    import spark.implicits._
+    val left = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"))
+      .toDF("k", "lval")
+    val right = Seq((1L, "x"), (2L, "y"), (9L, "z")).toDF("rk", "rval")
+    val plain = left.join(right, left("k") === right("rk"), "left_outer")
+      .select(col("k"), col("lval"), col("rval"))
+    val salted = Skew.saltedJoin(left, right, left("k"), right("rk"),
+        "left_outer", salt = 4)
+      .select(col("k"), col("lval"), col("rval"))
+    assert(salted.count() === plain.count())
+    assert(salted.except(plain).count() === 0)
+    assert(plain.except(salted).count() === 0)
+  }
+
+  test("salted join rejects right/full outer (right rows would duplicate)") {
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "outer")) {
+      val e = intercept[IllegalArgumentException] {
+        Skew.saltedJoin(li, p, li("l_partkey"), p("p_partkey"), jt)
+      }
+      assert(e.getMessage.contains("saltedJoin does not support"), jt)
+    }
+  }
+
   test("GraphX Pregel closure matches the iterative-join closure") {
     import spark.implicits._
     val chain = ((0 until 10).map(i => (s"c$i", s"c${i + 1}", "r")) ++

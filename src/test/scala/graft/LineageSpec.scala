@@ -113,10 +113,14 @@ class LineageSpec extends AnyFunSuite {
     assert(top.exists(_.contains("avg_daily_spend")), top.mkString("\n---\n"))
   }
 
-  test("candidate extraction: backticks first, then known identifiers, max 3") {
-    val known = Set("amount", "total_spend", "margin")
+  test("candidate extraction: known backticks first, then known identifiers, max 3") {
+    val known = Set("amount", "total_spend", "margin", "net_spend")
     assert(QA.candidateColumns("impact of `net_spend` on amount and margin?", known)
       === Seq("net_spend", "amount", "margin"))
+    // an unknown ticked token must not consume a slot (qa/ask.py:230-231)
+    assert(QA.candidateColumns("`bogus_col` vs amount, total_spend, margin",
+      Set("amount", "total_spend", "margin"))
+      === Seq("amount", "total_spend", "margin"))
     assert(QA.candidateColumns("nothing relevant here", known) === Seq.empty)
   }
 

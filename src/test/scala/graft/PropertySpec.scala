@@ -40,14 +40,17 @@ class PropertySpec extends AnyFunSuite {
     assert(cl.count() === 2) // b, c — and terminates
   }
 
-  test("candidate extraction never exceeds max and prefers backticks") {
+  test("candidate extraction never exceeds max and prefers known backticks") {
     samples(Gen.zip(Gen.listOfN(6, ident), Gen.listOfN(6, ident)), 25)
       .foreach { case (ticked, plain) =>
-        val known = plain.toSet
+        val known = (ticked ++ plain).toSet
         val question = ticked.map(t => s"`$t`").mkString(" ") + " " + plain.mkString(" ")
         val got = QA.candidateColumns(question, known)
         assert(got.size <= 3)
         if (ticked.nonEmpty) assert(got.head === ticked.head)
+        // unknown ticked tokens never surface nor consume slots
+        val gotUnknown = QA.candidateColumns(question, plain.toSet -- ticked)
+        assert(gotUnknown.forall((plain.toSet -- ticked).contains))
       }
   }
 

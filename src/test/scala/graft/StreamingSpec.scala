@@ -22,7 +22,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(se === be)
   }
 
-  test("flatMapGroupsWithState sessionization matches session_window") {
+  test("flatMapGroupsWithState matches session_window on closeable sessions") {
     val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
     val stageDir = s"/root/repo/target/graft_stream/$tag"
     val q = graft.streaming.StreamingSessions.statefulSessions(spark, stageDir)
@@ -31,11 +31,72 @@ class StreamingSpec extends AnyFunSuite {
     val stateful = spark.table("graft_stateful").cache()
     stateful.count()
     val sw = SparkEntry.queries("q31_streaming_sessions")(spark, sfDir)
-    assert(stateful.count() === sw.count())
-    val a = stateful.groupBy("user_id").count().collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val b = sw.groupBy("user_id").count().collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(a === b)
+    // expected emissions: every session closed by a later event's gap (all but
+    // each user's last) plus last sessions whose gap deadline (= session_window
+    // end = last event + 30 min) the final watermark (max ts - 1h) passed.
+    // Still-open sessions correctly stay in state — that is the fix under test.
+    val maxTsUs = Tables.events(spark, sfDir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val wmUs = maxTsUs - 3600L * 1000000L
+    val swN = sw.select(col("user_id"),
+      unix_micros(col("session_start_ts")).as("start_us"),
+      unix_micros(col("session_end_ts")).as("end_us"),
+      col("events_n"))
+    val wLast = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val expected = swN.withColumn("last_start", max("start_us").over(wLast))
+      .filter(col("start_us") =!= col("last_start") || col("end_us") <= wmUs)
+      .select(col("user_id"), col("start_us"), col("events_n"))
+    val got = stateful.select(col("user_id"),
+      col("session_start_us").as("start_us"), col("events_n"))
+    assert(got.count() === expected.count())
+    assert(got.except(expected).count() === 0)
+    assert(expected.except(got).count() === 0)
+  }
+
+  test("stateful session spanning two micro-batches is emitted once, unsplit") {
+    import spark.implicits._
+    val dir = "/root/repo/target/graft_stream_split"
+    val fs = new java.io.File(dir)
+    if (fs.exists()) fs.listFiles().foreach(f => {
+      if (f.isDirectory) f.listFiles().foreach(_.delete()); f.delete()
+    })
+    fs.mkdirs()
+    val t0 = 1700000000L * 1000000000L // ns
+    def m(n: Long) = n * 60L * 1000000000L
+    def write(name: String, rows: Seq[(Long, Long, Long)], mtime: Long): Unit = {
+      val tmp = s"$dir/_tmp_$name"
+      rows.toDF("event_id", "ts", "user_id")
+        .withColumn("event_type", lit("click"))
+        .withColumn("value", lit(1.0))
+        .withColumn("props", lit("{}"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/$name")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+      new java.io.File(tmp).listFiles().foreach(_.delete())
+      new java.io.File(tmp).delete()
+    }
+    // user 1's session spans the file boundary (all gaps < 30 min);
+    // user 99's far-future event pushes the watermark so the merged session's
+    // timeout fires during processAllAvailable
+    write("a.parquet", Seq((1L, t0, 1L), (2L, t0 + m(10), 1L)), 1000000L)
+    write("b.parquet", Seq((3L, t0 + m(25), 1L), (4L, t0 + m(50), 1L),
+      (5L, t0 + m(600), 99L)), 2000000L)
+    val q = graft.streaming.StreamingSessions
+      .statefulSessions(spark, dir, Map("maxFilesPerTrigger" -> "1"))
+      .writeStream.format("memory").queryName("graft_split").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("graft_split").cache()
+    out.count()
+    // exactly one session for user 1, spanning both batches, all 4 events
+    val u1 = out.filter(col("user_id") === 1L).collect()
+    assert(u1.length === 1, s"session was split: ${u1.mkString(";")}")
+    assert(u1.head.getAs[Long]("session_start_us") === t0 / 1000L)
+    assert(u1.head.getAs[Long]("session_end_us") === (t0 + m(50)) / 1000L)
+    assert(u1.head.getAs[Long]("events_n") === 4L)
+    // user 99's session is still open (watermark has not passed it) → held
+    assert(out.filter(col("user_id") === 99L).count() === 0)
   }
 }
