@@ -9,11 +9,16 @@ import graft.pipelines.Repo
 
 /** Hybrid lineage Q&A — the reference's `qa/ask.py` entry point end-to-end:
   * candidate-column extraction → downstream column closure → script BFS →
-  * gold outputs → vector retrieval → capped evidence → grounded answer
-  * (qa/ask.py:476-519 REPL loop). Deterministic offline answerer by default;
-  * plug an LLM via QA.AnswerClient without touching the truth path.
+  * gold outputs → vector retrieval → capped evidence → grounded answer.
+  * Deterministic offline answerer by default; plug an LLM via QA.AnswerClient
+  * without touching the truth path.
   *
-  * Run: sbt "runMain graft.qa.Ask <sfDir> <question...>"
+  * One-shot: sbt "runMain graft.qa.Ask <sfDir> <question...>"
+  * REPL (qa/ask.py:377-388,476-519 / qa/query.py:424-474 — multiline
+  * questions, blank line submits, debug counters):
+  *   sbt "runMain graft.qa.Ask --repl <sfDir>"
+  * query.py-shaped hybrid evidence + system-role prompt (graft.qa.Query):
+  *   sbt "runMain graft.qa.Ask --hybrid [--repl] <sfDir> [question...]"
   */
 object Ask {
 
@@ -52,18 +57,59 @@ object Ask {
     Result(answerer.answer(question, evidence), evidence, cands)
   }
 
+  /** Answer one question in the selected mode and print the reference's
+    * ANSWER + debug-counter block (ask.py:377-388 / query.py:460-470). */
+  private def answerOnce(spark: SparkSession, sfDir: String, question: String,
+      hybrid: Boolean): Unit =
+    if (hybrid) {
+      val h = Query.hybridEvidence(spark, sfDir, question)
+      println("\nANSWER:\n")
+      println(Query.answer(question, h))
+      println("\n--- Debug ---")
+      println(s"candidate_cols: ${h.candidates.mkString("[", ", ", "]")}")
+      println(s"retrieved_docs: ${h.retrievedDocs}")
+      println("-------------\n")
+    } else {
+      val r = ask(spark, sfDir, question)
+      println("\nANSWER:\n")
+      println(r.answer)
+      println("\n--- Debug ---")
+      println(s"candidate_cols: ${r.candidates.mkString("[", ", ", "]")}")
+      println(s"evidence_lines: ${r.evidence.size}")
+      println("-------------\n")
+    }
+
+  /** Interactive loop: multiline question buffered until a blank line
+    * submits it; EOF or Ctrl+C exits (ask.py:476-519, query.py:424-474). */
+  def repl(spark: SparkSession, sfDir: String, hybrid: Boolean): Unit = {
+    println(if (hybrid) "\nLineage Q&A ready (HYBRID always)."
+      else "\nLineage Q&A ready.")
+    println("Paste multi-line questions. Press ENTER twice to submit. Ctrl+C to exit.\n")
+    var buf = Vector.empty[String]
+    var line: String = null
+    while ({ line = scala.io.StdIn.readLine(); line != null }) {
+      if (line.trim.isEmpty && buf.nonEmpty) {
+        val question = buf.mkString("\n").trim
+        buf = Vector.empty
+        answerOnce(spark, sfDir, question, hybrid)
+        println("Ask a lineage question (end with a blank line):")
+      } else if (line.trim.nonEmpty) buf :+= line
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val question = if (args.length > 1) args.drop(1).mkString(" ")
+    val flags = args.filter(_.startsWith("--")).toSet
+    val rest = args.filterNot(_.startsWith("--"))
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
+    val question = if (rest.length > 1) rest.drop(1).mkString(" ")
       else "What is impacted downstream if `amount` changes?"
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val r = ask(spark, sfDir, question)
-    println(s"CANDIDATES: ${r.candidates.mkString(", ")}")
-    println(r.answer)
+    if (flags.contains("--repl")) repl(spark, sfDir, flags.contains("--hybrid"))
+    else answerOnce(spark, sfDir, question, flags.contains("--hybrid"))
     spark.stop()
   }
 }

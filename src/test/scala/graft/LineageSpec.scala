@@ -141,6 +141,34 @@ class LineageSpec extends AnyFunSuite {
     }
   }
 
+  test("query.py hybrid variant: evidence sections, prompt shape, grounded answer") {
+    val h = graft.qa.Query.hybridEvidence(spark, sfDir,
+      "What is impacted downstream if `amount` changes?")
+    // query.py:214-258 evidence shape: both section headers, per-candidate
+    // traversal block, numbered FAISS facts with collapsed whitespace
+    assert(h.candidates === Seq("amount"))
+    assert(h.evidenceText.contains("=== DETERMINISTIC IMPACT (GRAPH TRAVERSAL) ==="))
+    assert(h.evidenceText.contains("=== RETRIEVED LINEAGE FACTS (FAISS TOP-K) ==="))
+    assert(h.evidenceText.contains("Start column: amount"))
+    assert(h.evidenceText.contains("Direct (1-hop) edges with reasons:"))
+    assert(h.retrievedDocs === graft.qa.QA.TopK.toLong)
+    assert(h.evidenceText.linesIterator.exists(_.matches("""01\. [0-9a-f]{40} :: .*""")))
+    // query.py:41-66 request shape: system-role grounding prompt + user
+    // message, top-level temperature / max_tokens
+    val req = graft.qa.Query.renderRequest("q?", h.evidenceText)
+    assert(req.contains("\"role\":\"system\""))
+    assert(req.contains("\"role\":\"user\""))
+    assert(req.contains("metadata lineage Q&A assistant"))
+    assert(req.contains("\"temperature\":0.1"))
+    assert(req.contains("\"max_tokens\":800"))
+    // grounded answer or abstention
+    val ans = graft.qa.Query.answer("q?", h)
+    assert(ans.contains("DETERMINISTIC IMPACT"))
+    val none = graft.qa.Query.Hybrid("", Seq.empty, 0L)
+    assert(graft.qa.Query.answer("q?", none)
+      === "Unknown from available lineage metadata.")
+  }
+
   test("mermaid render emits overview + per-script graphs") {
     val links = Lineage.stitch(spark, lineages).collect().toSeq
     val html = Mermaid.html(lineages, links, edges.collect().toSeq)
