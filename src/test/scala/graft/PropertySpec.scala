@@ -21,6 +21,34 @@ class PropertySpec extends AnyFunSuite {
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("q03/q10/q11 are bit-stable across partition-count drift with AQE on") {
+    // guards the FP rounding contract (Pipelines.scala:12-20): the oracled
+    // aggregates must hash identically no matter how many shuffle partitions
+    // or scan splits execution happens to use — 2-partition + tiny-split vs
+    // 32-partition + default-split, both under AQE, must agree bit-for-bit
+    val dir = "/root/testdata/sf0.01"
+    val names = Seq("q03_fact_enriched", "q10_mart_customer_value", "q11_customer_agg")
+    def canon(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, dir).collect().map(_.mkString("")).sorted
+    val conf = spark.conf
+    val keys = Seq("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled",
+      "spark.sql.files.maxPartitionBytes")
+    val saved = keys.map(k => k -> util.Try(conf.get(k)).toOption)
+    def withConf(parts: String, mpb: String)(f: => Map[String, Seq[String]]) =
+      try {
+        conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.shuffle.partitions", parts)
+        conf.set("spark.sql.files.maxPartitionBytes", mpb)
+        f
+      } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+    val a = withConf("2", "131072")(names.map(n => n -> canon(n)).toMap)
+    val b = withConf("32", "134217728")(names.map(n => n -> canon(n)).toMap)
+    names.foreach { n =>
+      assert(a(n).size === b(n).size, s"$n row count drifted")
+      assert(a(n) === b(n), s"$n values drifted across partitioning")
+    }
+  }
+
   test("downstream closure respects its limit and excludes the seed") {
     import spark.implicits._
     val chain = (0 until 30).map(i => (s"c$i", s"c${i + 1}", "r")).toDF("src", "dst", "reason")
