@@ -100,20 +100,26 @@ object Dedup {
 
   private val numHashes = 16
   private val bands = 4 // 4 minhashes per band
+  private val perBand = numHashes / bands
 
   /** MinHash signatures over 3-gram shingles + banded LSH candidate pairs,
-    * scored by signature agreement (estimated Jaccard ≥ 0.5). */
+    * scored by signature agreement (estimated Jaccard ≥ 0.5).
+    *
+    * Hash family: permutation i = lexicographic MIN of md5("i|" + shingle) —
+    * a uniform 128-bit permutation whose hex encoding both Spark and DuckDB
+    * produce identically, so the whole pipeline (signatures, band hashes,
+    * candidate pairs, agreement scores) is fully oracled. */
   val minhashLsh: Q = Q(
     "q15_dedup_minhash_lsh",
     (s, dir) => {
       val ng = ngramRows(s, dir)
       val mh = (0 until numHashes).map(i =>
-        min(xxhash64(lit(i), col("ngram"))).as(s"mh$i"))
+        min(md5(concat_ws("|", lit(i.toString), col("ngram")))).as(s"mh$i"))
       val sigs = ng.groupBy("doc_id").agg(mh.head, mh.tail: _*).persist()
       val bandCols = (0 until bands).map { b =>
         struct(lit(b).as("band_idx"),
-          xxhash64((b * numHashes / bands until (b + 1) * numHashes / bands)
-            .map(i => col(s"mh$i")): _*).as("band_hash"))
+          md5(concat_ws("|", (b * perBand until (b + 1) * perBand)
+            .map(i => col(s"mh$i")): _*)).as("band_hash"))
       }
       val bandRows = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band_idx").as("band_idx"), col("bk.band_hash").as("band_hash"))
@@ -132,28 +138,79 @@ object Dedup {
           (agree / lit(numHashes.toDouble)).as("est_jaccard"))
         .filter(col("est_jaccard") >= 0.5)
     },
-    None)
+    Some {
+      val mhCols = (0 until numHashes)
+        .map(i => s"min(md5('$i' || '|' || ngram)) AS mh$i").mkString(",\n          ")
+      val bandSelects = (0 until bands).map { b =>
+        val cat = (b * perBand until (b + 1) * perBand).map(i => s"mh$i")
+          .mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sigs"
+      }.mkString("\n        UNION ALL\n        ")
+      val agreeSql = (0 until numHashes)
+        .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+      ), ng AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words)-1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS ngram
+        FROM docs
+      ), sigs AS (
+        SELECT doc_id,
+          $mhCols
+        FROM ng GROUP BY doc_id
+      ), bands AS (
+        $bandSelects
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+      )
+      SELECT c.doc_a, c.doc_b,
+             CAST($agreeSql AS DOUBLE) / CAST($numHashes AS DOUBLE) AS est_jaccard
+      FROM cand c
+      JOIN sigs sa ON c.doc_a = sa.doc_id
+      JOIN sigs sb ON c.doc_b = sb.doc_id
+      WHERE CAST($agreeSql AS DOUBLE) / CAST($numHashes AS DOUBLE) >= 0.5"""
+    })
 
   /** 64-bit SimHash per document (weighted per-bit majority over token hashes)
-    * + near-dup collision counts via 4×16-bit LSH bands. One row per doc. */
+    * + near-dup collision counts via 4×16-bit LSH bands. One row per doc.
+    *
+    * Hash family: signature bit b is bit (b%4) of hex digit b/4 of
+    * md5(token) — both engines produce the identical hex string, so the
+    * signatures, band keys, Hamming-verified collisions and counts are fully
+    * oracled. Band keys are rebuilt from the per-bit sums (nonnegative
+    * 16-bit values) rather than by shifting the signed 64-bit signature. */
   val simhash: Q = Q(
     "q16_dedup_simhash",
     (s, dir) => {
       val tok = Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-        .withColumn("h", xxhash64(col("w")))
-      val bitSums = (0 until 64).map(b =>
-        sum(when(expr(s"((h >> $b) & 1) = 1"), col("cnt")).otherwise(-col("cnt"))).as(s"s$b"))
+        .withColumn("h", md5(col("w")))
+        // dv: the 16 leading hex-digit values of md5(w) = 64 signature bits
+        .withColumn("dv", expr(
+          "transform(sequence(1, 16), i -> locate(substring(h, i, 1), '0123456789abcdef') - 1)"))
+      val bitSums = (0 until 64).map { b =>
+        sum(expr(s"cnt * (2 * ((dv[${b / 4}] >> ${b % 4}) & 1) - 1)")).as(s"s$b")
+      }
       val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       val sim: Column = (0 until 64)
         .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce((a, c) => a.bitwiseOR(c))
-      val sigs = sums.select(col("doc_id"), sim.as("simhash"))
+      val bandKeyCols = (0 until 4).map { i =>
+        (16 * i until 16 * (i + 1)).map(b =>
+          when(col(s"s$b") > 0, lit(1L << (b - 16 * i))).otherwise(lit(0L)))
+          .reduce(_ + _).as(s"k$i") // disjoint bits: + ≡ OR, stays in [0, 65535]
+      }
+      val sigs = sums.select(col("doc_id") +: sim.as("simhash") +: bandKeyCols: _*)
+        .persist()
       val bandRows = sigs.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(i =>
-          struct(lit(i).as("band_idx"),
-            expr(s"(simhash >> ${16 * i}) & 65535").as("band_key"))): _*)).as("bk"))
+          struct(lit(i).as("band_idx"), col(s"k$i").as("band_key"))): _*)).as("bk"))
         .select(col("doc_id"), col("simhash"),
           col("bk.band_idx").as("band_idx"), col("bk.band_key").as("band_key"))
       val collisions = bandRows.as("a").join(bandRows.as("b"),
@@ -167,7 +224,53 @@ object Dedup {
         .select(col("doc_id"), col("simhash"),
           coalesce(col("near_dup_count"), lit(0L)).as("near_dup_count"))
     },
-    None)
+    Some {
+      val sumCols = (0 until 64).map { b =>
+        s"SUM(cnt * (2 * ((dv[${b / 4 + 1}] >> ${b % 4}) & 1) - 1)) AS s$b"
+      }.mkString(",\n          ")
+      // bit 63 is the sign bit: add Long.MinValue instead of 1<<63
+      val simSql = "(CASE WHEN s63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END) + " +
+        (0 until 63).map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+          .mkString(" + ")
+      val keyCols = (0 until 4).map { i =>
+        (16 * i until 16 * (i + 1)).map(b =>
+          s"(CASE WHEN s$b > 0 THEN CAST(${1L << (b - 16 * i)} AS BIGINT) ELSE 0 END)")
+          .mkString(" + ") + s" AS k$i"
+      }.mkString(",\n          ")
+      val bandSelects = (0 until 4)
+        .map(i => s"SELECT doc_id, simhash, $i AS band_idx, k$i AS band_key FROM sig")
+        .mkString("\n        UNION ALL\n        ")
+      s"""WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ), tok AS (
+        SELECT doc_id, w, COUNT(1) AS cnt, md5(w) AS h FROM words GROUP BY doc_id, w
+      ), dig AS (
+        SELECT doc_id, cnt,
+          list_transform(range(1, 17), i -> strpos('0123456789abcdef', substr(h, i, 1)) - 1) AS dv
+        FROM tok
+      ), sums AS (
+        SELECT doc_id,
+          $sumCols
+        FROM dig GROUP BY doc_id
+      ), sig AS (
+        SELECT doc_id,
+          $simSql AS simhash,
+          $keyCols
+        FROM sums
+      ), bands AS (
+        $bandSelects
+      ), pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS other
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id <> b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+      ), coll AS (
+        SELECT doc_id, COUNT(1) AS near_dup_count FROM pairs GROUP BY doc_id
+      )
+      SELECT s.doc_id, s.simhash, COALESCE(c.near_dup_count, 0) AS near_dup_count
+      FROM sig s LEFT JOIN coll c ON s.doc_id = c.doc_id"""
+    })
 
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash)
 }

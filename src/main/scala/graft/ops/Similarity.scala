@@ -90,25 +90,36 @@ object Similarity {
       SELECT q_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS rank, cos
       FROM sims WHERE rn <= 5"""))
 
+  // q19 LSH parameters — shared by the Spark plan and the DuckDB oracle,
+  // which re-derives the exact same signatures from these plane literals
+  private val nBands = 8
+  private val bandBits = 8
+  private val lshPlanes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(nBands * bandBits)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+  /** Exact band key + every Hamming-≤2 variant: 1 + 8 + 28 = 37 probes. */
+  private val probeMasks: Seq[Long] = Seq(0L) ++
+    (0 until bandBits).map(j => 1L << j) ++
+    (for (j <- 0 until bandBits; k <- j + 1 until bandBits)
+      yield (1L << j) | (1L << k))
+
   /** Random-hyperplane (SimHash-for-vectors) LSH top-k: 64 deterministic
     * hyperplanes → 64-bit signature → 8 bands of 8 bits, with query-side
-    * multi-probe (the exact band key plus every Hamming-1 variant, 9 probes
-    * per band) → exact cosine re-rank inside the candidate set. Multi-probe
-    * buys the recall of many more hash tables without replicating the corpus
-    * index: the corpus stays at 8 band-rows/vector, only the tiny broadcast
-    * query side fans out ×9. Recall@5 ≥ 0.8 vs the q18 exact baseline is
-    * asserted in OpsSpec. */
+    * multi-probe (the exact band key plus every Hamming-≤2 variant, 37
+    * probes per band) → exact cosine re-rank inside the candidate set.
+    * Multi-probe buys the recall of many more hash tables without
+    * replicating the corpus index: the corpus stays at 8 band-rows/vector,
+    * only the tiny broadcast query side fans out ×37. Recall@5 ≥ 0.8 vs the
+    * q18 exact baseline is asserted in OpsSpec.
+    *
+    * Fully oracled: the hyperplanes are seeded literals, so the oracle SQL
+    * embeds them and recomputes identical signatures (list_dot_product is
+    * bit-exact vs vec_dot), identical probe sets, and the q18-style re-rank. */
   val knnLsh: Q = Q(
     "q19_knn_lsh",
     (s, dir) => {
-      val nPlanes = 64
-      val nBands = 8
-      val bandBits = 8
-      val planes: Seq[Seq[Double]] = {
-        val rnd = new scala.util.Random(42)
-        Seq.fill(nPlanes)(Seq.fill(64)(rnd.nextGaussian()))
-      }
-      val planesCol = typedLit(planes)
+      val planesCol = typedLit(lshPlanes)
       // each band's 8-bit key is computed from its own plane slice (no 64-bit
       // signature accumulator — ANSI mode would throw on the sign-bit shift)
       val bandStructs = (0 until nBands).map { i =>
@@ -123,16 +134,10 @@ object Similarity {
           explode(array(bandStructs: _*)).as("bk"))
         .select(col("vec_id"), col("v"), col("norm"),
           col("bk.band_idx").as("band_idx"), col("bk.band_key").as("band_key"))
-      // query side: per band, probe the exact bucket plus every bucket within
-      // Hamming distance 2 (1 + 8 + 28 = 37 probes). The probe budget is the
-      // recall/scan-cost dial: these synthetic embeddings are near-random
-      // (5th-neighbor cos ≈ 0.3 → per-bit collision ≈ 0.6) so they need the
-      // full H≤2 budget; clustered production embeddings reach the same
-      // recall at H≤1. Probes fan out only the broadcast query side.
-      val probeMasks: Seq[Long] = Seq(0L) ++
-        (0 until bandBits).map(j => 1L << j) ++
-        (for (j <- 0 until bandBits; k <- j + 1 until bandBits)
-          yield (1L << j) | (1L << k))
+      // query side probe budget is the recall/scan-cost dial: these synthetic
+      // embeddings are near-random (5th-neighbor cos ≈ 0.3 → per-bit
+      // collision ≈ 0.6) so they need the full H≤2 budget; clustered
+      // production embeddings reach the same recall at H≤1
       val probeKeys = expr(probeMasks.map(m => s"band_key ^ $m")
         .mkString("array(", ", ", ")"))
       val q = bandRows.filter(col("vec_id") % queryMod === 0)
@@ -150,7 +155,54 @@ object Similarity {
         .filter(col("rank") <= 5)
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
     },
-    None)
+    Some {
+      // plane rows: (band_idx, bit_idx, plane); bit j of band i is plane 8i+j,
+      // weighted 2^(7-j) — the same most-significant-first fold as the Spark
+      // accumulator. Double.toString is shortest-round-trip, and DuckDB's
+      // decimal→double conversion correctly rounds, so the embedded literals
+      // reproduce the exact same IEEE planes.
+      val planeRows = (for (i <- 0 until nBands; j <- 0 until bandBits) yield {
+        val p = lshPlanes(bandBits * i + j).mkString("[", ", ", "]")
+        s"($i, $j, CAST($p AS DOUBLE[]))"
+      }).mkString(",\n        ")
+      val maskRows = probeMasks.map(m => s"($m)").mkString(", ")
+      s"""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      ), n AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e
+      ), planes (band_idx, bit_idx, p) AS (
+        VALUES $planeRows
+      ), keys AS (
+        SELECT n.vec_id, pl.band_idx,
+          CAST(SUM((CASE WHEN list_dot_product(pl.p, n.v) > 0 THEN 1 ELSE 0 END)
+                   * (1 << (${bandBits - 1} - pl.bit_idx))) AS BIGINT) AS band_key
+        FROM n CROSS JOIN planes pl
+        GROUP BY n.vec_id, pl.band_idx
+      ), masks (m) AS (
+        VALUES $maskRows
+      ), qk AS (
+        SELECT k.vec_id AS q_id, k.band_idx,
+               xor(k.band_key, CAST(mk.m AS BIGINT)) AS probe_key
+        FROM keys k CROSS JOIN masks mk
+        WHERE k.vec_id % $queryMod = 0
+      ), cand AS (
+        SELECT DISTINCT qk.q_id, k.vec_id
+        FROM qk JOIN keys k
+          ON k.band_idx = qk.band_idx AND k.band_key = qk.probe_key
+        WHERE k.vec_id <> qk.q_id
+      ), scored AS (
+        SELECT c.q_id, c.vec_id,
+          list_dot_product(qn.v, cn.v) / (qn.norm * cn.norm) AS cos,
+          row_number() OVER (PARTITION BY c.q_id
+            ORDER BY list_dot_product(qn.v, cn.v) / (qn.norm * cn.norm) DESC,
+                     c.vec_id) AS rn
+        FROM cand c
+        JOIN n cn ON cn.vec_id = c.vec_id
+        JOIN n qn ON qn.vec_id = c.q_id
+      )
+      SELECT q_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS rank, cos
+      FROM scored WHERE rn <= 5"""
+    })
 
   /** Train-once IVF coarse quantizer: seeded KMeans centroids per sf-dir,
     * fitted on FIRST use and persisted (JVM memory + parquet under
