@@ -1,7 +1,5 @@
 package graft.ops
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,10 +17,8 @@ import graft.qa.QA
   */
 object LineageQueries {
 
-  private val cache = TrieMap.empty[String, Seq[ScriptLineage]]
-
   private def lineages(s: SparkSession, dir: String): Seq[ScriptLineage] =
-    cache.getOrElseUpdate(dir, Repo.lineage(s, dir))
+    Repo.cachedLineage(s, dir)
 
   val lineageEdges: Q = Q(
     "q25_lineage_edges",

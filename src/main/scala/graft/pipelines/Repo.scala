@@ -305,4 +305,14 @@ object Repo {
       base.copy(assets = reads :+ write)
     }
   }
+
+  private val lineageCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[ScriptLineage]]
+
+  /** Memoized [[lineage]] per sf-dir: the repo DAG is extracted once per JVM
+    * and shared by every consumer (q25–q30/q44, Ask, Query). In a real
+    * deployment extraction is an offline artifact maintained beside the repo,
+    * not per-question work. */
+  def cachedLineage(spark: SparkSession, sfDir: String): Seq[ScriptLineage] =
+    lineageCache.getOrElseUpdate(sfDir, lineage(spark, sfDir))
 }

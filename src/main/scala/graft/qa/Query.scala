@@ -45,7 +45,7 @@ object Query {
   def hybridEvidence(spark: SparkSession, sfDir: String,
       question: String): Hybrid = {
     import spark.implicits._
-    val ls: Seq[ScriptLineage] = Repo.lineage(spark, sfDir)
+    val ls: Seq[ScriptLineage] = Repo.cachedLineage(spark, sfDir)
     val edges = Lineage.edges(spark, ls).cache()
     val known = edges.select("targetCol").distinct().collect().map(_.getString(0)).toSet ++
       edges.select("srcCol").distinct().collect().map(_.getString(0)).toSet
