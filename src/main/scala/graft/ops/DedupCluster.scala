@@ -51,6 +51,23 @@ object DedupCluster {
     labels
   }
 
+  /** Memoized cluster assignments per sf-dir: pair mining (q14's plan) +
+    * label propagation run once per JVM and are shared by q40 and q46 — in a
+    * production dedup pipeline the candidate pairs and components are
+    * materialized intermediates feeding both reporting and pruning, never
+    * re-mined per consumer. */
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def clusters(s: SparkSession, dir: String): DataFrame =
+    clusterCache.getOrElseUpdate(dir, {
+      val pairs = Dedup.ngramJaccard.run(s, dir).select("doc_a", "doc_b")
+      connectedComponents(s, pairs)
+        .withColumn("is_canonical",
+          when(col("doc_id") === col("component"), 1).otherwise(0))
+        .persist()
+    })
+
   /** Cluster the verified n-gram-Jaccard near-dup pairs (q14) and emit one row
     * per clustered document with its canonical representative. Docs in no pair
     * are their own canonical (identity components are omitted here — the
@@ -61,12 +78,7 @@ object DedupCluster {
     * minimum doc_id, exactly the fixpoint of min-label propagation. */
   val dedupClusters: Q = Q(
     "q40_dedup_clusters",
-    (s, dir) => {
-      val pairs = Dedup.ngramJaccard.run(s, dir).select("doc_a", "doc_b")
-      connectedComponents(s, pairs)
-        .withColumn("is_canonical", when(col("doc_id") === col("component"), 1).otherwise(0))
-        .orderBy("component", "doc_id")
-    },
+    (s, dir) => clusters(s, dir).orderBy("component", "doc_id"),
     Some(s"""WITH RECURSIVE pairs AS (
         ${Dedup.ngramJaccard.oracle.get}
       ), cc_edges AS (
@@ -82,5 +94,24 @@ object DedupCluster {
              CASE WHEN doc_id = MIN(label) THEN 1 ELSE 0 END AS is_canonical
       FROM walk GROUP BY doc_id"""))
 
-  val all: Seq[Q] = Seq(dedupClusters)
+  /** The end of the dedup pipeline: drop every non-canonical cluster member
+    * and emit the cleaned corpus (mine q14 → cluster q40 → prune). left_anti
+    * against the small drop-list — the corpus streams once, never shuffles
+    * its text. */
+  val dedupPrune: Q = Q(
+    "q46_dedup_prune",
+    (s, dir) => {
+      val drop = clusters(s, dir)
+        .filter(col("is_canonical") === 0).select("doc_id")
+      graft.Tables.documents(s, dir)
+        .join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("text"))
+    },
+    Some(s"""WITH comp AS (
+        ${dedupClusters.oracle.get}
+      )
+      SELECT d.doc_id, d.text FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE is_canonical = 0)"""))
+
+  val all: Seq[Q] = Seq(dedupClusters, dedupPrune)
 }

@@ -50,6 +50,17 @@ class OpsSpec extends AnyFunSuite {
     info(f"LSH recall@5 = $avg%.2f over ${recalls.size} queries")
   }
 
+  test("q46 prune keeps exactly the canonical + unclustered docs") {
+    val total = Tables.documents(spark, sfDir).count()
+    val clusters = SparkEntry.queries("q40_dedup_clusters")(spark, sfDir)
+    val dropped = clusters.filter(col("is_canonical") === 0).count()
+    val pruned = SparkEntry.queries("q46_dedup_prune")(spark, sfDir)
+    assert(pruned.count() === total - dropped)
+    // every cluster canonical survives the prune
+    val canon = clusters.filter(col("is_canonical") === 1).select("doc_id")
+    assert(canon.join(pruned, "doc_id").count() === canon.count())
+  }
+
   test("q24 multimodal: n_bytes equals n_chars for ascii corpus") {
     val df = SparkEntry.queries("q24_multimodal_decode")(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)
