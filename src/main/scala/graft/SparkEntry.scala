@@ -8,7 +8,8 @@ object SparkEntry {
   private def registry: Seq[Q] =
     pipelines.Pipelines.all ++ ops.Dedup.all ++ ops.DedupCluster.all ++
       ops.Similarity.all ++
-      ops.TextOps.all ++ ops.Multimodal.all ++ ops.Sources.all ++
+      ops.TextOps.all ++ ops.Multimodal.all ++ ops.Sampling.all ++
+      ops.Sources.all ++
       ops.Analytics.all ++ ops.TypedAgg.all ++ ops.LineageQueries.all ++
       streaming.StreamingSessions.all
 

@@ -63,5 +63,63 @@ object Multimodal {
       md5(text) AS payload_md5
       FROM documents"""))
 
-  val all: Seq[Q] = Seq(decode)
+  /** One sampled, resized frame. */
+  final case class FrameRow(doc_id: Long, frame_idx: Int, n_bytes: Long,
+      resized_md5: String)
+
+  private val frameSize = 64 // bytes per fake "video frame"
+  private val sampleEvery = 4 // keep every 4th frame
+
+  /** STUB decode for frame sampling + resize (the video-pipeline shape):
+    * split the payload into fixed-size frames, keep every `sampleEvery`-th,
+    * "resize" by 2× byte downsampling, fingerprint the result. Per-partition
+    * decoder init + multi-row-per-input flatMap is exactly how a real
+    * ffmpeg/PIL batch stage is shaped on Spark. */
+  private def framePartition(rows: Iterator[MediaRow]): Iterator[FrameRow] = {
+    val md = MessageDigest.getInstance("MD5") // one init per partition
+    rows.flatMap { r =>
+      r.payload.grouped(frameSize).zipWithIndex.collect {
+        case (frame, i) if i % sampleEvery == 0 =>
+          val resized = frame.zipWithIndex.collect { case (b, j) if j % 2 == 0 => b }
+          md.reset()
+          FrameRow(r.doc_id, i, frame.length.toLong,
+            md.digest(resized).map("%02x".format(_)).mkString)
+      }
+    }
+  }
+
+  /** Frame-sample + resize over the binary payload column (q47). Oracled:
+    * the corpus is ASCII (asserted by q24's oracle), so byte slicing equals
+    * character slicing and DuckDB can reproduce every sampled, downsampled
+    * frame fingerprint. */
+  val frames: Q = Q(
+    "q47_multimodal_frames",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"),
+          lit("video/fake").as("mime"))
+        .as[MediaRow]
+        .mapPartitions(framePartition)
+        .toDF()
+    },
+    Some(s"""WITH f AS (
+        SELECT doc_id, text,
+               unnest(range(0, (length(text) + ${frameSize - 1}) // $frameSize)) AS i
+        FROM documents
+      ), sampled AS (
+        SELECT doc_id, i AS frame_idx,
+               substr(text, CAST(i * $frameSize + 1 AS INT), $frameSize) AS frame
+        FROM f WHERE i % $sampleEvery = 0
+      )
+      SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+             CAST(length(frame) AS BIGINT) AS n_bytes,
+             md5(array_to_string(
+               list_transform(range(1, length(frame) + 1, 2),
+                              j -> substr(frame, CAST(j AS INT), 1)), '')) AS resized_md5
+      FROM sampled"""))
+
+  val all: Seq[Q] = Seq(decode, frames)
 }

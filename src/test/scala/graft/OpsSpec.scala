@@ -61,6 +61,28 @@ class OpsSpec extends AnyFunSuite {
     assert(canon.join(pruned, "doc_id").count() === canon.count())
   }
 
+  test("q47 frames: sampled count matches ceil(len/64) every 4th") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).as("len"))
+    val expected = docs.select(
+      sum(expr("cast(ceil((ceil(len / 64.0)) / 4.0) as bigint)"))).head().getLong(0)
+    val frames = SparkEntry.queries("q47_multimodal_frames")(spark, sfDir)
+    assert(frames.count() === expected)
+    // resize halves the bytes (rounded up): fingerprints differ from raw md5
+    assert(frames.filter(col("frame_idx") % 4 =!= 0).count() === 0)
+  }
+
+  test("q48 split is exhaustive, disjoint and ~90/10") {
+    val split = SparkEntry.queries("q48_train_split")(spark, sfDir).cache()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(split.count() === total)
+    val frac = split.filter(col("split") === "train").count().toDouble / total
+    assert(frac > 0.8 && frac < 0.96, s"train fraction $frac")
+    // determinism: re-running yields the identical assignment
+    val again = SparkEntry.queries("q48_train_split")(spark, sfDir)
+    assert(split.except(again).count() === 0)
+  }
+
   test("q24 multimodal: n_bytes equals n_chars for ascii corpus") {
     val df = SparkEntry.queries("q24_multimodal_decode")(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)
