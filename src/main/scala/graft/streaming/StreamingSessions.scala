@@ -104,6 +104,11 @@ object StreamingSessions {
     * stateful operator's input or the analyzer rejects event-time timeout). */
   final case class Ev(user_id: Long, ts_us: Long, value: Double,
       ts_t: java.sql.Timestamp)
+
+  /** O(1) per-key state: the open session's summary, not its events — state
+    * size is constant no matter how long a session runs, which is what keeps
+    * the state store bounded on a 100 TB/day stream. */
+  final case class OpenSession(start_us: Long, last_us: Long, n: Long)
   final case class SessionOut(user_id: Long, session_start_us: Long,
       session_end_us: Long, events_n: Long)
 
@@ -112,11 +117,11 @@ object StreamingSessions {
     * logic `session_window` can't express (e.g. value-dependent gap rules).
     *
     * Cross-batch correct: only sessions CLOSED by a later event's gap are
-    * emitted eagerly; the trailing open session's timestamps stay in state so
-    * a session spanning micro-batches is never split. The open session is
-    * flushed by an event-time timeout once the watermark passes its gap
-    * deadline (last event + 30 min) — the same close rule `session_window`
-    * applies internally. */
+    * emitted eagerly; the trailing open session stays in state (as an O(1)
+    * [[OpenSession]] summary) so a session spanning micro-batches is never
+    * split. The open session is flushed by an event-time timeout once the
+    * watermark passes its gap deadline (last event + 30 min) — the same
+    * close rule `session_window` applies internally. */
   def statefulSessions(spark: SparkSession, path: String,
       readerOptions: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -130,30 +135,36 @@ object StreamingSessions {
       .select(col("user_id"), expr("ts div 1000").as("ts_us"),
         col("value"), col("ts_t")).as[Ev]
     def fn(userId: Long, rows: Iterator[Ev],
-        state: GroupState[List[Long]]): Iterator[SessionOut] = {
+        state: GroupState[OpenSession]): Iterator[SessionOut] = {
       if (state.hasTimedOut) {
         // watermark passed the open session's gap deadline: it can no longer
         // grow (later events would be late beyond the watermark) — flush it
-        val held = state.getOption.getOrElse(Nil)
+        val o = state.get
         state.remove()
-        if (held.isEmpty) Iterator.empty
-        else Iterator.single(SessionOut(userId, held.last, held.head, held.size.toLong))
+        Iterator.single(SessionOut(userId, o.start_us, o.last_us, o.n))
       } else {
-        // carried open-session timestamps + this batch, re-sessionized
-        val ts = (state.getOption.getOrElse(Nil) ++ rows.map(_.ts_us)).sorted
+        val ts = rows.map(_.ts_us).toArray.sorted
         if (ts.isEmpty) Iterator.empty
         else {
-          // fold keeps each session newest-first, sessions list newest-first
-          val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
-            if (t - acc.head.head < gapUs) (t :: acc.head) :: acc.tail
-            else List(t) :: acc
+          // fold this batch (sorted) into the carried open-session summary:
+          // a gap closes the open session, anything else extends it (late
+          // events inside the open span merge via the negative-gap branch)
+          var open = state.getOption.orNull
+          val closed = List.newBuilder[SessionOut]
+          for (t <- ts) {
+            if (open == null) open = OpenSession(t, t, 1L)
+            else if (t - open.last_us < gapUs)
+              open = OpenSession(open.start_us, math.max(open.last_us, t), open.n + 1L)
+            else {
+              closed += SessionOut(userId, open.start_us, open.last_us, open.n)
+              open = OpenSession(t, t, 1L)
+            }
           }
-          state.update(sessions.head)
+          state.update(open)
           state.setTimeoutTimestamp(math.max(
-            (sessions.head.head + gapUs) / 1000L,
+            (open.last_us + gapUs) / 1000L,
             state.getCurrentWatermarkMs() + 1))
-          sessions.tail.reverseIterator.map(s =>
-            SessionOut(userId, s.last, s.head, s.size.toLong))
+          closed.result().iterator
         }
       }
     }
