@@ -9,7 +9,7 @@ object SparkEntry {
     pipelines.Pipelines.all ++ ops.Dedup.all ++ ops.DedupCluster.all ++
       ops.Similarity.all ++
       ops.TextOps.all ++ ops.Multimodal.all ++ ops.Sampling.all ++
-      ops.Sources.all ++
+      ops.Skew.all ++ ops.Sources.all ++
       ops.Analytics.all ++ ops.TypedAgg.all ++ ops.LineageQueries.all ++
       streaming.StreamingSessions.all
 

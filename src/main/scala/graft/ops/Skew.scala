@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.{Q, Tables}
+
 /** Skew mitigation for joins with hot keys: salt the (large, skewed) left side
   * into `salt` sub-keys and replicate the right side once per salt value, so a
   * hot key's rows spread across `salt` tasks instead of one straggler. AQE's
@@ -40,4 +42,26 @@ object Skew {
     l.join(r, leftKey === rightKey && l("__salt") === r("__salt"), joinType)
       .drop("__salt")
   }
+
+  /** The salted join registered as a driver-checked query: salting must be
+    * invisible in the result, so the oracle is the PLAIN join — the DuckDB
+    * hash-compare proves semantic neutrality on real data, not just in unit
+    * tests. Aggregated per brand (bounded groups, round(sum,2) per the FP
+    * contract). */
+  val skewSaltedJoin: Q = Q(
+    "q49_skew_salted_join",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      saltedJoin(li, p, li("l_partkey"), p("p_partkey"), "inner", salt = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+    },
+    Some("""SELECT p_brand, COUNT(1) AS n,
+        ROUND(SUM(l_extendedprice), 2) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand"""))
+
+  val all: Seq[Q] = Seq(skewSaltedJoin)
 }
