@@ -27,7 +27,8 @@ class PropertySpec extends AnyFunSuite {
     // or scan splits execution happens to use — 2-partition + tiny-split vs
     // 32-partition + default-split, both under AQE, must agree bit-for-bit
     val dir = "/root/testdata/sf0.01"
-    val names = Seq("q03_fact_enriched", "q10_mart_customer_value", "q11_customer_agg")
+    val names = Seq("q03_fact_enriched", "q10_mart_customer_value",
+      "q11_customer_agg", "q49_skew_salted_join")
     def canon(name: String): Seq[String] =
       SparkEntry.queries(name)(spark, dir).collect().map(_.mkString("")).sorted
     val conf = spark.conf
