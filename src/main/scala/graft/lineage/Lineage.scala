@@ -117,24 +117,26 @@ object Lineage {
       maxDepth: Int = 20): DataFrame = {
     import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph, EdgeTriplet, Pregel}
     import spark.implicits._
-    // vertex ids are assigned distributively (zipWithUniqueId over the
-    // distinct-name Dataset) and joined back onto the edges — no driver-side
-    // edge collect, so the lineage graph can exceed driver memory
+    // vertex ids are derived distributively as xxhash64(name) — deterministic
+    // under recomputation (zipWithUniqueId could assign different ids when
+    // the shuffle behind it re-executes for the vertex vs edge jobs), with no
+    // driver-side edge collect, so the lineage graph can exceed driver
+    // memory. 64-bit collisions over a column-name vocabulary are negligible.
     val edgePairs = graph.select(col("src"), col("dst")).distinct()
-    val ids = edgePairs.select(col("src").as("name"))
-      .unionByName(edgePairs.select(col("dst").as("name")))
-      .distinct().as[String].rdd.zipWithUniqueId()
-    val idsDf = ids.toDF("name", "vid")
     val edges = edgePairs
-      .join(idsDf.select(col("name").as("src"), col("vid").as("src_vid")), "src")
-      .join(idsDf.select(col("name").as("dst"), col("vid").as("dst_vid")), "dst")
-      .select(col("src_vid"), col("dst_vid")).as[(Long, Long)]
+      .select(xxhash64(col("src")).as("src_vid"), xxhash64(col("dst")).as("dst_vid"))
+      .as[(Long, Long)]
       .rdd.map { case (s, d) => GxEdge(s, d, 1) }
     // vertex attr carries (name, dist) so the result maps back to names
     // without a driver-side id→name table
-    val vertices = ids.map { case (n, id) =>
-      (id, (n, if (n == start) 0 else Int.MaxValue))
-    }
+    val vertices = edgePairs.select(col("src").as("name"))
+      .unionByName(edgePairs.select(col("dst").as("name")))
+      .distinct()
+      .select(xxhash64(col("name")).as("vid"), col("name"))
+      .as[(Long, String)]
+      .rdd.map { case (id, n) =>
+        (id, (n, if (n == start) 0 else Int.MaxValue))
+      }
     val g = GxGraph(vertices, edges)
     val res = Pregel(g, Int.MaxValue, maxIterations = maxDepth)(
       (_, attr, msg) => (attr._1, math.min(attr._2, msg)),

@@ -18,8 +18,9 @@ import graft.{Q, Tables}
   *    via 16-bit band collision counts.
   *
   * Reference has no dedup surface (capability extension; BASELINE.json north
-  * star). Signature ops use xxhash64 (not available in DuckDB) → rows-only
-  * checks; exact + n-gram Jaccard have full oracles.
+  * star). All four are fully oracled: exact + n-gram Jaccard directly, and
+  * the signature ops via engine-portable md5 hash families (hex strings that
+  * Spark and DuckDB produce and compare identically).
   */
 object Dedup {
 

@@ -23,7 +23,7 @@ object DedupCluster {
     * convergence is read off the (already-materialized-by-checkpoint)
     * frontier's count — no extra join+count job per round. */
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     // undirected: propagate both ways
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
@@ -48,6 +48,12 @@ object DedupCluster {
       frontierSize = frontier.count() // scan of the checkpointed merged, no join
       labels = merged.select("doc_id", "component")
     }
+    // never ship non-converged components: downstream (canonical selection,
+    // pruning, the exact-fixpoint oracle) all assume true component minima
+    if (frontierSize > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter iterations " +
+          "(component diameter exceeds the cap); raise maxIter")
     labels
   }
 

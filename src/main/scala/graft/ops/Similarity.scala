@@ -219,11 +219,16 @@ object Similarity {
       mem.getOrElseUpdate(dir, {
         val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
         val path = s"/root/repo/target/graft_ivf/$tag"
+        val nVecs = graft.Tables.embeddings(s, dir).count()
+        // staleness guard: the persisted quantizer records the corpus size it
+        // was trained on; a regenerated corpus under the same dir triggers a
+        // refit instead of silently degraded cell assignment
         val loaded =
           try {
-            val rows = s.read.parquet(path).select("cell", "cvec")
+            val rows = s.read.parquet(path).select("cell", "cvec", "n_vectors")
               .orderBy("cell").collect()
-            if (rows.length == nCells) Some(rows.map(_.getSeq[Double](1)).toSeq)
+            if (rows.length == nCells && rows.forall(_.getLong(2) == nVecs))
+              Some(rows.map(_.getSeq[Double](1)).toSeq)
             else None
           } catch { case _: Exception => None }
         loaded.getOrElse {
@@ -233,8 +238,8 @@ object Similarity {
           val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(10)
             .setFeaturesCol("features").fit(e)
           val cents = model.clusterCenters.map(_.toArray.toSeq).toSeq
-          s.createDataFrame(cents.zipWithIndex.map { case (c, i) => (i, c) })
-            .toDF("cell", "cvec")
+          s.createDataFrame(cents.zipWithIndex.map { case (c, i) => (i, c, nVecs) })
+            .toDF("cell", "cvec", "n_vectors")
             .coalesce(1).write.mode("overwrite").parquet(path)
           cents
         }

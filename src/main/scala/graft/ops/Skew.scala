@@ -30,7 +30,7 @@ object Skew {
       joinType: String = "inner", salt: Int = 8): DataFrame = {
     require(salt > 0, "salt must be positive")
     val ok = Set("inner", "cross", "left", "left_outer", "leftouter",
-      "left_semi", "leftsemi", "left_anti", "leftanti")
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
     require(ok.contains(joinType.toLowerCase.replace(" ", "_")),
       s"saltedJoin does not support joinType=$joinType: unmatched right rows " +
         "would be replicated once per salt value; swap the inputs instead")

@@ -25,10 +25,10 @@ object Ask {
   final case class Result(answer: String, evidence: Seq[(String, String)],
       candidates: Seq[String])
 
-  /** Evidence DataFrame + extracted candidates for one question — shared by
-    * the CLI and the q30 driver query. */
-  def evidenceFrame(spark: SparkSession, sfDir: String,
-      question: String): (DataFrame, Seq[String]) = {
+  /** Evidence DataFrame + extracted candidates + a cleanup that unpersists
+    * the per-question caches once the evidence has been materialized. */
+  private def evidenceFrameManaged(spark: SparkSession, sfDir: String,
+      question: String): (DataFrame, Seq[String], () => Unit) = {
     import spark.implicits._
     val ls: Seq[ScriptLineage] = Repo.cachedLineage(spark, sfDir)
     val edges = Lineage.edges(spark, ls).cache()
@@ -47,13 +47,24 @@ object Ask {
     val docs = QA.corpus(spark, ls, edges).cache()
     val hits = QA.retrieve(spark, QA.embed(docs.toDF(), "text"),
       QA.embed(Seq(("question", question)).toDF("id", "text"), "text")).cache()
-    (QA.evidence(spark, impact, scripts, gold, hits, docs), cands)
+    val cleanup = () => { edges.unpersist(); docs.unpersist(); hits.unpersist(); () }
+    (QA.evidence(spark, impact, scripts, gold, hits, docs), cands, cleanup)
+  }
+
+  /** Evidence DataFrame + extracted candidates for one question — shared by
+    * the CLI and the q30 driver query (one-shot: caches live until the
+    * session ends or the caller materializes and discards the frame). */
+  def evidenceFrame(spark: SparkSession, sfDir: String,
+      question: String): (DataFrame, Seq[String]) = {
+    val (ev, cands, _) = evidenceFrameManaged(spark, sfDir, question)
+    (ev, cands)
   }
 
   def ask(spark: SparkSession, sfDir: String, question: String,
       answerer: QA.AnswerClient = QA.DeterministicAnswerer): Result = {
-    val (ev, cands) = evidenceFrame(spark, sfDir, question)
-    val evidence = ev.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val (ev, cands, cleanup) = evidenceFrameManaged(spark, sfDir, question)
+    val evidence = try ev.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      finally cleanup()
     Result(answerer.answer(question, evidence), evidence, cands)
   }
 

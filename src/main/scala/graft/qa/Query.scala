@@ -89,6 +89,11 @@ object Query {
       val collapsed = r.getString(2).trim.split("\\s+").mkString(" ")
       parts += f"${r.getLong(0)}%02d. ${r.getString(1)} :: $collapsed"
     }
+    // everything is collected above — release the per-question caches so a
+    // long REPL session does not accumulate storage memory
+    edges.unpersist()
+    graph.unpersist()
+    docs.unpersist()
     Hybrid(parts.result().mkString("\n"), cands, hits.length.toLong)
   }
 

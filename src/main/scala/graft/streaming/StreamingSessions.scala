@@ -116,12 +116,16 @@ object StreamingSessions {
     * arbitrary-state streaming API (KeyValueGroupedDataset), for session
     * logic `session_window` can't express (e.g. value-dependent gap rules).
     *
-    * Cross-batch correct: only sessions CLOSED by a later event's gap are
-    * emitted eagerly; the trailing open session stays in state (as an O(1)
-    * [[OpenSession]] summary) so a session spanning micro-batches is never
-    * split. The open session is flushed by an event-time timeout once the
-    * watermark passes its gap deadline (last event + 30 min) — the same
-    * close rule `session_window` applies internally. */
+    * Cross-batch and late-data correct, with the same close rule
+    * `session_window` applies internally: state holds the key's merged
+    * session intervals (each an O(1) [[OpenSession]] summary — constant per
+    * session regardless of event count), a batch's events merge into that
+    * interval set (late events extend a session's START as well as its end,
+    * or bridge two held sessions), rows below the watermark are dropped
+    * (the aggregation path's late-data rule), and a session is emitted only
+    * once the watermark passes its gap deadline (last event + 30 min) — at
+    * which point no admissible event can change it, so no session is ever
+    * split or emitted twice. */
   def statefulSessions(spark: SparkSession, path: String,
       readerOptions: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -135,37 +139,41 @@ object StreamingSessions {
       .select(col("user_id"), expr("ts div 1000").as("ts_us"),
         col("value"), col("ts_t")).as[Ev]
     def fn(userId: Long, rows: Iterator[Ev],
-        state: GroupState[OpenSession]): Iterator[SessionOut] = {
-      if (state.hasTimedOut) {
-        // watermark passed the open session's gap deadline: it can no longer
-        // grow (later events would be late beyond the watermark) — flush it
-        val o = state.get
-        state.remove()
-        Iterator.single(SessionOut(userId, o.start_us, o.last_us, o.n))
-      } else {
-        val ts = rows.map(_.ts_us).toArray.sorted
-        if (ts.isEmpty) Iterator.empty
+        state: GroupState[List[OpenSession]]): Iterator[SessionOut] = {
+      val wmMs = state.getCurrentWatermarkMs()
+      val wmUs = wmMs * 1000L
+      // a session is final once the watermark passes its gap deadline: every
+      // admissible future event t satisfies t >= wm >= last + gap, so it
+      // cannot merge — flush it; keep the rest in state
+      def settle(held: List[OpenSession]): Iterator[SessionOut] = {
+        val (closed, open) = held.partition(o => o.last_us + gapUs <= wmUs)
+        if (open.isEmpty) state.remove()
         else {
-          // fold this batch (sorted) into the carried open-session summary:
-          // a gap closes the open session, anything else extends it (late
-          // events inside the open span merge via the negative-gap branch)
-          var open = state.getOption.orNull
-          val closed = List.newBuilder[SessionOut]
-          for (t <- ts) {
-            if (open == null) open = OpenSession(t, t, 1L)
-            else if (t - open.last_us < gapUs)
-              open = OpenSession(open.start_us, math.max(open.last_us, t), open.n + 1L)
-            else {
-              closed += SessionOut(userId, open.start_us, open.last_us, open.n)
-              open = OpenSession(t, t, 1L)
-            }
-          }
           state.update(open)
           state.setTimeoutTimestamp(math.max(
-            (open.last_us + gapUs) / 1000L,
-            state.getCurrentWatermarkMs() + 1))
-          closed.result().iterator
+            open.map(o => o.last_us + gapUs).min / 1000L, wmMs + 1))
         }
+        closed.sortBy(_.start_us)
+          .map(o => SessionOut(userId, o.start_us, o.last_us, o.n)).iterator
+      }
+      if (state.hasTimedOut) settle(state.getOption.getOrElse(Nil))
+      else {
+        // drop below-watermark rows (the aggregation path's late-data rule),
+        // then interval-merge the batch into the held session set: sorted by
+        // start, adjacent items within the gap fuse — a late event can extend
+        // a session backwards or bridge two held sessions
+        val ts = rows.map(_.ts_us).filter(_ >= wmUs).toArray.sorted
+        val held = state.getOption.getOrElse(Nil)
+        val items = (held ++ ts.map(t => OpenSession(t, t, 1L)))
+          .sortBy(o => (o.start_us, o.last_us))
+        val merged = items.foldLeft(List.empty[OpenSession]) { (acc, o) =>
+          acc match {
+            case h :: t if o.start_us - h.last_us < gapUs =>
+              OpenSession(h.start_us, math.max(h.last_us, o.last_us), h.n + o.n) :: t
+            case _ => o :: acc
+          }
+        }
+        settle(merged)
       }
     }
     ev.groupByKey(_.user_id)

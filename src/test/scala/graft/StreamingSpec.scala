@@ -31,10 +31,10 @@ class StreamingSpec extends AnyFunSuite {
     val stateful = spark.table("graft_stateful").cache()
     stateful.count()
     val sw = SparkEntry.queries("q31_streaming_sessions")(spark, sfDir)
-    // expected emissions: every session closed by a later event's gap (all but
-    // each user's last) plus last sessions whose gap deadline (= session_window
-    // end = last event + 30 min) the final watermark (max ts - 1h) passed.
-    // Still-open sessions correctly stay in state — that is the fix under test.
+    // expected emissions: exactly the sessions whose gap deadline
+    // (= session_window end = last event + 30 min) the final watermark
+    // (max ts - 1h) passed — session_window's own close rule. Sessions the
+    // watermark has not sealed correctly stay in state.
     val maxTsUs = Tables.events(spark, sfDir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0)
     val wmUs = maxTsUs - 3600L * 1000000L
@@ -42,9 +42,7 @@ class StreamingSpec extends AnyFunSuite {
       unix_micros(col("session_start_ts")).as("start_us"),
       unix_micros(col("session_end_ts")).as("end_us"),
       col("events_n"))
-    val wLast = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
-    val expected = swN.withColumn("last_start", max("start_us").over(wLast))
-      .filter(col("start_us") =!= col("last_start") || col("end_us") <= wmUs)
+    val expected = swN.filter(col("end_us") <= wmUs)
       .select(col("user_id"), col("start_us"), col("events_n"))
     val got = stateful.select(col("user_id"),
       col("session_start_us").as("start_us"), col("events_n"))
@@ -98,5 +96,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(u1.head.getAs[Long]("events_n") === 4L)
     // user 99's session is still open (watermark has not passed it) → held
     assert(out.filter(col("user_id") === 99L).count() === 0)
+  }
+
+  test("stateful sessions handle late events: backward extension and separate late session") {
+    import spark.implicits._
+    val dir = "/root/repo/target/graft_stream_late"
+    val fs = new java.io.File(dir)
+    if (fs.exists()) fs.listFiles().foreach(f => {
+      if (f.isDirectory) f.listFiles().foreach(_.delete()); f.delete()
+    })
+    fs.mkdirs()
+    val t0 = 1700000000L * 1000000000L // ns — "12:00"
+    def m(n: Long) = n * 60L * 1000000000L
+    def write(name: String, rows: Seq[(Long, Long, Long)], mtime: Long): Unit = {
+      val tmp = s"$dir/_tmp_$name"
+      rows.toDF("event_id", "ts", "user_id")
+        .withColumn("event_type", lit("click"))
+        .withColumn("value", lit(1.0))
+        .withColumn("props", lit("{}"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/$name")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+      new java.io.File(tmp).listFiles().foreach(_.delete())
+      new java.io.File(tmp).delete()
+    }
+    // batch 1: 12:00 and 12:10. batch 2 delivers two admissible late events
+    // (watermark after batch 1 is 11:10): 11:55 is within the gap of the held
+    // session -> must extend its START backwards; 11:15 is 40 min before
+    // 11:55 -> must become its own separate session, not merge (the old fold
+    // merged ANY earlier event via the negative-gap branch)
+    write("a.parquet", Seq((1L, t0, 1L), (2L, t0 + m(10), 1L)), 1000000L)
+    write("b.parquet", Seq((3L, t0 - m(45), 1L), (4L, t0 - m(5), 1L),
+      (5L, t0 + m(600), 99L)), 2000000L)
+    val q = graft.streaming.StreamingSessions
+      .statefulSessions(spark, dir, Map("maxFilesPerTrigger" -> "1"))
+      .writeStream.format("memory").queryName("graft_late").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("graft_late").cache()
+    out.count()
+    val u1 = out.filter(col("user_id") === 1L)
+      .orderBy("session_start_us").collect()
+    assert(u1.length === 2, s"expected 2 sessions, got: ${u1.mkString(";")}")
+    assert(u1(0).getAs[Long]("session_start_us") === (t0 - m(45)) / 1000L)
+    assert(u1(0).getAs[Long]("events_n") === 1L)
+    assert(u1(1).getAs[Long]("session_start_us") === (t0 - m(5)) / 1000L)
+    assert(u1(1).getAs[Long]("session_end_us") === (t0 + m(10)) / 1000L)
+    assert(u1(1).getAs[Long]("events_n") === 3L)
   }
 }
