@@ -73,9 +73,18 @@ object LineageQueries {
     * impact sections + retrieval facts (qa/ask.py:391-450). */
   val qaEvidence: Q = Q(
     "q30_qa_evidence",
-    (s, dir) =>
-      QA.Questions.headOption.map(q => graft.qa.Ask.evidenceFrame(s, dir, q)._1)
-        .getOrElse(sys.error("no acceptance question configured")),
+    (s, dir) => {
+      import s.implicits._
+      // evidence is capped driver-side assembly (A23): materialize eagerly so
+      // the per-question caches can be released — repeated driver invocations
+      // must not accumulate persisted plans
+      val q = QA.Questions.headOption
+        .getOrElse(sys.error("no acceptance question configured"))
+      val (ev, _, cleanup) = graft.qa.Ask.evidenceFrameManaged(s, dir, q)
+      val rows = try ev.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+        finally cleanup()
+      rows.toDF("section", "line")
+    },
     None)
 
   /** Retrieval-only variant (the reference's simple `qa.py` mode: TOP_K=6, no

@@ -27,7 +27,7 @@ object Ask {
 
   /** Evidence DataFrame + extracted candidates + a cleanup that unpersists
     * the per-question caches once the evidence has been materialized. */
-  private def evidenceFrameManaged(spark: SparkSession, sfDir: String,
+  private[graft] def evidenceFrameManaged(spark: SparkSession, sfDir: String,
       question: String): (DataFrame, Seq[String], () => Unit) = {
     import spark.implicits._
     val ls: Seq[ScriptLineage] = Repo.cachedLineage(spark, sfDir)

@@ -51,6 +51,10 @@ object Query {
       edges.select("srcCol").distinct().collect().map(_.getString(0)).toSet
     val cands = QA.candidateColumns(question, known)
     val graph = Lineage.columnGraph(edges).cache()
+    val docs = QA.corpus(spark, ls, edges).cache()
+    // release the per-question caches even when a stage fails mid-build, so
+    // a long REPL session never accumulates storage memory
+    try {
 
     val parts = Seq.newBuilder[String]
     parts += "=== DETERMINISTIC IMPACT (GRAPH TRAVERSAL) ==="
@@ -78,7 +82,6 @@ object Query {
     }
 
     parts += "\n=== RETRIEVED LINEAGE FACTS (FAISS TOP-K) ==="
-    val docs = QA.corpus(spark, ls, edges).cache()
     val hits = QA.retrieve(spark, QA.embed(docs.toDF(), "text"),
       QA.embed(Seq(("question", question)).toDF("id", "text"), "text"))
       .join(docs.select(col("id").as("doc_id"), col("text")), "doc_id")
@@ -89,12 +92,13 @@ object Query {
       val collapsed = r.getString(2).trim.split("\\s+").mkString(" ")
       parts += f"${r.getLong(0)}%02d. ${r.getString(1)} :: $collapsed"
     }
-    // everything is collected above — release the per-question caches so a
-    // long REPL session does not accumulate storage memory
-    edges.unpersist()
-    graph.unpersist()
-    docs.unpersist()
     Hybrid(parts.result().mkString("\n"), cands, hits.length.toLong)
+
+    } finally {
+      edges.unpersist()
+      graph.unpersist()
+      docs.unpersist()
+    }
   }
 
   private def jsonEscape(s: String): String = s.flatMap {

@@ -68,8 +68,20 @@ class OpsSpec extends AnyFunSuite {
       sum(expr("cast(ceil((ceil(len / 64.0)) / 4.0) as bigint)"))).head().getLong(0)
     val frames = SparkEntry.queries("q47_multimodal_frames")(spark, sfDir)
     assert(frames.count() === expected)
-    // resize halves the bytes (rounded up): fingerprints differ from raw md5
-    assert(frames.filter(col("frame_idx") % 4 =!= 0).count() === 0)
+    // pin the 2x downsample: recompute one frame's every-2nd-byte digest
+    // independently — if the resize step were dropped, this fails
+    val doc = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 2).orderBy("doc_id").head()
+    val frame0 = doc.getString(1).take(64).getBytes("UTF-8")
+    val resized = frame0.zipWithIndex.collect { case (b, j) if j % 2 == 0 => b }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    val expectedMd5 = hex(md.digest(resized))
+    val fullMd5 = { md.reset(); hex(md.digest(frame0)) }
+    val got = frames.filter(col("doc_id") === doc.getLong(0) && col("frame_idx") === 0)
+      .head().getAs[String]("resized_md5")
+    assert(got === expectedMd5)
+    assert(got !== fullMd5, "resize was a no-op: digest equals the full frame's")
   }
 
   test("q48 split is exhaustive, disjoint and ~90/10") {
