@@ -138,19 +138,22 @@ object TextOps {
 
   /** Repetition score — the dominant-token fraction (max per-word count over
     * total words), a standard low-quality/boilerplate signal in LLM data
-    * pipelines. Distributed shape: explode → two-level aggregation, no
-    * collect; ratio is int/int → bit-exact cross-engine. */
+    * pipelines. Distributed shape: pure per-row array HOFs — no explode, no
+    * shuffle at all (the earlier explode→groupBy form moved a 10×-exploded
+    * token stream through two exchanges). Per-row cost is O(vocab × words),
+    * fine for document-sized inputs; ratio is int/int → bit-exact
+    * cross-engine. */
   val repetitionScore: Q = Q(
     "q41_repetition_score",
     (s, dir) => {
-      val words = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      val counts = words.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-      counts.groupBy("doc_id")
-        .agg(
-          max(col("cnt")).as("top_word_count"),
-          sum(col("cnt")).as("n_words"),
-          countDistinct(col("w")).as("vocab"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .withColumn("uniq", array_distinct(col("words")))
+        .select(col("doc_id"),
+          expr("CAST(array_max(transform(uniq, u -> size(filter(words, x -> x = u)))) AS BIGINT)")
+            .as("top_word_count"),
+          size(col("words")).cast("long").as("n_words"),
+          size(col("uniq")).cast("long").as("vocab"))
         .withColumn("repetition_ratio", col("top_word_count") / col("n_words"))
         .withColumn("type_token_ratio", col("vocab") / col("n_words"))
         .withColumn("is_repetitive", when(col("repetition_ratio") > 0.2, 1).otherwise(0))

@@ -73,6 +73,27 @@ class InfraSpec extends AnyFunSuite {
     assert(viaGx === viaJoins)
   }
 
+  test("per-row operators compile to zero-shuffle plans") {
+    // these claims back VERDICT/COVERAGE: narrow per-row codegen'd ops must
+    // not introduce an Exchange — a regression here is a 100 TB scale bug
+    for (q <- Seq("q20_text_quality", "q21_text_langid", "q22_token_count",
+        "q23_doc_fingerprint", "q41_repetition_score", "q24_multimodal_decode",
+        "q47_multimodal_frames", "q48_train_split")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$q plan gained a shuffle:\n$plan")
+    }
+  }
+
+  test("dimension joins broadcast instead of shuffling the fact side") {
+    for (q <- Seq("q03_fact_enriched", "q05_sales_margin_rank", "q12_join_products")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$q lost its broadcast join")
+      assert(!plan.contains("SortMergeJoin"), s"$q fell back to SMJ:\n$plan")
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
