@@ -249,7 +249,7 @@ object Similarity {
   /** IVF-style ANN: load-cached KMeans coarse quantizer (16 cells), queries
     * probe their 3 nearest centroids, exact cosine re-rank inside the probed
     * cells. The 100 TB shape: the corpus is partitioned by cell, a query
-    * touches 3/16ths of it instead of all of it; the quantizer is trained
+    * touches 4/16ths of it instead of all of it; the quantizer is trained
     * once offline (IvfIndex), not refit per query; recall vs q18 asserted in
     * tests. */
   val knnIvf: Q = Q(
@@ -266,7 +266,7 @@ object Similarity {
         .withColumn("probe_cell", explode(expr(
           s"""transform(
             slice(array_sort(zip_with(cdists, sequence(0, ${IvfIndex.nCells - 1}),
-              (d, i) -> struct(d AS d, i AS i))), 1, 3),
+              (d, i) -> struct(d AS d, i AS i))), 1, 4),
             p -> CAST(p.i AS BIGINT))""")))
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"),
           col("probe_cell").as("cell"))

@@ -111,7 +111,7 @@ class OpsSpec extends AnyFunSuite {
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     val recalls = b.map { case (q, bs) => (l.getOrElse(q, Set.empty) & bs).size.toDouble / bs.size }
     val avg = recalls.sum / recalls.size
-    assert(avg >= 0.6, s"IVF recall@5 too low: $avg") // deterministic: measured 0.64
+    assert(avg >= 0.7, s"IVF recall@5 too low: $avg") // deterministic: measured 0.72
     info(f"IVF recall@5 = $avg%.2f over ${recalls.size} queries")
   }
 
