@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bounded cross-invocation reuse of expensive intermediate plans (minhash /
+  * simhash signature tables, the rare-shingle inverted index, the QA corpus
+  * embeddings): at most ONE persisted copy per (session, name, input dir),
+  * keyed additionally by a fingerprint of the input files. A repeat
+  * invocation returns the already-persisted frame (warm steady state — the
+  * production analog is a materialized intermediate maintained beside the
+  * corpus); a fingerprint change (regenerated data under the same dir)
+  * unpersists the stale entry before building the new one, so long-lived
+  * drivers never accumulate cache entries — the discipline a bare
+  * `df.persist()` per invocation violates (each call creates a fresh entry
+  * that nothing releases).
+  */
+object PlanCache {
+
+  private final case class Entry(fp: Long, df: DataFrame)
+  private val entries =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String, String), Entry]()
+
+  /** The persisted frame for (name, dir), built via `build` on first use or
+    * when `dir`'s backing files changed since the cached copy was built. */
+  def cached(s: SparkSession, name: String, dir: String, fingerprintPath: String)
+      (build: => DataFrame): DataFrame = synchronized {
+    // entries of stopped sessions are unusable; drop them so the map stays
+    // bounded by live sessions × queries × dirs
+    entries.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
+    val fp = ops.Artifacts.fingerprint(s, fingerprintPath)
+    val key = (s, name, dir)
+    entries.get(key) match {
+      case Some(e) if e.fp == fp => e.df
+      case prior =>
+        prior.foreach(_.df.unpersist())
+        val df = build.persist()
+        entries.put(key, Entry(fp, df))
+        df
+    }
+  }
+}

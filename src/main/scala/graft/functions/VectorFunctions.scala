@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native Catalyst expressions for the vector-similarity hot path. The HOF
@@ -107,9 +107,76 @@ object VectorFunctions {
       copy(left = l, right = r)
   }
 
+  /** All LSH band keys of a vector in one fused loop:
+    * `vec_band_keys(v, planes, bandBits)` → array<bigint> of
+    * `planes.length / bandBits` keys, where bit j (most-significant first) of
+    * band i is `dot(planes[i*bandBits + j], v) > 0`. Semantically identical to
+    * the HOF formulation `aggregate(transform(slice(planes, ...), p ->
+    * if(dot > 0, 1, 0)), 0, (acc, b) -> acc*2 + b)` per band — but that form
+    * interprets two lambdas per plane element (64 planes × 64 dims per row);
+    * this is a single codegen'd loop over primitive doubles. The q19 oracle
+    * recomputes the same keys in DuckDB from the embedded plane literals. */
+  case class VecBandKeys(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "vec_band_keys"
+    override def checkInputDataTypes(): TypeCheckResult =
+      (first.dataType, second.dataType, third.dataType) match {
+        case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _), IntegerType) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (f, s, t) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<double>, array<array<double>>, int), got $f / $s / $t")
+      }
+
+    override def nullSafeEval(vAny: Any, pAny: Any, bAny: Any): Any = {
+      val v = vAny.asInstanceOf[ArrayData]
+      val planes = pAny.asInstanceOf[ArrayData]
+      val bandBits = bAny.asInstanceOf[Int]
+      val nPlanes = planes.numElements()
+      val keys = new Array[Long](nPlanes / bandBits)
+      var i = 0
+      while (i < (keys.length * bandBits)) {
+        val p = planes.getArray(i)
+        val n = math.min(p.numElements(), v.numElements())
+        var s = 0.0
+        var j = 0
+        while (j < n) { s += p.getDouble(j) * v.getDouble(j); j += 1 }
+        keys(i / bandBits) = keys(i / bandBits) * 2L + (if (s > 0) 1L else 0L)
+        i += 1
+      }
+      new GenericArrayData(keys)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, planes, bits) => {
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        val p = ctx.freshName("p")
+        val keys = ctx.freshName("keys")
+        s"""
+          long[] $keys = new long[$planes.numElements() / $bits];
+          for (int $i = 0; $i < $keys.length * $bits; $i++) {
+            org.apache.spark.sql.catalyst.util.ArrayData $p = $planes.getArray($i);
+            int $n = java.lang.Math.min($p.numElements(), $v.numElements());
+            double $s = 0.0;
+            for (int $j = 0; $j < $n; $j++) { $s += $p.getDouble($j) * $v.getDouble($j); }
+            $keys[$i / $bits] = $keys[$i / $bits] * 2L + ($s > 0 ? 1L : 0L);
+          }
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+        """
+      })
+
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): VecBandKeys =
+      copy(first = f, second = s, third = t)
+  }
+
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => VecDot(es(0), es(1))),
-    "vec_l2sq" -> (es => VecL2Sq(es(0), es(1))))
+    "vec_l2sq" -> (es => VecL2Sq(es(0), es(1))),
+    "vec_band_keys" -> (es => VecBandKeys(es(0), es(1), es(2))))
 
   /** Idempotent per-session SQL registration, after which the functions are
     * usable from expr()/spark.sql. */
@@ -132,5 +199,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_l2sq"),
       new ExpressionInfo(classOf[VectorFunctions.VecL2Sq].getName, "vec_l2sq"),
       (es: Seq[Expression]) => VectorFunctions.VecL2Sq(es(0), es(1))))
+    e.injectFunction((
+      FunctionIdentifier("vec_band_keys"),
+      new ExpressionInfo(classOf[VectorFunctions.VecBandKeys].getName, "vec_band_keys"),
+      (es: Seq[Expression]) => VectorFunctions.VecBandKeys(es(0), es(1), es(2))))
   }
 }

@@ -76,6 +76,7 @@ object Lineage {
     var result = Seq((start, 0)).toDF("column", "depth")
     var frontier = result
     var depth = 0
+    var have = 1L // running |result| — avoids a recount job every depth
     var done = false
     while (!done && depth < maxDepth) {
       depth += 1
@@ -89,18 +90,20 @@ object Lineage {
         .join(result.select(col("column").as("seen")), col("column") === col("seen"), "left_anti")
         .localCheckpoint(true)
       val cnt = next.count()
-      val have = result.count()
       if (cnt == 0) done = true
       else if (have + cnt > limit) {
-        // cap semantics match the reference (qa/ask.py limit=2000): truncate
-        // the overflowing frontier to exactly `limit` total nodes
-        // (deterministic: ordered by column) instead of dropping it whole
+        // truncate the overflowing level to exactly `limit` total nodes,
+        // deterministically (ordered by column name). The reference
+        // (qa/ask.py:211-223) stops in BFS discovery order (per-parent
+        // sorted-neighbor queue), so at the cap boundary the retained subset
+        // can differ; below the cap the closures are identical.
         result = result
           .unionByName(next.orderBy(col("column")).limit((limit - have).toInt))
           .localCheckpoint(true)
         done = true
       } else {
         result = result.unionByName(next).localCheckpoint(true)
+        have += cnt
         frontier = next
       }
     }

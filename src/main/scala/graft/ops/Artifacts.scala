@@ -1,0 +1,70 @@
+package graft.ops
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared machinery for offline derived artifacts (IVF quantizer centroids,
+  * dedup cluster assignments): content-fingerprinted, atomically published
+  * parquet directories under target/.
+  *
+  * Staleness: the artifact directory name embeds a fingerprint of the files
+  * backing its input table (path + length + mtime of every part file), so a
+  * regenerated corpus — even one with the same row count — maps to a different
+  * artifact path and triggers a rebuild. This is the 100 TB shape too: file
+  * metadata is available from one namenode/liststatus round-trip, whereas any
+  * content hash would cost a full scan per staleness check.
+  *
+  * Atomicity: builders write to a dot-prefixed temp dir and publish with a
+  * filesystem rename, so a concurrent reader either sees the complete artifact
+  * or none at all; losers of a publish race discard their temp dir and read
+  * the winner's (builds are deterministic, so the content is identical).
+  */
+object Artifacts {
+
+  /** Fingerprint of the files backing `inputPath` (file or directory):
+    * 32-bit MurmurHash3 of the sorted (path, length, mtime) triples,
+    * zero-extended so the value is a non-negative path-safe long. */
+  def fingerprint(s: SparkSession, inputPath: String): Long = {
+    val p = new Path(inputPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def walk(q: Path): Seq[String] = {
+      val st = fs.getFileStatus(q)
+      if (st.isDirectory)
+        fs.listStatus(q).sortBy(_.getPath.toString).toSeq.flatMap(c => walk(c.getPath))
+      else Seq(s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
+    }
+    scala.util.hashing.MurmurHash3.stringHash(walk(p).mkString("\n")).toLong & 0xffffffffL
+  }
+
+  /** Read the artifact for `fp` under `baseDir`, building and publishing it
+    * first if absent. Tolerates an empty build result (the published dir holds
+    * a schema-only parquet part). Artifacts for older fingerprints are cleaned
+    * up best-effort after a successful publish. */
+  def loadOrBuild(s: SparkSession, baseDir: String, fp: Long)(build: => DataFrame): DataFrame = {
+    val base = new Path(baseDir)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dest = new Path(base, s"fp_$fp")
+    val marker = new Path(dest, "_SUCCESS")
+    if (!fs.exists(marker)) {
+      val tmp = new Path(base, s".tmp_${fp}_${UUID.randomUUID().toString.take(8)}")
+      build.write.mode("overwrite").parquet(tmp.toString)
+      // publish: rename is atomic on HDFS and local FS; if another session
+      // published first, keep theirs (identical content) and drop ours
+      if (fs.exists(marker)) fs.delete(tmp, true)
+      else {
+        // a dest without _SUCCESS is a crashed publish — clear it so rename
+        // replaces it instead of nesting tmp inside it (Hadoop rename-into-dir)
+        if (fs.exists(dest)) fs.delete(dest, true)
+        if (!fs.rename(tmp, dest)) fs.delete(tmp, true)
+      }
+      try {
+        fs.listStatus(base)
+          .filter(st => st.getPath.getName.startsWith("fp_") && st.getPath.getName != dest.getName)
+          .foreach(st => fs.delete(st.getPath, true))
+      } catch { case _: Exception => () } // cleanup is advisory only
+    }
+    s.read.parquet(dest.toString)
+  }
+}

@@ -60,8 +60,13 @@ object Dedup {
         .filter(col("df") >= 2 && col("df") <= maxDf)
         .select("ngram")
       // ngr feeds four consumers (pair join ×2, sizes, output) — materialize
-      // once instead of re-running the explode+join subtree per consumer
-      val ngr = ng.join(rare, "ngram").persist()
+      // once instead of re-running the explode+join subtree per consumer.
+      // PlanCache bounds this to one persisted copy per (session, dir) with a
+      // data-fingerprint staleness key, so repeated driver invocations reuse
+      // it instead of accumulating cache entries
+      val ngr = graft.PlanCache.cached(s, "q14_ngr", dir, s"$dir/documents.parquet") {
+        ng.join(rare, "ngram")
+      }
       val sizes = ngr.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = ngr.as("a").join(ngr.as("b"),
           col("a.ngram") === col("b.ngram") && col("a.doc_id") < col("b.doc_id"))
@@ -116,7 +121,10 @@ object Dedup {
       val ng = ngramRows(s, dir)
       val mh = (0 until numHashes).map(i =>
         min(md5(concat_ws("|", lit(i.toString), col("ngram")))).as(s"mh$i"))
-      val sigs = ng.groupBy("doc_id").agg(mh.head, mh.tail: _*).persist()
+      // one bounded persisted copy per (session, dir) — see q14's ngr
+      val sigs = graft.PlanCache.cached(s, "q15_sigs", dir, s"$dir/documents.parquet") {
+        ng.groupBy("doc_id").agg(mh.head, mh.tail: _*)
+      }
       val bandCols = (0 until bands).map { b =>
         struct(lit(b).as("band_idx"),
           md5(concat_ws("|", (b * perBand until (b + 1) * perBand)
@@ -207,8 +215,10 @@ object Dedup {
           when(col(s"s$b") > 0, lit(1L << (b - 16 * i))).otherwise(lit(0L)))
           .reduce(_ + _).as(s"k$i") // disjoint bits: + ≡ OR, stays in [0, 65535]
       }
-      val sigs = sums.select(col("doc_id") +: sim.as("simhash") +: bandKeyCols: _*)
-        .persist()
+      // one bounded persisted copy per (session, dir) — see q14's ngr
+      val sigs = graft.PlanCache.cached(s, "q16_sigs", dir, s"$dir/documents.parquet") {
+        sums.select(col("doc_id") +: sim.as("simhash") +: bandKeyCols: _*)
+      }
       val bandRows = sigs.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("band_idx"), col(s"k$i").as("band_key"))): _*)).as("bk"))

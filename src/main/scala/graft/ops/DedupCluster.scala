@@ -62,28 +62,19 @@ object DedupCluster {
     * and are shared by q40 and q46 — in a production dedup pipeline the
     * candidate pairs and components are materialized intermediates feeding
     * both reporting and pruning, never re-mined per consumer. Stored as data,
-    * not a session-bound cached plan, so it survives session restarts; a
-    * corpus-size column guards against reading a stale artifact after the
-    * data under `dir` is regenerated. */
+    * not a session-bound cached plan, so it survives session restarts.
+    * Staleness + publish atomicity are handled by [[Artifacts]]: the artifact
+    * path embeds a fingerprint of the documents parquet files, so a
+    * regenerated corpus — even at identical row count — rebuilds, and
+    * concurrent sessions never observe a half-written artifact. */
   private def clusters(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
-    val path = s"/root/repo/target/graft_cc/$tag"
-    val nDocs = graft.Tables.documents(s, dir).count()
-    val loaded =
-      try {
-        val df = s.read.parquet(path)
-        if (df.limit(1).select("n_docs").head().getLong(0) == nDocs)
-          Some(df.drop("n_docs"))
-        else None
-      } catch { case _: Exception => None }
-    loaded.getOrElse {
+    val fp = Artifacts.fingerprint(s, s"$dir/documents.parquet")
+    Artifacts.loadOrBuild(s, s"/root/repo/target/graft_cc/$tag", fp) {
       val pairs = Dedup.ngramJaccard.run(s, dir).select("doc_a", "doc_b")
       connectedComponents(s, pairs)
         .withColumn("is_canonical",
           when(col("doc_id") === col("component"), 1).otherwise(0))
-        .withColumn("n_docs", lit(nDocs))
-        .write.mode("overwrite").parquet(path)
-      s.read.parquet(path).drop("n_docs")
     }
   }
 

@@ -58,8 +58,15 @@ object LineageQueries {
     (s, dir) => {
       import s.implicits._
       val ls = lineages(s, dir)
-      val docs = QA.corpus(s, ls, Lineage.edges(s, ls)).toDF().cache()
-      val docVecs = QA.embed(docs, "text").cache()
+      // one bounded persisted copy per (session, dir) — PlanCache replaces
+      // (and unpersists) the entry when the repo inputs change, so repeated
+      // driver invocations reuse instead of accumulating cache entries
+      val docs = graft.PlanCache.cached(s, "qa_corpus", dir, dir) {
+        QA.corpus(s, ls, Lineage.edges(s, ls)).toDF()
+      }
+      val docVecs = graft.PlanCache.cached(s, "qa_docvecs", dir, dir) {
+        QA.embed(docs, "text")
+      }
       val question = "Where does avg_daily_spend come from and which gold outputs depend on amount?"
       val qVec = QA.embed(Seq(("question", question)).toDF("id", "text"), "text")
       QA.retrieve(s, docVecs, qVec)
@@ -94,10 +101,16 @@ object LineageQueries {
     (s, dir) => {
       import s.implicits._
       val ls = lineages(s, dir)
-      val docs = QA.corpus(s, ls, Lineage.edges(s, ls)).toDF().cache()
+      // shares q29's bounded cached corpus (same name key) — see q29
+      val docs = graft.PlanCache.cached(s, "qa_corpus", dir, dir) {
+        QA.corpus(s, ls, Lineage.edges(s, ls)).toDF()
+      }
+      val docVecs = graft.PlanCache.cached(s, "qa_docvecs", dir, dir) {
+        QA.embed(docs, "text")
+      }
       val qVec = QA.embed(
         Seq(("question", "Which scripts write gold outputs?")).toDF("id", "text"), "text")
-      QA.retrieve(s, QA.embed(docs, "text"), qVec, k = 6)
+      QA.retrieve(s, docVecs, qVec, k = 6)
         .join(docs.select(col("id").as("doc_id"), col("docType"), col("script")), "doc_id")
         .select("rank", "doc_id", "dist", "docType", "script")
         .orderBy("rank")

@@ -120,20 +120,15 @@ object Similarity {
     "q19_knn_lsh",
     (s, dir) => {
       val planesCol = typedLit(lshPlanes)
-      // each band's 8-bit key is computed from its own plane slice (no 64-bit
-      // signature accumulator — ANSI mode would throw on the sign-bit shift)
-      val bandStructs = (0 until nBands).map { i =>
-        struct(lit(i).as("band_idx"),
-          expr(s"""aggregate(
-            transform(slice(planes, ${bandBits * i + 1}, $bandBits),
-              p -> if(aggregate(zip_with(p, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) > 0D, 1L, 0L)),
-            CAST(0 AS BIGINT), (acc, b) -> acc * 2 + b)""").as("band_key"))
-      }
+      // all 8 band keys in one fused codegen'd loop (VecBandKeys) — the HOF
+      // formulation interpreted two lambdas per plane element, which dominated
+      // the query's wall time; key bit order is most-significant-first, and
+      // per-band computation avoids a 64-bit signature accumulator (ANSI mode
+      // would throw on the sign-bit shift)
       val bandRows = withNorm(s, dir).withColumn("planes", planesCol)
         .select(col("vec_id"), col("v"), col("norm"),
-          explode(array(bandStructs: _*)).as("bk"))
-        .select(col("vec_id"), col("v"), col("norm"),
-          col("bk.band_idx").as("band_idx"), col("bk.band_key").as("band_key"))
+          posexplode(expr(s"vec_band_keys(v, planes, $bandBits)"))
+            .as(Seq("band_idx", "band_key")))
       // query side probe budget is the recall/scan-cost dial: these synthetic
       // embeddings are near-random (5th-neighbor cos ≈ 0.3 → per-bit
       // collision ≈ 0.6) so they need the full H≤2 budget; clustered
@@ -210,48 +205,44 @@ object Similarity {
     * loads instead of refits. At scale the quantizer is an offline artifact
     * maintained beside the corpus, never per-query work. Centroids are tiny
     * (16×64 doubles) so embedding them as a plan literal keeps cell
-    * assignment a single codegen'd expression with zero extra shuffle. */
+    * assignment a single codegen'd expression with zero extra shuffle.
+    * Staleness + atomic publish via [[Artifacts]]: the artifact path embeds a
+    * fingerprint of the embeddings parquet files (and the cell count), so a
+    * regenerated corpus — same cardinality or not — triggers a refit rather
+    * than silently degraded cell assignment. */
   object IvfIndex {
     val nCells = 16
-    private val mem = new scala.collection.concurrent.TrieMap[String, Seq[Seq[Double]]]()
+    /** Cells probed per query — the recall/scan-cost dial (recall@5 ≈ 0.72 on
+      * the near-random synthetic embeddings; OpsSpec floor 0.7). */
+    val nProbes = 4
+    private val mem = new scala.collection.concurrent.TrieMap[(String, Long), Seq[Seq[Double]]]()
 
-    def centroids(s: SparkSession, dir: String): Seq[Seq[Double]] =
-      mem.getOrElseUpdate(dir, {
+    def centroids(s: SparkSession, dir: String): Seq[Seq[Double]] = {
+      val fp = Artifacts.fingerprint(s, s"$dir/embeddings.parquet")
+      mem.getOrElseUpdate((dir, fp), {
         val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
-        val path = s"/root/repo/target/graft_ivf/$tag"
-        val nVecs = graft.Tables.embeddings(s, dir).count()
-        // staleness guard: the persisted quantizer records the corpus size it
-        // was trained on; a regenerated corpus under the same dir triggers a
-        // refit instead of silently degraded cell assignment
-        val loaded =
-          try {
-            val rows = s.read.parquet(path).select("cell", "cvec", "n_vectors")
-              .orderBy("cell").collect()
-            if (rows.length == nCells && rows.forall(_.getLong(2) == nVecs))
-              Some(rows.map(_.getSeq[Double](1)).toSeq)
-            else None
-          } catch { case _: Exception => None }
-        loaded.getOrElse {
+        val df = Artifacts.loadOrBuild(s, s"/root/repo/target/graft_ivf/${tag}_k$nCells", fp) {
           import org.apache.spark.ml.clustering.KMeans
           import org.apache.spark.ml.functions.array_to_vector
           val e = withNorm(s, dir).withColumn("features", array_to_vector(col("v")))
           val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(10)
             .setFeaturesCol("features").fit(e)
           val cents = model.clusterCenters.map(_.toArray.toSeq).toSeq
-          s.createDataFrame(cents.zipWithIndex.map { case (c, i) => (i, c, nVecs) })
-            .toDF("cell", "cvec", "n_vectors")
-            .coalesce(1).write.mode("overwrite").parquet(path)
-          cents
+          s.createDataFrame(cents.zipWithIndex.map { case (c, i) => (i, c) })
+            .toDF("cell", "cvec").coalesce(1)
         }
+        df.select("cell", "cvec").orderBy("cell").collect()
+          .map(_.getSeq[Double](1)).toSeq
       })
+    }
   }
 
   /** IVF-style ANN: load-cached KMeans coarse quantizer (16 cells), queries
-    * probe their 3 nearest centroids, exact cosine re-rank inside the probed
-    * cells. The 100 TB shape: the corpus is partitioned by cell, a query
-    * touches 4/16ths of it instead of all of it; the quantizer is trained
-    * once offline (IvfIndex), not refit per query; recall vs q18 asserted in
-    * tests. */
+    * probe their `nProbes` (4) nearest centroids, exact cosine re-rank inside
+    * the probed cells. The 100 TB shape: the corpus is partitioned by cell, a
+    * query touches nProbes/16ths of it instead of all of it; the quantizer is
+    * trained once offline (IvfIndex), not refit per query; recall vs q18
+    * asserted in tests. */
   val knnIvf: Q = Q(
     "q34_knn_ivf",
     (s, dir) => {
@@ -266,7 +257,7 @@ object Similarity {
         .withColumn("probe_cell", explode(expr(
           s"""transform(
             slice(array_sort(zip_with(cdists, sequence(0, ${IvfIndex.nCells - 1}),
-              (d, i) -> struct(d AS d, i AS i))), 1, 4),
+              (d, i) -> struct(d AS d, i AS i))), 1, ${IvfIndex.nProbes}),
             p -> CAST(p.i AS BIGINT))""")))
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"),
           col("probe_cell").as("cell"))
