@@ -1,0 +1,282 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Corpus-preparation operators a production training-data pipeline runs
+  * between raw ingestion and tokenization: PII redaction, eval-set
+  * decontamination, source-mixture sampling, duplicate-span novelty scoring,
+  * corpus n-gram statistics, and token-budget sequence packing. Capability
+  * extensions beyond the reference (whose corpus layer stops at lineage-doc
+  * generation, /root/reference/qa/build_corpus.py); each is fully oracled.
+  *
+  * 100 TB shapes: q50 is a pure per-row map (no shuffle); q51 joins the corpus
+  * against a broadcast eval-shingle set (the corpus streams once); q52 is a
+  * per-row hash filter against a broadcast rate table; q53/q54 shuffle
+  * fixed-width shingle hashes with map-side partial aggregation, never raw
+  * text; q55 is one window per source partition.
+  */
+object CorpusOps {
+
+  // ---- q50: PII redaction ------------------------------------------------
+  // Patterns are written in the common Java-regex/RE2 subset (character
+  // classes + bounded repeats, no backrefs/lookarounds) so Spark and DuckDB
+  // compile them identically. Counts use regexp_count / len(regexp_extract_all)
+  // and replacement is global in both engines (DuckDB needs the 'g' flag).
+  private val piiPatterns: Seq[(String, String, String)] = Seq(
+    // (name, pattern, replacement token)
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}", "<PHONE>"),
+    ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"))
+
+  /** Scrub emails / phone numbers / IPv4 addresses from document text and
+    * report per-category match counts. Zero-shuffle per-row codegen'd
+    * expressions — the 100 TB cost is exactly one pass over the text. */
+  val piiRedact: Q = Q(
+    "q50_pii_redact",
+    (s, dir) => {
+      val base = Tables.documents(s, dir)
+      val counted = piiPatterns.foldLeft(base) { case (df, (n, pat, _)) =>
+        df.withColumn(s"n_$n", regexp_count(col("text"), lit(pat)).cast("long"))
+      }
+      val redacted = piiPatterns.foldLeft(col("text")) { case (c, (_, pat, tok)) =>
+        regexp_replace(c, lit(pat), lit(tok))
+      }
+      counted.select(col("doc_id") +: piiPatterns.map { case (n, _, _) => col(s"n_$n") }
+        :+ redacted.as("redacted"): _*)
+    },
+    Some {
+      val cols = piiPatterns.map { case (n, pat, _) =>
+        s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$n"
+      }.mkString(",\n        ")
+      val repl = piiPatterns.foldLeft("text") { case (c, (_, pat, tok)) =>
+        s"regexp_replace($c, '$pat', '$tok', 'g')"
+      }
+      s"""SELECT doc_id,
+        $cols,
+        $repl AS redacted
+      FROM documents"""
+    })
+
+  // ---- q51: eval-set decontamination ------------------------------------
+  private val contamN = 5 // word-shingle width shared with the oracle
+  /** Eval membership: doc_id % 20 == 0 (a 5% held-out slice). */
+  private val evalMod = 20
+
+  /** Flag training documents sharing ≥1 word 5-gram with the eval slice —
+    * the standard benchmark-decontamination check run before training. The
+    * eval side is small by construction, so its distinct shingle set is
+    * broadcast and the corpus streams once; at 100 TB the eval set is still
+    * a few thousand documents, so the broadcast holds. */
+  val decontaminate: Q = Q(
+    "q51_decontaminate",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .filter(size(col("words")) >= contamN)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          s"""transform(sequence(0, size(words) - $contamN),
+             i -> concat_ws(' ', slice(words, i + 1, $contamN)))""")))
+          .as("shingle"))
+      val evalShingles = docs.filter(col("doc_id") % evalMod === 0)
+        .select("shingle").distinct()
+      val trainDocs = Tables.documents(s, dir)
+        .filter(col("doc_id") % evalMod =!= 0).select("doc_id")
+      val shared = docs.filter(col("doc_id") % evalMod =!= 0)
+        .join(broadcast(evalShingles), "shingle")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      trainDocs.join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          when(coalesce(col("n_shared"), lit(0L)) > 0, 1).otherwise(0).as("is_contaminated"))
+    },
+    Some(s"""WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        WHERE len(string_split(text, ' ')) >= $contamN
+      ), sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, len(words) - ${contamN - 2}),
+                 i -> array_to_string(list_slice(words, i, i + ${contamN - 1}), ' ')))) AS shingle
+        FROM docs
+      ), eval_sh AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % $evalMod = 0
+      ), shared AS (
+        SELECT s.doc_id, COUNT(1) AS n_shared
+        FROM sh s JOIN eval_sh e ON s.shingle = e.shingle
+        WHERE s.doc_id % $evalMod <> 0
+        GROUP BY s.doc_id
+      )
+      SELECT d.doc_id,
+             CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+             CASE WHEN COALESCE(s.n_shared, 0) > 0 THEN 1 ELSE 0 END AS is_contaminated
+      FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
+      WHERE d.doc_id % $evalMod <> 0"""))
+
+  // ---- q52: source-mixture sampling --------------------------------------
+  /** Per-source keep rate: rate class (source index mod 4) → 0.2/0.4/0.6/0.8.
+    * The keep decision compares the first 8 hex digits of md5("mix|"+doc_id)
+    * lexicographically against the rate's 8-hex threshold — on lowercase hex
+    * that IS the numeric compare of a uniform 32-bit draw, and both engines
+    * produce the identical digest string, so the sample is deterministic,
+    * reproducible, and exactly oracled (no RNG, no sampleBy). */
+  private val mixThresholds = Seq("33333333", "66666666", "99999999", "cccccccc")
+
+  val mixtureSample: Q = Q(
+    "q52_mixture_sample",
+    (s, dir) => {
+      val thr = mixThresholds.zipWithIndex.foldLeft(lit(null).cast("string")) {
+        case (acc, (hex, i)) =>
+          when(substring(col("source"), 4, 10).cast("int") % 4 === i, lit(hex)).otherwise(acc)
+      }
+      Tables.documents(s, dir)
+        .withColumn("draw", substring(md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 8))
+        .withColumn("thr", thr)
+        .filter(col("draw") < col("thr"))
+        .select(col("doc_id"), col("source"), col("lang"), col("draw"), col("thr"))
+    },
+    Some {
+      val thrSql = mixThresholds.zipWithIndex.map { case (hex, i) =>
+        s"WHEN CAST(substr(source, 4) AS INT) % 4 = $i THEN '$hex'"
+      }.mkString("CASE ", " ", " END")
+      s"""WITH drawn AS (
+        SELECT doc_id, source, lang,
+               substr(md5('mix|' || doc_id), 1, 8) AS draw,
+               $thrSql AS thr
+        FROM documents
+      )
+      SELECT doc_id, source, lang, draw, thr FROM drawn WHERE draw < thr"""
+    })
+
+  // ---- q53: duplicate-span novelty ---------------------------------------
+  private val spanN = 8
+
+  /** Per-document novelty: the fraction of its distinct word 8-grams NOT
+    * already present in any earlier document (doc_id order) — the repeated-
+    * span metric used to drop boilerplate-heavy or near-duplicate documents.
+    * Shuffles only (shingle → min doc_id) pairs with map-side partial
+    * aggregation; text never moves. */
+  val noveltyScore: Q = Q(
+    "q53_novelty_score",
+    (s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .filter(size(col("words")) >= spanN)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          s"""transform(sequence(0, size(words) - $spanN),
+             i -> concat_ws(' ', slice(words, i + 1, $spanN)))""")))
+          .as("shingle"))
+      val firstSeen = sh.groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
+      val perDoc = sh.join(firstSeen, "shingle")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
+      Tables.documents(s, dir).select("doc_id")
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+          when(coalesce(col("n_grams"), lit(0L)) === 0, lit(1.0))
+            .otherwise(lit(1.0) - coalesce(col("n_seen"), lit(0L)) / col("n_grams"))
+            .as("novelty"))
+    },
+    Some(s"""WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        WHERE len(string_split(text, ' ')) >= $spanN
+      ), sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, len(words) - ${spanN - 2}),
+                 i -> array_to_string(list_slice(words, i, i + ${spanN - 1}), ' ')))) AS shingle
+        FROM docs
+      ), first_seen AS (
+        SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+      ), per_doc AS (
+        SELECT s.doc_id, COUNT(1) AS n_grams,
+               SUM(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END) AS n_seen
+        FROM sh s JOIN first_seen f ON s.shingle = f.shingle
+        GROUP BY s.doc_id
+      )
+      SELECT d.doc_id,
+             CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+             CAST(COALESCE(p.n_seen, 0) AS BIGINT) AS n_seen,
+             CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN CAST(1.0 AS DOUBLE)
+                  ELSE CAST(1.0 AS DOUBLE)
+                       - CAST(COALESCE(p.n_seen, 0) AS DOUBLE) / CAST(p.n_grams AS DOUBLE)
+             END AS novelty
+      FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id"""))
+
+  // ---- q54: corpus n-gram statistics -------------------------------------
+  private val statN = 5
+  private val topK = 100
+
+  /** Corpus-level top-100 most frequent word 5-grams (all occurrences, not
+    * per-doc-distinct) with rank; ties broken by the shingle string. The plan
+    * is partial-aggregate → final aggregate → TakeOrdered(100): only
+    * fixed-width (shingle, count) pairs shuffle and only 100 rows reach the
+    * driver, so the same plan holds at any corpus size. */
+  val ngramTopK: Q = Q(
+    "q54_ngram_topk",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(split(col("text"), " ").as("words"))
+        .filter(size(col("words")) >= statN)
+        .select(explode(expr(
+          s"""transform(sequence(0, size(words) - $statN),
+             i -> concat_ws(' ', slice(words, i + 1, $statN)))""")).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(topK)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("ngram"))).cast("long"))
+    },
+    Some(s"""WITH docs AS (
+        SELECT string_split(text, ' ') AS words FROM documents
+        WHERE len(string_split(text, ' ')) >= $statN
+      ), ng AS (
+        SELECT unnest(list_transform(range(1, len(words) - ${statN - 2}),
+                 i -> array_to_string(list_slice(words, i, i + ${statN - 1}), ' '))) AS ngram
+        FROM docs
+      ), counted AS (
+        SELECT ngram, CAST(COUNT(1) AS BIGINT) AS n FROM ng GROUP BY ngram
+      )
+      SELECT ngram, n,
+             CAST(row_number() OVER (ORDER BY n DESC, ngram) AS BIGINT) AS rank
+      FROM counted ORDER BY n DESC, ngram LIMIT $topK"""))
+
+  // ---- q55: token-budget sequence packing --------------------------------
+  private val packBudget = 2048
+
+  /** Assign documents to fixed token-budget packs: within each source, docs
+    * in doc_id order are chunked at every `packBudget` cumulative whitespace
+    * tokens (pack_id = exclusive-prefix-sum div budget) — the deterministic,
+    * shuffle-light approximation of greedy sequence packing used to build
+    * training batches (a doc straddling a boundary starts the next pack).
+    * One window per source partition; sources are independent, so at 100 TB
+    * this parallelizes across sources with no global sort. */
+  val docPack: Q = Q(
+    "q55_doc_pack",
+    (s, dir) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id", expr(s"(cum_tokens - n_tokens) div $packBudget"))
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+      )
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+             (CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens)
+               // $packBudget AS pack_id
+      FROM toks"""))
+
+  val all: Seq[Q] = Seq(piiRedact, decontaminate, mixtureSample, noveltyScore,
+    ngramTopK, docPack)
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral + plan-shape coverage for the corpus-preparation operators
+  * (q50–q55). Behavior is driven end-to-end through the registered queries
+  * over a synthetic documents.parquet (so the same code path the driver
+  * verifies is the one under test), invariants over the real corpus, and
+  * shuffle/broadcast assertions backing the 100 TB claims in the Scaladoc.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** Write a synthetic documents table and return its dir. */
+  private lazy val syntheticDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec").toString
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq(
+      // doc 0 is eval (0 % 20 == 0); doc 21 copies it verbatim → contaminated
+      (0L, evalText, "en", "src0", evalText.length.toLong),
+      (21L, evalText, "en", "src1", evalText.length.toLong),
+      // unrelated words → clean
+      (22L, "one two three four five six seven eight nine ten", "en", "src2", 49L),
+      // under the 5-gram width → n_shared 0
+      (23L, "tiny short text", "en", "src3", 15L),
+      // PII-bearing document
+      (24L, "contact me at alice@example.com or +123 456-7890 from 10.0.42.1 today ok",
+        "en", "src4", 74L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q50 redacts emails, phones and IPs and counts each category") {
+    val out = SparkEntry.queries("q50_pii_redact")(spark, syntheticDir)
+      .filter(col("doc_id") === 24L).head()
+    assert(out.getAs[Long]("n_email") === 1L)
+    assert(out.getAs[Long]("n_phone") === 1L)
+    assert(out.getAs[Long]("n_ip") === 1L)
+    val red = out.getAs[String]("redacted")
+    assert(red.contains("<EMAIL>") && red.contains("<PHONE>") && red.contains("<IP>"))
+    assert(!red.contains("alice@example.com") && !red.contains("10.0.42.1"))
+    // clean docs pass through byte-identical
+    val clean = SparkEntry.queries("q50_pii_redact")(spark, syntheticDir)
+      .filter(col("doc_id") === 22L).head()
+    assert(clean.getAs[Long]("n_email") === 0L)
+    assert(clean.getAs[String]("redacted") === "one two three four five six seven eight nine ten")
+  }
+
+  test("q51 flags exactly the train docs sharing a 5-gram with the eval slice") {
+    val rows = SparkEntry.queries("q51_decontaminate")(spark, syntheticDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(!rows.contains(0L), "eval docs must not appear in the output")
+    assert(rows(21L)._2 === 1, "verbatim copy of an eval doc must be contaminated")
+    assert(rows(21L)._1 === 6L, "10 words sharing all 6 distinct 5-grams")
+    assert(rows(22L) === ((0L, 0)), "unrelated doc must be clean")
+    assert(rows(23L) === ((0L, 0)), "doc shorter than the shingle width is clean")
+  }
+
+  test("q52 is a deterministic per-source hash sample at the declared rates") {
+    val out = SparkEntry.queries("q52_mixture_sample")(spark, sfDir)
+    val again = SparkEntry.queries("q52_mixture_sample")(spark, sfDir)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // mean rate across the 4 rate classes is 0.5; n>=500 draws → tight CI
+    val total = Tables.documents(spark, sfDir).count().toDouble
+    val kept = out.count().toDouble
+    assert(kept / total > 0.4 && kept / total < 0.6,
+      s"global keep rate ${kept / total} far from the 0.5 design point")
+    // every kept row's draw is below its source's threshold by construction
+    assert(out.filter(col("draw") >= col("thr")).count() === 0)
+  }
+
+  test("q53 novelty: exact duplicates of an earlier doc score zero") {
+    val nov = SparkEntry.queries("q53_novelty_score")(spark, sfDir)
+    assert(nov.filter(col("novelty") < 0 || col("novelty") > 1).count() === 0)
+    // doc pairs with identical text (q13 mines them): the later copy has
+    // every 8-gram already seen → novelty exactly 0
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        size(split(col("text"), " ")).as("nw"))
+    val laterDups = docs.as("a").join(docs.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") > col("b.doc_id"))
+      .filter(col("a.nw") >= 8)
+      .select(col("a.doc_id")).distinct()
+    val nonZero = nov.join(laterDups, "doc_id").filter(col("novelty") =!= 0.0).count()
+    assert(nonZero === 0, "later exact-duplicate docs must have novelty 0")
+  }
+
+  test("q54 top-k n-grams are rank-ordered with deterministic ties") {
+    val rows = SparkEntry.queries("q54_ngram_topk")(spark, sfDir).orderBy("rank").collect()
+    assert(rows.length === 100)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq === (1L to 100L))
+    val pairs = rows.map(r => (r.getAs[Long]("n"), r.getAs[String]("ngram")))
+    // (n desc, ngram asc) must already be sorted
+    assert(pairs.toSeq === pairs.sortBy { case (n, g) => (-n, g) }.toSeq)
+  }
+
+  test("q55 pack ids reproduce the exclusive-prefix-sum chunking per source") {
+    val rows = SparkEntry.queries("q55_doc_pack")(spark, sfDir)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(4)))
+    for ((_, perSource) <- rows.groupBy(_._1)) {
+      var cum = 0L
+      for ((_, _, n, packId) <- perSource.sortBy(_._2)) {
+        assert(packId === cum / 2048, "pack_id must be exclusive-prefix div budget")
+        cum += n
+      }
+    }
+  }
+
+  test("corpus-prep per-row operators stay zero-shuffle; q51 broadcasts the eval side") {
+    for (q <- Seq("q50_pii_redact", "q52_mixture_sample")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$q plan gained a shuffle:\n$plan")
+    }
+    val p51 = SparkEntry.queries("q51_decontaminate")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p51.contains("BroadcastHashJoin"), "q51 must broadcast the eval shingles")
+  }
+}
