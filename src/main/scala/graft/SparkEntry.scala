@@ -22,7 +22,10 @@ object SparkEntry {
     registry.map(q => q.name -> q.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops. Evaluated
+    * after the queries run (Verify's dump order), so dynamic oracles can
+    * embed run-derived literals such as the trained IVF centroids. */
   def oracleSql: Map[String, String] =
-    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    registry.flatMap(q =>
+      q.oracleDyn.flatMap(_()).orElse(q.oracle).map(q.name -> _)).toMap
 }

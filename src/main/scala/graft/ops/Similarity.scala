@@ -217,9 +217,14 @@ object Similarity {
     val nProbes = 4
     private val mem = new scala.collection.concurrent.TrieMap[(String, Long), Seq[Seq[Double]]]()
 
+    /** Centroids of the most recent `centroids()` call — consulted by the
+      * dynamic q34 oracle, which Verify evaluates after the queries ran (the
+      * run and its oracle must share one quantizer). */
+    @volatile private[ops] var lastCentroids: Option[Seq[Seq[Double]]] = None
+
     def centroids(s: SparkSession, dir: String): Seq[Seq[Double]] = {
       val fp = Artifacts.fingerprint(s, s"$dir/embeddings.parquet")
-      mem.getOrElseUpdate((dir, fp), {
+      val cents = mem.getOrElseUpdate((dir, fp), {
         val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
         val df = Artifacts.loadOrBuild(s, s"/root/repo/target/graft_ivf/${tag}_k$nCells", fp) {
           import org.apache.spark.ml.clustering.KMeans
@@ -234,6 +239,8 @@ object Similarity {
         df.select("cell", "cvec").orderBy("cell").collect()
           .map(_.getSeq[Double](1)).toSeq
       })
+      lastCentroids = Some(cents)
+      cents
     }
   }
 
@@ -248,9 +255,15 @@ object Similarity {
     (s, dir) => {
       val centLit = typedLit(IvfIndex.centroids(s, dir))
       // cell assignment + probe list as pure expressions over the centroid
-      // literal: argmin / top-3 of per-centroid L2, no ML model, no shuffle
+      // literal: argmin / top-nProbes of per-centroid L2, no ML model, no
+      // shuffle. Distance is the dot-product expansion (v·v − 2·v·c) + c·c
+      // rather than the vec_l2sq fold: both engines evaluate it with the
+      // identical IEEE op sequence over the bit-exact dot products, which is
+      // what lets the dynamic oracle reproduce cell assignment exactly
+      // (DuckDB 1.0 has no sequential-fold list_reduce for the (x−y)² form)
       val e = withNorm(s, dir).withColumn("cents", centLit)
-        .withColumn("cdists", expr("transform(cents, c -> vec_l2sq(v, c))"))
+        .withColumn("cdists", expr(
+          "transform(cents, c -> (vec_dot(v, v) - 2D * vec_dot(v, c)) + vec_dot(c, c))"))
         .withColumn("cell", expr("array_position(cdists, array_min(cdists)) - 1"))
       val assigned = e.select(col("vec_id"), col("v"), col("norm"), col("cell"))
       val q = e.filter(col("vec_id") % queryMod === 0)
@@ -269,7 +282,52 @@ object Similarity {
         .filter(col("rank") <= 5)
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
     },
-    None)
+    None,
+    Some(() => ivfOracle))
+
+  /** Dynamic q34 oracle: embeds the trained centroids (recorded by the q34
+    * run itself) as DOUBLE[] literals — the q19 literal-hyperplane technique
+    * applied to a run-derived artifact — and re-derives cell assignment,
+    * probe lists (both tie-broken by (distance, cell), matching array_min /
+    * array_sort first-index semantics) and the exact cosine re-rank. None
+    * until a q34 run has loaded/fitted the quantizer (→ rows-only check). */
+  private def ivfOracle: Option[String] = IvfIndex.lastCentroids.map { cents =>
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, CAST(${c.mkString("[", ", ", "]")} AS DOUBLE[]))"
+    }.mkString(",\n        ")
+    s"""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      ), n AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e
+      ), cents (cell, c) AS (
+        VALUES $centRows
+      ), ranked AS (
+        SELECT n.vec_id, ct.cell,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 (list_dot_product(n.v, n.v) - 2 * list_dot_product(n.v, ct.c))
+                   + list_dot_product(ct.c, ct.c), ct.cell) AS rn
+        FROM n CROSS JOIN cents ct
+      ), assigned AS (
+        SELECT vec_id, cell FROM ranked WHERE rn = 1
+      ), probes AS (
+        SELECT vec_id AS q_id, cell FROM ranked
+        WHERE vec_id % $queryMod = 0 AND rn <= ${IvfIndex.nProbes}
+      ), cand AS (
+        SELECT p.q_id, a.vec_id FROM probes p JOIN assigned a ON a.cell = p.cell
+        WHERE a.vec_id <> p.q_id
+      ), scored AS (
+        SELECT c.q_id, c.vec_id,
+          list_dot_product(qn.v, cn.v) / (qn.norm * cn.norm) AS cos,
+          row_number() OVER (PARTITION BY c.q_id
+            ORDER BY list_dot_product(qn.v, cn.v) / (qn.norm * cn.norm) DESC,
+                     c.vec_id) AS rn
+        FROM cand c
+        JOIN n cn ON cn.vec_id = c.vec_id
+        JOIN n qn ON qn.vec_id = c.q_id
+      )
+      SELECT q_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS rank, cos
+      FROM scored WHERE rn <= 5"""
+  }
 
   val all: Seq[Q] = Seq(embeddingNearDup, knnBruteForce, knnLsh, knnIvf)
 }
