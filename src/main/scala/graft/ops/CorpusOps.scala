@@ -277,6 +277,99 @@ object CorpusOps {
                // $packBudget AS pack_id
       FROM toks"""))
 
+  // ---- q56: int8 scalar quantization of embeddings -----------------------
+  /** Per-vector int8 scalar quantization — the storage/bandwidth path for
+    * embedding columns at scale (4 B float → 1 B code): code_i =
+    * round((v_i − min) / ((max − min)/255)), plus the max absolute
+    * reconstruction error. Pure per-row expressions (zero shuffle); codes are
+    * emitted CSV-encoded so every output column is scalar, and the error uses
+    * max (order-independent) rather than a sum, keeping the whole row
+    * bit-exact across engines. */
+  val embedQuantize: Q = Q(
+    "q56_embed_quantize",
+    (s, dir) => {
+      graft.Tables.embeddings(s, dir)
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("vmin", array_min(col("v")))
+        .withColumn("vmax", array_max(col("v")))
+        .withColumn("scale", (col("vmax") - col("vmin")) / lit(255.0))
+        .withColumn("codes", expr(
+          "transform(v, x -> CAST(round(CASE WHEN scale = 0D THEN 0D ELSE (x - vmin) / scale END) AS INT))"))
+        .select(col("vec_id"), col("vmin"), col("vmax"),
+          expr("array_join(transform(codes, c -> cast(c as string)), ',')").as("codes_csv"),
+          expr("""array_max(transform(sequence(1, size(v)),
+            i -> abs(v[i-1] - (vmin + cast(codes[i-1] as double) * scale))))""").as("max_abs_err"))
+    },
+    Some("""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      ), stats AS (
+        SELECT vec_id, v,
+               list_min(v) AS vmin, list_max(v) AS vmax,
+               (list_max(v) - list_min(v)) / 255.0 AS scale
+        FROM e
+      ), coded AS (
+        SELECT vec_id, v, vmin, vmax, scale,
+               list_transform(v, x -> CAST(round(
+                 CASE WHEN scale = 0 THEN 0 ELSE (x - vmin) / scale END) AS INT)) AS codes
+        FROM stats
+      )
+      SELECT vec_id, vmin, vmax,
+             array_to_string(codes, ',') AS codes_csv,
+             list_max(list_transform(range(1, len(v) + 1),
+               i -> abs(v[i] - (vmin + CAST(codes[i] AS DOUBLE) * scale)))) AS max_abs_err
+      FROM coded"""))
+
+  // ---- q57: composed cleaning pipeline -----------------------------------
+  private val qualityFloor = 0.8
+
+  /** The end-to-end corpus-cleaning composition a training run actually
+    * executes: exact dedup (keep first occurrence) → language filter (en) →
+    * quality floor → eval-slice removal and decontamination (q51 semantics).
+    * One declarative plan, so Catalyst fuses the per-row stages into the scan
+    * and the only shuffles are the dedup window and the broadcast-fed
+    * contamination check — the stages do NOT each re-scan the corpus. */
+  val cleanPipeline: Q = Q(
+    "q57_clean_pipeline",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(s, dir)
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("n_words", size(col("words")).cast("long"))
+        .withColumn("stop_n", expr(
+          "size(filter(words, w -> w IN ('the', 'a', 'of', 'and', 'in', 'to', 'is')))").cast("long"))
+        .withColumn("quality_score",
+          when(col("n_words") >= 20, lit(1.0)).otherwise(col("n_words") / lit(20.0))
+            * (lit(1.0) - col("stop_n") / col("n_words")))
+        .withColumn("first_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      val contaminated = decontaminate.run(s, dir)
+        .filter(col("is_contaminated") === 1).select("doc_id")
+      base
+        .filter(col("lang") === "en" && col("quality_score") >= qualityFloor
+          && col("doc_id") === col("first_id") && col("doc_id") % evalMod =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("n_words"), col("quality_score"))
+    },
+    Some(s"""WITH contaminated AS (
+        SELECT doc_id FROM (${decontaminate.oracle.get}) WHERE is_contaminated = 1
+      ), scored AS (
+        SELECT doc_id, source, lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          (CASE WHEN len(string_split(text, ' ')) >= 20 THEN CAST(1.0 AS DOUBLE)
+                ELSE CAST(len(string_split(text, ' ')) AS BIGINT) / CAST(20.0 AS DOUBLE) END)
+            * (CAST(1.0 AS DOUBLE)
+               - CAST(len(list_filter(string_split(text, ' '),
+                   w -> w IN ('the', 'a', 'of', 'and', 'in', 'to', 'is'))) AS BIGINT)
+                 / CAST(len(string_split(text, ' ')) AS BIGINT)) AS quality_score,
+          MIN(doc_id) OVER (PARTITION BY md5(text)) AS first_id
+        FROM documents
+      )
+      SELECT doc_id, source, n_words, quality_score
+      FROM scored
+      WHERE lang = 'en' AND quality_score >= $qualityFloor
+        AND doc_id = first_id AND doc_id % $evalMod <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)"""))
+
   val all: Seq[Q] = Seq(piiRedact, decontaminate, mixtureSample, noveltyScore,
-    ngramTopK, docPack)
+    ngramTopK, docPack, embedQuantize, cleanPipeline)
 }
+

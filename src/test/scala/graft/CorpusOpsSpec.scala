@@ -110,8 +110,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q56 quantization codes stay in [0,255] and reconstruction is tight") {
+    val out = SparkEntry.queries("q56_embed_quantize")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val codes = r.getAs[String]("codes_csv").split(",").map(_.toInt)
+      assert(codes.forall(c => c >= 0 && c <= 255), s"code out of int8 range for ${r.get(0)}")
+      val vmin = r.getAs[Double]("vmin")
+      val vmax = r.getAs[Double]("vmax")
+      // max reconstruction error of scalar quantization is half a step
+      val step = (vmax - vmin) / 255.0
+      assert(r.getAs[Double]("max_abs_err") <= step / 2 + 1e-12)
+    }
+  }
+
+  test("q57 output is exactly the en/high-quality/first-copy/clean train docs") {
+    val out = SparkEntry.queries("q57_clean_pipeline")(spark, sfDir)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty)
+    assert(out.filter(col("quality_score") < 0.8).count() === 0)
+    // no eval docs, no contaminated docs, no non-first duplicates
+    assert(ids.forall(_ % 20 != 0), "eval-slice docs must be removed")
+    val contaminated = SparkEntry.queries("q51_decontaminate")(spark, sfDir)
+      .filter(col("is_contaminated") === 1)
+      .collect().map(_.getLong(0)).toSet
+    assert((ids & contaminated).isEmpty, "contaminated docs must be removed")
+    val nonFirstDups = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("h")).as("a")
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id").as("b_id"), md5(col("text")).as("h")), "h")
+      .filter(col("b_id") < col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((ids & nonFirstDups).isEmpty, "only the first copy of a dup group survives")
+  }
+
   test("corpus-prep per-row operators stay zero-shuffle; q51 broadcasts the eval side") {
-    for (q <- Seq("q50_pii_redact", "q52_mixture_sample")) {
+    for (q <- Seq("q50_pii_redact", "q52_mixture_sample", "q56_embed_quantize")) {
       val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"$q plan gained a shuffle:\n$plan")
     }
