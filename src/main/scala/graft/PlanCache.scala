@@ -30,7 +30,14 @@ object PlanCache {
     val fp = ops.Artifacts.fingerprint(s, fingerprintPath)
     val key = (s, name, dir)
     entries.get(key) match {
-      case Some(e) if e.fp == fp => e.df
+      case Some(e) if e.fp == fp =>
+        // self-heal: CacheManager uncaches by canonicalized plan, so an
+        // unrelated unpersist of an equivalent plan (e.g. q30's managed
+        // evidence cleanup sharing the QA-corpus subtree) can evict this
+        // entry out from under us — re-persist rather than silently
+        // recomputing per action forever
+        if (e.df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) e.df.persist()
+        e.df
       case prior =>
         prior.foreach(_.df.unpersist())
         val df = build.persist()

@@ -123,7 +123,12 @@ object VectorFunctions {
     override def checkInputDataTypes(): TypeCheckResult =
       (first.dataType, second.dataType, third.dataType) match {
         case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _), IntegerType) =>
-          TypeCheckResult.TypeCheckSuccess
+          // bandBits is a literal in every use — reject a non-positive value
+          // at analysis time instead of dividing by zero per row
+          if (third.foldable && {
+            val v = third.eval(); v == null || v.asInstanceOf[Int] <= 0
+          }) TypeCheckResult.TypeCheckFailure(s"$prettyName requires bandBits > 0")
+          else TypeCheckResult.TypeCheckSuccess
         case (f, s, t) => TypeCheckResult.TypeCheckFailure(
           s"$prettyName requires (array<double>, array<array<double>>, int), got $f / $s / $t")
       }

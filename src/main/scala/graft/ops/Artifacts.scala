@@ -40,14 +40,31 @@ object Artifacts {
 
   /** Read the artifact for `fp` under `baseDir`, building and publishing it
     * first if absent. Tolerates an empty build result (the published dir holds
-    * a schema-only parquet part). Artifacts for older fingerprints are cleaned
-    * up best-effort after a successful publish. */
+    * a schema-only parquet part). Unreadable or half-published artifacts are
+    * deleted and rebuilt (bounded retries) rather than hard-failing every
+    * later run; artifacts for older fingerprints and day-old crashed temp
+    * dirs are cleaned up best-effort after a successful publish. */
   def loadOrBuild(s: SparkSession, baseDir: String, fp: Long)(build: => DataFrame): DataFrame = {
     val base = new Path(baseDir)
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     val dest = new Path(base, s"fp_$fp")
     val marker = new Path(dest, "_SUCCESS")
-    if (!fs.exists(marker)) {
+    def read(): Option[DataFrame] =
+      if (!fs.exists(marker)) None
+      else
+        try {
+          val df = s.read.parquet(dest.toString)
+          df.schema // force footer/schema resolution so corruption surfaces here
+          Some(df)
+        } catch {
+          case _: Exception => // corrupt publish: clear it and rebuild
+            try fs.delete(dest, true) catch { case _: Exception => () }
+            None
+        }
+    var attempt = 0
+    var result: Option[DataFrame] = read()
+    while (result.isEmpty && attempt < 3) {
+      attempt += 1
       val tmp = new Path(base, s".tmp_${fp}_${UUID.randomUUID().toString.take(8)}")
       build.write.mode("overwrite").parquet(tmp.toString)
       // publish: rename is atomic on HDFS and local FS; if another session
@@ -57,14 +74,21 @@ object Artifacts {
         // a dest without _SUCCESS is a crashed publish — clear it so rename
         // replaces it instead of nesting tmp inside it (Hadoop rename-into-dir)
         if (fs.exists(dest)) fs.delete(dest, true)
-        if (!fs.rename(tmp, dest)) fs.delete(tmp, true)
+        if (!fs.rename(tmp, dest)) fs.delete(tmp, true) // lost a race: retry loop re-reads
       }
-      try {
-        fs.listStatus(base)
-          .filter(st => st.getPath.getName.startsWith("fp_") && st.getPath.getName != dest.getName)
-          .foreach(st => fs.delete(st.getPath, true))
-      } catch { case _: Exception => () } // cleanup is advisory only
+      result = read()
     }
-    s.read.parquet(dest.toString)
+    val df = result.getOrElse(sys.error(
+      s"could not publish or read artifact $dest after $attempt attempts"))
+    try {
+      val dayAgo = System.currentTimeMillis() - 24L * 3600 * 1000
+      fs.listStatus(base).foreach { st =>
+        val n = st.getPath.getName
+        val staleFp = n.startsWith("fp_") && n != dest.getName
+        val deadTmp = n.startsWith(".tmp_") && st.getModificationTime < dayAgo
+        if (staleFp || deadTmp) fs.delete(st.getPath, true)
+      }
+    } catch { case _: Exception => () } // cleanup is advisory only
+    df
   }
 }

@@ -125,9 +125,12 @@ object CorpusOps {
   val mixtureSample: Q = Q(
     "q52_mixture_sample",
     (s, dir) => {
+      // substring(source, 4) with no length bound, exactly like the oracle's
+      // substr(source, 4) — the sampling decision must be textually identical
+      // in both engines
       val thr = mixThresholds.zipWithIndex.foldLeft(lit(null).cast("string")) {
         case (acc, (hex, i)) =>
-          when(substring(col("source"), 4, 10).cast("int") % 4 === i, lit(hex)).otherwise(acc)
+          when(expr("substring(source, 4)").cast("int") % 4 === i, lit(hex)).otherwise(acc)
       }
       Tables.documents(s, dir)
         .withColumn("draw", substring(md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 8))
@@ -297,8 +300,12 @@ object CorpusOps {
           "transform(v, x -> CAST(round(CASE WHEN scale = 0D THEN 0D ELSE (x - vmin) / scale END) AS INT))"))
         .select(col("vec_id"), col("vmin"), col("vmax"),
           expr("array_join(transform(codes, c -> cast(c as string)), ',')").as("codes_csv"),
-          expr("""array_max(transform(sequence(1, size(v)),
-            i -> abs(v[i-1] - (vmin + cast(codes[i-1] as double) * scale))))""").as("max_abs_err"))
+          // size(v)=0 guard: sequence(1, 0) is DESCENDING in Spark and would
+          // index out of bounds under ANSI; the oracle's range(1, 1) is empty
+          // and list_max(empty) is NULL — match that
+          expr("""IF(size(v) = 0, CAST(NULL AS DOUBLE),
+            array_max(transform(sequence(1, size(v)),
+              i -> abs(v[i-1] - (vmin + cast(codes[i-1] as double) * scale)))))""").as("max_abs_err"))
     },
     Some("""WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -336,10 +343,9 @@ object CorpusOps {
         .withColumn("words", split(col("text"), " "))
         .withColumn("n_words", size(col("words")).cast("long"))
         .withColumn("stop_n", expr(
-          "size(filter(words, w -> w IN ('the', 'a', 'of', 'and', 'in', 'to', 'is')))").cast("long"))
-        .withColumn("quality_score",
-          when(col("n_words") >= 20, lit(1.0)).otherwise(col("n_words") / lit(20.0))
-            * (lit(1.0) - col("stop_n") / col("n_words")))
+          s"size(filter(words, w -> w IN ${TextOps.inList(TextOps.stopwords)}))").cast("long"))
+        // the q20 scoring, shared so the two queries cannot diverge
+        .withColumn("quality_score", TextOps.qualityScore(col("n_words"), col("stop_n")))
         .withColumn("first_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
       val contaminated = decontaminate.run(s, dir)
         .filter(col("is_contaminated") === 1).select("doc_id")
@@ -354,12 +360,7 @@ object CorpusOps {
       ), scored AS (
         SELECT doc_id, source, lang,
           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-          (CASE WHEN len(string_split(text, ' ')) >= 20 THEN CAST(1.0 AS DOUBLE)
-                ELSE CAST(len(string_split(text, ' ')) AS BIGINT) / CAST(20.0 AS DOUBLE) END)
-            * (CAST(1.0 AS DOUBLE)
-               - CAST(len(list_filter(string_split(text, ' '),
-                   w -> w IN ('the', 'a', 'of', 'and', 'in', 'to', 'is'))) AS BIGINT)
-                 / CAST(len(string_split(text, ' ')) AS BIGINT)) AS quality_score,
+          ${TextOps.qualityScoreSql} AS quality_score,
           MIN(doc_id) OVER (PARTITION BY md5(text)) AS first_id
         FROM documents
       )

@@ -217,10 +217,18 @@ object Similarity {
     val nProbes = 4
     private val mem = new scala.collection.concurrent.TrieMap[(String, Long), Seq[Seq[Double]]]()
 
-    /** Centroids of the most recent `centroids()` call — consulted by the
-      * dynamic q34 oracle, which Verify evaluates after the queries ran (the
-      * run and its oracle must share one quantizer). */
-    @volatile private[ops] var lastCentroids: Option[Seq[Seq[Double]]] = None
+    /** Latest centroids per sf-dir, plus the most recent dir — consulted by
+      * the dynamic q34 oracle, which Verify evaluates after the queries ran
+      * (the run and its oracle must share one quantizer). Verify pins the
+      * dump's dir via the `graft.oracle.sfdir` system property so another
+      * dir's fit between the q34 run and the dump cannot leak into the
+      * oracle; last-dir is only the fallback when the property is unset. */
+    private[ops] val lastByDir =
+      new scala.collection.concurrent.TrieMap[String, Seq[Seq[Double]]]()
+    @volatile private[ops] var lastDir: Option[String] = None
+
+    private[ops] def forOracle: Option[Seq[Seq[Double]]] =
+      sys.props.get("graft.oracle.sfdir").orElse(lastDir).flatMap(lastByDir.get)
 
     def centroids(s: SparkSession, dir: String): Seq[Seq[Double]] = {
       val fp = Artifacts.fingerprint(s, s"$dir/embeddings.parquet")
@@ -239,7 +247,8 @@ object Similarity {
         df.select("cell", "cvec").orderBy("cell").collect()
           .map(_.getSeq[Double](1)).toSeq
       })
-      lastCentroids = Some(cents)
+      lastByDir.put(dir, cents)
+      lastDir = Some(dir)
       cents
     }
   }
@@ -291,7 +300,7 @@ object Similarity {
     * probe lists (both tie-broken by (distance, cell), matching array_min /
     * array_sort first-index semantics) and the exact cosine re-rank. None
     * until a q34 run has loaded/fitted the quantizer (→ rows-only check). */
-  private def ivfOracle: Option[String] = IvfIndex.lastCentroids.map { cents =>
+  private def ivfOracle: Option[String] = IvfIndex.forOracle.map { cents =>
     val centRows = cents.zipWithIndex.map { case (c, i) =>
       s"($i, CAST(${c.mkString("[", ", ", "]")} AS DOUBLE[]))"
     }.mkString(",\n        ")

@@ -13,8 +13,25 @@ import graft.{Q, Tables}
   */
 object TextOps {
 
-  private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
-  private def inList(xs: Seq[String]) = xs.map(w => s"'$w'").mkString("(", ", ", ")")
+  /** The q20 stopword list — shared with q57's cleaning pipeline so the two
+    * queries cannot silently diverge. */
+  private[ops] val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+  private[ops] def inList(xs: Seq[String]) = xs.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** The q20 quality score as a Spark Column:
+    * min(1, n_words/20) × (1 − stopword_ratio). Shared by q20 and q57. */
+  private[ops] def qualityScore(
+      nWords: org.apache.spark.sql.Column, stopN: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.when(nWords >= 20, lit(1.0))
+      .otherwise(nWords / lit(20.0)) * (lit(1.0) - stopN / nWords)
+
+  /** The same score as a DuckDB SQL fragment over a raw `text` column. */
+  private[ops] val qualityScoreSql: String =
+    s"""(CASE WHEN len(string_split(text, ' ')) >= 20 THEN CAST(1.0 AS DOUBLE)
+          ELSE CAST(len(string_split(text, ' ')) AS BIGINT) / CAST(20.0 AS DOUBLE) END)
+        * (CAST(1.0 AS DOUBLE)
+           - CAST(len(list_filter(string_split(text, ' '), w -> w IN ${inList(stopwords)})) AS BIGINT)
+             / CAST(len(string_split(text, ' ')) AS BIGINT))"""
 
   /** Per-document quality metrics: length, word count, stopword ratio, derived
     * quality score. Ratios are int/int or pure double chains → bit-identical
@@ -33,8 +50,7 @@ object TextOps {
         .withColumn("avg_word_len",
           (col("len_chars") - (col("n_words") - 1)) / col("n_words"))
         .withColumn("quality_score",
-          when(col("n_words") >= 20, lit(1.0))
-            .otherwise(col("n_words") / lit(20.0)) * (lit(1.0) - col("stop_ratio")))
+          qualityScore(col("n_words"), col("stop_n")))
     },
     Some(s"""SELECT doc_id, lang,
       CAST(length(text) AS BIGINT) AS len_chars,
@@ -42,9 +58,7 @@ object TextOps {
       CAST(len(list_filter(string_split(text, ' '), w -> w IN ${inList(stopwords)})) AS BIGINT) AS stop_n,
       CAST(len(list_filter(string_split(text, ' '), w -> w IN ${inList(stopwords)})) AS BIGINT) / CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_ratio,
       (CAST(length(text) AS BIGINT) - (CAST(len(string_split(text, ' ')) AS BIGINT) - 1)) / CAST(len(string_split(text, ' ')) AS BIGINT) AS avg_word_len,
-      (CASE WHEN len(string_split(text, ' ')) >= 20 THEN CAST(1.0 AS DOUBLE)
-            ELSE CAST(len(string_split(text, ' ')) AS BIGINT) / CAST(20.0 AS DOUBLE) END)
-        * (CAST(1.0 AS DOUBLE) - CAST(len(list_filter(string_split(text, ' '), w -> w IN ${inList(stopwords)})) AS BIGINT) / CAST(len(string_split(text, ' ')) AS BIGINT)) AS quality_score
+      $qualityScoreSql AS quality_score
       FROM documents"""))
 
   private val markers: Seq[(String, Seq[String])] = Seq(
