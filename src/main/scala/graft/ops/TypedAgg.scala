@@ -58,5 +58,55 @@ object TypedAgg {
       ROUND(SUM(l_extendedprice), 2) AS total_price
       FROM lineitem GROUP BY l_suppkey"""))
 
-  val all: Seq[Q] = Seq(typedAgg)
+  final case class Order(o_custkey: Long, o_orderkey: Long, o_totalprice: Double)
+  final case class TopItem(o_totalprice: Double, o_orderkey: Long)
+  final case class TopBuf(items: List[TopItem])
+
+  /** Bounded top-k buffer: the per-group state is never more than k rows, and
+    * partial aggregation runs map-side — each input partition contributes at
+    * most k candidates per key to the shuffle. The window formulation
+    * (row_number ≤ k) must instead shuffle EVERY row of a group and sort it;
+    * at 100 TB with large groups the aggregator moves k/|group| of the data.
+    * Selection only (no arithmetic) → outputs are bit-exact pass-throughs. */
+  object TopKAgg extends Aggregator[Order, TopBuf, TopBuf] {
+    val k = 3
+    private def trim(xs: List[TopItem]): List[TopItem] =
+      xs.sortBy(t => (-t.o_totalprice, t.o_orderkey)).take(k)
+    override def zero: TopBuf = TopBuf(Nil)
+    override def reduce(b: TopBuf, o: Order): TopBuf =
+      TopBuf(trim(TopItem(o.o_totalprice, o.o_orderkey) :: b.items))
+    override def merge(x: TopBuf, y: TopBuf): TopBuf = TopBuf(trim(x.items ++ y.items))
+    override def finish(r: TopBuf): TopBuf = TopBuf(trim(r.items))
+    override def bufferEncoder: Encoder[TopBuf] = Encoders.product[TopBuf]
+    override def outputEncoder: Encoder[TopBuf] = Encoders.product[TopBuf]
+  }
+
+  /** Top-3 orders per customer by total price, via the bounded typed
+    * aggregator rather than a window — same result as the row_number plan
+    * (asserted in tests, plus the DuckDB window oracle), different shuffle
+    * volume. Ties broken by order key, so the selection is total-ordered and
+    * deterministic. */
+  val topKPerGroup: Q = Q(
+    "q58_topk_per_group",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .as[Order]
+        .groupByKey(_.o_custkey)
+        .agg(TopKAgg.toColumn.name("top"))
+        .select(col("key").as("o_custkey"), posexplode(col("top.items")))
+        .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.o_orderkey").as("o_orderkey"),
+          col("col.o_totalprice").as("o_totalprice"))
+    },
+    Some("""SELECT o_custkey, CAST(rn AS BIGINT) AS rank, o_orderkey, o_totalprice
+      FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      WHERE rn <= 3"""))
+
+  val all: Seq[Q] = Seq(typedAgg, topKPerGroup)
 }

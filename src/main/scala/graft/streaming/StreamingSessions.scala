@@ -181,5 +181,45 @@ object StreamingSessions {
       .toDF()
   }
 
-  val all: Seq[Q] = Seq(streamingSessions)
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming exact dedup — the continuous-ingest form of q13: documents
+    * arrive as files, the running (content_hash → canonical doc, dup count)
+    * aggregate updates incrementally (complete mode here so driving the
+    * static table to completion equals the batch result; a production
+    * pipeline uses update mode into an upsert sink). State is one row per
+    * DISTINCT content hash — bounded by corpus novelty, not stream length.
+    * Fully oracled: at completion the aggregate is exactly q13's. */
+  val streamingDedup: Q = Q(
+    "q59_streaming_dedup",
+    (s, dir) => {
+      val name = "graft_stream_dedup"
+      val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+      val stageDir = java.nio.file.Paths.get(s"/root/repo/target/graft_stream_docs/$tag")
+      java.nio.file.Files.createDirectories(stageDir)
+      val link = stageDir.resolve("documents.parquet")
+      if (!java.nio.file.Files.exists(link)) {
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      }
+      val q = s.readStream.schema(docsSchema).parquet(stageDir.toString)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("canonical_doc_id"),
+          count(lit(1)).as("dup_count"))
+        .writeStream.format("memory").queryName(name).outputMode("complete")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table(name).cache()
+      out.count()
+      out
+    },
+    Some("""SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
+      count(1) AS dup_count FROM documents GROUP BY md5(text)"""))
+
+  val all: Seq[Q] = Seq(streamingSessions, streamingDedup)
 }

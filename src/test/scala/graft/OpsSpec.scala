@@ -50,6 +50,24 @@ class OpsSpec extends AnyFunSuite {
     info(f"LSH recall@5 = $avg%.2f over ${recalls.size} queries")
   }
 
+  test("q58 bounded top-k aggregator matches the window formulation exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val agg = SparkEntry.queries("q58_topk_per_group")(spark, sfDir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val win = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
+    assert(agg.exceptAll(win).count() === 0)
+    assert(win.exceptAll(agg).count() === 0)
+    // the scale claim: partial (map-side) object-hash aggregation, no
+    // per-group full sort before the shuffle
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"q58 lost object-hash aggregation:\n$plan")
+  }
+
   test("q46 prune keeps exactly the canonical + unclustered docs") {
     val total = Tables.documents(spark, sfDir).count()
     val clusters = SparkEntry.queries("q40_dedup_clusters")(spark, sfDir)

@@ -28,7 +28,11 @@ class PropertySpec extends AnyFunSuite {
     // 32-partition + default-split, both under AQE, must agree bit-for-bit
     val dir = "/root/testdata/sf0.01"
     val names = Seq("q03_fact_enriched", "q10_mart_customer_value",
-      "q11_customer_agg", "q49_skew_salted_join")
+      "q11_customer_agg", "q49_skew_salted_join",
+      // round-3 double-valued outputs: novelty ratios, quantization error,
+      // composed quality score, typed top-k selection
+      "q53_novelty_score", "q56_embed_quantize", "q57_clean_pipeline",
+      "q58_topk_per_group")
     def canon(name: String): Seq[String] =
       SparkEntry.queries(name)(spark, dir).collect().map(_.mkString("")).sorted
     val conf = spark.conf

@@ -6,6 +6,15 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("streaming dedup converges to exactly the batch q13 aggregate") {
+    val streaming = SparkEntry.queries("q59_streaming_dedup")(spark, sfDir)
+      .select("content_hash", "canonical_doc_id", "dup_count")
+    val batch = SparkEntry.queries("q13_dedup_exact")(spark, sfDir)
+      .select("content_hash", "canonical_doc_id", "dup_count")
+    assert(streaming.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streaming).count() === 0)
+  }
+
   test("streaming session_window produces the same sessions as batch q06") {
     val streaming = SparkEntry.queries("q31_streaming_sessions")(spark, sfDir)
     val batch = SparkEntry.queries("q06_sessionization")(spark, sfDir)
