@@ -171,6 +171,35 @@ object Analytics {
         1 AS approx_parts_ok, 1 AS approx_supps_ok
       FROM lineitem GROUP BY l_returnflag"""))
 
+  /** Exact interpolated percentiles per group. Spark's exact `percentile`
+    * aggregate buffers counts per DISTINCT value (an OpenHashMap), so memory
+    * is O(|domain|), not O(rows) — scale-correct for bounded-domain measures
+    * like integer quantities; for unbounded-domain doubles at 100 TB the
+    * t-digest `approx_percentile` is the drop-in (impl-specific values, so
+    * not oracle-able). Quantities are integer-valued and the quartile
+    * fractions are exact binary (.0/.25/.5/.75), so linear interpolation is
+    * bit-exact in both engines despite being float math. */
+  val percentileStats: Q = Q(
+    "q60_percentile_stats",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("l_quantity")).as("q_min"),
+          expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("q50"),
+          expr("percentile(l_quantity, 0.75)").as("q75"),
+          max(col("l_quantity")).as("q_max"))
+    },
+    Some("""SELECT l_returnflag, COUNT(1) AS n,
+        MIN(l_quantity) AS q_min,
+        quantile_cont(l_quantity, 0.25) AS q25,
+        quantile_cont(l_quantity, 0.5) AS q50,
+        quantile_cont(l_quantity, 0.75) AS q75,
+        MAX(l_quantity) AS q_max
+      FROM lineitem GROUP BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(windowSuite, setOps, rollup, asofJoin, sqlDdl,
-    approxDistinct)
+    approxDistinct, percentileStats)
 }
