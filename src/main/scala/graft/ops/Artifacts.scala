@@ -61,20 +61,46 @@ object Artifacts {
             try fs.delete(dest, true) catch { case _: Exception => () }
             None
         }
+    // Mutual exclusion for the publish step: fs.create(path, overwrite=false)
+    // is atomic create-if-absent on HDFS and local FS, so exactly one session
+    // holds the lock; a lock left by a crashed publisher is broken after 60 s
+    // by mtime. The build itself runs outside the lock (deterministic content,
+    // so concurrent builds are merely redundant); only the tiny
+    // check-delete-rename window is serialized, which is what makes the
+    // "reader sees the complete artifact or none" contract hold.
+    val lock = new Path(base, s".lock_$fp")
+    def withPublishLock(body: => Unit): Unit = {
+      var held = false
+      var waited = 0
+      while (!held && waited < 120) {
+        try { fs.create(lock, false).close(); held = true }
+        catch {
+          case _: Exception =>
+            try {
+              val age = System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+              if (age > 60000) fs.delete(lock, false) // crashed publisher
+            } catch { case _: Exception => () } // lock vanished: retry create
+            Thread.sleep(500); waited += 1
+        }
+      }
+      try body
+      finally if (held) { try fs.delete(lock, false) catch { case _: Exception => () } }
+    }
     var attempt = 0
     var result: Option[DataFrame] = read()
     while (result.isEmpty && attempt < 3) {
       attempt += 1
       val tmp = new Path(base, s".tmp_${fp}_${UUID.randomUUID().toString.take(8)}")
       build.write.mode("overwrite").parquet(tmp.toString)
-      // publish: rename is atomic on HDFS and local FS; if another session
-      // published first, keep theirs (identical content) and drop ours
-      if (fs.exists(marker)) fs.delete(tmp, true)
-      else {
-        // a dest without _SUCCESS is a crashed publish — clear it so rename
-        // replaces it instead of nesting tmp inside it (Hadoop rename-into-dir)
-        if (fs.exists(dest)) fs.delete(dest, true)
-        if (!fs.rename(tmp, dest)) fs.delete(tmp, true) // lost a race: retry loop re-reads
+      withPublishLock {
+        if (fs.exists(marker)) fs.delete(tmp, true) // another session won: keep theirs
+        else {
+          // a dest without _SUCCESS is always garbage (publishes arrive whole
+          // via rename, marker included) — clear it so rename replaces it
+          // instead of nesting tmp inside it (Hadoop rename-into-dir)
+          if (fs.exists(dest)) fs.delete(dest, true)
+          if (!fs.rename(tmp, dest)) fs.delete(tmp, true)
+        }
       }
       result = read()
     }

@@ -249,11 +249,13 @@ object CorpusOps {
   // ---- q55: token-budget sequence packing --------------------------------
   private val packBudget = 2048
 
-  /** Assign documents to fixed token-budget packs: within each source, docs
-    * in doc_id order are chunked at every `packBudget` cumulative whitespace
+  /** Assign documents to token-budget packs: within each source, docs in
+    * doc_id order are chunked at every `packBudget` cumulative whitespace
     * tokens (pack_id = exclusive-prefix-sum div budget) — the deterministic,
     * shuffle-light approximation of greedy sequence packing used to build
-    * training batches (a doc straddling a boundary starts the next pack).
+    * training batches. A doc straddling a boundary stays in the pack where it
+    * starts, so a pack can exceed the budget by at most one document's
+    * tokens — consumers sizing hard-capped batches must split that tail doc.
     * One window per source partition; sources are independent, so at 100 TB
     * this parallelizes across sources with no global sort. */
   val docPack: Q = Q(

@@ -70,10 +70,7 @@ object StreamingSessions {
       } finally {
         q.stop()
       }
-      // materialize before the memory sink table is dropped by later runs
-      val out = s.table(name).cache()
-      out.count()
-      out
+      detachFromSink(s, name)
     },
     // `session_window(ts, gap)` semantics in ANSI SQL: an event opens window
     // [ts, ts+gap); overlapping windows merge, so a NEW session starts exactly
@@ -181,6 +178,17 @@ object StreamingSessions {
       .toDF()
   }
 
+  /** Copy a completed memory-sink table into a sink-independent local
+    * DataFrame: the sink's rows are already driver-resident, and a later run
+    * under the same query name replaces the sink, so the result must not
+    * reference it. A plain localized copy — NOT `.cache()`, which would add
+    * one CacheManager entry per invocation that nothing releases (the leak
+    * pattern PlanCache exists to prevent). */
+  private def detachFromSink(s: SparkSession, name: String): DataFrame = {
+    val sink = s.table(name)
+    s.createDataFrame(java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+  }
+
   private val docsSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
@@ -214,9 +222,7 @@ object StreamingSessions {
         .writeStream.format("memory").queryName(name).outputMode("complete")
         .start()
       try q.processAllAvailable() finally q.stop()
-      val out = s.table(name).cache()
-      out.count()
-      out
+      detachFromSink(s, name)
     },
     Some("""SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
       count(1) AS dup_count FROM documents GROUP BY md5(text)"""))
