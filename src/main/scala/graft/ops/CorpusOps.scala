@@ -372,7 +372,42 @@ object CorpusOps {
         AND doc_id = first_id AND doc_id % $evalMod <> 0
         AND doc_id NOT IN (SELECT doc_id FROM contaminated)"""))
 
+  // ---- q61: Z-order clustering key ---------------------------------------
+  private val zBits = 16
+
+  /** Z-order (Morton) clustering: interleave the low 16 bits of two scan
+    * dimensions (document length, doc id) into one key, then range-partition
+    * and sort by it — the data-layout technique that makes parquet row-group
+    * min/max statistics prune scans on EITHER dimension at 100 TB (a linear
+    * sort can only serve its leading column). The key is pure integer bit
+    * arithmetic, identical in both engines, so the query is fully oracled;
+    * the partition-contiguity of the range clustering is asserted in tests.
+    * Spark spells bit ops as functions (shiftright) and DuckDB as operators
+    * (>>); both reduce to the same `(x >> i) & 1` times power-of-two sum. */
+  val zorderKey: Q = Q(
+    "q61_zorder_key",
+    (s, dir) => {
+      val terms = (0 until zBits).flatMap { i =>
+        Seq(s"(shiftright(a, $i) & 1) * ${1L << (2 * i)}",
+          s"(shiftright(b, $i) & 1) * ${1L << (2 * i + 1)}")
+      }.mkString(" + ")
+      Tables.documents(s, dir)
+        .withColumn("a", col("n_chars") % 65536)
+        .withColumn("b", col("doc_id") % 65536)
+        .withColumn("zvalue", expr(terms))
+        .repartitionByRange(col("zvalue"))
+        .sortWithinPartitions(col("zvalue"))
+        .select(col("doc_id"), col("n_chars"), col("zvalue"))
+    },
+    Some {
+      val terms = (0 until zBits).flatMap { i =>
+        Seq(s"(((n_chars % 65536) >> $i) & 1) * ${1L << (2 * i)}",
+          s"(((doc_id % 65536) >> $i) & 1) * ${1L << (2 * i + 1)}")
+      }.mkString(" + ")
+      s"SELECT doc_id, n_chars, CAST($terms AS BIGINT) AS zvalue FROM documents"
+    })
+
   val all: Seq[Q] = Seq(piiRedact, decontaminate, mixtureSample, noveltyScore,
-    ngramTopK, docPack, embedQuantize, cleanPipeline)
+    ngramTopK, docPack, embedQuantize, cleanPipeline, zorderKey)
 }
 

@@ -144,6 +144,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert((ids & nonFirstDups).isEmpty, "only the first copy of a dup group survives")
   }
 
+  test("q61 z-order key interleaves bits correctly and range-clusters partitions") {
+    val out = SparkEntry.queries("q61_zorder_key")(spark, sfDir)
+    // driver recomputation of the Morton interleave
+    def morton(a: Long, b: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    for (r <- out.limit(200).collect()) {
+      assert(r.getLong(2) === morton(r.getLong(1) % 65536, r.getLong(0) % 65536))
+    }
+    // the clustering claim: range partitions hold disjoint zvalue intervals
+    val ranges = out
+      .select(spark_partition_id().as("p"), col("zvalue"))
+      .groupBy("p").agg(min("zvalue").as("lo"), max("zvalue").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    for (Seq((_, hi1), (lo2, _)) <- ranges.toSeq.sliding(2)) {
+      assert(hi1 <= lo2, "range partitions overlap — clustering lost")
+    }
+  }
+
   test("corpus-prep per-row operators stay zero-shuffle; q51 broadcasts the eval side") {
     for (q <- Seq("q50_pii_redact", "q52_mixture_sample", "q56_embed_quantize")) {
       val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
