@@ -164,6 +164,58 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Artifacts.loadOrBuild: builds once, reuses, rebuilds on fingerprint change and corruption") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_artifacts_spec").toString
+    var builds = 0
+    def build = { builds += 1; Seq((1L, "x")).toDF("id", "v") }
+    val a = graft.ops.Artifacts.loadOrBuild(spark, base, 111L)(build)
+    assert(a.count() === 1 && builds === 1)
+    // same fingerprint: reads the published artifact, no rebuild
+    graft.ops.Artifacts.loadOrBuild(spark, base, 111L)(build).count()
+    assert(builds === 1)
+    // new fingerprint: rebuild (and the stale artifact is cleaned up)
+    graft.ops.Artifacts.loadOrBuild(spark, base, 222L)(build).count()
+    assert(builds === 2)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(base, "fp_111")),
+      "stale-fingerprint artifact must be cleaned up")
+    // corruption: a dest without _SUCCESS is garbage — rebuilt, not fatal
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/fp_222/_SUCCESS"), false)
+    assert(graft.ops.Artifacts.loadOrBuild(spark, base, 222L)(build).count() === 1)
+    assert(builds === 3)
+    // empty build result publishes and reads back as schema-only
+    val e = graft.ops.Artifacts.loadOrBuild(spark, base, 333L) {
+      Seq((1L, "x")).toDF("id", "v").filter(col("id") < 0)
+    }
+    assert(e.count() === 0 && e.columns.toSeq === Seq("id", "v"))
+  }
+
+  test("PlanCache: one bounded entry, fingerprint replacement, heal after external unpersist") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_plancache_spec").toString
+    val data = java.nio.file.Paths.get(dir, "t.parquet")
+    Seq((1L, "a")).toDF("k", "v").write.mode("overwrite").parquet(data.toString)
+    var builds = 0
+    def build = { builds += 1; spark.read.parquet(data.toString) }
+    val a = graft.PlanCache.cached(spark, "spec_entry", dir, data.toString)(build)
+    val b = graft.PlanCache.cached(spark, "spec_entry", dir, data.toString)(build)
+    assert(builds === 1, "second call must reuse, not rebuild")
+    assert(a eq b, "same DataFrame instance = one bounded cache entry")
+    assert(a.storageLevel !== org.apache.spark.storage.StorageLevel.NONE)
+    // external unpersist of an equivalent plan evicts the entry: heal it
+    a.unpersist()
+    val c = graft.PlanCache.cached(spark, "spec_entry", dir, data.toString)(build)
+    assert(c.storageLevel !== org.apache.spark.storage.StorageLevel.NONE, "must re-persist")
+    // data change under the same dir: rebuild with the old copy released
+    Thread.sleep(1100) // local FS mtime granularity can be 1s
+    Seq((2L, "b")).toDF("k", "v").write.mode("overwrite").parquet(data.toString)
+    val d = graft.PlanCache.cached(spark, "spec_entry", dir, data.toString)(build)
+    assert(builds === 2, "fingerprint change must rebuild")
+    assert(d.select("k").head().getLong(0) === 2L)
+  }
+
   test("corpus-prep per-row operators stay zero-shuffle; q51 broadcasts the eval side") {
     for (q <- Seq("q50_pii_redact", "q52_mixture_sample", "q56_embed_quantize")) {
       val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
