@@ -200,6 +200,48 @@ object Analytics {
         MAX(l_quantity) AS q_max
       FROM lineitem GROUP BY l_returnflag"""))
 
+  /** Pivot: per-supplier revenue spread across return-flag columns. The
+    * pivot values are declared explicitly (`pivot(col, values)`), which is
+    * the 100 TB form — without declared values Spark first runs a distinct
+    * scan to discover them. Compiles to one pass of conditional aggregation
+    * (no extra shuffle vs the plain groupBy); sums follow the p-decimal
+    * rounding contract. */
+  val pivot: Q = Q(
+    "q62_pivot",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum(col("l_extendedprice")), 2))
+        .select(col("l_suppkey"),
+          coalesce(col("A"), lit(0.0)).as("rev_a"),
+          coalesce(col("N"), lit(0.0)).as("rev_n"),
+          coalesce(col("R"), lit(0.0)).as("rev_r"))
+    },
+    Some("""SELECT l_suppkey,
+        COALESCE(ROUND(SUM(l_extendedprice) FILTER (WHERE l_returnflag = 'A'), 2), 0.0) AS rev_a,
+        COALESCE(ROUND(SUM(l_extendedprice) FILTER (WHERE l_returnflag = 'N'), 2), 0.0) AS rev_n,
+        COALESCE(ROUND(SUM(l_extendedprice) FILTER (WHERE l_returnflag = 'R'), 2), 0.0) AS rev_r
+      FROM lineitem GROUP BY l_suppkey"""))
+
+  /** Unpivot (melt): the inverse reshape, wide per-flag revenue columns back
+    * to (supplier, flag, revenue) rows — Spark 3.4+'s native `unpivot`, a
+    * zero-shuffle per-row expansion on top of q62's aggregate. */
+  val unpivot: Q = Q(
+    "q63_unpivot",
+    (s, dir) => {
+      pivot.run(s, dir)
+        .unpivot(Array(col("l_suppkey")),
+          Array(col("rev_a"), col("rev_n"), col("rev_r")), "flag", "revenue")
+        .filter(col("revenue") =!= 0.0)
+    },
+    Some(s"""WITH wide AS (${pivot.oracle.get})
+      SELECT l_suppkey, flag, revenue FROM (
+        SELECT l_suppkey, 'rev_a' AS flag, rev_a AS revenue FROM wide
+        UNION ALL SELECT l_suppkey, 'rev_n', rev_n FROM wide
+        UNION ALL SELECT l_suppkey, 'rev_r', rev_r FROM wide)
+      WHERE revenue <> 0.0"""))
+
   val all: Seq[Q] = Seq(windowSuite, setOps, rollup, asofJoin, sqlDdl,
-    approxDistinct, percentileStats)
+    approxDistinct, percentileStats, pivot, unpivot)
 }
