@@ -61,30 +61,48 @@ object Artifacts {
             try fs.delete(dest, true) catch { case _: Exception => () }
             None
         }
-    // Mutual exclusion for the publish step: fs.create(path, overwrite=false)
-    // is atomic create-if-absent on HDFS and local FS, so exactly one session
-    // holds the lock; a lock left by a crashed publisher is broken after 60 s
-    // by mtime. The build itself runs outside the lock (deterministic content,
-    // so concurrent builds are merely redundant); only the tiny
-    // check-delete-rename window is serialized, which is what makes the
-    // "reader sees the complete artifact or none" contract hold.
+    // Mutual exclusion for the publish step. Create-if-absent must be atomic
+    // for the lock to mean anything: on file:// URIs Hadoop's local FS does a
+    // non-atomic exists-then-open, so we use java.nio createFile (O_EXCL)
+    // there and fs.create(overwrite=false) (atomic) on HDFS-like stores. A
+    // lock older than 60 s is a crashed publisher; it is broken by an atomic
+    // RENAME to a unique name (only one breaker wins — delete-after-check
+    // would let two waiters each "break" and double-hold). If acquisition
+    // times out the publish is SKIPPED, never run unlocked — the outer loop
+    // re-reads and fails loudly after bounded attempts. The build itself runs
+    // outside the lock (deterministic content, so concurrent builds are
+    // merely redundant); only the tiny check-delete-rename window is
+    // serialized, which is what makes "reader sees the complete artifact or
+    // none" hold.
     val lock = new Path(base, s".lock_$fp")
-    def withPublishLock(body: => Unit): Unit = {
+    def tryAcquire(): Boolean =
+      try {
+        val uri = fs.makeQualified(lock).toUri
+        if (uri.getScheme == "file")
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(uri.getPath))
+        else fs.create(lock, false).close()
+        true
+      } catch { case _: Exception => false }
+    // returns true iff body ran (under the lock)
+    def withPublishLock(body: => Unit): Boolean = {
       var held = false
       var waited = 0
-      while (!held && waited < 120) {
-        try { fs.create(lock, false).close(); held = true }
-        catch {
-          case _: Exception =>
-            try {
-              val age = System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
-              if (age > 60000) fs.delete(lock, false) // crashed publisher
-            } catch { case _: Exception => () } // lock vanished: retry create
-            Thread.sleep(500); waited += 1
+      while (!held && waited < 360) { // 180 s budget > the 60 s stale threshold
+        held = tryAcquire()
+        if (!held) {
+          val stale =
+            try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > 60000
+            catch { case _: Exception => false } // lock vanished: retry create
+          if (stale) {
+            val broken = new Path(base, s".lock_broken_${UUID.randomUUID().toString.take(8)}")
+            if (fs.rename(lock, broken)) fs.delete(broken, false)
+          } else { Thread.sleep(500); waited += 1 }
         }
       }
-      try body
-      finally if (held) { try fs.delete(lock, false) catch { case _: Exception => () } }
+      if (held) {
+        try { body; true }
+        finally { try fs.delete(lock, false) catch { case _: Exception => () } }
+      } else false
     }
     var attempt = 0
     var result: Option[DataFrame] = read()
@@ -92,7 +110,7 @@ object Artifacts {
       attempt += 1
       val tmp = new Path(base, s".tmp_${fp}_${UUID.randomUUID().toString.take(8)}")
       build.write.mode("overwrite").parquet(tmp.toString)
-      withPublishLock {
+      val published = withPublishLock {
         if (fs.exists(marker)) fs.delete(tmp, true) // another session won: keep theirs
         else {
           // a dest without _SUCCESS is always garbage (publishes arrive whole
@@ -102,6 +120,7 @@ object Artifacts {
           if (!fs.rename(tmp, dest)) fs.delete(tmp, true)
         }
       }
+      if (!published) fs.delete(tmp, true) // lock timeout: defer to the holder
       result = read()
     }
     val df = result.getOrElse(sys.error(
@@ -111,7 +130,8 @@ object Artifacts {
       fs.listStatus(base).foreach { st =>
         val n = st.getPath.getName
         val staleFp = n.startsWith("fp_") && n != dest.getName
-        val deadTmp = n.startsWith(".tmp_") && st.getModificationTime < dayAgo
+        val deadTmp = (n.startsWith(".tmp_") || n.startsWith(".lock_")) &&
+          st.getModificationTime < dayAgo
         if (staleFp || deadTmp) fs.delete(st.getPath, true)
       }
     } catch { case _: Exception => () } // cleanup is advisory only
