@@ -26,12 +26,18 @@ object Ask {
       candidates: Seq[String])
 
   /** Evidence DataFrame + extracted candidates + a cleanup that unpersists
-    * the per-question caches once the evidence has been materialized. */
+    * the per-QUESTION cache once the evidence has been materialized. The
+    * question-independent frames (lineage edges, QA corpus, corpus
+    * embeddings) go through PlanCache — one bounded persisted copy per
+    * (session, sf-dir), shared with q29/q44 and warm across repeated
+    * questions — so only the retrieval hits are rebuilt per question. */
   private[graft] def evidenceFrameManaged(spark: SparkSession, sfDir: String,
       question: String): (DataFrame, Seq[String], () => Unit) = {
     import spark.implicits._
     val ls: Seq[ScriptLineage] = Repo.cachedLineage(spark, sfDir)
-    val edges = Lineage.edges(spark, ls).cache()
+    val edges = graft.PlanCache.cached(spark, "qa_edges", sfDir, sfDir) {
+      Lineage.edges(spark, ls).toDF()
+    }.as[graft.model.Edge]
     val known = edges.select("targetCol").distinct().collect().map(_.getString(0)).toSet ++
       edges.select("srcCol").distinct().collect().map(_.getString(0)).toSet
     val cands = QA.candidateColumns(question, known)
@@ -44,11 +50,17 @@ object Ask {
     val seeds = cands.flatMap(Lineage.seedScriptsForColumn(edges, _)).distinct
     val scripts = Lineage.downstreamScripts(spark, links, seeds)
     val gold = Lineage.goldOutputs(spark, ls, scripts)
-    val docs = QA.corpus(spark, ls, edges).cache()
-    val hits = QA.retrieve(spark, QA.embed(docs.toDF(), "text"),
+    val docs = graft.PlanCache.cached(spark, "qa_corpus", sfDir, sfDir) {
+      QA.corpus(spark, ls, edges).toDF()
+    }
+    val docVecs = graft.PlanCache.cached(spark, "qa_docvecs", sfDir, sfDir) {
+      QA.embed(docs, "text")
+    }
+    val hits = QA.retrieve(spark, docVecs,
       QA.embed(Seq(("question", question)).toDF("id", "text"), "text")).cache()
-    val cleanup = () => { edges.unpersist(); docs.unpersist(); hits.unpersist(); () }
-    (QA.evidence(spark, impact, scripts, gold, hits, docs), cands, cleanup)
+    val cleanup = () => { hits.unpersist(); () }
+    (QA.evidence(spark, impact, scripts, gold, hits,
+      docs.as[graft.model.CorpusDoc]), cands, cleanup)
   }
 
   /** Evidence DataFrame + extracted candidates for one question — shared by

@@ -46,13 +46,20 @@ object Query {
       question: String): Hybrid = {
     import spark.implicits._
     val ls: Seq[ScriptLineage] = Repo.cachedLineage(spark, sfDir)
-    val edges = Lineage.edges(spark, ls).cache()
+    // question-independent frames via PlanCache (bounded, shared with Ask
+    // and q29/q44, warm across REPL questions); only the per-question graph
+    // cache is managed here
+    val edges = graft.PlanCache.cached(spark, "qa_edges", sfDir, sfDir) {
+      Lineage.edges(spark, ls).toDF()
+    }.as[graft.model.Edge]
     val known = edges.select("targetCol").distinct().collect().map(_.getString(0)).toSet ++
       edges.select("srcCol").distinct().collect().map(_.getString(0)).toSet
     val cands = QA.candidateColumns(question, known)
     val graph = Lineage.columnGraph(edges).cache()
-    val docs = QA.corpus(spark, ls, edges).cache()
-    // release the per-question caches even when a stage fails mid-build, so
+    val docs = graft.PlanCache.cached(spark, "qa_corpus", sfDir, sfDir) {
+      QA.corpus(spark, ls, edges).toDF()
+    }
+    // release the per-question cache even when a stage fails mid-build, so
     // a long REPL session never accumulates storage memory
     try {
 
@@ -82,7 +89,10 @@ object Query {
     }
 
     parts += "\n=== RETRIEVED LINEAGE FACTS (FAISS TOP-K) ==="
-    val hits = QA.retrieve(spark, QA.embed(docs.toDF(), "text"),
+    val docVecs = graft.PlanCache.cached(spark, "qa_docvecs", sfDir, sfDir) {
+      QA.embed(docs, "text")
+    }
+    val hits = QA.retrieve(spark, docVecs,
       QA.embed(Seq(("question", question)).toDF("id", "text"), "text"))
       .join(docs.select(col("id").as("doc_id"), col("text")), "doc_id")
       .orderBy(col("rank"))
@@ -95,9 +105,7 @@ object Query {
     Hybrid(parts.result().mkString("\n"), cands, hits.length.toLong)
 
     } finally {
-      edges.unpersist()
       graph.unpersist()
-      docs.unpersist()
     }
   }
 
