@@ -75,14 +75,37 @@ object Artifacts {
     // serialized, which is what makes "reader sees the complete artifact or
     // none" hold.
     val lock = new Path(base, s".lock_$fp")
+    val token = UUID.randomUUID().toString
     def tryAcquire(): Boolean =
       try {
         val uri = fs.makeQualified(lock).toUri
-        if (uri.getScheme == "file")
-          java.nio.file.Files.createFile(java.nio.file.Paths.get(uri.getPath))
-        else fs.create(lock, false).close()
+        if (uri.getScheme == "file") {
+          val p = java.nio.file.Paths.get(uri.getPath)
+          java.nio.file.Files.createFile(p) // O_EXCL — atomic on local FS
+          java.nio.file.Files.write(p, token.getBytes("UTF-8"))
+        } else {
+          val out = fs.create(lock, false) // atomic create on HDFS-like stores
+          out.write(token.getBytes("UTF-8")); out.close()
+        }
         true
       } catch { case _: Exception => false }
+    def lockToken(): Option[String] =
+      try {
+        val in = fs.open(lock)
+        try {
+          val bytes = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](128)
+          var n = in.read(buf)
+          while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+          Some(bytes.toString("UTF-8"))
+        } finally in.close()
+      } catch { case _: Exception => None }
+    // release only a lock we still own: if a waiter (wrongly or rightly)
+    // broke ours and another session acquired, the token differs and we must
+    // not delete theirs — deleting blind cascades into multi-hold
+    def release(): Unit =
+      try { if (lockToken().contains(token)) fs.delete(lock, false) }
+      catch { case _: Exception => () }
     // returns true iff body ran (under the lock)
     def withPublishLock(body: => Unit): Boolean = {
       var held = false
@@ -90,18 +113,24 @@ object Artifacts {
       while (!held && waited < 360) { // 180 s budget > the 60 s stale threshold
         held = tryAcquire()
         if (!held) {
-          val stale =
-            try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > 60000
-            catch { case _: Exception => false } // lock vanished: retry create
-          if (stale) {
-            val broken = new Path(base, s".lock_broken_${UUID.randomUUID().toString.take(8)}")
-            if (fs.rename(lock, broken)) fs.delete(broken, false)
-          } else { Thread.sleep(500); waited += 1 }
+          // every non-acquire path sleeps AND consumes budget — a persistent
+          // staleness misread (e.g. clock skew vs the fileserver) must not
+          // hot-spin breaking live locks without ever timing out
+          try {
+            val stale =
+              System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > 60000
+            if (stale) {
+              // break by atomic rename: only one breaker wins
+              val broken = new Path(base, s".lock_broken_${UUID.randomUUID().toString.take(8)}")
+              if (fs.rename(lock, broken)) fs.delete(broken, false)
+            }
+          } catch { case _: Exception => () } // lock vanished / transient FS error: retry
+          Thread.sleep(500); waited += 1
         }
       }
       if (held) {
         try { body; true }
-        finally { try fs.delete(lock, false) catch { case _: Exception => () } }
+        finally release()
       } else false
     }
     var attempt = 0

@@ -27,10 +27,12 @@ object Ask {
 
   /** Evidence DataFrame + extracted candidates + a cleanup that unpersists
     * the per-QUESTION cache once the evidence has been materialized. The
-    * question-independent frames (lineage edges, QA corpus, corpus
+    * question-independent FRAMES (lineage edges, QA corpus, corpus
     * embeddings) go through PlanCache — one bounded persisted copy per
     * (session, sf-dir), shared with q29/q44 and warm across repeated
-    * questions — so only the retrieval hits are rebuilt per question. */
+    * questions. The question-dependent work (impact closure, script BFS,
+    * gold outputs, retrieval hits) still runs per question; only the hits
+    * frame is persisted, and the returned cleanup releases it. */
   private[graft] def evidenceFrameManaged(spark: SparkSession, sfDir: String,
       question: String): (DataFrame, Seq[String], () => Unit) = {
     import spark.implicits._
@@ -61,15 +63,6 @@ object Ask {
     val cleanup = () => { hits.unpersist(); () }
     (QA.evidence(spark, impact, scripts, gold, hits,
       docs.as[graft.model.CorpusDoc]), cands, cleanup)
-  }
-
-  /** Evidence DataFrame + extracted candidates for one question — shared by
-    * the CLI and the q30 driver query (one-shot: caches live until the
-    * session ends or the caller materializes and discards the frame). */
-  def evidenceFrame(spark: SparkSession, sfDir: String,
-      question: String): (DataFrame, Seq[String]) = {
-    val (ev, cands, _) = evidenceFrameManaged(spark, sfDir, question)
-    (ev, cands)
   }
 
   def ask(spark: SparkSession, sfDir: String, question: String,

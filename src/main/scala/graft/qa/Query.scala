@@ -46,22 +46,21 @@ object Query {
       question: String): Hybrid = {
     import spark.implicits._
     val ls: Seq[ScriptLineage] = Repo.cachedLineage(spark, sfDir)
-    // question-independent frames via PlanCache (bounded, shared with Ask
-    // and q29/q44, warm across REPL questions); only the per-question graph
-    // cache is managed here
+    // all question-independent frames (edges, dependency graph, corpus,
+    // corpus embeddings) via PlanCache: bounded, shared with Ask and
+    // q29/q44, warm across REPL questions — nothing per-question is cached
     val edges = graft.PlanCache.cached(spark, "qa_edges", sfDir, sfDir) {
       Lineage.edges(spark, ls).toDF()
     }.as[graft.model.Edge]
     val known = edges.select("targetCol").distinct().collect().map(_.getString(0)).toSet ++
       edges.select("srcCol").distinct().collect().map(_.getString(0)).toSet
     val cands = QA.candidateColumns(question, known)
-    val graph = Lineage.columnGraph(edges).cache()
+    val graph = graft.PlanCache.cached(spark, "qa_graph", sfDir, sfDir) {
+      Lineage.columnGraph(edges)
+    }
     val docs = graft.PlanCache.cached(spark, "qa_corpus", sfDir, sfDir) {
       QA.corpus(spark, ls, edges).toDF()
     }
-    // release the per-question cache even when a stage fails mid-build, so
-    // a long REPL session never accumulates storage memory
-    try {
 
     val parts = Seq.newBuilder[String]
     parts += "=== DETERMINISTIC IMPACT (GRAPH TRAVERSAL) ==="
@@ -103,10 +102,6 @@ object Query {
       parts += f"${r.getLong(0)}%02d. ${r.getString(1)} :: $collapsed"
     }
     Hybrid(parts.result().mkString("\n"), cands, hits.length.toLong)
-
-    } finally {
-      graph.unpersist()
-    }
   }
 
   private def jsonEscape(s: String): String = s.flatMap {
