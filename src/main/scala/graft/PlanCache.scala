@@ -23,11 +23,20 @@ object PlanCache {
   /** The persisted frame for (name, dir), built via `build` on first use or
     * when `dir`'s backing files changed since the cached copy was built. */
   def cached(s: SparkSession, name: String, dir: String, fingerprintPath: String)
+      (build: => DataFrame): DataFrame = {
+    // The fingerprint is a recursive filesystem-metadata walk (for qa_*
+    // entries, over the whole sf dir) — run it OUTSIDE the global lock so
+    // concurrent query threads don't serialize on FS round-trips even on
+    // cache hits. Only the map check/build/replace below is synchronized.
+    val fp = ops.Artifacts.fingerprint(s, fingerprintPath)
+    cachedWithFp(s, name, dir, fp)(build)
+  }
+
+  private def cachedWithFp(s: SparkSession, name: String, dir: String, fp: Long)
       (build: => DataFrame): DataFrame = synchronized {
     // entries of stopped sessions are unusable; drop them so the map stays
     // bounded by live sessions × queries × dirs
     entries.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
-    val fp = ops.Artifacts.fingerprint(s, fingerprintPath)
     val key = (s, name, dir)
     entries.get(key) match {
       case Some(e) if e.fp == fp =>

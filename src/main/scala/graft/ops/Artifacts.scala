@@ -24,8 +24,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Artifacts {
 
   /** Fingerprint of the files backing `inputPath` (file or directory):
-    * 32-bit MurmurHash3 of the sorted (path, length, mtime) triples,
-    * zero-extended so the value is a non-negative path-safe long. */
+    * 63-bit value built from two differently-seeded MurmurHash3 passes over
+    * the sorted (path, length, mtime) triples — a single 32-bit hash would
+    * give a regenerated corpus a non-negligible birthday chance of colliding
+    * with a prior fingerprint and silently reusing a stale artifact. Kept
+    * non-negative so the value is path-safe. */
   def fingerprint(s: SparkSession, inputPath: String): Long = {
     val p = new Path(inputPath)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -35,15 +38,18 @@ object Artifacts {
         fs.listStatus(q).sortBy(_.getPath.toString).toSeq.flatMap(c => walk(c.getPath))
       else Seq(s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
     }
-    scala.util.hashing.MurmurHash3.stringHash(walk(p).mkString("\n")).toLong & 0xffffffffL
+    val listing = walk(p).mkString("\n")
+    val hi = scala.util.hashing.MurmurHash3.stringHash(listing).toLong & 0x7fffffffL
+    val lo = scala.util.hashing.MurmurHash3.stringHash(listing, 0x5f3759df).toLong & 0xffffffffL
+    (hi << 32) | lo
   }
 
   /** Read the artifact for `fp` under `baseDir`, building and publishing it
     * first if absent. Tolerates an empty build result (the published dir holds
     * a schema-only parquet part). Unreadable or half-published artifacts are
     * deleted and rebuilt (bounded retries) rather than hard-failing every
-    * later run; artifacts for older fingerprints and day-old crashed temp
-    * dirs are cleaned up best-effort after a successful publish. */
+    * later run; day-old artifacts for older fingerprints and day-old crashed
+    * temp dirs are cleaned up best-effort after a successful publish. */
   def loadOrBuild(s: SparkSession, baseDir: String, fp: Long)(build: => DataFrame): DataFrame = {
     val base = new Path(baseDir)
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -57,9 +63,12 @@ object Artifacts {
           df.schema // force footer/schema resolution so corruption surfaces here
           Some(df)
         } catch {
-          case _: Exception => // corrupt publish: clear it and rebuild
-            try fs.delete(dest, true) catch { case _: Exception => () }
-            None
+          // Do NOT delete here: this path runs without the publish lock, so a
+          // transient FS error on a valid artifact — or a read racing another
+          // session's scan — must not destroy the directory out from under
+          // in-flight jobs. Corrupt publishes are cleared under the lock in
+          // the publish step below, where no concurrent rename can interleave.
+          case _: Exception => None
         }
     // Mutual exclusion for the publish step. Create-if-absent must be atomic
     // for the lock to mean anything: on file:// URIs Hadoop's local FS does a
@@ -140,11 +149,16 @@ object Artifacts {
       val tmp = new Path(base, s".tmp_${fp}_${UUID.randomUUID().toString.take(8)}")
       build.write.mode("overwrite").parquet(tmp.toString)
       val published = withPublishLock {
-        if (fs.exists(marker)) fs.delete(tmp, true) // another session won: keep theirs
+        // Re-read under the lock: a marker with readable data means another
+        // session won — keep theirs. A marker whose data is unreadable even
+        // here (second read attempt, under mutual exclusion, so no publisher
+        // is mid-rename) is a corrupt publish, not a transient race, and is
+        // cleared before renaming ours in. A dest without _SUCCESS is always
+        // garbage (publishes arrive whole via rename, marker included) —
+        // clear it so rename replaces it instead of nesting tmp inside it
+        // (Hadoop rename-into-dir).
+        if (fs.exists(marker) && read().isDefined) fs.delete(tmp, true)
         else {
-          // a dest without _SUCCESS is always garbage (publishes arrive whole
-          // via rename, marker included) — clear it so rename replaces it
-          // instead of nesting tmp inside it (Hadoop rename-into-dir)
           if (fs.exists(dest)) fs.delete(dest, true)
           if (!fs.rename(tmp, dest)) fs.delete(tmp, true)
         }
@@ -158,7 +172,13 @@ object Artifacts {
       val dayAgo = System.currentTimeMillis() - 24L * 3600 * 1000
       fs.listStatus(base).foreach { st =>
         val n = st.getPath.getName
-        val staleFp = n.startsWith("fp_") && n != dest.getName
+        // Age-gate stale-fingerprint dirs like dead temp dirs: a concurrent
+        // session may still be scanning an older-fingerprint artifact (its
+        // input dir was regenerated after that session planned its read), so
+        // deleting a fresh fp_* mid-job would fail its in-flight action. A
+        // day-old one has no live readers.
+        val staleFp = n.startsWith("fp_") && n != dest.getName &&
+          st.getModificationTime < dayAgo
         val deadTmp = (n.startsWith(".tmp_") || n.startsWith(".lock_")) &&
           st.getModificationTime < dayAgo
         if (staleFp || deadTmp) fs.delete(st.getPath, true)

@@ -127,10 +127,13 @@ object CorpusOps {
     (s, dir) => {
       // substring(source, 4) with no length bound, exactly like the oracle's
       // substr(source, 4) — the sampling decision must be textually identical
-      // in both engines
+      // in both engines. try_cast on BOTH sides: the source domain is 'srcN'
+      // (TESTDATA.md), and if that ever changes a non-numeric suffix maps to
+      // a null threshold (row dropped) identically here and in the oracle,
+      // instead of Spark dropping while DuckDB's plain CAST hard-errors.
       val thr = mixThresholds.zipWithIndex.foldLeft(lit(null).cast("string")) {
         case (acc, (hex, i)) =>
-          when(expr("substring(source, 4)").cast("int") % 4 === i, lit(hex)).otherwise(acc)
+          when(expr("try_cast(substring(source, 4) as int)") % 4 === i, lit(hex)).otherwise(acc)
       }
       Tables.documents(s, dir)
         .withColumn("draw", substring(md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 8))
@@ -140,7 +143,7 @@ object CorpusOps {
     },
     Some {
       val thrSql = mixThresholds.zipWithIndex.map { case (hex, i) =>
-        s"WHEN CAST(substr(source, 4) AS INT) % 4 = $i THEN '$hex'"
+        s"WHEN TRY_CAST(substr(source, 4) AS INT) % 4 = $i THEN '$hex'"
       }.mkString("CASE ", " ", " END")
       s"""WITH drawn AS (
         SELECT doc_id, source, lang,

@@ -211,9 +211,20 @@ object StreamingSessions {
       val stageDir = java.nio.file.Paths.get(s"/root/repo/target/graft_stream_docs/$tag")
       java.nio.file.Files.createDirectories(stageDir)
       val link = stageDir.resolve("documents.parquet")
-      if (!java.nio.file.Files.exists(link)) {
-        java.nio.file.Files.createSymbolicLink(link,
-          java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val target = java.nio.file.Paths.get(s"$dir/documents.parquet")
+      // Recreate a link that no longer points at the live table (the sf dir
+      // was removed and regenerated elsewhere — a dangling link passes a
+      // follow-links exists() check but fails the read). Presence is checked
+      // NOFOLLOW so a dangling link still counts as "present" for the create
+      // step, and a concurrent first run winning the create race is success,
+      // not an error.
+      if (java.nio.file.Files.isSymbolicLink(link) &&
+          java.nio.file.Files.readSymbolicLink(link) != target) {
+        java.nio.file.Files.deleteIfExists(link)
+      }
+      if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        try java.nio.file.Files.createSymbolicLink(link, target)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
       }
       val q = s.readStream.schema(docsSchema).parquet(stageDir.toString)
         .groupBy(md5(col("text")).as("content_hash"))

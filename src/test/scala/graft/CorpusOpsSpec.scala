@@ -174,13 +174,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     // same fingerprint: reads the published artifact, no rebuild
     graft.ops.Artifacts.loadOrBuild(spark, base, 111L)(build).count()
     assert(builds === 1)
-    // new fingerprint: rebuild (and the stale artifact is cleaned up)
+    // new fingerprint: rebuild; the stale artifact survives (age-gated — a
+    // concurrent session may still be scanning it) until it is a day old
     graft.ops.Artifacts.loadOrBuild(spark, base, 222L)(build).count()
     assert(builds === 2)
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(base, "fp_111")),
-      "stale-fingerprint artifact must be cleaned up")
+    val fp111 = new org.apache.hadoop.fs.Path(base, "fp_111")
+    assert(fs.exists(fp111),
+      "fresh stale-fingerprint artifact must NOT be deleted (live readers)")
+    val twoDaysAgo = System.currentTimeMillis() - 48L * 3600 * 1000
+    fs.setTimes(fp111, twoDaysAgo, -1)
+    graft.ops.Artifacts.loadOrBuild(spark, base, 222L)(build).count()
+    assert(!fs.exists(fp111),
+      "day-old stale-fingerprint artifact must be cleaned up")
     // corruption: a dest without _SUCCESS is garbage — rebuilt, not fatal
     fs.delete(new org.apache.hadoop.fs.Path(s"$base/fp_222/_SUCCESS"), false)
     assert(graft.ops.Artifacts.loadOrBuild(spark, base, 222L)(build).count() === 1)
