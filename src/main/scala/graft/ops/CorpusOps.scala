@@ -410,7 +410,104 @@ object CorpusOps {
       s"SELECT doc_id, n_chars, CAST($terms AS BIGINT) AS zvalue FROM documents"
     })
 
+  // ---- q67: overlapping-window document chunking --------------------------
+  private val chunkWords = 40
+  private val chunkStride = 30
+
+  /** RAG-style chunking: split every document into overlapping word windows
+    * (40 words, stride 30 → 10-word overlap), one output row per chunk.
+    * Pure per-row explode of a bounded sequence — zero shuffle, and chunk
+    * count scales with corpus size, never with a global state. Trailing
+    * chunks are shorter; chunk starts are the multiples of the stride below
+    * the word count in BOTH engines (Spark sequence(0, n-1, stride) ==
+    * DuckDB range(0, n, stride)). */
+  val docChunks: Q = Q(
+    "q67_doc_chunks",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .withColumn("n", size(col("words")))
+        .withColumn("start", explode(expr(s"sequence(0, n - 1, $chunkStride)")))
+        .select(col("doc_id"),
+          expr(s"CAST(start DIV $chunkStride AS BIGINT)").as("chunk_id"),
+          expr(s"concat_ws(' ', slice(words, start + 1, $chunkWords))").as("chunk_text"),
+          expr(s"CAST(least($chunkWords, n - start) AS BIGINT)").as("n_words")),
+    Some(s"""WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS words,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+      ), st AS (
+        SELECT doc_id, words, n, unnest(range(0, n, $chunkStride)) AS s FROM d
+      )
+      SELECT doc_id, CAST(s // $chunkStride AS BIGINT) AS chunk_id,
+             array_to_string(list_slice(words, s + 1, s + $chunkWords), ' ') AS chunk_text,
+             CAST(LEAST($chunkWords, n - s) AS BIGINT) AS n_words
+      FROM st"""))
+
+  // ---- q68: BM25 relevance scoring ----------------------------------------
+  private val bm25Terms = Seq("join", "hash", "vector", "stream")
+
+  /** BM25 scoring of every document against a fixed query, with k1=1.25,
+    * b=0.75 and the RATIONAL idf (N − df + 0.5)/(df + 0.5) — i.e. exp(idf)
+    * of the classic formula — because ln() is not guaranteed bit-identical
+    * across math libraries while +, −, ×, ÷ are exactly-rounded IEEE ops
+    * (see the FP contract atop Pipelines.scala); the ranking this induces is
+    * NOT the ln-BM25 ranking (sums of monotone-transformed terms can
+    * reorder), it is its own deterministic relevance score. Term frequencies
+    * are per-row array ops (no explode, no shuffle); the only shuffle is the
+    * one-row global aggregate (N, Σdl, per-term df), which joins back as a
+    * broadcast. The final score is one fixed-shape arithmetic expression
+    * evaluated identically by Spark and DuckDB, so it hash-matches
+    * bit-exactly. */
+  val bm25Score: Q = Q(
+    "q68_bm25_score",
+    (s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(Seq(col("doc_id"), expr("CAST(size(words) AS BIGINT)").as("dl")) ++
+          bm25Terms.zipWithIndex.map { case (t, i) =>
+            expr(s"CAST(size(filter(words, w -> w = '$t')) AS BIGINT)").as(s"tf$i")
+          }: _*)
+      val gCols = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+        bm25Terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+      val globals = tf.agg(gCols.head, gCols.tail: _*)
+      val score = bm25Terms.indices.map(i =>
+        s"((n_docs - df$i + 0.5e0) / (df$i + 0.5e0)) * ((tf$i * 2.25e0) / " +
+          s"(tf$i + 1.25e0 * (0.25e0 + 0.75e0 * (dl / (sum_dl / n_docs)))))")
+        .mkString(" + ")
+      tf.join(broadcast(globals))
+        .select(Seq(col("doc_id"), col("dl")) ++
+          bm25Terms.indices.map(i => col(s"tf$i")) :+
+          expr(score).as("score"): _*)
+    },
+    Some {
+      val tfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(words, w -> w = '$t')) AS BIGINT) AS tf$i"
+      }.mkString(",\n               ")
+      val dfCols = bm25Terms.indices.map(i =>
+        s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+        .mkString(",\n               ")
+      val score = bm25Terms.indices.map(i =>
+        s"((n_docs - df$i + 0.5e0) / (df$i + 0.5e0)) * ((tf$i * 2.25e0) / " +
+          s"(tf$i + 1.25e0 * (0.25e0 + 0.75e0 * (dl / (sum_dl / n_docs)))))")
+        .mkString(" + ")
+      s"""WITH t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+               ${tfCols.replace("words", "string_split(text, ' ')")}
+        FROM documents
+      ), g AS (
+        SELECT COUNT(1) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+               $dfCols
+        FROM t
+      )
+      SELECT doc_id, dl, ${bm25Terms.indices.map(i => s"tf$i").mkString(", ")},
+             $score AS score
+      FROM t, g"""
+    })
+
   val all: Seq[Q] = Seq(piiRedact, decontaminate, mixtureSample, noveltyScore,
-    ngramTopK, docPack, embedQuantize, cleanPipeline, zorderKey)
+    ngramTopK, docPack, embedQuantize, cleanPipeline, zorderKey, docChunks,
+    bm25Score)
 }
 

@@ -123,5 +123,42 @@ object DedupCluster {
       SELECT d.doc_id, d.text FROM documents d
       WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE is_canonical = 0)"""))
 
-  val all: Seq[Q] = Seq(dedupClusters, dedupPrune)
+  /** Leakage-safe train/val/test split: the split is hashed from the
+    * duplicate-cluster REPRESENTATIVE (min doc_id of the component, the doc
+    * itself when unclustered), so near-duplicate documents always land in the
+    * same split — hashing raw doc_ids would leak train near-dups into eval.
+    * The 80/10/10 assignment compares the md5-hex prefix lexicographically
+    * against fixed thresholds (a uniform 32-bit draw, the q52 technique), so
+    * it is deterministic and exactly oracled; the cluster map rides the same
+    * persisted artifact as q40/q46 and joins in as a broadcast. */
+  val clusterSplit: Q = Q(
+    "q69_cluster_split",
+    (s, dir) => {
+      val comp = clusters(s, dir).select("doc_id", "component")
+      graft.Tables.documents(s, dir).select("doc_id")
+        .join(broadcast(comp), Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+        .withColumn("draw",
+          substring(md5(concat(lit("split|"), col("component").cast("string"))), 1, 8))
+        .select(col("doc_id"), col("component"),
+          when(col("draw") < "cccccccc", "train")
+            .when(col("draw") < "e6666666", "val")
+            .otherwise("test").as("split"))
+    },
+    Some(s"""WITH comp AS (
+        ${dedupClusters.oracle.get}
+      ), labeled AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+      )
+      SELECT doc_id, component,
+             CASE WHEN substr(md5('split|' || CAST(component AS VARCHAR)), 1, 8)
+                    < 'cccccccc' THEN 'train'
+                  WHEN substr(md5('split|' || CAST(component AS VARCHAR)), 1, 8)
+                    < 'e6666666' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM labeled"""))
+
+  val all: Seq[Q] = Seq(dedupClusters, dedupPrune, clusterSplit)
 }

@@ -185,6 +185,43 @@ object TextOps {
         CASE WHEN MAX(cnt) / CAST(SUM(cnt) AS BIGINT) > 0.2 THEN 1 ELSE 0 END AS is_repetitive
       FROM counts GROUP BY doc_id"""))
 
+  /** Per-source length-outlier detection — the anomaly gate a corpus
+    * pipeline runs per source/domain to drop truncated or runaway documents.
+    * The gate is |z| > 1.5: the synthetic lengths are near-uniform, so a
+    * 2-sigma gate on their thin tails selects almost nothing. Mean and variance come from EXACT integer sums (count, Σx,
+    * Σx²) so the statistics are order-independent — a naive double sum would
+    * make the z-score depend on partition merge order and break the oracle
+    * hash at high parallelism. The final z is one fixed-shape double
+    * expression (÷, ×, √ are exactly-rounded IEEE ops), bit-equal in DuckDB.
+    * Distributed shape: one map-side-combined aggregate over ~sources rows,
+    * broadcast back onto the corpus — the text never shuffles. (Σx² of
+    * BIGINT lengths stays far below 2^63 for any real corpus shard; a
+    * planet-scale aggregate would promote to DECIMAL(38).) */
+  val lengthOutliers: Q = Q(
+    "q71_length_outliers",
+    (s, dir) => {
+      val stats = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("cnt"), sum("n_chars").as("sx"),
+          sum(col("n_chars") * col("n_chars")).as("sxx"))
+      Tables.documents(s, dir)
+        .join(broadcast(stats), Seq("source"))
+        .withColumn("z", expr(
+          "(n_chars - (sx / cnt)) / sqrt((sxx / cnt) - ((sx / cnt) * (sx / cnt)))"))
+        .filter(abs(col("z")) > 1.5)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("z"))
+    },
+    Some("""WITH stats AS (
+        SELECT source, COUNT(1) AS cnt,
+               CAST(SUM(n_chars) AS BIGINT) AS sx,
+               CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        FROM documents GROUP BY source
+      )
+      SELECT d.doc_id, d.source, d.n_chars,
+             (d.n_chars - (sx / cnt)) / sqrt((sxx / cnt) - ((sx / cnt) * (sx / cnt))) AS z
+      FROM documents d JOIN stats s ON d.source = s.source
+      WHERE abs((d.n_chars - (sx / cnt)) / sqrt((sxx / cnt) - ((sx / cnt) * (sx / cnt)))) > 1.5"""))
+
   val all: Seq[Q] = Seq(textQuality, textLangId, tokenCount, docFingerprint,
-    repetitionScore)
+    repetitionScore, lengthOutliers)
 }

@@ -1,0 +1,225 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Lakehouse / warehouse maintenance operators beyond the reference's
+  * pipeline surface (its merge layer stops at SCD1 upsert,
+  * /root/reference/pipelines/silver_merge.py): SCD2 history build,
+  * snapshot-diff change data capture, point-in-interval range join, partition
+  * skipping-stats collection, and schema-evolution reads. Each is fully
+  * oracled against DuckDB on the same tables.
+  *
+  * 100 TB shapes: q64 is two windows over the natural (custkey) partition —
+  * no global sort; q65 is one co-partitioned full-outer shuffle join on the
+  * snapshot key (both sides are snapshots of the same table, so AQE plans a
+  * sort-merge join with neither side broadcast); q66 turns an O(rows ×
+  * intervals) non-equi join (Spark would plan BroadcastNestedLoopJoin) into
+  * a day-binned equi join against a broadcast interval table; q70 is a
+  * single map-side-combined aggregate; q72's merged read prunes to the
+  * union schema at the parquet footer level.
+  */
+object Warehouse {
+
+  // ---- q64: SCD2 history build -------------------------------------------
+  /** Build a type-2 slowly-changing dimension from an update log: orders are
+    * the change stream of each customer's priority attribute; emit one
+    * validity interval per attribute change with [valid_from, valid_to) and
+    * an is_current flag. Two windows over the same (custkey, orderdate,
+    * orderkey) ordering — Catalyst plans ONE shuffle + sort reused by both.
+    * Ties on o_orderdate are broken by o_orderkey so lag/lead are total-order
+    * deterministic in both engines. */
+  val scd2History: Q = Q(
+    "q64_scd2_history",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .withColumn("prev", lag("o_orderpriority", 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+        .select(col("o_custkey").as("custkey"),
+          col("o_orderpriority").as("priority"),
+          col("o_orderdate").as("valid_from"),
+          lead("o_orderdate", 1).over(w).as("valid_to"),
+          when(lead("o_orderdate", 1).over(w).isNull, 1).otherwise(0).as("is_current"))
+    },
+    Some("""WITH v AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+               lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders
+      ), chg AS (
+        SELECT * FROM v WHERE prev IS NULL OR prev <> o_orderpriority
+      )
+      SELECT o_custkey AS custkey, o_orderpriority AS priority,
+             o_orderdate AS valid_from,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS valid_to,
+             CASE WHEN lead(o_orderdate) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) IS NULL THEN 1 ELSE 0 END AS is_current
+      FROM chg"""))
+
+  // ---- q65: snapshot-diff CDC --------------------------------------------
+  /** Change data capture by snapshot diff: derive a "new" snapshot of the
+    * customer dimension deterministically (deletes where custkey%13=0,
+    * balance+segment updates where custkey%7=0, inserts keyed custkey+10M
+    * where custkey%11=0), full-outer join it against the old snapshot on the
+    * key, and emit one I/U/D row per changed key. The join shuffles both
+    * sides on the snapshot key — the unavoidable CDC shape when neither
+    * snapshot fits in memory; unchanged rows are dropped post-join so only
+    * the (small) change set leaves the operator. The +10.0 balance delta is
+    * an exact IEEE op, so changed-row detection bit-matches DuckDB. */
+  val snapshotCdc: Q = Q(
+    "q65_snapshot_cdc",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val oldSnap = cust.select(col("c_custkey").as("k"),
+        col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
+      val newSnap = cust.filter(col("c_custkey") % 13 =!= 0)
+        .select(col("c_custkey").as("k"),
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 10.0)
+            .otherwise(col("c_acctbal")).as("bal"),
+          when(col("c_custkey") % 7 === 0, lit("MIGRATED"))
+            .otherwise(col("c_mktsegment")).as("seg"))
+        .unionByName(cust.filter(col("c_custkey") % 11 === 0)
+          .select((col("c_custkey") + 10000000L).as("k"),
+            col("c_acctbal").as("bal"), lit("NEW").as("seg")))
+      oldSnap.as("o").join(newSnap.as("n"), col("o.k") === col("n.k"), "full_outer")
+        .select(coalesce(col("o.k"), col("n.k")).as("custkey"),
+          when(col("n.k").isNull, "D").when(col("o.k").isNull, "I")
+            .otherwise("U").as("op"),
+          col("o.bal").as("old_acctbal"), col("n.bal").as("new_acctbal"),
+          col("o.seg").as("old_segment"), col("n.seg").as("new_segment"))
+        .filter(col("op").isin("I", "D") ||
+          col("old_acctbal") =!= col("new_acctbal") ||
+          col("old_segment") =!= col("new_segment"))
+    },
+    Some("""WITH olds AS (
+        SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS seg FROM customer
+      ), news AS (
+        SELECT c_custkey AS k,
+               CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0 ELSE c_acctbal END AS bal,
+               CASE WHEN c_custkey % 7 = 0 THEN 'MIGRATED' ELSE c_mktsegment END AS seg
+        FROM customer WHERE c_custkey % 13 <> 0
+        UNION ALL
+        SELECT c_custkey + 10000000, c_acctbal, 'NEW'
+        FROM customer WHERE c_custkey % 11 = 0
+      )
+      SELECT COALESCE(o.k, n.k) AS custkey,
+             CASE WHEN n.k IS NULL THEN 'D' WHEN o.k IS NULL THEN 'I'
+                  ELSE 'U' END AS op,
+             o.bal AS old_acctbal, n.bal AS new_acctbal,
+             o.seg AS old_segment, n.seg AS new_segment
+      FROM olds o FULL OUTER JOIN news n ON o.k = n.k
+      WHERE n.k IS NULL OR o.k IS NULL OR o.bal <> n.bal OR o.seg <> n.seg"""))
+
+  // ---- q66: point-in-interval range join ---------------------------------
+  /** Range join: count lineitem shipments falling inside promotional windows
+    * ([o_orderdate, +3 days) for every 400th order). A naive `ts >= lo AND
+    * ts < hi` join has no equi-key, so Spark plans BroadcastNestedLoopJoin —
+    * O(rows × intervals) compares. The scale shape: explode each interval
+    * into the day bins it covers, truncate each point to its day bin, and
+    * equi-join on the bin (each point matches an interval in exactly one bin,
+    * so no post-join dedup is needed), then verify the exact range predicate.
+    * The exploded interval table is tiny (intervals × ≤4 days) and explicitly
+    * broadcast, so the 600k-row (→ 100 TB) fact side never shuffles. */
+  val rangeJoin: Q = Q(
+    "q66_range_join",
+    (s, dir) => {
+      val promos = Tables.orders(s, dir).filter(col("o_orderkey") % 400 === 0)
+        .select(col("o_orderkey").as("promo_key"),
+          col("o_orderpriority").as("priority"),
+          col("o_orderdate").as("start_ts"),
+          expr("o_orderdate + INTERVAL 3 DAYS").as("end_ts"))
+      val promoDays = promos.withColumn("day",
+        explode(sequence(date_trunc("DAY", col("start_ts")),
+          date_trunc("DAY", col("end_ts")), expr("INTERVAL 1 DAY"))))
+      Tables.lineitem(s, dir)
+        .select(col("l_shipdate"), col("l_quantity"),
+          date_trunc("DAY", col("l_shipdate")).as("day"))
+        .join(broadcast(promoDays), Seq("day"))
+        .filter(col("l_shipdate") >= col("start_ts") && col("l_shipdate") < col("end_ts"))
+        .groupBy("promo_key", "priority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+    },
+    Some("""WITH promos AS (
+        SELECT o_orderkey AS promo_key, o_orderpriority AS priority,
+               o_orderdate AS start_ts, o_orderdate + INTERVAL 3 DAY AS end_ts
+        FROM orders WHERE o_orderkey % 400 = 0
+      )
+      SELECT p.promo_key, p.priority,
+             COUNT(1) AS n_items,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM promos p JOIN lineitem l
+        ON l.l_shipdate >= p.start_ts AND l.l_shipdate < p.end_ts
+      GROUP BY p.promo_key, p.priority"""))
+
+  // ---- q70: partition skipping-stats collection --------------------------
+  /** Data-skipping statistics per ship-month partition — what a lakehouse
+    * table format keeps per file for scan pruning (min/max per column +
+    * row count) — plus the pruning verdict for a concrete date-range
+    * predicate. One aggregate with map-side partial combine: at 100 TB this
+    * is the stats-collection pass of OPTIMIZE, not a shuffle of row data. */
+  val partitionStats: Q = Q(
+    "q70_partition_stats",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(date_trunc("MONTH", col("l_shipdate")).as("part_month"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"),
+          min("l_shipdate").as("min_ts"), max("l_shipdate").as("max_ts"))
+        .withColumn("skip_for_ts_range",
+          when(col("max_ts") < lit("1998-06-01").cast("timestamp") ||
+            col("min_ts") > lit("1998-08-31").cast("timestamp"), 1).otherwise(0)),
+    Some("""SELECT date_trunc('month', l_shipdate) AS part_month,
+             COUNT(1) AS n_rows,
+             MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+             MIN(l_shipdate) AS min_ts, MAX(l_shipdate) AS max_ts,
+             CASE WHEN MAX(l_shipdate) < TIMESTAMP '1998-06-01'
+                    OR MIN(l_shipdate) > TIMESTAMP '1998-08-31'
+                  THEN 1 ELSE 0 END AS skip_for_ts_range
+      FROM lineitem GROUP BY date_trunc('month', l_shipdate)"""))
+
+  // ---- q72: schema-evolution merged read ---------------------------------
+  /** Schema evolution across snapshot generations: v1 files carry
+    * (custkey, name, acctbal), v2 files add segment + loyalty_tier and drop
+    * acctbal. Write both generations as real parquet, then read them back in
+    * one scan with mergeSchema — absent columns surface as nulls, exactly
+    * how a table format reads old files after ADD COLUMN. The oracle
+    * reconstructs the same union-by-name semantics from the source table.
+    * Schema merge cost is per parquet FOOTER, not per row — at 100 TB the
+    * merged read costs the same as a fixed-schema read. */
+  val schemaEvolution: Q = Q(
+    "q72_schema_evolution",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+      val base = s"/root/repo/target/graft_schema_evo/$tag"
+      val cust = Tables.customer(s, dir)
+      cust.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+          col("c_acctbal").as("acctbal"), lit(1).as("snapshot_v"))
+        .write.mode("overwrite").parquet(s"$base/v1")
+      cust.filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+          col("c_mktsegment").as("segment"),
+          (col("c_custkey") % 5).as("loyalty_tier"), lit(2).as("snapshot_v"))
+        .write.mode("overwrite").parquet(s"$base/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
+        .select(col("custkey"), col("name"), col("acctbal"), col("segment"),
+          col("loyalty_tier"), col("snapshot_v"))
+    },
+    Some("""SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
+             CAST(NULL AS VARCHAR) AS segment, CAST(NULL AS BIGINT) AS loyalty_tier,
+             1 AS snapshot_v
+      FROM customer WHERE c_custkey % 2 = 0
+      UNION ALL
+      SELECT c_custkey, c_name, CAST(NULL AS DOUBLE), c_mktsegment,
+             c_custkey % 5, 2
+      FROM customer WHERE c_custkey % 2 = 1"""))
+
+  val all: Seq[Q] = Seq(scd2History, snapshotCdc, rangeJoin, partitionStats,
+    schemaEvolution)
+}

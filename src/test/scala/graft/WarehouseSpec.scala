@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WarehouseSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q64 SCD2: one current row per customer, intervals chain without gaps") {
+    val df = SparkEntry.queries("q64_scd2_history")(spark, sfDir)
+      .select("custkey", "priority", "valid_from", "valid_to", "is_current")
+    // exactly one open-ended (current) interval per customer
+    val current = df.filter(col("is_current") === 1)
+      .groupBy("custkey").count().filter(col("count") =!= 1).count()
+    assert(current === 0, "every custkey must have exactly one current row")
+    assert(df.filter(col("is_current") === 1 && col("valid_to").isNotNull).count() === 0)
+    // intervals chain: each non-current valid_to equals the next valid_from
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("custkey").orderBy("valid_from")
+    val gaps = df.withColumn("next_from", lead("valid_from", 1).over(w))
+      .filter(col("valid_to").isNotNull && col("valid_to") =!= col("next_from"))
+      .count()
+    assert(gaps === 0, "validity intervals must chain exactly")
+    // consecutive versions always differ in the tracked attribute
+    val noChange = df.withColumn("next_prio", lead("priority", 1).over(w))
+      .filter(col("next_prio").isNotNull && col("next_prio") === col("priority"))
+      .count()
+    assert(noChange === 0, "adjacent SCD2 versions must differ")
+  }
+
+  test("q65 CDC: I/U/D partition matches the snapshot derivation rules") {
+    val df = SparkEntry.queries("q65_snapshot_cdc")(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val dCount = df.filter(col("op") === "D").count()
+    assert(dCount === cust.filter(col("c_custkey") % 13 === 0).count())
+    val iCount = df.filter(col("op") === "I").count()
+    assert(iCount === cust.filter(col("c_custkey") % 11 === 0).count())
+    // updates: every U row really changed, and covers exactly the %7 non-deleted keys
+    assert(df.filter(col("op") === "U" &&
+      col("old_acctbal") === col("new_acctbal") &&
+      col("old_segment") === col("new_segment")).count() === 0)
+    val uCount = df.filter(col("op") === "U").count()
+    assert(uCount === cust.filter(col("c_custkey") % 13 =!= 0 && col("c_custkey") % 7 === 0).count())
+  }
+
+  test("q66 range join: day-binned broadcast equi-join equals the naive non-equi join") {
+    val binned = SparkEntry.queries("q66_range_join")(spark, sfDir)
+    // independently computed reference: the O(n×m) plan the binning avoids
+    val promos = Tables.orders(spark, sfDir).filter(col("o_orderkey") % 400 === 0)
+      .select(col("o_orderkey").as("promo_key"), col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("start_ts"), expr("o_orderdate + INTERVAL 3 DAYS").as("end_ts"))
+    val naive = Tables.lineitem(spark, sfDir).crossJoin(promos)
+      .filter(col("l_shipdate") >= col("start_ts") && col("l_shipdate") < col("end_ts"))
+      .groupBy("promo_key", "priority")
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+    assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty,
+      "binned range join must equal the naive non-equi join")
+    // the scale property: the fact side joins a broadcast, never a nested loop
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "interval side must broadcast")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "must not fall back to nested loop")
+  }
+
+  test("q70 partition stats: skip verdicts are consistent with collected min/max") {
+    val df = SparkEntry.queries("q70_partition_stats")(spark, sfDir)
+    val lo = java.sql.Timestamp.valueOf("1998-06-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1998-08-31 00:00:00")
+    val bad = df.filter(
+      (col("skip_for_ts_range") === 1) =!= (col("max_ts") < lo || col("min_ts") > hi))
+      .count()
+    assert(bad === 0)
+    // a skipped partition really contains no matching rows
+    val skippedMonths = df.filter(col("skip_for_ts_range") === 1)
+      .select("part_month").collect().map(_.getTimestamp(0)).toSet
+    val hits = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") <= hi)
+      .select(date_trunc("MONTH", col("l_shipdate")).as("m"))
+      .distinct().collect().map(_.getTimestamp(0)).toSet
+    assert(skippedMonths.intersect(hits).isEmpty,
+      "skip=1 partitions must contain no rows matching the predicate")
+  }
+
+  test("q72 schema evolution: merged read surfaces absent columns as nulls") {
+    val df = SparkEntry.queries("q72_schema_evolution")(spark, sfDir)
+    assert(df.columns.toSeq ===
+      Seq("custkey", "name", "acctbal", "segment", "loyalty_tier", "snapshot_v"))
+    assert(df.filter(col("snapshot_v") === 1 &&
+      (col("segment").isNotNull || col("loyalty_tier").isNotNull)).count() === 0)
+    assert(df.filter(col("snapshot_v") === 2 && col("acctbal").isNotNull).count() === 0)
+    assert(df.filter(col("snapshot_v") === 1 && col("acctbal").isNull).count() === 0)
+    assert(df.count() === Tables.customer(spark, sfDir).count())
+  }
+
+  test("q67 chunking: short docs chunk whole; stride-aligned starts reconstruct the text") {
+    val chunks = SparkEntry.queries("q67_doc_chunks")(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), size(split(col("text"), " ")).as("n"))
+    // docs with <= 30 words (one stride) produce exactly one chunk = the text
+    val short = docs.filter(col("n") <= 30).as("d")
+      .join(chunks.as("c"), Seq("doc_id"))
+    assert(short.filter(col("chunk_id") =!= 0).count() === 0)
+    assert(short.filter(col("chunk_text") =!= col("text")).count() === 0)
+    // every doc's chunk 0 starts the document; chunk word counts are bounded
+    assert(chunks.filter(col("n_words") > 40 || col("n_words") < 1).count() === 0)
+    val c0 = chunks.filter(col("chunk_id") === 0).as("c").join(docs.as("d"), Seq("doc_id"))
+      .filter(!col("text").startsWith(col("chunk_text"))).count()
+    assert(c0 === 0, "chunk 0 must be a prefix of the document")
+  }
+
+  test("q68 BM25: zero iff no term matches, and more matched terms never scores lower than zero-match") {
+    val df = SparkEntry.queries("q68_bm25_score")(spark, sfDir)
+    val tfSum = col("tf0") + col("tf1") + col("tf2") + col("tf3")
+    assert(df.filter(tfSum === 0 && col("score") =!= 0.0).count() === 0)
+    assert(df.filter(tfSum > 0 && col("score") <= 0.0).count() === 0,
+      "rational idf is positive, so any match must score positive")
+  }
+
+  test("q69 cluster split: near-duplicate pairs never straddle splits") {
+    val split = SparkEntry.queries("q69_cluster_split")(spark, sfDir)
+    val pairs = SparkEntry.queries("q14_dedup_ngram_jaccard")(spark, sfDir)
+      .select("doc_a", "doc_b")
+    val straddle = pairs.as("p")
+      .join(split.as("a"), col("p.doc_a") === col("a.doc_id"))
+      .join(split.as("b"), col("p.doc_b") === col("b.doc_id"))
+      .filter(col("a.split") =!= col("b.split"))
+      .count()
+    assert(straddle === 0, "near-dup pairs must land in the same split")
+    // all documents assigned exactly once, all three splits populated
+    assert(split.count() === Tables.documents(spark, sfDir).count())
+    assert(split.select("split").distinct().count() === 3)
+  }
+
+  test("q71 length outliers: emitted rows match an independent z-score computation") {
+    val df = SparkEntry.queries("q71_length_outliers")(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "n_chars").collect()
+    val bySource = docs.groupBy(_.getString(1))
+    val expected = bySource.toSeq.flatMap { case (_, rows) =>
+      val xs = rows.map(_.getLong(2).toDouble)
+      val mean = xs.sum / xs.length
+      val sd = math.sqrt(xs.map(x => x * x).sum / xs.length - mean * mean)
+      rows.filter(r => math.abs((r.getLong(2) - mean) / sd) > 1.5).map(_.getLong(0)).toSeq
+    }.toSet
+    val got = df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+  }
+}
