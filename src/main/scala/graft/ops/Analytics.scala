@@ -242,6 +242,80 @@ object Analytics {
         UNION ALL SELECT l_suppkey, 'rev_r', rev_r FROM wide)
       WHERE revenue <> 0.0"""))
 
+  /** CUBE over (status, priority) — all four grouping sets (full, each
+    * single-dimension subtotal, grand total) in one pass with map-side
+    * partial aggregation per grouping set; the companion to q37's ROLLUP. */
+  val cube: Q = Q(
+    "q77_cube",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n_orders,
+      ROUND(SUM(o_totalprice), 2) AS total_price,
+      CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""))
+
+  private val cmsDepth = 4
+
+  /** Count-min sketch heavy-hitter estimation over the events' JSON item key,
+    * checked against the exact counts in the SAME query. The hash family is
+    * engine-portable (md5-hex prefix = bucket id, the q15 technique), so —
+    * unusually for a sketch — the whole thing is fully oracled: counters,
+    * per-item estimates (min over the depth rows), and the guaranteed
+    * non-negative overestimate. Distributed shape: counters are a
+    * (depth × 256)-cell aggregate with map-side combine — the classic
+    * mergeable-sketch property — and the per-item estimate joins the tiny
+    * counter table back as a broadcast; item cardinality never enters
+    * executor memory. */
+  val countMin: Q = Q(
+    "q78_countmin",
+    (s, dir) => {
+      val depths = array((0 until cmsDepth).map(lit): _*)
+      val items = Tables.events(s, dir)
+        .select(get_json_object(col("props"), "$.k").as("item"))
+      val exact = items.groupBy("item").agg(count(lit(1)).as("exact_n"))
+      val counters = items.withColumn("d", explode(depths))
+        .withColumn("bucket",
+          substring(md5(concat_ws("|", col("d"), col("item"))), 1, 2))
+        .groupBy("d", "bucket").agg(count(lit(1)).as("cnt"))
+      val est = exact.select("item").withColumn("d", explode(depths))
+        .withColumn("bucket",
+          substring(md5(concat_ws("|", col("d"), col("item"))), 1, 2))
+        .join(broadcast(counters), Seq("d", "bucket"))
+        .groupBy("item").agg(min("cnt").as("cms_estimate"))
+      exact.join(est, Seq("item"))
+        .withColumn("overestimate", col("cms_estimate") - col("exact_n"))
+    },
+    Some(s"""WITH items AS (
+        SELECT json_extract_string(props, '$$.k') AS item FROM events
+      ), ds AS (
+        SELECT unnest([${(0 until cmsDepth).mkString(", ")}]) AS d
+      ), exact AS (
+        SELECT item, COUNT(1) AS exact_n FROM items GROUP BY item
+      ), counters AS (
+        SELECT d, substr(md5(CAST(d AS VARCHAR) || '|' || item), 1, 2) AS bucket,
+               COUNT(1) AS cnt
+        FROM items CROSS JOIN ds
+        GROUP BY 1, 2
+      ), est AS (
+        SELECT e.item, MIN(c.cnt) AS cms_estimate
+        FROM exact e CROSS JOIN ds
+        JOIN counters c
+          ON c.d = ds.d
+         AND c.bucket = substr(md5(CAST(ds.d AS VARCHAR) || '|' || e.item), 1, 2)
+        GROUP BY e.item
+      )
+      SELECT e.item, e.exact_n, s.cms_estimate,
+             s.cms_estimate - e.exact_n AS overestimate
+      FROM exact e JOIN est s ON e.item = s.item"""))
+
   val all: Seq[Q] = Seq(windowSuite, setOps, rollup, asofJoin, sqlDdl,
-    approxDistinct, percentileStats, pivot, unpivot)
+    approxDistinct, percentileStats, pivot, unpivot, cube, countMin)
 }

@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Event-stream analytics beyond the reference's surface (its event handling
+  * stops at sessionization, /root/reference/pipelines/event_sessions.py):
+  * ordered funnel attribution, idempotent incremental ingest, and time-series
+  * gap fill with last-observation-carried-forward.
+  *
+  * 100 TB shapes: every aggregation and join in this file keys on user_id or
+  * event_id — the natural event-log partitioning — so each query is one
+  * co-partitioned shuffle family with segment filters pushed to the scan;
+  * q75 bounds BOTH sides of its anti-join to the reprocess window, never
+  * touching full history; q76's scaffold explode is per-user-bounded (days
+  * in the user's own active range). */
+object EventOps {
+
+  // ---- q73: ordered funnel -------------------------------------------------
+  /** Strictly-ordered funnel view → click → purchase per user: the first view,
+    * the first click AFTER that view, the first purchase AFTER that click,
+    * and the stage reached. Three conditional min-aggregates chained by
+    * user_id-keyed joins — each stage's events are filtered at the scan, and
+    * every shuffle in the chain reuses the user_id partitioning. min() over
+    * µs timestamps is exact, so the funnel is fully oracled. */
+  val funnel: Q = Q(
+    "q73_funnel",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val t2 = ev.filter(col("event_type") === "click").join(t1, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase").join(t2, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      ev.select("user_id").distinct()
+        .join(t1, Seq("user_id"), "left")
+        .join(t2, Seq("user_id"), "left")
+        .join(t3, Seq("user_id"), "left")
+        .withColumn("reached_stage",
+          when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+            .when(col("t1").isNotNull, 1).otherwise(0))
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+      ), t1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id
+      ), t2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2 FROM ev e JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id
+      ), t3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3 FROM ev e JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id
+      )
+      SELECT u.user_id, t1.t1, t2.t2, t3.t3,
+             CASE WHEN t3.t3 IS NOT NULL THEN 3 WHEN t2.t2 IS NOT NULL THEN 2
+                  WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS reached_stage
+      FROM (SELECT DISTINCT user_id FROM ev) u
+      LEFT JOIN t1 ON u.user_id = t1.user_id
+      LEFT JOIN t2 ON u.user_id = t2.user_id
+      LEFT JOIN t3 ON u.user_id = t3.user_id"""))
+
+  // ---- q75: idempotent incremental ingest ----------------------------------
+  private val watermark = "2024-01-20 00:00:00"
+  private val lateMinutes = 5
+
+  /** Incremental ingest with a late-data reprocess window: the sink holds
+    * everything at or before the watermark; a new batch re-reads the source
+    * from (watermark − 5 min) and anti-joins against the sink's keys to stay
+    * idempotent. Both anti-join sides are bounded to the reprocess window —
+    * a late event can only collide with sink rows in the overlap — so at
+    * 100 TB the lookup side is minutes of data, not full history, and the
+    * source re-read prunes on the parquet ts statistics. */
+  val watermarkIngest: Q = Q(
+    "q75_watermark_ingest",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val reprocessFrom = expr(s"timestamp'$watermark' - INTERVAL $lateMinutes MINUTES")
+      val sinkOverlap = ev
+        .filter(col("ts") <= lit(watermark).cast("timestamp") && col("ts") > reprocessFrom)
+        .select("event_id")
+      ev.filter(col("ts") > reprocessFrom)
+        .join(sinkOverlap, Seq("event_id"), "left_anti")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    },
+    Some(s"""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '$watermark' - INTERVAL $lateMinutes MINUTE
+        AND event_id NOT IN (
+          SELECT event_id FROM events
+          WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '$watermark'
+            AND CAST(ts AS TIMESTAMP) > TIMESTAMP '$watermark' - INTERVAL $lateMinutes MINUTE)"""))
+
+  // ---- q76: daily resample + gap fill (LOCF) -------------------------------
+  /** Per-user daily resample over each user's own active range, with missing
+    * days filled by last-observation-carried-forward. The LOCF avoids
+    * IGNORE NULLS (not portable to the oracle dialect): a running count of
+    * non-null observations assigns each null-run to its preceding
+    * observation's group, and max() within the (user, group) partition
+    * carries the value. Scaffold size is Σ per-user active days — data
+    * proportional, no global calendar cross join. */
+  val gapFill: Q = Q(
+    "q76_gap_fill",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val daily = ev.groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("day_value"))
+      val scaffold = ev.groupBy("user_id")
+        .agg(date_trunc("DAY", min("ts")).as("d0"), date_trunc("DAY", max("ts")).as("d1"))
+        .withColumn("day", explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))))
+        .select("user_id", "day")
+      val wRun = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scaffold.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("grp", count(col("day_value")).over(wRun))
+        .withColumn("value_filled",
+          max(col("day_value")).over(Window.partitionBy("user_id", "grp")))
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"), col("value_filled"))
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+      ), daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day, COUNT(1) AS n_events,
+               ROUND(SUM(value), 2) AS day_value
+        FROM ev GROUP BY user_id, date_trunc('day', ts)
+      ), span AS (
+        SELECT user_id, date_trunc('day', MIN(ts)) AS d0, date_trunc('day', MAX(ts)) AS d1
+        FROM ev GROUP BY user_id
+      ), scaffold AS (
+        SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM span
+      ), j AS (
+        SELECT s.user_id, s.day, d.n_events, d.day_value
+        FROM scaffold s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+      ), g AS (
+        SELECT *, COUNT(day_value) OVER (PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM j
+      )
+      SELECT user_id, day, CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+             MAX(day_value) OVER (PARTITION BY user_id, grp) AS value_filled
+      FROM g"""))
+
+  val all: Seq[Q] = Seq(funnel, watermarkIngest, gapFill)
+}

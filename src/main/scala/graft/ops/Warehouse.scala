@@ -220,6 +220,44 @@ object Warehouse {
              c_custkey % 5, 2
       FROM customer WHERE c_custkey % 2 = 1"""))
 
+  // ---- q74: bucketed co-located join --------------------------------------
+  /** Bucketed co-located join: both sides are written bucketed (and sorted)
+    * on the join key, so the join AND the following per-customer aggregate
+    * run with ZERO exchanges — the layout investment that removes the
+    * dominant shuffle from every future key join at 100 TB. The bucketed
+    * write is part of the operator (a real lakehouse maintains the layout);
+    * the spec asserts the plan has no Exchange, and the oracle checks the
+    * result equals the plain join on the raw tables. */
+  val bucketedJoin: Q = Q(
+    "q74_bucketed_join",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val oT = s"graft_bkt_orders_$tag"
+      val cT = s"graft_bkt_customer_$tag"
+      def rewrite(t: String, df: org.apache.spark.sql.DataFrame, key: String): Unit = {
+        // The in-memory catalog dies with the JVM but the managed location
+        // survives on disk; CTAS refuses a location it did not create, so
+        // drop both the catalog entry and any orphaned location first.
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.sessionState.conf.warehousePath, t.toLowerCase)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        df.write.format("parquet").bucketBy(8, key).sortBy(key).saveAsTable(t)
+      }
+      rewrite(oT, Tables.orders(s, dir), "o_custkey")
+      rewrite(cT, Tables.customer(s, dir), "c_custkey")
+      s.table(cT).join(s.table(oT), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_custkey").as("custkey"), col("c_name").as("name"),
+          col("c_acctbal").as("acctbal"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_spend"))
+    },
+    Some("""SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
+             COUNT(1) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_spend
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c_custkey, c_name, c_acctbal"""))
+
   val all: Seq[Q] = Seq(scd2History, snapshotCdc, rangeJoin, partitionStats,
-    schemaEvolution)
+    schemaEvolution, bucketedJoin)
 }

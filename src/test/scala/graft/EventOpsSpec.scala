@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q73 funnel: stage timestamps are strictly ordered and prefix-closed") {
+    val df = SparkEntry.queries("q73_funnel")(spark, sfDir)
+    // reaching stage k implies reaching every earlier stage
+    assert(df.filter(col("t3").isNotNull && (col("t2").isNull || col("t1").isNull)).count() === 0)
+    assert(df.filter(col("t2").isNotNull && col("t1").isNull).count() === 0)
+    // strict event ordering within the funnel
+    assert(df.filter(col("t2").isNotNull && !(col("t2") > col("t1"))).count() === 0)
+    assert(df.filter(col("t3").isNotNull && !(col("t3") > col("t2"))).count() === 0)
+    // one row per user seen in the log
+    assert(df.count() ===
+      Tables.events(spark, sfDir).select("user_id").distinct().count())
+    // reached_stage encodes exactly the nullness ladder
+    assert(df.filter(
+      (col("reached_stage") === 3) =!= col("t3").isNotNull ||
+      (col("reached_stage") >= 2) =!= col("t2").isNotNull ||
+      (col("reached_stage") >= 1) =!= col("t1").isNotNull).count() === 0)
+  }
+
+  test("q74 bucketed join: aggregation runs with zero shuffle exchanges") {
+    val df = SparkEntry.queries("q74_bucketed_join")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // broadcast of the small dim is fine; a shuffle (hashpartitioning
+    // exchange) would mean the bucketed layout was not exploited
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join+agg must not shuffle:\n$plan")
+    // sanity: every customer with orders appears once
+    assert(df.groupBy("custkey").count().filter(col("count") > 1).count() === 0)
+  }
+
+  test("q75 watermark ingest: emits exactly the post-watermark events, idempotently") {
+    val df = SparkEntry.queries("q75_watermark_ingest")(spark, sfDir)
+    val expected = Tables.events(spark, sfDir)
+      .filter(col("ts") > lit("2024-01-20 00:00:00").cast("timestamp"))
+      .select("event_id")
+    assert(df.select("event_id").exceptAll(expected).isEmpty)
+    assert(expected.exceptAll(df.select("event_id")).isEmpty)
+    // idempotent: a second run of the same batch produces the same set
+    val again = SparkEntry.queries("q75_watermark_ingest")(spark, sfDir)
+    assert(df.select("event_id").exceptAll(again.select("event_id")).isEmpty)
+  }
+
+  test("q76 gap fill: scaffold is dense per user and LOCF carries the last observation") {
+    val df = SparkEntry.queries("q76_gap_fill")(spark, sfDir).cache()
+    try {
+      // dense daily scaffold: row count per user = days in [min, max]
+      val spans = Tables.events(spark, sfDir).groupBy("user_id")
+        .agg(date_trunc("DAY", min("ts")).as("d0"), date_trunc("DAY", max("ts")).as("d1"))
+        .select(col("user_id"),
+          (datediff(col("d1"), col("d0")) + 1).cast("long").as("expect_days"))
+      val counts = df.groupBy("user_id").count()
+      assert(counts.join(spans, "user_id")
+        .filter(col("count") =!= col("expect_days")).count() === 0)
+      // LOCF law on collected rows: a zero-event day carries the previous value
+      val rows = df.orderBy("user_id", "day").collect()
+      var prev: (Long, Any) = (-1L, null)
+      rows.foreach { r =>
+        val u = r.getLong(0)
+        val filled = r.get(3)
+        if (r.getLong(2) === 0L && u === prev._1)
+          assert(filled === prev._2, s"LOCF broke for user $u day ${r.get(1)}")
+        prev = (u, filled)
+      }
+    } finally df.unpersist()
+  }
+
+  test("q77 cube: grouping sets partition the count space") {
+    val df = SparkEntry.queries("q77_cube")(spark, sfDir)
+    val total = Tables.orders(spark, sfDir).count()
+    // each of the four grouping sets sums to the table count
+    Seq((0, 0), (0, 1), (1, 0), (1, 1)).foreach { case (gs, gp) =>
+      val s = df.filter(col("g_status") === gs && col("g_priority") === gp)
+        .agg(sum("n_orders")).head().getLong(0)
+      assert(s === total, s"grouping set ($gs,$gp) must cover all rows")
+    }
+    // grouping flag semantics: flag=1 <=> dimension is the ALL bucket (null)
+    assert(df.filter((col("g_status") === 1) =!= col("o_orderstatus").isNull).count() === 0)
+    assert(df.filter((col("g_priority") === 1) =!= col("o_orderpriority").isNull).count() === 0)
+  }
+
+  test("q78 count-min: estimates never undercount and totals reconcile") {
+    val df = SparkEntry.queries("q78_countmin")(spark, sfDir)
+    assert(df.filter(col("overestimate") < 0).count() === 0,
+      "count-min must never underestimate")
+    val totalExact = df.agg(sum("exact_n")).head().getLong(0)
+    assert(totalExact === Tables.events(spark, sfDir).count())
+  }
+}
