@@ -26,32 +26,44 @@ object PlanCache {
       (build: => DataFrame): DataFrame = {
     // The fingerprint is a recursive filesystem-metadata walk (for qa_*
     // entries, over the whole sf dir) — run it OUTSIDE the global lock so
-    // concurrent query threads don't serialize on FS round-trips even on
-    // cache hits. Only the map check/build/replace below is synchronized.
+    // concurrent query threads don't serialize on FS round-trips on cache
+    // hits. The lock-free value is trusted only for a pure HIT (entry fp
+    // matches). Any install path re-fingerprints INSIDE the lock: a thread
+    // that stalled between walk and lock would otherwise install an entry
+    // tagged with its stale fp but built (lazily) from the newer files —
+    // unpersisting a fresher entry out from under its consumers, and
+    // serving wrong data to a later caller whose files really do match the
+    // stale fp.
     val fp = ops.Artifacts.fingerprint(s, fingerprintPath)
-    cachedWithFp(s, name, dir, fp)(build)
-  }
-
-  private def cachedWithFp(s: SparkSession, name: String, dir: String, fp: Long)
-      (build: => DataFrame): DataFrame = synchronized {
-    // entries of stopped sessions are unusable; drop them so the map stays
-    // bounded by live sessions × queries × dirs
-    entries.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
-    val key = (s, name, dir)
-    entries.get(key) match {
-      case Some(e) if e.fp == fp =>
-        // self-heal: CacheManager uncaches by canonicalized plan, so an
-        // unrelated unpersist of an equivalent plan (e.g. q30's managed
-        // evidence cleanup sharing the QA-corpus subtree) can evict this
-        // entry out from under us — re-persist rather than silently
-        // recomputing per action forever
-        if (e.df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) e.df.persist()
-        e.df
-      case prior =>
-        prior.foreach(_.df.unpersist())
-        val df = build.persist()
-        entries.put(key, Entry(fp, df))
-        df
+    synchronized {
+      // entries of stopped sessions are unusable; drop them so the map stays
+      // bounded by live sessions × queries × dirs
+      entries.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
+      val key = (s, name, dir)
+      entries.get(key) match {
+        case Some(e) if e.fp == fp =>
+          // self-heal: CacheManager uncaches by canonicalized plan, so an
+          // unrelated unpersist of an equivalent plan (e.g. q30's managed
+          // evidence cleanup sharing the QA-corpus subtree) can evict this
+          // entry out from under us — re-persist rather than silently
+          // recomputing per action forever
+          if (e.df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) e.df.persist()
+          e.df
+        case prior =>
+          val freshFp = ops.Artifacts.fingerprint(s, fingerprintPath)
+          prior match {
+            case Some(e) if e.fp == freshFp =>
+              // our lock-free fp was the stale one; the installed entry is
+              // current — serve it untouched
+              if (e.df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) e.df.persist()
+              e.df
+            case _ =>
+              prior.foreach(_.df.unpersist())
+              val df = build.persist()
+              entries.put(key, Entry(freshFp, df))
+              df
+          }
+      }
     }
   }
 }

@@ -280,14 +280,15 @@ object Analytics {
       val depths = array((0 until cmsDepth).map(lit): _*)
       val items = Tables.events(s, dir)
         .select(get_json_object(col("props"), "$.k").as("item"))
+      // Md5Draw concatenation propagates nulls exactly like the oracle's ||,
+      // so an event with no item lands in a null bucket in BOTH engines
+      // (concat_ws would silently skip the null on this side only)
       val exact = items.groupBy("item").agg(count(lit(1)).as("exact_n"))
       val counters = items.withColumn("d", explode(depths))
-        .withColumn("bucket",
-          substring(md5(concat_ws("|", col("d"), col("item"))), 1, 2))
+        .withColumn("bucket", Md5Draw.draw(2, col("d"), col("item")))
         .groupBy("d", "bucket").agg(count(lit(1)).as("cnt"))
       val est = exact.select("item").withColumn("d", explode(depths))
-        .withColumn("bucket",
-          substring(md5(concat_ws("|", col("d"), col("item"))), 1, 2))
+        .withColumn("bucket", Md5Draw.draw(2, col("d"), col("item")))
         .join(broadcast(counters), Seq("d", "bucket"))
         .groupBy("item").agg(min("cnt").as("cms_estimate"))
       exact.join(est, Seq("item"))
@@ -300,7 +301,7 @@ object Analytics {
       ), exact AS (
         SELECT item, COUNT(1) AS exact_n FROM items GROUP BY item
       ), counters AS (
-        SELECT d, substr(md5(CAST(d AS VARCHAR) || '|' || item), 1, 2) AS bucket,
+        SELECT d, ${Md5Draw.drawSql(2, "d", "item")} AS bucket,
                COUNT(1) AS cnt
         FROM items CROSS JOIN ds
         GROUP BY 1, 2
@@ -309,7 +310,7 @@ object Analytics {
         FROM exact e CROSS JOIN ds
         JOIN counters c
           ON c.d = ds.d
-         AND c.bucket = substr(md5(CAST(ds.d AS VARCHAR) || '|' || e.item), 1, 2)
+         AND c.bucket = ${Md5Draw.drawSql(2, "ds.d", "e.item")}
         GROUP BY e.item
       )
       SELECT e.item, e.exact_n, s.cms_estimate,

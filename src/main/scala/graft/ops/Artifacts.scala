@@ -150,14 +150,19 @@ object Artifacts {
       build.write.mode("overwrite").parquet(tmp.toString)
       val published = withPublishLock {
         // Re-read under the lock: a marker with readable data means another
-        // session won — keep theirs. A marker whose data is unreadable even
-        // here (second read attempt, under mutual exclusion, so no publisher
-        // is mid-rename) is a corrupt publish, not a transient race, and is
-        // cleared before renaming ours in. A dest without _SUCCESS is always
-        // garbage (publishes arrive whole via rename, marker included) —
-        // clear it so rename replaces it instead of nesting tmp inside it
-        // (Hadoop rename-into-dir).
-        if (fs.exists(marker) && read().isDefined) fs.delete(tmp, true)
+        // session won — keep theirs. Readers do NOT take this lock, so a
+        // delete here can still strand another session's in-flight scan;
+        // before declaring a marked dest corrupt, retry the read once after
+        // a pause so a transient FS error (stale handle, listing hiccup) on
+        // a VALID artifact doesn't destroy it — only a marker whose data is
+        // unreadable repeatedly, under mutual exclusion with every
+        // publisher, is treated as a corrupt publish and cleared. A dest
+        // without _SUCCESS is always garbage (publishes arrive whole via
+        // rename, marker included) — clear it so rename replaces it instead
+        // of nesting tmp inside it (Hadoop rename-into-dir).
+        def readableUnderLock(): Boolean =
+          read().isDefined || { Thread.sleep(1000); read().isDefined }
+        if (fs.exists(marker) && readableUnderLock()) fs.delete(tmp, true)
         else {
           if (fs.exists(dest)) fs.delete(dest, true)
           if (!fs.rename(tmp, dest)) fs.delete(tmp, true)

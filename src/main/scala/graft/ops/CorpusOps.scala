@@ -136,7 +136,7 @@ object CorpusOps {
           when(expr("try_cast(substring(source, 4) as int)") % 4 === i, lit(hex)).otherwise(acc)
       }
       Tables.documents(s, dir)
-        .withColumn("draw", substring(md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 8))
+        .withColumn("draw", Md5Draw.draw(8, lit("mix"), col("doc_id")))
         .withColumn("thr", thr)
         .filter(col("draw") < col("thr"))
         .select(col("doc_id"), col("source"), col("lang"), col("draw"), col("thr"))
@@ -147,7 +147,7 @@ object CorpusOps {
       }.mkString("CASE ", " ", " END")
       s"""WITH drawn AS (
         SELECT doc_id, source, lang,
-               substr(md5('mix|' || doc_id), 1, 8) AS draw,
+               ${Md5Draw.drawSql(8, "'mix'", "doc_id")} AS draw,
                $thrSql AS thr
         FROM documents
       )

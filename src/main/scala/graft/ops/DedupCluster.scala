@@ -138,8 +138,7 @@ object DedupCluster {
       graft.Tables.documents(s, dir).select("doc_id")
         .join(broadcast(comp), Seq("doc_id"), "left")
         .withColumn("component", coalesce(col("component"), col("doc_id")))
-        .withColumn("draw",
-          substring(md5(concat(lit("split|"), col("component").cast("string"))), 1, 8))
+        .withColumn("draw", Md5Draw.draw(8, lit("split"), col("component")))
         .select(col("doc_id"), col("component"),
           when(col("draw") < "cccccccc", "train")
             .when(col("draw") < "e6666666", "val")
@@ -153,9 +152,9 @@ object DedupCluster {
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
       )
       SELECT doc_id, component,
-             CASE WHEN substr(md5('split|' || CAST(component AS VARCHAR)), 1, 8)
+             CASE WHEN ${Md5Draw.drawSql(8, "'split'", "component")}
                     < 'cccccccc' THEN 'train'
-                  WHEN substr(md5('split|' || CAST(component AS VARCHAR)), 1, 8)
+                  WHEN ${Md5Draw.drawSql(8, "'split'", "component")}
                     < 'e6666666' THEN 'val'
                   ELSE 'test' END AS split
       FROM labeled"""))

@@ -71,21 +71,41 @@ object Warehouse {
     * snapshot fits in memory; unchanged rows are dropped post-join so only
     * the (small) change set leaves the operator. The +10.0 balance delta is
     * an exact IEEE op, so changed-row detection bit-matches DuckDB. */
+  /** The two deterministic customer-snapshot generations diffed by q65 and
+    * incrementally maintained over by q79 — factored so the queries cannot
+    * diverge. */
+  private def oldSnapshot(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.customer(s, dir).select(col("c_custkey").as("k"),
+      col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
+
+  private def newSnapshot(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val cust = Tables.customer(s, dir)
+    cust.filter(col("c_custkey") % 13 =!= 0)
+      .select(col("c_custkey").as("k"),
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 10.0)
+          .otherwise(col("c_acctbal")).as("bal"),
+        when(col("c_custkey") % 7 === 0, lit("MIGRATED"))
+          .otherwise(col("c_mktsegment")).as("seg"))
+      .unionByName(cust.filter(col("c_custkey") % 11 === 0)
+        .select((col("c_custkey") + 10000000L).as("k"),
+          col("c_acctbal").as("bal"), lit("NEW").as("seg")))
+  }
+
+  /** The q65 news-snapshot derivation as oracle SQL, shared with q79. */
+  private val newSnapshotSql: String =
+    """SELECT c_custkey AS k,
+               CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0 ELSE c_acctbal END AS bal,
+               CASE WHEN c_custkey % 7 = 0 THEN 'MIGRATED' ELSE c_mktsegment END AS seg
+        FROM customer WHERE c_custkey % 13 <> 0
+        UNION ALL
+        SELECT c_custkey + 10000000, c_acctbal, 'NEW'
+        FROM customer WHERE c_custkey % 11 = 0"""
+
   val snapshotCdc: Q = Q(
     "q65_snapshot_cdc",
     (s, dir) => {
-      val cust = Tables.customer(s, dir)
-      val oldSnap = cust.select(col("c_custkey").as("k"),
-        col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
-      val newSnap = cust.filter(col("c_custkey") % 13 =!= 0)
-        .select(col("c_custkey").as("k"),
-          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 10.0)
-            .otherwise(col("c_acctbal")).as("bal"),
-          when(col("c_custkey") % 7 === 0, lit("MIGRATED"))
-            .otherwise(col("c_mktsegment")).as("seg"))
-        .unionByName(cust.filter(col("c_custkey") % 11 === 0)
-          .select((col("c_custkey") + 10000000L).as("k"),
-            col("c_acctbal").as("bal"), lit("NEW").as("seg")))
+      val oldSnap = oldSnapshot(s, dir)
+      val newSnap = newSnapshot(s, dir)
       oldSnap.as("o").join(newSnap.as("n"), col("o.k") === col("n.k"), "full_outer")
         .select(coalesce(col("o.k"), col("n.k")).as("custkey"),
           when(col("n.k").isNull, "D").when(col("o.k").isNull, "I")
@@ -96,16 +116,10 @@ object Warehouse {
           col("old_acctbal") =!= col("new_acctbal") ||
           col("old_segment") =!= col("new_segment"))
     },
-    Some("""WITH olds AS (
+    Some(s"""WITH olds AS (
         SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS seg FROM customer
       ), news AS (
-        SELECT c_custkey AS k,
-               CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0 ELSE c_acctbal END AS bal,
-               CASE WHEN c_custkey % 7 = 0 THEN 'MIGRATED' ELSE c_mktsegment END AS seg
-        FROM customer WHERE c_custkey % 13 <> 0
-        UNION ALL
-        SELECT c_custkey + 10000000, c_acctbal, 'NEW'
-        FROM customer WHERE c_custkey % 11 = 0
+        $newSnapshotSql
       )
       SELECT COALESCE(o.k, n.k) AS custkey,
              CASE WHEN n.k IS NULL THEN 'D' WHEN o.k IS NULL THEN 'I'
@@ -195,18 +209,32 @@ object Warehouse {
   val schemaEvolution: Q = Q(
     "q72_schema_evolution",
     (s, dir) => {
+      // Generation files are fingerprint-scoped and written at most once per
+      // input state: a repeat invocation (bench steady state) reuses them,
+      // and a regenerated source lands in a fresh fp_* dir instead of
+      // overwriting files a concurrent session may be scanning — the same
+      // staleness/no-delete discipline as Artifacts. (Two sessions cold-
+      // building the SAME fingerprint can still race the first write; the
+      // content is identical, so the loser only rewrites equal bytes.)
       val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
-      val base = s"/root/repo/target/graft_schema_evo/$tag"
+      val fp = Artifacts.fingerprint(s, s"$dir/customer.parquet")
+      val base = s"/root/repo/target/graft_schema_evo/$tag/fp_$fp"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def complete(v: String) =
+        fs.exists(new org.apache.hadoop.fs.Path(s"$base/$v/_SUCCESS"))
       val cust = Tables.customer(s, dir)
-      cust.filter(col("c_custkey") % 2 === 0)
-        .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
-          col("c_acctbal").as("acctbal"), lit(1).as("snapshot_v"))
-        .write.mode("overwrite").parquet(s"$base/v1")
-      cust.filter(col("c_custkey") % 2 === 1)
-        .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
-          col("c_mktsegment").as("segment"),
-          (col("c_custkey") % 5).as("loyalty_tier"), lit(2).as("snapshot_v"))
-        .write.mode("overwrite").parquet(s"$base/v2")
+      if (!complete("v1") || !complete("v2")) {
+        cust.filter(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+            col("c_acctbal").as("acctbal"), lit(1).as("snapshot_v"))
+          .write.mode("overwrite").parquet(s"$base/v1")
+        cust.filter(col("c_custkey") % 2 === 1)
+          .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+            col("c_mktsegment").as("segment"),
+            (col("c_custkey") % 5).as("loyalty_tier"), lit(2).as("snapshot_v"))
+          .write.mode("overwrite").parquet(s"$base/v2")
+      }
       s.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
         .select(col("custkey"), col("name"), col("acctbal"), col("segment"),
           col("loyalty_tier"), col("snapshot_v"))
@@ -231,22 +259,28 @@ object Warehouse {
   val bucketedJoin: Q = Q(
     "q74_bucketed_join",
     (s, dir) => {
+      // Bucketed tables are fingerprint-scoped (name embeds the input state)
+      // and built at most once per JVM: a repeat invocation reuses the
+      // catalog entry without touching the files, and a regenerated source
+      // maps to a NEW table name instead of deleting a location another
+      // session may be scanning. A location left by a previous JVM (the
+      // in-memory catalog dies with it, the files do not) is cleared before
+      // the one-time rebuild — CTAS refuses a location it did not create.
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-      val oT = s"graft_bkt_orders_$tag"
-      val cT = s"graft_bkt_customer_$tag"
-      def rewrite(t: String, df: org.apache.spark.sql.DataFrame, key: String): Unit = {
-        // The in-memory catalog dies with the JVM but the managed location
-        // survives on disk; CTAS refuses a location it did not create, so
-        // drop both the catalog entry and any orphaned location first.
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        val loc = new org.apache.hadoop.fs.Path(
-          s.sessionState.conf.warehousePath, t.toLowerCase)
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
-        df.write.format("parquet").bucketBy(8, key).sortBy(key).saveAsTable(t)
-      }
-      rewrite(oT, Tables.orders(s, dir), "o_custkey")
-      rewrite(cT, Tables.customer(s, dir), "c_custkey")
+      val fp = Artifacts.fingerprint(s, s"$dir/orders.parquet") ^
+        Artifacts.fingerprint(s, s"$dir/customer.parquet")
+      val oT = s"graft_bkt_orders_${tag}_f$fp"
+      val cT = s"graft_bkt_customer_${tag}_f$fp"
+      def ensure(t: String, df: => org.apache.spark.sql.DataFrame, key: String): Unit =
+        if (!s.catalog.tableExists(t)) {
+          val loc = new org.apache.hadoop.fs.Path(
+            s.sessionState.conf.warehousePath, t.toLowerCase)
+          val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(loc)) fs.delete(loc, true)
+          df.write.format("parquet").bucketBy(8, key).sortBy(key).saveAsTable(t)
+        }
+      ensure(oT, Tables.orders(s, dir), "o_custkey")
+      ensure(cT, Tables.customer(s, dir), "c_custkey")
       s.table(cT).join(s.table(oT), col("c_custkey") === col("o_custkey"))
         .groupBy(col("c_custkey").as("custkey"), col("c_name").as("name"),
           col("c_acctbal").as("acctbal"))
@@ -258,6 +292,76 @@ object Warehouse {
       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
       GROUP BY c_custkey, c_name, c_acctbal"""))
 
+  // ---- q79: incremental materialized-view maintenance ----------------------
+  /** Incrementally maintain a per-segment aggregate (customer count, balance
+    * total) by applying q65's I/U/D change rows as signed deltas to the BASE
+    * snapshot's aggregate — never rescanning the new snapshot: a delete
+    * contributes (−1, −old_bal) to its old segment, an insert (+1, +new_bal)
+    * to its new segment, and an update both. At 100 TB this is the MV
+    * refresh shape: work scales with the CHANGE SET, not the table. The
+    * oracle computes the aggregate directly over the new snapshot, so the
+    * hash-match proves the incremental path reaches exactly the full-recompute
+    * answer (the sum is rounded only at the very end, after base and delta
+    * merge). */
+  val incrementalMv: Q = Q(
+    "q79_incremental_mv",
+    (s, dir) => {
+      val base = oldSnapshot(s, dir).groupBy("seg")
+        .agg(count(lit(1)).as("b_cnt"), sum("bal").as("b_bal"))
+      val cdc = snapshotCdc.run(s, dir)
+      val removals = cdc.filter(col("op").isin("D", "U"))
+        .select(col("old_segment").as("seg"), lit(-1L).as("d_cnt"),
+          (-col("old_acctbal")).as("d_bal"))
+      val additions = cdc.filter(col("op").isin("I", "U"))
+        .select(col("new_segment").as("seg"), lit(1L).as("d_cnt"),
+          col("new_acctbal").as("d_bal"))
+      val delta = removals.unionByName(additions)
+        .groupBy("seg").agg(sum("d_cnt").as("d_cnt"), sum("d_bal").as("d_bal"))
+      base.join(delta, Seq("seg"), "full_outer")
+        .select(col("seg").as("segment"),
+          (coalesce(col("b_cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("n_customers"),
+          round(coalesce(col("b_bal"), lit(0.0)) + coalesce(col("d_bal"), lit(0.0)), 2)
+            .as("total_bal"))
+        .filter(col("n_customers") > 0)
+    },
+    Some(s"""WITH news AS (
+        $newSnapshotSql
+      )
+      SELECT seg AS segment, COUNT(1) AS n_customers,
+             ROUND(SUM(bal), 2) AS total_bal
+      FROM news GROUP BY seg"""))
+
+  // ---- q80: deterministic stratified per-group sample ----------------------
+  private val stratN = 5
+
+  /** Stratified sampling: exactly `stratN` documents per source, chosen by
+    * ranking each group on the md5 uniform draw (doc_id tiebreak) — a
+    * deterministic, reproducible, exactly-oracled stratified sample (the
+    * probabilistic q52 samples at a rate; this samples a fixed count per
+    * stratum). One window per group partition; at 100 TB per-group state is
+    * the top-N heap, not the group. */
+  val stratifiedSample: Q = Q(
+    "q80_stratified_sample",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(col("draw"), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("draw", Md5Draw.draw(8, lit("strat"), col("doc_id")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= stratN)
+        .select(col("doc_id"), col("source"), col("draw"), col("rn"))
+    },
+    Some(s"""WITH drawn AS (
+        SELECT doc_id, source, ${Md5Draw.drawSql(8, "'strat'", "doc_id")} AS draw
+        FROM documents
+      ), ranked AS (
+        SELECT doc_id, source, draw,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY draw, doc_id) AS rn
+        FROM drawn
+      )
+      SELECT doc_id, source, draw, CAST(rn AS INT) AS rn
+      FROM ranked WHERE rn <= $stratN"""))
+
   val all: Seq[Q] = Seq(scd2History, snapshotCdc, rangeJoin, partitionStats,
-    schemaEvolution, bucketedJoin)
+    schemaEvolution, bucketedJoin, incrementalMv, stratifiedSample)
 }

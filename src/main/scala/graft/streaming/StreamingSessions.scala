@@ -216,15 +216,25 @@ object StreamingSessions {
       // was removed and regenerated elsewhere — a dangling link passes a
       // follow-links exists() check but fails the read). Presence is checked
       // NOFOLLOW so a dangling link still counts as "present" for the create
-      // step, and a concurrent first run winning the create race is success,
-      // not an error.
-      if (java.nio.file.Files.isSymbolicLink(link) &&
-          java.nio.file.Files.readSymbolicLink(link) != target) {
-        java.nio.file.Files.deleteIfExists(link)
+      // step. Every step tolerates a concurrent session interleaving: the
+      // link vanishing between the isSymbolicLink check and the read
+      // (NoSuchFileException), a non-link appearing (NotLinkException), and
+      // losing the create race (FileAlreadyExistsException) are all benign —
+      // the loser re-checks and proceeds against whatever the winner left.
+      def linkPointsElsewhere(): Boolean =
+        try java.nio.file.Files.isSymbolicLink(link) &&
+          java.nio.file.Files.readSymbolicLink(link) != target
+        catch { case _: java.io.IOException => false }
+      if (linkPointsElsewhere()) {
+        try java.nio.file.Files.deleteIfExists(link)
+        catch { case _: java.io.IOException => () }
       }
       if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
         try java.nio.file.Files.createSymbolicLink(link, target)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => ()
+          case _: java.io.IOException => ()
+        }
       }
       val q = s.readStream.schema(docsSchema).parquet(stageDir.toString)
         .groupBy(md5(col("text")).as("content_hash"))

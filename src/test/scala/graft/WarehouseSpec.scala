@@ -14,9 +14,15 @@ class WarehouseSpec extends AnyFunSuite {
       .groupBy("custkey").count().filter(col("count") =!= 1).count()
     assert(current === 0, "every custkey must have exactly one current row")
     assert(df.filter(col("is_current") === 1 && col("valid_to").isNotNull).count() === 0)
-    // intervals chain: each non-current valid_to equals the next valid_from
+    // intervals chain: each non-current valid_to equals the next valid_from.
+    // Two changes on the same o_orderdate produce tied valid_from values
+    // (the operator breaks ties by o_orderkey, which the output omits), so
+    // order ties by valid_to: within a tie the earlier version's valid_to IS
+    // the tied date, making (valid_from, valid_to nulls-last) the true
+    // version order — valid_from alone would make lead() nondeterministic.
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("custkey").orderBy("valid_from")
+    val w = Window.partitionBy("custkey")
+      .orderBy(col("valid_from"), col("valid_to").asc_nulls_last)
     val gaps = df.withColumn("next_from", lead("valid_from", 1).over(w))
       .filter(col("valid_to").isNotNull && col("valid_to") =!= col("next_from"))
       .count()
@@ -128,6 +134,29 @@ class WarehouseSpec extends AnyFunSuite {
     // all documents assigned exactly once, all three splits populated
     assert(split.count() === Tables.documents(spark, sfDir).count())
     assert(split.select("split").distinct().count() === 3)
+  }
+
+  test("q79 incremental MV: delta maintenance equals full recompute from the CDC rows") {
+    val mv = SparkEntry.queries("q79_incremental_mv")(spark, sfDir)
+    // counts must reconcile with the derivation rules: news-side customers
+    val cust = Tables.customer(spark, sfDir)
+    val expectedTotal = cust.filter(col("c_custkey") % 13 =!= 0).count() +
+      cust.filter(col("c_custkey") % 11 === 0).count()
+    assert(mv.agg(sum("n_customers")).head().getLong(0) === expectedTotal)
+    // the synthetic segments introduced by the CDC derivation are present
+    val segs = mv.select("segment").collect().map(_.getString(0)).toSet
+    assert(segs.contains("MIGRATED") && segs.contains("NEW"))
+    assert(mv.filter(col("n_customers") <= 0).count() === 0)
+  }
+
+  test("q80 stratified sample: exactly N per stratum, deterministic across runs") {
+    val a = SparkEntry.queries("q80_stratified_sample")(spark, sfDir)
+    val sizes = a.groupBy("source").count()
+    assert(sizes.filter(col("count") =!= 5).count() === 0,
+      "every stratum must contribute exactly 5 documents")
+    val b = SparkEntry.queries("q80_stratified_sample")(spark, sfDir)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "the sample must be identical across runs")
   }
 
   test("q71 length outliers: emitted rows match an independent z-score computation") {
