@@ -44,46 +44,28 @@ object Artifacts {
     (hi << 32) | lo
   }
 
-  /** Read the artifact for `fp` under `baseDir`, building and publishing it
-    * first if absent. Tolerates an empty build result (the published dir holds
-    * a schema-only parquet part). Unreadable or half-published artifacts are
-    * deleted and rebuilt (bounded retries) rather than hard-failing every
-    * later run; day-old artifacts for older fingerprints and day-old crashed
-    * temp dirs are cleaned up best-effort after a successful publish. */
-  def loadOrBuild(s: SparkSession, baseDir: String, fp: Long)(build: => DataFrame): DataFrame = {
+  /** Run `body` under the cross-session file lock `.lock_<name>` in
+    * `baseDir`; returns true iff body ran (false = acquisition timed out —
+    * callers must re-check their postcondition, never proceed unlocked).
+    *
+    * Create-if-absent must be atomic for the lock to mean anything: on
+    * file:// URIs Hadoop's local FS does a non-atomic exists-then-open, so
+    * java.nio createFile (O_EXCL) is used there and fs.create(
+    * overwrite=false) (atomic) on HDFS-like stores. A lock older than 60 s
+    * is a crashed holder; it is broken by an atomic RENAME to a unique name
+    * (only one breaker wins — delete-after-check would let two waiters each
+    * "break" and double-hold). Every non-acquire path sleeps AND consumes
+    * budget, so a persistent staleness misread (e.g. clock skew vs the
+    * fileserver) cannot hot-spin breaking live locks without timing out.
+    * Used for artifact publishes here and by operators that materialize
+    * shared derived files (q72's generation snapshots, q74's bucketed
+    * tables). */
+  def withCrossSessionLock(s: SparkSession, baseDir: String, name: String)
+      (body: => Unit): Boolean = {
     val base = new Path(baseDir)
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val dest = new Path(base, s"fp_$fp")
-    val marker = new Path(dest, "_SUCCESS")
-    def read(): Option[DataFrame] =
-      if (!fs.exists(marker)) None
-      else
-        try {
-          val df = s.read.parquet(dest.toString)
-          df.schema // force footer/schema resolution so corruption surfaces here
-          Some(df)
-        } catch {
-          // Do NOT delete here: this path runs without the publish lock, so a
-          // transient FS error on a valid artifact — or a read racing another
-          // session's scan — must not destroy the directory out from under
-          // in-flight jobs. Corrupt publishes are cleared under the lock in
-          // the publish step below, where no concurrent rename can interleave.
-          case _: Exception => None
-        }
-    // Mutual exclusion for the publish step. Create-if-absent must be atomic
-    // for the lock to mean anything: on file:// URIs Hadoop's local FS does a
-    // non-atomic exists-then-open, so we use java.nio createFile (O_EXCL)
-    // there and fs.create(overwrite=false) (atomic) on HDFS-like stores. A
-    // lock older than 60 s is a crashed publisher; it is broken by an atomic
-    // RENAME to a unique name (only one breaker wins — delete-after-check
-    // would let two waiters each "break" and double-hold). If acquisition
-    // times out the publish is SKIPPED, never run unlocked — the outer loop
-    // re-reads and fails loudly after bounded attempts. The build itself runs
-    // outside the lock (deterministic content, so concurrent builds are
-    // merely redundant); only the tiny check-delete-rename window is
-    // serialized, which is what makes "reader sees the complete artifact or
-    // none" hold.
-    val lock = new Path(base, s".lock_$fp")
+    try fs.mkdirs(base) catch { case _: Exception => () }
+    val lock = new Path(base, s".lock_$name")
     val token = UUID.randomUUID().toString
     def tryAcquire(): Boolean =
       try {
@@ -115,40 +97,68 @@ object Artifacts {
     def release(): Unit =
       try { if (lockToken().contains(token)) fs.delete(lock, false) }
       catch { case _: Exception => () }
-    // returns true iff body ran (under the lock)
-    def withPublishLock(body: => Unit): Boolean = {
-      var held = false
-      var waited = 0
-      while (!held && waited < 360) { // 180 s budget > the 60 s stale threshold
-        held = tryAcquire()
-        if (!held) {
-          // every non-acquire path sleeps AND consumes budget — a persistent
-          // staleness misread (e.g. clock skew vs the fileserver) must not
-          // hot-spin breaking live locks without ever timing out
-          try {
-            val stale =
-              System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > 60000
-            if (stale) {
-              // break by atomic rename: only one breaker wins
-              val broken = new Path(base, s".lock_broken_${UUID.randomUUID().toString.take(8)}")
-              if (fs.rename(lock, broken)) fs.delete(broken, false)
-            }
-          } catch { case _: Exception => () } // lock vanished / transient FS error: retry
-          Thread.sleep(500); waited += 1
-        }
+    var held = false
+    var waited = 0
+    while (!held && waited < 360) { // 180 s budget > the 60 s stale threshold
+      held = tryAcquire()
+      if (!held) {
+        try {
+          val stale =
+            System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > 60000
+          if (stale) {
+            // break by atomic rename: only one breaker wins
+            val broken = new Path(base, s".lock_broken_${UUID.randomUUID().toString.take(8)}")
+            if (fs.rename(lock, broken)) fs.delete(broken, false)
+          }
+        } catch { case _: Exception => () } // lock vanished / transient FS error: retry
+        Thread.sleep(500); waited += 1
       }
-      if (held) {
-        try { body; true }
-        finally release()
-      } else false
     }
+    if (held) {
+      try { body; true }
+      finally release()
+    } else false
+  }
+
+  /** Read the artifact for `fp` under `baseDir`, building and publishing it
+    * first if absent. Tolerates an empty build result (the published dir holds
+    * a schema-only parquet part). Unreadable or half-published artifacts are
+    * deleted and rebuilt (bounded retries) rather than hard-failing every
+    * later run; day-old artifacts for older fingerprints and day-old crashed
+    * temp dirs are cleaned up best-effort after a successful publish. */
+  def loadOrBuild(s: SparkSession, baseDir: String, fp: Long)(build: => DataFrame): DataFrame = {
+    val base = new Path(baseDir)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dest = new Path(base, s"fp_$fp")
+    val marker = new Path(dest, "_SUCCESS")
+    def read(): Option[DataFrame] =
+      if (!fs.exists(marker)) None
+      else
+        try {
+          val df = s.read.parquet(dest.toString)
+          df.schema // force footer/schema resolution so corruption surfaces here
+          Some(df)
+        } catch {
+          // Do NOT delete here: this path runs without the publish lock, so a
+          // transient FS error on a valid artifact — or a read racing another
+          // session's scan — must not destroy the directory out from under
+          // in-flight jobs. Corrupt publishes are cleared under the lock in
+          // the publish step below, where no concurrent rename can interleave.
+          case _: Exception => None
+        }
     var attempt = 0
     var result: Option[DataFrame] = read()
     while (result.isEmpty && attempt < 3) {
       attempt += 1
       val tmp = new Path(base, s".tmp_${fp}_${UUID.randomUUID().toString.take(8)}")
       build.write.mode("overwrite").parquet(tmp.toString)
-      val published = withPublishLock {
+      // The build runs OUTSIDE the lock (deterministic content, so concurrent
+      // builds are merely redundant); only the tiny check-delete-rename
+      // window is serialized, which is what makes "reader sees the complete
+      // artifact or none" hold. If acquisition times out the publish is
+      // SKIPPED, never run unlocked — this loop re-reads and fails loudly
+      // after bounded attempts.
+      val published = withCrossSessionLock(s, baseDir, fp.toString) {
         // Re-read under the lock: a marker with readable data means another
         // session won — keep theirs. Readers do NOT take this lock, so a
         // delete here can still strand another session's in-flight scan;

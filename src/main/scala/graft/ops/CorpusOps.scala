@@ -425,6 +425,10 @@ object CorpusOps {
     "q67_doc_chunks",
     (s, dir) =>
       Tables.documents(s, dir)
+        // null text filtered EXPLICITLY in both engines: Spark's size(null)
+        // is -1, making sequence(0, -2, stride) throw, while the oracle's
+        // range(0, NULL) silently emits nothing — guard instead of diverging
+        .filter(col("text").isNotNull)
         .select(col("doc_id"), split(col("text"), " ").as("words"))
         .withColumn("n", size(col("words")))
         .withColumn("start", explode(expr(s"sequence(0, n - 1, $chunkStride)")))
@@ -435,7 +439,7 @@ object CorpusOps {
     Some(s"""WITH d AS (
         SELECT doc_id, string_split(text, ' ') AS words,
                len(string_split(text, ' ')) AS n
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
       ), st AS (
         SELECT doc_id, words, n, unnest(range(0, n, $chunkStride)) AS s FROM d
       )

@@ -204,10 +204,16 @@ object TextOps {
         .groupBy("source")
         .agg(count(lit(1)).as("cnt"), sum("n_chars").as("sx"),
           sum(col("n_chars") * col("n_chars")).as("sxx"))
+      // Zero-variance strata are excluded EXPLICITLY in both engines: z
+      // would be 0/0 there, and Spark's NaN ordering (abs(NaN) > x is true)
+      // disagrees with DuckDB's 0/0 → NULL (row dropped) — without the
+      // variance guard a constant-length source would emit every row here
+      // and none in the oracle.
       Tables.documents(s, dir)
         .join(broadcast(stats), Seq("source"))
-        .withColumn("z", expr(
-          "(n_chars - (sx / cnt)) / sqrt((sxx / cnt) - ((sx / cnt) * (sx / cnt)))"))
+        .withColumn("variance", expr("(sxx / cnt) - ((sx / cnt) * (sx / cnt))"))
+        .filter(col("variance") > 0.0)
+        .withColumn("z", expr("(n_chars - (sx / cnt)) / sqrt(variance)"))
         .filter(abs(col("z")) > 1.5)
         .select(col("doc_id"), col("source"), col("n_chars"), col("z"))
     },
@@ -217,10 +223,12 @@ object TextOps {
                CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
         FROM documents GROUP BY source
       )
-      SELECT d.doc_id, d.source, d.n_chars,
-             (d.n_chars - (sx / cnt)) / sqrt((sxx / cnt) - ((sx / cnt) * (sx / cnt))) AS z
-      FROM documents d JOIN stats s ON d.source = s.source
-      WHERE abs((d.n_chars - (sx / cnt)) / sqrt((sxx / cnt) - ((sx / cnt) * (sx / cnt)))) > 1.5"""))
+      SELECT doc_id, source, n_chars, z FROM (
+        SELECT d.doc_id, d.source, d.n_chars,
+               (d.n_chars - (sx / cnt)) / sqrt((sxx / cnt) - ((sx / cnt) * (sx / cnt))) AS z
+        FROM documents d JOIN stats s ON d.source = s.source
+        WHERE (sxx / cnt) - ((sx / cnt) * (sx / cnt)) > 0.0)
+      WHERE abs(z) > 1.5"""))
 
   val all: Seq[Q] = Seq(textQuality, textLangId, tokenCount, docFingerprint,
     repetitionScore, lengthOutliers)

@@ -80,6 +80,11 @@ object Warehouse {
 
   private def newSnapshot(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val cust = Tables.customer(s, dir)
+    // insert keys are offset by max(custkey)+1, NOT a fixed constant — a
+    // fixed offset silently collides with real keys once the table outgrows
+    // it, fanning out the CDC full-outer join; max+1+custkey can never land
+    // inside [0, max]
+    val maxk = cust.agg(max("c_custkey").as("maxk"))
     cust.filter(col("c_custkey") % 13 =!= 0)
       .select(col("c_custkey").as("k"),
         when(col("c_custkey") % 7 === 0, col("c_acctbal") + 10.0)
@@ -87,7 +92,8 @@ object Warehouse {
         when(col("c_custkey") % 7 === 0, lit("MIGRATED"))
           .otherwise(col("c_mktsegment")).as("seg"))
       .unionByName(cust.filter(col("c_custkey") % 11 === 0)
-        .select((col("c_custkey") + 10000000L).as("k"),
+        .crossJoin(broadcast(maxk))
+        .select((col("c_custkey") + col("maxk") + 1L).as("k"),
           col("c_acctbal").as("bal"), lit("NEW").as("seg")))
   }
 
@@ -98,7 +104,7 @@ object Warehouse {
                CASE WHEN c_custkey % 7 = 0 THEN 'MIGRATED' ELSE c_mktsegment END AS seg
         FROM customer WHERE c_custkey % 13 <> 0
         UNION ALL
-        SELECT c_custkey + 10000000, c_acctbal, 'NEW'
+        SELECT c_custkey + (SELECT MAX(c_custkey) + 1 FROM customer), c_acctbal, 'NEW'
         FROM customer WHERE c_custkey % 11 = 0"""
 
   val snapshotCdc: Q = Q(
@@ -225,15 +231,24 @@ object Warehouse {
         fs.exists(new org.apache.hadoop.fs.Path(s"$base/$v/_SUCCESS"))
       val cust = Tables.customer(s, dir)
       if (!complete("v1") || !complete("v2")) {
-        cust.filter(col("c_custkey") % 2 === 0)
-          .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
-            col("c_acctbal").as("acctbal"), lit(1).as("snapshot_v"))
-          .write.mode("overwrite").parquet(s"$base/v1")
-        cust.filter(col("c_custkey") % 2 === 1)
-          .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
-            col("c_mktsegment").as("segment"),
-            (col("c_custkey") % 5).as("loyalty_tier"), lit(2).as("snapshot_v"))
-          .write.mode("overwrite").parquet(s"$base/v2")
+        // cold build under the cross-session lock: two sessions racing
+        // mode("overwrite") into the same dirs would interleave delete with
+        // the other's commit; the loser of the lock re-checks and reuses
+        val ran = Artifacts.withCrossSessionLock(s, base, "gen") {
+          if (!complete("v1") || !complete("v2")) {
+            cust.filter(col("c_custkey") % 2 === 0)
+              .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+                col("c_acctbal").as("acctbal"), lit(1).as("snapshot_v"))
+              .write.mode("overwrite").parquet(s"$base/v1")
+            cust.filter(col("c_custkey") % 2 === 1)
+              .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+                col("c_mktsegment").as("segment"),
+                (col("c_custkey") % 5).as("loyalty_tier"), lit(2).as("snapshot_v"))
+              .write.mode("overwrite").parquet(s"$base/v2")
+          }
+        }
+        if (!ran && (!complete("v1") || !complete("v2")))
+          sys.error(s"could not build schema-evolution generations under $base")
       }
       s.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
         .select(col("custkey"), col("name"), col("acctbal"), col("segment"),
@@ -271,13 +286,24 @@ object Warehouse {
         Artifacts.fingerprint(s, s"$dir/customer.parquet")
       val oT = s"graft_bkt_orders_${tag}_f$fp"
       val cT = s"graft_bkt_customer_${tag}_f$fp"
+      // The build is serialized against other JVMs by the cross-session
+      // warehouse lock AND against this JVM's own query threads by the
+      // object monitor (catalog check-then-CTAS is otherwise a race: the
+      // loser's saveAsTable throws TableAlreadyExists, or its location
+      // delete destroys the winner's half-written files).
       def ensure(t: String, df: => org.apache.spark.sql.DataFrame, key: String): Unit =
-        if (!s.catalog.tableExists(t)) {
-          val loc = new org.apache.hadoop.fs.Path(
-            s.sessionState.conf.warehousePath, t.toLowerCase)
-          val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-          if (fs.exists(loc)) fs.delete(loc, true)
-          df.write.format("parquet").bucketBy(8, key).sortBy(key).saveAsTable(t)
+        Warehouse.synchronized {
+          if (!s.catalog.tableExists(t)) {
+            val ran = Artifacts.withCrossSessionLock(
+              s, s.sessionState.conf.warehousePath, t.toLowerCase) {
+              val loc = new org.apache.hadoop.fs.Path(
+                s.sessionState.conf.warehousePath, t.toLowerCase)
+              val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+              if (fs.exists(loc)) fs.delete(loc, true)
+              df.write.format("parquet").bucketBy(8, key).sortBy(key).saveAsTable(t)
+            }
+            if (!ran) sys.error(s"could not acquire warehouse lock to build $t")
+          }
         }
       ensure(oT, Tables.orders(s, dir), "o_custkey")
       ensure(cT, Tables.customer(s, dir), "c_custkey")

@@ -54,11 +54,8 @@ object StreamingSessions {
       val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
       val stageDir = java.nio.file.Paths.get(s"/root/repo/target/graft_stream/$tag")
       java.nio.file.Files.createDirectories(stageDir)
-      val link = stageDir.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(link)) {
-        java.nio.file.Files.createSymbolicLink(link,
-          java.nio.file.Paths.get(s"$dir/events.parquet"))
-      }
+      ensureLink(stageDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
       val q = sessionStream(s, stageDir.toString)
         .writeStream
         .format("memory")
@@ -178,6 +175,40 @@ object StreamingSessions {
       .toDF()
   }
 
+  /** Stage a table file into a stream-source directory via symlink, shared
+    * by q31 (events) and q59 (documents). Recreates a link that no longer
+    * points at the live table (the sf dir was removed and regenerated
+    * elsewhere — a dangling link passes a follow-links exists() check but
+    * fails the read). Presence is checked NOFOLLOW so a dangling link still
+    * counts as "present" for the create step. Concurrent-session
+    * interleavings are tolerated: the link vanishing between check and read
+    * (NoSuchFileException), a non-link appearing (NotLinkException), and
+    * losing the create race (FileAlreadyExistsException) are benign — the
+    * loser re-checks and proceeds against what the winner left. A create
+    * failure with NO link present (EPERM, read-only volume) still
+    * propagates: swallowing it would turn a hard staging failure into a
+    * silently empty stream. */
+  private def ensureLink(link: java.nio.file.Path, target: java.nio.file.Path): Unit = {
+    def linkPointsElsewhere(): Boolean =
+      try java.nio.file.Files.isSymbolicLink(link) &&
+        java.nio.file.Files.readSymbolicLink(link) != target
+      catch { case _: java.io.IOException => false }
+    if (linkPointsElsewhere()) {
+      try java.nio.file.Files.deleteIfExists(link)
+      catch { case _: java.io.IOException => () }
+    }
+    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      try java.nio.file.Files.createSymbolicLink(link, target)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => () // race winner's
+        case e: java.io.IOException =>
+          // benign only if someone else materialized the link meanwhile
+          if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+            throw e
+      }
+    }
+  }
+
   /** Copy a completed memory-sink table into a sink-independent local
     * DataFrame: the sink's rows are already driver-resident, and a later run
     * under the same query name replaces the sink, so the result must not
@@ -210,32 +241,8 @@ object StreamingSessions {
       val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
       val stageDir = java.nio.file.Paths.get(s"/root/repo/target/graft_stream_docs/$tag")
       java.nio.file.Files.createDirectories(stageDir)
-      val link = stageDir.resolve("documents.parquet")
-      val target = java.nio.file.Paths.get(s"$dir/documents.parquet")
-      // Recreate a link that no longer points at the live table (the sf dir
-      // was removed and regenerated elsewhere — a dangling link passes a
-      // follow-links exists() check but fails the read). Presence is checked
-      // NOFOLLOW so a dangling link still counts as "present" for the create
-      // step. Every step tolerates a concurrent session interleaving: the
-      // link vanishing between the isSymbolicLink check and the read
-      // (NoSuchFileException), a non-link appearing (NotLinkException), and
-      // losing the create race (FileAlreadyExistsException) are all benign —
-      // the loser re-checks and proceeds against whatever the winner left.
-      def linkPointsElsewhere(): Boolean =
-        try java.nio.file.Files.isSymbolicLink(link) &&
-          java.nio.file.Files.readSymbolicLink(link) != target
-        catch { case _: java.io.IOException => false }
-      if (linkPointsElsewhere()) {
-        try java.nio.file.Files.deleteIfExists(link)
-        catch { case _: java.io.IOException => () }
-      }
-      if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-        try java.nio.file.Files.createSymbolicLink(link, target)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException => ()
-          case _: java.io.IOException => ()
-        }
-      }
+      ensureLink(stageDir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
       val q = s.readStream.schema(docsSchema).parquet(stageDir.toString)
         .groupBy(md5(col("text")).as("content_hash"))
         .agg(min(col("doc_id")).as("canonical_doc_id"),
