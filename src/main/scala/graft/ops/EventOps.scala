@@ -145,5 +145,39 @@ object EventOps {
              MAX(day_value) OVER (PARTITION BY user_id, grp) AS value_filled
       FROM g"""))
 
-  val all: Seq[Q] = Seq(funnel, watermarkIngest, gapFill)
+  // ---- q81: hopping-window aggregation -------------------------------------
+  /** Sliding (hopping) time-window aggregation: 6-hour windows advancing
+    * every 2 hours, so each event contributes to exactly 3 overlapping
+    * windows — Spark's `window(ts, "6 hours", "2 hours")`, the batch form of
+    * the streaming hopping aggregate (q06/q31 cover session windows; q76
+    * covers tumbling days). The oracle reproduces Spark's epoch-aligned
+    * window grid arithmetically: start_k = (µs − µs mod hop) − k·hop for
+    * k ∈ {0,1,2} — every such window contains ts by construction, so no
+    * membership filter is needed in either engine. Spark's window explode is
+    * a per-row flatMap into the ONE shuffle of the aggregation — state per
+    * window is the aggregate, never the events. */
+  val hoppingWindow: Q = Q(
+    "q81_hopping_window",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "6 hours", "2 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("window_value"))
+        .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+          col("event_type"), col("n_events"), col("window_value"))
+    },
+    Some("""WITH ev AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+      ), hopped AS (
+        SELECT make_timestamp((epoch_us(ts) - epoch_us(ts) % 7200000000)
+                 - k * 7200000000) AS window_start,
+               event_type, value
+        FROM ev CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) ks
+      )
+      SELECT window_start,
+             window_start + INTERVAL 6 HOUR AS window_end,
+             event_type, COUNT(1) AS n_events,
+             ROUND(SUM(value), 2) AS window_value
+      FROM hopped GROUP BY window_start, event_type"""))
+
+  val all: Seq[Q] = Seq(funnel, watermarkIngest, gapFill, hoppingWindow)
 }

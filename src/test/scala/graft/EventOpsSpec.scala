@@ -85,6 +85,17 @@ class EventOpsSpec extends AnyFunSuite {
     assert(df.filter((col("g_priority") === 1) =!= col("o_orderpriority").isNull).count() === 0)
   }
 
+  test("q81 hopping windows: every event lands in exactly 3 overlapping windows") {
+    val df = SparkEntry.queries("q81_hopping_window")(spark, sfDir)
+    val total = Tables.events(spark, sfDir).count()
+    assert(df.agg(sum("n_events")).head().getLong(0) === 3 * total,
+      "6h windows hopping every 2h must count each event exactly 3 times")
+    // all windows span exactly 6 hours and start on the 2-hour grid
+    assert(df.filter(
+      unix_timestamp(col("window_end")) - unix_timestamp(col("window_start")) =!= 21600 ||
+      unix_timestamp(col("window_start")) % 7200 =!= 0).count() === 0)
+  }
+
   test("q78 count-min: estimates never undercount and totals reconcile") {
     val df = SparkEntry.queries("q78_countmin")(spark, sfDir)
     assert(df.filter(col("overestimate") < 0).count() === 0,
