@@ -317,6 +317,39 @@ object Analytics {
              s.cms_estimate - e.exact_n AS overestimate
       FROM exact e JOIN est s ON e.item = s.item"""))
 
+  /** Nested/array aggregation: collapse each customer's orders into ordered
+    * array values (collect_list is partition-order-nondeterministic, so the
+    * array is sorted before anything reads it — the only portable contract),
+    * then operate on the nested value per row: element count, first/last
+    * via array indexing, and a CSV encoding so every output column is
+    * scalar for the driver compare. One shuffle (the groupBy); the arrays
+    * are bounded by the per-customer order count, which the generator keeps
+    * flat as data grows — the nested-value analog of the small-group FP
+    * contract. */
+  val nestedAgg: Q = Q(
+    "q82_nested_agg",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("keys"))
+        .select(col("custkey"),
+          size(col("keys")).cast("long").as("n_orders"),
+          expr("keys[0]").as("first_key"),
+          expr("keys[size(keys) - 1]").as("last_key"),
+          expr("array_join(transform(keys, k -> cast(k as string)), ',')").as("keys_csv"))
+    },
+    Some("""WITH nested AS (
+        SELECT o_custkey AS custkey,
+               list(o_orderkey ORDER BY o_orderkey) AS keys
+        FROM orders GROUP BY o_custkey
+      )
+      SELECT custkey,
+             CAST(len(keys) AS BIGINT) AS n_orders,
+             keys[1] AS first_key,
+             keys[len(keys)] AS last_key,
+             array_to_string(keys, ',') AS keys_csv
+      FROM nested"""))
+
   val all: Seq[Q] = Seq(windowSuite, setOps, rollup, asofJoin, sqlDdl,
-    approxDistinct, percentileStats, pivot, unpivot, cube, countMin)
+    approxDistinct, percentileStats, pivot, unpivot, cube, countMin, nestedAgg)
 }

@@ -103,4 +103,13 @@ class EventOpsSpec extends AnyFunSuite {
     val totalExact = df.agg(sum("exact_n")).head().getLong(0)
     assert(totalExact === Tables.events(spark, sfDir).count())
   }
+
+  test("q82 nested agg: arrays are sorted, complete, and consistent with their scalars") {
+    val df = SparkEntry.queries("q82_nested_agg")(spark, sfDir)
+    assert(df.agg(sum("n_orders")).head().getLong(0) ===
+      Tables.orders(spark, sfDir).count(), "arrays must cover every order")
+    assert(df.filter(col("first_key") > col("last_key")).count() === 0)
+    assert(df.filter(
+      size(split(col("keys_csv"), ",")).cast("long") =!= col("n_orders")).count() === 0)
+  }
 }
