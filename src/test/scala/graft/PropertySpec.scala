@@ -32,7 +32,12 @@ class PropertySpec extends AnyFunSuite {
       // round-3 double-valued outputs: novelty ratios, quantization error,
       // composed quality score, typed top-k selection
       "q53_novelty_score", "q56_embed_quantize", "q57_clean_pipeline",
-      "q58_topk_per_group")
+      "q58_topk_per_group",
+      // round-4 double-valued outputs: CDC balances, BM25 scores, z-scores,
+      // LOCF/cube/hopping rounded sums, and the incremental-MV base+delta
+      // sum (the most partition-order-sensitive shape this round)
+      "q65_snapshot_cdc", "q68_bm25_score", "q71_length_outliers",
+      "q76_gap_fill", "q77_cube", "q79_incremental_mv", "q81_hopping_window")
     def canon(name: String): Seq[String] =
       SparkEntry.queries(name)(spark, dir).collect().map(_.mkString("")).sorted
     val conf = spark.conf
