@@ -168,7 +168,11 @@ object EventOps {
     Some("""WITH ev AS (
         SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
       ), hopped AS (
-        SELECT make_timestamp((epoch_us(ts) - epoch_us(ts) % 7200000000)
+        -- floor-mod ((x % hop) + hop) % hop, not bare %: DuckDB's modulo
+        -- truncates toward zero, which disagrees with Spark's window grid
+        -- for pre-epoch timestamps; the floor form is total
+        SELECT make_timestamp((epoch_us(ts)
+                 - ((epoch_us(ts) % 7200000000) + 7200000000) % 7200000000)
                  - k * 7200000000) AS window_start,
                event_type, value
         FROM ev CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) ks
