@@ -183,5 +183,78 @@ object EventOps {
              ROUND(SUM(value), 2) AS window_value
       FROM hopped GROUP BY window_start, event_type"""))
 
-  val all: Seq[Q] = Seq(funnel, watermarkIngest, gapFill, hoppingWindow)
+  // ---- q83: cohort retention -----------------------------------------------
+  /** Weekly cohort retention: users are cohorted by the week of their first
+    * event; each later active week counts them into (cohort_week,
+    * week_offset). Both week values are date_trunc('week') timestamps, so
+    * the offset is an exact day-diff ÷ 7 in both engines. Two aggregations
+    * on the user key plus one distinct — the classic retention matrix with
+    * no per-user state beyond the first-seen timestamp. */
+  val cohortRetention: Q = Q(
+    "q83_cohort_retention",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cohorts = ev.groupBy("user_id")
+        .agg(date_trunc("WEEK", min("ts")).as("cohort_week"))
+      val active = ev
+        .select(col("user_id"), date_trunc("WEEK", col("ts")).as("active_week"))
+        .distinct()
+      active.join(cohorts, Seq("user_id"))
+        .withColumn("week_offset",
+          expr("CAST(datediff(active_week, cohort_week) DIV 7 AS BIGINT)"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_active"))
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      ), cohorts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM ev GROUP BY user_id
+      ), active AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM ev
+      )
+      SELECT c.cohort_week,
+             CAST(date_diff('day', c.cohort_week, a.active_week) // 7 AS BIGINT)
+               AS week_offset,
+             COUNT(1) AS n_active
+      FROM active a JOIN cohorts c ON a.user_id = c.user_id
+      GROUP BY 1, 2"""))
+
+  // ---- q84: debounce dedup -------------------------------------------------
+  private val debounceUs = 3600000000L // 1 h
+
+  /** Debounce: drop an event arriving within 1 h of the PREVIOUS event of
+    * the same (user, event_type) — the near-duplicate suppression a sparse
+    * event log runs at ingestion (the threshold is data-scaled: the test
+    * stream is 150 users over a month, so sub-minute windows drop nothing). Gap is measured against the immediately preceding
+    * raw event (one lag over the natural key partition, one shuffle), not
+    * the previous SURVIVOR — the stateless form that needs no iterative
+    * chain. Ties on ts are ordered by event_id, so the keep-set is total-
+    * order deterministic and exactly oracled; the µs gap arithmetic is
+    * integer in both engines. */
+  val debounce: Q = Q(
+    "q84_debounce",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .filter(col("prev_ts").isNull ||
+          expr(s"unix_micros(ts) - unix_micros(prev_ts) >= ${debounceUs}L"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    },
+    Some(s"""WITH ev AS (
+        SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+      ), lagged AS (
+        SELECT event_id, user_id, event_type, ts,
+               lag(ts) OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) AS prev_ts
+        FROM ev
+      )
+      SELECT event_id, user_id, event_type, ts
+      FROM lagged
+      WHERE prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) >= $debounceUs"""))
+
+  val all: Seq[Q] = Seq(funnel, watermarkIngest, gapFill, hoppingWindow,
+    cohortRetention, debounce)
 }

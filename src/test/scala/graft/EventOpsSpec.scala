@@ -104,6 +104,34 @@ class EventOpsSpec extends AnyFunSuite {
     assert(totalExact === Tables.events(spark, sfDir).count())
   }
 
+  test("q83 cohort retention: offset-0 cell counts every user exactly once") {
+    val df = SparkEntry.queries("q83_cohort_retention")(spark, sfDir)
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    // every user is active in their own cohort week
+    assert(df.filter(col("week_offset") === 0).agg(sum("n_active")).head().getLong(0)
+      === users)
+    assert(df.filter(col("week_offset") < 0).count() === 0)
+    // no retention cell can exceed its cohort's size
+    val c0 = df.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_active").as("cohort_size"))
+    assert(df.join(c0, "cohort_week").filter(col("n_active") > col("cohort_size"))
+      .count() === 0)
+  }
+
+  test("q84 debounce: survivors keep their gap, dropped events were within the window") {
+    val kept = SparkEntry.queries("q84_debounce")(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    val gapped = ev.withColumn("gap",
+      expr("unix_micros(ts) - unix_micros(lag(ts, 1) over (partition by user_id, event_type order by ts, event_id))"))
+    val expectKeep = gapped.filter(col("gap").isNull || col("gap") >= 3600000000L)
+      .select("event_id")
+    assert(kept.select("event_id").exceptAll(expectKeep).isEmpty)
+    assert(expectKeep.exceptAll(kept.select("event_id")).isEmpty)
+    assert(kept.count() < ev.count(), "the window must actually drop something")
+  }
+
   test("q82 nested agg: arrays are sorted, complete, and consistent with their scalars") {
     val df = SparkEntry.queries("q82_nested_agg")(spark, sfDir)
     assert(df.agg(sum("n_orders")).head().getLong(0) ===
