@@ -225,8 +225,9 @@ object EventOps {
 
   /** Debounce: drop an event arriving within 1 h of the PREVIOUS event of
     * the same (user, event_type) — the near-duplicate suppression a sparse
-    * event log runs at ingestion (the threshold is data-scaled: the test
-    * stream is 150 users over a month, so sub-minute windows drop nothing). Gap is measured against the immediately preceding
+    * event log runs at ingestion (the threshold is data-scaled: the
+    * synthetic stream spreads 15-150 users over a month, so sub-minute
+    * windows drop nothing). Gap is measured against the immediately preceding
     * raw event (one lag over the natural key partition, one shuffle), not
     * the previous SURVIVOR — the stateless form that needs no iterative
     * chain. Ties on ts are ordered by event_id, so the keep-set is total-

@@ -120,16 +120,26 @@ class EventOpsSpec extends AnyFunSuite {
 
   test("q84 debounce: survivors keep their gap, dropped events were within the window") {
     val kept = SparkEntry.queries("q84_debounce")(spark, sfDir)
-    val ev = Tables.events(spark, sfDir)
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    val gapped = ev.withColumn("gap",
-      expr("unix_micros(ts) - unix_micros(lag(ts, 1) over (partition by user_id, event_type order by ts, event_id))"))
-    val expectKeep = gapped.filter(col("gap").isNull || col("gap") >= 3600000000L)
-      .select("event_id")
-    assert(kept.select("event_id").exceptAll(expectKeep).isEmpty)
-    assert(expectKeep.exceptAll(kept.select("event_id")).isEmpty)
-    assert(kept.count() < ev.count(), "the window must actually drop something")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    // independent driver-side recomputation: plain Scala sort + walk, no
+    // window functions — a bug in the operator's lag formulation cannot
+    // replicate here
+    val rows = Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map { r =>
+        val t = r.getTimestamp(2)
+        // full µs precision: getTime() truncates to ms, getNanos() has the rest
+        val us = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+        (r.getLong(0), r.getString(1), us, r.getLong(3))
+      }
+    val expected = rows.groupBy(r => (r._1, r._2)).values.flatMap { grp =>
+      val sorted = grp.sortBy(r => (r._3, r._4))
+      sorted.zip(None +: sorted.map(Some(_))).collect {
+        case (cur, prev) if prev.forall(p => cur._3 - p._3 >= 3600000000L) => cur._4
+      }
+    }.toSet
+    assert(kept === expected)
+    assert(kept.size < rows.length, "the window must actually drop something")
   }
 
   test("q82 nested agg: arrays are sorted, complete, and consistent with their scalars") {
