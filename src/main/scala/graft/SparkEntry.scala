@@ -11,7 +11,7 @@ object SparkEntry {
       ops.TextOps.all ++ ops.CorpusOps.all ++ ops.Multimodal.all ++ ops.Sampling.all ++
       ops.Skew.all ++ ops.Sources.all ++
       ops.Analytics.all ++ ops.TypedAgg.all ++ ops.Warehouse.all ++
-      ops.EventOps.all ++ ops.LineageQueries.all ++
+      ops.EventOps.all ++ ops.LineageQueries.all ++ ops.Subqueries.all ++
       streaming.StreamingSessions.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

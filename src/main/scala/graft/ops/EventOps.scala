@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
 /** Event-stream analytics beyond the reference's surface (its event handling
-  * stops at sessionization, /root/reference/pipelines/event_sessions.py):
+  * stops at sessionization, /root/reference/examples/script_06_web_sessionization.py):
   * ordered funnel attribution, idempotent incremental ingest, and time-series
   * gap fill with last-observation-carried-forward.
   *

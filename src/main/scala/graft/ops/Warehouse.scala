@@ -7,7 +7,8 @@ import graft.{Q, Tables}
 
 /** Lakehouse / warehouse maintenance operators beyond the reference's
   * pipeline surface (its merge layer stops at SCD1 upsert,
-  * /root/reference/pipelines/silver_merge.py): SCD2 history build,
+  * /root/reference/examples/script_08_delta_merge_scd1_customer.py): SCD2
+  * history build,
   * snapshot-diff change data capture, point-in-interval range join, partition
   * skipping-stats collection, and schema-evolution reads. Each is fully
   * oracled against DuckDB on the same tables.

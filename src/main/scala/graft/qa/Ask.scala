@@ -34,7 +34,8 @@ object Ask {
     * gold outputs, retrieval hits) still runs per question; only the hits
     * frame is persisted, and the returned cleanup releases it. */
   private[graft] def evidenceFrameManaged(spark: SparkSession, sfDir: String,
-      question: String): (DataFrame, Seq[String], () => Unit) = {
+      question: String, cfg: QaConfig = QaConfig.default)
+      : (DataFrame, Seq[String], () => Unit) = {
     import spark.implicits._
     val ls: Seq[ScriptLineage] = Repo.cachedLineage(spark, sfDir)
     val edges = graft.PlanCache.cached(spark, "qa_edges", sfDir, sfDir) {
@@ -42,7 +43,7 @@ object Ask {
     }.as[graft.model.Edge]
     val known = edges.select("targetCol").distinct().collect().map(_.getString(0)).toSet ++
       edges.select("srcCol").distinct().collect().map(_.getString(0)).toSet
-    val cands = QA.candidateColumns(question, known)
+    val cands = QA.candidateColumns(question, known, cfg.maxImpactCols)
     val graph = Lineage.columnGraph(edges)
     val impact: DataFrame = cands.map(Lineage.downstreamClosure(spark, graph, _))
       .reduceOption(_ unionByName _)
@@ -59,15 +60,17 @@ object Ask {
       QA.embed(docs, "text")
     }
     val hits = QA.retrieve(spark, docVecs,
-      QA.embed(Seq(("question", question)).toDF("id", "text"), "text")).cache()
+      QA.embed(Seq(("question", question)).toDF("id", "text"), "text"),
+      k = cfg.topK).cache()
     val cleanup = () => { hits.unpersist(); () }
     (QA.evidence(spark, impact, scripts, gold, hits,
-      docs.as[graft.model.CorpusDoc]), cands, cleanup)
+      docs.as[graft.model.CorpusDoc], cfg), cands, cleanup)
   }
 
   def ask(spark: SparkSession, sfDir: String, question: String,
-      answerer: QA.AnswerClient = QA.DeterministicAnswerer): Result = {
-    val (ev, cands, cleanup) = evidenceFrameManaged(spark, sfDir, question)
+      answerer: QA.AnswerClient = QA.DeterministicAnswerer,
+      cfg: QaConfig = QaConfig.default): Result = {
+    val (ev, cands, cleanup) = evidenceFrameManaged(spark, sfDir, question, cfg)
     val evidence = try ev.collect().map(r => (r.getString(0), r.getString(1))).toSeq
       finally cleanup()
     Result(answerer.answer(question, evidence), evidence, cands)
@@ -76,9 +79,9 @@ object Ask {
   /** Answer one question in the selected mode and print the reference's
     * ANSWER + debug-counter block (ask.py:377-388 / query.py:460-470). */
   private def answerOnce(spark: SparkSession, sfDir: String, question: String,
-      hybrid: Boolean): Unit =
+      hybrid: Boolean, cfg: QaConfig = QaConfig.default): Unit =
     if (hybrid) {
-      val h = Query.hybridEvidence(spark, sfDir, question)
+      val h = Query.hybridEvidence(spark, sfDir, question, cfg)
       println("\nANSWER:\n")
       println(Query.answer(question, h))
       println("\n--- Debug ---")
@@ -86,7 +89,7 @@ object Ask {
       println(s"retrieved_docs: ${h.retrievedDocs}")
       println("-------------\n")
     } else {
-      val r = ask(spark, sfDir, question)
+      val r = ask(spark, sfDir, question, cfg.answerClient, cfg)
       println("\nANSWER:\n")
       println(r.answer)
       println("\n--- Debug ---")
@@ -97,7 +100,8 @@ object Ask {
 
   /** Interactive loop: multiline question buffered until a blank line
     * submits it; EOF or Ctrl+C exits (ask.py:476-519, query.py:424-474). */
-  def repl(spark: SparkSession, sfDir: String, hybrid: Boolean): Unit = {
+  def repl(spark: SparkSession, sfDir: String, hybrid: Boolean,
+      cfg: QaConfig = QaConfig.default): Unit = {
     println(if (hybrid) "\nLineage Q&A ready (HYBRID always)."
       else "\nLineage Q&A ready.")
     println("Paste multi-line questions. Press ENTER twice to submit. Ctrl+C to exit.\n")
@@ -107,7 +111,7 @@ object Ask {
       if (line.trim.isEmpty && buf.nonEmpty) {
         val question = buf.mkString("\n").trim
         buf = Vector.empty
-        answerOnce(spark, sfDir, question, hybrid)
+        answerOnce(spark, sfDir, question, hybrid, cfg)
         println("Ask a lineage question (end with a blank line):")
       } else if (line.trim.nonEmpty) buf :+= line
     }
@@ -116,6 +120,11 @@ object Ask {
   def main(args: Array[String]): Unit = {
     val flags = args.filter(_.startsWith("--")).toSet
     val rest = args.filterNot(_.startsWith("--"))
+    // `--config=<path>`: JSON config analog of the reference's config.json
+    // (ask.py CFG_PATH); without it, reference defaults apply
+    val cfg = flags.collectFirst { case f if f.startsWith("--config=") =>
+      QaConfig.load(f.stripPrefix("--config="))
+    }.getOrElse(QaConfig.default)
     val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
     val question = if (rest.length > 1) rest.drop(1).mkString(" ")
       else "What is impacted downstream if `amount` changes?"
@@ -124,8 +133,8 @@ object Ask {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    if (flags.contains("--repl")) repl(spark, sfDir, flags.contains("--hybrid"))
-    else answerOnce(spark, sfDir, question, flags.contains("--hybrid"))
+    if (flags.contains("--repl")) repl(spark, sfDir, flags.contains("--hybrid"), cfg)
+    else answerOnce(spark, sfDir, question, flags.contains("--hybrid"), cfg)
     spark.stop()
   }
 }

@@ -123,16 +123,18 @@ object QA {
   }
 
   /** Evidence assembly (A23; qa/ask.py:391-450): deterministic sections with
-    * the reference's caps, one row per evidence line. */
+    * the reference's caps (overridable via [[QaConfig]]), one row per
+    * evidence line. */
   def evidence(spark: SparkSession, impactCols: DataFrame, impactedScripts: DataFrame,
-      gold: DataFrame, hits: DataFrame, corpusDocs: Dataset[CorpusDoc]): DataFrame = {
+      gold: DataFrame, hits: DataFrame, corpusDocs: Dataset[CorpusDoc],
+      cfg: QaConfig = QaConfig.default): DataFrame = {
     import spark.implicits._
-    val impact = impactCols.orderBy(col("depth"), col("column")).limit(80)
+    val impact = impactCols.orderBy(col("depth"), col("column")).limit(cfg.maxImpactShow)
       .select(lit("IMPACTED_COLUMN").as("section"),
         concat(col("column"), lit(" (depth "), col("depth"), lit(")")).as("line"))
-    val scripts = impactedScripts.orderBy(col("depth"), col("script")).limit(50)
+    val scripts = impactedScripts.orderBy(col("depth"), col("script")).limit(cfg.maxScriptsShow)
       .select(lit("IMPACTED_SCRIPT").as("section"), col("script").as("line"))
-    val goldLines = gold.orderBy(col("path")).limit(60)
+    val goldLines = gold.orderBy(col("path")).limit(cfg.maxGoldShow)
       .select(lit("GOLD_OUTPUT").as("section"),
         concat(col("script"), lit(" -> "), col("path")).as("line"))
     val facts = hits.join(corpusDocs.select(col("id").as("doc_id"), col("text")), "doc_id")

@@ -42,8 +42,8 @@ object Query {
       "Prefer bullet lists. Be precise and cite script/dataframe/column names exactly as shown."
 
   /** Build the query.py-shaped evidence for one question. */
-  def hybridEvidence(spark: SparkSession, sfDir: String,
-      question: String): Hybrid = {
+  def hybridEvidence(spark: SparkSession, sfDir: String, question: String,
+      cfg: QaConfig = QaConfig.default): Hybrid = {
     import spark.implicits._
     val ls: Seq[ScriptLineage] = Repo.cachedLineage(spark, sfDir)
     // all question-independent frames (edges, dependency graph, corpus,
@@ -54,7 +54,7 @@ object Query {
     }.as[graft.model.Edge]
     val known = edges.select("targetCol").distinct().collect().map(_.getString(0)).toSet ++
       edges.select("srcCol").distinct().collect().map(_.getString(0)).toSet
-    val cands = QA.candidateColumns(question, known)
+    val cands = QA.candidateColumns(question, known, cfg.maxImpactCols)
     val graph = graft.PlanCache.cached(spark, "qa_graph", sfDir, sfDir) {
       Lineage.columnGraph(edges)
     }
@@ -92,7 +92,8 @@ object Query {
       QA.embed(docs, "text")
     }
     val hits = QA.retrieve(spark, docVecs,
-      QA.embed(Seq(("question", question)).toDF("id", "text"), "text"))
+      QA.embed(Seq(("question", question)).toDF("id", "text"), "text"),
+      k = cfg.topK)
       .join(docs.select(col("id").as("doc_id"), col("text")), "doc_id")
       .orderBy(col("rank"))
       .select(col("rank"), col("doc_id"), col("text"))

@@ -14,8 +14,11 @@ import graft.Q
   * events arrive — the shape a real-time 100 TB/day clickstream pipeline uses.
   *
   * The registered query drives the stream to completion from the static events
-  * table via an in-memory sink, so the driver can treat it like any batch
-  * result (same session definition ⇒ same sessions as q06, asserted in tests).
+  * table into a fingerprint-scoped parquet artifact (foreachBatch writes the
+  * complete-mode aggregate DISTRIBUTED, executor-side; the driver only reads
+  * the published files back), so the result behaves like any batch frame
+  * (same session definition ⇒ same sessions as q06, asserted in tests) while
+  * nothing data-proportional ever lands on the driver.
   */
 object StreamingSessions {
 
@@ -44,31 +47,11 @@ object StreamingSessions {
   }
 
   /** Run the stream over the static events table to completion and return the
-    * materialized result (memory sink, complete mode). */
+    * published parquet of its final complete-mode state. */
   val streamingSessions: Q = Q(
     "q31_streaming_sessions",
-    (s, dir) => {
-      val name = "graft_stream_sessions"
-      // the file-stream source requires a directory; stage the single-file
-      // table via symlink
-      val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
-      val stageDir = java.nio.file.Paths.get(s"/root/repo/target/graft_stream/$tag")
-      java.nio.file.Files.createDirectories(stageDir)
-      ensureLink(stageDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val q = sessionStream(s, stageDir.toString)
-        .writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .start()
-      try {
-        q.processAllAvailable()
-      } finally {
-        q.stop()
-      }
-      detachFromSink(s, name)
-    },
+    (s, dir) => streamToArtifact(s, dir, "sessions", "events",
+      p => sessionStream(s, p)),
     // `session_window(ts, gap)` semantics in ANSI SQL: an event opens window
     // [ts, ts+gap); overlapping windows merge, so a NEW session starts exactly
     // when ts - prev_ts >= gap (µs precision), and the merged window's end is
@@ -209,15 +192,45 @@ object StreamingSessions {
     }
   }
 
-  /** Copy a completed memory-sink table into a sink-independent local
-    * DataFrame: the sink's rows are already driver-resident, and a later run
-    * under the same query name replaces the sink, so the result must not
-    * reference it. A plain localized copy — NOT `.cache()`, which would add
-    * one CacheManager entry per invocation that nothing releases (the leak
-    * pattern PlanCache exists to prevent). */
-  private def detachFromSink(s: SparkSession, name: String): DataFrame = {
-    val sink = s.table(name)
-    s.createDataFrame(java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+  /** Drive a complete-mode streaming aggregate over `$dir/$table.parquet` to
+    * completion and return it as a fingerprint-scoped published parquet
+    * artifact. The sink is `foreachBatch` → distributed parquet overwrite
+    * (each micro-batch's full complete-mode state lands executor-side; the
+    * last batch's files are the final aggregate), so NOTHING
+    * data-proportional touches the driver — the memory-sink + collect()
+    * shape this replaces was the one driver-OOM-at-100× path in the repo.
+    * Publication reuses [[graft.ops.Artifacts.loadOrBuild]]: the scratch run
+    * dir is `.tmp_`-prefixed (reaped by the day-old cleanup), the publish is
+    * an atomic rename under the cross-session lock, and a repeat invocation
+    * over unchanged input files skips stream startup entirely and reads the
+    * published artifact — the steady state of a production pipeline whose
+    * sink table already holds the stream's result. */
+  private def streamToArtifact(s: SparkSession, dir: String, queryTag: String,
+      table: String, stream: String => DataFrame): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    // the file-stream source requires a directory; stage the single-file
+    // table via symlink
+    val stageDir =
+      java.nio.file.Paths.get(s"/root/repo/target/graft_stream/$queryTag/$tag")
+    java.nio.file.Files.createDirectories(stageDir)
+    ensureLink(stageDir.resolve(s"$table.parquet"),
+      java.nio.file.Paths.get(s"$dir/$table.parquet"))
+    val base = s"/root/repo/target/graft_stream_out/$queryTag"
+    val fp = graft.ops.Artifacts.fingerprint(s, s"$dir/$table.parquet")
+    graft.ops.Artifacts.loadOrBuild(s, base, fp) {
+      val scratch =
+        s"$base/.tmp_run_${fp}_${java.util.UUID.randomUUID().toString.take(8)}"
+      val out = s"$scratch/out"
+      val write: (DataFrame, Long) => Unit =
+        (batch, _) => batch.write.mode("overwrite").parquet(out)
+      val q = stream(stageDir.toString).writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch(write)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out)
+    }
   }
 
   private val docsSchema = StructType(Seq(
@@ -236,22 +249,11 @@ object StreamingSessions {
     * Fully oracled: at completion the aggregate is exactly q13's. */
   val streamingDedup: Q = Q(
     "q59_streaming_dedup",
-    (s, dir) => {
-      val name = "graft_stream_dedup"
-      val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
-      val stageDir = java.nio.file.Paths.get(s"/root/repo/target/graft_stream_docs/$tag")
-      java.nio.file.Files.createDirectories(stageDir)
-      ensureLink(stageDir.resolve("documents.parquet"),
-        java.nio.file.Paths.get(s"$dir/documents.parquet"))
-      val q = s.readStream.schema(docsSchema).parquet(stageDir.toString)
+    (s, dir) => streamToArtifact(s, dir, "dedup", "documents",
+      p => s.readStream.schema(docsSchema).parquet(p)
         .groupBy(md5(col("text")).as("content_hash"))
         .agg(min(col("doc_id")).as("canonical_doc_id"),
-          count(lit(1)).as("dup_count"))
-        .writeStream.format("memory").queryName(name).outputMode("complete")
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      detachFromSink(s, name)
-    },
+          count(lit(1)).as("dup_count"))),
     Some("""SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
       count(1) AS dup_count FROM documents GROUP BY md5(text)"""))
 

@@ -176,4 +176,68 @@ class LineageSpec extends AnyFunSuite {
     assert(html.contains("script_10_mart_customer_value"))
     assert(Mermaid.safeId("a.b c/d") === "a_b_c_d")
   }
+
+  test("QA config file: ask.py key fallbacks, required region, caps applied") {
+    import graft.qa.{Ask, QaConfig}
+    // the shipped example parses and reproduces reference defaults
+    val example = QaConfig.load("/root/repo/config.example.json")
+    assert(example.region === Some("us-east-1"))
+    assert(example.embedModelId === "amazon.titan-embed-text-v2:0")
+    assert(example.llmModelId === "amazon.nova-lite-v1:0")
+    assert(example.topK === 25 && example.maxGoldShow === 60)
+    // missing region raises, like ask.py's load_cfg
+    val noRegion = java.nio.file.Files.createTempFile("graft_cfg", ".json")
+    java.nio.file.Files.write(noRegion, """{"model_id":"x"}""".getBytes("UTF-8"))
+    assertThrows[RuntimeException](QaConfig.load(noRegion.toString))
+    // an unknown answerer fails at load, not mid-question
+    val badAns = java.nio.file.Files.createTempFile("graft_cfg", ".json")
+    java.nio.file.Files.write(badAns,
+      """{"region":"us-east-1","answerer":"nova-live"}""".getBytes("UTF-8"))
+    assertThrows[RuntimeException](QaConfig.load(badAns.toString))
+    // a tightened config drives Ask end-to-end and its caps bind: top_k 6
+    // FACT lines, max one impacted column traversed
+    val tight = java.nio.file.Files.createTempFile("graft_cfg", ".json")
+    java.nio.file.Files.write(tight,
+      """{"aws_region":"us-east-1","top_k":6,"max_impact_cols":1,
+         "max_scripts_show":2}""".getBytes("UTF-8"))
+    val cfg = QaConfig.load(tight.toString)
+    val r = Ask.ask(spark, sfDir,
+      "Where does `avg_daily_spend` come from and what depends on `amount`?",
+      cfg.answerClient, cfg)
+    assert(r.candidates.size === 1) // max_impact_cols bound the extraction
+    val sections = r.evidence.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(sections.getOrElse("FACT", 0) === 6)
+    assert(sections.getOrElse("IMPACTED_SCRIPT", 0) <= 2)
+    assert(r.answer.nonEmpty)
+  }
+
+  /** Canonical content digest of a whole result: every column rendered to a
+    * string, rows fully ordered, sha1 over the joined text — so ANY semantic
+    * drift in the rows-only lineage queries (not just count/topology changes)
+    * fails loudly against the pinned literal. */
+  private def contentSha1(df: org.apache.spark.sql.DataFrame): String = {
+    val canon = df.collect()
+      .map(_.toSeq.map(v => if (v == null) " " else v.toString).mkString(""))
+      .sorted
+      .mkString("\n")
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(canon.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  test("golden content hashes: q25 edges / q26 links / q28 corpus are byte-stable") {
+    // Pinned from the reference-matching build (round 5). These outputs are
+    // derived purely from the staged DAG + Catalyst plans, so they are
+    // data-scale-independent; a legitimate semantic change must re-pin.
+    val q25 = SparkEntry.queries("q25_lineage_edges")(spark, sfDir)
+    val q26 = SparkEntry.queries("q26_repo_links")(spark, sfDir)
+    val q28 = SparkEntry.queries("q28_corpus_docs")(spark, sfDir)
+    assert(q25.count() === 130L)
+    assert(q26.count() === 11L)
+    assert(q28.count() === 226L)
+    assert(Seq(contentSha1(q25), contentSha1(q26), contentSha1(q28)) === Seq(
+      "3943a0530249bbd6f156462a6c540e56a38d297d", // q25: 130 column edges
+      "fda313574b642b485a7ff9442c2c2a04bb8be805", // q26: the 11 stitched links
+      "3ef5072f6494eeb77286825cfc0792c5c0defbfd")) // q28: 226 corpus docs
+  }
 }

@@ -32,14 +32,17 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("flatMapGroupsWithState matches session_window on closeable sessions") {
+    // running q31 first stages the events symlink dir the stateful stream
+    // reads (staging happens before its artifact-cache check, so this holds
+    // even on a warm artifact)
+    val sw = SparkEntry.queries("q31_streaming_sessions")(spark, sfDir)
     val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
-    val stageDir = s"/root/repo/target/graft_stream/$tag"
+    val stageDir = s"/root/repo/target/graft_stream/sessions/$tag"
     val q = graft.streaming.StreamingSessions.statefulSessions(spark, stageDir)
       .writeStream.format("memory").queryName("graft_stateful").outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
     val stateful = spark.table("graft_stateful").cache()
     stateful.count()
-    val sw = SparkEntry.queries("q31_streaming_sessions")(spark, sfDir)
     // expected emissions: exactly the sessions whose gap deadline
     // (= session_window end = last event + 30 min) the final watermark
     // (max ts - 1h) passed — session_window's own close rule. Sessions the
