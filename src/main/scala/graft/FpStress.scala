@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stress harness for the cross-engine float-determinism contract (rules atop
+  * Pipelines.scala) at the next scale step: local testdata tops out at sf0.1,
+  * so this builds a ~sf1-equivalent corpus — TEN key-shifted, value-jittered
+  * copies of sf0.1 (6M lineitem rows) — and asserts that the FP-sensitive
+  * aggregates produce BIT-IDENTICAL results under radically different
+  * execution geometry (local[32] + AQE + 64 shuffle partitions vs local[4] +
+  * 7 partitions). Keys (orderkey, custkey, suppkey, doc_id) are shifted per
+  * copy exactly as a larger scale factor would grow them, so per-group sizes
+  * stay at their sf0.1 values — the contract's premise — while global
+  * aggregates (q68's corpus stats, q71's moments) see the full 10× volume.
+  *
+  * The comparison hash is order-independent and bit-exact: per-row xxhash64
+  * over all columns (doubles hash their IEEE bit pattern) summed as
+  * DECIMAL(38,0) — any single-bit drift in any double anywhere flips it.
+  *
+  * Usage: runMain graft.FpStress local[32]   (writes hash file)
+  *        runMain graft.FpStress local[4]    (writes + compares if both exist)
+  * Results recorded in BENCH_NOTES ("FP stress at ~sf1").
+  */
+object FpStress {
+
+  private val srcDir = "/root/testdata/sf0.1"
+  private val dataDir = "/root/repo/target/fpstress/sf1"
+  private val copies = 10
+  private val keyOff = 100000000L // far above any sf0.1 key
+
+  private val fpQueries = Seq(
+    "q03_fact_enriched", "q10_mart_customer_value", "q11_customer_agg",
+    "q68_bm25_score", "q71_length_outliers")
+
+  /** 2-decimal deterministic jitter in [0, 0.96], keyed by (row key, copy) —
+    * keeps every jittered double a 2-decimal value so the round(sum, p)
+    * contract's premises hold on the synthetic corpus too. */
+  private def jitter(key: String, i: Int) =
+    (pmod(col(key) * 31 + lit(i) * 7, lit(97)).cast("double") / 100.0)
+
+  private def build(s: SparkSession): Unit = {
+    val marker = Paths.get(s"$dataDir/_BUILT")
+    if (Files.exists(marker)) return
+    def tenfold(name: String)(copy: (DataFrame, Int) => DataFrame): Unit = {
+      val src = s.read.parquet(s"$srcDir/$name.parquet")
+      (0 until copies).map(i => copy(src, i)).reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$dataDir/$name.parquet")
+    }
+    tenfold("orders") { (df, i) =>
+      df.select(
+        (col("o_orderkey") + i * keyOff).as("o_orderkey"),
+        (col("o_custkey") + i * keyOff).as("o_custkey"),
+        col("o_orderstatus"),
+        (col("o_totalprice") + jitter("o_orderkey", i)).as("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    }
+    tenfold("customer") { (df, i) =>
+      df.select(
+        (col("c_custkey") + i * keyOff).as("c_custkey"),
+        col("c_name"), col("c_nationkey"),
+        (col("c_acctbal") + jitter("c_custkey", i)).as("c_acctbal"),
+        col("c_mktsegment"))
+    }
+    tenfold("lineitem") { (df, i) =>
+      df.select(
+        (col("l_orderkey") + i * keyOff).as("l_orderkey"),
+        col("l_partkey"),
+        (col("l_suppkey") + i * keyOff).as("l_suppkey"),
+        col("l_linenumber"),
+        (col("l_quantity") + jitter("l_orderkey", i)).as("l_quantity"),
+        (col("l_extendedprice") + jitter("l_orderkey", i)).as("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+    }
+    tenfold("documents") { (df, i) =>
+      df.select(
+        (col("doc_id") + i * keyOff).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+    }
+    Files.createFile(marker)
+  }
+
+  /** Order-independent exact hash of a frame: (row count, Σ xxhash64(row) as
+    * DECIMAL(38,0)). Stable under any partitioning/ordering; sensitive to a
+    * single-ulp change in any double. */
+  private def contentHash(df: DataFrame): (Long, String) = {
+    val cols = df.columns.sorted.map(col)
+    val r = df.select(xxhash64(cols: _*).as("h"))
+      .agg(count(lit(1)), sum(col("h").cast("decimal(38,0)"))).head()
+    (r.getLong(0), r.getDecimal(1).toBigInteger.toString)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val master = args.headOption.getOrElse("local[32]")
+    val tag = master.replaceAll("[^a-z0-9]", "")
+    // deliberately different parallelism geometry per master
+    val parts = if (tag == "local4") "7" else "64"
+    val spark = SparkSession.builder()
+      .master(master).appName(s"graft-fpstress-$tag")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    build(spark)
+
+    val hashes = fpQueries.map { name =>
+      val t0 = System.nanoTime()
+      val (n, h) = contentHash(SparkEntry.queries(name)(spark, dataDir))
+      println(f"[fpstress] $name rows=$n hash=$h (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      name -> s"$n:$h"
+    }.toMap
+
+    val mine = Paths.get(s"$dataDir/../hash_$tag.json")
+    Files.writeString(mine, hashes.toSeq.sorted
+      .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}"))
+    val other = Paths.get(s"$dataDir/../hash_${if (tag == "local4") "local32" else "local4"}.json")
+    if (Files.exists(other)) {
+      val theirs = Files.readString(other)
+      val mineS = Files.readString(mine)
+      if (theirs == mineS) println(s"[fpstress] PASS: bit-identical across $tag and its counterpart")
+      else {
+        println(s"[fpstress] FAIL:\n  $tag: $mineS\n  other: $theirs")
+        spark.stop(); sys.exit(1)
+      }
+    } else println(s"[fpstress] wrote $mine; run the other master to compare")
+    spark.stop()
+  }
+}

@@ -350,6 +350,47 @@ object Analytics {
              array_to_string(keys, ',') AS keys_csv
       FROM nested"""))
 
+  private val histBins = 20
+
+  /** q90: equi-width histogram profiling of o_totalprice — the data-profiling
+    * primitive behind range-partition planning and skew diagnosis. Global
+    * min/max is a 1-row aggregate broadcast back to the scan (no second full
+    * pass materializes anything driver-side), bucket assignment is pure
+    * per-row double arithmetic — (x − min)/w with w = (max − min)/bins, the
+    * identical IEEE op sequence in both engines, so even boundary values land
+    * in the same bin — and the final rollup is one fixed-width aggregation
+    * (≤ bins rows). Per-bin avg follows the FP contract: exact BIGINT cent
+    * sums with a final double division. */
+  val histogram: Q = Q(
+    "q90_value_histogram",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val bounds = o.agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      o.join(broadcast(bounds))
+        .withColumn("bin", expr(
+          s"CAST(least(floor((o_totalprice - lo) / ((hi - lo) / $histBins)), ${histBins - 1}) AS BIGINT)"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_orders"),
+          min("o_totalprice").as("bin_min"),
+          max("o_totalprice").as("bin_max"),
+          expr("CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / COUNT(1) / 1e2")
+            .as("bin_avg"))
+    },
+    Some(s"""WITH b AS (
+        SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+      ), binned AS (
+        SELECT o_totalprice,
+               CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / $histBins)),
+                          ${histBins - 1}) AS BIGINT) AS bin
+        FROM orders, b
+      )
+      SELECT bin, COUNT(1) AS n_orders,
+             MIN(o_totalprice) AS bin_min, MAX(o_totalprice) AS bin_max,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / COUNT(1) / 1e2 AS bin_avg
+      FROM binned GROUP BY bin"""))
+
   val all: Seq[Q] = Seq(windowSuite, setOps, rollup, asofJoin, sqlDdl,
-    approxDistinct, percentileStats, pivot, unpivot, cube, countMin, nestedAgg)
+    approxDistinct, percentileStats, pivot, unpivot, cube, countMin, nestedAgg,
+    histogram)
 }

@@ -510,8 +510,59 @@ object CorpusOps {
       FROM t, g"""
     })
 
+  // ---- q91: TF-IDF top terms per document ----------------------------------
+  /** Top-3 characteristic terms per document by TF-IDF, with q68's RATIONAL
+    * idf (N − df + 0.5)/(df + 0.5) — ln() is not bit-stable across math
+    * libraries and the rational form preserves the idf ordering exactly, so
+    * the per-term ranking it induces matches ln-TF-IDF's (a positive
+    * monotone transform of idf, scaled by the same tf, ranks identically
+    * within a document only up to tf grouping — this score is its own
+    * deterministic definition, like q68). Shape at scale: tf is one
+    * (doc, term)-keyed aggregation, df one term-keyed aggregation of the tf
+    * table (already one row per (doc, term) — no re-scan of text), N a 1-row
+    * broadcast; the top-3 window partitions by doc_id. Score = BIGINT tf ×
+    * one double ratio — a fixed IEEE op sequence both engines evaluate
+    * identically, ties broken by term. */
+  val tfidfTopTerms: Q = Q(
+    "q91_tfidf_top_terms",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      tf.join(dfT, "term").join(broadcast(n))
+        .withColumn("score", expr("tf * ((n_docs - df + 0.5e0) / (df + 0.5e0))"))
+        .withColumn("term_rank", row_number().over(w).cast("long"))
+        .filter(col("term_rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("score"), col("term_rank"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE text IS NOT NULL
+      ), tf AS (
+        SELECT doc_id, term, COUNT(1) AS tf FROM toks GROUP BY doc_id, term
+      ), dfx AS (
+        SELECT term, COUNT(1) AS df FROM tf GROUP BY term
+      ), g AS (
+        SELECT COUNT(1) AS n_docs FROM documents WHERE text IS NOT NULL
+      ), sc AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               tf.tf * ((n_docs - df + 0.5e0) / (df + 0.5e0)) AS score
+        FROM tf JOIN dfx ON tf.term = dfx.term, g
+      ), r AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, term) AS term_rank
+        FROM sc
+      )
+      SELECT doc_id, term, tf, score, CAST(term_rank AS BIGINT) AS term_rank
+      FROM r WHERE term_rank <= 3"""))
+
   val all: Seq[Q] = Seq(piiRedact, decontaminate, mixtureSample, noveltyScore,
     ngramTopK, docPack, embedQuantize, cleanPipeline, zorderKey, docChunks,
-    bm25Score)
+    bm25Score, tfidfTopTerms)
 }
 

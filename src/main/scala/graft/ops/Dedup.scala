@@ -49,24 +49,30 @@ object Dedup {
 
   private val maxDf = 50 // shingles seen in more docs than this are stop-shingles
 
+  /** (doc_id, ngram) restricted to RARE shingles — the shared blocking index
+    * for q14 (Jaccard verify) and q87 (edit-distance verify). df >= 2:
+    * singleton shingles can't produce pairs; df <= maxDf kills hot keys.
+    * This frame feeds several consumers per query and two queries per run —
+    * materialize once instead of re-running the explode+join subtree per
+    * consumer. PlanCache bounds this to one persisted copy per (session, dir)
+    * with a data-fingerprint staleness key, so repeated driver invocations
+    * reuse it instead of accumulating cache entries. */
+  private def rareShingleRows(s: SparkSession, dir: String): DataFrame = {
+    val ng = ngramRows(s, dir)
+    val rare = ng.groupBy("ngram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("ngram")
+    graft.PlanCache.cached(s, "q14_ngr", dir, s"$dir/documents.parquet") {
+      ng.join(rare, "ngram")
+    }
+  }
+
   /** Exact n-gram Jaccard over rare shingles via inverted-index self-join:
     * pairs sharing ≥1 rare 3-gram, jaccard = |∩| / |∪| of rare-shingle sets. */
   val ngramJaccard: Q = Q(
     "q14_dedup_ngram_jaccard",
     (s, dir) => {
-      val ng = ngramRows(s, dir)
-      // df >= 2: singleton shingles can't produce pairs; df <= maxDf kills hot keys
-      val rare = ng.groupBy("ngram").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= maxDf)
-        .select("ngram")
-      // ngr feeds four consumers (pair join ×2, sizes, output) — materialize
-      // once instead of re-running the explode+join subtree per consumer.
-      // PlanCache bounds this to one persisted copy per (session, dir) with a
-      // data-fingerprint staleness key, so repeated driver invocations reuse
-      // it instead of accumulating cache entries
-      val ngr = graft.PlanCache.cached(s, "q14_ngr", dir, s"$dir/documents.parquet") {
-        ng.join(rare, "ngram")
-      }
+      val ngr = rareShingleRows(s, dir)
       val sizes = ngr.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = ngr.as("a").join(ngr.as("b"),
           col("a.ngram") === col("b.ngram") && col("a.doc_id") < col("b.doc_id"))
@@ -283,5 +289,64 @@ object Dedup {
       FROM sig s LEFT JOIN coll c ON s.doc_id = c.doc_id"""
     })
 
-  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash)
+  /** Edit-distance (Levenshtein) near-dup: candidate pairs from the SAME
+    * rare-shingle blocking index q14 uses (one persisted copy serves both),
+    * verified by exact Levenshtein over the two full texts. Blocking is what
+    * makes this a 100-TB operator: the O(len²) DP verify runs only on pairs
+    * that already share a rare shingle — never all pairs — and the shuffle
+    * carries (doc_a, doc_b) id pairs, with text joined back per candidate.
+    *
+    * The accept predicate `10·ed ≤ max(n_chars)` (relative distance ≤ 0.1) is
+    * pure integer arithmetic so both engines decide it identically; the
+    * reported rel_dist is a single double division of two exact integers
+    * (bit-exact per the FP contract atop Pipelines.scala). On the synthetic
+    * corpus true near-dups sit at rel ≤ 0.07 and the nearest non-dup at 0.53,
+    * so the 0.1 threshold is far from both margins. */
+  val editDistance: Q = Q(
+    "q87_dedup_edit_distance",
+    (s, dir) => {
+      val ngr = rareShingleRows(s, dir)
+      val cand = ngr.as("a").join(ngr.as("b"),
+          col("a.ngram") === col("b.ngram") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("n_chars"))
+      cand
+        .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+          col("n_chars").as("ca")), "doc_a")
+        .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+          col("n_chars").as("cb")), "doc_b")
+        .withColumn("edit_dist", levenshtein(col("ta"), col("tb")).cast("long"))
+        .withColumn("mx", greatest(col("ca"), col("cb")))
+        .filter(col("edit_dist") * 10 <= col("mx"))
+        .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+          (col("edit_dist").cast("double") / col("mx").cast("double")).as("rel_dist"))
+    },
+    Some(s"""WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+      ), ng AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words)-1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS ngram
+        FROM docs
+      ), rare AS (
+        SELECT ngram FROM ng GROUP BY ngram HAVING count(1) >= 2 AND count(1) <= $maxDf
+      ), ngr AS (
+        SELECT ng.doc_id, ng.ngram FROM ng JOIN rare ON ng.ngram = rare.ngram
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ngr a JOIN ngr b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+      ), v AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+               greatest(da.n_chars, db.n_chars) AS mx
+        FROM cand c
+        JOIN documents da ON da.doc_id = c.doc_a
+        JOIN documents db ON db.doc_id = c.doc_b
+      )
+      SELECT doc_a, doc_b, edit_dist,
+             CAST(edit_dist AS DOUBLE) / CAST(mx AS DOUBLE) AS rel_dist
+      FROM v WHERE edit_dist * 10 <= mx"""))
+
+  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash, editDistance)
 }

@@ -256,6 +256,116 @@ object EventOps {
       FROM lagged
       WHERE prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) >= $debounceUs"""))
 
+  // ---- q88: time-weighted average ------------------------------------------
+  /** Per-(user, day) time-weighted average of `value` over irregular events:
+    * each observation holds until the next event of the same user-day (last
+    * one holds to midnight), i.e. the step-function mean — the TWAP shape
+    * finance/telemetry pipelines need where a plain avg() over-weights bursts.
+    *
+    * FP discipline (contract atop Pipelines.scala): `value` has 2 decimals →
+    * scaled to exact BIGINT cents; dwell times are exact µs BIGINTs; both
+    * per-group sums are integer (order-independent, any partitioning); only
+    * the final twa = num/den/100 runs in doubles — two exactly-rounded IEEE
+    * divisions both engines evaluate identically. One window + one
+    * aggregation, both keyed (user_id, day) — a single co-partitioned
+    * shuffle family at any scale. */
+  val timeWeightedAvg: Q = Q(
+    "q88_time_weighted_avg",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .withColumn("day", date_trunc("DAY", col("ts")))
+        .withColumn("next_ts",
+          coalesce(lead("ts", 1).over(w), expr("day + INTERVAL 1 DAY")))
+        .withColumn("dw", expr("unix_micros(next_ts) - unix_micros(ts)"))
+        .withColumn("v100", expr("CAST(round(value * 100) AS BIGINT)"))
+        .groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("v100 * dw")).as("num"), sum("dw").as("den"))
+        .select(col("user_id"), col("day"), col("n_events"),
+          expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1e2").as("twa_value"))
+    },
+    Some("""WITH ev AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+      ), d AS (
+        SELECT *, date_trunc('day', ts) AS day FROM ev
+      ), n AS (
+        SELECT user_id, day, ts, value,
+               COALESCE(lead(ts) OVER (PARTITION BY user_id, day
+                 ORDER BY ts, event_id), day + INTERVAL 1 DAY) AS next_ts
+        FROM d
+      ), x AS (
+        SELECT user_id, day, epoch_us(next_ts) - epoch_us(ts) AS dw,
+               CAST(round(value * 100) AS BIGINT) AS v100
+        FROM n
+      )
+      SELECT user_id, day, COUNT(1) AS n_events,
+             CAST(SUM(v100 * dw) AS DOUBLE) / CAST(SUM(dw) AS DOUBLE) / 1e2
+               AS twa_value
+      FROM x GROUP BY user_id, day"""))
+
+  // ---- q89: last-touch attribution -----------------------------------------
+  private val attributionWindowUs = 3L * 24 * 3600 * 1000000 // 3 days
+
+  /** Last-touch marketing attribution: each purchase is credited to the most
+    * recent view/click of the same user within a 3-day lookback, else
+    * 'none'; credited revenue rolls up per (channel, purchase day). The
+    * last-touch lookup avoids IGNORE NULLS (not portable to the oracle
+    * dialect) via the q76 running-count trick: a running count of channel
+    * events indexes each purchase to its preceding channel event, which is
+    * then recovered by an equi-join on (user_id, index) — every window and
+    * join in the query keys on user_id, one co-partitioned shuffle family,
+    * and the lookback bound is integer µs arithmetic. Revenue sums exact
+    * BIGINT cents (order-independent) with a final double division. */
+  val attribution: Q = Q(
+    "q89_attribution",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tagged = Tables.events(s, dir)
+        .withColumn("grp",
+          count(when(col("event_type").isin("view", "click"), 1)).over(w))
+      val channels = tagged.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("grp"), col("ts").as("ch_ts"),
+          col("event_type").as("channel"))
+      val purchases = tagged.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("grp"), col("ts"), col("value"))
+      purchases.join(channels, Seq("user_id", "grp"), "left")
+        .withColumn("attributed_channel",
+          when(col("ch_ts").isNotNull &&
+            expr(s"unix_micros(ts) - unix_micros(ch_ts) <= ${attributionWindowUs}L"),
+            col("channel")).otherwise(lit("none")))
+        .groupBy(col("attributed_channel"), date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_purchases"),
+          expr("CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 1e2")
+            .as("revenue"))
+    },
+    Some(s"""WITH ev AS (
+        SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events
+      ), t AS (
+        SELECT *, COUNT(CASE WHEN event_type IN ('view', 'click') THEN 1 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM ev
+      ), ch AS (
+        SELECT user_id, grp, ts AS ch_ts, event_type AS channel
+        FROM t WHERE event_type IN ('view', 'click')
+      ), p AS (
+        SELECT user_id, grp, ts, value FROM t WHERE event_type = 'purchase'
+      ), j AS (
+        SELECT p.ts, p.value,
+               CASE WHEN ch.ch_ts IS NOT NULL
+                     AND epoch_us(p.ts) - epoch_us(ch.ch_ts) <= $attributionWindowUs
+                    THEN ch.channel ELSE 'none' END AS attributed_channel
+        FROM p LEFT JOIN ch ON p.user_id = ch.user_id AND p.grp = ch.grp
+      )
+      SELECT attributed_channel, date_trunc('day', ts) AS day,
+             COUNT(1) AS n_purchases,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 1e2
+               AS revenue
+      FROM j GROUP BY 1, 2"""))
+
   val all: Seq[Q] = Seq(funnel, watermarkIngest, gapFill, hoppingWindow,
-    cohortRetention, debounce)
+    cohortRetention, debounce, timeWeightedAvg, attribution)
 }

@@ -98,11 +98,57 @@ object Similarity {
     val rnd = new scala.util.Random(42)
     Seq.fill(nBands * bandBits)(Seq.fill(64)(rnd.nextGaussian()))
   }
+  /** Probe masks for a Hamming budget: every bandBits-wide mask with
+    * popcount ≤ h, ordered (popcount, value) so the production set (h=2:
+    * 1 + 8 + 28 = 37 probes) enumerates exactly as before. The budget is the
+    * recall/scan-cost dial measured by [[graft.AnnSweep]] (table in
+    * BENCH_NOTES). */
+  private[graft] def probeMasksFor(h: Int): Seq[Long] =
+    (0 until (1 << bandBits)).map(_.toLong)
+      .filter(m => java.lang.Long.bitCount(m) <= h)
+      .sortBy(m => (java.lang.Long.bitCount(m), m))
   /** Exact band key + every Hamming-≤2 variant: 1 + 8 + 28 = 37 probes. */
-  private val probeMasks: Seq[Long] = Seq(0L) ++
-    (0 until bandBits).map(j => 1L << j) ++
-    (for (j <- 0 until bandBits; k <- j + 1 until bandBits)
-      yield (1L << j) | (1L << k))
+  private val probeMasks: Seq[Long] = probeMasksFor(2)
+
+  /** Candidate set of the q19 LSH plan at Hamming budget `h` — exposed
+    * separately so [[graft.AnnSweep]] can measure candidate volume per
+    * budget; `lshTopK(s, dir, 2)` IS q19's production plan. */
+  private[graft] def lshCandidates(s: SparkSession, dir: String, h: Int): DataFrame = {
+      val planesCol = typedLit(lshPlanes)
+      // all 8 band keys in one fused codegen'd loop (VecBandKeys) — the HOF
+      // formulation interpreted two lambdas per plane element, which dominated
+      // the query's wall time; key bit order is most-significant-first, and
+      // per-band computation avoids a 64-bit signature accumulator (ANSI mode
+      // would throw on the sign-bit shift)
+      val bandRows = withNorm(s, dir).withColumn("planes", planesCol)
+        .select(col("vec_id"), col("v"), col("norm"),
+          posexplode(expr(s"vec_band_keys(v, planes, $bandBits)"))
+            .as(Seq("band_idx", "band_key")))
+      // query side probe budget is the recall/scan-cost dial: these synthetic
+      // embeddings are near-random (5th-neighbor cos ≈ 0.3 → per-bit
+      // collision ≈ 0.6) so they need the full H≤2 budget; clustered
+      // production embeddings reach the same recall at H≤1
+      val probeKeys = expr(probeMasksFor(h).map(m => s"band_key ^ $m")
+        .mkString("array(", ", ", ")"))
+      val q = bandRows.filter(col("vec_id") % queryMod === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"),
+          col("band_idx").as("q_band_idx"), explode(probeKeys).as("q_probe_key"))
+      bandRows.join(broadcast(q),
+          col("band_idx") === col("q_band_idx") && col("band_key") === col("q_probe_key")
+            && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("qv"), col("qn"), col("vec_id"), col("v"), col("norm"))
+        .dropDuplicates("q_id", "vec_id")
+  }
+
+  private[graft] def lshTopK(s: SparkSession, dir: String, h: Int): DataFrame = {
+      val cand = lshCandidates(s, dir, h)
+        .withColumn("dot", expr("vec_dot(qv, v)"))
+        .withColumn("cos", col("dot") / (col("qn") * col("norm")))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      cand.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+  }
 
   /** Random-hyperplane (SimHash-for-vectors) LSH top-k: 64 deterministic
     * hyperplanes → 64-bit signature → 8 bands of 8 bits, with query-side
@@ -118,38 +164,7 @@ object Similarity {
     * bit-exact vs vec_dot), identical probe sets, and the q18-style re-rank. */
   val knnLsh: Q = Q(
     "q19_knn_lsh",
-    (s, dir) => {
-      val planesCol = typedLit(lshPlanes)
-      // all 8 band keys in one fused codegen'd loop (VecBandKeys) — the HOF
-      // formulation interpreted two lambdas per plane element, which dominated
-      // the query's wall time; key bit order is most-significant-first, and
-      // per-band computation avoids a 64-bit signature accumulator (ANSI mode
-      // would throw on the sign-bit shift)
-      val bandRows = withNorm(s, dir).withColumn("planes", planesCol)
-        .select(col("vec_id"), col("v"), col("norm"),
-          posexplode(expr(s"vec_band_keys(v, planes, $bandBits)"))
-            .as(Seq("band_idx", "band_key")))
-      // query side probe budget is the recall/scan-cost dial: these synthetic
-      // embeddings are near-random (5th-neighbor cos ≈ 0.3 → per-bit
-      // collision ≈ 0.6) so they need the full H≤2 budget; clustered
-      // production embeddings reach the same recall at H≤1
-      val probeKeys = expr(probeMasks.map(m => s"band_key ^ $m")
-        .mkString("array(", ", ", ")"))
-      val q = bandRows.filter(col("vec_id") % queryMod === 0)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"),
-          col("band_idx").as("q_band_idx"), explode(probeKeys).as("q_probe_key"))
-      val cand = bandRows.join(broadcast(q),
-          col("band_idx") === col("q_band_idx") && col("band_key") === col("q_probe_key")
-            && col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("qv"), col("qn"), col("vec_id"), col("v"), col("norm"))
-        .dropDuplicates("q_id", "vec_id")
-        .withColumn("dot", expr("vec_dot(qv, v)"))
-        .withColumn("cos", col("dot") / (col("qn") * col("norm")))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-      cand.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
-    },
+    (s, dir) => lshTopK(s, dir, 2),
     Some {
       // plane rows: (band_idx, bit_idx, plane); bit j of band i is plane 8i+j,
       // weighted 2^(7-j) — the same most-significant-first fold as the Spark
@@ -253,15 +268,10 @@ object Similarity {
     }
   }
 
-  /** IVF-style ANN: load-cached KMeans coarse quantizer (16 cells), queries
-    * probe their `nProbes` (4) nearest centroids, exact cosine re-rank inside
-    * the probed cells. The 100 TB shape: the corpus is partitioned by cell, a
-    * query touches nProbes/16ths of it instead of all of it; the quantizer is
-    * trained once offline (IvfIndex), not refit per query; recall vs q18
-    * asserted in tests. */
-  val knnIvf: Q = Q(
-    "q34_knn_ivf",
-    (s, dir) => {
+  /** The q34 plan at an arbitrary probe count — `ivfTopK(s, dir,
+    * IvfIndex.nProbes)` IS q34's production plan; [[graft.AnnSweep]] sweeps
+    * the probe budget for the BENCH_NOTES recall/cost table. */
+  private[graft] def ivfTopK(s: SparkSession, dir: String, nProbes: Int): DataFrame = {
       val centLit = typedLit(IvfIndex.centroids(s, dir))
       // cell assignment + probe list as pure expressions over the centroid
       // literal: argmin / top-nProbes of per-centroid L2, no ML model, no
@@ -279,7 +289,7 @@ object Similarity {
         .withColumn("probe_cell", explode(expr(
           s"""transform(
             slice(array_sort(zip_with(cdists, sequence(0, ${IvfIndex.nCells - 1}),
-              (d, i) -> struct(d AS d, i AS i))), 1, ${IvfIndex.nProbes}),
+              (d, i) -> struct(d AS d, i AS i))), 1, $nProbes),
             p -> CAST(p.i AS BIGINT))""")))
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"),
           col("probe_cell").as("cell"))
@@ -290,7 +300,17 @@ object Similarity {
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
-    },
+  }
+
+  /** IVF-style ANN: load-cached KMeans coarse quantizer (16 cells), queries
+    * probe their `nProbes` (4) nearest centroids, exact cosine re-rank inside
+    * the probed cells. The 100 TB shape: the corpus is partitioned by cell, a
+    * query touches nProbes/16ths of it instead of all of it; the quantizer is
+    * trained once offline (IvfIndex), not refit per query; recall vs q18
+    * asserted in tests. */
+  val knnIvf: Q = Q(
+    "q34_knn_ivf",
+    (s, dir) => ivfTopK(s, dir, IvfIndex.nProbes),
     None,
     Some(() => ivfOracle))
 

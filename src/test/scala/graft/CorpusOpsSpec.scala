@@ -223,6 +223,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(d.select("k").head().getLong(0) === 2L)
   }
 
+  test("q91 tf-idf: three ranked terms per doc, scores monotone, rarest-term preference holds") {
+    val df = SparkEntry.queries("q91_tfidf_top_terms")(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir).filter(col("text").isNotNull).count()
+    assert(df.count() === docs * 3, "every doc has >= 3 distinct terms on this corpus")
+    assert(df.filter(col("term_rank") < 1 || col("term_rank") > 3).count() === 0)
+    assert(df.filter(col("tf") < 1 || col("score") <= 0).count() === 0)
+    // scores are non-increasing in rank within a doc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("term_rank")
+    assert(df.withColumn("prev", lag("score", 1).over(w))
+      .filter(col("prev").isNotNull && col("score") > col("prev")).count() === 0)
+    // independent recompute for the single busiest doc: its rank-1 term must
+    // maximize tf * (N - df + 0.5)/(df + 0.5) over the doc's distinct terms
+    val docId = df.groupBy("doc_id").agg(max("tf").as("m"))
+      .orderBy(col("m").desc, col("doc_id")).head().getLong(0)
+    val text = Tables.documents(spark, sfDir).filter(col("doc_id") === docId)
+      .head().getAs[String]("text")
+    val tf = text.split(" ").groupBy(identity).map { case (t, a) => t -> a.length }
+    val allTf = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+    val dfMap = allTf.filter(col("term").isin(tf.keys.toSeq: _*))
+      .groupBy("term").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val best = tf.map { case (t, f) =>
+      (t, f * ((docs - dfMap(t) + 0.5) / (dfMap(t) + 0.5)))
+    }.toSeq.sortBy { case (t, sc) => (-sc, t) }.head
+    val got = df.filter(col("doc_id") === docId && col("term_rank") === 1).head()
+    assert(got.getAs[String]("term") === best._1)
+    assert(got.getAs[Double]("score") === best._2)
+  }
+
   test("corpus-prep per-row operators stay zero-shuffle; q51 broadcasts the eval side") {
     for (q <- Seq("q50_pii_redact", "q52_mixture_sample", "q56_embed_quantize")) {
       val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString

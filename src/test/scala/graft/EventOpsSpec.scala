@@ -150,4 +150,47 @@ class EventOpsSpec extends AnyFunSuite {
     assert(df.filter(
       size(split(col("keys_csv"), ",")).cast("long") =!= col("n_orders")).count() === 0)
   }
+
+  test("q88 time-weighted average: bounded by the day's values and matches an independent recompute") {
+    val df = SparkEntry.queries("q88_time_weighted_avg")(spark, sfDir)
+    assert(df.agg(sum("n_events")).head().getLong(0) ===
+      Tables.events(spark, sfDir).count(), "every event belongs to exactly one user-day")
+    // twa is a convex combination of the day's observations
+    val bounds = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(min("value").as("lo"), max("value").as("hi"))
+    val eps = 1e-9
+    assert(df.join(bounds, Seq("user_id", "day"))
+      .filter(col("twa_value") < col("lo") - eps || col("twa_value") > col("hi") + eps)
+      .count() === 0)
+    // independent scala recompute of one busy user-day (exact µs arithmetic,
+    // matching the query's integer-sum formulation bit for bit)
+    val top = df.orderBy(col("n_events").desc, col("user_id"), col("day")).head()
+    val (u, day) = (top.getLong(0), top.getTimestamp(1))
+    val evs = Tables.events(spark, sfDir)
+      .filter(col("user_id") === u && date_trunc("DAY", col("ts")) === day)
+      .select(expr("unix_micros(ts)"), col("value"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._3))
+    val dayEndUs = day.getTime * 1000L + 24L * 3600 * 1000000
+    val (num, den) = evs.zip(evs.drop(1).map(_._1) :+ dayEndUs)
+      .map { case ((ts, v, _), next) => (math.round(v * 100) * (next - ts), next - ts) }
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(top.getDouble(3) === num.toDouble / den.toDouble / 1e2)
+  }
+
+  test("q89 attribution: conserves purchases and revenue; channels are valid") {
+    val df = SparkEntry.queries("q89_attribution")(spark, sfDir)
+    val purchases = Tables.events(spark, sfDir).filter(col("event_type") === "purchase")
+    assert(df.agg(sum("n_purchases")).head().getLong(0) === purchases.count(),
+      "every purchase is attributed to exactly one channel (or none)")
+    val creditedCents = df.agg(sum(expr("CAST(round(revenue * 100) AS BIGINT)")))
+      .head().getLong(0)
+    val actualCents = purchases.agg(sum(expr("CAST(round(value * 100) AS BIGINT)")))
+      .head().getLong(0)
+    assert(creditedCents === actualCents, "attribution must conserve revenue")
+    val channels = df.select("attributed_channel").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(channels.subsetOf(Set("view", "click", "none")))
+  }
 }

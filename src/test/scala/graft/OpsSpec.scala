@@ -181,4 +181,36 @@ class OpsSpec extends AnyFunSuite {
     val nonEn = withThe.filter(col("predicted_lang") =!= "en").count()
     assert(nonEn === 0)
   }
+
+  test("q87 edit-distance near-dup: thresholded, ordered, and agrees with the jaccard verifier") {
+    val ed = SparkEntry.queries("q87_dedup_edit_distance")(spark, sfDir)
+    // accept predicate and pair ordering hold row-by-row
+    assert(ed.filter(col("doc_a") >= col("doc_b")).count() === 0)
+    assert(ed.filter(col("rel_dist") > 0.1 || col("rel_dist") < 0).count() === 0)
+    // cross-verifier agreement: the SAME blocking index feeds q14 (jaccard
+    // >= 0.5) and q87 (relative edit distance <= 0.1) — two independent
+    // similarity measures; on this corpus the true near-dup pairs are
+    // separated by a wide margin from everything else (nearest non-dup at
+    // rel 0.53), so both verifiers must accept exactly the same pair set
+    val edPairs = ed.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jacPairs = SparkEntry.queries("q14_dedup_ngram_jaccard")(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edPairs === jacPairs)
+  }
+
+  test("q90 histogram: bins partition the value range with exact counts") {
+    val df = SparkEntry.queries("q90_value_histogram")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(df.map(_._2).sum === Tables.orders(spark, sfDir).count())
+    assert(df.forall { case (bin, _, lo, hi, avg) =>
+      bin >= 0 && bin < 20 && lo <= hi && avg >= lo && avg <= hi })
+    // bins are disjoint and ordered: each bin's max sits below the next bin's min
+    df.sliding(2).foreach {
+      case Array((_, _, _, hi1, _), (_, _, lo2, _, _)) => assert(hi1 <= lo2)
+      case _ => ()
+    }
+  }
 }
