@@ -390,7 +390,57 @@ object Analytics {
                / COUNT(1) / 1e2 AS bin_avg
       FROM binned GROUP BY bin"""))
 
+  /** q93: event-type co-occurrence with lift — the association-mining core
+    * (market-basket over the event log): for each unordered pair of event
+    * types, the number of users exhibiting both, its support, and
+    * lift = P(a∧b)/(P(a)·P(b)). The per-user self-join is bounded by the
+    * type-distinct frame (≤ |types| rows per user, here 5), so candidate
+    * volume is ≤ |types|²/2 per user — never a cross join over events — and
+    * the rollup lands on ≤ |types|²/2 keys with map-side combine. Counts are
+    * exact integers; support and lift are fixed double expressions over them
+    * (identical IEEE op sequence in both engines). */
+  val cooccurrence: Q = Q(
+    "q93_cooccurrence_lift",
+    (s, dir) => {
+      val ut = Tables.events(s, dir).select("user_id", "event_type").distinct()
+      val totals = ut.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      val users = ut.agg(countDistinct("user_id").as("n_users"))
+      val pairs = ut.as("a").join(ut.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("both_cnt"))
+      pairs
+        .join(broadcast(totals.select(col("event_type").as("type_a"), col("cnt").as("cnt_a"))), "type_a")
+        .join(broadcast(totals.select(col("event_type").as("type_b"), col("cnt").as("cnt_b"))), "type_b")
+        .join(broadcast(users))
+        .select(col("type_a"), col("type_b"), col("both_cnt"), col("cnt_a"), col("cnt_b"),
+          expr("CAST(both_cnt AS DOUBLE) / CAST(n_users AS DOUBLE)").as("support"),
+          expr("(CAST(both_cnt AS DOUBLE) * CAST(n_users AS DOUBLE)) / (CAST(cnt_a AS DOUBLE) * CAST(cnt_b AS DOUBLE))")
+            .as("lift"))
+    },
+    Some("""WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+      ), totals AS (
+        SELECT event_type, COUNT(1) AS cnt FROM ut GROUP BY event_type
+      ), users AS (
+        SELECT COUNT(DISTINCT user_id) AS n_users FROM ut
+      ), pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(1) AS both_cnt
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+      )
+      SELECT type_a, type_b, both_cnt, ta.cnt AS cnt_a, tb.cnt AS cnt_b,
+             CAST(both_cnt AS DOUBLE) / CAST(n_users AS DOUBLE) AS support,
+             (CAST(both_cnt AS DOUBLE) * CAST(n_users AS DOUBLE))
+               / (CAST(ta.cnt AS DOUBLE) * CAST(tb.cnt AS DOUBLE)) AS lift
+      FROM pairs
+      JOIN totals ta ON pairs.type_a = ta.event_type
+      JOIN totals tb ON pairs.type_b = tb.event_type
+      CROSS JOIN users"""))
+
   val all: Seq[Q] = Seq(windowSuite, setOps, rollup, asofJoin, sqlDdl,
     approxDistinct, percentileStats, pivot, unpivot, cube, countMin, nestedAgg,
-    histogram)
+    histogram, cooccurrence)
 }

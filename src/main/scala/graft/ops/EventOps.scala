@@ -366,6 +366,77 @@ object EventOps {
                AS revenue
       FROM j GROUP BY 1, 2"""))
 
+  // ---- q92: peak concurrency (distributed sweep-line) ----------------------
+  /** Peak number of concurrently-active 30-minute event windows per day —
+    * each event opens a half-open [ts, ts+30min) activity interval; the
+    * classic sweep-line (+1 at start, −1 at end, running sum, max) made
+    * distributed: a single global ordering would serialize the whole log
+    * through one partition, so the sweep partitions by DAY with each day's
+    * carried-over offset (intervals opened before the day and still active
+    * at its start) computed as a separate aggregate and added to the
+    * in-day prefix sum. A zero-delta sentinel at each day start makes the
+    * carried-over level itself a candidate peak (a day of only closings
+    * peaks at its first instant). End boundaries landing in the next day
+    * decrement there — exactly matching that day's carried-over count.
+    * Ties order (−1 before +1) so an interval ending at instant t never
+    * overlaps one starting at t. Pure integer arithmetic throughout. */
+  val peakConcurrency: Q = Q(
+    "q92_peak_concurrency",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("ts"))
+      val bounds = ev.select(col("ts").as("bts"), lit(1).as("delta"), col("event_id"))
+        .unionAll(ev.select(expr("ts + INTERVAL 30 MINUTES").as("bts"),
+          lit(-1).as("delta"), col("event_id")))
+        .withColumn("day", date_trunc("DAY", col("bts")))
+      val days = bounds.select("day").distinct()
+      val sentinels = days.select(col("day"), col("day").as("bts"),
+        lit(0).as("delta"), lit(-1L).as("event_id"))
+      // end >= day (not >): an interval closing EXACTLY at midnight still has
+      // its −1 boundary in this day's partition, so it must be in the offset
+      // it decrements from — strict > would double-remove it and shift the
+      // whole day's levels down by one. The sentinel sorts after midnight
+      // −1 rows (delta −1 < 0), so the recorded day-start level is exact.
+      val base = broadcast(days).join(ev,
+          col("ts") < col("day") && expr("ts + INTERVAL 30 MINUTES") >= col("day"))
+        .groupBy("day").agg(count(lit(1)).as("base"))
+      val w = Window.partitionBy("day")
+        .orderBy(col("bts"), col("delta"), col("event_id"))
+      bounds.select("day", "bts", "delta", "event_id").unionAll(sentinels)
+        .join(base, Seq("day"), "left")
+        .withColumn("running",
+          coalesce(col("base"), lit(0L)) + sum("delta").over(w))
+        .groupBy("day").agg(max("running").as("peak_concurrent"))
+    },
+    Some("""WITH ev AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      ), bounds AS (
+        SELECT ts AS bts, 1 AS delta, event_id FROM ev
+        UNION ALL
+        SELECT ts + INTERVAL 30 MINUTE AS bts, -1 AS delta, event_id FROM ev
+      ), b AS (
+        SELECT date_trunc('day', bts) AS day, bts, delta, event_id FROM bounds
+      ), days AS (
+        SELECT DISTINCT day FROM b
+      ), sentinels AS (
+        SELECT day, day AS bts, 0 AS delta, CAST(-1 AS BIGINT) AS event_id FROM days
+      ), base AS (
+        SELECT d.day, COUNT(1) AS base
+        FROM days d JOIN ev ON ev.ts < d.day AND ev.ts + INTERVAL 30 MINUTE >= d.day
+        GROUP BY d.day
+      ), sweep AS (
+        SELECT u.day, u.bts, u.delta, u.event_id, COALESCE(base.base, 0) AS base
+        FROM (SELECT day, bts, delta, event_id FROM b
+              UNION ALL SELECT * FROM sentinels) u
+        LEFT JOIN base ON u.day = base.day
+      ), run AS (
+        SELECT day, base + SUM(delta) OVER (PARTITION BY day
+          ORDER BY bts, delta, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        FROM sweep
+      )
+      SELECT day, CAST(MAX(running) AS BIGINT) AS peak_concurrent
+      FROM run GROUP BY day"""))
+
   val all: Seq[Q] = Seq(funnel, watermarkIngest, gapFill, hoppingWindow,
-    cohortRetention, debounce, timeWeightedAvg, attribution)
+    cohortRetention, debounce, timeWeightedAvg, attribution, peakConcurrency)
 }

@@ -179,6 +179,34 @@ class EventOpsSpec extends AnyFunSuite {
     assert(top.getDouble(3) === num.toDouble / den.toDouble / 1e2)
   }
 
+  test("q92 peak concurrency matches an exact global sweep with day-start levels") {
+    val df = SparkEntry.queries("q92_peak_concurrency")(spark, sfDir)
+    val got = df.collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    // independent recompute: ONE global sweep (no per-day partitioning),
+    // tracking the carried level at each day start — the construction the
+    // distributed form must reproduce exactly
+    val us = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts)"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val win = 30L * 60 * 1000000
+    val dayUs = 24L * 3600 * 1000000
+    val bounds = (us.map { case (t, id) => (t, 1, id) } ++
+      us.map { case (t, id) => (t + win, -1, id) })
+      .sortBy { case (t, d, id) => (t, d, id) }
+    val days = bounds.map(b => Math.floorDiv(b._1, dayUs) * dayUs).distinct
+    val withSentinels = (bounds ++ days.map(d => (d, 0, -1L)))
+      .sortBy { case (t, d, id) => (t, d, id) }
+    var cur = 0L
+    val peaks = scala.collection.mutable.Map[Long, Long]()
+    for ((t, d, _) <- withSentinels) {
+      cur += d
+      val day = Math.floorDiv(t, dayUs) * dayUs
+      peaks(day) = math.max(peaks.getOrElse(day, Long.MinValue), cur)
+    }
+    val expected = peaks.map { case (d, p) => new java.sql.Timestamp(d / 1000) -> p }.toMap
+    assert(got === expected)
+  }
+
   test("q89 attribution: conserves purchases and revenue; channels are valid") {
     val df = SparkEntry.queries("q89_attribution")(spark, sfDir)
     val purchases = Tables.events(spark, sfDir).filter(col("event_type") === "purchase")

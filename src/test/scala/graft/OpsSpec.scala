@@ -200,6 +200,23 @@ class OpsSpec extends AnyFunSuite {
     assert(edPairs === jacPairs)
   }
 
+  test("q93 co-occurrence lift matches an exact set recompute") {
+    val df = SparkEntry.queries("q93_cooccurrence_lift")(spark, sfDir)
+    val ut = Tables.events(spark, sfDir).select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byType = ut.groupBy(_._2).map { case (t, a) => t -> a.map(_._1).toSet }
+    val nUsers = ut.map(_._1).distinct.length.toLong
+    val expected = (for {
+      (a, ua) <- byType; (b, ub) <- byType if a < b
+      both = (ua intersect ub).size.toLong if both > 0
+    } yield (a, b) -> (both, ua.size.toLong, ub.size.toLong,
+        both.toDouble / nUsers.toDouble,
+        (both.toDouble * nUsers.toDouble) / (ua.size.toDouble * ub.size.toDouble))).toMap
+    val got = df.collect().map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(got === expected)
+  }
+
   test("q90 histogram: bins partition the value range with exact counts") {
     val df = SparkEntry.queries("q90_value_histogram")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
