@@ -440,7 +440,50 @@ object Analytics {
       JOIN totals tb ON pairs.type_b = tb.event_type
       CROSS JOIN users"""))
 
+  /** q95: exact weighted median per group — the order statistic a plain
+    * percentile can't give when rows carry weights (median unit price
+    * weighted by quantity). Formulation: one window pass per group ordered
+    * by (value, keys) accumulating EXACT integer centi-weights (2-decimal
+    * quantities × 100 → BIGINT, so the cumulative sums are associativity-
+    * free), then the lower weighted median is the first row where
+    * 2·cum ≥ total — an integer comparison both engines decide identically;
+    * the reported median is a raw stored double. Shape at scale: one
+    * group-keyed sort window + one aggregate, no self-join, no collect. */
+  val weightedMedian: Q = Q(
+    "q95_weighted_median",
+    (s, dir) => {
+      val w100 = expr("CAST(round(l_quantity * 100) AS BIGINT)")
+      val win = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val winAll = Window.partitionBy("l_returnflag")
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"), w100.as("w100"))
+        .withColumn("cum", sum("w100").over(win))
+        .withColumn("total", sum("w100").over(winAll))
+        .filter(col("cum") * 2 >= col("total"))
+        .groupBy("l_returnflag")
+        .agg(min("l_extendedprice").as("weighted_median"),
+          count(lit(1)).as("rows_at_or_above"))
+    },
+    Some("""WITH t AS (
+        SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+               CAST(round(l_quantity * 100) AS BIGINT) AS w100
+        FROM lineitem
+      ), c AS (
+        SELECT l_returnflag, l_extendedprice,
+               SUM(w100) OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(w100) OVER (PARTITION BY l_returnflag) AS total
+        FROM t
+      )
+      SELECT l_returnflag, MIN(l_extendedprice) AS weighted_median,
+             COUNT(1) AS rows_at_or_above
+      FROM c WHERE cum * 2 >= total GROUP BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(windowSuite, setOps, rollup, asofJoin, sqlDdl,
     approxDistinct, percentileStats, pivot, unpivot, cube, countMin, nestedAgg,
-    histogram, cooccurrence)
+    histogram, cooccurrence, weightedMedian)
 }

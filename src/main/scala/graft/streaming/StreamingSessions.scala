@@ -257,5 +257,42 @@ object StreamingSessions {
     Some("""SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
       count(1) AS dup_count FROM documents GROUP BY md5(text)"""))
 
-  val all: Seq[Q] = Seq(streamingSessions, streamingDedup)
+  /** Streaming hopping-window aggregation — the streaming form of q81's
+    * batch 6h/2h `window()`: counts and values per (window, event_type)
+    * maintained incrementally as events arrive, each event folding into its
+    * exactly-3 overlapping windows inside the one streaming aggregation.
+    * State is one row per open (window, type) — bounded by the watermark
+    * horizon (windows older than watermark − 6 h are final), never by
+    * stream length. Driving the static table to completion in complete mode
+    * equals the batch grid exactly, so the q81 oracle applies verbatim; the
+    * per-window double sums follow the same round(sum, 2) contract the
+    * batch form relies on (group sizes are window-bounded). */
+  val streamingHopping: Q = Q(
+    "q94_streaming_hopping",
+    (s, dir) => streamToArtifact(s, dir, "hopping", "events",
+      p => s.readStream.schema(eventsSchema).parquet(p)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours", "2 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("window_value"))
+        .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+          col("event_type"), col("n_events"), col("window_value"))),
+    // identical to q81's oracle: the epoch-aligned window grid reproduced
+    // arithmetically with floor-mod (see EventOps.hoppingWindow)
+    Some("""WITH ev AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+      ), hopped AS (
+        SELECT make_timestamp((epoch_us(ts)
+                 - ((epoch_us(ts) % 7200000000) + 7200000000) % 7200000000)
+                 - k * 7200000000) AS window_start,
+               event_type, value
+        FROM ev CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) ks
+      )
+      SELECT window_start,
+             window_start + INTERVAL 6 HOUR AS window_end,
+             event_type, COUNT(1) AS n_events,
+             ROUND(SUM(value), 2) AS window_value
+      FROM hopped GROUP BY window_start, event_type"""))
+
+  val all: Seq[Q] = Seq(streamingSessions, streamingDedup, streamingHopping)
 }

@@ -217,6 +217,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("q95 weighted median matches an exact sorted-walk recompute") {
+    val df = SparkEntry.queries("q95_weighted_median")(spark, sfDir)
+    val got = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"), expr("CAST(round(l_quantity * 100) AS BIGINT)"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    val expected = rows.groupBy(_._1).map { case (flag, items) =>
+      val sorted = items.sortBy(t => (t._2, t._3, t._4))
+      val total = sorted.map(_._5).sum
+      var cum = 0L
+      flag -> sorted.find { t => cum += t._5; 2 * cum >= total }.get._2
+    }
+    assert(got === expected)
+  }
+
   test("q90 histogram: bins partition the value range with exact counts") {
     val df = SparkEntry.queries("q90_value_histogram")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))

@@ -15,6 +15,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streaming).count() === 0)
   }
 
+  test("streaming hopping windows converge to exactly the batch q81 grid") {
+    val streaming = SparkEntry.queries("q94_streaming_hopping")(spark, sfDir)
+    val batch = SparkEntry.queries("q81_hopping_window")(spark, sfDir)
+    assert(streaming.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streaming).count() === 0)
+  }
+
   test("streaming session_window produces the same sessions as batch q06") {
     val streaming = SparkEntry.queries("q31_streaming_sessions")(spark, sfDir)
     val batch = SparkEntry.queries("q06_sessionization")(spark, sfDir)
