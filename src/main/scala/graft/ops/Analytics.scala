@@ -440,32 +440,69 @@ object Analytics {
       JOIN totals tb ON pairs.type_b = tb.event_type
       CROSS JOIN users"""))
 
+  private val medianBuckets = 1024
+
   /** q95: exact weighted median per group — the order statistic a plain
     * percentile can't give when rows carry weights (median unit price
-    * weighted by quantity). Formulation: one window pass per group ordered
-    * by (value, keys) accumulating EXACT integer centi-weights (2-decimal
-    * quantities × 100 → BIGINT, so the cumulative sums are associativity-
-    * free), then the lower weighted median is the first row where
-    * 2·cum ≥ total — an integer comparison both engines decide identically;
-    * the reported median is a raw stored double. Shape at scale: one
-    * group-keyed sort window + one aggregate, no self-join, no collect. */
+    * weighted by quantity). Weights are EXACT integer centi-weights
+    * (2-decimal quantities × 100 → BIGINT) so every cumulative sum is
+    * associativity-free, and the lower weighted median — first value where
+    * 2·cum ≥ total in (value, keys) order — is decided by integer compares
+    * both engines evaluate identically.
+    *
+    * The naive formulation (ONE sort window per group over all rows) dies at
+    * scale: l_returnflag has 3 values, so 100 TB would sort through 3 tasks.
+    * This plan is the distributed two-phase exact median instead: (1) bucket
+    * every row into 1024 equi-width value bins (broadcast min/max, q90's
+    * identical-IEEE bin expression) and aggregate per-(group, bucket) weight
+    * + row counts — a normal parallel aggregation; (2) scan the ≤ 3×1024-row
+    * bucket table to find each group's crossing bucket and its carried-in
+    * prefix; (3) sort ONLY the rows of that single bucket (~1/1024 of the
+    * group) to locate the exact crossing row. The full-data stages are
+    * bucket-parallel; only the tiny final slice sees a per-group sort.
+    * `rows_at_or_above` (rows at or past the crossing in the group's total
+    * order) = in-bucket survivors + all rows in later buckets. The ORACLE
+    * keeps the one-window formulation — same result by construction, which
+    * is itself the strongest check that the two-phase plan is exact. */
   val weightedMedian: Q = Q(
     "q95_weighted_median",
     (s, dir) => {
-      val w100 = expr("CAST(round(l_quantity * 100) AS BIGINT)")
-      val win = Window.partitionBy("l_returnflag")
+      val t = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"),
+          expr("CAST(round(l_quantity * 100) AS BIGINT)").as("w100"))
+      val bounds = t.agg(min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+      val bt = t.join(broadcast(bounds))
+        .withColumn("bucket", expr(
+          s"""CAST(CASE WHEN hi = lo THEN 0 ELSE
+              least(floor((l_extendedprice - lo) / ((hi - lo) / $medianBuckets)),
+                    ${medianBuckets - 1}) END AS BIGINT)"""))
+        .drop("lo", "hi")
+      val bw = bt.groupBy("l_returnflag", "bucket")
+        .agg(sum("w100").as("bw"), count(lit(1)).as("bn"))
+      val wCum = Window.partitionBy("l_returnflag").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAfter = Window.partitionBy("l_returnflag").orderBy("bucket")
+        .rowsBetween(1, Window.unboundedFollowing)
+      val wPick = Window.partitionBy("l_returnflag").orderBy("bucket")
+      val targets = bw
+        .withColumn("cumb", sum("bw").over(wCum))
+        .withColumn("total", sum("bw").over(Window.partitionBy("l_returnflag")))
+        .withColumn("rows_after", coalesce(sum("bn").over(wAfter), lit(0L)))
+        .filter(col("cumb") * 2 >= col("total"))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("bucket"),
+          (col("cumb") - col("bw")).as("cum_before"), col("total"), col("rows_after"))
+      val wIn = Window.partitionBy("l_returnflag")
         .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val winAll = Window.partitionBy("l_returnflag")
-      Tables.lineitem(s, dir)
-        .select(col("l_returnflag"), col("l_extendedprice"),
-          col("l_orderkey"), col("l_linenumber"), w100.as("w100"))
-        .withColumn("cum", sum("w100").over(win))
-        .withColumn("total", sum("w100").over(winAll))
+      bt.join(broadcast(targets), Seq("l_returnflag", "bucket"))
+        .withColumn("cum", col("cum_before") + sum("w100").over(wIn))
         .filter(col("cum") * 2 >= col("total"))
         .groupBy("l_returnflag")
         .agg(min("l_extendedprice").as("weighted_median"),
-          count(lit(1)).as("rows_at_or_above"))
+          (count(lit(1)) + min("rows_after")).as("rows_at_or_above"))
     },
     Some("""WITH t AS (
         SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,

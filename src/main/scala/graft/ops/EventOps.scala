@@ -437,6 +437,46 @@ object EventOps {
       SELECT day, CAST(MAX(running) AS BIGINT) AS peak_concurrent
       FROM run GROUP BY day"""))
 
+  // ---- q96: rolling 7-day active users -------------------------------------
+  /** Rolling 7-day active users per day (the WAU curve): for each calendar
+    * day D in the observed range, the number of distinct users with any
+    * event in [D−6, D]. The scale-correct shape is contribution explode,
+    * not a range self-join: the per-(user, day) distinct frame (one
+    * aggregation, tiny vs the event log) fans each row out to its ≤ 7
+    * target days, and a second distinct-count aggregation lands on day keys
+    * — two user/day-keyed shuffles total, no non-equi join anywhere. Target
+    * days are clipped to the observed [min, max] day span (1-row broadcast)
+    * so the curve has no phantom trailing days. Counts are exact integers. */
+  val rollingActiveUsers: Q = Q(
+    "q96_rolling_active_users",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val userDays = ev
+        .select(col("user_id"), date_trunc("DAY", col("ts")).as("day")).distinct()
+      val bounds = ev.agg(
+        date_trunc("DAY", min("ts")).as("d0"), date_trunc("DAY", max("ts")).as("d1"))
+      userDays.join(broadcast(bounds))
+        .withColumn("target_day", explode(expr(
+          "sequence(day, least(day + INTERVAL 6 DAYS, d1), INTERVAL 1 DAY)")))
+        .groupBy("target_day")
+        .agg(countDistinct("user_id").as("active_users"))
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      ), ud AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM ev
+      ), b AS (
+        SELECT date_trunc('day', MIN(ts)) AS d0, date_trunc('day', MAX(ts)) AS d1
+        FROM ev
+      ), fan AS (
+        SELECT user_id, unnest(generate_series(day,
+                 least(day + INTERVAL 6 DAY, d1), INTERVAL 1 DAY)) AS target_day
+        FROM ud, b
+      )
+      SELECT target_day, COUNT(DISTINCT user_id) AS active_users
+      FROM fan GROUP BY target_day"""))
+
   val all: Seq[Q] = Seq(funnel, watermarkIngest, gapFill, hoppingWindow,
-    cohortRetention, debounce, timeWeightedAvg, attribution, peakConcurrency)
+    cohortRetention, debounce, timeWeightedAvg, attribution, peakConcurrency,
+    rollingActiveUsers)
 }

@@ -207,6 +207,21 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("q96 rolling active users matches a brute-force window recompute") {
+    val df = SparkEntry.queries("q96_rolling_active_users")(spark, sfDir)
+    val got = df.collect().map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    val dayMs = 24L * 3600 * 1000
+    val days = ud.map(_._2).distinct.sorted
+    val expected = days.map { d =>
+      d -> ud.filter { case (_, ed) => ed >= d - 6 * dayMs && ed <= d }
+        .map(_._1).distinct.length.toLong
+    }.toMap
+    assert(got === expected)
+  }
+
   test("q89 attribution: conserves purchases and revenue; channels are valid") {
     val df = SparkEntry.queries("q89_attribution")(spark, sfDir)
     val purchases = Tables.events(spark, sfDir).filter(col("event_type") === "purchase")
