@@ -366,9 +366,13 @@ object Analytics {
     (s, dir) => {
       val o = Tables.orders(s, dir)
       val bounds = o.agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      // hi = lo guard: a constant column would otherwise divide 0/0 and the
+      // engines' NaN orderings inside least() need not agree
       o.join(broadcast(bounds))
         .withColumn("bin", expr(
-          s"CAST(least(floor((o_totalprice - lo) / ((hi - lo) / $histBins)), ${histBins - 1}) AS BIGINT)"))
+          s"""CAST(CASE WHEN hi = lo THEN 0 ELSE
+              least(floor((o_totalprice - lo) / ((hi - lo) / $histBins)),
+                    ${histBins - 1}) END AS BIGINT)"""))
         .groupBy("bin")
         .agg(count(lit(1)).as("n_orders"),
           min("o_totalprice").as("bin_min"),
@@ -380,8 +384,9 @@ object Analytics {
         SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
       ), binned AS (
         SELECT o_totalprice,
-               CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / $histBins)),
-                          ${histBins - 1}) AS BIGINT) AS bin
+               CAST(CASE WHEN hi = lo THEN 0 ELSE
+                    LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / $histBins)),
+                          ${histBins - 1}) END AS BIGINT) AS bin
         FROM orders, b
       )
       SELECT bin, COUNT(1) AS n_orders,

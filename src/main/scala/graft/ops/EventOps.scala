@@ -401,8 +401,11 @@ object EventOps {
         .groupBy("day").agg(count(lit(1)).as("base"))
       val w = Window.partitionBy("day")
         .orderBy(col("bts"), col("delta"), col("event_id"))
+      // base is one row per day — broadcast it (the Aggregate's size estimate
+      // hides that, so the planner would otherwise sort-merge the whole
+      // boundary stream against a per-day table)
       bounds.select("day", "bts", "delta", "event_id").unionAll(sentinels)
-        .join(base, Seq("day"), "left")
+        .join(broadcast(base), Seq("day"), "left")
         .withColumn("running",
           coalesce(col("base"), lit(0L)) + sum("delta").over(w))
         .groupBy("day").agg(max("running").as("peak_concurrent"))

@@ -181,6 +181,10 @@ class EventOpsSpec extends AnyFunSuite {
 
   test("q92 peak concurrency matches an exact global sweep with day-start levels") {
     val df = SparkEntry.queries("q92_peak_concurrency")(spark, sfDir)
+    // the per-day offset join must broadcast the tiny base table, not
+    // sort-merge the whole boundary stream
+    assert(!df.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+      "q92 offset join regressed to a sort-merge join")
     val got = df.collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
     // independent recompute: ONE global sweep (no per-day partitioning),
     // tracking the carried level at each day start — the construction the

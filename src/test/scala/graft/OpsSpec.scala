@@ -217,6 +217,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("per-row text operators run inside whole-stage codegen") {
+    // the per-row scoring paths must stay codegen'd (no interpreted
+    // expressions, no Python/RDD fallbacks) — the property that keeps them
+    // scan-speed at 100 TB. Only shuffle-free plans are checkable this way:
+    // an exchange wraps the plan in AQE, which hides codegen info until
+    // execution (q61's range-partition exchange, for instance).
+    for (q <- Seq("q20_text_quality", "q22_token_count", "q23_doc_fingerprint")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution
+        .explainString(org.apache.spark.sql.execution.CodegenMode)
+      assert(plan.contains("WholeStageCodegen") && !plan.startsWith("Found 0"),
+        s"$q lost codegen:\n${plan.take(400)}")
+    }
+  }
+
   test("q95 weighted median matches an exact sorted-walk recompute") {
     val df = SparkEntry.queries("q95_weighted_median")(spark, sfDir)
     val got = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
