@@ -479,7 +479,55 @@ object EventOps {
       SELECT target_day, COUNT(DISTINCT user_id) AS active_users
       FROM fan GROUP BY target_day"""))
 
+  // ---- q97: session-bounded transition matrix ------------------------------
+  /** Event-type transition matrix (the Markov flow behind sankey/path
+    * analysis): for consecutive events of the same user within a 30-minute
+    * gap, count a→b transitions and the conditional P(next=b | cur=a).
+    * One lag/lead window on the natural user key feeds a ≤ |types|²-row
+    * aggregation with map-side combine; the row-count totals join back as a
+    * broadcast. The gap bound is integer µs arithmetic; probabilities are
+    * one double division of exact counts. */
+  val transitionMatrix: Q = Q(
+    "q97_transition_matrix",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val tr = Tables.events(s, dir)
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .withColumn("next_ts", lead("ts", 1).over(w))
+        .filter(col("next_type").isNotNull &&
+          expr("unix_micros(next_ts) - unix_micros(ts) < 1800000000"))
+      val counts = tr
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+      val totals = counts.groupBy("from_type")
+        .agg(sum("n_transitions").as("total_out"))
+      counts.join(broadcast(totals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n_transitions"),
+          expr("CAST(n_transitions AS DOUBLE) / CAST(total_out AS DOUBLE)")
+            .as("p_transition"))
+    },
+    Some("""WITH ev AS (
+        SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        FROM events
+      ), tr AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER w AS to_type,
+               epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), counts AS (
+        SELECT from_type, to_type, COUNT(1) AS n_transitions
+        FROM tr WHERE to_type IS NOT NULL AND gap_us < 1800000000
+        GROUP BY from_type, to_type
+      ), totals AS (
+        SELECT from_type, SUM(n_transitions) AS total_out
+        FROM counts GROUP BY from_type
+      )
+      SELECT c.from_type, c.to_type, c.n_transitions,
+             CAST(c.n_transitions AS DOUBLE) / CAST(t.total_out AS DOUBLE)
+               AS p_transition
+      FROM counts c JOIN totals t ON c.from_type = t.from_type"""))
+
   val all: Seq[Q] = Seq(funnel, watermarkIngest, gapFill, hoppingWindow,
     cohortRetention, debounce, timeWeightedAvg, attribution, peakConcurrency,
-    rollingActiveUsers)
+    rollingActiveUsers, transitionMatrix)
 }

@@ -226,6 +226,30 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("q97 transition matrix matches an exact recompute and rows sum to 1 per source") {
+    val df = SparkEntry.queries("q97_transition_matrix")(spark, sfDir)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts)"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = evs.groupBy(_._1).values.flatMap { g =>
+      val s = g.sortBy(t => (t._2, t._3))
+      s.zip(s.drop(1)).collect {
+        case (a, b) if b._2 - a._2 < 1800000000L => (a._4, b._4)
+      }
+    }.toSeq
+    val counts = trans.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val totals = counts.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    val expected = counts.map { case ((f, t), n) =>
+      (f, t) -> (n, n.toDouble / totals(f).toDouble) }
+    assert(got === expected)
+    // conditional probabilities per source sum to 1 (within one ulp-scale sum)
+    val sums = df.groupBy("from_type").agg(sum("p_transition")).collect()
+      .map(_.getDouble(1))
+    assert(sums.forall(s => math.abs(s - 1.0) < 1e-12))
+  }
+
   test("q89 attribution: conserves purchases and revenue; channels are valid") {
     val df = SparkEntry.queries("q89_attribution")(spark, sfDir)
     val purchases = Tables.events(spark, sfDir).filter(col("event_type") === "purchase")

@@ -37,7 +37,13 @@ class PropertySpec extends AnyFunSuite {
       // LOCF/cube/hopping rounded sums, and the incremental-MV base+delta
       // sum (the most partition-order-sensitive shape this round)
       "q65_snapshot_cdc", "q68_bm25_score", "q71_length_outliers",
-      "q76_gap_fill", "q77_cube", "q79_incremental_mv", "q81_hopping_window")
+      "q76_gap_fill", "q77_cube", "q79_incremental_mv", "q81_hopping_window",
+      // round-5 double-valued outputs: relative edit distance, TWA and
+      // attribution revenue (integer-sum ratios), histogram bin averages,
+      // TF-IDF scores, co-occurrence lift, two-phase weighted median
+      "q87_dedup_edit_distance", "q88_time_weighted_avg", "q89_attribution",
+      "q90_value_histogram", "q91_tfidf_top_terms", "q93_cooccurrence_lift",
+      "q95_weighted_median")
     def canon(name: String): Seq[String] =
       SparkEntry.queries(name)(spark, dir).collect().map(_.mkString("")).sorted
     val conf = spark.conf
