@@ -43,18 +43,19 @@ object AnnSweep {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    println(f"${"dial"}%-14s ${"recall@5"}%9s ${"candidates"}%11s ${"warm_s"}%7s")
+    println(f"${"dial"}%-14s ${"recall@5"}%9s ${"scan_cost"}%14s ${"warm_s"}%7s")
     for (h <- 0 to 2) {
+      // scan-cost proxy: candidate pairs surviving the band-bucket join
       val nCand = ops.Similarity.lshCandidates(spark, dir, h).count()
       val (r, _) = timed(recallOf(ops.Similarity.lshTopK(spark, dir, h)))
       val (_, t) = timed(ops.Similarity.lshTopK(spark, dir, h).count())
-      println(f"lsh H<=$h       $r%9.3f $nCand%11d $t%7.2f")
+      println(f"lsh H<=$h       $r%9.3f ${nCand + " pairs"}%14s $t%7.2f")
     }
     for (p <- Seq(1, 2, 4, 8, 16)) {
+      // scan-cost proxy: fraction of the corpus each query probes
       val (r, _) = timed(recallOf(ops.Similarity.ivfTopK(spark, dir, p)))
-      val nCand = ops.Similarity.ivfTopK(spark, dir, p).count() // rows kept
       val (_, t) = timed(ops.Similarity.ivfTopK(spark, dir, p).count())
-      println(f"ivf probes=$p%-2d  $r%9.3f $nCand%11d $t%7.2f")
+      println(f"ivf probes=$p%-2d  $r%9.3f ${s"$p/${ops.Similarity.IvfIndex.nCells} corpus"}%14s $t%7.2f")
     }
     spark.stop()
   }
