@@ -407,7 +407,13 @@ object Analytics {
   val cooccurrence: Q = Q(
     "q93_cooccurrence_lift",
     (s, dir) => {
-      val ut = Tables.events(s, dir).select("user_id", "event_type").distinct()
+      // ut feeds four consumers (both pair-join sides, per-type totals, the
+      // user count) — one PlanCache'd copy per (session, dir) instead of
+      // re-scanning and re-deduplicating the event log per consumer (the
+      // same discipline as Dedup.rareShingleRows)
+      val ut = graft.PlanCache.cached(s, "q93_ut", dir, s"$dir/events.parquet") {
+        Tables.events(s, dir).select("user_id", "event_type").distinct()
+      }
       val totals = ut.groupBy("event_type").agg(count(lit(1)).as("cnt"))
       val users = ut.agg(countDistinct("user_id").as("n_users"))
       val pairs = ut.as("a").join(ut.as("b"),

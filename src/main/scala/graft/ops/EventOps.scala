@@ -391,13 +391,18 @@ object EventOps {
       val days = bounds.select("day").distinct()
       val sentinels = days.select(col("day"), col("day").as("bts"),
         lit(0).as("delta"), lit(-1L).as("event_id"))
-      // end >= day (not >): an interval closing EXACTLY at midnight still has
-      // its −1 boundary in this day's partition, so it must be in the offset
-      // it decrements from — strict > would double-remove it and shift the
-      // whole day's levels down by one. The sentinel sorts after midnight
-      // −1 rows (delta −1 < 0), so the recorded day-start level is exact.
-      val base = broadcast(days).join(ev,
-          col("ts") < col("day") && expr("ts + INTERVAL 30 MINUTES") >= col("day"))
+      // Carried-over offset per day WITHOUT a non-equi join: the interval is
+      // shorter than a day, so [ts, ts+30min] contains at most one midnight
+      // — exactly date_trunc(ts + 30min) when that midnight lies strictly
+      // after ts. The "≥ midnight" (not >) end side matters: an interval
+      // closing EXACTLY at midnight still has its −1 boundary in this day's
+      // partition, so it must be in the offset it decrements from — and
+      // such a day always appears in `days` because that −1 boundary lands
+      // in it. One filter + one equi-aggregation; |events| × |days| work
+      // would be the nested-loop shape this operator exists to avoid.
+      val base = ev
+        .withColumn("day", date_trunc("DAY", expr("ts + INTERVAL 30 MINUTES")))
+        .filter(col("ts") < col("day"))
         .groupBy("day").agg(count(lit(1)).as("base"))
       val w = Window.partitionBy("day")
         .orderBy(col("bts"), col("delta"), col("event_id"))
@@ -423,9 +428,9 @@ object EventOps {
       ), sentinels AS (
         SELECT day, day AS bts, 0 AS delta, CAST(-1 AS BIGINT) AS event_id FROM days
       ), base AS (
-        SELECT d.day, COUNT(1) AS base
-        FROM days d JOIN ev ON ev.ts < d.day AND ev.ts + INTERVAL 30 MINUTE >= d.day
-        GROUP BY d.day
+        SELECT date_trunc('day', ts + INTERVAL 30 MINUTE) AS day, COUNT(1) AS base
+        FROM ev WHERE ts < date_trunc('day', ts + INTERVAL 30 MINUTE)
+        GROUP BY 1
       ), sweep AS (
         SELECT u.day, u.bts, u.delta, u.event_id, COALESCE(base.base, 0) AS base
         FROM (SELECT day, bts, delta, event_id FROM b
@@ -447,9 +452,11 @@ object EventOps {
     * not a range self-join: the per-(user, day) distinct frame (one
     * aggregation, tiny vs the event log) fans each row out to its ≤ 7
     * target days, and a second distinct-count aggregation lands on day keys
-    * — two user/day-keyed shuffles total, no non-equi join anywhere. Target
-    * days are clipped to the observed [min, max] day span (1-row broadcast)
-    * so the curve has no phantom trailing days. Counts are exact integers. */
+    * — two user/day-keyed shuffles total, no non-equi join anywhere. The
+    * curve covers EVERY day of the observed [min, max] span (1-row broadcast
+    * bounds): a calendar scaffold left-joins the fan-out counts so a day
+    * whose whole 7-day lookback is silent reports 0 instead of vanishing.
+    * Counts are exact integers. */
   val rollingActiveUsers: Q = Q(
     "q96_rolling_active_users",
     (s, dir) => {
@@ -458,11 +465,16 @@ object EventOps {
         .select(col("user_id"), date_trunc("DAY", col("ts")).as("day")).distinct()
       val bounds = ev.agg(
         date_trunc("DAY", min("ts")).as("d0"), date_trunc("DAY", max("ts")).as("d1"))
-      userDays.join(broadcast(bounds))
+      val fan = userDays.join(broadcast(bounds))
         .withColumn("target_day", explode(expr(
           "sequence(day, least(day + INTERVAL 6 DAYS, d1), INTERVAL 1 DAY)")))
         .groupBy("target_day")
         .agg(countDistinct("user_id").as("active_users"))
+      val scaffold = bounds
+        .select(explode(expr("sequence(d0, d1, INTERVAL 1 DAY)")).as("target_day"))
+      scaffold.join(fan, Seq("target_day"), "left")
+        .select(col("target_day"),
+          coalesce(col("active_users"), lit(0L)).as("active_users"))
     },
     Some("""WITH ev AS (
         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
@@ -475,9 +487,14 @@ object EventOps {
         SELECT user_id, unnest(generate_series(day,
                  least(day + INTERVAL 6 DAY, d1), INTERVAL 1 DAY)) AS target_day
         FROM ud, b
+      ), counts AS (
+        SELECT target_day, COUNT(DISTINCT user_id) AS active_users
+        FROM fan GROUP BY target_day
+      ), scaffold AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS target_day FROM b
       )
-      SELECT target_day, COUNT(DISTINCT user_id) AS active_users
-      FROM fan GROUP BY target_day"""))
+      SELECT s.target_day, COALESCE(c.active_users, 0) AS active_users
+      FROM scaffold s LEFT JOIN counts c ON s.target_day = c.target_day"""))
 
   // ---- q97: session-bounded transition matrix ------------------------------
   /** Event-type transition matrix (the Markov flow behind sankey/path

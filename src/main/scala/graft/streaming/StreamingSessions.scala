@@ -269,14 +269,19 @@ object StreamingSessions {
     * batch form relies on (group sizes are window-bounded). */
   val streamingHopping: Q = Q(
     "q94_streaming_hopping",
-    (s, dir) => streamToArtifact(s, dir, "hopping", "events",
-      p => s.readStream.schema(eventsSchema).parquet(p)
+    (s, dir) => streamToArtifact(s, dir, "hopping", "events", { p =>
+      // events.parquet stores ts as INT64 TIMESTAMP(NANOS) — must be read
+      // as long (see Tables.events); without this a fresh session rejects
+      // the file before any other query has set the conf
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.readStream.schema(eventsSchema).parquet(p)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "6 hours", "2 hours").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("window_value"))
         .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
-          col("event_type"), col("n_events"), col("window_value"))),
+          col("event_type"), col("n_events"), col("window_value"))
+    }),
     // identical to q81's oracle: the epoch-aligned window grid reproduced
     // arithmetically with floor-mod (see EventOps.hoppingWindow)
     Some("""WITH ev AS (

@@ -218,7 +218,9 @@ class EventOpsSpec extends AnyFunSuite {
       .select(col("user_id"), date_trunc("DAY", col("ts")).as("day")).distinct()
       .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime))
     val dayMs = 24L * 3600 * 1000
-    val days = ud.map(_._2).distinct.sorted
+    // every calendar day of the observed span, including any with a fully
+    // silent 7-day lookback (those must report 0, not vanish)
+    val days = ud.map(_._2).min to ud.map(_._2).max by dayMs
     val expected = days.map { d =>
       d -> ud.filter { case (_, ed) => ed >= d - 6 * dayMs && ed <= d }
         .map(_._1).distinct.length.toLong
