@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single-query timing utility — Bench's discipline (untimed warmup, then
+  * timed passes) for a chosen subset, without paying the full-suite run.
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.QTime q95_weighted_median ...
+  * Prints per-query best-of-3 so plan iterations compare steady states.
+  */
+object QTime {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: QTime <query name> [more names]")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
+      fn(spark, sfDir).count() // warmup
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"QTIME $name best=${times.min}%.3f all=${times.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

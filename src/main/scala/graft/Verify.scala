@@ -16,6 +16,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     // pin dynamic oracles (q34's centroid literals) to this run's sf dir
     System.setProperty("graft.oracle.sfdir", sfDir)
+    // ... and let dump-derived oracles (q27's recursive closure over the q25
+    // edge dump) point DuckDB at this run's output directory
+    System.setProperty("graft.oracle.outdir", new java.io.File(outDir).getAbsolutePath)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

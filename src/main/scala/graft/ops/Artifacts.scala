@@ -23,6 +23,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Artifacts {
 
+  /** Conf-backed root for every derived-artifact directory (IVF centroids,
+    * CSV/ORC round-trips, cluster assignments, stream scratch + outputs,
+    * the materialized repo). Default keeps the historical location; a
+    * deployment relocates ALL artifact state with one conf, no code edit. */
+  def root(s: SparkSession): String =
+    s.conf.get("graft.artifacts.dir", "/root/repo/target")
+
   /** Fingerprint of the files backing `inputPath` (file or directory):
     * 63-bit value built from two differently-seeded MurmurHash3 passes over
     * the sorted (path, length, mtime) triples — a single 32-bit hash would

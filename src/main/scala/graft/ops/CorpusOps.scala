@@ -534,7 +534,14 @@ object CorpusOps {
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("term"))
-      tf.join(dfT, "term").join(broadcast(n))
+      // BROADCAST the df table: it is vocab-sized (one row per distinct
+      // term), not corpus-sized, while tf is (doc, term)-keyed with zipfian
+      // term frequencies — a shuffle of tf on `term` would concentrate the
+      // stopword keys ("the" → one row per document) into single partitions
+      // at 100 TB. The broadcast keeps tf hash-partitioned by (doc, term)
+      // straight into the per-doc top-3 window; no term-keyed shuffle exists
+      // anywhere in the plan (asserted in CorpusOpsSpec).
+      tf.join(broadcast(dfT), "term").join(broadcast(n))
         .withColumn("score", expr("tf * ((n_docs - df + 0.5e0) / (df + 0.5e0))"))
         .withColumn("term_rank", row_number().over(w).cast("long"))
         .filter(col("term_rank") <= 3)

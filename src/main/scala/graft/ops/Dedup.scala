@@ -298,8 +298,10 @@ object Dedup {
 
   /** Edit-distance (Levenshtein) near-dup: candidate pairs from the SAME
     * rare-shingle blocking index q14 uses (one persisted copy serves both),
-    * count-filtered (`common >= `[[minCommon]]), then verified by exact
-    * Levenshtein over the two full texts. Blocking + count filtering is what
+    * count-filtered (`common >= `[[minCommon]]), length-prefiltered (the DP
+    * only runs where `10·|ca−cb| ≤ max` — edit distance is bounded below by
+    * the length gap, so the filter cannot change the result), then verified
+    * by exact Levenshtein over the two full texts. Blocking + count filtering is what
     * makes this a 100-TB operator: the O(len²) DP verify runs only on pairs
     * that share several rare shingles — never all pairs, never
     * single-coincidence pairs — and the shuffle carries (doc_a, doc_b) id
@@ -327,8 +329,14 @@ object Dedup {
           col("n_chars").as("ca")), "doc_a")
         .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb"),
           col("n_chars").as("cb")), "doc_b")
-        .withColumn("edit_dist", levenshtein(col("ta"), col("tb")).cast("long"))
         .withColumn("mx", greatest(col("ca"), col("cb")))
+        // length prefilter: edit_dist >= |ca - cb| always, so a pair can only
+        // satisfy `10·ed ≤ mx` if `10·|ca − cb| ≤ mx` — a necessary condition
+        // of the accept predicate, checked on the two stored lengths BEFORE
+        // the O(len²) DP runs. Results are provably unchanged; the DP is
+        // skipped for every pair whose length gap already rules it out.
+        .filter(abs(col("ca") - col("cb")) * 10 <= col("mx"))
+        .withColumn("edit_dist", levenshtein(col("ta"), col("tb")).cast("long"))
         .filter(col("edit_dist") * 10 <= col("mx"))
         .select(col("doc_a"), col("doc_b"), col("edit_dist"),
           (col("edit_dist").cast("double") / col("mx").cast("double")).as("rel_dist"))
@@ -355,6 +363,7 @@ object Dedup {
         FROM cand c
         JOIN documents da ON da.doc_id = c.doc_a
         JOIN documents db ON db.doc_id = c.doc_b
+        WHERE abs(da.n_chars - db.n_chars) * 10 <= greatest(da.n_chars, db.n_chars)
       )
       SELECT doc_a, doc_b, edit_dist,
              CAST(edit_dist AS DOUBLE) / CAST(mx AS DOUBLE) AS rel_dist

@@ -70,7 +70,7 @@ object DedupCluster {
   private def clusters(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
     val fp = Artifacts.fingerprint(s, s"$dir/documents.parquet")
-    Artifacts.loadOrBuild(s, s"/root/repo/target/graft_cc/$tag", fp) {
+    Artifacts.loadOrBuild(s, s"${Artifacts.root(s)}/graft_cc/$tag", fp) {
       val pairs = Dedup.ngramJaccard.run(s, dir).select("doc_a", "doc_b")
       connectedComponents(s, pairs)
         .withColumn("is_canonical",

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -375,22 +376,29 @@ object EventOps {
     * carried-over offset (intervals opened before the day and still active
     * at its start) computed as a separate aggregate and added to the
     * in-day prefix sum. A zero-delta sentinel at each day start makes the
-    * carried-over level itself a candidate peak (a day of only closings
-    * peaks at its first instant). End boundaries landing in the next day
+    * day-start level itself a candidate peak (a day of only closings peaks
+    * at its first instant). End boundaries landing in the next day
     * decrement there — exactly matching that day's carried-over count.
-    * Ties order (−1 before +1) so an interval ending at instant t never
-    * overlaps one starting at t. Pure integer arithmetic throughout. */
-  val peakConcurrency: Q = Q(
-    "q92_peak_concurrency",
-    (s, dir) => {
-      val ev = Tables.events(s, dir).select(col("event_id"), col("ts"))
-      val bounds = ev.select(col("ts").as("bts"), lit(1).as("delta"), col("event_id"))
+    * Same-instant boundaries are COLLAPSED to one net delta per (day, bts)
+    * before the prefix sum: the running value is sampled only at real
+    * instants, so an interval ending at t never overlaps one starting at t,
+    * and m intervals ending exactly at midnight yield the true day-start
+    * level base−m rather than the base−1..base−(m−1) intermediates a
+    * per-boundary walk would record against the new day. Collapsing also
+    * makes (day, bts) a UNIQUE window key, so the explicit ROWS frame and
+    * the oracle's agree structurally, not just by tie-freeness. Pure
+    * integer arithmetic throughout. */
+  /** The q92 plan over any frame with a `ts` column — exposed so the spec can
+    * drive a synthetic exact-midnight-tie case through the production plan. */
+  private[graft] def peakConcurrencyOf(ev0: DataFrame): DataFrame = {
+      val ev = ev0.select(col("ts"))
+      val bounds = ev.select(col("ts").as("bts"), lit(1).as("delta"))
         .unionAll(ev.select(expr("ts + INTERVAL 30 MINUTES").as("bts"),
-          lit(-1).as("delta"), col("event_id")))
+          lit(-1).as("delta")))
         .withColumn("day", date_trunc("DAY", col("bts")))
       val days = bounds.select("day").distinct()
       val sentinels = days.select(col("day"), col("day").as("bts"),
-        lit(0).as("delta"), lit(-1L).as("event_id"))
+        lit(0).as("delta"))
       // Carried-over offset per day WITHOUT a non-equi join: the interval is
       // shorter than a day, so [ts, ts+30min] contains at most one midnight
       // — exactly date_trunc(ts + 30min) when that midnight lies strictly
@@ -404,41 +412,50 @@ object EventOps {
         .withColumn("day", date_trunc("DAY", expr("ts + INTERVAL 30 MINUTES")))
         .filter(col("ts") < col("day"))
         .groupBy("day").agg(count(lit(1)).as("base"))
-      val w = Window.partitionBy("day")
-        .orderBy(col("bts"), col("delta"), col("event_id"))
+      val w = Window.partitionBy("day").orderBy(col("bts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       // base is one row per day — broadcast it (the Aggregate's size estimate
       // hides that, so the planner would otherwise sort-merge the whole
       // boundary stream against a per-day table)
-      bounds.select("day", "bts", "delta", "event_id").unionAll(sentinels)
+      bounds.select("day", "bts", "delta").unionAll(sentinels)
+        .groupBy("day", "bts").agg(sum("delta").as("delta"))
         .join(broadcast(base), Seq("day"), "left")
         .withColumn("running",
           coalesce(col("base"), lit(0L)) + sum("delta").over(w))
         .groupBy("day").agg(max("running").as("peak_concurrent"))
-    },
+  }
+
+  val peakConcurrency: Q = Q(
+    "q92_peak_concurrency",
+    (s, dir) => peakConcurrencyOf(Tables.events(s, dir)),
     Some("""WITH ev AS (
-        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        SELECT CAST(ts AS TIMESTAMP) AS ts FROM events
       ), bounds AS (
-        SELECT ts AS bts, 1 AS delta, event_id FROM ev
+        SELECT ts AS bts, 1 AS delta FROM ev
         UNION ALL
-        SELECT ts + INTERVAL 30 MINUTE AS bts, -1 AS delta, event_id FROM ev
+        SELECT ts + INTERVAL 30 MINUTE AS bts, -1 AS delta FROM ev
       ), b AS (
-        SELECT date_trunc('day', bts) AS day, bts, delta, event_id FROM bounds
+        SELECT date_trunc('day', bts) AS day, bts, delta FROM bounds
       ), days AS (
         SELECT DISTINCT day FROM b
       ), sentinels AS (
-        SELECT day, day AS bts, 0 AS delta, CAST(-1 AS BIGINT) AS event_id FROM days
+        SELECT day, day AS bts, 0 AS delta FROM days
       ), base AS (
         SELECT date_trunc('day', ts + INTERVAL 30 MINUTE) AS day, COUNT(1) AS base
         FROM ev WHERE ts < date_trunc('day', ts + INTERVAL 30 MINUTE)
         GROUP BY 1
-      ), sweep AS (
-        SELECT u.day, u.bts, u.delta, u.event_id, COALESCE(base.base, 0) AS base
-        FROM (SELECT day, bts, delta, event_id FROM b
+      ), grouped AS (
+        SELECT day, bts, SUM(delta) AS delta
+        FROM (SELECT day, bts, delta FROM b
               UNION ALL SELECT * FROM sentinels) u
-        LEFT JOIN base ON u.day = base.day
+        GROUP BY day, bts
+      ), sweep AS (
+        SELECT g.day, g.bts, g.delta, COALESCE(base.base, 0) AS base
+        FROM grouped g
+        LEFT JOIN base ON g.day = base.day
       ), run AS (
         SELECT day, base + SUM(delta) OVER (PARTITION BY day
-          ORDER BY bts, delta, event_id
+          ORDER BY bts
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
         FROM sweep
       )

@@ -13,7 +13,8 @@ import graft.qa.QA
   * plan-extracted column edges, stitched repo links, impact closures, corpus,
   * retrieval and evidence. Results derive from Catalyst plans (not
   * SQL-expressible in DuckDB) → rows-only checks, with exact golden assertions
-  * in LineageSpec instead.
+  * in LineageSpec instead — EXCEPT q27, whose closure over the exported q25
+  * edge dump is replayed as a DuckDB recursive CTE (dynamic oracle below).
   */
 object LineageQueries {
 
@@ -32,14 +33,46 @@ object LineageQueries {
       .orderBy("fromScript", "toScript", "asset"),
     None)
 
-  /** Downstream impact of the bronze `amount` column — columns + depth. */
+  /** Downstream impact of the bronze `amount` column — columns + depth.
+    *
+    * Unlike the plan-walk extraction itself, the CLOSURE over already-exported
+    * edges is SQL-expressible: the dynamic oracle replays the BFS as a DuckDB
+    * recursive CTE over the q25 edge dump Verify just wrote (the edge table is
+    * itself sha1-pinned in LineageSpec), with min-depth semantics, the
+    * maxDepth=20 horizon, and the 2000-node cap of qa/ask.py:211-223 — the
+    * cap as a (depth, name)-ordered row_number ≤ 1999, exactly the
+    * complete-levels-then-alphabetical-fill truncation downstreamClosure
+    * applies. This puts the BFS semantics under the driver's hard
+    * rows+schema+hash gate rather than only the self-refereed suite. */
   val impactClosure: Q = Q(
     "q27_impact_closure",
     (s, dir) => {
       val graph = Lineage.columnGraph(Lineage.edges(s, lineages(s, dir)))
       Lineage.downstreamClosure(s, graph, "amount")
     },
-    None)
+    None,
+    oracleDyn = Some(() => sys.props.get("graft.oracle.outdir").map { out =>
+      s"""WITH RECURSIVE e AS (
+        SELECT DISTINCT srcCol AS src, targetCol AS dst
+        FROM read_parquet('$out/q25_lineage_edges/*.parquet')
+        WHERE srcCol <> targetCol
+      ), r AS (
+        SELECT CAST('amount' AS VARCHAR) AS name, 0 AS depth
+        UNION
+        SELECT e.dst, r.depth + 1
+        FROM r JOIN e ON e.src = r.name
+        WHERE r.depth < 20
+      ), m AS (
+        SELECT name, MIN(depth) AS depth FROM r
+        WHERE name <> 'amount' GROUP BY name
+      ), capped AS (
+        SELECT name, depth,
+               row_number() OVER (ORDER BY depth, name) AS rn
+        FROM m
+      )
+      SELECT name AS "column", CAST(depth AS INTEGER) AS depth
+      FROM capped WHERE rn <= 1999"""
+    }))
 
   val corpusDocs: Q = Q(
     "q28_corpus_docs",

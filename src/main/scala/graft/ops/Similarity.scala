@@ -99,10 +99,12 @@ object Similarity {
     Seq.fill(nBands * bandBits)(Seq.fill(64)(rnd.nextGaussian()))
   }
   /** Probe masks for a Hamming budget: every bandBits-wide mask with
-    * popcount ≤ h, ordered (popcount, value) so the production set (h=2:
-    * 1 + 8 + 28 = 37 probes) enumerates exactly as before. The budget is the
-    * recall/scan-cost dial measured by [[graft.AnnSweep]] (table in
-    * BENCH_NOTES). */
+    * popcount ≤ h, ordered (popcount, value). The production SET (h=2:
+    * 1 + 8 + 28 = 37 probes) equals the original explicit (j,k)-loop
+    * enumeration — the ordering differs for two-bit masks, which is
+    * immaterial: the probes feed a dropDuplicates'd candidate join, so only
+    * set membership matters. The budget is the recall/scan-cost dial
+    * measured by [[graft.AnnSweep]] (table in BENCH_NOTES). */
   private[graft] def probeMasksFor(h: Int): Seq[Long] =
     (0 until (1 << bandBits)).map(_.toLong)
       .filter(m => java.lang.Long.bitCount(m) <= h)
@@ -249,7 +251,7 @@ object Similarity {
       val fp = Artifacts.fingerprint(s, s"$dir/embeddings.parquet")
       val cents = mem.getOrElseUpdate((dir, fp), {
         val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
-        val df = Artifacts.loadOrBuild(s, s"/root/repo/target/graft_ivf/${tag}_k$nCells", fp) {
+        val df = Artifacts.loadOrBuild(s, s"${Artifacts.root(s)}/graft_ivf/${tag}_k$nCells", fp) {
           import org.apache.spark.ml.clustering.KMeans
           import org.apache.spark.ml.functions.array_to_vector
           val e = withNorm(s, dir).withColumn("features", array_to_vector(col("v")))

@@ -19,7 +19,7 @@ object Sources {
     "q32_csv_ingest",
     (s, dir) => {
       val fp = Artifacts.fingerprint(s, s"$dir/orders.parquet")
-      val csv = Artifacts.publishOnce(s, "/root/repo/target/graft_csv", fp)(
+      val csv = Artifacts.publishOnce(s, s"${Artifacts.root(s)}/graft_csv", fp)(
         tmp => Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
           .write.mode("overwrite").option("header", "true").csv(tmp))(
@@ -70,7 +70,7 @@ object Sources {
     "q43_orc_ingest",
     (s, dir) => {
       val fp = Artifacts.fingerprint(s, s"$dir/customer.parquet")
-      val orc = Artifacts.publishOnce(s, "/root/repo/target/graft_orc", fp)(
+      val orc = Artifacts.publishOnce(s, s"${Artifacts.root(s)}/graft_orc", fp)(
         tmp => Tables.customer(s, dir).write.mode("overwrite").orc(tmp))(
         p => s.read.orc(p))
       orc.groupBy(col("c_mktsegment"))

@@ -67,5 +67,52 @@ object Subqueries {
     },
     Some(q86Sql))
 
-  val all: Seq[Q] = Seq(semiAnti, scalar)
+  // The one classic subquery trap q85/q86 leave uncovered: NOT IN against a
+  // list containing NULL. Three-valued logic makes `x NOT IN (..., NULL, ...)`
+  // never TRUE (x = NULL gives NULL; x in the list gives FALSE; x absent gives
+  // NULL), so the poisoned variant is EMPTY — while the IS NOT NULL rewrite
+  // and the NOT EXISTS form return the real anti-join count. All three are
+  // counted side by side so the contrast itself is what the oracle pins.
+  private val q98Sql = """SELECT 'not_in_null_poisoned' AS variant, COUNT(1) AS n_customers
+    FROM customer
+    WHERE c_custkey NOT IN
+      (SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END
+       FROM orders)
+    UNION ALL
+    SELECT 'not_in_null_filtered', COUNT(1)
+    FROM customer
+    WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders
+       WHERE o_orderpriority = '1-URGENT' AND o_custkey IS NOT NULL)
+    UNION ALL
+    SELECT 'not_exists', COUNT(1)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')"""
+
+  /** NOT IN with NULLs in the subquery list — the null-aware anti join.
+    * Spark cannot plan a NOT IN as a plain LEFT ANTI (it must also check
+    * "does the build side contain ANY null", or rows would leak through):
+    * both NOT IN variants get Catalyst's `(k = x) OR isnull(k = x)`
+    * null-aware pattern — a null-aware BroadcastHashJoin, with AQE
+    * short-circuiting the poisoned branch to an EmptyRelation the moment
+    * the build side materializes a null — while the NOT EXISTS form is the
+    * one that plans as an ordinary (flag=false) anti join. SubquerySpec
+    * pins both shapes. 100 TB shape: NAAJ requires a broadcast build side
+    * by construction (Spark refuses to plan it any other way), which is
+    * exactly right — the semantics hinge on a global "any null?" predicate
+    * only a broadcast can answer locally; the scalable formulations for a
+    * non-broadcastable list are precisely the guarded/NOT EXISTS rewrites
+    * shown alongside. */
+  val notInNull: Q = Q(
+    "q98_not_in_null",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(q98Sql)
+    },
+    Some(q98Sql))
+
+  val all: Seq[Q] = Seq(semiAnti, scalar, notInNull)
 }

@@ -225,7 +225,7 @@ object Warehouse {
       // content is identical, so the loser only rewrites equal bytes.)
       val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
       val fp = Artifacts.fingerprint(s, s"$dir/customer.parquet")
-      val base = s"/root/repo/target/graft_schema_evo/$tag/fp_$fp"
+      val base = s"${Artifacts.root(s)}/graft_schema_evo/$tag/fp_$fp"
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       def complete(v: String) =

@@ -258,15 +258,15 @@ object Repo {
       }))
 
   /** Physical location of the materialized repo for one sf dir. */
-  def repoDir(sfDir: String): String = {
+  def repoDir(s: SparkSession, sfDir: String): String = {
     val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
-    s"/root/repo/target/graft_repo/$tag"
+    s"${graft.ops.Artifacts.root(s)}/graft_repo/$tag"
   }
 
   /** Run the DAG, writing each stage's asset. Skipped when already
     * materialized (marker file). Returns the repo dir. */
   def materialize(spark: SparkSession, sfDir: String): String = synchronized {
-    val dir = repoDir(sfDir)
+    val dir = repoDir(spark, sfDir)
     val marker = Paths.get(dir, "_GRAFT_DONE")
     if (!Files.exists(marker)) {
       val r = resolver(sfDir, dir) _

@@ -208,28 +208,45 @@ object StreamingSessions {
   private def streamToArtifact(s: SparkSession, dir: String, queryTag: String,
       table: String, stream: String => DataFrame): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    // staging/output root is spark-conf-backed (default: this repo's target
+    // dir) so a deployment relocates the stream scratch space without a
+    // code change — same knob as every other derived artifact
+    val root = graft.ops.Artifacts.root(s)
     // the file-stream source requires a directory; stage the single-file
     // table via symlink
     val stageDir =
-      java.nio.file.Paths.get(s"/root/repo/target/graft_stream/$queryTag/$tag")
+      java.nio.file.Paths.get(s"$root/graft_stream/$queryTag/$tag")
     java.nio.file.Files.createDirectories(stageDir)
     ensureLink(stageDir.resolve(s"$table.parquet"),
       java.nio.file.Paths.get(s"$dir/$table.parquet"))
-    val base = s"/root/repo/target/graft_stream_out/$queryTag"
+    val base = s"$root/graft_stream_out/$queryTag"
     val fp = graft.ops.Artifacts.fingerprint(s, s"$dir/$table.parquet")
-    graft.ops.Artifacts.loadOrBuild(s, base, fp) {
-      val scratch =
-        s"$base/.tmp_run_${fp}_${java.util.UUID.randomUUID().toString.take(8)}"
-      val out = s"$scratch/out"
-      val write: (DataFrame, Long) => Unit =
-        (batch, _) => batch.write.mode("overwrite").parquet(out)
-      val q = stream(stageDir.toString).writeStream
-        .outputMode("complete")
-        .option("checkpointLocation", s"$scratch/ckpt")
-        .foreachBatch(write)
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      s.read.parquet(out)
+    // the stream builders set session confs their source needs (q31/q94 set
+    // parquet nanosAsLong for the INT64(NANOS) events table — it must stay
+    // set while micro-batches execute); snapshot here and restore once the
+    // stream has fully stopped, so driving a query leaves no session-global
+    // state behind. The returned frame reads the PUBLISHED artifact (plain
+    // MICROS timestamps), which needs no conf.
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val nanosPrior = s.conf.getOption(nanosKey)
+    try {
+      graft.ops.Artifacts.loadOrBuild(s, base, fp) {
+        val scratch =
+          s"$base/.tmp_run_${fp}_${java.util.UUID.randomUUID().toString.take(8)}"
+        val out = s"$scratch/out"
+        val write: (DataFrame, Long) => Unit =
+          (batch, _) => batch.write.mode("overwrite").parquet(out)
+        val q = stream(stageDir.toString).writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", s"$scratch/ckpt")
+          .foreachBatch(write)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(out)
+      }
+    } finally nanosPrior match {
+      case Some(v) => s.conf.set(nanosKey, v)
+      case None => s.conf.unset(nanosKey)
     }
   }
 

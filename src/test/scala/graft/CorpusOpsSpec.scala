@@ -251,6 +251,12 @@ class CorpusOpsSpec extends AnyFunSuite {
     val got = df.filter(col("doc_id") === docId && col("term_rank") === 1).head()
     assert(got.getAs[String]("term") === best._1)
     assert(got.getAs[Double]("score") === best._2)
+    // skew guard: the df side is vocab-sized and must BROADCAST — a term-keyed
+    // shuffle of tf would pile zipfian stopword keys into single partitions
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "q91 must broadcast the df table")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q91 gained a term-keyed sort-merge join:\n${plan.take(600)}")
   }
 
   test("corpus-prep per-row operators stay zero-shuffle; q51 broadcasts the eval side") {

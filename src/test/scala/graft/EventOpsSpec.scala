@@ -187,28 +187,46 @@ class EventOpsSpec extends AnyFunSuite {
       "q92 offset join regressed to a sort-merge join")
     val got = df.collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
     // independent recompute: ONE global sweep (no per-day partitioning),
-    // tracking the carried level at each day start — the construction the
-    // distributed form must reproduce exactly
+    // sampling the running level once per distinct boundary INSTANT (all
+    // same-instant deltas applied as one net step — the exact semantics the
+    // distributed per-day form must reproduce, including the level at each
+    // day-start sentinel)
     val us = Tables.events(spark, sfDir)
-      .select(expr("unix_micros(ts)"), col("event_id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .select(expr("unix_micros(ts)"))
+      .collect().map(_.getLong(0))
     val win = 30L * 60 * 1000000
     val dayUs = 24L * 3600 * 1000000
-    val bounds = (us.map { case (t, id) => (t, 1, id) } ++
-      us.map { case (t, id) => (t + win, -1, id) })
-      .sortBy { case (t, d, id) => (t, d, id) }
+    val bounds = us.map(t => (t, 1)) ++ us.map(t => (t + win, -1))
     val days = bounds.map(b => Math.floorDiv(b._1, dayUs) * dayUs).distinct
-    val withSentinels = (bounds ++ days.map(d => (d, 0, -1L)))
-      .sortBy { case (t, d, id) => (t, d, id) }
+    val byInstant = (bounds ++ days.map(d => (d, 0)))
+      .groupBy(_._1).toSeq
+      .map { case (t, ds) => (t, ds.map(_._2).sum) }
+      .sortBy(_._1)
     var cur = 0L
     val peaks = scala.collection.mutable.Map[Long, Long]()
-    for ((t, d, _) <- withSentinels) {
+    for ((t, d) <- byInstant) {
       cur += d
       val day = Math.floorDiv(t, dayUs) * dayUs
       peaks(day) = math.max(peaks.getOrElse(day, Long.MinValue), cur)
     }
     val expected = peaks.map { case (d, p) => new java.sql.Timestamp(d / 1000) -> p }.toMap
     assert(got === expected)
+  }
+
+  test("q92 exact-midnight ties: the new day's peak is the NET day-start level") {
+    import spark.implicits._
+    // 3 intervals all ending exactly at midnight (start 23:30:00) and nothing
+    // else on day 2: the carried-over base is 3, all three −1 boundaries
+    // collapse with the day-start sentinel into one net step, so day 2's peak
+    // must be 0 — not the base−1=2 a per-boundary walk would record there
+    val ev = Seq.fill(3)("2024-03-01 23:30:00").toDF("s")
+      .select(to_timestamp(col("s")).as("ts")) // parsed in the session tz
+    val got = graft.ops.EventOps.peakConcurrencyOf(ev)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("d"), col("peak_concurrent"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "2024-03-01" -> 3L, // the three open intervals before midnight
+      "2024-03-02" -> 0L)) // at midnight all three are closed (half-open)
   }
 
   test("q96 rolling active users matches a brute-force window recompute") {

@@ -248,6 +248,32 @@ class OpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("q95 constant-heavy distribution (99% of weight at one value) stays exact") {
+    import spark.implicits._
+    // group X: 99% of the weight at one price inside a bucket that also holds
+    // other prices (exercises the per-value phase); group Y: every row at ONE
+    // price (the fully degenerate run — exercises the orderkey sub-binning)
+    val heavy = (1 to 9900).map(i => ("X", 100.0, i.toLong, 1, 100L))
+    val low = (1 to 50).map(i => ("X", 10.0 + i, (10000 + i).toLong, 1, 100L))
+    val high = (1 to 50).map(i => ("X", 1000.0 + i, (20000 + i).toLong, 1, 100L))
+    val ally = (1 to 5000).map(i => ("Y", 42.0, i.toLong, 1, 7L))
+    val data = heavy ++ low ++ high ++ ally
+    val df = data.toDF("l_returnflag", "l_extendedprice", "l_orderkey",
+      "l_linenumber", "w100")
+    val got = graft.ops.Analytics.weightedMedianOf(df).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val expected = data.groupBy(_._1).map { case (flag, items) =>
+      val sorted = items.sortBy(t => (t._2, t._3, t._4))
+      val total = sorted.map(_._5).sum
+      var cum = 0L
+      val idx = sorted.indexWhere { t => cum += t._5; 2 * cum >= total }
+      flag -> (sorted(idx)._2, (sorted.length - idx).toLong)
+    }
+    assert(got === expected)
+    assert(got("X")._1 === 100.0) // the heavy value IS the median
+    assert(got("Y")._1 === 42.0)
+  }
+
   test("q90 histogram: bins partition the value range with exact counts") {
     val df = SparkEntry.queries("q90_value_histogram")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))

@@ -46,6 +46,38 @@ class SubquerySpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join leaked:\n$plan")
   }
 
+  test("q98 NOT IN null semantics: poisoned variant empty, rewrites agree, NAAJ planned") {
+    val df = SparkEntry.queries("q98_not_in_null")(spark, sfDir)
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // three-valued logic: one NULL in the list empties the NOT IN
+    assert(got("not_in_null_poisoned") === 0L)
+    // the two correct formulations agree and are non-trivial
+    assert(got("not_in_null_filtered") === got("not_exists"))
+    assert(got("not_exists") > 0L,
+      "sf0.001 must contain customers with no urgent orders")
+    // cross-check against an explicit anti join
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val expected = c.join(
+      o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")),
+      col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(got("not_exists") === expected)
+    // the poisoned variant must plan as a NULL-AWARE anti join — a plain
+    // LEFT ANTI would leak every customer through when the list has a NULL.
+    // Catalyst's canonical NAAJ shape is `(key = x) OR isnull(key = x)` on a
+    // LeftAnti join; physically it prints as the trailing `true` flag on
+    // BroadcastHashJoin (NAAJ requires a broadcast build by construction —
+    // the "any null in the list?" predicate is global)
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(logical.contains("LeftAnti") && logical.contains("OR isnull("),
+      s"no null-aware anti join pattern in logical plan:\n${logical.take(1200)}")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("LeftAnti, BuildRight, true") ||
+      physical.contains("EmptyRelation"), // AQE: a null on the build side
+      // short-circuits the whole branch to empty at runtime
+      s"no NAAJ/empty-relation in physical plan:\n${physical.take(1200)}")
+  }
+
   test("q86 matches an independent window/join recomputation") {
     val o = Tables.orders(spark, sfDir)
     val li = Tables.lineitem(spark, sfDir)
