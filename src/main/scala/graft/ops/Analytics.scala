@@ -451,6 +451,36 @@ object Analytics {
       JOIN totals tb ON pairs.type_b = tb.event_type
       CROSS JOIN users"""))
 
+  // q99: the one window-frame family nothing else registers — a CALENDAR
+  // range frame (`RANGE BETWEEN INTERVAL ... PRECEDING`), the idiom behind
+  // every trailing-N-day metric. Row frames (q03/q35) count rows; this frame
+  // bounds by the ORDER key's value, so same-day peers enter together and
+  // gaps in the calendar shrink the frame — semantics a row frame cannot
+  // express. Identical SQL runs on both engines; the frame sums EXACT cent
+  // integers (FP contract: one final division per row). 100 TB shape: the
+  // window partitions by customer — per-customer order history is small and
+  // the partition count is the customer count, so the sort parallelizes.
+  private val q99Sql = """SELECT o_orderkey, o_custkey, o_orderdate,
+      CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+        (PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e2
+        AS trailing_7d_spend,
+      COUNT(1) OVER
+        (PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+        AS trailing_7d_orders
+    FROM orders"""
+
+  /** Calendar range-frame window: trailing 7-day spend/order-count per
+    * customer. */
+  val trailingWindow: Q = Q(
+    "q99_trailing_window",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(q99Sql)
+    },
+    Some(q99Sql))
+
   private val medianBuckets = 1024
 
   /** The q95 distributed exact weighted median over any frame with columns
@@ -628,5 +658,5 @@ object Analytics {
 
   val all: Seq[Q] = Seq(windowSuite, setOps, rollup, asofJoin, sqlDdl,
     approxDistinct, percentileStats, pivot, unpivot, cube, countMin, nestedAgg,
-    histogram, cooccurrence, weightedMedian)
+    histogram, cooccurrence, weightedMedian, trailingWindow)
 }

@@ -51,7 +51,12 @@ object LineageQueries {
       Lineage.downstreamClosure(s, graph, "amount")
     },
     None,
-    oracleDyn = Some(() => sys.props.get("graft.oracle.outdir").map { out =>
+    oracleDyn = Some(() => sys.props.get("graft.oracle.outdir")
+      // only claim the oracle when the edge dump actually landed — if q25
+      // failed to dump, fall back to the rows-only check instead of handing
+      // the driver SQL that errors on a missing file
+      .filter(out => new java.io.File(s"$out/q25_lineage_edges").isDirectory)
+      .map { out =>
       s"""WITH RECURSIVE e AS (
         SELECT DISTINCT srcCol AS src, targetCol AS dst
         FROM read_parquet('$out/q25_lineage_edges/*.parquet')

@@ -274,6 +274,24 @@ class OpsSpec extends AnyFunSuite {
     assert(got("Y")._1 === 42.0)
   }
 
+  test("q99 trailing 7-day range frame matches a brute-force recompute") {
+    val df = SparkEntry.queries("q99_trailing_window")(spark, sfDir)
+    val got = df.collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getLong(4))).toMap
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byCust = rows.groupBy(_._2)
+    val sixDaysUs = 6L * 86400000000L
+    rows.foreach { case (ok, ck, d, _) =>
+      val frame = byCust(ck).filter(t => t._3 >= d - sixDaysUs && t._3 <= d)
+      assert(got(ok) === (frame.map(_._4).sum.toDouble / 1e2, frame.size.toLong),
+        s"order $ok")
+    }
+  }
+
   test("q90 histogram: bins partition the value range with exact counts") {
     val df = SparkEntry.queries("q90_value_histogram")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
