@@ -68,47 +68,69 @@ object Lineage {
 
   /** Downstream transitive closure from a start column (A19): iterative
     * frontier join until fixpoint, capped — qa/ask.py:211-223 (limit 2000).
-    * Same loop is checkpoint-per-iteration at scale. */
+    * Same loop is checkpoint-per-iteration at scale.
+    *
+    * Checkpoint lifecycle (round-7 audit): each round's barriers are freed
+    * as soon as the next round's barrier is materialized (only the newest
+    * frontier/result are live), and since the result is CAPPED at `limit`
+    * rows by reference semantics it is collected into a local relation at
+    * the end so the final barriers release too — repeated invocations leave
+    * zero persisted RDDs behind. */
   def downstreamClosure(spark: SparkSession, graph: DataFrame, start: String,
       limit: Int = 2000, maxDepth: Int = 20): DataFrame = {
     import spark.implicits._
     val edges = graph.select(col("src"), col("dst")).distinct().cache()
     var result = Seq((start, 0)).toDF("column", "depth")
     var frontier = result
+    var liveCks = Seq.empty[DataFrame] // barriers the current round still reads
     var depth = 0
     var have = 1L // running |result| — avoids a recount job every depth
     var done = false
-    while (!done && depth < maxDepth) {
-      depth += 1
-      // localCheckpoint truncates the logical plan each iteration — without it
-      // the union+anti-join recursion doubles the plan per depth (2^d nodes);
-      // on a cluster this is checkpoint()-per-iteration
-      val next = frontier.select(col("column").as("fcol")).as("f")
-        .join(edges.as("e"), col("fcol") === col("e.src"))
-        .select(col("e.dst").as("column"), lit(depth).as("depth"))
-        .distinct()
-        .join(result.select(col("column").as("seen")), col("column") === col("seen"), "left_anti")
-        .localCheckpoint(true)
-      val cnt = next.count()
-      if (cnt == 0) done = true
-      else if (have + cnt > limit) {
-        // truncate the overflowing level to exactly `limit` total nodes,
-        // deterministically (ordered by column name). The reference
-        // (qa/ask.py:211-223) stops in BFS discovery order (per-parent
-        // sorted-neighbor queue), so at the cap boundary the retained subset
-        // can differ; below the cap the closures are identical.
-        result = result
-          .unionByName(next.orderBy(col("column")).limit((limit - have).toInt))
-          .localCheckpoint(true)
-        done = true
-      } else {
-        result = result.unionByName(next).localCheckpoint(true)
-        have += cnt
-        frontier = next
+    try {
+      while (!done && depth < maxDepth) {
+        depth += 1
+        // localCheckpoint truncates the logical plan each iteration — without
+        // it the union+anti-join recursion doubles the plan per depth (2^d
+        // nodes); on a cluster this is checkpoint()-per-iteration
+        val next = graft.Ckpt.eager(frontier.select(col("column").as("fcol")).as("f")
+          .join(edges.as("e"), col("fcol") === col("e.src"))
+          .select(col("e.dst").as("column"), lit(depth).as("depth"))
+          .distinct()
+          .join(result.select(col("column").as("seen")), col("column") === col("seen"), "left_anti"))
+        val cnt = next.count()
+        if (cnt == 0) { graft.Ckpt.free(next); done = true }
+        else if (have + cnt > limit) {
+          // truncate the overflowing level to exactly `limit` total nodes,
+          // deterministically (ordered by column name). The reference
+          // (qa/ask.py:211-223) stops in BFS discovery order (per-parent
+          // sorted-neighbor queue), so at the cap boundary the retained
+          // subset can differ; below the cap the closures are identical.
+          val capped = graft.Ckpt.eager(result
+            .unionByName(next.orderBy(col("column")).limit((limit - have).toInt)))
+          graft.Ckpt.free(next)
+          liveCks.foreach(graft.Ckpt.free)
+          liveCks = Seq(capped)
+          result = capped
+          done = true
+        } else {
+          val merged = graft.Ckpt.eager(result.unionByName(next))
+          liveCks.foreach(graft.Ckpt.free)
+          liveCks = Seq(merged, next)
+          result = merged
+          have += cnt
+          frontier = next
+        }
       }
+      // the closure is ≤ `limit` rows by construction — collect into a local
+      // relation so the last round's barriers release with everything else
+      val outPlan = result.filter(col("column") =!= start)
+        .orderBy(col("depth"), col("column"))
+      val rows = outPlan.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), outPlan.schema)
+    } finally {
+      liveCks.foreach(graft.Ckpt.free)
+      edges.unpersist()
     }
-    edges.unpersist()
-    result.filter(col("column") =!= start).orderBy(col("depth"), col("column"))
   }
 
   /** GraphX/Pregel variant of the downstream closure — the shape to prefer
@@ -162,24 +184,34 @@ object Lineage {
       .distinct().cache()
     var result = seeds.distinct.map((_, 0)).toDF("script", "depth")
     var frontier = result
+    var liveCks = Seq.empty[DataFrame]
     var depth = 0
     var done = false
-    while (!done && depth < maxDepth) {
-      depth += 1
-      val next = frontier.select(col("script").as("fscript")).as("f")
-        .join(edges.as("e"), col("fscript") === col("e.src"))
-        .select(col("e.dst").as("script"), lit(depth).as("depth"))
-        .distinct()
-        .join(result.select(col("script").as("seen")), col("script") === col("seen"), "left_anti")
-        .localCheckpoint(true)
-      if (next.count() == 0) done = true
-      else {
-        result = result.unionByName(next).localCheckpoint(true)
-        frontier = next
+    try {
+      while (!done && depth < maxDepth) {
+        depth += 1
+        val next = graft.Ckpt.eager(frontier.select(col("script").as("fscript")).as("f")
+          .join(edges.as("e"), col("fscript") === col("e.src"))
+          .select(col("e.dst").as("script"), lit(depth).as("depth"))
+          .distinct()
+          .join(result.select(col("script").as("seen")), col("script") === col("seen"), "left_anti"))
+        if (next.count() == 0) { graft.Ckpt.free(next); done = true }
+        else {
+          val merged = graft.Ckpt.eager(result.unionByName(next))
+          liveCks.foreach(graft.Ckpt.free)
+          liveCks = Seq(merged, next)
+          result = merged
+          frontier = next
+        }
       }
+      // script universe is small by construction (one row per analyzed job):
+      // collect into a local relation so the last round's barriers release
+      val rows = result.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally {
+      liveCks.foreach(graft.Ckpt.free)
+      edges.unpersist()
     }
-    edges.unpersist()
-    result
   }
 
   /** Scripts whose lineage mentions a column (A21 seed set). */

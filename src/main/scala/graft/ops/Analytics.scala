@@ -522,55 +522,92 @@ object Analytics {
     * order) = in-sub-range survivors + runs/values/buckets entirely past the
     * crossing, accumulated as `rows_after` at each phase. */
   private[graft] def weightedMedianOf(t: DataFrame): DataFrame = {
-      val bounds = t.agg(min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
-      val bt = t.join(broadcast(bounds))
-        .withColumn("bucket", expr(
-          s"""CAST(CASE WHEN hi = lo THEN 0 ELSE
-              least(floor((l_extendedprice - lo) / ((hi - lo) / $medianBuckets)),
-                    ${medianBuckets - 1}) END AS BIGINT)"""))
-        .drop("lo", "hi")
-      val bw = bt.groupBy("l_returnflag", "bucket")
-        .agg(sum("w100").as("bw"), count(lit(1)).as("bn"))
-      val wCum = Window.partitionBy("l_returnflag").orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAfter = Window.partitionBy("l_returnflag").orderBy("bucket")
-        .rowsBetween(1, Window.unboundedFollowing)
-      val wPick = Window.partitionBy("l_returnflag").orderBy("bucket")
-      val targets = bw
-        .withColumn("cumb", sum("bw").over(wCum))
-        .withColumn("total", sum("bw").over(Window.partitionBy("l_returnflag")))
-        .withColumn("rows_after", coalesce(sum("bn").over(wAfter), lit(0L)))
-        .filter(col("cumb") * 2 >= col("total"))
-        .withColumn("rn", row_number().over(wPick))
-        .filter(col("rn") === 1)
-        .select(col("l_returnflag"), col("bucket"),
-          (col("cumb") - col("bw")).as("cum_before"), col("total"), col("rows_after"))
-        // per-group 1-row frames and the ~1/1024 crossing-bucket slice are
-        // localCheckpoint'd (the Lineage.downstreamClosure pattern): each of
-        // the later phases reuses them, and without materialization every
-        // reuse replays the full scan + bucket aggregation upstream —
-        // measured at 2.8× the query's wall time at sf0.1
-      val targetsCk = targets.localCheckpoint(true)
+    val spark = t.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    def local(rows: Seq[Row], schema: StructType): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    // Every per-phase "target" (the crossing bucket / value / sub-range of
+    // each group) is <= 1 row per group, and the phase-1/phase-4 tables they
+    // are walked from are <= |groups| * 1024 rows BY CONSTRUCTION -- bounded
+    // by group cardinality and the bucket constant, never by data volume. So
+    // the walks run on the driver over collected aggregates (the q34
+    // trained-literal pattern) and re-enter the plan as broadcast local
+    // relations: round 6 ran them as distributed window chains behind three
+    // eager localCheckpoint barriers, each a scheduled tiny-data job whose
+    // blocks nothing ever released -- pure stage overhead in steady state
+    // and an RDD leak that Bench's warmup+timed double pass compounded.
+    // The ONE remaining barrier is the crossing-bucket row slice (its input
+    // is data-proportional and three downstream jobs re-read it); it is
+    // scoped and released right after the terminal collect, so repeated
+    // invocations leave zero persisted RDDs behind.
+    graft.Ckpt.scoped { scope =>
+      val groupType = t.schema("l_returnflag").dataType
+      val valueType = t.schema("l_extendedprice").dataType
+      // bounds: two driver-bounded scalars, embedded as literals so no scan
+      // job re-runs the min/max subquery
+      val boundsRow = t
+        .agg(min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi")).head()
+      val lo = if (boundsRow.isNullAt(0)) 0.0 else boundsRow.getDouble(0)
+      val hi = if (boundsRow.isNullAt(1)) 0.0 else boundsRow.getDouble(1)
+      // same IEEE arithmetic as the q90 bin expression: (x - lo) / ((hi - lo)
+      // / buckets), floored and clamped -- the driver computes (hi - lo) /
+      // buckets in the same double precision Spark would
+      val bt = t.withColumn("bucket",
+        if (hi == lo) lit(0L)
+        else least(floor((col("l_extendedprice") - lit(lo)) / lit((hi - lo) / medianBuckets)),
+          lit((medianBuckets - 1).toDouble)).cast("long"))
+      // ---- phase 1: bucket weights (first full scan, map-side combined) ---
+      // ---- phase 2: driver walk to each group's crossing bucket -----------
+      val bwRows = bt.groupBy("l_returnflag", "bucket")
+        .agg(sum("w100").as("bw"), count(lit(1)).as("bn")).collect()
+      // first bucket where twice the inclusive cumulative weight reaches the
+      // group total = the crossing bucket; buckets strictly past it only
+      // contribute their row counts (rows_after)
+      val targetRows = bwRows.toSeq.groupBy(_.get(0)).toSeq.map { case (flag, rows) =>
+        val sorted = rows.sortBy(_.getLong(1))
+        val ws = sorted.map(_.getLong(2))
+        val total = ws.sum
+        var cum = 0L
+        var idx = 0
+        while (2 * (cum + ws(idx)) < total) { cum += ws(idx); idx += 1 }
+        Row(flag, sorted(idx).getLong(1), cum, total,
+          sorted.drop(idx + 1).map(_.getLong(3)).sum)
+      }
+      val targets = local(targetRows, StructType(Seq(
+        StructField("l_returnflag", groupType), StructField("bucket", LongType),
+        StructField("cum_before", LongType), StructField("total", LongType),
+        StructField("rows_after", LongType))))
       // ---- phase 3: per-VALUE aggregation of the crossing bucket ----------
-      val crossRows = bt.join(broadcast(targetsCk), Seq("l_returnflag", "bucket"))
-        .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber", "w100")
-        .localCheckpoint(true)
-      // min/max orderkey ride along in the same aggregation so the run pass
-      // below needs no second bounds job over the run
+      // second full scan, reduced to the ~1/buckets crossing slice; the one
+      // scoped barrier -- phases 3/4/5 all re-read it
+      val crossRows = scope.ck(bt
+        .join(broadcast(targets), Seq("l_returnflag", "bucket"))
+        .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber", "w100"))
+      // the value walk STAYS a distributed window: distinct values in the
+      // crossing bucket are value-cardinality-bound, not bucket-bound, so
+      // collecting them could be data-proportional under adversarial data.
+      // min/max orderkey ride along so the run pass needs no second bounds
+      // job; equal values share a bucket, so the whole group's run of the
+      // crossing value lives inside crossRows -- median_value and the counts
+      // past it are exact at group scope, not just bucket scope
       val pv = crossRows.groupBy("l_returnflag", "l_extendedprice")
         .agg(sum("w100").as("pw"), count(lit(1)).as("pn"),
           min("l_orderkey").as("klo"), max("l_orderkey").as("khi"))
-        .join(broadcast(targetsCk
+        .join(broadcast(targets
           .select("l_returnflag", "cum_before", "total", "rows_after")), Seq("l_returnflag"))
       val wpCum = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wpAfter = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
         .rowsBetween(1, Window.unboundedFollowing)
       val wpPick = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-      // equal values share a bucket, so the whole group's run of the crossing
-      // value lives inside crossRows — median_value and the counts past it
-      // are exact at group scope, not just bucket scope
-      val ptargets = pv
+      val ptSchema = StructType(Seq(
+        StructField("l_returnflag", groupType), StructField("median_value", valueType),
+        StructField("klo", t.schema("l_orderkey").dataType),
+        StructField("khi", t.schema("l_orderkey").dataType),
+        StructField("run_before", LongType), StructField("total", LongType),
+        StructField("rows_after2", LongType)))
+      val ptRows = pv
         .withColumn("cump", col("cum_before") + sum("pw").over(wpCum))
         .withColumn("pn_after", coalesce(sum("pn").over(wpAfter), lit(0L)))
         .filter(col("cump") * 2 >= col("total"))
@@ -580,44 +617,62 @@ object Analytics {
           col("klo"), col("khi"),
           (col("cump") - col("pw")).as("run_before"), col("total"),
           (col("rows_after") + col("pn_after")).as("rows_after2"))
-        .localCheckpoint(true)
+        .collect()
+      val ptargets = local(ptRows.toSeq, ptSchema)
       // ---- phase 4: ORDERKEY sub-binning of the median-value run ----------
       val rb = crossRows
         .join(broadcast(ptargets.select("l_returnflag", "median_value", "klo", "khi")),
           Seq("l_returnflag"))
         .filter(col("l_extendedprice") === col("median_value"))
-        // integer bin, monotone in l_orderkey, range [0, 1024): exact and
-        // overflow-safe for any realistic key span ((okey−klo)·1024 < 2^63)
-        .withColumn("sub",
-          expr(s"((l_orderkey - klo) * $medianBuckets) DIV (khi - klo + 1)"))
+        // integer bin, monotone in l_orderkey, range [0, 1024): exact while
+        // (khi - klo) * 1024 < 2^63; beyond that span (>= 2^52 keys) fall
+        // back to a DOUBLE ratio -- still monotone (IEEE division and floor
+        // are monotone) and clamped into range, so the sub-binning stays a
+        // valid partition of the run instead of silently mis-binning on
+        // overflow
+        .withColumn("sub", expr(
+          s"""CASE WHEN (khi - klo) <= ${Long.MaxValue >> 11}
+              THEN ((l_orderkey - klo) * $medianBuckets) DIV (khi - klo + 1)
+              ELSE least(CAST(floor(CAST(l_orderkey - klo AS DOUBLE)
+                     / (CAST(khi - klo AS DOUBLE) + 1.0D) * $medianBuckets) AS BIGINT),
+                   ${medianBuckets - 1}) END"""))
         .select("l_returnflag", "l_orderkey", "l_linenumber", "w100", "sub")
-      val sv = rb.groupBy("l_returnflag", "sub")
-        .agg(sum("w100").as("sw"), count(lit(1)).as("sn"))
-        .join(broadcast(ptargets.drop("klo", "khi")), Seq("l_returnflag"))
-      val wsCum = Window.partitionBy("l_returnflag").orderBy("sub")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wsAfter = Window.partitionBy("l_returnflag").orderBy("sub")
-        .rowsBetween(1, Window.unboundedFollowing)
-      val wsPick = Window.partitionBy("l_returnflag").orderBy("sub")
-      val stargets = sv
-        .withColumn("cums", col("run_before") + sum("sw").over(wsCum))
-        .withColumn("sn_after", coalesce(sum("sn").over(wsAfter), lit(0L)))
-        .filter(col("cums") * 2 >= col("total"))
-        .withColumn("rn", row_number().over(wsPick))
-        .filter(col("rn") === 1)
-        .select(col("l_returnflag"), col("sub"), col("median_value"),
-          (col("cums") - col("sw")).as("cum_before3"), col("total"),
-          (col("rows_after2") + col("sn_after")).as("rows_after3"))
+      // sub-bin weights are again <= |groups| * 1024 rows by construction ->
+      // driver walk, carrying each group's run_before/rows_after2 forward
+      val svRows = rb.groupBy("l_returnflag", "sub")
+        .agg(sum("w100").as("sw"), count(lit(1)).as("sn")).collect()
+      val ptByFlag = ptRows.map(r => r.get(0) -> r).toMap
+      val stRows = svRows.toSeq.groupBy(_.get(0)).toSeq.flatMap { case (flag, rows) =>
+        ptByFlag.get(flag).map { pt =>
+          val sorted = rows.sortBy(_.getLong(1))
+          val ws = sorted.map(_.getLong(2))
+          val total = pt.getLong(5)
+          var cum = pt.getLong(4) // run_before
+          var idx = 0
+          while (2 * (cum + ws(idx)) < total) { cum += ws(idx); idx += 1 }
+          Row(flag, sorted(idx).getLong(1), pt.get(1), cum, total,
+            pt.getLong(6) + sorted.drop(idx + 1).map(_.getLong(3)).sum)
+        }
+      }
+      val stargets = local(stRows, StructType(Seq(
+        StructField("l_returnflag", groupType), StructField("sub", LongType),
+        StructField("median_value", valueType), StructField("cum_before3", LongType),
+        StructField("total", LongType), StructField("rows_after3", LongType))))
       // ---- phase 5: exact crossing row inside ONE orderkey sub-range ------
       val wIn = Window.partitionBy("l_returnflag")
         .orderBy(col("l_orderkey"), col("l_linenumber"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      rb.join(broadcast(stargets), Seq("l_returnflag", "sub"))
+      val out = rb.join(broadcast(stargets), Seq("l_returnflag", "sub"))
         .withColumn("cum", col("cum_before3") + sum("w100").over(wIn))
         .filter(col("cum") * 2 >= col("total"))
         .groupBy("l_returnflag")
         .agg(min("median_value").as("weighted_median"),
           (count(lit(1)) + min("rows_after3")).as("rows_at_or_above"))
+      // terminal action inside the scope: one row per group, so collect +
+      // local relation lets the barrier release immediately instead of
+      // leaking until GC -- the round-6 in-suite 3 s cost
+      local(out.collect().toSeq, out.schema)
+    }
   }
 
   /** q95: exact weighted median per group — the order statistic a plain

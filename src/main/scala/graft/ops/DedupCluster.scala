@@ -24,37 +24,56 @@ object DedupCluster {
     * frontier's count — no extra join+count job per round. */
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
       maxIter: Int = 50): DataFrame = {
+    val (labels, _) = connectedComponentsManaged(spark, pairs, maxIter)
+    labels
+  }
+
+  /** [[connectedComponents]] plus a release handle for the final round's
+    * checkpoint (checkpoint-lifecycle audit, round 7): superseded rounds are
+    * freed inside the loop as soon as the next round is materialized, edges
+    * on exit; only the frame backing the returned labels stays resident —
+    * call the handle after the terminal action (as the artifact publish in
+    * [[clusters]] does) and nothing persists across invocations. */
+  private[graft] def connectedComponentsManaged(spark: SparkSession, pairs: DataFrame,
+      maxIter: Int = 50): (DataFrame, () => Unit) = {
     // undirected: propagate both ways
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val edges = graft.Ckpt.eager(pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .distinct().localCheckpoint(true)
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("component", col("doc_id"))
-      .localCheckpoint(true)
+      .distinct())
+    var labels = graft.Ckpt.eager(edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id")))
+    var live = labels // the one round whose blocks the loop still reads
     var frontier = labels
     var it = 0
     var frontierSize = 1L
-    while (frontierSize > 0 && it < maxIter) {
-      it += 1
-      val msgs = edges.as("e")
-        .join(frontier.as("f"), col("e.v") === col("f.doc_id"))
-        .groupBy(col("e.u").as("doc_id")).agg(min(col("f.component")).as("cand"))
-      val merged = labels.as("l").join(msgs.as("m"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("l.component"), coalesce(col("m.cand"), col("l.component"))).as("component"),
-          (col("m.cand") < col("l.component")).as("improved"))
-        .localCheckpoint(true)
-      frontier = merged.filter(col("improved")).select("doc_id", "component")
-      frontierSize = frontier.count() // scan of the checkpointed merged, no join
-      labels = merged.select("doc_id", "component")
+    try {
+      while (frontierSize > 0 && it < maxIter) {
+        it += 1
+        val msgs = edges.as("e")
+          .join(frontier.as("f"), col("e.v") === col("f.doc_id"))
+          .groupBy(col("e.u").as("doc_id")).agg(min(col("f.component")).as("cand"))
+        val merged = graft.Ckpt.eager(labels.as("l").join(msgs.as("m"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("l.component"), coalesce(col("m.cand"), col("l.component"))).as("component"),
+            (col("m.cand") < col("l.component")).as("improved")))
+        graft.Ckpt.free(live) // previous round: fully superseded once merged exists
+        live = merged
+        frontier = merged.filter(col("improved")).select("doc_id", "component")
+        frontierSize = frontier.count() // scan of the checkpointed merged, no join
+        labels = merged.select("doc_id", "component")
+      }
+      // never ship non-converged components: downstream (canonical selection,
+      // pruning, the exact-fixpoint oracle) all assume true component minima
+      if (frontierSize > 0)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge within $maxIter iterations " +
+            "(component diameter exceeds the cap); raise maxIter")
+    } catch {
+      case e: Throwable => graft.Ckpt.free(live); graft.Ckpt.free(edges); throw e
     }
-    // never ship non-converged components: downstream (canonical selection,
-    // pruning, the exact-fixpoint oracle) all assume true component minima
-    if (frontierSize > 0)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge within $maxIter iterations " +
-          "(component diameter exceeds the cap); raise maxIter")
-    labels
+    graft.Ckpt.free(edges)
+    val last = live
+    (labels, () => graft.Ckpt.free(last))
   }
 
   /** Cluster assignments per sf-dir as a persisted artifact (parquet under
@@ -70,12 +89,17 @@ object DedupCluster {
   private def clusters(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
     val fp = Artifacts.fingerprint(s, s"$dir/documents.parquet")
-    Artifacts.loadOrBuild(s, s"${Artifacts.root(s)}/graft_cc/$tag", fp) {
+    Artifacts.publishOnce(s, s"${Artifacts.root(s)}/graft_cc/$tag", fp) { tmp =>
       val pairs = Dedup.ngramJaccard.run(s, dir).select("doc_a", "doc_b")
-      connectedComponents(s, pairs)
-        .withColumn("is_canonical",
+      val (cc, release) = connectedComponentsManaged(s, pairs)
+      // release the final label checkpoint right after the publish write —
+      // the artifact is data on disk from here on, so the build leaves no
+      // persisted RDDs behind
+      try cc.withColumn("is_canonical",
           when(col("doc_id") === col("component"), 1).otherwise(0))
-    }
+        .write.mode("overwrite").parquet(tmp)
+      finally release()
+    }(p => s.read.parquet(p))
   }
 
   /** Cluster the verified n-gram-Jaccard near-dup pairs (q14) and emit one row

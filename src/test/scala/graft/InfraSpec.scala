@@ -117,4 +117,25 @@ class InfraSpec extends AnyFunSuite {
         s"bucketed join still shuffles:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("persistent RDDs are stable across two consecutive full-suite passes") {
+    // The checkpoint-lifecycle contract (round-7 audit): every eager
+    // localCheckpoint barrier is released after its terminal action, so a
+    // second full pass over all registered queries must not grow the set of
+    // persisted RDDs. The bounded PlanCache / lineage-repo entries persist BY
+    // DESIGN — they must be exactly as resident after pass 2 as after pass 1,
+    // not duplicated. This is the regression gate for the BENCH_r06-style
+    // blowup (accumulated barrier blocks under a memory-pressured driver).
+    def passAll(): Unit = SparkEntry.queries.toSeq.sortBy(_._1)
+      .foreach { case (name, fn) =>
+        assert(fn(spark, sfDir).count() >= 0, s"$name failed")
+      }
+    passAll()
+    val after1 = spark.sparkContext.getPersistentRDDs.size
+    passAll()
+    val after2 = spark.sparkContext.getPersistentRDDs.size
+    assert(after2 == after1,
+      s"persistent RDD count grew across full-suite passes: $after1 -> $after2 " +
+        "(a localCheckpoint/persist site is missing managed release)")
+  }
 }
