@@ -1,13 +1,69 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main (driver contract): times every registered query on
   * SPARK_GRAFT_SF_DIR and prints one JSON line. An untimed warmup pass runs
   * first so the timed pass measures steady-state query execution, not JVM/
   * codegen warmup or the one-time lineage-repo materialization.
+  *
+  * Failure-honest (round-7 directive): a query that throws is reported with
+  * `-1` as its seconds entry plus its error in the `errors` object — never
+  * as a fast-looking wall time. The line also carries `gc_sec` (GC time
+  * during the timed pass) and the end-of-run persisted-RDD/storage totals,
+  * so a contended or memory-pressured run (the BENCH_r06 signature) is
+  * self-diagnosing from the JSON alone.
   */
 object Bench {
+
+  final case class QResult(name: String, sec: Double, err: Option[String])
+
+  /** One timed pass over `queries`; a throwing query yields err=Some and is
+    * never silently folded into the timings. */
+  private[graft] def runSuite(spark: SparkSession, sfDir: String,
+      queries: Seq[(String, (SparkSession, String) => DataFrame)]): Seq[QResult] =
+    queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        QResult(name, (System.nanoTime() - t0) / 1e9, None)
+      } catch {
+        case e: Throwable => QResult(name, -1.0,
+          Some((e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)).take(200)))
+      }
+    }
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** The driver-contract JSON line: `queries` maps every query to its
+    * seconds (−1 on failure), `errors` maps failed queries to messages,
+    * `value` sums only the successful timings. */
+  private[graft] def renderJson(results: Seq[QResult], sfDir: String,
+      gcSec: Double, persistentRdds: Int, storageBytes: Long): String = {
+    val qs = results.map(r => jstr(r.name) + ":" + r.sec).mkString("{", ",", "}")
+    val errs = results.collect { case QResult(n, _, Some(e)) => jstr(n) + ":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val total = results.filter(_.err.isEmpty).map(_.sec).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":$errs,"failed":${results.count(_.err.isDefined)},""" +
+      f""""gc_sec":$gcSec%.3f,"persistent_rdds":$persistentRdds,""" +
+      s""""storage_bytes":$storageBytes,"sf":${jstr(sfDir)}}"""
+  }
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).filter(_ > 0).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,18 +76,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     // warmup: one untimed pass (JIT + codegen caches + repo materialization)
-    queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
-    val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    runSuite(spark, sfDir, queries)
+    val gc0 = gcMillis()
+    val results = runSuite(spark, sfDir, queries)
+    val gcSec = (gcMillis() - gc0) / 1e3
+    val storage = spark.sparkContext.getRDDStorageInfo
+      .map(i => i.memSize + i.diskSize).sum
+    println(renderJson(results, sfDir, gcSec,
+      spark.sparkContext.getPersistentRDDs.size, storage))
     spark.stop()
   }
 }

@@ -17,8 +17,11 @@ object Verify {
     // pin dynamic oracles (q34's centroid literals) to this run's sf dir
     System.setProperty("graft.oracle.sfdir", sfDir)
     // ... and let dump-derived oracles (q27's recursive closure over the q25
-    // edge dump) point DuckDB at this run's output directory
+    // edge dump, q29/q44's retrieval over the vector dump) point DuckDB at
+    // this run's output directory; the run-start stamp lets them verify a
+    // dump is from THIS run, not a stale leftover in the same outDir
     System.setProperty("graft.oracle.outdir", new java.io.File(outDir).getAbsolutePath)
+    System.setProperty("graft.oracle.runstart", System.currentTimeMillis().toString)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -26,6 +29,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+    }
+    // aux dump for the dump-derived retrieval oracles (after the loop so the
+    // q28 metadata dump the oracle joins is already on disk)
+    try ops.LineageQueries.dumpRetrievalAux(spark, sfDir, outDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] aux_qa_vectors failed: ${e.getMessage}")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -21,6 +21,83 @@ object LineageQueries {
   private def lineages(s: SparkSession, dir: String): Seq[ScriptLineage] =
     Repo.cachedLineage(s, dir)
 
+  /** The outDir dump directory for `name` iff it was produced BY THIS RUN:
+    * requires Spark's `_SUCCESS` marker and a marker mtime at or after the
+    * run start Verify stamps into `graft.oracle.runstart` — a stale dump
+    * left in the same outDir by a prior run must not feed an oracle (it
+    * would replay old data against this run's results and still "pass").
+    * Missing marker / stamp → None → the query falls back to rows-only. */
+  private def freshDump(out: String, name: String): Option[String] = {
+    val marker = new java.io.File(s"$out/$name/_SUCCESS")
+    val startMs = sys.props.get("graft.oracle.runstart")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+    if (marker.isFile && startMs.exists(marker.lastModified() >= _))
+      Some(new java.io.File(s"$out/$name").getAbsolutePath)
+    else None
+  }
+
+  /** Acceptance questions for the retrieval queries — shared with
+    * [[dumpRetrievalAux]] so the oracle scores the exact same query
+    * vectors. */
+  private val RetrievalQuestion =
+    "Where does avg_daily_spend come from and which gold outputs depend on amount?"
+  private val SimpleQuestion = "Which scripts write gold outputs?"
+
+  /** Verify-time aux dump: the corpus embedding table plus the two question
+    * vectors, written as `aux_qa_vectors` beside the query dumps. The
+    * embedding itself is not SQL-expressible (xxhash64 bag-of-tokens), but
+    * given the vectors the retrieval RANKING is — the q29/q44 oracles
+    * recompute L2 distances in DuckDB (`list_distance` over DOUBLE[] is
+    * bit-exact vs the sequential vec_l2sq fold, prototyped) and re-derive
+    * the top-k, moving retrieval from the self-refereed suite into the
+    * driver's rows+schema+hash gate (reference semantics:
+    * qa/ask.py:135-152, qa.py:210-234). */
+  def dumpRetrievalAux(s: SparkSession, dir: String, outDir: String): Unit = {
+    import s.implicits._
+    val ls = lineages(s, dir)
+    val docs = graft.PlanCache.cached(s, "qa_corpus", dir, dir) {
+      QA.corpus(s, ls, Lineage.edges(s, ls)).toDF()
+    }
+    val docVecs = graft.PlanCache.cached(s, "qa_docvecs", dir, dir) {
+      QA.embed(docs, "text")
+    }
+    val qVecs = QA.embed(Seq(
+      "question::q29" -> RetrievalQuestion,
+      "question::q44" -> SimpleQuestion).toDF("id", "text"), "text")
+    docVecs.select("id", "v").unionByName(qVecs.select("id", "v"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/aux_qa_vectors")
+  }
+
+  /** DuckDB SQL re-deriving a retrieval top-k from the aux vector dump:
+    * L2 by `list_distance` (bit-exact vs vec_l2sq), ties broken by doc id
+    * (QA.retrieve's window order), metadata joined from the q28 dump. */
+  private def retrievalOracle(out: String, qid: String, k: Int): String =
+    s"""WITH vecs AS (
+        SELECT id, v FROM read_parquet('$out/aux_qa_vectors/*.parquet')
+      ), q AS (
+        SELECT v AS qv FROM vecs WHERE id = '$qid'
+      ), d AS (
+        SELECT id, v FROM vecs WHERE id NOT LIKE 'question::%'
+      ), ranked AS (
+        SELECT d.id AS doc_id, list_distance(q.qv, d.v) AS dist,
+               CAST(row_number() OVER (ORDER BY list_distance(q.qv, d.v), d.id)
+                 AS BIGINT) AS rank
+        FROM d, q
+      )
+      SELECT r.rank, r.doc_id, r.dist, c."docType", c.script
+      FROM ranked r
+      JOIN read_parquet('$out/q28_corpus_docs/*.parquet') c ON c.id = r.doc_id
+      WHERE r.rank <= $k
+      ORDER BY r.rank"""
+
+  /** Shared oracleDyn for q29/q44: claims the oracle only when this run's
+    * aux vector dump AND q28 corpus dump both landed (fresh `_SUCCESS`). */
+  private def retrievalOracleDyn(qid: String, k: Int): Option[() => Option[String]] =
+    Some(() => sys.props.get("graft.oracle.outdir")
+      .filter(out => freshDump(out, "aux_qa_vectors").isDefined &&
+        freshDump(out, "q28_corpus_docs").isDefined)
+      .map(out => retrievalOracle(out, qid, k)))
+
   val lineageEdges: Q = Q(
     "q25_lineage_edges",
     (s, dir) => Lineage.edges(s, lineages(s, dir)).toDF()
@@ -39,11 +116,14 @@ object LineageQueries {
     * edges is SQL-expressible: the dynamic oracle replays the BFS as a DuckDB
     * recursive CTE over the q25 edge dump Verify just wrote (the edge table is
     * itself sha1-pinned in LineageSpec), with min-depth semantics, the
-    * maxDepth=20 horizon, and the 2000-node cap of qa/ask.py:211-223 — the
-    * cap as a (depth, name)-ordered row_number ≤ 1999, exactly the
-    * complete-levels-then-alphabetical-fill truncation downstreamClosure
-    * applies. This puts the BFS semantics under the driver's hard
-    * rows+schema+hash gate rather than only the self-refereed suite. */
+    * maxDepth=20 horizon, and THIS REPO's 2000-node cap semantics — a
+    * (depth, name)-ordered row_number ≤ 1999, i.e. complete levels then
+    * alphabetical fill, exactly what downstreamClosure applies. The
+    * reference (qa/ask.py:211-223) instead stops in BFS discovery order, so
+    * AT the cap boundary the retained subset can differ (documented at
+    * Lineage.downstreamClosure); below the cap the closures are identical.
+    * This puts the BFS semantics under the driver's hard rows+schema+hash
+    * gate rather than only the self-refereed suite. */
   val impactClosure: Q = Q(
     "q27_impact_closure",
     (s, dir) => {
@@ -52,10 +132,11 @@ object LineageQueries {
     },
     None,
     oracleDyn = Some(() => sys.props.get("graft.oracle.outdir")
-      // only claim the oracle when the edge dump actually landed — if q25
-      // failed to dump, fall back to the rows-only check instead of handing
-      // the driver SQL that errors on a missing file
-      .filter(out => new java.io.File(s"$out/q25_lineage_edges").isDirectory)
+      // only claim the oracle when THIS RUN's edge dump actually landed
+      // (fresh _SUCCESS) — a failed q25 dump, or a stale dump from a prior
+      // run in the same outDir, falls back to the rows-only check instead
+      // of handing the driver SQL over wrong edges
+      .filter(out => freshDump(out, "q25_lineage_edges").isDefined)
       .map { out =>
       s"""WITH RECURSIVE e AS (
         SELECT DISTINCT srcCol AS src, targetCol AS dst
@@ -105,14 +186,14 @@ object LineageQueries {
       val docVecs = graft.PlanCache.cached(s, "qa_docvecs", dir, dir) {
         QA.embed(docs, "text")
       }
-      val question = "Where does avg_daily_spend come from and which gold outputs depend on amount?"
-      val qVec = QA.embed(Seq(("question", question)).toDF("id", "text"), "text")
+      val qVec = QA.embed(Seq(("question", RetrievalQuestion)).toDF("id", "text"), "text")
       QA.retrieve(s, docVecs, qVec)
         .join(docs.select(col("id").as("doc_id"), col("docType"), col("script")), "doc_id")
         .select("rank", "doc_id", "dist", "docType", "script")
         .orderBy("rank")
     },
-    None)
+    None,
+    oracleDyn = retrievalOracleDyn("question::q29", QA.TopK))
 
   /** Full hybrid Q&A evidence for the acceptance question: deterministic
     * impact sections + retrieval facts (qa/ask.py:391-450). */
@@ -147,13 +228,14 @@ object LineageQueries {
         QA.embed(docs, "text")
       }
       val qVec = QA.embed(
-        Seq(("question", "Which scripts write gold outputs?")).toDF("id", "text"), "text")
+        Seq(("question", SimpleQuestion)).toDF("id", "text"), "text")
       QA.retrieve(s, docVecs, qVec, k = 6)
         .join(docs.select(col("id").as("doc_id"), col("docType"), col("script")), "doc_id")
         .select("rank", "doc_id", "dist", "docType", "script")
         .orderBy("rank")
     },
-    None)
+    None,
+    oracleDyn = retrievalOracleDyn("question::q44", 6))
 
   val all: Seq[Q] = Seq(lineageEdges, repoLinks, impactClosure, corpusDocs,
     qaRetrieval, qaRetrievalSimple, qaEvidence)
