@@ -66,9 +66,81 @@ object Lineage {
       .filter(col("src") =!= col("dst")) // self-loops would never terminate BFS usefully
       .distinct()
 
-  /** Downstream transitive closure from a start column (A19): iterative
-    * frontier join until fixpoint, capped — qa/ask.py:211-223 (limit 2000).
-    * Same loop is checkpoint-per-iteration at scale.
+  /** Edge-count threshold below which a closure runs as a driver BFS: a
+    * column-lineage graph is REPO METADATA — O(scripts × columns), not data
+    * volume — so at any plausible repo size the complete edge list fits in
+    * driver memory and scheduling a Spark job per BFS level is pure
+    * overhead (measured: ~15 tiny jobs to walk a 130-edge graph). The
+    * distributed loop below stays the path for graphs that outgrow this. */
+  private[graft] val DriverBfsMaxEdges = 65536
+
+  /** Downstream transitive closure from a start column (A19): BFS with
+    * min-depth semantics, capped — qa/ask.py:211-223 (limit 2000).
+    *
+    * Adaptive execution: one bounded probe (`limit(threshold+1).collect`)
+    * decides the path — a complete in-memory edge list runs the BFS on the
+    * driver ([[driverClosure]]); a larger graph runs the iterative
+    * frontier-join loop ([[distributedClosure]], checkpoint-per-iteration
+    * at scale). Both implement identical semantics, asserted against each
+    * other in InfraSpec. */
+  def downstreamClosure(spark: SparkSession, graph: DataFrame, start: String,
+      limit: Int = 2000, maxDepth: Int = 20): DataFrame = {
+    val edgePlan = graph.select(col("src"), col("dst")).distinct()
+    val probe = edgePlan.limit(DriverBfsMaxEdges + 1).collect()
+    if (probe.length <= DriverBfsMaxEdges)
+      driverClosure(spark, probe.map(r => (r.getString(0), r.getString(1))),
+        start, limit, maxDepth)
+    else distributedClosure(spark, edgePlan, start, limit, maxDepth)
+  }
+
+  /** Driver BFS over a complete in-memory edge list — the metadata-sized
+    * path. Level-synchronous with the same cap truncation (complete levels,
+    * then alphabetical fill of the overflowing level) as the distributed
+    * loop. */
+  private[graft] def driverClosure(spark: SparkSession, edges: Seq[(String, String)],
+      start: String, limit: Int = 2000, maxDepth: Int = 20): DataFrame = {
+    val rows = driverClosureSeq(edges, start, limit, maxDepth)
+      .sortBy { case (c, d) => (d, c) }
+      .map { case (c, d) => org.apache.spark.sql.Row(c, d) }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("column",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("depth",
+          org.apache.spark.sql.types.IntegerType))))
+  }
+
+  /** Seq core of [[driverClosure]] — also consumed directly by the evidence
+    * assembly (qa.Ask), which merges several candidates' closures without
+    * round-tripping each through a frame. */
+  private[graft] def driverClosureSeq(edges: Seq[(String, String)],
+      start: String, limit: Int = 2000, maxDepth: Int = 20): Seq[(String, Int)] = {
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).distinct }
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    var seen = Set(start)
+    var frontier = Seq(start)
+    var have = 1L
+    var depth = 0
+    var done = false
+    while (!done && depth < maxDepth) {
+      depth += 1
+      val next = frontier.flatMap(adj.getOrElse(_, Nil)).distinct.filterNot(seen)
+      if (next.isEmpty) done = true
+      else if (have + next.size > limit) {
+        acc ++= next.sorted.take((limit - have).toInt).map(_ -> depth)
+        done = true
+      } else {
+        acc ++= next.map(_ -> depth)
+        seen ++= next
+        have += next.size
+        frontier = next
+      }
+    }
+    acc.toSeq
+  }
+
+  /** Iterative frontier-join closure — the path for graphs too large to
+    * collect. Same loop is checkpoint-per-iteration at scale.
     *
     * Checkpoint lifecycle (round-7 audit): each round's barriers are freed
     * as soon as the next round's barrier is materialized (only the newest
@@ -76,10 +148,10 @@ object Lineage {
     * rows by reference semantics it is collected into a local relation at
     * the end so the final barriers release too — repeated invocations leave
     * zero persisted RDDs behind. */
-  def downstreamClosure(spark: SparkSession, graph: DataFrame, start: String,
-      limit: Int = 2000, maxDepth: Int = 20): DataFrame = {
+  private[graft] def distributedClosure(spark: SparkSession, edgePlan: DataFrame,
+      start: String, limit: Int = 2000, maxDepth: Int = 20): DataFrame = {
     import spark.implicits._
-    val edges = graph.select(col("src"), col("dst")).distinct().cache()
+    val edges = edgePlan.cache()
     var result = Seq((start, 0)).toDF("column", "depth")
     var frontier = result
     var liveCks = Seq.empty[DataFrame] // barriers the current round still reads
@@ -179,9 +251,42 @@ object Lineage {
   /** Script-level downstream BFS over stitched links (A21). */
   def downstreamScripts(spark: SparkSession, links: Dataset[RepoLink],
       seeds: Seq[String], maxDepth: Int = 20): DataFrame = {
+    // adaptive like downstreamClosure: the script graph is one node per
+    // analyzed job, so in practice this always takes the driver path; the
+    // frontier-join loop below remains for a repo that outgrows the probe
+    val edgePlan = links
+      .select(col("fromScript").as("src"), col("toScript").as("dst")).distinct()
+    val probe = edgePlan.limit(DriverBfsMaxEdges + 1).collect()
+    if (probe.length <= DriverBfsMaxEdges) {
+      val adj = probe.map(r => (r.getString(0), r.getString(1))).toSeq
+        .groupBy(_._1).map { case (s, es) => s -> es.map(_._2).distinct }
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+      acc ++= seeds.distinct.map(_ -> 0)
+      var seen = seeds.distinct.toSet
+      var frontier = seeds.distinct
+      var depth = 0
+      var done = false
+      while (!done && depth < maxDepth) {
+        depth += 1
+        val next = frontier.flatMap(adj.getOrElse(_, Nil)).distinct.filterNot(seen)
+        if (next.isEmpty) done = true
+        else {
+          acc ++= next.map(_ -> depth)
+          seen ++= next
+          frontier = next
+        }
+      }
+      val rows = acc.toSeq.sortBy { case (s, d) => (d, s) }
+        .map { case (s, d) => org.apache.spark.sql.Row(s, d) }
+      return spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("script",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("depth",
+            org.apache.spark.sql.types.IntegerType))))
+    }
     import spark.implicits._
-    val edges = links.select(col("fromScript").as("src"), col("toScript").as("dst"))
-      .distinct().cache()
+    val edges = edgePlan.cache()
     var result = seeds.distinct.map((_, 0)).toDF("script", "depth")
     var frontier = result
     var liveCks = Seq.empty[DataFrame]

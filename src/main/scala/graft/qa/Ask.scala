@@ -41,16 +41,49 @@ object Ask {
     val edges = graft.PlanCache.cached(spark, "qa_edges", sfDir, sfDir) {
       Lineage.edges(spark, ls).toDF()
     }.as[graft.model.Edge]
-    val known = edges.select("targetCol").distinct().collect().map(_.getString(0)).toSet ++
-      edges.select("srcCol").distinct().collect().map(_.getString(0)).toSet
+    // ONE bounded probe of the column-edge table replaces the per-question
+    // known-columns / impact-closure / seed-script jobs: column lineage is
+    // repo METADATA (O(scripts × columns), the sha1-pinned q25 table), so at
+    // any plausible repo size the full edge list fits on the driver and the
+    // BFS/set work is instant Scala. A repo that outgrows the probe falls
+    // back to the distributed frames (the pre-round-7 path).
+    val probe = edges.select("srcCol", "targetCol", "script")
+      .limit(Lineage.DriverBfsMaxEdges + 1).collect()
+    val haveAllEdges = probe.length <= Lineage.DriverBfsMaxEdges
+    val known =
+      if (haveAllEdges) probe.iterator.flatMap(r => Seq(r.getString(0), r.getString(1))).toSet
+      else edges.select("targetCol").distinct().collect().map(_.getString(0)).toSet ++
+        edges.select("srcCol").distinct().collect().map(_.getString(0)).toSet
     val cands = QA.candidateColumns(question, known, cfg.maxImpactCols)
-    val graph = Lineage.columnGraph(edges)
-    val impact: DataFrame = cands.map(Lineage.downstreamClosure(spark, graph, _))
-      .reduceOption(_ unionByName _)
-      .getOrElse(Seq.empty[(String, Int)].toDF("column", "depth"))
-      .groupBy("column").agg(min("depth").as("depth"))
+    val impact: DataFrame =
+      if (haveAllEdges) {
+        // columnGraph's closure-relevant content is the (src, dst) pairs
+        // minus self-loops; min-depth merge across candidates mirrors the
+        // frame-side groupBy(column).min(depth)
+        val pairs = probe.iterator.map(r => (r.getString(0), r.getString(1)))
+          .filter(p => p._1 != p._2).toSeq.distinct
+        val merged = cands.flatMap(Lineage.driverClosureSeq(pairs, _))
+          .groupBy(_._1).map { case (c, ds) => (c, ds.map(_._2).min) }
+          .toSeq.sortBy { case (c, d) => (d, c) }
+        spark.createDataFrame(
+          java.util.Arrays.asList(merged.map { case (c, d) =>
+            org.apache.spark.sql.Row(c, d) }: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("column",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("depth",
+              org.apache.spark.sql.types.IntegerType))))
+      } else cands.map(Lineage.downstreamClosure(spark, Lineage.columnGraph(edges), _))
+        .reduceOption(_ unionByName _)
+        .getOrElse(Seq.empty[(String, Int)].toDF("column", "depth"))
+        .groupBy("column").agg(min("depth").as("depth"))
     val links = Lineage.stitch(spark, ls)
-    val seeds = cands.flatMap(Lineage.seedScriptsForColumn(edges, _)).distinct
+    val seeds =
+      if (haveAllEdges) cands.flatMap { c =>
+        probe.iterator.filter(r => r.getString(0) == c || r.getString(1) == c)
+          .map(_.getString(2)).toSeq.distinct.sorted
+      }.distinct
+      else cands.flatMap(Lineage.seedScriptsForColumn(edges, _)).distinct
     val scripts = Lineage.downstreamScripts(spark, links, seeds)
     val gold = Lineage.goldOutputs(spark, ls, scripts)
     val docs = graft.PlanCache.cached(spark, "qa_corpus", sfDir, sfDir) {

@@ -200,6 +200,19 @@ class OpsSpec extends AnyFunSuite {
     assert(edPairs === jacPairs)
   }
 
+  test("q87 prefilter soundness: documents.n_chars equals length(text)") {
+    // both engines' length prefilter trusts the stored n_chars column; if it
+    // ever diverged from the character count levenshtein operates on (byte
+    // lengths, UTF-16 code units for non-BMP text), BOTH engines would agree
+    // on silently dropped pairs and Verify would still pass — so pin the
+    // invariant the prefilter's proof rests on (ADVICE r6)
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val bad = Tables.documents(spark, dir)
+        .filter(col("n_chars") =!= length(col("text"))).count()
+      assert(bad === 0L, s"$dir: n_chars diverges from length(text) on $bad docs")
+    }
+  }
+
   test("q93 co-occurrence lift matches an exact set recompute") {
     val df = SparkEntry.queries("q93_cooccurrence_lift")(spark, sfDir)
     val ut = Tables.events(spark, sfDir).select("user_id", "event_type").distinct()
