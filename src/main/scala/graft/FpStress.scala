@@ -28,12 +28,20 @@ object FpStress {
 
   private val srcDir = "/root/testdata/sf0.1"
   private val dataDir = "/root/repo/target/fpstress/sf1"
+  /** The ~sf1 corpus location, shared with [[PairSweep]]. */
+  private[graft] def corpusDir: String = dataDir
+  /** Build-if-missing entry for other harnesses ([[PairSweep]]). */
+  private[graft] def ensureBuilt(s: SparkSession): Unit = build(s)
   private val copies = 10
   private val keyOff = 100000000L // far above any sf0.1 key
 
   private val fpQueries = Seq(
     "q03_fact_enriched", "q10_mart_customer_value", "q11_customer_agg",
-    "q68_bm25_score", "q71_length_outliers")
+    "q68_bm25_score", "q71_length_outliers",
+    // round-7 additions: cents×µs integer sums with a final double division
+    // (q88), the rational-idf score with zipfian term keys (q91), and the
+    // multi-phase weighted median's bucket arithmetic (q95)
+    "q88_time_weighted_avg", "q91_tfidf_top_terms", "q95_weighted_median")
 
   /** 2-decimal deterministic jitter in [0, 0.96], keyed by (row key, copy) —
     * keeps every jittered double a 2-decimal value so the round(sum, p)
@@ -75,10 +83,47 @@ object FpStress {
         col("l_discount"), col("l_tax"), col("l_returnflag"),
         col("l_linestatus"), col("l_shipdate"))
     }
+    // per-copy character permutation (length-preserving, word boundaries
+    // untouched, so n_chars == length(text) still holds): copies carry
+    // DISTINCT shingle/term sets, keeping per-shingle document frequencies
+    // at their sf0.1 values — the same per-group-size premise the key
+    // shifts enforce. Ten verbatim copies would instead multiply every df
+    // ×10 and distort the pair-mining operators' candidate space.
+    val alpha = "aeiounrstl"
     tenfold("documents") { (df, i) =>
+      val perm = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
       df.select(
         (col("doc_id") + i * keyOff).as("doc_id"),
-        col("text"), col("lang"), col("source"), col("n_chars"))
+        translate(col("text"), alpha, perm).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    // embeddings: per-(copy, component) deterministic offset in [−0.08, 0.08]
+    // flips near-zero hyperplane dots, so copies land in mostly different
+    // LSH buckets — per-bucket density stays at sf0.1 levels, the honest
+    // sf1 shape for the ANN candidate space (copy 0 is the original)
+    tenfold("embeddings") { (df, i) =>
+      val emb =
+        if (i == 0) col("embedding")
+        else expr(s"""transform(embedding, (x, j) ->
+             CAST(x + (pmod(vec_id * 31 + $i * 7 + j, 17) - 8) / 100.0 AS FLOAT))""")
+      df.select(
+        (col("vec_id") + i * keyOff).as("vec_id"),
+        emb.as("embedding"),
+        col("label"))
+    }
+    // events: ts is INT64 TIMESTAMP(NANOS) — read raw under nanosAsLong (the
+    // Tables.events contract) and write plain BIGINT nanos, which the
+    // `ts div 1000` conversion in Tables.events handles identically; users
+    // shift per copy so per-(user, day) group sizes stay at sf0.1 values
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tenfold("events") { (df, i) =>
+      df.select(
+        (col("event_id") + i * keyOff).as("event_id"),
+        col("ts"),
+        (col("user_id") + i * keyOff).as("user_id"),
+        col("event_type"),
+        (col("value") + jitter("event_id", i)).as("value"),
+        col("props"))
     }
     Files.createFile(marker)
   }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Growth sweep for the pair-join operators (the class whose cost is driven
+  * by CANDIDATE volume, not row count): runs q14 n-gram Jaccard, q87 edit
+  * distance, q40 dedup clustering and q19 LSH ANN at sf0.1 and at the
+  * FpStress ~sf1 corpus (10× rows, per-copy-perturbed text/vectors so
+  * per-shingle dfs and per-bucket densities stay at their sf0.1 values —
+  * the honest larger-corpus shape), and prints wall-clock growth ratios.
+  *
+  * The recorded q87 lesson (BENCH_NOTES r5) is that sf0.01 hides
+  * candidate-set blowups; this is the next step of that ladder. A
+  * sub-quadratic operator must grow ≲ the 10× data ratio (plus index
+  * superlinearity); a ratio approaching 100× means the candidate space, not
+  * the corpus, is scaling — the blowup class this sweep exists to catch.
+  *
+  * Usage: runMain graft.PairSweep  (builds the FpStress corpus if missing;
+  * cold artifacts — rm -rf target/graft_cc — for a fair q40 measurement).
+  * Results → BENCH_NOTES ("pair-operator growth at ~sf1").
+  */
+object PairSweep {
+
+  private val queries = Seq("q14_dedup_ngram_jaccard", "q87_dedup_edit_distance",
+    "q40_dedup_clusters", "q19_knn_lsh")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]").appName("graft-pairsweep")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    FpStress.ensureBuilt(spark)
+    def time(dir: String, name: String): Double = {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[pairsweep] $name @ $dir rows=$n ${sec}%.2f s")
+      sec
+    }
+    val small = "/root/testdata/sf0.1"
+    val big = FpStress.corpusDir
+    queries.foreach { q =>
+      val s = time(small, q)
+      val b = time(big, q)
+      println(f"[pairsweep] RATIO $q ${b / s}%.1f x for 10x rows " +
+        (if (b / s < 30) "(sub-quadratic)" else "(SUPERLINEAR - investigate)"))
+    }
+    spark.stop()
+  }
+}
