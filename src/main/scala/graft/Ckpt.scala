@@ -44,6 +44,16 @@ object Ckpt {
       held += out
       out
     }
+    /** LAZY local checkpoint: same raw-row blocks and lineage truncation as
+      * [[ck]], but no materialization job of its own — the first downstream
+      * action pays it inline, later actions read the blocks. Saves one
+      * scheduled job per barrier whenever the first consumer would scan the
+      * whole input anyway. Same release contract as [[ck]]. */
+    def lazyCk(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint(false)
+      held += out
+      out
+    }
     def release(): Unit = { held.foreach(free); held.clear() }
   }
 

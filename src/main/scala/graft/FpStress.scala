@@ -151,6 +151,10 @@ object FpStress {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // force q95's DISTRIBUTED phases: the adaptive driver path has no FP
+    // surface (integer walk over a collected slice) — the multi-phase plan's
+    // bucket arithmetic is what this harness exists to stress
+    spark.conf.set("graft.q95.driverSliceRows", "0")
     build(spark)
 
     val hashes = fpQueries.map { name =>

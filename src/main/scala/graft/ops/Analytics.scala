@@ -520,7 +520,12 @@ object Analytics {
     *
     * `rows_at_or_above` (rows at or past the crossing in the group's total
     * order) = in-sub-range survivors + runs/values/buckets entirely past the
-    * crossing, accumulated as `rows_after` at each phase. */
+    * crossing, accumulated as `rows_after` at each phase.
+    *
+    * Phases 3-5 only run when phase 1 MEASURES the crossing slice as too
+    * large to collect (> `graft.q95.driverSliceRows`, default 200k): below
+    * that, one collect + an exact driver walk replaces them — see the
+    * adaptive-short-circuit note in the body. */
   private[graft] def weightedMedianOf(t: DataFrame): DataFrame = {
     val spark = t.sparkSession
     import org.apache.spark.sql.Row
@@ -541,6 +546,17 @@ object Analytics {
     // is data-proportional and three downstream jobs re-read it); it is
     // scoped and released right after the terminal collect, so repeated
     // invocations leave zero persisted RDDs behind.
+    //
+    // ADAPTIVE short-circuit (the q27 driver-BFS pattern, but with an exact
+    // bound instead of a heuristic): the phase-1 aggregate reports the
+    // crossing bucket's EXACT row count per group before any slice work
+    // happens. When the total is driver-safe (<= graft.q95.driverSliceRows,
+    // default 200k -- tens of MB), phases 3-5 collapse into ONE collect of
+    // the slice plus an exact integer walk on the driver: 3 scheduled jobs
+    // instead of 5, no barrier at all. Realistic value distributions put
+    // ~1/1024 of each group in the crossing bucket, so at 100 TB the count
+    // exceeds the cap and the distributed phases run -- the decision is
+    // measured per invocation, never guessed.
     graft.Ckpt.scoped { scope =>
       val groupType = t.schema("l_returnflag").dataType
       val valueType = t.schema("l_extendedprice").dataType
@@ -564,24 +580,64 @@ object Analytics {
       // first bucket where twice the inclusive cumulative weight reaches the
       // group total = the crossing bucket; buckets strictly past it only
       // contribute their row counts (rows_after)
-      val targetRows = bwRows.toSeq.groupBy(_.get(0)).toSeq.map { case (flag, rows) =>
+      val walked = bwRows.toSeq.groupBy(_.get(0)).toSeq.map { case (flag, rows) =>
         val sorted = rows.sortBy(_.getLong(1))
         val ws = sorted.map(_.getLong(2))
         val total = ws.sum
         var cum = 0L
         var idx = 0
         while (2 * (cum + ws(idx)) < total) { cum += ws(idx); idx += 1 }
-        Row(flag, sorted(idx).getLong(1), cum, total,
-          sorted.drop(idx + 1).map(_.getLong(3)).sum)
+        (Row(flag, sorted(idx).getLong(1), cum, total,
+          sorted.drop(idx + 1).map(_.getLong(3)).sum),
+          sorted(idx).getLong(3)) // the crossing bucket's exact row count
       }
+      val targetRows = walked.map(_._1)
       val targets = local(targetRows, StructType(Seq(
         StructField("l_returnflag", groupType), StructField("bucket", LongType),
         StructField("cum_before", LongType), StructField("total", LongType),
         StructField("rows_after", LongType))))
+      val outSchema = StructType(Seq(
+        StructField("l_returnflag", groupType),
+        StructField("weighted_median", valueType),
+        StructField("rows_at_or_above", LongType)))
+      val sliceRows = walked.map(_._2).sum
+      val sliceCap = spark.conf.get("graft.q95.driverSliceRows", "200000").toLong
+      if (sliceRows <= sliceCap) {
+        // ---- adaptive driver path: one slice collect + exact walk ---------
+        // the crossing slice is measured driver-safe; its sorted walk is the
+        // oracle's own semantics (value, l_orderkey, l_linenumber order,
+        // first row where 2*cum >= total), pure integer compares
+        val slice = bt.join(broadcast(targets), Seq("l_returnflag", "bucket"))
+          .select("l_returnflag", "l_extendedprice", "l_orderkey",
+            "l_linenumber", "w100")
+          .collect()
+        def lt(a: Row, b: Row): Boolean = {
+          def c(i: Int) = a.get(i).asInstanceOf[Comparable[Any]].compareTo(b.get(i))
+          val c1 = c(1)
+          if (c1 != 0) c1 < 0
+          else { val c2 = c(2); if (c2 != 0) c2 < 0 else c(3) < 0 }
+        }
+        val byFlag = targetRows.map(r => r.get(0) -> r).toMap
+        val resRows = slice.toSeq.groupBy(_.get(0)).toSeq.map { case (flag, rows) =>
+          val t = byFlag(flag)
+          val sorted = rows.sortWith(lt)
+          var cum = t.getLong(2) // cum_before: weight in buckets before
+          val total = t.getLong(3)
+          var idx = 0
+          while (2 * (cum + sorted(idx).getLong(4)) < total) {
+            cum += sorted(idx).getLong(4); idx += 1
+          }
+          Row(flag, sorted(idx).get(1), (sorted.length - idx).toLong + t.getLong(4))
+        }
+        local(resRows, outSchema)
+      } else {
+      // ---- distributed phases 3-5: the slice is NOT driver-safe ----------
       // ---- phase 3: per-VALUE aggregation of the crossing bucket ----------
       // second full scan, reduced to the ~1/buckets crossing slice; the one
-      // scoped barrier -- phases 3/4/5 all re-read it
-      val crossRows = scope.ck(bt
+      // scoped barrier -- phases 3/4/5 all re-read it. LAZY: the phase-3
+      // collect materializes the blocks inline instead of a scheduled
+      // materialization job of their own
+      val crossRows = scope.lazyCk(bt
         .join(broadcast(targets), Seq("l_returnflag", "bucket"))
         .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber", "w100"))
       // the value walk STAYS a distributed window: distinct values in the
@@ -672,6 +728,7 @@ object Analytics {
       // local relation lets the barrier release immediately instead of
       // leaking until GC -- the round-6 in-suite 3 s cost
       local(out.collect().toSeq, out.schema)
+      } // end distributed path
     }
   }
 

@@ -273,8 +273,16 @@ class OpsSpec extends AnyFunSuite {
     val data = heavy ++ low ++ high ++ ally
     val df = data.toDF("l_returnflag", "l_extendedprice", "l_orderkey",
       "l_linenumber", "w100")
-    val got = graft.ops.Analytics.weightedMedianOf(df).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // cap 0 forces the distributed phases (the slice here is driver-sized,
+    // so the default would take the adaptive driver path); running BOTH pins
+    // path parity on exactly the skew the distributed plan exists for
+    def run(): Map[String, (Double, Long)] =
+      graft.ops.Analytics.weightedMedianOf(df).collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val gotDistributed =
+      try { spark.conf.set("graft.q95.driverSliceRows", "0"); run() }
+      finally spark.conf.unset("graft.q95.driverSliceRows")
+    val gotDriver = run()
     val expected = data.groupBy(_._1).map { case (flag, items) =>
       val sorted = items.sortBy(t => (t._2, t._3, t._4))
       val total = sorted.map(_._5).sum
@@ -282,9 +290,10 @@ class OpsSpec extends AnyFunSuite {
       val idx = sorted.indexWhere { t => cum += t._5; 2 * cum >= total }
       flag -> (sorted(idx)._2, (sorted.length - idx).toLong)
     }
-    assert(got === expected)
-    assert(got("X")._1 === 100.0) // the heavy value IS the median
-    assert(got("Y")._1 === 42.0)
+    assert(gotDistributed === expected)
+    assert(gotDriver === expected)
+    assert(gotDistributed("X")._1 === 100.0) // the heavy value IS the median
+    assert(gotDistributed("Y")._1 === 42.0)
   }
 
   test("q99 trailing 7-day range frame matches a brute-force recompute") {
