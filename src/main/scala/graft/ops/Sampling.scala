@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -32,5 +33,49 @@ object Sampling {
              THEN 'train' ELSE 'val' END AS split
       FROM documents"""))
 
-  val all: Seq[Q] = Seq(trainSplit)
+  /** Deterministic seeded GLOBAL training order — every epoch pipeline's
+    * last step is "shuffle the corpus", and the naive formulation
+    * (`row_number() OVER (ORDER BY key)`) funnels 100 TB through ONE task.
+    * This assigns the identical total-order rank with bucket-parallel
+    * sorting instead:
+    *
+    *   1. shuffle key = md5 of (doc_id, seed) — reproducible across runs,
+    *      engines and partitionings, no RNG state (q48's hash family);
+    *   2. bucket = first 2 hex chars of the key (256 ranges of the SAME
+    *      lexicographic order the rank is defined over);
+    *   3. per-bucket counts (256-row aggregate) → exclusive prefix offsets,
+    *      a driver-size window;
+    *   4. rank = bucket offset + row_number within the bucket — 256-way
+    *      parallel windows, each ~1/256 of the corpus.
+    *
+    * Identical to the one-task formulation row for row (md5 has no ties and
+    * bucket ranges are order-aligned prefixes), which is exactly what the
+    * oracle runs. At 1000 executors, raise the prefix length (4 hex chars =
+    * 65536 buckets) — parallelism scales as 16^k with no plan change. */
+  val trainOrder: Q = Q(
+    "q100_train_order",
+    (s, dir) => {
+      val keyed = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(concat_ws("|", lit(salt), col("doc_id").cast("string"), lit("order")))
+            .as("shuffle_key"))
+        .withColumn("bucket", substring(col("shuffle_key"), 1, 2))
+      val offsets = keyed.groupBy("bucket").agg(count(lit(1)).as("bn"))
+        .withColumn("off", coalesce(
+          sum("bn").over(Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bucket", "off")
+      keyed.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("train_rank", col("off") +
+          row_number().over(Window.partitionBy("bucket").orderBy("shuffle_key")))
+        .select(col("doc_id"), col("shuffle_key"), col("train_rank"))
+    },
+    Some(s"""SELECT doc_id,
+        md5('$salt' || '|' || CAST(doc_id AS VARCHAR) || '|' || 'order') AS shuffle_key,
+        row_number() OVER (
+          ORDER BY md5('$salt' || '|' || CAST(doc_id AS VARCHAR) || '|' || 'order')
+        ) AS train_rank
+      FROM documents"""))
+
+  val all: Seq[Q] = Seq(trainSplit, trainOrder)
 }

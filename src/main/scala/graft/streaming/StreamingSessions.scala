@@ -206,7 +206,8 @@ object StreamingSessions {
     * published artifact — the steady state of a production pipeline whose
     * sink table already holds the stream's result. */
   private def streamToArtifact(s: SparkSession, dir: String, queryTag: String,
-      table: String, stream: String => DataFrame): DataFrame = {
+      table: String, stream: String => DataFrame,
+      mode: String = "complete"): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
     // staging/output root is spark-conf-backed (default: this repo's target
     // dir) so a deployment relocates the stream scratch space without a
@@ -234,10 +235,14 @@ object StreamingSessions {
         val scratch =
           s"$base/.tmp_run_${fp}_${java.util.UUID.randomUUID().toString.take(8)}"
         val out = s"$scratch/out"
+        // complete mode re-emits the whole result each batch (overwrite);
+        // append mode (the only mode stream-stream joins support) emits each
+        // result row exactly once, so batches accumulate
         val write: (DataFrame, Long) => Unit =
-          (batch, _) => batch.write.mode("overwrite").parquet(out)
+          (batch, _) => batch.write
+            .mode(if (mode == "append") "append" else "overwrite").parquet(out)
         val q = stream(stageDir.toString).writeStream
-          .outputMode("complete")
+          .outputMode(mode)
           .option("checkpointLocation", s"$scratch/ckpt")
           .foreachBatch(write)
           .start()
@@ -316,5 +321,49 @@ object StreamingSessions {
              ROUND(SUM(value), 2) AS window_value
       FROM hopped GROUP BY window_start, event_type"""))
 
-  val all: Seq[Q] = Seq(streamingSessions, streamingDedup, streamingHopping)
+  /** Stream-stream interval join — the Structured Streaming surface none of
+    * the other streaming ops exercise: clicks and purchases arrive as TWO
+    * unbounded streams, and each purchase joins every click by the same
+    * user in the trailing 2 hours. Both sides carry watermarks and the join
+    * condition bounds event time on both sides, so Spark can GC join state:
+    * a buffered click is droppable once the purchase-side watermark passes
+    * click_ts + 2 h — state is horizon-bounded, never stream-length-bounded.
+    * Inner interval joins emit rows as matches arrive (no watermark wait),
+    * in append mode (the only mode stream-stream joins admit), so batches
+    * accumulate in the artifact. Driving the static table to completion
+    * equals the batch range join exactly — the oracle is DuckDB's. */
+  val streamingIntervalJoin: Q = Q(
+    "q101_streaming_interval_join",
+    (s, dir) => streamToArtifact(s, dir, "ijoin", "events", { p =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      def side(): DataFrame = s.readStream.schema(eventsSchema).parquet(p)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = side().filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = side().filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+        .withWatermark("purchase_ts", "1 hour")
+      clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 2 HOURS"))
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          col("click_ts"), col("purchase_ts"), col("purchase_value"))
+    }, mode = "append"),
+    Some("""WITH ev AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        FROM events
+      )
+      SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+             c.ts AS click_ts, p.ts AS purchase_ts, p.value AS purchase_value
+      FROM (SELECT * FROM ev WHERE event_type = 'click') c
+      JOIN (SELECT * FROM ev WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR"""))
+
+  val all: Seq[Q] =
+    Seq(streamingSessions, streamingDedup, streamingHopping, streamingIntervalJoin)
 }

@@ -113,6 +113,27 @@ class OpsSpec extends AnyFunSuite {
     assert(split.except(again).count() === 0)
   }
 
+  test("q100 train order is a permutation equal to the one-task sort") {
+    val got = SparkEntry.queries("q100_train_order")(spark, sfDir)
+      .select("doc_id", "shuffle_key", "train_rank").cache()
+    val n = Tables.documents(spark, sfDir).count()
+    assert(got.count() === n)
+    // ranks are exactly 1..n with no gaps or dups
+    assert(got.agg(min("train_rank"), max("train_rank"),
+      countDistinct("train_rank")).head() match {
+      case r => r.getLong(0) === 1L && r.getLong(1) === n && r.getLong(2) === n
+    })
+    // the bucket-parallel rank equals the naive global-window formulation
+    import org.apache.spark.sql.expressions.Window
+    val naive = got.select(col("doc_id"), col("shuffle_key"))
+      .withColumn("expected_rank",
+        row_number().over(Window.orderBy("shuffle_key")).cast("long"))
+    val drift = got.join(naive, Seq("doc_id"))
+      .filter(col("train_rank") =!= col("expected_rank")).count()
+    assert(drift === 0)
+    got.unpersist()
+  }
+
   test("q24 multimodal: n_bytes equals n_chars for ascii corpus") {
     val df = SparkEntry.queries("q24_multimodal_decode")(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)

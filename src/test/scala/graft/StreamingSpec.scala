@@ -22,6 +22,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streaming).count() === 0)
   }
 
+  test("streaming interval join emits exactly the batch range join") {
+    val streaming = SparkEntry.queries("q101_streaming_interval_join")(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 2 HOURS"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"), col("purchase_value"))
+    assert(streaming.count() > 0)
+    assert(streaming.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streaming).count() === 0)
+  }
+
   test("streaming session_window produces the same sessions as batch q06") {
     val streaming = SparkEntry.queries("q31_streaming_sessions")(spark, sfDir)
     val batch = SparkEntry.queries("q06_sessionization")(spark, sfDir)
