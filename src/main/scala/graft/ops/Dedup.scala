@@ -39,13 +39,16 @@ object Dedup {
       count(1) AS dup_count FROM documents GROUP BY md5(text)"""))
 
   /** Distinct word 3-grams per doc, exploded to (doc_id, ngram). */
-  private def ngramRows(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  private def ngramsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(0, size(words)-3), i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))")))
         .as("ngram"))
+
+  private def ngramRows(s: SparkSession, dir: String): DataFrame =
+    ngramsOf(Tables.documents(s, dir))
 
   private val maxDf = 50 // shingles seen in more docs than this are stop-shingles
 
@@ -114,6 +117,38 @@ object Dedup {
   private val bands = 4 // 4 minhashes per band
   private val perBand = numHashes / bands
 
+  /** MinHash signature per doc over an arbitrary (doc_id, text) frame —
+    * shared by q15 (whole-corpus pairs) and q102 (incremental batch), so
+    * the two can't diverge on the hash family. */
+  private[graft] def sigsOf(docs: DataFrame): DataFrame = {
+    val mh = (0 until numHashes).map(i =>
+      min(md5(concat_ws("|", lit(i.toString), col("ngram")))).as(s"mh$i"))
+    ngramsOf(docs).groupBy("doc_id").agg(mh.head, mh.tail: _*)
+  }
+
+  /** The per-(session, dir) cached corpus signature table. */
+  private def corpusSigs(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(s, "q15_sigs", dir, s"$dir/documents.parquet") {
+      sigsOf(Tables.documents(s, dir))
+    }
+
+  /** Signature-agreement count between sigs aliased `sa` and `sb`. */
+  private def sigAgreement: Column = (0 until numHashes)
+    .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
+    .reduce(_ + _).cast("long")
+
+  /** (doc_id, band_idx, band_hash) — one row per signature band. */
+  private def bandRowsOf(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        md5(concat_ws("|", (b * perBand until (b + 1) * perBand)
+          .map(i => col(s"mh$i")): _*)).as("band_hash"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band_idx").as("band_idx"),
+        col("bk.band_hash").as("band_hash"))
+  }
+
   /** MinHash signatures over 3-gram shingles + banded LSH candidate pairs,
     * scored by signature agreement (estimated Jaccard ≥ 0.5).
     *
@@ -124,33 +159,19 @@ object Dedup {
   val minhashLsh: Q = Q(
     "q15_dedup_minhash_lsh",
     (s, dir) => {
-      val ng = ngramRows(s, dir)
-      val mh = (0 until numHashes).map(i =>
-        min(md5(concat_ws("|", lit(i.toString), col("ngram")))).as(s"mh$i"))
       // one bounded persisted copy per (session, dir) — see q14's ngr
-      val sigs = graft.PlanCache.cached(s, "q15_sigs", dir, s"$dir/documents.parquet") {
-        ng.groupBy("doc_id").agg(mh.head, mh.tail: _*)
-      }
-      val bandCols = (0 until bands).map { b =>
-        struct(lit(b).as("band_idx"),
-          md5(concat_ws("|", (b * perBand until (b + 1) * perBand)
-            .map(i => col(s"mh$i")): _*)).as("band_hash"))
-      }
-      val bandRows = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band_idx").as("band_idx"), col("bk.band_hash").as("band_hash"))
+      val sigs = corpusSigs(s, dir)
+      val bandRows = bandRowsOf(sigs)
       val cand = bandRows.as("a").join(bandRows.as("b"),
           col("a.band_idx") === col("b.band_idx") && col("a.band_hash") === col("b.band_hash")
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      val agree: Column = (0 until numHashes)
-        .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
-        .reduce(_ + _).cast("long")
       cand
         .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
         .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
         .select(col("doc_a"), col("doc_b"),
-          (agree / lit(numHashes.toDouble)).as("est_jaccard"))
+          (sigAgreement / lit(numHashes.toDouble)).as("est_jaccard"))
         .filter(col("est_jaccard") >= 0.5)
     },
     Some {
@@ -369,5 +390,109 @@ object Dedup {
              CAST(edit_dist AS DOUBLE) / CAST(mx AS DOUBLE) AS rel_dist
       FROM v WHERE edit_dist * 10 <= mx"""))
 
-  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash, editDistance)
+  private val incomingMod = 5 // doc_id % 5 == 0 plays the incoming batch
+
+  /** Incremental dedup core over an arbitrary (doc_id, text) corpus frame,
+    * with the signature table injected so the production query can pass the
+    * PlanCache'd corpus signatures while specs pass raw ones over synthetic
+    * frames. See [[incrementalDedup]] for semantics and the scale shape. */
+  private[graft] def incrementalDedupOf(docs: DataFrame, sigs: DataFrame): DataFrame = {
+    val incoming = docs.filter(col("doc_id") % incomingMod === 0)
+    val existing = docs.filter(col("doc_id") % incomingMod =!= 0)
+    // exact: a 16-byte-hash semi join — shuffles hashes, never text
+    val exactIds = incoming.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(existing.select(md5(col("text")).as("h")).distinct(), Seq("h"), "left_semi")
+      .select(col("doc_id")).withColumn("is_exact", lit(1))
+    val bandRows = bandRowsOf(sigs)
+    val cand = bandRows.filter(col("doc_id") % incomingMod === 0).as("a")
+      .join(bandRows.filter(col("doc_id") % incomingMod =!= 0).as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.doc_id").as("in_id"), col("b.doc_id").as("ex_id"))
+      .distinct()
+    val nearIds = cand
+      .join(sigs.as("sa"), col("in_id") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("ex_id") === col("sb.doc_id"))
+      .filter(sigAgreement / lit(numHashes.toDouble) >= 0.5)
+      .select(col("in_id").as("doc_id")).distinct().withColumn("is_near", lit(1))
+    incoming.select(col("doc_id"))
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact") === 1, "exact_dup")
+          .when(col("is_near") === 1, "near_dup")
+          .otherwise("new").as("status"))
+  }
+
+  /** Incremental dedup — the production shape of a GROWING corpus: a new
+    * batch (doc_id % 5 == 0 plays that role) is admitted against the
+    * already-ingested corpus, never corpus-vs-itself. Each incoming doc is
+    * classified `exact_dup` (content hash present in the existing corpus),
+    * `near_dup` (MinHash band collision with an existing doc at estimated
+    * Jaccard ≥ 0.5 — q15's exact signature family, shared code), or `new`.
+    *
+    * 100 TB shape: the existing side's signatures are a maintained artifact
+    * in production (built once per corpus state, exactly what PlanCache
+    * emulates per session); per batch the work is proportional to the BATCH
+    * — its hashes semi-join the corpus hash index, its bands (a small table,
+    * broadcastable) probe the corpus band index, and only colliding pairs
+    * load signatures for verification. Nothing rescans or re-pairs the
+    * existing corpus against itself. */
+  val incrementalDedup: Q = Q(
+    "q102_dedup_incremental",
+    (s, dir) => incrementalDedupOf(Tables.documents(s, dir), corpusSigs(s, dir)),
+    Some {
+      val mhCols = (0 until numHashes)
+        .map(i => s"min(md5('$i' || '|' || ngram)) AS mh$i").mkString(",\n          ")
+      val bandSelects = (0 until bands).map { b =>
+        val cat = (b * perBand until (b + 1) * perBand).map(i => s"mh$i")
+          .mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sigs"
+      }.mkString("\n        UNION ALL\n        ")
+      val agreeSql = (0 until numHashes)
+        .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH incoming AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % $incomingMod = 0
+      ), existing AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % $incomingMod <> 0
+      ), exact_dup AS (
+        SELECT doc_id FROM incoming
+        WHERE md5(text) IN (SELECT md5(text) FROM existing)
+      ), docsw AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+      ), ngr AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words)-1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS ngram
+        FROM docsw
+      ), sigs AS (
+        SELECT doc_id,
+          $mhCols
+        FROM ngr GROUP BY doc_id
+      ), bands AS (
+        $bandSelects
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS in_id, b.doc_id AS ex_id
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+        WHERE a.doc_id % $incomingMod = 0 AND b.doc_id % $incomingMod <> 0
+      ), near AS (
+        SELECT DISTINCT c.in_id AS doc_id
+        FROM cand c
+        JOIN sigs sa ON c.in_id = sa.doc_id
+        JOIN sigs sb ON c.ex_id = sb.doc_id
+        WHERE CAST($agreeSql AS DOUBLE) / $numHashes.0 >= 0.5
+      )
+      SELECT i.doc_id,
+        CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+             WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+             ELSE 'new' END AS status
+      FROM incoming i
+      LEFT JOIN exact_dup e ON i.doc_id = e.doc_id
+      LEFT JOIN near n ON i.doc_id = n.doc_id"""
+    })
+
+  val all: Seq[Q] =
+    Seq(exact, ngramJaccard, minhashLsh, simhash, editDistance, incrementalDedup)
 }

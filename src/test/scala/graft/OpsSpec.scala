@@ -113,6 +113,26 @@ class OpsSpec extends AnyFunSuite {
     assert(split.except(again).count() === 0)
   }
 
+  test("q102 incremental dedup classifies exact, near and new batches") {
+    import spark.implicits._
+    // ids ending in 0 are the incoming batch. 10: verbatim copy of existing
+    // 1 -> exact_dup; 20: one word changed from existing 2 (39/41 shared
+    // 3-grams, est Jaccard well over 0.5) -> near_dup; 30: disjoint
+    // vocabulary -> new. Incoming docs never match EACH OTHER's hashes --
+    // the comparison is strictly batch-vs-existing.
+    val base = (1 to 41).map(i => s"w$i").mkString(" ")
+    val nearTxt = (1 to 41).map(i => if (i == 21) "CHANGED" else s"w$i").mkString(" ")
+    val fresh = (1 to 41).map(i => s"z$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base + " tail"), (3L, "anchor " + base),
+      (10L, base), (20L, nearTxt + " tail"), (30L, fresh))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup
+      .incrementalDedupOf(docs, graft.ops.Dedup.sigsOf(docs))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(10L -> "exact_dup", 20L -> "near_dup", 30L -> "new"))
+  }
+
   test("q100 train order is a permutation equal to the one-task sort") {
     val got = SparkEntry.queries("q100_train_order")(spark, sfDir)
       .select("doc_id", "shuffle_key", "train_rank").cache()
