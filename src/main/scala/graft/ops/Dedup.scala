@@ -357,8 +357,15 @@ object Dedup {
         // the O(len²) DP runs. Results are provably unchanged; the DP is
         // skipped for every pair whose length gap already rules it out.
         .filter(abs(col("ca") - col("cb")) * 10 <= col("mx"))
-        .withColumn("edit_dist", levenshtein(col("ta"), col("tb")).cast("long"))
-        .filter(col("edit_dist") * 10 <= col("mx"))
+        // BOUNDED levenshtein: with threshold k = mx DIV 10 the DP runs the
+        // O(len·k) banded algorithm instead of O(len²). Provably
+        // result-preserving: accepted pairs have ed ≤ mx/10 = k (integer), so
+        // the bounded form returns their exact distance; every pair it
+        // reports as -1 (ed > k) would fail `10·ed ≤ mx` anyway. The oracle
+        // stays the unbounded form — its agreement is the proof's check.
+        .withColumn("edit_dist",
+          expr("levenshtein(ta, tb, CAST(mx DIV 10 AS INT))").cast("long"))
+        .filter(col("edit_dist") >= 0 && col("edit_dist") * 10 <= col("mx"))
         .select(col("doc_a"), col("doc_b"), col("edit_dist"),
           (col("edit_dist").cast("double") / col("mx").cast("double")).as("rel_dist"))
     },
