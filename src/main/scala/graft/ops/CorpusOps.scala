@@ -62,7 +62,7 @@ object CorpusOps {
   // ---- q51: eval-set decontamination ------------------------------------
   private val contamN = 5 // word-shingle width shared with the oracle
   /** Eval membership: doc_id % 20 == 0 (a 5% held-out slice). */
-  private val evalMod = 20
+  private[ops] val evalMod = 20
 
   /** Flag training documents sharing ≥1 word 5-gram with the eval slice —
     * the standard benchmark-decontamination check run before training. The

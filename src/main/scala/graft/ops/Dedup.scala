@@ -137,6 +137,36 @@ object Dedup {
     .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
     .reduce(_ + _).cast("long")
 
+  // The DuckDB spellings of the signature family, shared by every oracle
+  // that walks it (q15 pairs, q102 incremental, q103 fuzzy decontam) so a
+  // hash-family change cannot update one oracle and miss another.
+  private lazy val mhColsSql = (0 until numHashes)
+    .map(i => s"min(md5('$i' || '|' || ngram)) AS mh$i").mkString(",\n          ")
+  private lazy val bandSelectsSql = (0 until bands).map { b =>
+    val cat = (b * perBand until (b + 1) * perBand).map(i => s"mh$i")
+      .mkString(" || '|' || ")
+    s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sigs"
+  }.mkString("\n        UNION ALL\n        ")
+  private lazy val agreeSql = (0 until numHashes)
+    .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+    .mkString(" + ")
+  /** The sigs/bands CTE bodies over `documents` (ngram → sigs → bands). */
+  private lazy val sigCtesSql =
+    s"""docsw AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+      ), ngr AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words)-1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS ngram
+        FROM docsw
+      ), sigs AS (
+        SELECT doc_id,
+          $mhColsSql
+        FROM ngr GROUP BY doc_id
+      ), bands AS (
+        $bandSelectsSql
+      )"""
+
   /** (doc_id, band_idx, band_hash) — one row per signature band. */
   private def bandRowsOf(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until bands).map { b =>
@@ -175,30 +205,7 @@ object Dedup {
         .filter(col("est_jaccard") >= 0.5)
     },
     Some {
-      val mhCols = (0 until numHashes)
-        .map(i => s"min(md5('$i' || '|' || ngram)) AS mh$i").mkString(",\n          ")
-      val bandSelects = (0 until bands).map { b =>
-        val cat = (b * perBand until (b + 1) * perBand).map(i => s"mh$i")
-          .mkString(" || '|' || ")
-        s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sigs"
-      }.mkString("\n        UNION ALL\n        ")
-      val agreeSql = (0 until numHashes)
-        .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH docs AS (
-        SELECT doc_id, string_split(text, ' ') AS words FROM documents
-        WHERE len(string_split(text, ' ')) >= 3
-      ), ng AS (
-        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words)-1),
-               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS ngram
-        FROM docs
-      ), sigs AS (
-        SELECT doc_id,
-          $mhCols
-        FROM ng GROUP BY doc_id
-      ), bands AS (
-        $bandSelects
-      ), cand AS (
+      s"""WITH $sigCtesSql, cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
@@ -449,16 +456,6 @@ object Dedup {
     "q102_dedup_incremental",
     (s, dir) => incrementalDedupOf(Tables.documents(s, dir), corpusSigs(s, dir)),
     Some {
-      val mhCols = (0 until numHashes)
-        .map(i => s"min(md5('$i' || '|' || ngram)) AS mh$i").mkString(",\n          ")
-      val bandSelects = (0 until bands).map { b =>
-        val cat = (b * perBand until (b + 1) * perBand).map(i => s"mh$i")
-          .mkString(" || '|' || ")
-        s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sigs"
-      }.mkString("\n        UNION ALL\n        ")
-      val agreeSql = (0 until numHashes)
-        .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
-        .mkString(" + ")
       s"""WITH incoming AS (
         SELECT doc_id, text FROM documents WHERE doc_id % $incomingMod = 0
       ), existing AS (
@@ -466,20 +463,7 @@ object Dedup {
       ), exact_dup AS (
         SELECT doc_id FROM incoming
         WHERE md5(text) IN (SELECT md5(text) FROM existing)
-      ), docsw AS (
-        SELECT doc_id, string_split(text, ' ') AS words FROM documents
-        WHERE len(string_split(text, ' ')) >= 3
-      ), ngr AS (
-        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words)-1),
-               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS ngram
-        FROM docsw
-      ), sigs AS (
-        SELECT doc_id,
-          $mhCols
-        FROM ngr GROUP BY doc_id
-      ), bands AS (
-        $bandSelects
-      ), cand AS (
+      ), $sigCtesSql, cand AS (
         SELECT DISTINCT a.doc_id AS in_id, b.doc_id AS ex_id
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
@@ -500,6 +484,70 @@ object Dedup {
       LEFT JOIN near n ON i.doc_id = n.doc_id"""
     })
 
+  /** Fuzzy-decontamination core — see [[fuzzyDecontaminate]]; the frame and
+    * signature injection mirrors [[incrementalDedupOf]] so specs can drive
+    * synthetic paraphrase cases through the production plan. */
+  private[graft] def fuzzyDecontamOf(docs: DataFrame, sigs: DataFrame): DataFrame = {
+    val evalMod = CorpusOps.evalMod
+    val bandRows = bandRowsOf(sigs)
+    val cand = bandRows.filter(col("doc_id") % evalMod =!= 0).as("a")
+      .join(bandRows.filter(col("doc_id") % evalMod === 0).as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.doc_id").as("train_id"), col("b.doc_id").as("eval_id"))
+      .distinct()
+    val matches = cand
+      .join(sigs.as("sa"), col("train_id") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("eval_id") === col("sb.doc_id"))
+      .filter(sigAgreement / lit(numHashes.toDouble) >= 0.5)
+      .groupBy(col("train_id").as("doc_id"))
+      .agg(countDistinct("eval_id").as("n_eval_matches"))
+    docs.filter(col("doc_id") % evalMod =!= 0).select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_eval_matches"), lit(0L)).as("n_eval_matches"),
+        when(coalesce(col("n_eval_matches"), lit(0L)) > 0, 1).otherwise(0)
+          .as("is_fuzzy_contaminated"))
+  }
+
+  /** Fuzzy decontamination — q51 flags training docs that share an exact
+    * 8-gram with the eval slice, which a light paraphrase defeats. This
+    * flags training docs whose MinHash signature band-collides with an eval
+    * doc at estimated Jaccard ≥ 0.5 — the LSH form of decontamination open
+    * pipelines run beside the exact pass. Same eval-slice definition as q51
+    * (doc_id % 20 == 0, `CorpusOps.evalMod` — shared constant), same
+    * signature family as q15/q102 (shared code + shared oracle CTEs).
+    *
+    * 100 TB shape: the eval set is tiny and fixed, so its band table
+    * broadcasts; corpus-side work is one band probe per doc (never
+    * corpus×corpus), and only colliding pairs load signatures. */
+  val fuzzyDecontaminate: Q = Q(
+    "q103_decontaminate_fuzzy",
+    (s, dir) => fuzzyDecontamOf(Tables.documents(s, dir), corpusSigs(s, dir)),
+    Some {
+      val evalMod = CorpusOps.evalMod
+      s"""WITH $sigCtesSql, cand AS (
+        SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+        WHERE a.doc_id % $evalMod <> 0 AND b.doc_id % $evalMod = 0
+      ), m AS (
+        SELECT c.train_id AS doc_id, COUNT(DISTINCT c.eval_id) AS n_eval_matches
+        FROM cand c
+        JOIN sigs sa ON c.train_id = sa.doc_id
+        JOIN sigs sb ON c.eval_id = sb.doc_id
+        WHERE CAST($agreeSql AS DOUBLE) / $numHashes.0 >= 0.5
+        GROUP BY c.train_id
+      )
+      SELECT d.doc_id,
+             CAST(COALESCE(m.n_eval_matches, 0) AS BIGINT) AS n_eval_matches,
+             CASE WHEN COALESCE(m.n_eval_matches, 0) > 0 THEN 1 ELSE 0 END
+               AS is_fuzzy_contaminated
+      FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+      WHERE d.doc_id % $evalMod <> 0"""
+    })
+
   val all: Seq[Q] =
-    Seq(exact, ngramJaccard, minhashLsh, simhash, editDistance, incrementalDedup)
+    Seq(exact, ngramJaccard, minhashLsh, simhash, editDistance,
+      incrementalDedup, fuzzyDecontaminate)
 }

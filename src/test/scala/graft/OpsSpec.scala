@@ -133,6 +133,29 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Map(10L -> "exact_dup", 20L -> "near_dup", 30L -> "new"))
   }
 
+  test("q103 fuzzy decontam flags paraphrases of eval docs, not fresh text") {
+    import spark.implicits._
+    // 20 and 40 are the eval slice (doc_id % 20 == 0). 21 paraphrases 20
+    // (one word swapped -> high signature agreement); 22 is disjoint
+    // vocabulary; 23 paraphrases BOTH eval docs' shared base.
+    val base = (1 to 41).map(i => s"w$i").mkString(" ")
+    val para = (1 to 41).map(i => if (i == 21) "CHANGED" else s"w$i").mkString(" ")
+    val fresh = (1 to 41).map(i => s"z$i").mkString(" ")
+    val docs = Seq(
+      (20L, base), (40L, base + " tail"),
+      (21L, para), (22L, fresh), (23L, para + " tail"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup
+      .fuzzyDecontamOf(docs, graft.ops.Dedup.sigsOf(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList
+      .sortBy(_._1)
+    // eval docs themselves are not in the output; 21/23 flagged, 22 clean
+    assert(got.map(_._1) === List(21L, 22L, 23L))
+    assert(got.map(t => t._1 -> (t._3 == 1)).toMap ===
+      Map(21L -> true, 22L -> false, 23L -> true))
+    assert(got.find(_._1 == 23L).get._2 >= 1L) // counts distinct eval matches
+  }
+
   test("q100 train order is a permutation equal to the one-task sort") {
     val got = SparkEntry.queries("q100_train_order")(spark, sfDir)
       .select("doc_id", "shuffle_key", "train_rank").cache()
