@@ -39,16 +39,11 @@ object Ckpt {
     * for multi-phase plans whose barriers all die with the final action. */
   final class Scope {
     private val held = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def ck(df: DataFrame): DataFrame = {
-      val out = eager(df)
-      held += out
-      out
-    }
     /** LAZY local checkpoint: same raw-row blocks and lineage truncation as
-      * [[ck]], but no materialization job of its own — the first downstream
-      * action pays it inline, later actions read the blocks. Saves one
-      * scheduled job per barrier whenever the first consumer would scan the
-      * whole input anyway. Same release contract as [[ck]]. */
+      * [[eager]], but no materialization job of its own — the first
+      * downstream action pays it inline, later actions read the blocks.
+      * Saves one scheduled job per barrier whenever the first consumer would
+      * scan the whole input anyway. Released with the scope. */
     def lazyCk(df: DataFrame): DataFrame = {
       val out = df.localCheckpoint(false)
       held += out
