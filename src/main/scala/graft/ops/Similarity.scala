@@ -135,17 +135,21 @@ object Similarity {
       val q = bandRows.filter(col("vec_id") % queryMod === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"),
           col("band_idx").as("q_band_idx"), explode(probeKeys).as("q_probe_key"))
+      // cosine is computed AT the join, so the dedup shuffle moves only
+      // (q_id, vec_id, cos) — never the embedding arrays. A multi-band
+      // duplicate recomputes one codegen'd vec_dot instead of pushing two
+      // vectors through the exchange; duplicates carry identical cos, so
+      // dropDuplicates keeps a well-defined row
       bandRows.join(broadcast(q),
           col("band_idx") === col("q_band_idx") && col("band_key") === col("q_probe_key")
             && col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("qv"), col("qn"), col("vec_id"), col("v"), col("norm"))
+        .select(col("q_id"), col("vec_id"),
+          (expr("vec_dot(qv, v)") / (col("qn") * col("norm"))).as("cos"))
         .dropDuplicates("q_id", "vec_id")
   }
 
   private[graft] def lshTopK(s: SparkSession, dir: String, h: Int): DataFrame = {
       val cand = lshCandidates(s, dir, h)
-        .withColumn("dot", expr("vec_dot(qv, v)"))
-        .withColumn("cos", col("dot") / (col("qn") * col("norm")))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
       cand.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
