@@ -77,13 +77,23 @@ object Dedup {
     (s, dir) => {
       val ngr = rareShingleRows(s, dir)
       val sizes = ngr.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = ngr.as("a").join(ngr.as("b"),
-          col("a.ngram") === col("b.ngram") && col("a.doc_id") < col("b.doc_id"))
+      // each index row carries its doc's rare-set size (broadcast of the
+      // doc-count-sized table), which buys two things: the SIZE-RATIO
+      // prefilter at the self-join — J(A,B) ≤ min/max, so jaccard ≥ 0.5 is
+      // impossible when one rare set is more than twice the other, and those
+      // collision rows are dropped BEFORE the pair aggregation (the q87
+      // length-prefilter argument; provably result-preserving, oracle kept
+      // unfiltered) — and na/nb riding the aggregation as constants-per-key,
+      // replacing the two post-agg joins
+      val ngrN = ngr.join(broadcast(sizes), "doc_id")
+      val pairs = ngrN.as("a").join(ngrN.as("b"),
+          col("a.ngram") === col("b.ngram") && col("a.doc_id") < col("b.doc_id")
+            && col("a.n") <= lit(2) * col("b.n")
+            && col("b.n") <= lit(2) * col("a.n"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("common"))
+        .agg(count(lit(1)).as("common"),
+          min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
       pairs
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
         .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
