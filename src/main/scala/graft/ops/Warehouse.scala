@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -389,6 +390,80 @@ object Warehouse {
       SELECT doc_id, source, draw, CAST(rn AS INT) AS rn
       FROM ranked WHERE rn <= $stratN"""))
 
+  /** Quality-audit core over any frame with the orders shape — exposed so
+    * the spec can drive frames that VIOLATE each constraint through the
+    * production plan (the test corpus passes all five). */
+  private[graft] def qualityAuditOf(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    // ONE aggregation pass computes every metric (map-side combined; at
+    // 100 TB the audit costs one scan, not one scan per constraint), then
+    // the five verdicts derive on the driver from the single metrics row —
+    // the q34 trained-literal pattern, 1 row collected
+    val m = df.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("key_nulls"),
+      countDistinct("o_orderkey").as("key_distinct"),
+      min("o_totalprice").as("min_price"),
+      sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("date_nulls"),
+      sum(when(col("o_orderstatus").isin("O", "F", "P"), 0L).otherwise(1L))
+        .as("status_violations")).head()
+    val nRows = m.getLong(0)
+    val keyNulls = if (m.isNullAt(1)) 0L else m.getLong(1)
+    val keyDistinct = m.getLong(2)
+    val minPrice = if (m.isNullAt(3)) 0.0 else m.getDouble(3)
+    val dateNulls = if (m.isNullAt(4)) 0L else m.getLong(4)
+    val statusViol = if (m.isNullAt(5)) 0L else m.getLong(5)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType, StructField, StructType}
+    val rows = Seq(
+      Row("o_orderkey.not_null", keyNulls.toDouble, if (keyNulls == 0) 1 else 0),
+      Row("o_orderkey.unique", keyDistinct.toDouble,
+        if (keyDistinct == nRows - keyNulls) 1 else 0),
+      Row("o_totalprice.non_negative", minPrice, if (minPrice >= 0.0) 1 else 0),
+      Row("o_orderdate.not_null", dateNulls.toDouble, if (dateNulls == 0) 1 else 0),
+      Row("o_orderstatus.in_domain", statusViol.toDouble,
+        if (statusViol == 0) 1 else 0))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
+      StructField("constraint_name", StringType),
+      StructField("observed", DoubleType),
+      StructField("passed", IntegerType))))
+  }
+
+  /** Data-quality constraint audit — the admission gate a production ingest
+    * runs before data reaches any pipeline: five declared constraints
+    * (key not-null + unique, non-negative amounts, date presence, status
+    * domain) checked in ONE aggregation pass over the table, reported as
+    * (constraint, observed metric, verdict). The Deequ-class operation,
+    * expressed as a plain declarative aggregate. */
+  val qualityAudit: Q = Q(
+    "q104_quality_audit",
+    (s, dir) => qualityAuditOf(Tables.orders(s, dir)),
+    Some("""WITH m AS (
+        SELECT COUNT(1) AS n_rows,
+               SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS key_nulls,
+               COUNT(DISTINCT o_orderkey) AS key_distinct,
+               MIN(o_totalprice) AS min_price,
+               SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS date_nulls,
+               SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+                 AS status_violations
+        FROM orders
+      )
+      SELECT 'o_orderkey.not_null' AS constraint_name,
+             CAST(key_nulls AS DOUBLE) AS observed,
+             CASE WHEN key_nulls = 0 THEN 1 ELSE 0 END AS passed FROM m
+      UNION ALL
+      SELECT 'o_orderkey.unique', CAST(key_distinct AS DOUBLE),
+             CASE WHEN key_distinct = n_rows - key_nulls THEN 1 ELSE 0 END FROM m
+      UNION ALL
+      SELECT 'o_totalprice.non_negative', min_price,
+             CASE WHEN min_price >= 0 THEN 1 ELSE 0 END FROM m
+      UNION ALL
+      SELECT 'o_orderdate.not_null', CAST(date_nulls AS DOUBLE),
+             CASE WHEN date_nulls = 0 THEN 1 ELSE 0 END FROM m
+      UNION ALL
+      SELECT 'o_orderstatus.in_domain', CAST(status_violations AS DOUBLE),
+             CASE WHEN status_violations = 0 THEN 1 ELSE 0 END FROM m"""))
+
   val all: Seq[Q] = Seq(scd2History, snapshotCdc, rangeJoin, partitionStats,
-    schemaEvolution, bucketedJoin, incrementalMv, stratifiedSample)
+    schemaEvolution, bucketedJoin, incrementalMv, stratifiedSample, qualityAudit)
 }

@@ -6,6 +6,30 @@ import org.scalatest.funsuite.AnyFunSuite
 class WarehouseSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("q104 quality audit fails exactly the violated constraints") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    // violations: a null + a duplicate key, a negative price, a null date,
+    // an out-of-domain status — every constraint trips except none
+    val bad = Seq(
+      (Some(1L), "O", 10.0, Some(t)),
+      (Some(1L), "F", -5.0, Some(t)),
+      (None: Option[Long], "X", 3.0, None: Option[Timestamp]))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    val got = graft.ops.Warehouse.qualityAuditOf(bad)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    assert(got("o_orderkey.not_null") === (1.0, 0))
+    assert(got("o_orderkey.unique") === (1.0, 0)) // 1 distinct vs 2 non-null
+    assert(got("o_totalprice.non_negative") === (-5.0, 0))
+    assert(got("o_orderdate.not_null") === (1.0, 0))
+    assert(got("o_orderstatus.in_domain") === (1.0, 0))
+    // and the production table passes all five
+    val prod = SparkEntry.queries("q104_quality_audit")(spark, sfDir)
+      .filter(col("passed") === 0).count()
+    assert(prod === 0)
+  }
+
   test("q64 SCD2: one current row per customer, intervals chain without gaps") {
     val df = SparkEntry.queries("q64_scd2_history")(spark, sfDir)
       .select("custkey", "priority", "valid_from", "valid_to", "is_current")
