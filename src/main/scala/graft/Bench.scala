@@ -33,15 +33,7 @@ object Bench {
       }
     }
 
-  private def jstr(s: String): String = "\"" + s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  private def jstr(s: String): String = Json.str(s)
 
   /** The driver-contract JSON line: `queries` maps every query to its
     * seconds (−1 on failure), `errors` maps failed queries to messages,
@@ -52,9 +44,13 @@ object Bench {
     val errs = results.collect { case QResult(n, _, Some(e)) => jstr(n) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.filter(_.err.isEmpty).map(_.sec).sum
+    // NOT the f-interpolator: String.format uses the default locale, and a
+    // comma-decimal locale would emit `0,123` and break the driver's
+    // json.load; Double.toString is locale-free
+    val gc3 = math.round(gcSec * 1000) / 1000.0
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$errs,"failed":${results.count(_.err.isDefined)},""" +
-      f""""gc_sec":$gcSec%.3f,"persistent_rdds":$persistentRdds,""" +
+      s""""gc_sec":$gc3,"persistent_rdds":$persistentRdds,""" +
       s""""storage_bytes":$storageBytes,"sf":${jstr(sfDir)}}"""
   }
 

@@ -50,7 +50,10 @@ object FpStress {
     (pmod(col(key) * 31 + lit(i) * 7, lit(97)).cast("double") / 100.0)
 
   private def build(s: SparkSession): Unit = {
-    val marker = Paths.get(s"$dataDir/_BUILT")
+    // marker is VERSIONED: a corpus built by an older harness (fewer tables,
+    // unpermuted documents) must not satisfy a newer build — bump the suffix
+    // whenever the corpus definition changes
+    val marker = Paths.get(s"$dataDir/_BUILT_v2")
     if (Files.exists(marker)) return
     def tenfold(name: String)(copy: (DataFrame, Int) => DataFrame): Unit = {
       val src = s.read.parquet(s"$srcDir/$name.parquet")

@@ -98,28 +98,31 @@ object Lineage {
     * then alphabetical fill of the overflowing level) as the distributed
     * loop. */
   private[graft] def driverClosure(spark: SparkSession, edges: Seq[(String, String)],
-      start: String, limit: Int = 2000, maxDepth: Int = 20): DataFrame = {
-    val rows = driverClosureSeq(edges, start, limit, maxDepth)
-      .sortBy { case (c, d) => (d, c) }
-      .map { case (c, d) => org.apache.spark.sql.Row(c, d) }
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("column",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("depth",
-          org.apache.spark.sql.types.IntegerType))))
-  }
+      start: String, limit: Int = 2000, maxDepth: Int = 20): DataFrame =
+    localDepthFrame(spark, driverClosureSeq(edges, start, limit, maxDepth), "column")
 
   /** Seq core of [[driverClosure]] — also consumed directly by the evidence
     * assembly (qa.Ask), which merges several candidates' closures without
     * round-tripping each through a frame. */
   private[graft] def driverClosureSeq(edges: Seq[(String, String)],
-      start: String, limit: Int = 2000, maxDepth: Int = 20): Seq[(String, Int)] = {
+      start: String, limit: Int = 2000, maxDepth: Int = 20): Seq[(String, Int)] =
+    driverBfsSeq(edges, Seq(start), includeSeeds = false, limit, maxDepth)
+
+  /** The ONE driver-side level-synchronous BFS — single- and multi-seed
+    * closures ([[driverClosureSeq]], [[downstreamScripts]]) both delegate
+    * here so cap/min-depth semantics cannot drift between them. Cap
+    * truncation keeps complete levels, then alphabetical fill of the
+    * overflowing level (see downstreamClosure's boundary note). */
+  private[graft] def driverBfsSeq(edges: Seq[(String, String)], seeds: Seq[String],
+      includeSeeds: Boolean, limit: Long = Long.MaxValue,
+      maxDepth: Int = 20): Seq[(String, Int)] = {
     val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).distinct }
+    val ds = seeds.distinct
     val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
-    var seen = Set(start)
-    var frontier = Seq(start)
-    var have = 1L
+    if (includeSeeds) acc ++= ds.map(_ -> 0)
+    var seen = ds.toSet
+    var frontier: Seq[String] = ds
+    var have = ds.size.toLong
     var depth = 0
     var done = false
     while (!done && depth < maxDepth) {
@@ -137,6 +140,20 @@ object Lineage {
       }
     }
     acc.toSeq
+  }
+
+  /** (key, depth) pairs → a sorted local relation — the shared scaffolding
+    * for every driver-path closure result. */
+  private[graft] def localDepthFrame(spark: SparkSession,
+      pairs: Seq[(String, Int)], keyName: String): DataFrame = {
+    val rows = pairs.sortBy { case (k, d) => (d, k) }
+      .map { case (k, d) => org.apache.spark.sql.Row(k, d) }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(keyName,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("depth",
+          org.apache.spark.sql.types.IntegerType))))
   }
 
   /** Iterative frontier-join closure — the path for graphs too large to
@@ -257,34 +274,11 @@ object Lineage {
     val edgePlan = links
       .select(col("fromScript").as("src"), col("toScript").as("dst")).distinct()
     val probe = edgePlan.limit(DriverBfsMaxEdges + 1).collect()
-    if (probe.length <= DriverBfsMaxEdges) {
-      val adj = probe.map(r => (r.getString(0), r.getString(1))).toSeq
-        .groupBy(_._1).map { case (s, es) => s -> es.map(_._2).distinct }
-      val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
-      acc ++= seeds.distinct.map(_ -> 0)
-      var seen = seeds.distinct.toSet
-      var frontier = seeds.distinct
-      var depth = 0
-      var done = false
-      while (!done && depth < maxDepth) {
-        depth += 1
-        val next = frontier.flatMap(adj.getOrElse(_, Nil)).distinct.filterNot(seen)
-        if (next.isEmpty) done = true
-        else {
-          acc ++= next.map(_ -> depth)
-          seen ++= next
-          frontier = next
-        }
-      }
-      val rows = acc.toSeq.sortBy { case (s, d) => (d, s) }
-        .map { case (s, d) => org.apache.spark.sql.Row(s, d) }
-      return spark.createDataFrame(java.util.Arrays.asList(rows: _*),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("script",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("depth",
-            org.apache.spark.sql.types.IntegerType))))
-    }
+    if (probe.length <= DriverBfsMaxEdges)
+      return localDepthFrame(spark,
+        driverBfsSeq(probe.map(r => (r.getString(0), r.getString(1))).toSeq,
+          seeds, includeSeeds = true, maxDepth = maxDepth),
+        "script")
     import spark.implicits._
     val edges = edgePlan.cache()
     var result = seeds.distinct.map((_, 0)).toDF("script", "depth")

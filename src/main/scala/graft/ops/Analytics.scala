@@ -526,8 +526,8 @@ object Analytics {
     * large to collect (> `graft.q95.driverSliceRows`, default 200k): below
     * that, one collect + an exact driver walk replaces them — see the
     * adaptive-short-circuit note in the body. */
-  private[graft] def weightedMedianOf(t: DataFrame): DataFrame = {
-    val spark = t.sparkSession
+  private[graft] def weightedMedianOf(t0: DataFrame): DataFrame = {
+    val spark = t0.sparkSession
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     def local(rows: Seq[Row], schema: StructType): DataFrame =
@@ -558,6 +558,11 @@ object Analytics {
     // exceeds the cap and the distributed phases run -- the decision is
     // measured per invocation, never guessed.
     graft.Ckpt.scoped { scope =>
+      // aggregate semantics: null-valued / null-weighted rows contribute
+      // nothing to a median (the oracle's window skips them the same way);
+      // without this, a null value would NPE the phase-2 driver walk's
+      // getLong on its null bucket
+      val t = t0.filter(col("l_extendedprice").isNotNull && col("w100").isNotNull)
       val groupType = t.schema("l_returnflag").dataType
       val valueType = t.schema("l_extendedprice").dataType
       // bounds: two driver-bounded scalars, embedded as literals so no scan

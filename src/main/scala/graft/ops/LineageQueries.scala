@@ -31,9 +31,20 @@ object LineageQueries {
     val marker = new java.io.File(s"$out/$name/_SUCCESS")
     val startMs = sys.props.get("graft.oracle.runstart")
       .flatMap(s => scala.util.Try(s.toLong).toOption)
-    if (marker.isFile && startMs.exists(marker.lastModified() >= _))
-      Some(new java.io.File(s"$out/$name").getAbsolutePath)
-    else None
+    // 2s slack: coarse-mtime filesystems (FAT, some NFS) truncate the marker
+    // timestamp below the millisecond run-start stamp and would otherwise
+    // silently mark this run's own dump stale. A dump written within 2s
+    // BEFORE run start is indistinguishable from this run's — acceptable,
+    // since the stale case this guards against is a leftover from a prior
+    // round minutes-to-days old, not milliseconds.
+    val fresh = marker.isFile && startMs.exists(marker.lastModified() >= _ - 2000)
+    if (fresh) Some(new java.io.File(s"$out/$name").getAbsolutePath)
+    else {
+      if (marker.isFile)
+        System.err.println(s"[verify] $name dump is STALE (predates run start)"
+          + " — dynamic oracle downgraded to rows-only")
+      None
+    }
   }
 
   /** Acceptance questions for the retrieval queries — shared with

@@ -439,12 +439,15 @@ object Warehouse {
     "q104_quality_audit",
     (s, dir) => qualityAuditOf(Tables.orders(s, dir)),
     Some("""WITH m AS (
+        -- COALESCE mirrors the Spark side's isNullAt handling, so the two
+        -- engines agree even on an empty/all-NULL table (SUM/MIN are NULL
+        -- over zero rows)
         SELECT COUNT(1) AS n_rows,
-               SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS key_nulls,
+               COALESCE(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS key_nulls,
                COUNT(DISTINCT o_orderkey) AS key_distinct,
-               MIN(o_totalprice) AS min_price,
-               SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS date_nulls,
-               SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+               COALESCE(MIN(o_totalprice), 0) AS min_price,
+               COALESCE(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), 0) AS date_nulls,
+               COALESCE(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END), 0)
                  AS status_violations
         FROM orders
       )

@@ -63,16 +63,8 @@ object Ask {
         val pairs = probe.iterator.map(r => (r.getString(0), r.getString(1)))
           .filter(p => p._1 != p._2).toSeq.distinct
         val merged = cands.flatMap(Lineage.driverClosureSeq(pairs, _))
-          .groupBy(_._1).map { case (c, ds) => (c, ds.map(_._2).min) }
-          .toSeq.sortBy { case (c, d) => (d, c) }
-        spark.createDataFrame(
-          java.util.Arrays.asList(merged.map { case (c, d) =>
-            org.apache.spark.sql.Row(c, d) }: _*),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("column",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("depth",
-              org.apache.spark.sql.types.IntegerType))))
+          .groupBy(_._1).map { case (c, ds) => (c, ds.map(_._2).min) }.toSeq
+        Lineage.localDepthFrame(spark, merged, "column")
       } else cands.map(Lineage.downstreamClosure(spark, Lineage.columnGraph(edges), _))
         .reduceOption(_ unionByName _)
         .getOrElse(Seq.empty[(String, Int)].toDF("column", "depth"))
