@@ -325,6 +325,21 @@ class OpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("q95 ignores null values and weights (aggregate semantics)") {
+    import spark.implicits._
+    val data = Seq(
+      (Some(1.0), Some(100L)), (Some(2.0), Some(100L)), (Some(3.0), Some(100L)),
+      (None: Option[Double], Some(100L)), (Some(9.0), None: Option[Long]))
+      .zipWithIndex.map { case ((v, w), i) => ("G", v, i.toLong, 1, w) }
+      .toDF("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber", "w100")
+    val got = graft.ops.Analytics.weightedMedianOf(data).collect()
+    // null-valued and null-weighted rows contribute nothing: median over
+    // {1,2,3} with equal weights = 2, two rows at or above it
+    assert(got.length === 1)
+    assert(got.head.getDouble(1) === 2.0)
+    assert(got.head.getLong(2) === 2L)
+  }
+
   test("q95 constant-heavy distribution (99% of weight at one value) stays exact") {
     import spark.implicits._
     // group X: 99% of the weight at one price inside a bucket that also holds
