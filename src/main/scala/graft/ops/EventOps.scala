@@ -561,7 +561,57 @@ object EventOps {
                AS p_transition
       FROM counts c JOIN totals t ON c.from_type = t.from_type"""))
 
+  private val decayHalfLives = 30 // ages past this contribute zero
+
+  /** Exponentially time-decayed popularity per item (one-day half-life):
+    * score = Σ value · 2^(−age_days) — the recency weighting recsys ranking
+    * and curriculum sampling run — computed in EXACT arithmetic so the
+    * result is bit-identical across engines and partitionings: per event,
+    * integer cents × an integer power-of-two weight 2^(30−age) (≤ 10^13,
+    * comfortably BIGINT); the sum carries DECIMAL(38,0) (exact, no overflow
+    * until 10^38 — trillions of events per item); the final scale-back
+    * divides by 2^30, which only shifts the double's exponent. One
+    * correctly-rounded decimal→double conversion per group is the entire
+    * FP surface (the q68 rational-score argument). The reference date is a
+    * collected scalar (the bounds-literal pattern) so no per-row subquery
+    * runs, and the aggregation is one map-side-combined shuffle on item. */
+  val decayedPopularity: Q = Q(
+    "q105_decayed_popularity",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        get_json_object(col("props"), "$.k").as("item"),
+        to_date(col("ts")).as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val maxD = ev.agg(max("d")).head().getDate(0)
+      ev.withColumn("age", datediff(lit(maxD), col("d")))
+        .groupBy("item")
+        .agg(
+          (sum(when(col("age") > decayHalfLives, lit(0L))
+            .otherwise(expr(s"cents * shiftleft(1L, $decayHalfLives - age)"))
+            .cast("decimal(38,0)"))
+            .cast("double") / lit(math.pow(2, decayHalfLives)))
+            .as("decayed_score"),
+          count(lit(1)).as("n_events"))
+    },
+    Some(s"""WITH ev AS (
+        SELECT json_extract_string(props, '$$.k') AS item,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+      ), mx AS (SELECT max(d) AS maxd FROM ev),
+      aged AS (
+        SELECT item, cents, date_diff('day', d, (SELECT maxd FROM mx)) AS age
+        FROM ev
+      )
+      SELECT item,
+             CAST(SUM(CAST(CASE WHEN age > $decayHalfLives THEN 0
+                      ELSE cents * (1::BIGINT << ($decayHalfLives - age)) END
+                      AS DECIMAL(38,0))) AS DOUBLE)
+               / ${1L << decayHalfLives}.0 AS decayed_score,
+             COUNT(1) AS n_events
+      FROM aged GROUP BY item"""))
+
   val all: Seq[Q] = Seq(funnel, watermarkIngest, gapFill, hoppingWindow,
     cohortRetention, debounce, timeWeightedAvg, attribution, peakConcurrency,
-    rollingActiveUsers, transitionMatrix)
+    rollingActiveUsers, transitionMatrix, decayedPopularity)
 }

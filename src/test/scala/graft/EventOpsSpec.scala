@@ -6,6 +6,25 @@ import org.scalatest.funsuite.AnyFunSuite
 class EventOpsSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("q105 decayed popularity equals an exact BigInt recompute") {
+    val got = SparkEntry.queries("q105_decayed_popularity")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val ev = Tables.events(spark, sfDir)
+      .select(get_json_object(col("props"), "$.k").as("item"),
+        to_date(col("ts")).as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val maxD = ev.map(_._2).max(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    val expected = ev.groupBy(_._1).map { case (item, rows) =>
+      val sum = rows.map { case (_, d, cents) =>
+        val age = java.time.temporal.ChronoUnit.DAYS.between(d, maxD)
+        if (age > 30) BigInt(0) else BigInt(cents) * (BigInt(1) << (30 - age).toInt)
+      }.sum
+      item -> (sum.toDouble / math.pow(2, 30), rows.size.toLong)
+    }
+    assert(got === expected)
+  }
+
   test("q73 funnel: stage timestamps are strictly ordered and prefix-closed") {
     val df = SparkEntry.queries("q73_funnel")(spark, sfDir)
     // reaching stage k implies reaching every earlier stage
