@@ -773,7 +773,35 @@ object Analytics {
              COUNT(1) AS rows_at_or_above
       FROM c WHERE cum * 2 >= total GROUP BY l_returnflag"""))
 
+  /** Explicit GROUPING SETS — the third of SQL's multi-set aggregations
+    * (q37 ROLLUP, q77 CUBE): exactly the three sets ((flag,status), (flag),
+    * ()) in ONE pass with map-side partial aggregation per set, where
+    * chaining three GROUP BYs would scan three times. The grouping id is
+    * built from per-column GROUPING flags (identical bit order in both
+    * engines); revenue sums integer cents so the subtotal rows hash-match
+    * bit-exactly. */
+  val groupingSets: Q = Q(
+    "q109_grouping_sets",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+          CAST(grouping(l_returnflag) AS BIGINT) * 2
+            + CAST(grouping(l_linestatus) AS BIGINT) AS gid,
+          SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
+          COUNT(1) AS n_items
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+        CAST(GROUPING(l_returnflag) AS BIGINT) * 2
+          + CAST(GROUPING(l_linestatus) AS BIGINT) AS gid,
+        CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+          AS revenue_cents,
+        COUNT(1) AS n_items
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"""))
+
   val all: Seq[Q] = Seq(windowSuite, setOps, rollup, asofJoin, sqlDdl,
     approxDistinct, percentileStats, pivot, unpivot, cube, countMin, nestedAgg,
-    histogram, cooccurrence, weightedMedian, trailingWindow)
+    histogram, cooccurrence, weightedMedian, trailingWindow, groupingSets)
 }

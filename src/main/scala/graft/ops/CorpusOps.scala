@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
@@ -575,8 +576,79 @@ object CorpusOps {
       SELECT doc_id, term, tf, score, CAST(term_rank AS BIGINT) AS term_rank
       FROM r WHERE term_rank <= 3"""))
 
+  // ---- q108: exact heavy hitters (Misra-Gries candidates + verify) ---------
+  /** Corpus bigrams occurring in more than 1/1024 of all bigram slots —
+    * EXACT support counts, computed with bounded memory per task. A plain
+    * groupBy-HAVING is the textbook plan, but its partial-aggregation
+    * hashmaps grow with per-partition VOCABULARY — at 100 TB a web-scale
+    * n-gram vocabulary spills every map task. Instead: (1) each partition
+    * streams its bigrams through a Misra-Gries summary of 1023 counters
+    * (eviction decrements 1024 distinct grams at once, so any gram with
+    * local frequency > n_p/1024 survives; a global heavy hitter must clear
+    * that bar in at least one partition — pigeonhole — so the candidate
+    * union is a superset of the answer); (2) the exact groupBy runs only on
+    * bigrams semi-joined against the ≤1023-per-task candidate set, keeping
+    * every hashmap bounded by the summary size, not the vocabulary; (3) the
+    * exact threshold filter drops false candidates. Output is therefore
+    * partitioning-independent. The total rides a 1-row broadcast, and the
+    * candidate set never touches the driver. */
+  /** The q108 plan over any single-column `gram` frame — exposed so the spec
+    * can drive a beyond-summary-size synthetic vocabulary through the
+    * eviction path. `denom` = support denominator (answer: grams with
+    * count·denom > total); summary holds denom−1 counters. */
+  private[graft] def heavyHittersOf(grams: DataFrame, denom: Int): DataFrame = {
+    import grams.sparkSession.implicits._
+    val k = denom - 1
+    val cand = grams.as[String].mapPartitions { it =>
+      val counts = new scala.collection.mutable.HashMap[String, Long]
+      it.foreach { g =>
+        counts.get(g) match {
+          case Some(c) => counts.update(g, c + 1)
+          case None if counts.size < k => counts.update(g, 1L)
+          case None => // cancel one occurrence of k+1 distinct grams
+            val dead = List.newBuilder[String]
+            counts.foreach { case (key, c) =>
+              if (c == 1L) dead += key else counts.update(key, c - 1)
+            }
+            dead.result().foreach(counts.remove)
+        }
+      }
+      counts.keysIterator
+    }.toDF("gram").distinct()
+    val tot = grams.agg(count(lit(1)).as("total"))
+    grams.join(broadcast(cand), Seq("gram"), "left_semi")
+      .groupBy("gram").agg(count(lit(1)).as("n_occurrences"))
+      .join(broadcast(tot))
+      .filter(col("n_occurrences") * denom > col("total"))
+      .drop("total")
+  }
+
+  val heavyHitters: Q = Q(
+    "q108_heavy_hitters",
+    (s, dir) => heavyHittersOf(
+      Tables.documents(s, dir)
+        .select(split(col("text"), " ").as("words"))
+        .filter(size(col("words")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(0, size(words) - 2),
+             i -> concat_ws(' ', slice(words, i + 1, 2)))""")).as("gram")),
+      1024),
+    Some("""WITH docs AS (
+        SELECT string_split(text, ' ') AS words FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+      ), ng AS (
+        SELECT unnest(list_transform(range(1, len(words)),
+                 i -> array_to_string(list_slice(words, i, i + 1), ' '))) AS gram
+        FROM docs
+      ), counted AS (
+        SELECT gram, CAST(COUNT(1) AS BIGINT) AS n_occurrences
+        FROM ng GROUP BY gram
+      ), tot AS (SELECT CAST(SUM(n_occurrences) AS BIGINT) AS total FROM counted)
+      SELECT gram, n_occurrences FROM counted, tot
+      WHERE n_occurrences * 1024 > total"""))
+
   val all: Seq[Q] = Seq(piiRedact, decontaminate, mixtureSample, noveltyScore,
     ngramTopK, docPack, embedQuantize, cleanPipeline, zorderKey, docChunks,
-    bm25Score, tfidfTopTerms)
+    bm25Score, tfidfTopTerms, heavyHitters)
 }
 

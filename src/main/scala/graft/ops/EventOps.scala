@@ -611,7 +611,100 @@ object EventOps {
              COUNT(1) AS n_events
       FROM aged GROUP BY item"""))
 
+  // ---- q106: per-user interval union (total active time) -------------------
+  /** Activity interval length for q92/q106 (30 min in µs). Declared BEFORE
+    * q106: its oracle string interpolates this at object-init time. */
+  private val activityIntervalUs = 1800000000L
+
+  /** Total active time per user with overlapping activity intervals MERGED —
+    * each event opens [ts, ts+30min), and back-to-back or overlapping
+    * intervals must count wall-clock once, not per event (the utilization /
+    * billable-time primitive; q92 sweeps the same intervals globally for
+    * peak concurrency, this merges them per key). Classic island detection,
+    * kept fully parallel: one window partitioned by user_id computes each
+    * row's running max of PRIOR interval ends; a row strictly past that max
+    * starts a new island (touching intervals [a,b)+[b,c) merge — contiguous
+    * activity has no gap); the running sum of starts numbers the islands,
+    * and two map-side-combined aggregations produce per-island extents and
+    * the per-user totals. No global sort, no self-join: at 100 TB this is
+    * one user-keyed shuffle reused by the window and both aggregations,
+    * with per-user state bounded by that user's own events. Tie order
+    * between duplicate (st,en) rows cannot change islands: a tied row sees
+    * its twin's end ≥ its own start, so only the first-in-order opens. All
+    * arithmetic is exact integer microseconds. */
+  /** The q106 plan over any (user_id, st, en) interval frame — exposed so the
+    * spec can drive synthetic touching/overlap/gap boundary cases through the
+    * production plan. */
+  private[graft] def intervalUnionOf(iv: DataFrame): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy("st", "en")
+    val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv.withColumn("opens",
+        when(col("st") > coalesce(max("en").over(prior), lit(Long.MinValue)),
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("island", sum("opens").over(run))
+      .groupBy("user_id", "island")
+      .agg(min("st").as("ist"), max("en").as("ien"))
+      .groupBy("user_id")
+      .agg(sum(col("ien") - col("ist")).as("active_us"),
+        count(lit(1)).as("n_islands"))
+  }
+
+  val intervalUnion: Q = Q(
+    "q106_interval_union",
+    (s, dir) => intervalUnionOf(
+      Tables.events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts)").as("st"))
+        .withColumn("en", col("st") + lit(activityIntervalUs))),
+    Some(s"""WITH iv AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS st,
+               epoch_us(CAST(ts AS TIMESTAMP)) + $activityIntervalUs AS en
+        FROM events
+      ), flagged AS (
+        SELECT user_id, st, en,
+               CASE WHEN st > COALESCE(MAX(en) OVER (PARTITION BY user_id
+                      ORDER BY st, en
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    ${Long.MinValue})
+                 THEN 1 ELSE 0 END AS opens
+        FROM iv
+      ), isl AS (
+        SELECT user_id, st, en,
+               SUM(opens) OVER (PARTITION BY user_id ORDER BY st, en
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged
+      ), merged AS (
+        SELECT user_id, island, MIN(st) AS ist, MAX(en) AS ien
+        FROM isl GROUP BY user_id, island
+      )
+      SELECT user_id, CAST(SUM(ien - ist) AS BIGINT) AS active_us,
+             COUNT(1) AS n_islands
+      FROM merged GROUP BY user_id"""))
+
+  // ---- q107: exact distinct via bitmap partial aggregation -----------------
+  /** Exact distinct users per event type, computed the way a 1000-executor
+    * cluster wants it: ids fold into fixed-size bitmaps BEFORE the shuffle
+    * (`bitmap_bit_position` within 32k-bit buckets, `bitmap_construct_agg`
+    * as the map-side combine), so the wire carries at most
+    * |types| × ⌈id-space/32768⌉ four-KB bitmaps no matter how many rows the
+    * log holds — where COUNT(DISTINCT) must shuffle one row per distinct
+    * (type, user) pair. A second aggregation ORs the per-bucket bitmaps and
+    * sums their popcounts. Same exact answer, shuffle volume decoupled from
+    * cardinality; the oracle is the plain COUNT(DISTINCT). */
+  val bitmapDistinct: Q = Q(
+    "q107_bitmap_distinct",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("bitmap_bucket_number(user_id)").as("bucket"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+        .groupBy("event_type")
+        .agg(sum(expr("bitmap_count(bm)")).as("distinct_users")),
+    Some("""SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+           FROM events GROUP BY event_type"""))
+
   val all: Seq[Q] = Seq(funnel, watermarkIngest, gapFill, hoppingWindow,
     cohortRetention, debounce, timeWeightedAvg, attribution, peakConcurrency,
-    rollingActiveUsers, transitionMatrix, decayedPopularity)
+    rollingActiveUsers, transitionMatrix, decayedPopularity, intervalUnion,
+    bitmapDistinct)
 }

@@ -268,4 +268,36 @@ class CorpusOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p51.contains("BroadcastHashJoin"), "q51 must broadcast the eval shingles")
   }
+
+  test("q108 heavy hitters equals the plain exact groupBy-HAVING answer") {
+    val got = SparkEntry.queries("q108_heavy_hitters")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val grams = Tables.documents(spark, sfDir)
+      .select(split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(words) - 2),
+           i -> concat_ws(' ', slice(words, i + 1, 2)))""")).as("gram"))
+    val total = grams.count()
+    val expected = grams.groupBy("gram").agg(count(lit(1)).as("n"))
+      .filter(col("n") * 1024 > total)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got === expected)
+  }
+
+  test("q108 Misra-Gries eviction path: vocabulary far beyond the summary size") {
+    import spark.implicits._
+    // 50k distinct singletons + three genuinely frequent grams, shuffled
+    // across 8 partitions with a summary of only 15 counters (denom 16):
+    // every item with count*16 > total must survive eviction — exactly hh0
+    // (30%), hh1 (20%), and nothing else (singletons are far below 1/16)
+    val noise = (0 until 50000).map(i => s"n$i")
+    val data = new scala.util.Random(42).shuffle(
+      noise ++ List.fill(30000)("hh0") ++ List.fill(20000)("hh1") ++
+        List.fill(3000)("almost")) // 3% — below 1/16, must be filtered
+    val grams = spark.sparkContext.parallelize(data, 8).toDF("gram")
+    val got = ops.CorpusOps.heavyHittersOf(grams, 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("hh0" -> 30000L, "hh1" -> 20000L))
+  }
 }

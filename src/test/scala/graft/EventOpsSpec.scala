@@ -303,4 +303,79 @@ class EventOpsSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(channels.subsetOf(Set("view", "click", "none")))
   }
+
+  test("q109 grouping sets: each set matches its standalone GROUP BY") {
+    val df = SparkEntry.queries("q109_grouping_sets")(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+      .withColumn("cents", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+    // gid=0: the full (flag, status) breakdown
+    val fine = df.filter(col("gid") === 0)
+      .select("l_returnflag", "l_linestatus", "revenue_cents", "n_items")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val fineExp = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("cents").as("c"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(fine === fineExp)
+    // gid=1: per-flag subtotals; gid=3: the single grand-total row
+    val byFlag = df.filter(col("gid") === 1)
+    assert(byFlag.filter(col("l_linestatus").isNotNull).count() === 0)
+    val grand = df.filter(col("gid") === 3).collect()
+    assert(grand.length === 1 &&
+      grand(0).getLong(3) === li.agg(sum("cents")).head().getLong(0) &&
+      grand(0).getLong(4) === li.count())
+    // exactly the three declared sets, nothing else (no gid=2)
+    assert(df.select("gid").distinct().collect().map(_.getLong(0)).toSet === Set(0L, 1L, 3L))
+  }
+
+  test("q106 interval union equals an exact per-user driver merge") {
+    val got = SparkEntry.queries("q106_interval_union")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ivs = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("st"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = ivs.groupBy(_._1).map { case (u, rows) =>
+      val sorted = rows.map(_._2).sorted
+      var islands = 0L
+      var active = 0L
+      var curStart = 0L
+      var curEnd = Long.MinValue
+      sorted.foreach { st =>
+        val en = st + 1800000000L
+        if (st > curEnd) { // strictly past: touching intervals merge
+          if (islands > 0) active += curEnd - curStart
+          islands += 1; curStart = st; curEnd = en
+        } else if (en > curEnd) curEnd = en
+      }
+      active += curEnd - curStart
+      u -> (active, islands)
+    }
+    assert(got === expected)
+  }
+
+  test("q106 boundary semantics: touching merges, 1µs gap splits, containment folds") {
+    import spark.implicits._
+    val iv = Seq(
+      // user 1: [0,100) + [100,200) touch -> ONE island of 200
+      (1L, 0L, 100L), (1L, 100L, 200L),
+      // user 2: [0,100) then [101,200) -> gap of 1 -> two islands, 199 active
+      (2L, 0L, 100L), (2L, 101L, 200L),
+      // user 3: [0,1000) contains [10,20) and overlaps [900,1100) -> one island 1100
+      (3L, 0L, 1000L), (3L, 10L, 20L), (3L, 900L, 1100L),
+      // user 4: duplicate rows collapse into their island, not double-counted
+      (4L, 5L, 50L), (4L, 5L, 50L)
+    ).toDF("user_id", "st", "en")
+    val got = ops.EventOps.intervalUnionOf(iv)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map(
+      1L -> (200L, 1L), 2L -> (199L, 2L), 3L -> (1100L, 1L), 4L -> (45L, 1L)))
+  }
+
+  test("q107 bitmap distinct equals exact COUNT(DISTINCT) per event type") {
+    val got = SparkEntry.queries("q107_bitmap_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
 }
