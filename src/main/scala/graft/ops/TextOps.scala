@@ -230,6 +230,78 @@ object TextOps {
         WHERE (sxx / cnt) - ((sx / cnt) * (sx / cnt)) > 0.0)
       WHERE abs(z) > 1.5"""))
 
+  // ---- q110: robust (median/MAD) length outliers ---------------------------
+  /** Robust per-source length outliers: docs whose |n_chars − median| exceeds
+    * 3× the median absolute deviation. q71's z-score breaks exactly when
+    * outlier detection matters most — a few huge docs inflate mean AND stddev
+    * until nothing is flagged (masking); median and MAD have a 50% breakdown
+    * point. Both medians use the LOWER-median crossing rule (smallest value
+    * whose cumulative count reaches half), so everything is integer-exact —
+    * no averaging, no FP. Scale shape: per-source medians come from a
+    * VALUE-AGGREGATED cumulative walk (groupBy (source, value) first, then a
+    * window over value-cardinality-bound rows — never a per-row sort); the
+    * two tiny per-source tables broadcast back onto the corpus, and the MAD
+    * pass reuses the same machinery over deviation values. */
+  val robustOutliers: Q = Q(
+    "q110_robust_outliers",
+    (s, dir) => {
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      // lower median of a (source, v, cnt) value-count frame, per source
+      def lowerMedian(vc: DataFrame, out: String): DataFrame = {
+        val tot = vc.groupBy("source").agg(sum("cnt").as("n"))
+        val w = Window.partitionBy("source").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        vc.join(broadcast(tot), "source")
+          .withColumn("c", sum("cnt").over(w))
+          .filter(col("c") * 2 >= col("n"))
+          .groupBy("source").agg(min("v").as(out))
+      }
+      val docs = Tables.documents(s, dir)
+      val med = lowerMedian(
+        docs.groupBy(col("source"), col("n_chars").as("v"))
+          .agg(count(lit(1)).as("cnt")), "med")
+      val mad = lowerMedian(
+        docs.join(broadcast(med), "source")
+          .groupBy(col("source"), abs(col("n_chars") - col("med")).as("v"))
+          .agg(count(lit(1)).as("cnt")), "mad")
+      docs.join(broadcast(med), "source").join(broadcast(mad), "source")
+        .withColumn("deviation", abs(col("n_chars") - col("med")))
+        .filter(col("deviation") > col("mad") * 3)
+        .select("doc_id", "source", "n_chars", "med", "mad", "deviation")
+    },
+    Some("""WITH vc AS (
+        SELECT source, n_chars AS v, COUNT(1) AS cnt
+        FROM documents GROUP BY source, n_chars
+      ), tot AS (SELECT source, SUM(cnt) AS n FROM vc GROUP BY source),
+      cum AS (
+        SELECT vc.source, vc.v,
+               SUM(cnt) OVER (PARTITION BY vc.source ORDER BY vc.v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c, t.n
+        FROM vc JOIN tot t ON vc.source = t.source
+      ), med AS (
+        SELECT source, CAST(MIN(v) AS BIGINT) AS med
+        FROM cum WHERE c * 2 >= n GROUP BY source
+      ), dv AS (
+        SELECT d.source, abs(d.n_chars - m.med) AS v, COUNT(1) AS cnt
+        FROM documents d JOIN med m ON d.source = m.source
+        GROUP BY d.source, abs(d.n_chars - m.med)
+      ), dtot AS (SELECT source, SUM(cnt) AS n FROM dv GROUP BY source),
+      dcum AS (
+        SELECT dv.source, dv.v,
+               SUM(cnt) OVER (PARTITION BY dv.source ORDER BY dv.v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c, t.n
+        FROM dv JOIN dtot t ON dv.source = t.source
+      ), mad AS (
+        SELECT source, CAST(MIN(v) AS BIGINT) AS mad
+        FROM dcum WHERE c * 2 >= n GROUP BY source
+      )
+      SELECT d.doc_id, d.source, d.n_chars, m.med, a.mad,
+             abs(d.n_chars - m.med) AS deviation
+      FROM documents d JOIN med m ON d.source = m.source
+                       JOIN mad a ON d.source = a.source
+      WHERE abs(d.n_chars - m.med) > a.mad * 3"""))
+
   val all: Seq[Q] = Seq(textQuality, textLangId, tokenCount, docFingerprint,
-    repetitionScore, lengthOutliers)
+    repetitionScore, lengthOutliers, robustOutliers)
 }

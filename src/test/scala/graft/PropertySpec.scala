@@ -43,7 +43,11 @@ class PropertySpec extends AnyFunSuite {
       // TF-IDF scores, co-occurrence lift, two-phase weighted median
       "q87_dedup_edit_distance", "q88_time_weighted_avg", "q89_attribution",
       "q90_value_histogram", "q91_tfidf_top_terms", "q93_cooccurrence_lift",
-      "q95_weighted_median")
+      "q95_weighted_median",
+      // round-7 additions: q108's Misra-Gries candidate set DOES vary with
+      // partition geometry — the exact-verify filter must erase that;
+      // q106/q110 are integer-exact but window+agg heavy, cheap to pin
+      "q106_interval_union", "q108_heavy_hitters", "q110_robust_outliers")
     def canon(name: String): Seq[String] =
       SparkEntry.queries(name)(spark, dir).collect().map(_.mkString("")).sorted
     val conf = spark.conf

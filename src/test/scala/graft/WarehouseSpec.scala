@@ -197,4 +197,25 @@ class WarehouseSpec extends AnyFunSuite {
     val got = df.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got === expected)
   }
+
+  test("q110 robust outliers match a driver lower-median/MAD recompute") {
+    val df = SparkEntry.queries("q110_robust_outliers")(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "n_chars").collect()
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val sorted = xs.sorted
+      val n = sorted.length
+      sorted.zipWithIndex.collectFirst {
+        case (v, i) if (i + 1) * 2 >= n => v
+      }.get
+    }
+    val expected = docs.groupBy(_.getString(1)).toSeq.flatMap { case (_, rows) =>
+      val xs = rows.map(_.getLong(2)).toSeq
+      val med = lowerMedian(xs)
+      val mad = lowerMedian(xs.map(x => math.abs(x - med)))
+      rows.filter(r => math.abs(r.getLong(2) - med) > 3 * mad).map(_.getLong(0)).toSeq
+    }.toSet
+    val got = df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got === expected)
+  }
 }
