@@ -406,4 +406,52 @@ class OpsSpec extends AnyFunSuite {
       case _ => ()
     }
   }
+
+  /** Driver brute force for q111: distinct bigram sets, ALL pairs, integer
+    * accept predicate — the completeness ground truth the prefix-filtered
+    * plan must reproduce exactly. */
+  private def setSimBrute(texts: Seq[(Long, String)], tauN: Int): Set[(Long, Long, Long)] = {
+    val sets = texts.map { case (id, t) =>
+      val ws = t.split(" ")
+      id -> ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      c = (sa & sb).size.toLong
+      if c * 10 >= tauN * (sa.size + sb.size - c)
+    } yield (a, b, c)).toSet
+  }
+
+  test("q111 exact set-sim join: boundary cases through the production plan") {
+    import spark.implicits._
+    // A/B share 8 of 10 distinct bigrams -> J = 8/10 = 0.8 EXACTLY: the
+    // integer predicate must include the boundary. C overlaps A at 7/11.
+    // D/E share one rare bigram but fail the size-ratio bound. F == A
+    // verbatim (J = 1). All must match brute force, including that no
+    // qualifying pair is lost to the prefix/positional/size pruning.
+    val texts: Seq[(Long, String)] = Seq(
+      1L -> "a b c d e f g h i j",
+      2L -> "a b c d e f g h i k",
+      3L -> "a b c d e f g h x y",
+      4L -> "z q",
+      5L -> "z q m n o p r s t u v w",
+      6L -> "a b c d e f g h i j")
+    val got = ops.Dedup.setSimJoinOf(texts.toDF("doc_id", "text"), 8)
+      .select("doc_a", "doc_b", "common").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = setSimBrute(texts, 8)
+    assert(got === want)
+    assert(got.contains((1L, 2L, 8L)), "exact-0.8 boundary pair must be included")
+    assert(got.contains((1L, 6L, 9L)) && !got.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("q111 equals brute force over the whole sf0.001 corpus") {
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = SparkEntry.queries("q111_setsim_join")(spark, sfDir)
+      .select("doc_a", "doc_b", "common").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty && got === setSimBrute(texts, 8))
+  }
 }
