@@ -364,6 +364,95 @@ object StreamingSessions {
         ON c.user_id = p.user_id
        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR"""))
 
+  // ---- q112: streaming per-key ingestion quota -----------------------------
+  /** Default q112 quota: events admitted per (user, UTC day). */
+  private val quotaPerDay = 3
+
+  final case class QEv(user_id: Long, day: Long, ts_us: Long,
+      event_type: String, value: Double, ts_t: java.sql.Timestamp)
+  final case class QuotaOut(user_id: Long, day: Long, ts_us: Long,
+      event_type: String, value: Double, rank_in_quota: Long)
+
+  /** Streaming per-(user, day) ingestion quota — the online rate-limit /
+    * sampling-cap primitive a continuous training-data intake runs in front
+    * of expensive downstream stages: admit at most N events per user per UTC
+    * day, deny the rest, FIRST-COME-FIRST-SERVED.
+    *
+    * The state story is the point: where a top-N-per-key operator must hold
+    * N candidate rows per key and wait for the day to close, a quota is
+    * greedy by definition — so state is ONE COUNTER per open (user, day),
+    * emission is immediate (append mode, no watermark wait), and the
+    * counter is GC'd by event-time timeout once the watermark passes its
+    * day's end. O(1) state per key, horizon-bounded key count: the 100 TB/
+    * day shape.
+    *
+    * Determinism contract: within a micro-batch a key's events are admitted
+    * in (ts, event_type, value) order; rows below the watermark are dropped
+    * (the aggregation-path late rule). Across batches admission is greedy —
+    * an event can consume quota that a later-arriving, earlier-timestamped
+    * (but still admissible) event "deserved"; that is what first-come-
+    * first-served means, and StreamingSpec pins it with a two-batch case.
+    * Driving the whole static table to completion is a single batch, where
+    * greedy == global (ts, event_type, value) order — exactly the batch
+    * ROW_NUMBER() ≤ N oracle. */
+  def statefulQuota(spark: SparkSession, path: String, quotaN: Int = quotaPerDay,
+      readerOptions: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.readStream.schema(eventsSchema).options(readerOptions).parquet(path)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_t", "1 hour")
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"),
+        expr("ts div 1000").as("ts_us"), col("event_type"), col("value"),
+        col("ts_t")).as[QEv]
+    def fn(key: (Long, Long), rows: Iterator[QEv],
+        state: GroupState[Long]): Iterator[QuotaOut] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val wmMs = state.getCurrentWatermarkMs()
+        val admitted = state.getOption.getOrElse(0L)
+        val sorted = rows.filter(_.ts_us >= wmMs * 1000L).toArray
+          .sortBy(e => (e.ts_us, e.event_type, e.value))
+        val take = sorted.take(math.max(0L, quotaN - admitted).toInt)
+        state.update(admitted + take.length)
+        // the counter stays (denials must keep counting) until no
+        // admissible event can target this day: watermark past day end
+        state.setTimeoutTimestamp(math.max((key._2 + 1) * 86400000L, wmMs + 1))
+        take.iterator.zipWithIndex.map { case (e, i) =>
+          QuotaOut(e.user_id, e.day, e.ts_us, e.event_type, e.value,
+            admitted + i + 1)
+        }
+      }
+    }
+    ev.groupByKey(e => (e.user_id, e.day))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+      .toDF()
+      .select(col("user_id"),
+        expr("DATE_ADD(DATE '1970-01-01', CAST(day AS INT))").as("day"),
+        timestamp_micros(col("ts_us")).as("ts"),
+        col("event_type"), col("value"), col("rank_in_quota"))
+  }
+
+  val streamingQuota: Q = Q(
+    "q112_streaming_quota",
+    (s, dir) => streamToArtifact(s, dir, "quota", "events",
+      p => statefulQuota(s, p), mode = "append"),
+    Some(s"""WITH r AS (
+        SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                 ORDER BY CAST(ts AS TIMESTAMP), event_type, value)
+                 AS rank_in_quota
+        FROM events
+      )
+      SELECT user_id, day, ts, event_type, value,
+             CAST(rank_in_quota AS BIGINT) AS rank_in_quota
+      FROM r WHERE rank_in_quota <= $quotaPerDay"""))
+
   val all: Seq[Q] =
-    Seq(streamingSessions, streamingDedup, streamingHopping, streamingIntervalJoin)
+    Seq(streamingSessions, streamingDedup, streamingHopping,
+      streamingIntervalJoin, streamingQuota)
 }

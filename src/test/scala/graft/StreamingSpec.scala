@@ -185,4 +185,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(u1(1).getAs[Long]("session_end_us") === (t0 + m(10)) / 1000L)
     assert(u1(1).getAs[Long]("events_n") === 3L)
   }
+
+  test("streaming quota equals the batch row_number formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val streaming = SparkEntry.queries("q112_streaming_quota")(spark, sfDir)
+    val batch = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"),
+        col("event_type"), col("value"))
+      .withColumn("rank_in_quota", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "day")
+          .orderBy("ts", "event_type", "value")).cast("long"))
+      .filter(col("rank_in_quota") <= 3)
+    assert(streaming.count() > 0)
+    assert(streaming.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streaming).count() === 0)
+  }
+
+  test("quota admission is first-come-first-served across micro-batches") {
+    import spark.implicits._
+    val dir = "/root/repo/target/graft_stream_quota"
+    val fs = new java.io.File(dir)
+    if (fs.exists()) fs.listFiles().foreach(f => {
+      if (f.isDirectory) f.listFiles().foreach(_.delete()); f.delete()
+    })
+    fs.mkdirs()
+    val t0 = 1700006400L * 1000000000L // ns, 02:00 UTC — all one UTC day
+    def m(n: Long) = n * 60L * 1000000000L
+    def write(name: String, rows: Seq[(Long, Long, Long)], mtime: Long): Unit = {
+      val tmp = s"$dir/_tmp_$name"
+      rows.toDF("event_id", "ts", "user_id")
+        .withColumn("event_type", lit("click"))
+        .withColumn("value", lit(1.0))
+        .withColumn("props", lit("{}"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/$name")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+      new java.io.File(tmp).listFiles().foreach(_.delete())
+      new java.io.File(tmp).delete()
+    }
+    // batch a: user 1's two LATER events arrive first and take ranks 1-2;
+    // batch b: two EARLIER events arrive afterwards, still admissible (wm
+    // after batch a is t0+50m-1h < t0) — greedy FCFS admits only ONE of
+    // them (rank 3), by ts order the earliest
+    write("a.parquet", Seq((1L, t0 + m(40), 1L), (2L, t0 + m(50), 1L)), 1000000L)
+    write("b.parquet", Seq((3L, t0, 1L), (4L, t0 + m(10), 1L)), 2000000L)
+    val q = graft.streaming.StreamingSessions
+      .statefulQuota(spark, dir, 3, Map("maxFilesPerTrigger" -> "1"))
+      .writeStream.format("memory").queryName("graft_quota")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("graft_quota")
+      .select(unix_micros(col("ts")).as("ts_us"), col("rank_in_quota")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val us = (n: Long) => (t0 + m(n)) / 1000L
+    assert(out === Set((us(40), 1L), (us(50), 2L), (us(0), 3L)),
+      s"got $out")
+  }
 }
