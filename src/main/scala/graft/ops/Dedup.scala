@@ -574,15 +574,23 @@ object Dedup {
     *     (ties by token) — one token-keyed join to the df table (shingle
     *     vocabulary is data-proportional, so unlike q91's word-df table it
     *     must NOT broadcast) and one doc-keyed window;
-    *  2. index only each doc's PREFIX — its sz − ⌈τ·sz⌉ + 1 RAREST shingles.
-    *     Any pair with J ≥ τ shares ≥ ⌈τ·max(sza,szb)⌉ tokens, more than
-    *     either suffix holds, so both prefixes must collide somewhere: the
-    *     prefix self-join loses nothing (the published completeness lemma);
+    *  2. join ASYMMETRIC prefixes, pairing docs in (sz, doc_id) order: the
+    *     smaller side exposes only its INDEX prefix (sz − ⌈2τ/(1+τ)·sz⌉ + 1
+    *     rarest shingles), the larger its PROBE prefix (sz − ⌈τ·sz⌉ + 1).
+    *     Completeness: let t* be the smallest (global-order) shared token of
+    *     a qualifying pair x ≤ y. Were t* outside x's index prefix, ALL
+    *     shared tokens would sit in x's suffix of ⌈2τ/(1+τ)·szx⌉ − 1 tokens,
+    *     yet J ≥ τ forces common ≥ ⌈2τ/(1+τ)·szx⌉ (c ≥ τ/(1+τ)(szx+szy) and
+    *     szy ≥ szx) — contradiction; symmetrically t* outside y's probe
+    *     prefix caps common below ⌈τ·szy⌉ ≤ c (needs szx ≥ τ·szy, which
+    *     every qualifying pair satisfies since J ≤ min/max). So the SAME
+    *     token t* collides in both prefixes and the join loses nothing —
+    *     while the index side carries roughly half the probe prefix's rows;
     *  3. prune at the join predicate with two more exact bounds — size ratio
-    *     (J ≤ min/max < τ when 10·min < τN·max) and PPJoin's positional
-    *     filter (tokens at rank rn leave only 1 + min(sza−rna, szb−rnb)
+    *     (smaller side must reach 10·szx ≥ τN·szy) and PPJoin's positional
+    *     filter (tokens at rank rn leave only 1 + min(szx−rnx, szy−rny)
     *     positions that could still overlap; require that to reach the
-    *     equivalent overlap threshold ⌈τ/(1+τ)·(sza+szb)⌉);
+    *     equivalent overlap threshold ⌈τ/(1+τ)·(szx+szy)⌉);
     *  4. verify survivors exactly: join the candidate ids back to per-doc
     *     shingle arrays and take |array_intersect| — integer accept
     *     predicate 10·common ≥ τN·(union), jaccard emitted as one
@@ -591,12 +599,15 @@ object Dedup {
     * Scale shape: three token-stream shuffles (df join, per-doc window,
     * prefix self-join) + a candidate-bounded verify join — never an O(n²)
     * cross join. The honest cost model, measured: candidate volume tracks
-    * the corpus's self-similarity (this synthetic template corpus admits
-    * 5.2k candidates at sf0.01 and 667k at sf0.1 for 25/256 true pairs) —
-    * exactness is the price; when approximate recall suffices, q15/q19 LSH
-    * is the scale path. The oracle is the UNFILTERED full inverted-index
-    * join: none of the three pruning bounds exist in it, so each one's
-    * completeness claim is independently hash-checked. */
+    * the corpus's self-similarity — this synthetic template corpus (prefix
+    * tokens average df≈262) generates 3.9M collision rows pruned to 667k
+    * distinct candidates at sf0.1 for 256 true pairs (5.2k candidates /
+    * 25 pairs at sf0.01); on a real web corpus prefix dfs are long-tail-
+    * rare and the same plan touches a tiny fraction of that. Exactness is
+    * the price; when approximate recall suffices, q15/q19 LSH is the scale
+    * path. The oracle is the UNFILTERED full inverted-index join: none of
+    * the pruning bounds exist in it, so each one's completeness claim is
+    * independently hash-checked. */
   private[graft] def setSimJoinOf(docs0: DataFrame, tauN: Int = setSimTauN,
       cacheDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -627,14 +638,29 @@ object Dedup {
     }
     val overlapMin = // ⌈τ/(1+τ)·(sza+szb)⌉ with τ = tauN/10, all integer DIV
       expr(s"((a.sz + b.sz) * $tauN + ${9 + tauN}) DIV ${10 + tauN}")
-    val cand = pre.as("a").join(pre.as("b"),
-        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id")
-          && least(col("a.sz"), col("b.sz")) * 10
-               >= greatest(col("a.sz"), col("b.sz")) * tauN
+    // index prefix: rn ≤ sz − ⌈2τ/(1+τ)·sz⌉ + 1 — a further filter of the
+    // cached probe-prefix frame, no second index
+    val preIdx = pre.filter(
+      col("rn") <= col("sz")
+        - expr(s"(sz * ${2 * tauN} + ${10 + tauN - 1}) DIV ${10 + tauN}") + 1)
+    val cand = preIdx.as("a").join(pre.as("b"),
+        col("a.token") === col("b.token")
+          && (col("a.sz") < col("b.sz")
+            || (col("a.sz") === col("b.sz") && col("a.doc_id") < col("b.doc_id")))
+          && col("a.sz") * 10 >= col("b.sz") * tauN
           && lit(1) + least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn"))
                >= overlapMin)
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(min(col("a.sz")).as("sz_a"), min(col("b.sz")).as("sz_b"))
+      // a is the (sz, id)-smaller side, not the smaller id: restore the
+      // id-ordered output orientation before aggregating
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        when(col("a.doc_id") < col("b.doc_id"), col("a.sz"))
+          .otherwise(col("b.sz")).as("sza"),
+        when(col("a.doc_id") < col("b.doc_id"), col("b.sz"))
+          .otherwise(col("a.sz")).as("szb"))
+      .groupBy("doc_a", "doc_b")
+      .agg(min(col("sza")).as("sz_a"), min(col("szb")).as("sz_b"))
     val arrs = base.select(col("doc_id"), shingles.as("tokarr"))
     cand
       .join(arrs.select(col("doc_id").as("doc_a"), col("tokarr").as("ta")), "doc_a")

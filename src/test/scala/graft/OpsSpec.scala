@@ -429,13 +429,19 @@ class OpsSpec extends AnyFunSuite {
     // D/E share one rare bigram but fail the size-ratio bound. F == A
     // verbatim (J = 1). All must match brute force, including that no
     // qualifying pair is lost to the prefix/positional/size pruning.
+    // 7/8: subset pair at the size-ratio boundary (8 = τ·10 exactly, J =
+    // 0.8) with the SMALLER set on the LARGER doc_id — exercises the
+    // asymmetric index/probe orientation, which pairs docs in (sz, doc_id)
+    // order, not id order
     val texts: Seq[(Long, String)] = Seq(
       1L -> "a b c d e f g h i j",
       2L -> "a b c d e f g h i k",
       3L -> "a b c d e f g h x y",
       4L -> "z q",
       5L -> "z q m n o p r s t u v w",
-      6L -> "a b c d e f g h i j")
+      6L -> "a b c d e f g h i j",
+      7L -> "a b c d e f g h i j k",
+      8L -> "a b c d e f g h i")
     val got = ops.Dedup.setSimJoinOf(texts.toDF("doc_id", "text"), 8)
       .select("doc_a", "doc_b", "common").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -443,6 +449,7 @@ class OpsSpec extends AnyFunSuite {
     assert(got === want)
     assert(got.contains((1L, 2L, 8L)), "exact-0.8 boundary pair must be included")
     assert(got.contains((1L, 6L, 9L)) && !got.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(got.contains((7L, 8L, 8L)), "subset pair at the size-ratio boundary")
   }
 
   test("q111 equals brute force over the whole sf0.001 corpus") {
