@@ -801,7 +801,134 @@ object Analytics {
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"""))
 
+  // ---- q113: exact equi-depth histogram ------------------------------------
+  /** q113 dials: output buckets, and the internal equi-width pre-ranges that
+    * parallelize the cumulative walk. */
+  private val edBuckets = 32
+  private val edRanges = 1024
+
+  /** Exact equi-depth (equi-height) histogram of l_extendedprice — the
+    * optimizer/statistics primitive complementing q90's equi-WIDTH bins:
+    * bucket i spans global ranks (⌈i·n/k⌉, ⌈(i+1)·n/k⌉], every bucket
+    * within one row of n/k regardless of value skew. The naive form is
+    * NTILE over a GLOBAL sort — one task for the whole table. This computes
+    * the identical bucket boundaries with no per-row rank at all:
+    *
+    *   1. aggregate to per-VALUE counts (the q60/q110 move — all later work
+    *      is value-cardinality-bound, never row-bound);
+    *   2. global cumulative counts over the value order WITHOUT a one-task
+    *      window: q100's bucket-parallel composition applied to the value
+    *      table — equi-width pre-ranges over [min, max] (order-aligned),
+    *      per-range totals → exclusive offsets (a ≤1024-row driver-size
+    *      window), then within-range running sums only;
+    *   3. every bucket boundary is an ORDER STATISTIC, so each value row's
+    *      rank interval (cum−cnt, cum] either contains a boundary rank or
+    *      doesn't — pure integer DIV/ceil inversions emit each bucket's lo
+    *      and hi boundary index from exactly one row (a ≤2k-row explode),
+    *      and bucket row counts are closed-form in (i, n, k). Ties need no
+    *      tiebreak: rows sharing a boundary rank share its VALUE, so
+    *      min/max/count are tie-order-independent — which is why the
+    *      oracle's ROW_NUMBER needs no extra sort keys either.
+    *
+    * Scale shape: one scan → value aggregation; everything after is bound
+    * by value cardinality (and each pre-range's slice of it). Empty buckets
+    * (n < k) are filtered to match GROUP BY semantics. */
+  /** The q113 plan over any single-column `v` frame — exposed so the spec
+    * can drive skewed synthetic distributions (one value holding most of
+    * the mass, boundary-straddling ties) through the production plan. */
+  private[graft] def equidepthOf(t0: DataFrame, k: Int): DataFrame = {
+    val s = t0.sparkSession
+    val t = t0.filter(col("v").isNotNull)
+      val vc = t.groupBy("v").agg(count(lit(1)).as("cnt"))
+      val boundsRow = t.agg(min("v").as("lo"), max("v").as("hi")).head()
+      val lo = if (boundsRow.isNullAt(0)) 0.0 else boundsRow.getDouble(0)
+      val hi = if (boundsRow.isNullAt(1)) 0.0 else boundsRow.getDouble(1)
+      // order-aligned equi-width pre-range (q90's bin expression: the exact
+      // IEEE sequence is irrelevant here — ranges only parallelize the walk
+      // — but it must be monotone in v, which floor of a monotone map is)
+      val rb = vc.withColumn("rng",
+        if (hi == lo) lit(0L)
+        else least(floor((col("v") - lit(lo)) / lit((hi - lo) / edRanges)),
+          lit((edRanges - 1).toDouble)).cast("long"))
+      val roff = rb.groupBy("rng").agg(sum("cnt").as("rcnt"))
+        .withColumn("off", coalesce(
+          sum("rcnt").over(Window.orderBy("rng")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("rng", "off")
+      val wRng = Window.partitionBy("rng").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // the cum table feeds BOTH boundary extractions: one scoped eager
+      // checkpoint, freed before this returns (the q110 lifecycle); the two
+      // extraction outputs are ≤k rows BY CONSTRUCTION, so they collect and
+      // re-enter as broadcast local relations — the returned plan is a
+      // k-row join, nothing data-proportional left in it
+      val cumCk = graft.Ckpt.eager(rb.join(broadcast(roff), "rng")
+        .withColumn("cum", col("off") + sum("cnt").over(wRng))
+        .withColumn("cum_prev", col("cum") - col("cnt")))
+      try {
+        def asLocal(df: DataFrame): DataFrame =
+          s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+        val n = cumCk.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+        if (n == 0L) {
+          import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+          s.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            StructType(Seq(StructField("bucket", LongType),
+              StructField("lo_value", DoubleType),
+              StructField("hi_value", DoubleType),
+              StructField("n_rows", LongType))))
+        } else {
+          // lo boundary of bucket i sits at rank ⌈i·n/k⌉+1 ∈ (cum_prev, cum]
+          // ⇔ i ∈ [i_lo, i_hi]; DIV truncates toward zero, so the
+          // cum_prev=0 case (where the argument goes negative) is an
+          // explicit branch. (cum·k stays far under 2^63 for any feasible
+          // row count: n < 2^58 even at k=32.)
+          val los = asLocal(cumCk.select(col("v"), explode(expr(
+              s"""sequence(
+                   CASE WHEN cum_prev = 0 THEN CAST(0 AS BIGINT)
+                        ELSE ((cum_prev - 1) * $k) DIV $n + 1 END,
+                   greatest(CASE WHEN cum_prev = 0 THEN CAST(0 AS BIGINT)
+                        ELSE ((cum_prev - 1) * $k) DIV $n + 1 END,
+                     least(CAST(${k - 1} AS BIGINT), ((cum - 1) * $k) DIV $n)))"""))
+              .as("bucket"))
+            .filter(col("bucket") <= expr(s"((cum - 1) * $k) DIV $n")
+              && col("bucket") <= k - 1)
+            .select(col("bucket"), col("v").as("lo_value")))
+          // hi boundary of bucket j−1 sits at rank ⌈j·n/k⌉ ∈ (cum_prev, cum]
+          val his = asLocal(cumCk.select(col("v"), explode(expr(
+              s"""sequence((cum_prev * $k) DIV $n + 1,
+                   greatest((cum_prev * $k) DIV $n + 1,
+                     least(CAST($k AS BIGINT), (cum * $k) DIV $n)))"""))
+              .as("j"))
+            .filter(col("j") <= expr(s"(cum * $k) DIV $n") && col("j") <= k)
+            .select((col("j") - 1).as("bucket"), col("v").as("hi_value")))
+          los.join(his, "bucket")
+            .withColumn("n_rows",
+              expr(s"((bucket + 1) * $n + ${k - 1}) DIV $k")
+                - expr(s"(bucket * $n + ${k - 1}) DIV $k"))
+            .filter(col("n_rows") > 0)
+            .select("bucket", "lo_value", "hi_value", "n_rows")
+        }
+      } finally graft.Ckpt.free(cumCk)
+  }
+
+  val equidepthHist: Q = Q(
+    "q113_equidepth_hist",
+    (s, dir) => equidepthOf(
+      Tables.lineitem(s, dir).select(col("l_extendedprice").as("v")),
+      edBuckets),
+    Some(s"""WITH r AS (
+        SELECT l_extendedprice AS v,
+               ROW_NUMBER() OVER (ORDER BY l_extendedprice) - 1 AS rn0,
+               COUNT(1) OVER () AS n
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+      )
+      SELECT CAST((rn0 * $edBuckets) // n AS BIGINT) AS bucket,
+             MIN(v) AS lo_value, MAX(v) AS hi_value, COUNT(1) AS n_rows
+      FROM r GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(windowSuite, setOps, rollup, asofJoin, sqlDdl,
     approxDistinct, percentileStats, pivot, unpivot, cube, countMin, nestedAgg,
-    histogram, cooccurrence, weightedMedian, trailingWindow, groupingSets)
+    histogram, cooccurrence, weightedMedian, trailingWindow, groupingSets,
+    equidepthHist)
 }

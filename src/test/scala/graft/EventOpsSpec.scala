@@ -378,4 +378,49 @@ class EventOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === expected)
   }
+
+  /** Driver ground truth for q113: sort, slice ranks (⌈i·n/k⌉, ⌈(i+1)·n/k⌉]
+    * per bucket, take min/max/count. */
+  private def equidepthBrute(xs: Seq[Double], k: Int): Seq[(Long, Double, Double, Long)] = {
+    val sorted = xs.sorted
+    val n = sorted.length.toLong
+    def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+    (0 until k).flatMap { i =>
+      val lo = ceilDiv(i * n, k)
+      val hi = ceilDiv((i + 1) * n, k)
+      if (hi > lo)
+        Some((i.toLong, sorted(lo.toInt), sorted(hi.toInt - 1), hi - lo))
+      else None
+    }
+  }
+
+  test("q113 equi-depth histogram equals a driver sort-and-slice recompute") {
+    val vs = Tables.lineitem(spark, sfDir)
+      .select(col("l_extendedprice")).collect().map(_.getDouble(0)).toSeq
+    val got = SparkEntry.queries("q113_equidepth_hist")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got === equidepthBrute(vs, 32))
+    // every bucket within one row of n/k, by construction
+    assert(got.map(_._4).max - got.map(_._4).min <= 1)
+  }
+
+  test("q113 boundary semantics under extreme skew and boundary-straddling ties") {
+    import spark.implicits._
+    // 90% of the mass on ONE value: that value must span many buckets, and
+    // tie rows at boundary ranks must split by rank (counts stay within one
+    // of n/k) while min/max stay tie-order-independent
+    val skewed = Seq.fill(900)(5.0) ++ (1 to 100).map(_.toDouble / 100.0)
+    val got = ops.Analytics.equidepthOf(skewed.toDF("v"), 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got === equidepthBrute(skewed, 8))
+    // k > n: empty buckets are dropped, emitted counts sum to n
+    val tiny = Seq(1.0, 2.0, 3.0)
+    val gotTiny = ops.Analytics.equidepthOf(tiny.toDF("v"), 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(gotTiny === equidepthBrute(tiny, 8))
+    assert(gotTiny.map(_._4).sum === 3L)
+  }
 }

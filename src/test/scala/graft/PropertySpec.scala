@@ -47,7 +47,10 @@ class PropertySpec extends AnyFunSuite {
       // round-7 additions: q108's Misra-Gries candidate set DOES vary with
       // partition geometry — the exact-verify filter must erase that;
       // q106/q110 are integer-exact but window+agg heavy, cheap to pin
-      "q106_interval_union", "q108_heavy_hitters", "q110_robust_outliers")
+      "q106_interval_union", "q108_heavy_hitters", "q110_robust_outliers",
+      // q113's boundary extraction collects in partition order before the
+      // k-row join — the result set must not see that order
+      "q113_equidepth_hist")
     def canon(name: String): Seq[String] =
       SparkEntry.queries(name)(spark, dir).collect().map(_.mkString("")).sorted
     val conf = spark.conf
