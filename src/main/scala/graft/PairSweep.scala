@@ -23,7 +23,7 @@ object PairSweep {
 
   private val queries = Seq("q14_dedup_ngram_jaccard", "q87_dedup_edit_distance",
     "q40_dedup_clusters", "q19_knn_lsh", "q15_dedup_minhash_lsh",
-    "q102_dedup_incremental")
+    "q102_dedup_incremental", "q111_setsim_join")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -317,6 +317,78 @@ object TextOps {
                        JOIN mad a ON d.source = a.source
       WHERE abs(d.n_chars - m.med) > a.mad * 3"""))
 
+  // ---- q114: phrase search via positional inverted index -------------------
+  /** The q114 query set — a blocklist-style batch of multi-word phrases
+    * (variable lengths, so the positional join is exercised generally).
+    * Shared verbatim with the generated oracle SQL. */
+  private[graft] val searchPhrases: Seq[String] = Seq(
+    "row column sort", "big order scan", "window fast query",
+    "slow hash batch")
+
+  /** Exact multi-phrase occurrence search — the positional-inverted-index
+    * primitive behind both search and blocklist/contamination filtering
+    * ("find every document containing any of these phrases, with counts").
+    * A naive engine rescans every document per phrase; the index form is
+    * one scan regardless of how many phrases are asked:
+    *
+    *   1. posexplode the token stream once → postings (doc_id, pos, term);
+    *   2. the phrase set unrolls to a (phrase, offset, term) table — tiny
+    *      BY NATURE (a query workload, not data), so it broadcasts;
+    *   3. postings ⋈ broadcast(terms): each match proposes "phrase p could
+    *      start at pos − offset"; a start backed by ALL phrase offsets
+    *      (count == phrase length — each offset contributes exactly one
+    *      posting row) is a real occurrence. Overlapping occurrences fall
+    *      out naturally (starts are independent);
+    *   4. two map-side-combined aggregations: (doc, phrase, start) → full
+    *      matches, then (doc, phrase) → occurrence counts.
+    *
+    * Candidate volume is bounded by the postings matching any phrase term
+    * (df-bounded), never all postings × phrases. The oracle is a different
+    * ALGORITHM entirely — a per-document list scan over every position,
+    * one generated SQL branch per phrase — so the index join's start/offset
+    * arithmetic is checked against brute force at every SF. */
+  private[graft] def phraseSearchOf(docs0: org.apache.spark.sql.DataFrame,
+      phrases: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val s = docs0.sparkSession
+    import s.implicits._
+    val terms = phrases.flatMap { p =>
+      val ws = p.split(" ")
+      ws.zipWithIndex.map { case (w, off) => (p, off, w, ws.length) }
+    }.toDF("phrase", "off", "term", "plen")
+    val postings = docs0
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    postings.join(broadcast(terms), "term")
+      .withColumn("start", col("pos") - col("off"))
+      .filter(col("start") >= 0)
+      .groupBy(col("doc_id"), col("phrase"), col("start"))
+      .agg(count(lit(1)).as("hits"), min("plen").as("plen"))
+      .filter(col("hits") === col("plen"))
+      .groupBy("doc_id", "phrase")
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  val phraseSearch: Q = Q(
+    "q114_phrase_search",
+    (s, dir) => phraseSearchOf(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")), searchPhrases),
+    Some {
+      val branches = searchPhrases.map { p =>
+        val ws = p.split(" ")
+        val conds = ws.zipWithIndex
+          .map { case (w, i) => s"words[i + $i] = '$w'" }.mkString(" AND ")
+        s"""SELECT doc_id, '$p' AS phrase,
+              CAST(len(list_filter(range(1, len(words) - ${ws.length} + 2),
+                i -> $conds)) AS BIGINT) AS n_occurrences
+            FROM docs"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      ), hits AS (
+      $branches
+      )
+      SELECT doc_id, phrase, n_occurrences FROM hits WHERE n_occurrences > 0"""
+    })
+
   val all: Seq[Q] = Seq(textQuality, textLangId, tokenCount, docFingerprint,
-    repetitionScore, lengthOutliers, robustOutliers)
+    repetitionScore, lengthOutliers, robustOutliers, phraseSearch)
 }

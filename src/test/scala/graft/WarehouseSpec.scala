@@ -218,4 +218,35 @@ class WarehouseSpec extends AnyFunSuite {
     val got = df.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got.nonEmpty && got === expected)
   }
+
+  /** Driver sliding-window phrase counter — the q114 ground truth. */
+  private def phraseBrute(texts: Seq[(Long, String)],
+      phrases: Seq[String]): Set[(Long, String, Long)] =
+    (for {
+      (id, t) <- texts; p <- phrases
+      ws = t.split(" "); pw = p.split(" ")
+      n = ws.indices.count(i =>
+        i + pw.length <= ws.length && pw.indices.forall(j => ws(i + j) == pw(j)))
+      if n > 0
+    } yield (id, p, n.toLong)).toSet
+
+  test("q114 phrase search matches a driver sliding-window recompute") {
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = SparkEntry.queries("q114_phrase_search")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.nonEmpty && got === phraseBrute(texts, ops.TextOps.searchPhrases))
+  }
+
+  test("q114 counts overlapping occurrences and handles short docs") {
+    import spark.implicits._
+    val texts: Seq[(Long, String)] = Seq(
+      1L -> "a a a a",        // "a a" occurs at starts 0,1,2 — overlaps count
+      2L -> "a",              // shorter than the phrase
+      3L -> "b a a b a a b")  // two disjoint occurrences
+    val got = ops.TextOps.phraseSearchOf(texts.toDF("doc_id", "text"), Seq("a a"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got === Set((1L, 3L), (3L, 2L)))
+  }
 }
