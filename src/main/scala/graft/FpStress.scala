@@ -53,7 +53,9 @@ object FpStress {
     // marker is VERSIONED: a corpus built by an older harness (fewer tables,
     // unpermuted documents) must not satisfy a newer build — bump the suffix
     // whenever the corpus definition changes
-    val marker = Paths.get(s"$dataDir/_BUILT_v2")
+    // v3: events.ts copied in the source's current physical layout
+    // (timestamp[us] testdata generation) instead of raw BIGINT nanos
+    val marker = Paths.get(s"$dataDir/_BUILT_v3")
     if (Files.exists(marker)) return
     def tenfold(name: String)(copy: (DataFrame, Int) => DataFrame): Unit = {
       val src = s.read.parquet(s"$srcDir/$name.parquet")
@@ -114,9 +116,10 @@ object FpStress {
         emb.as("embedding"),
         col("label"))
     }
-    // events: ts is INT64 TIMESTAMP(NANOS) — read raw under nanosAsLong (the
-    // Tables.events contract) and write plain BIGINT nanos, which the
-    // `ts div 1000` conversion in Tables.events handles identically; users
+    // events: ts passes through in the source's own physical layout (current
+    // testdata: TIMESTAMP(MICROS) → copied as TimestampType; a legacy NANOS
+    // source would copy as BIGINT nanos under nanosAsLong) — either way the
+    // adaptive Tables.eventsAt branch reads the corpus back correctly; users
     // shift per copy so per-(user, day) group sizes stay at sf0.1 values
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     tenfold("events") { (df, i) =>

@@ -18,17 +18,45 @@ object Tables {
   def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long and truncate to microsecond
-    * TimestampType (integer division — ns epochs exceed 2^53 so double math
-    * would corrupt them). DuckDB oracles CAST ts to microsecond TIMESTAMP for
-    * the same truncation.
-    */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** events.parquet's `ts` column has shipped in two physical layouts across
+    * testdata generations: INT64 TIMESTAMP(MICROS) (current — reads natively
+    * as TimestampType) and INT64 TIMESTAMP(NANOS) (legacy — Spark's
+    * vectorized reader rejects it, so we read nanos as long under
+    * `nanosAsLong` and truncate with integer division; ns epochs exceed 2^53
+    * so double math would corrupt them). Branch on the ACTUAL type the scan
+    * yields rather than pinning either layout, and fail loudly on anything
+    * else — a silent misread here corrupts every event-time query downstream
+    * (the exact failure mode of schema drift on a 100 TB lake). All events
+    * reads (batch, Repo DAG stages, FpStress corpora) must route through
+    * here or [[eventsAt]]; streaming readers probe the same contract via
+    * [[graft.streaming.StreamingSessions]]. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    eventsAt(spark, s"$dir/events.parquet")
+
+  /** [[events]] for an explicit parquet path (staged copies, derived dirs).
+    *
+    * The current testdata generation stores TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false, which Spark's NTZ inference surfaces as
+    * TimestampNTZType; cast it to TimestampType so every downstream
+    * event-time expression (unix_timestamp, window, session_window, interval
+    * arithmetic) sees one type. All graft entry points pin
+    * `spark.sql.session.timeZone=UTC`, making that cast a value-preserving
+    * reinterpretation — the same instants DuckDB sees reading the file
+    * natively. */
+  def eventsAt(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // harmless for MICROS files; required before the scan for NANOS files
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path)
+    df.schema("ts").dataType match {
+      case TimestampType => df
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other => throw new IllegalStateException(
+        s"events.ts layout changed: got $other at $path (supported: " +
+          "TIMESTAMP(MICROS) utc/ntz natively, INT64 NANOS via nanosAsLong)")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

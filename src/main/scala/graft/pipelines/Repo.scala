@@ -150,9 +150,7 @@ object Repo {
 
     Stage("script_06_web_sessionization", "gold/web_sessions", Nil, Nil,
       (s, r) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val ev = s.read.parquet(r("raw/events"))
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val ev = graft.Tables.eventsAt(s, r("raw/events"))
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
           .withColumn("is_new_session",
@@ -211,9 +209,7 @@ object Repo {
 
     Stage("script_09_sql_merge_inventory", "delta/inventory", Nil, Seq(inventoryMergeSql),
       (s, r) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val ev = s.read.parquet(r("raw/events"))
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val ev = graft.Tables.eventsAt(s, r("raw/events"))
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
         def latest(df: DataFrame) =
           df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
@@ -263,12 +259,24 @@ object Repo {
     s"${graft.ops.Artifacts.root(s)}/graft_repo/$tag"
   }
 
+  /** Bump when a stage's semantics change: the marker below embeds this, so
+    * a repo materialized by older stage code is rebuilt, not trusted. */
+  private val dagVersion = 2
+
   /** Run the DAG, writing each stage's asset. Skipped when already
-    * materialized (marker file). Returns the repo dir. */
+    * materialized AND the marker matches the current (input fingerprint,
+    * stage-code version) — a marker alone is not enough: the testdata under
+    * `sfDir` is regenerated between rounds without the path changing, and a
+    * done-flag with no staleness key would serve stage outputs computed from
+    * a previous data generation (or by older stage code) forever. Same
+    * staleness contract as [[graft.ops.Artifacts]], at DAG granularity.
+    * Returns the repo dir. */
   def materialize(spark: SparkSession, sfDir: String): String = synchronized {
     val dir = repoDir(spark, sfDir)
     val marker = Paths.get(dir, "_GRAFT_DONE")
-    if (!Files.exists(marker)) {
+    val stamp = s"$sfDir fp=${graft.ops.Artifacts.fingerprint(spark, sfDir)} v=$dagVersion"
+    val fresh = Files.exists(marker) && Files.readString(marker) == stamp
+    if (!fresh) {
       val r = resolver(sfDir, dir) _
       stages.foreach { st =>
         val df = st.build(spark, r)
@@ -277,7 +285,7 @@ object Repo {
           .parquet(s"$dir/${st.writeAsset}")
       }
       Files.createDirectories(marker.getParent)
-      Files.writeString(marker, sfDir)
+      Files.writeString(marker, stamp)
     }
     dir
   }

@@ -22,21 +22,48 @@ import graft.Q
   */
 object StreamingSessions {
 
-  private val eventsSchema = StructType(Seq(
+  private def eventsSchema(tsType: DataType) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // INT64 TIMESTAMP(NANOS) read as long
+    StructField("ts", tsType), // physical layout probed per-source, see below
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Streaming events source with `ts` normalized to TimestampType.
+    *
+    * A file stream needs an explicit schema, and events.ts has shipped in two
+    * physical layouts across testdata generations (TIMESTAMP(MICROS), and
+    * legacy TIMESTAMP(NANOS) readable only as long under `nanosAsLong`) — so
+    * hardcoding either layout is exactly the schema-drift trap: a NANOS
+    * schema over a MICROS file reads µs values as ns and silently compresses
+    * every event time 1000×. Instead, probe the footer ONCE driver-side via a
+    * batch scan (same contract as [[graft.Tables.eventsAt]]), declare the
+    * stream schema from what the file actually stores, and fail loudly on
+    * anything else. */
+  private def eventsStream(spark: SparkSession, path: String,
+      readerOptions: Map[String, String] = Map.empty): DataFrame = {
+    // harmless for MICROS files; required before the probe/scan for NANOS
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(path).schema("ts").dataType
+    val raw = spark.readStream.schema(eventsSchema(tsType))
+      .options(readerOptions).parquet(path)
+    tsType match {
+      case TimestampType => raw
+      // NTZ (isAdjustedToUTC=false micros): cast is a value-preserving
+      // reinterpretation under the pinned UTC session timezone
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other => throw new IllegalStateException(
+        s"events.ts layout changed: got $other at $path (supported: " +
+          "TIMESTAMP(MICROS) utc/ntz natively, INT64 NANOS via nanosAsLong)")
+    }
+  }
+
   /** Streaming session aggregation over a parquet source dir. */
   def sessionStream(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    eventsStream(spark, path)
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
       .agg(
@@ -106,14 +133,13 @@ object StreamingSessions {
   def statefulSessions(spark: SparkSession, path: String,
       readerOptions: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.functions.{col, unix_micros}
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val gapUs = 1800L * 1000000L
-    val ev = spark.readStream.schema(eventsSchema).options(readerOptions).parquet(path)
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    val ev = eventsStream(spark, path, readerOptions)
+      .withColumn("ts_t", col("ts"))
       .withWatermark("ts_t", "1 hour")
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("value"), col("ts_t")).as[Ev]
     def fn(userId: Long, rows: Iterator[Ev],
         state: GroupState[List[OpenSession]]): Iterator[SessionOut] = {
@@ -221,13 +247,21 @@ object StreamingSessions {
     ensureLink(stageDir.resolve(s"$table.parquet"),
       java.nio.file.Paths.get(s"$dir/$table.parquet"))
     val base = s"$root/graft_stream_out/$queryTag"
-    val fp = graft.ops.Artifacts.fingerprint(s, s"$dir/$table.parquet")
-    // the stream builders set session confs their source needs (q31/q94 set
-    // parquet nanosAsLong for the INT64(NANOS) events table — it must stay
-    // set while micro-batches execute); snapshot here and restore once the
-    // stream has fully stopped, so driving a query leaves no session-global
-    // state behind. The returned frame reads the PUBLISHED artifact (plain
-    // MICROS timestamps), which needs no conf.
+    // the artifact key must change when the READER changes, not just the
+    // input: a published artifact built by an older reader against the same
+    // files would otherwise be served forever (the r8 µs-as-ns misread
+    // published wrong aggregates under the input-only fingerprint). Bump on
+    // any stream-semantics or source-schema change.
+    val readerVersion = 3L
+    val fp = graft.ops.Artifacts.fingerprint(s, s"$dir/$table.parquet") ^
+      (readerVersion * 0x9e3779b97f4a7c15L)
+    // the stream builders set session confs their source may need
+    // (eventsStream sets parquet nanosAsLong in case the staged file is a
+    // legacy INT64(NANOS) corpus — it must stay set while micro-batches
+    // execute); snapshot here and restore once the stream has fully stopped,
+    // so driving a query leaves no session-global state behind. The returned
+    // frame reads the PUBLISHED artifact (plain MICROS timestamps), which
+    // needs no conf.
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     val nanosPrior = s.conf.getOption(nanosKey)
     try {
@@ -292,12 +326,7 @@ object StreamingSessions {
   val streamingHopping: Q = Q(
     "q94_streaming_hopping",
     (s, dir) => streamToArtifact(s, dir, "hopping", "events", { p =>
-      // events.parquet stores ts as INT64 TIMESTAMP(NANOS) — must be read
-      // as long (see Tables.events); without this a fresh session rejects
-      // the file before any other query has set the conf
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.readStream.schema(eventsSchema).parquet(p)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      eventsStream(s, p)
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "6 hours", "2 hours").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("window_value"))
@@ -335,9 +364,7 @@ object StreamingSessions {
   val streamingIntervalJoin: Q = Q(
     "q101_streaming_interval_join",
     (s, dir) => streamToArtifact(s, dir, "ijoin", "events", { p =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      def side(): DataFrame = s.readStream.schema(eventsSchema).parquet(p)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def side(): DataFrame = eventsStream(s, p)
       val clicks = side().filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
           col("ts").as("click_ts"))
@@ -398,14 +425,14 @@ object StreamingSessions {
   def statefulQuota(spark: SparkSession, path: String, quotaN: Int = quotaPerDay,
       readerOptions: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.readStream.schema(eventsSchema).options(readerOptions).parquet(path)
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    val ev = eventsStream(spark, path, readerOptions)
+      .withColumn("ts_t", col("ts"))
       .withWatermark("ts_t", "1 hour")
-      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"),
-        expr("ts div 1000").as("ts_us"), col("event_type"), col("value"),
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"),
         col("ts_t")).as[QEv]
     def fn(key: (Long, Long), rows: Iterator[QEv],
         state: GroupState[Long]): Iterator[QuotaOut] = {

@@ -6,6 +6,23 @@ import org.scalatest.funsuite.AnyFunSuite
 class EventOpsSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("events.ts schema contract: testdata layout is supported and normalized") {
+    // The driver regenerates /root/testdata between rounds and has already
+    // shipped events.ts in two physical layouts (INT64 TIMESTAMP(NANOS),
+    // then TIMESTAMP(MICROS) ntz). This is the loud, named canary for the
+    // next drift: it fails with the actual footer type instead of 39
+    // downstream DATATYPE_MISMATCH spec failures.
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val supported: Set[DataType] = Set(TimestampType, TimestampNTZType, LongType)
+    assert(supported.contains(raw),
+      s"events.ts layout changed: footer reads as $raw — extend Tables.eventsAt " +
+        "and StreamingSessions.eventsStream for the new layout")
+    // whatever the physical layout, every consumer sees one logical type
+    assert(Tables.events(spark, sfDir).schema("ts").dataType === TimestampType)
+  }
+
   test("q105 decayed popularity equals an exact BigInt recompute") {
     val got = SparkEntry.queries("q105_decayed_popularity")(spark, sfDir)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
