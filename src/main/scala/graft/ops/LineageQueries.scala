@@ -54,15 +54,59 @@ object LineageQueries {
     "Where does avg_daily_spend come from and which gold outputs depend on amount?"
   private val SimpleQuestion = "Which scripts write gold outputs?"
 
-  /** Verify-time aux dump: the corpus embedding table plus the two question
-    * vectors, written as `aux_qa_vectors` beside the query dumps. The
-    * embedding itself is not SQL-expressible (xxhash64 bag-of-tokens), but
-    * given the vectors the retrieval RANKING is — the q29/q44 oracles
-    * recompute L2 distances in DuckDB (`list_distance` over DOUBLE[] is
-    * bit-exact vs the sequential vec_l2sq fold, prototyped) and re-derive
-    * the top-k, moving retrieval from the self-refereed suite into the
-    * driver's rows+schema+hash gate (reference semantics:
-    * qa/ask.py:135-152, qa.py:210-234). */
+  /** One flat row of corpus raw material for the q26/q28 dynamic oracles:
+    * every field a scalar string (the driver's pandas compare sorts column
+    * values, so an array column would crash its rows-only check), `ord`
+    * preserving the per-script list order the corpus folds depend on. */
+  private final case class AuxPart(
+      kind: String, script: String,
+      df: String = null, name: String = null,
+      direction: String = null, format: String = null, path: String = null,
+      expression: String = null, fn: String = null,
+      sources: String = null, group_by: String = null,
+      condition: String = null, left_cols: String = null,
+      right_cols: String = null, ord: Int = 0)
+
+  private def corpusParts(ls: Seq[ScriptLineage]): Seq[AuxPart] = {
+    def j(xs: Seq[String]) = xs.mkString(", ")
+    ls.flatMap { sl =>
+      Seq(AuxPart("script", sl.script)) ++
+        sl.assets.zipWithIndex.map { case (a, i) =>
+          AuxPart("asset", sl.script, df = a.df, direction = a.direction,
+            format = a.format, path = a.path, ord = i)
+        } ++
+        sl.dfs.zipWithIndex.map { case (d, i) =>
+          AuxPart("df", sl.script, name = d.name, ord = i)
+        } ++
+        (for {
+          d <- sl.dfs; c <- d.columns
+          if c.transformation == "project" || c.transformation == "window"
+        } yield AuxPart("derived", sl.script, df = d.name, name = c.name,
+          expression = c.expression, sources = j(c.sources))) ++
+        sl.aggs.map(a => AuxPart("agg", a.script, df = a.df, name = a.column,
+          fn = a.function, sources = j(a.sources), group_by = j(a.groupBy))) ++
+        sl.joins.map(jn => AuxPart("join", jn.script, df = jn.df,
+          fn = jn.joinType, condition = jn.condition,
+          left_cols = j(jn.leftCols), right_cols = j(jn.rightCols)))
+    }
+  }
+
+  /** Verify-time aux dumps beside the query dumps:
+    *
+    *  - `aux_qa_vectors`: the corpus embedding table plus the two question
+    *    vectors. The embedding itself is not SQL-expressible (xxhash64
+    *    bag-of-tokens), but given the vectors the retrieval RANKING is —
+    *    the q29/q44 oracles recompute L2 distances in DuckDB and re-derive
+    *    the top-k (reference semantics: qa/ask.py:135-152, qa.py:210-234).
+    *    Each vector is serialized as one comma-joined string: Java's
+    *    shortest-round-trip double rendering parses back to the identical
+    *    bits under DuckDB's correctly-rounded strtod, and a flat string —
+    *    unlike the array<double> this replaces — survives the driver's
+    *    pandas sort-and-hash compare.
+    *  - `aux_corpus_parts`: the raw per-script lineage material
+    *    ([[corpusParts]]) from which the q26 oracle re-stitches repo links
+    *    (stitch_repo.py:21-28) and the q28 oracle re-folds every corpus doc
+    *    (build_corpus.py:50-198) entirely in SQL. */
   def dumpRetrievalAux(s: SparkSession, dir: String, outDir: String): Unit = {
     import s.implicits._
     val ls = lineages(s, dir)
@@ -76,15 +120,22 @@ object LineageQueries {
       "question::q29" -> RetrievalQuestion,
       "question::q44" -> SimpleQuestion).toDF("id", "text"), "text")
     docVecs.select("id", "v").unionByName(qVecs.select("id", "v"))
+      .select(col("id"),
+        concat_ws(",", expr("transform(v, x -> CAST(x AS STRING))")).as("v_csv"))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/aux_qa_vectors")
+    s.createDataset(corpusParts(ls))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/aux_corpus_parts")
   }
 
   /** DuckDB SQL re-deriving a retrieval top-k from the aux vector dump:
-    * L2 by `list_distance` (bit-exact vs vec_l2sq), ties broken by doc id
-    * (QA.retrieve's window order), metadata joined from the q28 dump. */
+    * L2 by `list_distance` (bit-exact vs vec_l2sq, prototyped), ties broken
+    * by doc id (QA.retrieve's window order), metadata joined from the q28
+    * dump. */
   private def retrievalOracle(out: String, qid: String, k: Int): String =
     s"""WITH vecs AS (
-        SELECT id, v FROM read_parquet('$out/aux_qa_vectors/*.parquet')
+        SELECT id, list_transform(string_split(v_csv, ','),
+                                  x -> CAST(x AS DOUBLE)) AS v
+        FROM read_parquet('$out/aux_qa_vectors/*.parquet')
       ), q AS (
         SELECT v AS qv FROM vecs WHERE id = '$qid'
       ), d AS (
@@ -115,11 +166,30 @@ object LineageQueries {
       .orderBy("script", "df", "targetCol", "srcDf", "srcCol"),
     None)
 
+  /** q26's dynamic oracle: DuckDB re-runs the writer→reader stitch
+    * (stitch_repo.py:21-28 — trailing-slash normalization, equi-join on the
+    * shared asset, self-links dropped, distinct) over the RAW asset rows in
+    * the aux parts dump, so the stitch semantics sit under the driver's
+    * rows+schema+hash gate rather than only LineageSpec's golden topology. */
   val repoLinks: Q = Q(
     "q26_repo_links",
     (s, dir) => Lineage.stitch(s, lineages(s, dir)).toDF()
       .orderBy("fromScript", "toScript", "asset"),
-    None)
+    None,
+    oracleDyn = Some(() => sys.props.get("graft.oracle.outdir")
+      .filter(out => freshDump(out, "aux_corpus_parts").isDefined)
+      .map { out =>
+        s"""WITH a AS (
+          SELECT script, direction, regexp_replace(path, '/+$$', '') AS norm
+          FROM read_parquet('$out/aux_corpus_parts/*.parquet')
+          WHERE kind = 'asset'
+        )
+        SELECT DISTINCT w.script AS "fromScript", r.script AS "toScript",
+               w.norm AS asset
+        FROM a w JOIN a r ON w.norm = r.norm
+        WHERE w.direction = 'write' AND r.direction = 'read'
+          AND w.script <> r.script"""
+      }))
 
   /** Downstream impact of the bronze `amount` column — columns + depth.
     *
@@ -171,6 +241,15 @@ object LineageQueries {
       FROM capped WHERE rn <= 1999"""
     }))
 
+  /** q28's dynamic oracle: DuckDB re-FOLDS every corpus doc text from the
+    * raw lineage material (build_corpus.py:50-198 semantics — per-script
+    * READS/WRITES/DATAFRAMES blocks in list order, derived/agg/join cards,
+    * and lineage_edge cards straight from the q25 edge dump), then picks up
+    * each doc's sha1 id by joining the q28 dump on the FULL content tuple.
+    * DuckDB 1.0 has no sha1, so the id derivation itself stays pinned by
+    * LineageSpec's golden hash; everything else — membership, every folded
+    * byte of text, metadata columns — must reproduce or the inner join
+    * drops the row and the driver's row/hash compare fails. */
   val corpusDocs: Q = Q(
     "q28_corpus_docs",
     (s, dir) => {
@@ -179,7 +258,81 @@ object LineageQueries {
         .select("id", "docType", "script", "df", "column", "text")
         .orderBy("docType", "script", "df", "column", "id")
     },
-    None)
+    None,
+    oracleDyn = Some(() => sys.props.get("graft.oracle.outdir")
+      .filter(out => freshDump(out, "aux_corpus_parts").isDefined &&
+        freshDump(out, "q25_lineage_edges").isDefined &&
+        freshDump(out, "q28_corpus_docs").isDefined)
+      .map { out =>
+        s"""WITH parts AS (
+          SELECT * FROM read_parquet('$out/aux_corpus_parts/*.parquet')
+        ), rd AS (
+          SELECT script, string_agg('- ' || format || ' ' || path,
+                                    chr(10) ORDER BY ord) AS s
+          FROM parts WHERE kind = 'asset' AND direction = 'read'
+          GROUP BY script
+        ), wr AS (
+          SELECT script, string_agg('- ' || df || ' -> ' || format || ' ' || path,
+                                    chr(10) ORDER BY ord) AS s
+          FROM parts WHERE kind = 'asset' AND direction = 'write'
+          GROUP BY script
+        ), dfl AS (
+          SELECT script, string_agg('- ' || name, chr(10) ORDER BY ord) AS s
+          FROM parts WHERE kind = 'df' GROUP BY script
+        ), script_docs AS (
+          SELECT 'script' AS dt, p.script, '' AS df, '' AS col,
+                 'SCRIPT: ' || p.script
+                   || chr(10) || 'READS:' || chr(10) || coalesce(rd.s, '')
+                   || chr(10) || 'WRITES:' || chr(10) || coalesce(wr.s, '')
+                   || chr(10) || 'DATAFRAMES:' || chr(10) || coalesce(dfl.s, '')
+                   AS text
+          FROM (SELECT script FROM parts WHERE kind = 'script') p
+          LEFT JOIN rd ON rd.script = p.script
+          LEFT JOIN wr ON wr.script = p.script
+          LEFT JOIN dfl ON dfl.script = p.script
+        ), derived_docs AS (
+          SELECT 'derived', script, df, name,
+                 'SCRIPT: ' || script || chr(10) || 'DATAFRAME: ' || df
+                   || chr(10) || 'DERIVED_COLUMN: ' || name
+                   || chr(10) || 'EXPRESSION: ' || expression
+                   || chr(10) || 'SOURCE_COLUMNS: [' || sources || ']'
+          FROM parts WHERE kind = 'derived'
+        ), agg_docs AS (
+          SELECT 'aggregation', script, df, name,
+                 'SCRIPT: ' || script || chr(10) || 'DATAFRAME: ' || df
+                   || chr(10) || 'AGGREGATION: ' || name
+                   || chr(10) || 'FUNCTION: ' || fn
+                   || chr(10) || 'SOURCE_COLUMNS: [' || sources || ']'
+                   || chr(10) || 'GROUP_BY: [' || group_by || ']'
+          FROM parts WHERE kind = 'agg'
+        ), join_docs AS (
+          SELECT 'join', script, df, '',
+                 'SCRIPT: ' || script || chr(10) || 'RESULT_DF: ' || df
+                   || chr(10) || 'JOIN: ' || fn || chr(10) || 'ON: ' || condition
+                   || chr(10) || 'LEFT: [' || left_cols || ']'
+                   || chr(10) || 'RIGHT: [' || right_cols || ']'
+          FROM parts WHERE kind = 'join'
+        ), edge_docs AS (
+          SELECT 'lineage_edge', script, df, "targetCol",
+                 'SCRIPT: ' || script
+                   || chr(10) || 'LINEAGE_EDGE: ' || "srcDf" || '.' || "srcCol"
+                   || ' -> ' || df || '.' || "targetCol"
+                   || chr(10) || 'REASON: ' || reason
+          FROM read_parquet('$out/q25_lineage_edges/*.parquet')
+        ), folded AS (
+          SELECT * FROM script_docs
+          UNION ALL SELECT * FROM derived_docs
+          UNION ALL SELECT * FROM agg_docs
+          UNION ALL SELECT * FROM join_docs
+          UNION ALL SELECT * FROM edge_docs
+        )
+        SELECT q.id, f.dt AS "docType", f.script, f.df,
+               f.col AS "column", f.text
+        FROM folded f
+        JOIN read_parquet('$out/q28_corpus_docs/*.parquet') q
+          ON q."docType" = f.dt AND q.script = f.script AND q.df = f.df
+         AND q."column" = f.col AND q.text = f.text"""
+      }))
 
   /** Hybrid retrieval for a fixed acceptance question (README.md:261-271
     * class): top-25 corpus docs by L2 over hashed embeddings. */
