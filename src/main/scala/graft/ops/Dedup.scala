@@ -697,7 +697,90 @@ object Dedup {
       JOIN sz sb ON p.doc_b = sb.doc_id
       WHERE p.common * 10 >= $setSimTauN * (sa.sz + sb.sz - p.common)"""))
 
+  // ---- q115: exact shared-substring spans (ExactSubstr-class dedup) --------
+  /** Window length in tokens: a shared contiguous run shorter than this is
+    * not reported. The dedup literature's ExactSubstr operates at ~50 BPE
+    * tokens; 8 words is the equivalent granularity for this corpus's short
+    * synthetic docs. */
+  private val SpanK = 8
+
+  /** EXACT maximal shared-substring spans across documents: every pair of
+    * docs sharing a contiguous run of ≥ [[SpanK]] tokens, with the maximal
+    * run's start offsets and token length. This is the "train-data contains
+    * the exact same passage twice" detector — the class suffix-array
+    * ExactSubstr dedup targets — whereas q14/q15/q111 score whole-document
+    * SET similarity and are blind to a long verbatim quote inside otherwise
+    * different docs.
+    *
+    * Spark-first formulation (no suffix array): a rolling k-token window
+    * inverted index. Each doc explodes into its (position, window-text)
+    * stream; an equi-self-join on the window text yields all aligned window
+    * matches; consecutive matches along one (doc pair, diagonal = ia − ib)
+    * merge into maximal spans with the q06 sessionization trick (ia −
+    * row_number() groups consecutive positions), because tokens
+    * a[s..e] = b[s−d..e−d] hold iff every k-window inside matches on
+    * diagonal d. Exactness needs no hashing assumptions — the join key is
+    * the window text itself.
+    *
+    * Scale shape: one explode (corpus token volume × k duplication in the
+    * key column), one string-keyed shuffle join whose candidate volume is
+    * Σ df(win)² over DISTINCT window texts — rare-by-construction for
+    * natural text (a k-gram repeating across docs IS the signal), so the
+    * join output is duplicate-mass-proportional, never O(n²) in docs. The
+    * known hot spot is boilerplate windows (headers, licenses) at web
+    * scale: there the production guard is a window-df cap filtering the
+    * index before the join (dropping spans that occur in >N docs — which a
+    * boilerplate-removal pass wants anyway), the same df-bounding lever
+    * q14 applies; left OFF here so the registered query stays exact and
+    * every emitted span is verifiable. */
+  private[graft] def substringSpansOf(docs0: DataFrame, k: Int = SpanK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs0
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $k), i -> concat_ws(' ', slice(w, i + 1, $k)))")))
+      .toDF("doc_id", "pos", "win")
+    val m = wins.as("a").join(wins.as("b"),
+        col("a.win") === col("b.win") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("ia"), col("b.pos").as("ib"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+    val byDiag = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ia")
+    m.withColumn("grp", col("ia") - row_number().over(byDiag))
+      .groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg(min("ia").cast("long").as("a_start"),
+        min("ib").cast("long").as("b_start"),
+        (max("ia") - min("ia") + k).cast("long").as("span_len"))
+      .select("doc_a", "doc_b", "a_start", "b_start", "span_len")
+  }
+
+  val substringSpans: Q = Q(
+    "q115_substring_spans",
+    (s, dir) => substringSpansOf(
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))),
+    Some(s"""WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), wins AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(w[i:i+${SpanK - 1}], ' ') AS win
+        FROM words, unnest(generate_series(1, len(w) - ${SpanK - 1})) AS t(i)
+        WHERE len(w) >= $SpanK
+      ), m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS ia, b.pos AS ib,
+               a.pos - b.pos AS diag
+        FROM wins a JOIN wins b ON a.win = b.win AND a.doc_id < b.doc_id
+      ), g AS (
+        SELECT *, ia - row_number()
+          OVER (PARTITION BY doc_a, doc_b, diag ORDER BY ia) AS grp
+        FROM m
+      )
+      SELECT doc_a, doc_b, CAST(MIN(ia) AS BIGINT) AS a_start,
+             CAST(MIN(ib) AS BIGINT) AS b_start,
+             CAST(MAX(ia) - MIN(ia) + $SpanK AS BIGINT) AS span_len
+      FROM g GROUP BY doc_a, doc_b, diag, grp"""))
+
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, editDistance,
-      incrementalDedup, fuzzyDecontaminate, setSimJoin)
+      incrementalDedup, fuzzyDecontaminate, setSimJoin, substringSpans)
 }

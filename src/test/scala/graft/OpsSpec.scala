@@ -461,4 +461,74 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got.nonEmpty && got === setSimBrute(texts, 8))
   }
+
+  /** Driver brute force for q115: maximal equal token runs ≥ k per doc pair,
+    * derived from RAW token equality (run starts where the previous tokens
+    * differ) — independent of the production plan's windowing/diagonal
+    * mechanics. */
+  private def spanBrute(texts: Seq[(Long, String)],
+      k: Int): Set[(Long, Long, Long, Long, Long)] = {
+    val toks = texts.map { case (id, t) => id -> t.split(" ") }
+    val spans = for {
+      (a, ta) <- toks; (b, tb) <- toks if a < b
+      i <- ta.indices; j <- tb.indices
+      if ta(i) == tb(j) && (i == 0 || j == 0 || ta(i - 1) != tb(j - 1))
+    } yield {
+      var l = 0
+      while (i + l < ta.length && j + l < tb.length && ta(i + l) == tb(j + l)) l += 1
+      (a, b, i.toLong, j.toLong, l.toLong)
+    }
+    spans.filter(_._5 >= k).toSet
+  }
+
+  private def spanRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_a", "doc_b", "a_start", "b_start", "span_len").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+
+  test("q115 substring spans: maximality, gap split, multi-diagonal repeats") {
+    import spark.implicits._
+    // 1 vs 2: one 9-token run at offset (0, 2) — must come out MERGED and
+    //   maximal, not as two overlapping 8-windows.
+    // 1 vs 3: doc 3 contains the 8-token prefix TWICE (j = 0 and j = 10) —
+    //   two diagonals, two span rows at exactly k.
+    // 1 vs 4: longest shared run is 7 tokens — below k, no row.
+    // 6 vs 7: identical except one middle token — the same diagonal must
+    //   SPLIT into two 8-token spans around the mismatch.
+    val texts: Seq[(Long, String)] = Seq(
+      1L -> "p q r s t u v w x y z",
+      2L -> "m n p q r s t u v w x o",
+      3L -> "p q r s t u v w a b p q r s t u v w c",
+      4L -> "p q r s t u v x y z a",
+      6L -> "b1 b2 b3 b4 b5 b6 b7 b8 GAP c1 c2 c3 c4 c5 c6 c7 c8",
+      7L -> "b1 b2 b3 b4 b5 b6 b7 b8 XXX c1 c2 c3 c4 c5 c6 c7 c8")
+    val got = spanRows(ops.Dedup.substringSpansOf(texts.toDF("doc_id", "text"), 8))
+    assert(got === spanBrute(texts, 8))
+    assert(got.contains((1L, 2L, 0L, 2L, 9L)), "merged maximal 9-token span")
+    assert(got.contains((1L, 3L, 0L, 0L, 8L)) && got.contains((1L, 3L, 0L, 10L, 8L)),
+      "both diagonals of the repeated phrase")
+    assert(!got.exists(r => r._1 == 1L && r._2 == 4L), "7-token run below k")
+    assert(got.contains((6L, 7L, 0L, 0L, 8L)) && got.contains((6L, 7L, 9L, 9L, 8L)),
+      "mismatch splits the diagonal into two spans")
+  }
+
+  test("q115 equals brute force over the whole sf0.001 corpus") {
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // prefilter pairs by shared k-window (a shared run of ≥ k tokens always
+    // contains a shared k-window, so no qualifying pair escapes), then walk
+    // raw token runs on the survivors only
+    val winSets = texts.map { case (id, t) =>
+      id -> t.split(" ").sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
+    }
+    val candidates = for {
+      (a, sa) <- winSets; (b, sb) <- winSets
+      if a < b && sa.exists(sb.contains)
+    } yield (a, b)
+    val candTexts = candidates.flatMap { case (a, b) => Seq(a, b) }.toSet
+    val want = spanBrute(texts.filter(t => candTexts.contains(t._1)), 8)
+    val got = spanRows(SparkEntry.queries("q115_substring_spans")(spark, sfDir))
+    assert(got.nonEmpty && got === want)
+  }
 }
