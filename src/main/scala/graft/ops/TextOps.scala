@@ -389,6 +389,82 @@ object TextOps {
       SELECT doc_id, phrase, n_occurrences FROM hits WHERE n_occurrences > 0"""
     })
 
+  // ---- q116: corpus-trained bigram surprisal (LM-filter class) -------------
+  /** Statistical-LM quality scoring, the CCNet/KenLM-filter class: train a
+    * bigram model ON THE CORPUS ITSELF and score each document by how
+    * surprising its token transitions are under that model — low scores mark
+    * fluent/in-distribution text, high scores mark gibberish, shuffled or
+    * out-of-domain docs. The production form scores against a reference-
+    * corpus LM; self-training is the bootstrap every pipeline starts with.
+    *
+    * Per bigram occurrence (w1, w2) the add-1-smoothed inverse transition
+    * probability is (c1(w1) + V) / (c2(w1,w2) + 1) — c1/c2 corpus-global
+    * counts, V the vocabulary size — and the doc score is the MEAN of those.
+    * Deliberately not log-perplexity: ln() is not bit-stable across engines
+    * (Java Math.log vs libm disagree in the last ulp), while this rational
+    * form needs only integer-ratio division and the repo's standard
+    * round-sum float rule (per-row values rounded to 6 decimals, per-doc
+    * sums re-rounded — association error ~1e-10 per ~100-token doc, five
+    * orders below the rounding boundary), so the driver hash-compare is
+    * exact. Monotone in the same direction as perplexity for ranking/
+    * thresholding, which is all a filter consumes.
+    *
+    * Scale shape: one token explode; the bigram stream derives from a lead()
+    * window per doc (doc-partitioned — parallel across docs regardless of
+    * corpus size); counts are two map-side-combined aggregations; scoring
+    * joins each bigram occurrence to the (w1) and (w1,w2) count tables —
+    * both token-keyed shuffles, both data-proportional, no broadcast of
+    * anything data-sized (vocab CAN be data-proportional; only the 1-row V
+    * scalar broadcasts, the q104 pattern). */
+  private[graft] def bigramSurprisalOf(docs0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs0
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+    val bigrams = toks
+      .withColumn("w2", lead("w1", 1).over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("w2").isNotNull)
+    val uni = toks.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val vocab = toks.agg(countDistinct(col("w1")).as("v"))
+    bigrams
+      .join(uni, "w1")
+      .join(bi, Seq("w1", "w2"))
+      .crossJoin(broadcast(vocab)) // 1-row scalar, never data-sized
+      .withColumn("r", round((col("c1") + col("v")) / (col("c2") + lit(1)), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (round(sum("r"), 6) / count(lit(1))).as("surprisal"))
+  }
+
+  val bigramSurprisal: Q = Q(
+    "q116_bigram_surprisal",
+    (s, dir) => bigramSurprisalOf(
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))),
+    Some("""WITH toks AS (
+        SELECT doc_id, i AS pos, w[i] AS w1, w[i + 1] AS w2
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             unnest(generate_series(1, len(w))) AS t(i)
+      ), uni AS (
+        SELECT w1, COUNT(1) AS c1 FROM toks GROUP BY w1
+      ), v AS (
+        SELECT COUNT(DISTINCT w1) AS v FROM toks
+      ), bi AS (
+        SELECT w1, w2, COUNT(1) AS c2 FROM toks
+        WHERE w2 IS NOT NULL GROUP BY w1, w2
+      ), sc AS (
+        SELECT t.doc_id, ROUND((u.c1 + v.v) / (b.c2 + 1), 6) AS r
+        FROM toks t
+        JOIN uni u ON t.w1 = u.w1
+        JOIN bi b ON t.w1 = b.w1 AND t.w2 = b.w2
+        CROSS JOIN v
+        WHERE t.w2 IS NOT NULL
+      )
+      SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_bigrams,
+             ROUND(SUM(r), 6) / COUNT(1) AS surprisal
+      FROM sc GROUP BY doc_id"""))
+
   val all: Seq[Q] = Seq(textQuality, textLangId, tokenCount, docFingerprint,
-    repetitionScore, lengthOutliers, robustOutliers, phraseSearch)
+    repetitionScore, lengthOutliers, robustOutliers, phraseSearch,
+    bigramSurprisal)
 }

@@ -308,6 +308,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q116 bigram surprisal matches an exact BigDecimal recompute") {
+    // independent driver recompute: corpus-global unigram/bigram/vocab counts
+    // from raw token streams, per-row ratio rounded HALF_UP to 6 decimals
+    // (the Spark round contract), per-doc sum in EXACT BigDecimal arithmetic
+    // — so the test also certifies that double association error in the
+    // production sum stays below the rounding boundary on this corpus
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq)).toMap
+    val uni = texts.values.flatten.groupBy(identity).map { case (w, o) => w -> o.size }
+    val v = uni.size
+    val bi = texts.values.flatMap(_.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (b, o) => b -> o.size }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expected = texts.collect { case (id, ws) if ws.length >= 2 =>
+      val rs = ws.sliding(2).filter(_.length == 2)
+        .map(p => r6((uni(p(0)) + v).toDouble / (bi((p(0), p(1))) + 1))).toSeq
+      id -> (rs.size.toLong, r6(rs.sum.toDouble).toDouble / rs.size)
+    }
+    val got = SparkEntry.queries("q116_bigram_surprisal")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === expected)
+  }
+
   test("q95 weighted median matches an exact sorted-walk recompute") {
     val df = SparkEntry.queries("q95_weighted_median")(spark, sfDir)
     val got = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
