@@ -53,6 +53,10 @@ object LineageQueries {
   private val RetrievalQuestion =
     "Where does avg_daily_spend come from and which gold outputs depend on amount?"
   private val SimpleQuestion = "Which scripts write gold outputs?"
+  /** q30 scores QA.Questions.head; its vector joins the aux dump so the
+    * evidence oracle can re-run the retrieval section. */
+  private def EvidenceQuestion: String = QA.Questions.headOption
+    .getOrElse(sys.error("no acceptance question configured"))
 
   /** One flat row of corpus raw material for the q26/q28 dynamic oracles:
     * every field a scalar string (the driver's pandas compare sorts column
@@ -118,7 +122,8 @@ object LineageQueries {
     }
     val qVecs = QA.embed(Seq(
       "question::q29" -> RetrievalQuestion,
-      "question::q44" -> SimpleQuestion).toDF("id", "text"), "text")
+      "question::q44" -> SimpleQuestion,
+      "question::q30" -> EvidenceQuestion).toDF("id", "text"), "text")
     docVecs.select("id", "v").unionByName(qVecs.select("id", "v"))
       .select(col("id"),
         concat_ws(",", expr("transform(v, x -> CAST(x AS STRING))")).as("v_csv"))
@@ -360,7 +365,21 @@ object LineageQueries {
     oracleDyn = retrievalOracleDyn("question::q29", QA.TopK))
 
   /** Full hybrid Q&A evidence for the acceptance question: deterministic
-    * impact sections + retrieval facts (qa/ask.py:391-450). */
+    * impact sections + retrieval facts (qa/ask.py:391-450).
+    *
+    * Dynamic oracle: DuckDB re-assembles all four evidence sections from the
+    * dumps — candidate-column NER over the question literal (backticked
+    * identifiers first, then all identifiers, membership-filtered against
+    * the q25 edge columns, first-occurrence order, top-3), the multi-seed
+    * min-depth column closure as a seed-carrying recursive CTE over the q25
+    * edges, the script BFS (seeds = scripts whose edges touch a candidate,
+    * depth 0 included) over links re-stitched from the raw asset dump, the
+    * gold-output filter over write assets of ALL impacted scripts
+    * (pre-display-cap, as the engine computes it), and the top-25 retrieval
+    * facts from the aux vectors joined to the q28 corpus text. Display caps
+    * (80/50/60/25) replicate QaConfig.default; the 2000-node closure cap has
+    * no SQL replica — it cannot trigger on a metadata-scale graph and its
+    * boundary semantics are pinned by LineageSpec instead. */
   val qaEvidence: Q = Q(
     "q30_qa_evidence",
     (s, dir) => {
@@ -368,14 +387,107 @@ object LineageQueries {
       // evidence is capped driver-side assembly (A23): materialize eagerly so
       // the per-question caches can be released — repeated driver invocations
       // must not accumulate persisted plans
-      val q = QA.Questions.headOption
-        .getOrElse(sys.error("no acceptance question configured"))
-      val (ev, _, cleanup) = graft.qa.Ask.evidenceFrameManaged(s, dir, q)
+      val (ev, _, cleanup) = graft.qa.Ask.evidenceFrameManaged(s, dir, EvidenceQuestion)
       val rows = try ev.collect().map(r => (r.getString(0), r.getString(1))).toSeq
         finally cleanup()
       rows.toDF("section", "line")
     },
-    None)
+    None,
+    oracleDyn = Some(() => sys.props.get("graft.oracle.outdir")
+      .filter(out => freshDump(out, "aux_corpus_parts").isDefined &&
+        freshDump(out, "aux_qa_vectors").isDefined &&
+        freshDump(out, "q25_lineage_edges").isDefined &&
+        freshDump(out, "q28_corpus_docs").isDefined)
+      .map { out =>
+        val cfg = graft.qa.QaConfig.default
+        val qLit = EvidenceQuestion.replace("'", "''")
+        s"""WITH RECURSIVE parts AS (
+          SELECT * FROM read_parquet('$out/aux_corpus_parts/*.parquet')
+        ), e25 AS (
+          SELECT * FROM read_parquet('$out/q25_lineage_edges/*.parquet')
+        ), edges AS (
+          SELECT DISTINCT "srcCol" AS src, "targetCol" AS dst FROM e25
+          WHERE "srcCol" <> "targetCol"
+        ), known AS (
+          SELECT "srcCol" AS c FROM e25 UNION SELECT "targetCol" FROM e25
+        ), tlist AS (
+          SELECT list_concat(
+            regexp_extract_all('$qLit', '`([A-Za-z0-9_]+)`', 1),
+            regexp_extract_all('$qLit', '[A-Za-z_][A-Za-z0-9_]*')) AS l
+        ), toks AS (
+          SELECT l[i] AS tok, i AS ord
+          FROM tlist, unnest(generate_series(1, len(l))) AS u(i)
+        ), cands AS (
+          SELECT tok AS cand FROM (
+            SELECT t.tok, MIN(t.ord) AS o
+            FROM toks t JOIN known k ON t.tok = k.c GROUP BY t.tok
+          ) ORDER BY o LIMIT ${cfg.maxImpactCols}
+        ), r AS (
+          SELECT cand AS seed, cand AS name, 0 AS depth FROM cands
+          UNION
+          SELECT r.seed, e.dst, r.depth + 1
+          FROM r JOIN edges e ON e.src = r.name WHERE r.depth < 20
+        ), impact AS (
+          SELECT name, MIN(depth) AS depth FROM r
+          WHERE name <> seed GROUP BY name
+        ), impact_lines AS (
+          SELECT 'IMPACTED_COLUMN' AS section,
+                 name || ' (depth ' || depth || ')' AS line
+          FROM impact ORDER BY depth, name LIMIT ${cfg.maxImpactShow}
+        ), la AS (
+          SELECT script, direction, regexp_replace(path, '/+$$', '') AS norm
+          FROM parts WHERE kind = 'asset'
+        ), links AS (
+          SELECT DISTINCT w.script AS src, rr.script AS dst
+          FROM la w JOIN la rr ON w.norm = rr.norm
+          WHERE w.direction = 'write' AND rr.direction = 'read'
+            AND w.script <> rr.script
+        ), seedscripts AS (
+          SELECT DISTINCT e.script FROM e25 e
+          JOIN cands c ON e."srcCol" = c.cand OR e."targetCol" = c.cand
+        ), s AS (
+          SELECT script, 0 AS depth FROM seedscripts
+          UNION
+          SELECT l.dst, s.depth + 1
+          FROM s JOIN links l ON l.src = s.script WHERE s.depth < 20
+        ), simp AS (
+          SELECT script, MIN(depth) AS depth FROM s GROUP BY script
+        ), script_lines AS (
+          SELECT 'IMPACTED_SCRIPT' AS section, script AS line
+          FROM simp ORDER BY depth, script LIMIT ${cfg.maxScriptsShow}
+        ), gold AS (
+          SELECT DISTINCT p.script, p.path
+          FROM parts p JOIN simp ON p.script = simp.script
+          WHERE p.kind = 'asset' AND p.direction = 'write'
+            AND list_contains(string_split(p.path, '/'), 'gold')
+        ), gold_lines AS (
+          SELECT 'GOLD_OUTPUT' AS section, script || ' -> ' || path AS line
+          FROM gold ORDER BY path LIMIT ${cfg.maxGoldShow}
+        ), vecs AS (
+          SELECT id, list_transform(string_split(v_csv, ','),
+                                    x -> CAST(x AS DOUBLE)) AS v
+          FROM read_parquet('$out/aux_qa_vectors/*.parquet')
+        ), qv AS (
+          SELECT v FROM vecs WHERE id = 'question::q30'
+        ), d AS (
+          SELECT id, v FROM vecs WHERE id NOT LIKE 'question::%'
+        ), ranked AS (
+          SELECT d.id AS doc_id,
+                 row_number() OVER (ORDER BY list_distance(qv.v, d.v), d.id)
+                   AS rank
+          FROM d, qv
+        ), fact_lines AS (
+          SELECT 'FACT' AS section, '[' || rk.rank || '] ' || c.text AS line
+          FROM ranked rk
+          JOIN read_parquet('$out/q28_corpus_docs/*.parquet') c
+            ON c.id = rk.doc_id
+          WHERE rk.rank <= ${cfg.topK}
+        )
+        SELECT section, line FROM impact_lines
+        UNION ALL SELECT section, line FROM script_lines
+        UNION ALL SELECT section, line FROM gold_lines
+        UNION ALL SELECT section, line FROM fact_lines"""
+      }))
 
   /** Retrieval-only variant (the reference's simple `qa.py` mode: TOP_K=6, no
     * deterministic graphs — qa.py:34,208-248). */
