@@ -50,7 +50,11 @@ class PropertySpec extends AnyFunSuite {
       "q106_interval_union", "q108_heavy_hitters", "q110_robust_outliers",
       // q113's boundary extraction collects in partition order before the
       // k-row join — the result set must not see that order
-      "q113_equidepth_hist")
+      "q113_equidepth_hist",
+      // round-9 additions: q115's window self-join + diagonal sessionize
+      // must emit the same maximal spans under any scan split; q116's
+      // round-sum surprisal is the newest double-valued aggregate
+      "q115_substring_spans", "q116_bigram_surprisal")
     def canon(name: String): Seq[String] =
       SparkEntry.queries(name)(spark, dir).collect().map(_.mkString("")).sorted
     val conf = spark.conf
