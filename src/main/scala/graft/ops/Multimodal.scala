@@ -121,5 +121,115 @@ object Multimodal {
                               j -> substr(frame, CAST(j AS INT), 1)), '')) AS resized_md5
       FROM sampled"""))
 
-  val all: Seq[Q] = Seq(decode, frames)
+  // ---- q117: perceptual-hash near-duplicate media ---------------------------
+  /** dHash geometry: 64 strided "pixels" → 63 gradient bits, banded 9×7 for
+    * the candidate join. With hamming threshold 6 and 9 bands, pigeonhole
+    * guarantees ≥ 1 clean band for any qualifying pair (complete up to
+    * hamming 8), so the band join loses nothing the verify would keep. */
+  private val PhashPixels = 64
+  private val PhashBands = 9
+  private val BandBits = 7 // 9 × 7 = 63 bits
+  private val HammingMax = 6
+
+  final case class PhashRow(doc_id: Long, phash: Long)
+
+  /** Per-partition perceptual-hash extraction — the image-dedup decode stage:
+    * downsample the payload to a fixed [[PhashPixels]]-cell grid (a real
+    * decoder resizes the image to a 9×8 grid) and emit the classic dHash —
+    * bit i set iff pixel i < pixel i+1. The gradient form is what makes the
+    * fingerprint robust to uniform brightness/re-encode shifts in real
+    * images. The STUB's pixel is the first byte of each of 64 strided
+    * space-delimited tokens in the fake payload — chosen because this
+    * corpus's near-duplicates are token substitutions, so a token-grid cell
+    * absorbs an edit locally the same way an image-grid cell absorbs a
+    * local pixel change, while raw byte striding would shift every
+    * downstream "pixel" on any length change (the analog of comparing
+    * differently-cropped images without resizing first). */
+  private def phashPartition(rows: Iterator[MediaRow]): Iterator[PhashRow] =
+    rows.flatMap { r =>
+      val toks = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+        .split(" ", -1)
+      val n = toks.length
+      if (n < 2) None
+      else {
+        val px = Array.tabulate(PhashPixels) { i =>
+          val t = toks((i.toLong * (n - 1) / (PhashPixels - 1)).toInt)
+          if (t.isEmpty) 0 else t.charAt(0).toInt
+        }
+        var fp = 0L
+        var i = 0
+        while (i < PhashPixels - 1) {
+          if (px(i) < px(i + 1)) fp |= (1L << i)
+          i += 1
+        }
+        Some(PhashRow(r.doc_id, fp))
+      }
+    }
+
+  /** Near-duplicate media detection by perceptual hash — the image-corpus
+    * dedup operator (every large crawled image/video set runs one): compute
+    * a dHash per payload, then find all pairs within hamming distance
+    * [[HammingMax]]. The pair search is the q16 SimHash shape: explode each
+    * fingerprint into [[PhashBands]] band values, equi-join on (band, value)
+    * — candidates are hash-bucket-bounded, never all-pairs — and verify
+    * survivors exactly with bit_count(xor). Banding is provably complete at
+    * this threshold (pigeonhole above); the oracle is the UNFILTERED
+    * quadratic hamming join, so completeness is hash-checked, not assumed.
+    * At web scale the known hot spot is boilerplate imagery collapsing into
+    * one band bucket; the production levers are more/wider bands and a
+    * bucket-size cap (boilerplate removal), same as the text miners. */
+  private[graft] def phashNearDupOf(media: org.apache.spark.sql.Dataset[MediaRow])
+      : org.apache.spark.sql.DataFrame = {
+    import media.sparkSession.implicits._
+    val fps = media.mapPartitions(phashPartition).toDF()
+    val bands = fps.select(col("doc_id"), col("phash"),
+      explode(expr(s"transform(sequence(0, ${PhashBands - 1}), " +
+        s"b -> named_struct('band', b, 'v', shiftright(phash, b * $BandBits) % ${1 << BandBits}))")).as("bv"))
+      .select(col("doc_id"), col("phash"), col("bv.band"), col("bv.v"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.phash").as("fa"), col("b.phash").as("fb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(fa ^ fb) AS BIGINT)"))
+      .filter(col("hamming") <= HammingMax)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  val phashNearDup: Q = Q(
+    "q117_phash_neardup",
+    (s, dir) => {
+      import s.implicits._
+      phashNearDupOf(Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+          lit("image/fake").as("mime"))
+        .as[MediaRow])
+    },
+    // the ASCII corpus makes first-byte == first-character, so DuckDB
+    // reproduces every pixel, bit and the band-free QUADRATIC hamming join
+    Some(s"""WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+      ), px AS (
+        SELECT doc_id,
+               list_transform(range(0, $PhashPixels),
+                 i -> ascii(substr(
+                        ws[CAST((i * (len(ws) - 1)) // ${PhashPixels - 1} + 1 AS INT)],
+                        1, 1))) AS p
+        FROM w
+      ), fp AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, ${PhashPixels - 1}),
+                 i -> CASE WHEN p[CAST(i + 1 AS INT)] < p[CAST(i + 2 AS INT)]
+                      THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT)
+                 AS phash
+        FROM px
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= $HammingMax"""))
+
+  val all: Seq[Q] = Seq(decode, frames, phashNearDup)
 }

@@ -332,6 +332,62 @@ class OpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  /** Driver brute force for q117: dHash fingerprints recomputed from raw
+    * text (token grid, gradient bits), then the full quadratic hamming
+    * join — so the banding's completeness claim (9 bands, threshold 6 ≤
+    * bands − 1 × … pigeonhole bound 8) is checked against all-pairs, and
+    * every surviving pair's distance is exact. */
+  private def phashBrute(texts: Seq[(Long, String)],
+      maxH: Int): Set[(Long, Long, Long)] = {
+    def fp(t: String): Option[Long] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < 2) None
+      else Some((0 until 63).foldLeft(0L) { (acc, i) =>
+        def p(j: Int) = {
+          val tok = toks((j.toLong * (toks.length - 1) / 63).toInt)
+          if (tok.isEmpty) 0 else tok.charAt(0).toInt
+        }
+        if (p(i) < p(i + 1)) acc | (1L << i) else acc
+      })
+    }
+    val fps = texts.flatMap { case (id, t) => fp(t).map(id -> _) }
+    (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      h = java.lang.Long.bitCount(fa ^ fb).toLong
+      if h <= maxH
+    } yield (a, b, h)).toSet
+  }
+
+  test("q117 phash near-dup equals the quadratic brute force on sf0.001") {
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = SparkEntry.queries("q117_phash_neardup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty && got === phashBrute(texts, 6))
+  }
+
+  test("q117 includes hamming-0 twins and respects the threshold boundary") {
+    import spark.implicits._
+    val base = (0 until 64).map(i => ('a' + (i % 26)).toChar.toString).mkString(" ")
+    // flipping token 20's first char flips at most comparisons 19 and 20
+    val twoOff = base.split(" ").updated(20, "z").mkString(" ")
+    val texts: Seq[(Long, String)] =
+      Seq(1L -> base, 2L -> base, 3L -> twoOff, 4L -> base.reverse)
+    val got = ops.Multimodal.phashNearDupOf(
+        texts.toDF("doc_id", "text")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+            lit("image/fake").as("mime"))
+          .as[ops.Multimodal.MediaRow])
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === phashBrute(texts, 6))
+    assert(got.contains((1L, 2L, 0L)), "identical payloads are hamming-0 twins")
+    assert(got.exists(p => p._1 == 1L && p._2 == 3L && p._3 <= 2L),
+      "single-token edit stays within two gradient bits")
+    assert(!got.exists(p => p._2 == 4L && p._1 == 1L),
+      "reversed doc is far beyond the threshold")
+  }
+
   test("q95 weighted median matches an exact sorted-walk recompute") {
     val df = SparkEntry.queries("q95_weighted_median")(spark, sfDir)
     val got = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
