@@ -479,7 +479,48 @@ object StreamingSessions {
              CAST(rank_in_quota AS BIGINT) AS rank_in_quota
       FROM r WHERE rank_in_quota <= $quotaPerDay"""))
 
+  /** Stream-static enrichment join — the one Structured Streaming join shape
+    * the other streaming ops don't cover: an unbounded event stream joined
+    * per micro-batch against a STATIC dimension (user → market segment),
+    * then a watermarked tumbling-window aggregate per (window, segment).
+    * The join is stateless by construction — the static side is planned
+    * like any batch relation each micro-batch (broadcast at dim scale), so
+    * NO join state accumulates; only the windowed aggregate holds state,
+    * bounded by the watermark horizon. This is the canonical production
+    * enrichment topology (clickstream × user dim) at 100 TB/day. Driving
+    * the static events table to completion in complete mode equals the
+    * batch join+aggregate exactly — the oracle is DuckDB's. */
+  val streamingEnrich: Q = Q(
+    "q118_streaming_enrich",
+    (s, dir) => streamToArtifact(s, dir, "enrich", "events", { p =>
+      val dim = graft.Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      eventsStream(s, p)
+        .withWatermark("ts", "1 hour")
+        .join(dim, Seq("user_id"), "left")
+        .groupBy(window(col("ts"), "6 hours").as("w"),
+          coalesce(col("segment"), lit("unknown")).as("segment"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("seg_value"))
+        .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+          col("segment"), col("n_events"), col("seg_value"))
+    }),
+    // q94's epoch-aligned grid arithmetic, single 6 h tumbling window
+    Some("""WITH ev AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events
+      ), dim AS (
+        SELECT c_custkey AS user_id, c_mktsegment AS segment FROM customer
+      ), e2 AS (
+        SELECT make_timestamp(epoch_us(ts)
+                 - ((epoch_us(ts) % 21600000000) + 21600000000) % 21600000000)
+                 AS window_start,
+               COALESCE(d.segment, 'unknown') AS segment, value
+        FROM ev LEFT JOIN dim d USING (user_id)
+      )
+      SELECT window_start, window_start + INTERVAL 6 HOUR AS window_end,
+             segment, COUNT(1) AS n_events, ROUND(SUM(value), 2) AS seg_value
+      FROM e2 GROUP BY window_start, segment"""))
+
   val all: Seq[Q] =
     Seq(streamingSessions, streamingDedup, streamingHopping,
-      streamingIntervalJoin, streamingQuota)
+      streamingIntervalJoin, streamingQuota, streamingEnrich)
 }

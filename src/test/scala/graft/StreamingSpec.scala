@@ -42,6 +42,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streaming).count() === 0)
   }
 
+  test("streaming enrich join equals the batch join + tumbling aggregate") {
+    val streaming = SparkEntry.queries("q118_streaming_enrich")(spark, sfDir)
+    val dim = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val batch = Tables.events(spark, sfDir)
+      .join(dim, Seq("user_id"), "left")
+      .groupBy(window(col("ts"), "6 hours").as("w"),
+        coalesce(col("segment"), lit("unknown")).as("segment"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("seg_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("segment"), col("n_events"), col("seg_value"))
+    assert(streaming.count() > 0)
+    assert(streaming.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streaming).count() === 0)
+  }
+
   test("streaming session_window produces the same sessions as batch q06") {
     val streaming = SparkEntry.queries("q31_streaming_sessions")(spark, sfDir)
     val batch = SparkEntry.queries("q06_sessionization")(spark, sfDir)
