@@ -23,7 +23,10 @@ object PairSweep {
 
   private val queries = Seq("q14_dedup_ngram_jaccard", "q87_dedup_edit_distance",
     "q40_dedup_clusters", "q19_knn_lsh", "q15_dedup_minhash_lsh",
-    "q102_dedup_incremental", "q111_setsim_join")
+    "q102_dedup_incremental", "q111_setsim_join",
+    // round-9 pair miners: window-text inverted index (q115) and
+    // phash band join (q117) — candidate-volume-driven like the rest
+    "q115_substring_spans", "q117_phash_neardup")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
