@@ -50,13 +50,16 @@ object FpStress {
     (pmod(col(key) * 31 + lit(i) * 7, lit(97)).cast("double") / 100.0)
 
   private def build(s: SparkSession): Unit = {
-    // marker is VERSIONED: a corpus built by an older harness (fewer tables,
-    // unpermuted documents) must not satisfy a newer build — bump the suffix
-    // whenever the corpus definition changes
-    // v3: events.ts copied in the source's current physical layout
-    // (timestamp[us] testdata generation) instead of raw BIGINT nanos
+    // marker is VERSIONED (bump the suffix whenever the corpus definition
+    // changes — v3: events.ts copied in the source's current physical
+    // layout) AND stamped with the SOURCE fingerprint: the driver
+    // regenerates /root/testdata between rounds under unchanged paths, and
+    // a done-flag without a staleness key would keep feeding PairSweep a
+    // corpus derived from a previous data generation — the Repo.materialize
+    // contract, applied here
     val marker = Paths.get(s"$dataDir/_BUILT_v3")
-    if (Files.exists(marker)) return
+    val stamp = s"$srcDir fp=${ops.Artifacts.fingerprint(s, srcDir)}"
+    if (Files.exists(marker) && Files.readString(marker) == stamp) return
     def tenfold(name: String)(copy: (DataFrame, Int) => DataFrame): Unit = {
       val src = s.read.parquet(s"$srcDir/$name.parquet")
       (0 until copies).map(i => copy(src, i)).reduce(_ union _)
@@ -131,7 +134,8 @@ object FpStress {
         (col("value") + jitter("event_id", i)).as("value"),
         col("props"))
     }
-    Files.createFile(marker)
+    Files.createDirectories(marker.getParent)
+    Files.writeString(marker, stamp)
   }
 
   /** Order-independent exact hash of a frame: (row count, Σ xxhash64(row) as

@@ -44,12 +44,23 @@ object Tables {
     * reinterpretation — the same instants DuckDB sees reading the file
     * natively. */
   def eventsAt(spark: SparkSession, path: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     // harmless for MICROS files; required before the scan for NANOS files
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path)
-    df.schema("ts").dataType match {
+    normalizeTs(df, df.schema("ts").dataType, path)
+  }
+
+  /** The ONE enumeration of supported `ts` physical layouts → TimestampType.
+    * Batch ([[eventsAt]]) and streaming
+    * ([[graft.streaming.StreamingSessions]]'s eventsStream) readers both
+    * delegate here, so the next testdata layout change lands in exactly one
+    * match — two hand-kept copies of this branch is how batch and streaming
+    * semantics drift apart (the r8 outage class). */
+  private[graft] def normalizeTs(df: DataFrame,
+      tsType: org.apache.spark.sql.types.DataType, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    tsType match {
       case TimestampType => df
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -250,11 +250,13 @@ object LineageQueries {
     * raw lineage material (build_corpus.py:50-198 semantics — per-script
     * READS/WRITES/DATAFRAMES blocks in list order, derived/agg/join cards,
     * and lineage_edge cards straight from the q25 edge dump), then picks up
-    * each doc's sha1 id by joining the q28 dump on the FULL content tuple.
-    * DuckDB 1.0 has no sha1, so the id derivation itself stays pinned by
-    * LineageSpec's golden hash; everything else — membership, every folded
-    * byte of text, metadata columns — must reproduce or the inner join
-    * drops the row and the driver's row/hash compare fails. */
+    * each doc's sha1 id by LEFT-joining the q28 dump on the FULL content
+    * tuple. DuckDB 1.0 has no sha1, so the id derivation itself stays
+    * pinned by LineageSpec's golden hash; everything else is two-sided —
+    * a doc the fold MISSES leaves the oracle short a row, and a doc the
+    * fold OVER-produces surfaces with a loud UNMATCHED_FOLD sentinel id
+    * instead of being silently dropped — either way the driver's row/hash
+    * compare fails. */
   val corpusDocs: Q = Q(
     "q28_corpus_docs",
     (s, dir) => {
@@ -331,10 +333,11 @@ object LineageQueries {
           UNION ALL SELECT * FROM join_docs
           UNION ALL SELECT * FROM edge_docs
         )
-        SELECT q.id, f.dt AS "docType", f.script, f.df,
-               f.col AS "column", f.text
+        SELECT coalesce(q.id, 'UNMATCHED_FOLD:' || f.dt || ':' || f.script)
+                 AS id,
+               f.dt AS "docType", f.script, f.df, f.col AS "column", f.text
         FROM folded f
-        JOIN read_parquet('$out/q28_corpus_docs/*.parquet') q
+        LEFT JOIN read_parquet('$out/q28_corpus_docs/*.parquet') q
           ON q."docType" = f.dt AND q.script = f.script AND q.df = f.df
          AND q."column" = f.col AND q.text = f.text"""
       }))

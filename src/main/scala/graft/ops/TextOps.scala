@@ -426,7 +426,9 @@ object TextOps {
       .filter(col("w2").isNotNull)
     val uni = toks.groupBy("w1").agg(count(lit(1)).as("c1"))
     val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val vocab = toks.agg(countDistinct(col("w1")).as("v"))
+    // V is by definition uni's row count — counting the already-aggregated
+    // unigram table avoids a third full explode of the token stream
+    val vocab = uni.agg(count(lit(1)).as("v"))
     bigrams
       .join(uni, "w1")
       .join(bi, Seq("w1", "w2"))

@@ -48,17 +48,9 @@ object StreamingSessions {
     val tsType = spark.read.parquet(path).schema("ts").dataType
     val raw = spark.readStream.schema(eventsSchema(tsType))
       .options(readerOptions).parquet(path)
-    tsType match {
-      case TimestampType => raw
-      // NTZ (isAdjustedToUTC=false micros): cast is a value-preserving
-      // reinterpretation under the pinned UTC session timezone
-      case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(TimestampType))
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case other => throw new IllegalStateException(
-        s"events.ts layout changed: got $other at $path (supported: " +
-          "TIMESTAMP(MICROS) utc/ntz natively, INT64 NANOS via nanosAsLong)")
-    }
+    // the layout → TimestampType normalization itself lives in ONE place
+    // (Tables.normalizeTs) shared with the batch reader
+    graft.Tables.normalizeTs(raw, tsType, path)
   }
 
   /** Streaming session aggregation over a parquet source dir. */

@@ -316,7 +316,7 @@ class OpsSpec extends AnyFunSuite {
     // production sum stays below the rounding boundary on this corpus
     val texts = Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq)).toMap
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq)).toMap
     val uni = texts.values.flatten.groupBy(identity).map { case (w, o) => w -> o.size }
     val v = uni.size
     val bi = texts.values.flatMap(_.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
@@ -492,7 +492,7 @@ class OpsSpec extends AnyFunSuite {
     * plan must reproduce exactly. */
   private def setSimBrute(texts: Seq[(Long, String)], tauN: Int): Set[(Long, Long, Long)] = {
     val sets = texts.map { case (id, t) =>
-      val ws = t.split(" ")
+      val ws = t.split(" ", -1)
       id -> ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
     }.filter(_._2.nonEmpty)
     (for {
@@ -548,7 +548,7 @@ class OpsSpec extends AnyFunSuite {
     * mechanics. */
   private def spanBrute(texts: Seq[(Long, String)],
       k: Int): Set[(Long, Long, Long, Long, Long)] = {
-    val toks = texts.map { case (id, t) => id -> t.split(" ") }
+    val toks = texts.map { case (id, t) => id -> t.split(" ", -1) }
     val spans = for {
       (a, ta) <- toks; (b, tb) <- toks if a < b
       i <- ta.indices; j <- tb.indices
@@ -600,7 +600,7 @@ class OpsSpec extends AnyFunSuite {
     // contains a shared k-window, so no qualifying pair escapes), then walk
     // raw token runs on the survivors only
     val winSets = texts.map { case (id, t) =>
-      id -> t.split(" ").sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
+      id -> t.split(" ", -1).sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
     }
     val candidates = for {
       (a, sa) <- winSets; (b, sb) <- winSets

@@ -27,18 +27,28 @@ def main(sfdir: str, outdir: str, repeats: int = 1) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     best = {}
+    errors = {}
     for _ in range(max(1, repeats)):
         for name in sorted(oracle):
+            if name in errors:
+                continue
             t0 = time.monotonic()
-            rows = len(con.execute(oracle[name]).fetchall())
+            try:
+                rows = len(con.execute(oracle[name]).fetchall())
+            except Exception as e:  # stale dump path etc. — keep the rest usable
+                errors[name] = str(e).split("\n")[0][:200]
+                continue
             sec = time.monotonic() - t0
             if name not in best or sec < best[name][0]:
                 best[name] = (sec, rows)
+    for name, err in errors.items():
+        print(f"ERROR    {name}: {err}")
     total = sum(s for s, _ in best.values())
     for name in sorted(best, key=lambda n: -best[n][0])[:10]:
         print(f"{best[name][0]:8.3f}s {name} ({best[name][1]} rows)")
     print(json.dumps({"metric": "duckdb_oracle_total", "value": round(total, 3),
-                      "unit": "sec", "n_queries": len(best), "sf": sfdir}))
+                      "unit": "sec", "n_queries": len(best),
+                      "n_errors": len(errors), "sf": sfdir}))
     return 0
 
 
