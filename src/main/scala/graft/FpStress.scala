@@ -57,7 +57,11 @@ object FpStress {
     // a done-flag without a staleness key would keep feeding PairSweep a
     // corpus derived from a previous data generation — the Repo.materialize
     // contract, applied here
-    val marker = Paths.get(s"$dataDir/_BUILT_v3")
+    // v4: full table set — the four dims copy VERBATIM (their keys are the
+    // ones the fact copies do NOT shift, so referential joins stay intact,
+    // and a dim growing sub-linearly vs its facts is the realistic 10×
+    // shape), which lets the ENTIRE suite run at ~sf1, not just PairSweep
+    val marker = Paths.get(s"$dataDir/_BUILT_v4")
     val stamp = s"$srcDir fp=${ops.Artifacts.fingerprint(s, srcDir)}"
     if (Files.exists(marker) && Files.readString(marker) == stamp) return
     def tenfold(name: String)(copy: (DataFrame, Int) => DataFrame): Unit = {
@@ -133,6 +137,10 @@ object FpStress {
         col("event_type"),
         (col("value") + jitter("event_id", i)).as("value"),
         col("props"))
+    }
+    Seq("part", "supplier", "nation", "region").foreach { t =>
+      s.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dataDir/$t.parquet")
     }
     Files.createDirectories(marker.getParent)
     Files.writeString(marker, stamp)

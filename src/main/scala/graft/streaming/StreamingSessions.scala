@@ -235,9 +235,20 @@ object StreamingSessions {
     // table via symlink
     val stageDir =
       java.nio.file.Paths.get(s"$root/graft_stream/$queryTag/$tag")
-    java.nio.file.Files.createDirectories(stageDir)
-    ensureLink(stageDir.resolve(s"$table.parquet"),
-      java.nio.file.Paths.get(s"$dir/$table.parquet"))
+    val tablePath = java.nio.file.Paths.get(s"$dir/$table.parquet")
+    // the file-stream source needs a DIRECTORY of data files. A Spark-written
+    // table (stress corpus) is already exactly that — point the stream at it
+    // directly (its _SUCCESS marker is underscore-hidden and ignored);
+    // symlink staging would nest the dir one level deep, where neither the
+    // stream source nor the batch probe recurses. A single-file table
+    // (driver testdata) is staged into a one-link directory as before.
+    val sourcePath =
+      if (java.nio.file.Files.isDirectory(tablePath)) tablePath.toString
+      else {
+        java.nio.file.Files.createDirectories(stageDir)
+        ensureLink(stageDir.resolve(s"$table.parquet"), tablePath)
+        stageDir.toString
+      }
     val base = s"$root/graft_stream_out/$queryTag"
     // the artifact key must change when the READER changes, not just the
     // input: a published artifact built by an older reader against the same
@@ -267,7 +278,7 @@ object StreamingSessions {
         val write: (DataFrame, Long) => Unit =
           (batch, _) => batch.write
             .mode(if (mode == "append") "append" else "overwrite").parquet(out)
-        val q = stream(stageDir.toString).writeStream
+        val q = stream(sourcePath).writeStream
           .outputMode(mode)
           .option("checkpointLocation", s"$scratch/ckpt")
           .foreachBatch(write)
