@@ -41,7 +41,9 @@ object FpStress {
     // round-7 additions: cents×µs integer sums with a final double division
     // (q88), the rational-idf score with zipfian term keys (q91), and the
     // multi-phase weighted median's bucket arithmetic (q95)
-    "q88_time_weighted_avg", "q91_tfidf_top_terms", "q95_weighted_median")
+    "q88_time_weighted_avg", "q91_tfidf_top_terms", "q95_weighted_median",
+    // round-9: the rational bigram surprisal's round-sum (q116)
+    "q116_bigram_surprisal")
 
   /** 2-decimal deterministic jitter in [0, 0.96], keyed by (row key, copy) —
     * keeps every jittered double a 2-decimal value so the round(sum, p)
