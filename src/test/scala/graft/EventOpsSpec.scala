@@ -23,6 +23,28 @@ class EventOpsSpec extends AnyFunSuite {
     assert(Tables.events(spark, sfDir).schema("ts").dataType === TimestampType)
   }
 
+  test("events.ts legacy nanos-as-long layout still reads (and unknown fails loudly)") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // the legacy TIMESTAMP(NANOS) generation surfaces as a raw long under
+    // nanosAsLong; no such corpus ships any more, so synthesize one: a
+    // bigint ts in nanos must come back as the truncated-µs instant
+    val dir = java.nio.file.Files.createTempDirectory("graft_nanos").toString
+    val nanos = 1700000000123456789L // ...456789 ns → ...456 µs truncated
+    Seq((1L, nanos)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Tables.events(spark, dir)
+    assert(got.schema("ts").dataType === TimestampType)
+    val inst = got.select(unix_micros(col("ts"))).head().getLong(0)
+    assert(inst === nanos / 1000)
+    // an unrecognized layout must throw the one-line contract error, not
+    // flow garbage downstream
+    val bad = Seq((1L, "not-a-time")).toDF("event_id", "ts")
+    val e = intercept[IllegalStateException](
+      Tables.normalizeTs(bad, StringType, "synthetic"))
+    assert(e.getMessage.contains("events.ts layout changed"))
+  }
+
   test("q105 decayed popularity equals an exact BigInt recompute") {
     val got = SparkEntry.queries("q105_decayed_popularity")(spark, sfDir)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
