@@ -76,6 +76,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q115 spans equal raw-token-run brute force on random planted corpora") {
+    import spark.implicits._
+    // docs over a 3-letter alphabet (dense accidental repeats), with shared
+    // runs planted by splicing a common phrase at random offsets — the
+    // adversarial shapes for the diagonal-merge logic: runs that touch doc
+    // boundaries, overlap, or recur within one doc
+    val tok = Gen.oneOf("x", "y", "z")
+    val doc = Gen.choose(8, 40).flatMap(n => Gen.listOfN(n, tok))
+    val phrase = Gen.choose(8, 12).flatMap(n => Gen.listOfN(n, tok))
+    val corpus = for {
+      ph <- phrase
+      docs <- Gen.listOfN(6, doc)
+      offs <- Gen.listOfN(6, Gen.choose(0, 20))
+    } yield docs.zip(offs).zipWithIndex.map { case ((d, off), i) =>
+      // plant the phrase into half the docs at varying offsets
+      val t = if (i % 2 == 0) d.take(off min d.length) ++ ph ++ d.drop(off min d.length) else d
+      (i.toLong, t.mkString(" "))
+    }
+    def brute(texts: Seq[(Long, String)]): Set[(Long, Long, Long, Long, Long)] = {
+      val toks = texts.map { case (id, t) => id -> t.split(" ", -1) }
+      (for {
+        (a, ta) <- toks; (b, tb) <- toks if a < b
+        i <- ta.indices; j <- tb.indices
+        if ta(i) == tb(j) && (i == 0 || j == 0 || ta(i - 1) != tb(j - 1))
+      } yield {
+        var l = 0
+        while (i + l < ta.length && j + l < tb.length && ta(i + l) == tb(j + l)) l += 1
+        (a, b, i.toLong, j.toLong, l.toLong)
+      }).filter(_._5 >= 8).toSet
+    }
+    samples(corpus, 12).foreach { texts =>
+      val got = graft.ops.Dedup.substringSpansOf(texts.toDF("doc_id", "text"), 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got === brute(texts), s"corpus: $texts")
+    }
+  }
+
   test("downstream closure respects its limit and excludes the seed") {
     import spark.implicits._
     val chain = (0 until 30).map(i => (s"c$i", s"c${i + 1}", "r")).toDF("src", "dst", "reason")
