@@ -231,5 +231,64 @@ object Multimodal {
       FROM fp a JOIN fp b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.phash, b.phash)) <= $HammingMax"""))
 
-  val all: Seq[Q] = Seq(decode, frames, phashNearDup)
+  // ---- q119: windowed audio energy / silence detection ---------------------
+  private val audioFrame = 64 // samples per analysis window
+  private val silenceRms = 40.0 // threshold on centered-amplitude RMS
+
+  final case class AudioFrame(doc_id: Long, frame_idx: Int, n_samples: Long,
+      rms: Double, is_silent: Long)
+
+  /** STUB audio decode for windowed energy analysis — the speech-corpus
+    * preprocessing stage (VAD/silence trimming runs in front of every ASR
+    * training pipeline): treat each payload byte as one centered PCM sample
+    * (byte − 128), window into fixed [[audioFrame]]-sample frames, and emit
+    * per-frame RMS energy plus a silence flag. Frame-level output keeps
+    * every number per-row exact (integer sum of squares, one double
+    * division, one sqrt — bit-identical in DuckDB), with no cross-row
+    * float accumulation to engineer around. Per-partition decoder init +
+    * flatMap is the same batch shape as the video stage. */
+  private[graft] def decodeAudioFrames(rows: Iterator[MediaRow]): Iterator[AudioFrame] =
+    rows.flatMap { r =>
+      r.payload.grouped(audioFrame).zipWithIndex.map { case (frame, i) =>
+        var sumSq = 0L
+        frame.foreach { b => val amp = (b & 0xff) - 128; sumSq += amp.toLong * amp }
+        val rms = math.sqrt(sumSq.toDouble / frame.length)
+        AudioFrame(r.doc_id, i, frame.length.toLong, rms,
+          if (rms < silenceRms) 1L else 0L)
+      }
+    }
+
+  val audioEnergy: Q = Q(
+    "q119_audio_energy",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+          lit("audio/fake").as("mime"))
+        .as[MediaRow]
+        .mapPartitions(decodeAudioFrames)
+        .toDF()
+    },
+    // ASCII corpus: byte == character code, so DuckDB reproduces every
+    // sample, the exact integer energy sum and the identical rms double
+    Some(s"""WITH f AS (
+        SELECT doc_id, i AS frame_idx,
+               substr(text, CAST(i * $audioFrame + 1 AS INT), $audioFrame) AS fr
+        FROM documents,
+             unnest(range(0, (length(text) + ${audioFrame - 1}) // $audioFrame)) AS t(i)
+      ), e AS (
+        SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+               CAST(length(fr) AS BIGINT) AS n_samples,
+               sqrt(CAST(list_sum(list_transform(range(1, length(fr) + 1),
+                      j -> CAST(pow(ascii(substr(fr, CAST(j AS INT), 1)) - 128, 2)
+                               AS BIGINT))) AS BIGINT)
+                    / CAST(length(fr) AS DOUBLE)) AS rms
+        FROM f
+      )
+      SELECT doc_id, frame_idx, n_samples, rms,
+             CASE WHEN rms < $silenceRms THEN CAST(1 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS is_silent
+      FROM e"""))
+
+  val all: Seq[Q] = Seq(decode, frames, phashNearDup, audioEnergy)
 }

@@ -388,6 +388,26 @@ class OpsSpec extends AnyFunSuite {
       "reversed doc is far beyond the threshold")
   }
 
+  test("q119 audio energy: exact frame math and silence boundary") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    // 64 spaces: amp = 32-128 = -96 → rms exactly 96 (loud). 64 'p' (112):
+    // amp -16 → rms exactly 16 (silent, < 40). A 65th char '0' (48) makes a
+    // 1-sample tail frame whose rms is that sample's |amp| = 80 exactly.
+    val rows = Seq(1L -> (" " * 64), 2L -> ("p" * 64 + "0")).toDF("doc_id", "text")
+    val byFrame = rows
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        lit("audio/fake").as("mime"))
+      .as[Multimodal.MediaRow]
+      .mapPartitions(Multimodal.decodeAudioFrames)
+      .collect()
+      .map(f => (f.doc_id, f.frame_idx) -> ((f.n_samples, f.rms, f.is_silent)))
+      .toMap
+    assert(byFrame((1L, 0)) === ((64L, 96.0, 0L)), "64 spaces: rms exactly 96, loud")
+    assert(byFrame((2L, 0)) === ((64L, 16.0, 1L)), "64 'p': rms exactly 16, silent")
+    assert(byFrame((2L, 1)) === ((1L, 80.0, 0L)), "1-sample tail: rms = |48-128| = 80")
+  }
+
   test("q95 weighted median matches an exact sorted-walk recompute") {
     val df = SparkEntry.queries("q95_weighted_median")(spark, sfDir)
     val got = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
