@@ -647,8 +647,53 @@ object CorpusOps {
       SELECT gram, n_occurrences FROM counted, tot
       WHERE n_occurrences * 1024 > total"""))
 
+  // ---- q120: corpus card (dataset datasheet) -------------------------------
+  /** The one-row "datasheet" every corpus release ships — the summary a
+    * training-data pipeline publishes beside the data so a consumer can
+    * sanity-check scale, duplication and language mix without scanning:
+    * document and distinct-content counts, exact duplicate rate, token and
+    * character totals, English share. Every statistic is built from
+    * integer-exact components (counts, integer sums, one final division of
+    * exact integers) — the float rule for corpus-sized groups — so the
+    * DuckDB hash compare is exact at any SF. One scan plus one
+    * content-hash distinct; at 100 TB this is two map-side-combined
+    * aggregations, nothing driver-side. */
+  val corpusCard: Q = Q(
+    "q120_corpus_card",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val stats = d.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("total_tokens"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_english"))
+      stats.select(
+        col("n_docs"), col("n_distinct_docs"),
+        ((col("n_docs") - col("n_distinct_docs")) / col("n_docs")).as("dup_rate"),
+        col("total_tokens"), col("total_chars"),
+        (col("total_tokens") / col("n_docs")).as("avg_tokens_per_doc"),
+        col("n_english"),
+        (col("n_english") / col("n_docs")).as("english_share"))
+    },
+    Some("""WITH s AS (
+        SELECT CAST(COUNT(1) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_english
+        FROM documents
+      )
+      SELECT n_docs, n_distinct_docs,
+             (n_docs - n_distinct_docs) / n_docs AS dup_rate,
+             total_tokens, total_chars,
+             total_tokens / n_docs AS avg_tokens_per_doc,
+             n_english, n_english / n_docs AS english_share
+      FROM s"""))
+
   val all: Seq[Q] = Seq(piiRedact, decontaminate, mixtureSample, noveltyScore,
     ngramTopK, docPack, embedQuantize, cleanPipeline, zorderKey, docChunks,
-    bm25Score, tfidfTopTerms, heavyHitters)
+    bm25Score, tfidfTopTerms, heavyHitters, corpusCard)
 }
 
