@@ -59,11 +59,14 @@ object FpStress {
     // a done-flag without a staleness key would keep feeding PairSweep a
     // corpus derived from a previous data generation — the Repo.materialize
     // contract, applied here
-    // v4: full table set — the four dims copy VERBATIM (their keys are the
-    // ones the fact copies do NOT shift, so referential joins stay intact,
-    // and a dim growing sub-linearly vs its facts is the realistic 10×
-    // shape), which lets the ENTIRE suite run at ~sf1, not just PairSweep
-    val marker = Paths.get(s"$dataDir/_BUILT_v4")
+    // v5: full table set, so the ENTIRE suite runs at ~sf1, not just
+    // PairSweep. part/nation/region copy VERBATIM (their keys — l_partkey,
+    // c_nationkey — are the ones the fact copies do NOT shift, and a dim
+    // growing sub-linearly vs its facts is the realistic 10× shape);
+    // supplier copies KEY-SHIFTED like its fact side, because lineitem's
+    // l_suppkey IS shifted per copy — a verbatim supplier would silently
+    // resolve only copy 0's joins
+    val marker = Paths.get(s"$dataDir/_BUILT_v5")
     val stamp = s"$srcDir fp=${ops.Artifacts.fingerprint(s, srcDir)}"
     if (Files.exists(marker) && Files.readString(marker) == stamp) return
     def tenfold(name: String)(copy: (DataFrame, Int) => DataFrame): Unit = {
@@ -140,7 +143,12 @@ object FpStress {
         (col("value") + jitter("event_id", i)).as("value"),
         col("props"))
     }
-    Seq("part", "supplier", "nation", "region").foreach { t =>
+    tenfold("supplier") { (df, i) =>
+      df.select(
+        (col("s_suppkey") + i * keyOff).as("s_suppkey"),
+        col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    }
+    Seq("part", "nation", "region").foreach { t =>
       s.read.parquet(s"$srcDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$dataDir/$t.parquet")
     }

@@ -665,7 +665,11 @@ object CorpusOps {
       val stats = d.agg(
         count(lit(1)).as("n_docs"),
         countDistinct(md5(col("text"))).as("n_distinct_docs"),
-        sum(size(split(col("text"), " "))).cast("long").as("total_tokens"),
+        // NULL-guard matches the oracle's SUM-skip semantics: Spark's
+        // size(split(NULL)) is -1 under legacy sizeOfNull, which would
+        // silently skew the total if a regeneration introduced NULL text
+        sum(when(col("text").isNotNull, size(split(col("text"), " "))))
+          .cast("long").as("total_tokens"),
         sum(col("n_chars")).cast("long").as("total_chars"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_english"))
       stats.select(
