@@ -16,3 +16,21 @@ final case class Q(
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     oracleDyn: Option[() => Option[String]] = None)
+
+/** SQL literal rendering for oracles that embed run-derived doubles.
+  *
+  * A bare decimal literal like `-0.0019297141344935883` is typed DECIMAL by
+  * DuckDB; a list of them unifies to one DECIMAL(w,s), and rescaling to the
+  * common scale truncates elements with more fractional digits — the
+  * resulting doubles are 1 ulp off (diagnosed on q122). An exponent suffix
+  * forces the DOUBLE parse path, where Java's shortest-round-trip rendering
+  * is recovered bit-exactly by DuckDB's correctly-rounded strtod. */
+object SqlLit {
+  def double(d: Double): String = {
+    require(!d.isNaN && !d.isInfinite, s"non-finite SQL literal: $d")
+    val s = d.toString
+    if (s.contains('E')) s else s + "e0"
+  }
+  def doubles(v: Seq[Double]): String =
+    v.map(double).mkString("[", ", ", "]")
+}

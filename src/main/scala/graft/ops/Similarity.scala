@@ -174,11 +174,10 @@ object Similarity {
     Some {
       // plane rows: (band_idx, bit_idx, plane); bit j of band i is plane 8i+j,
       // weighted 2^(7-j) — the same most-significant-first fold as the Spark
-      // accumulator. Double.toString is shortest-round-trip, and DuckDB's
-      // decimal→double conversion correctly rounds, so the embedded literals
-      // reproduce the exact same IEEE planes.
+      // accumulator. Literals render via SqlLit (e-notation → DuckDB's DOUBLE
+      // parse path, never DECIMAL), so they reproduce the exact IEEE planes.
       val planeRows = (for (i <- 0 until nBands; j <- 0 until bandBits) yield {
-        val p = lshPlanes(bandBits * i + j).mkString("[", ", ", "]")
+        val p = graft.SqlLit.doubles(lshPlanes(bandBits * i + j))
         s"($i, $j, CAST($p AS DOUBLE[]))"
       }).mkString(",\n        ")
       val maskRows = probeMasks.map(m => s"($m)").mkString(", ")
@@ -274,22 +273,52 @@ object Similarity {
     }
   }
 
+  /** (vec_id, v, norm, cdists, cell) with IVF cell assignment as a pure
+    * expression over the trained-centroid literal: argmin of per-centroid L2,
+    * no ML model, no shuffle. Distance is the dot-product expansion
+    * (v·v − 2·v·c) + c·c rather than the vec_l2sq fold: both engines evaluate
+    * it with the identical IEEE op sequence over the bit-exact dot products,
+    * which is what lets the dynamic oracles reproduce cell assignment exactly
+    * (DuckDB 1.0 has no sequential-fold list_reduce for the (x−y)² form).
+    * Shared by q34 (IVF ANN) and q121 (SemDeDup). */
+  private def assignedCells(s: SparkSession, dir: String): DataFrame = {
+    val centLit = typedLit(IvfIndex.centroids(s, dir))
+    withNorm(s, dir).withColumn("cents", centLit)
+      .withColumn("cdists", expr(
+        "transform(cents, c -> (vec_dot(v, v) - 2D * vec_dot(v, c)) + vec_dot(c, c))"))
+      .withColumn("cell", expr("array_position(cdists, array_min(cdists)) - 1"))
+  }
+
+  /** Shared dynamic-oracle CTE prefix: embeds the run-trained centroids as
+    * DOUBLE[] literals and re-derives the exact cell assignment (`assigned`:
+    * vec_id, cell) plus `n` (vec_id, v, norm) and `ranked` (per-vector
+    * centroid distance order). */
+  private def ivfOracleBase(cents: Seq[Seq[Double]]): String = {
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, CAST(${graft.SqlLit.doubles(c)} AS DOUBLE[]))"
+    }.mkString(",\n        ")
+    s"""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      ), n AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e
+      ), cents (cell, c) AS (
+        VALUES $centRows
+      ), ranked AS (
+        SELECT n.vec_id, ct.cell,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 (list_dot_product(n.v, n.v) - 2 * list_dot_product(n.v, ct.c))
+                   + list_dot_product(ct.c, ct.c), ct.cell) AS rn
+        FROM n CROSS JOIN cents ct
+      ), assigned AS (
+        SELECT vec_id, cell FROM ranked WHERE rn = 1
+      )"""
+  }
+
   /** The q34 plan at an arbitrary probe count — `ivfTopK(s, dir,
     * IvfIndex.nProbes)` IS q34's production plan; [[graft.AnnSweep]] sweeps
     * the probe budget for the BENCH_NOTES recall/cost table. */
   private[graft] def ivfTopK(s: SparkSession, dir: String, nProbes: Int): DataFrame = {
-      val centLit = typedLit(IvfIndex.centroids(s, dir))
-      // cell assignment + probe list as pure expressions over the centroid
-      // literal: argmin / top-nProbes of per-centroid L2, no ML model, no
-      // shuffle. Distance is the dot-product expansion (v·v − 2·v·c) + c·c
-      // rather than the vec_l2sq fold: both engines evaluate it with the
-      // identical IEEE op sequence over the bit-exact dot products, which is
-      // what lets the dynamic oracle reproduce cell assignment exactly
-      // (DuckDB 1.0 has no sequential-fold list_reduce for the (x−y)² form)
-      val e = withNorm(s, dir).withColumn("cents", centLit)
-        .withColumn("cdists", expr(
-          "transform(cents, c -> (vec_dot(v, v) - 2D * vec_dot(v, c)) + vec_dot(c, c))"))
-        .withColumn("cell", expr("array_position(cdists, array_min(cdists)) - 1"))
+      val e = assignedCells(s, dir)
       val assigned = e.select(col("vec_id"), col("v"), col("norm"), col("cell"))
       val q = e.filter(col("vec_id") % queryMod === 0)
         .withColumn("probe_cell", explode(expr(
@@ -327,24 +356,7 @@ object Similarity {
     * array_sort first-index semantics) and the exact cosine re-rank. None
     * until a q34 run has loaded/fitted the quantizer (→ rows-only check). */
   private def ivfOracle: Option[String] = IvfIndex.forOracle.map { cents =>
-    val centRows = cents.zipWithIndex.map { case (c, i) =>
-      s"($i, CAST(${c.mkString("[", ", ", "]")} AS DOUBLE[]))"
-    }.mkString(",\n        ")
-    s"""WITH e AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-      ), n AS (
-        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e
-      ), cents (cell, c) AS (
-        VALUES $centRows
-      ), ranked AS (
-        SELECT n.vec_id, ct.cell,
-               row_number() OVER (PARTITION BY n.vec_id ORDER BY
-                 (list_dot_product(n.v, n.v) - 2 * list_dot_product(n.v, ct.c))
-                   + list_dot_product(ct.c, ct.c), ct.cell) AS rn
-        FROM n CROSS JOIN cents ct
-      ), assigned AS (
-        SELECT vec_id, cell FROM ranked WHERE rn = 1
-      ), probes AS (
+    ivfOracleBase(cents) + s""", probes AS (
         SELECT vec_id AS q_id, cell FROM ranked
         WHERE vec_id % $queryMod = 0 AND rn <= ${IvfIndex.nProbes}
       ), cand AS (
@@ -364,5 +376,71 @@ object Similarity {
       FROM scored WHERE rn <= 5"""
   }
 
-  val all: Seq[Q] = Seq(embeddingNearDup, knnBruteForce, knnLsh, knnIvf)
+  /** q121 near-dup cosine threshold. The synthetic embeddings are
+    * near-random (pairwise cos ~ N(0, 1/64)), so 0.5 is a ≳4σ outlier —
+    * only genuinely planted twins cross it; every vector still appears in
+    * the output with its cell + kept verdict, so the oracle hash covers the
+    * full assignment either way. */
+  private val semDedupTau = 0.5
+
+  /** SemDeDup-class semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings with the q34 coarse quantizer,
+    * then compare pairs ONLY within a cluster — cos ≥ τ marks the
+    * higher-id member a duplicate of the lowest-id partner (one-pass,
+    * non-transitive, so the verdict is a pure per-pair predicate both
+    * engines can replay). Output: every vector with its cell, kept flag,
+    * earliest duplicate partner, partner count, and max duplicate cosine.
+    *
+    * Scale design: the quadratic work is confined to a cell — at corpus
+    * scale k grows with N (k ≈ N/targetCellSize) so per-cell cost stays
+    * bounded and the cell join key stays plentiful; the quantizer is the
+    * same offline artifact q34 loads, trained once, embedded as a plan
+    * literal (zero extra shuffle for assignment). This is exactly the
+    * SemDeDup paper's cost model: k-means once, then O(Σ|cell|²) ≪ O(N²). */
+  val semDedup: Q = Q(
+    "q121_semdedup",
+    (s, dir) => {
+      val e = assignedCells(s, dir)
+      val a = e.select(col("vec_id").as("a_id"), col("v").as("av"),
+        col("norm").as("an"), col("cell"))
+      val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"),
+        col("norm").as("bn"), col("cell"))
+      // cell-partitioned self-join: the shuffle moves each vector once per
+      // side, keyed by cell; cosine evaluates at the join so nothing
+      // quadratic is ever materialized beyond the filtered dup pairs
+      val dropped = a.join(b, Seq("cell"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("cos", expr("vec_dot(av, bv)") / (col("an") * col("bn")))
+        .filter(col("cos") >= semDedupTau)
+        .groupBy(col("b_id"))
+        .agg(min("a_id").as("dup_of"), count(lit(1)).as("n_dups"),
+          max("cos").as("max_cos"))
+      e.join(dropped, e("vec_id") === dropped("b_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          when(col("dup_of").isNull, 1).otherwise(0).as("kept"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          coalesce(col("max_cos"), lit(-2.0d)).as("max_cos"))
+    },
+    None,
+    Some(() => IvfIndex.forOracle.map { cents =>
+      ivfOracleBase(cents) + s""", av AS (
+        SELECT a.vec_id, a.cell, n.v, n.norm FROM assigned a JOIN n USING (vec_id)
+      ), pairs AS (
+        SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+               list_dot_product(x.v, y.v) / (x.norm * y.norm) AS cos
+        FROM av x JOIN av y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      ), dropped AS (
+        SELECT b_id, MIN(a_id) AS dup_of, COUNT(*) AS n_dups, MAX(cos) AS max_cos
+        FROM pairs WHERE cos >= $semDedupTau GROUP BY b_id
+      )
+      SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+             CASE WHEN d.b_id IS NULL THEN 1 ELSE 0 END AS kept,
+             COALESCE(d.dup_of, -1) AS dup_of,
+             COALESCE(d.n_dups, 0) AS n_dups,
+             COALESCE(d.max_cos, -2.0) AS max_cos
+      FROM assigned a LEFT JOIN dropped d ON d.b_id = a.vec_id"""
+    }))
+
+  val all: Seq[Q] = Seq(embeddingNearDup, knnBruteForce, knnLsh, knnIvf, semDedup)
 }

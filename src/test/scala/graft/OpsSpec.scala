@@ -631,4 +631,92 @@ class OpsSpec extends AnyFunSuite {
     val got = spanRows(SparkEntry.queries("q115_substring_spans")(spark, sfDir))
     assert(got.nonEmpty && got === want)
   }
+
+  // shared by the q121/q122 driver recomputes: the sequential left-to-right
+  // double fold — the exact op sequence of vec_dot
+  private def dotFold(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0d; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def collectVecs(): Array[(Long, Array[Double])] =
+    Tables.embeddings(spark, sfDir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+
+  test("q121 SemDeDup equals a driver brute-force recompute") {
+    val out = SparkEntry.queries("q121_semdedup")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    val cents = ops.Similarity.IvfIndex.centroids(spark, sfDir).map(_.toArray)
+    val vecs = collectVecs()
+    // cell = first index of the min distance, with the production IEEE op
+    // sequence (v·v − 2·v·c) + c·c — array_position(array_min) semantics
+    val cell = vecs.map { case (id, v) =>
+      val d = cents.map(c => (dotFold(v, v) - 2d * dotFold(v, c)) + dotFold(c, c))
+      id -> d.indexOf(d.min).toLong
+    }.toMap
+    val norm = vecs.map { case (id, v) => id -> math.sqrt(dotFold(v, v)) }.toMap
+    val byId = vecs.toMap
+    val dropped = scala.collection.mutable.Map[Long, (Long, Long, Double)]()
+    for {
+      (a, _) <- vecs; (b, _) <- vecs
+      if a < b && cell(a) == cell(b)
+    } {
+      val cos = dotFold(byId(a), byId(b)) / (norm(a) * norm(b))
+      if (cos >= 0.5) {
+        val (dupOf, n, mx) = dropped.getOrElse(b, (Long.MaxValue, 0L, -2.0d))
+        dropped(b) = (math.min(dupOf, a), n + 1, math.max(mx, cos))
+      }
+    }
+    assert(out.size === vecs.length)
+    for ((id, _) <- vecs) {
+      val want = dropped.get(id)
+        .map { case (dupOf, n, mx) => (cell(id), 0, dupOf, n, mx) }
+        .getOrElse((cell(id), 1, -1L, 0L, -2.0d))
+      assert(out(id) === want, s"vec $id")
+    }
+  }
+
+  test("q122 power iteration matches an exact driver recompute; projections are the fold") {
+    val u = ops.Spectral.principalDirection(spark, sfDir)
+    val vecs = collectVecs()
+    // exact recompute: decimal(38,12) contributions (Spark's double→decimal
+    // cast goes through Double.toString, HALF_UP), summed in any order
+    var cur = Array.fill(64)(0.125d)
+    for (_ <- 1 to 10) {
+      val sums = Array.fill(64)(java.math.BigDecimal.ZERO)
+      for ((_, v) <- vecs) {
+        val d = dotFold(v, cur)
+        var j = 0
+        while (j < 64) {
+          val c = new java.math.BigDecimal(java.lang.Double.toString(v(j) * d))
+            .setScale(12, java.math.RoundingMode.HALF_UP)
+          sums(j) = sums(j).add(c)
+          j += 1
+        }
+      }
+      val w = sums.map(_.doubleValue)
+      var ss = 0d; var j = 0
+      while (j < 64) { ss += w(j) * w(j); j += 1 }
+      val n = math.sqrt(ss)
+      cur = w.map(_ / n)
+    }
+    assert(u === cur.toSeq, "converged direction differs from exact recompute")
+    val uArr = u.toArray
+    val out = SparkEntry.queries("q122_pca_power")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size === vecs.length)
+    for ((id, v) <- vecs)
+      assert(out(id) === dotFold(v, uArr), s"projection of vec $id")
+    // a dominant direction explains more variance than the start vector:
+    // mean squared projection must strictly beat the all-ones axis
+    def msq(dir: Array[Double]) = {
+      val p = vecs.map { case (_, v) => val d = dotFold(v, dir); d * d }
+      p.sum / p.length
+    }
+    assert(msq(uArr) > msq(Array.fill(64)(0.125d)))
+  }
 }
