@@ -225,7 +225,8 @@ object StreamingSessions {
     * sink table already holds the stream's result. */
   private def streamToArtifact(s: SparkSession, dir: String, queryTag: String,
       table: String, stream: String => DataFrame,
-      mode: String = "complete"): DataFrame = {
+      mode: String = "complete",
+      flushPhases: Seq[String => Unit] = Nil): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
     // staging/output root is spark-conf-backed (default: this repo's target
     // dir) so a deployment relocates the stream scratch space without a
@@ -242,11 +243,39 @@ object StreamingSessions {
     // symlink staging would nest the dir one level deep, where neither the
     // stream source nor the batch probe recurses. A single-file table
     // (driver testdata) is staged into a one-link directory as before.
+    //
+    // With flushPhases the query needs files ADDED between micro-batches
+    // (watermark-advancing sentinels), so the source is always a staged
+    // directory — every data file of a directory table is linked in, the
+    // table itself stays untouched — and stale sentinel_* files from a
+    // prior run are removed so phase separation survives re-runs (a
+    // sentinel already present at batch 0 would both pollute the first
+    // watermark and, being an already-seen path, never trigger the later
+    // data batch whose eviction pass the phase exists to force).
     val sourcePath =
-      if (java.nio.file.Files.isDirectory(tablePath)) tablePath.toString
+      if (java.nio.file.Files.isDirectory(tablePath) && flushPhases.isEmpty)
+        tablePath.toString
       else {
         java.nio.file.Files.createDirectories(stageDir)
-        ensureLink(stageDir.resolve(s"$table.parquet"), tablePath)
+        if (java.nio.file.Files.isDirectory(tablePath)) {
+          val ls = java.nio.file.Files.list(tablePath)
+          try {
+            ls.iterator().forEachRemaining { f =>
+              val n = f.getFileName.toString
+              if (!n.startsWith("_") && !n.startsWith("."))
+                ensureLink(stageDir.resolve(n), f)
+            }
+          } finally ls.close()
+        } else ensureLink(stageDir.resolve(s"$table.parquet"), tablePath)
+        if (flushPhases.nonEmpty) {
+          val ls = java.nio.file.Files.list(stageDir)
+          try {
+            ls.iterator().forEachRemaining { f =>
+              if (f.getFileName.toString.startsWith("sentinel_"))
+                java.nio.file.Files.deleteIfExists(f)
+            }
+          } finally ls.close()
+        }
         stageDir.toString
       }
     val base = s"$root/graft_stream_out/$queryTag"
@@ -283,7 +312,16 @@ object StreamingSessions {
           .option("checkpointLocation", s"$scratch/ckpt")
           .foreachBatch(write)
           .start()
-        try q.processAllAvailable() finally q.stop()
+        try {
+          q.processAllAvailable()
+          // each flush phase drops new files into the staged source and
+          // drives the resulting DATA batch to completion — a deterministic
+          // alternative to racing the trigger's optional no-data batches
+          flushPhases.foreach { phase =>
+            phase(sourcePath)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
         s.read.parquet(out)
       }
     } finally nanosPrior match {
@@ -391,6 +429,119 @@ object StreamingSessions {
              c.ts AS click_ts, p.ts AS purchase_ts, p.value AS purchase_value
       FROM (SELECT * FROM ev WHERE event_type = 'click') c
       JOIN (SELECT * FROM ev WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR"""))
+
+  /** Writes one watermark-advancing sentinel file into the staged stream
+    * source: a click and a purchase (negative ids, negative user ids — they
+    * can never join real rows) stamped `phase × 10 h` past the corpus
+    * horizon, in the table's own physical ts layout. One row per JOIN SIDE,
+    * because each side's filter runs before its watermark node — a sentinel
+    * only advances the branch that accepts its event_type, and outer-join
+    * eviction gates on the MIN of both branch watermarks. */
+  private def eventSentinel(s: SparkSession, phase: Int)(stage: String): Unit = {
+    import s.implicits._
+    val src = s"$stage/events.parquet" // staged link to the real table
+    val srcPath = java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(src))
+    val probe = if (srcPath) src else stage
+    val tsType = s.read.parquet(probe).schema("ts").dataType
+    val maxUs = graft.Tables.eventsAt(s, probe)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val tsUs = maxUs + phase.toLong * 10L * 3600L * 1000000L
+    val rows = Seq(
+      (-(2L * phase + 1), tsUs, -1L, "click", 0.0, "{}"),
+      (-(2L * phase + 2), tsUs, -2L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+    val withTs = tsType match {
+      case TimestampType => rows.withColumn("ts", timestamp_micros(col("ts_us")))
+      case TimestampNTZType =>
+        // µs → ltz → ntz is the identity under the UTC session timezone every
+        // graft entry point pins
+        rows.withColumn("ts",
+          timestamp_micros(col("ts_us")).cast(TimestampNTZType))
+      case LongType => rows.withColumn("ts", col("ts_us") * 1000L) // legacy ns
+      case other => sys.error(s"unsupported events.ts layout for sentinel: $other")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sentinel")
+    withTs.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = {
+      val ls = java.nio.file.Files.list(tmp)
+      try {
+        var found: java.nio.file.Path = null
+        ls.iterator().forEachRemaining { f =>
+          if (found == null && f.getFileName.toString.endsWith(".parquet"))
+            found = f
+        }
+        require(found != null, s"no parquet part written under $tmp")
+        found
+      } finally ls.close()
+    }
+    java.nio.file.Files.move(part,
+      java.nio.file.Paths.get(s"$stage/sentinel_$phase.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+  }
+
+  /** Stream-stream LEFT OUTER interval join — the interval join q101 runs,
+    * plus the unmatched-left rows: every click emits, padded when no same-
+    * user purchase lands in its trailing 2 h window. Outer emission is the
+    * part inner joins never exercise: an unmatched click can only be
+    * declared once the join-state watermark proves no matching purchase can
+    * still arrive, so rows materialize on WATERMARK PROGRESS, not data
+    * arrival. Driving that deterministically is the point of the flush
+    * phases: two sentinel files staged after the real data force two more
+    * data batches — the first carries the watermark past the corpus horizon,
+    * the second runs the eviction pass under it — so the artifact never
+    * depends on whether the trigger's optional no-data batch won a race.
+    * Sentinels never reach the output: their clicks are either matched
+    * (impossible — negative user ids) or evicted past the final watermark
+    * (never reached), and the published artifact is filtered by id anyway.
+    *
+    * The 100 TB shape is q101's: state is horizon-bounded (watermark + 2 h
+    * condition bound both buffers), emission is append-mode exactly-once;
+    * the unmatched path adds no state — it reuses the same buffered left
+    * rows and emits them at GC time. */
+  val streamingOuterJoin: Q = Q(
+    "q123_streaming_outer_join",
+    (s, dir) => streamToArtifact(s, dir, "ojoin", "events", { p =>
+      def side(): DataFrame = eventsStream(s, p)
+      val clicks = side().filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = side().filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+        .withWatermark("purchase_ts", "1 hour")
+      clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 2 HOURS"),
+          "leftOuter")
+        .select(col("click_id"), col("user_id"), col("click_ts"),
+          when(col("purchase_id").isNull, 0).otherwise(1).as("matched"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+          coalesce(col("purchase_ts"), to_timestamp(lit("1970-01-01 00:00:00")))
+            .as("purchase_ts"),
+          coalesce(col("purchase_value"), lit(-1.0d)).as("purchase_value"))
+    }, mode = "append",
+      flushPhases = Seq(eventSentinel(s, 1) _, eventSentinel(s, 2) _))
+      // sentinel rows are excluded on the BATCH read of the published
+      // artifact — a filter inside the streaming plan would push below the
+      // click-side watermark node and stall it, defeating the sentinel
+      .filter(col("click_id") >= 0),
+    Some("""WITH ev AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        FROM events
+      )
+      SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+             CASE WHEN p.event_id IS NULL THEN 0 ELSE 1 END AS matched,
+             COALESCE(p.event_id, -1) AS purchase_id,
+             COALESCE(p.ts, TIMESTAMP '1970-01-01 00:00:00') AS purchase_ts,
+             COALESCE(p.value, -1.0) AS purchase_value
+      FROM (SELECT * FROM ev WHERE event_type = 'click') c
+      LEFT JOIN (SELECT * FROM ev WHERE event_type = 'purchase') p
         ON c.user_id = p.user_id
        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR"""))
 
@@ -525,5 +676,6 @@ object StreamingSessions {
 
   val all: Seq[Q] =
     Seq(streamingSessions, streamingDedup, streamingHopping,
-      streamingIntervalJoin, streamingQuota, streamingEnrich)
+      streamingIntervalJoin, streamingOuterJoin, streamingQuota,
+      streamingEnrich)
 }

@@ -42,6 +42,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streaming).count() === 0)
   }
 
+  test("streaming left-outer interval join equals the batch left join, unmatched included") {
+    val streaming = SparkEntry.queries("q123_streaming_outer_join")(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 2 HOURS"),
+        "left")
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        when(col("purchase_id").isNull, 0).otherwise(1).as("matched"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("purchase_ts"), to_timestamp(lit("1970-01-01 00:00:00"))
+          .cast(ev.schema("ts").dataType)).as("purchase_ts"),
+        coalesce(col("purchase_value"), lit(-1.0d)).as("purchase_value"))
+    // the unmatched path — the rows only watermark eviction can emit — must
+    // actually be exercised, including clicks at the very END of the corpus
+    // horizon (flushable only because the sentinels carry the watermark past
+    // it); no sentinel may leak into the output
+    assert(streaming.filter(col("matched") === 0).count() > 0)
+    assert(streaming.filter(col("click_id") < 0 || col("user_id") < 0).count() === 0)
+    val maxClick = clicks.agg(max("click_ts")).head().get(0)
+    val lastReal = batch.filter(col("click_ts") === lit(maxClick)).count()
+    assert(streaming.filter(col("click_ts") === lit(maxClick)).count() === lastReal)
+    assert(streaming.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streaming).count() === 0)
+  }
+
   test("streaming enrich join equals the batch join + tumbling aggregate") {
     val streaming = SparkEntry.queries("q118_streaming_enrich")(spark, sfDir)
     val dim = Tables.customer(spark, sfDir)
