@@ -703,8 +703,62 @@ object EventOps {
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
            FROM events GROUP BY event_type"""))
 
+  /** Event-volume anomaly detection — the pipeline-health monitor a
+    * continuous ingest runs per event type: each day's event count scored
+    * against the TRAILING 7 observed days (the current day never leaks into
+    * its own baseline), |z| ≥ 2 flagged. The q71 exactness discipline,
+    * windowed: baseline mean/variance come from exact integer window sums
+    * (Σx, Σx² of BIGINT counts — order-independent), and z is one fixed-shape
+    * double expression, bit-equal in DuckDB. Days with an incomplete 7-day
+    * baseline or zero baseline variance are excluded in both engines (0/0 is
+    * NaN in Spark, NULL in DuckDB — the q71 guard).
+    *
+    * Scale shape: the raw stream collapses to (type, day) grain in one
+    * map-side-combined aggregate before any window runs, so the window
+    * input is ~types × days rows regardless of event volume; the per-type
+    * window partition is days-long, never data-long. */
+  val volumeAnomaly: Q = Q(
+    "q124_volume_anomaly",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = graft.Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+      daily
+        .withColumn("wcnt", count(lit(1)).over(w))
+        .withColumn("sx", sum("cnt").over(w))
+        .withColumn("sxx", sum(col("cnt") * col("cnt")).over(w))
+        .filter(col("wcnt") === 7)
+        .withColumn("variance", expr("(sxx / 7) - ((sx / 7) * (sx / 7))"))
+        .filter(col("variance") > 0.0)
+        .withColumn("z", expr("(cnt - (sx / 7)) / sqrt(variance)"))
+        .select(col("event_type"), col("day"), col("cnt"), col("z"),
+          when(abs(col("z")) >= 2.0, 1).otherwise(0).as("is_anomaly"))
+    },
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               COUNT(1) AS cnt
+        FROM events GROUP BY 1, 2
+      ), win AS (
+        SELECT event_type, day, cnt,
+               COUNT(1) OVER w AS wcnt,
+               CAST(SUM(cnt) OVER w AS BIGINT) AS sx,
+               CAST(SUM(cnt * cnt) OVER w AS BIGINT) AS sxx
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      )
+      SELECT event_type, day, cnt, z,
+             CASE WHEN abs(z) >= 2.0 THEN 1 ELSE 0 END AS is_anomaly
+      FROM (
+        SELECT event_type, day, cnt,
+               (cnt - (sx / 7)) / sqrt((sxx / 7) - ((sx / 7) * (sx / 7))) AS z
+        FROM win
+        WHERE wcnt = 7 AND (sxx / 7) - ((sx / 7) * (sx / 7)) > 0.0)"""))
+
   val all: Seq[Q] = Seq(funnel, watermarkIngest, gapFill, hoppingWindow,
     cohortRetention, debounce, timeWeightedAvg, attribution, peakConcurrency,
     rollingActiveUsers, transitionMatrix, decayedPopularity, intervalUnion,
-    bitmapDistinct)
+    bitmapDistinct, volumeAnomaly)
 }

@@ -462,4 +462,37 @@ class EventOpsSpec extends AnyFunSuite {
     assert(gotTiny === equidepthBrute(tiny, 8))
     assert(gotTiny.map(_._4).sum === 3L)
   }
+
+  test("q124 volume anomaly equals a driver recompute over daily counts") {
+    val got = SparkEntry.queries("q124_volume_anomaly")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getDouble(3), r.getInt(4))))
+      .toMap
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1)
+    var expected = 0
+    for ((t, rows) <- daily) {
+      val seq = rows.sortBy(_._2).map(r => (r._2, r._3))
+      for (i <- seq.indices.drop(7)) {
+        val w = seq.slice(i - 7, i).map(_._2)
+        val sx = w.sum
+        val sxx = w.map(c => c * c).sum
+        // the production double sequence: BIGINT/INT division first
+        val variance = (sxx / 7.0d) - ((sx / 7.0d) * (sx / 7.0d))
+        if (variance > 0.0d) {
+          expected += 1
+          val z = (seq(i)._2 - (sx / 7.0d)) / math.sqrt(variance)
+          val flag = if (math.abs(z) >= 2.0d) 1 else 0
+          assert(got((t, seq(i)._1)) === ((seq(i)._2, z, flag)),
+            s"type $t day ${seq(i)._1}")
+        }
+      }
+    }
+    assert(got.size === expected)
+    // at least one full-baseline day exists per frequent event type
+    assert(expected > 0)
+  }
 }

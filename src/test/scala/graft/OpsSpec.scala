@@ -680,6 +680,42 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q125 mutual-kNN clusters equal a driver union-find recompute") {
+    val out = SparkEntry.queries("q125_mutual_knn_clusters")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val cents = ops.Similarity.IvfIndex.centroids(spark, sfDir).map(_.toArray)
+    val vecs = collectVecs()
+    val cell = vecs.map { case (id, v) =>
+      val d = cents.map(c => (dotFold(v, v) - 2d * dotFold(v, c)) + dotFold(c, c))
+      id -> d.indexOf(d.min).toLong
+    }.toMap
+    val norm = vecs.map { case (id, v) => id -> math.sqrt(dotFold(v, v)) }.toMap
+    val byId = vecs.toMap
+    val ids = vecs.map(_._1)
+    val topk: Map[Long, Set[Long]] = ids.map { a =>
+      val nbrs = ids.filter(b => b != a && cell(b) == cell(a))
+        .map(b => (dotFold(byId(a), byId(b)) / (norm(a) * norm(b)), b))
+        .sortBy { case (cos, b) => (-cos, b) }
+        .take(3).map(_._2)
+      a -> nbrs.toSet
+    }.toMap
+    // union-find over mutual edges
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (a <- ids; b <- topk(a) if a < b && topk(b).contains(a)) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comp = ids.map(i => i -> find(i)).toMap
+    val sizes = comp.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out.size === ids.length)
+    for (id <- ids)
+      assert(out(id) === ((cell(id), comp(id), sizes(comp(id)))), s"vec $id")
+    // the graph is non-trivial: some real multi-member family exists
+    assert(sizes.values.exists(_ > 1))
+  }
+
   test("q122 power iteration matches an exact driver recompute; projections are the fold") {
     val u = ops.Spectral.principalDirection(spark, sfDir)
     val vecs = collectVecs()
