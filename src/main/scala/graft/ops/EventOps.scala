@@ -757,8 +757,107 @@ object EventOps {
         FROM win
         WHERE wcnt = 7 AND (sxx / 7) - ((sx / 7) * (sx / 7)) > 0.0)"""))
 
+  /** Incremental session-store maintenance — the production form of q06:
+    * yesterday's session table plus today's delta must yield the SAME table
+    * a full resessionization would, while touching only delta-proportional
+    * work. The plan derives the base store (events before a 3-days-from-
+    * horizon cutoff, sessionized q06-style), then merges the delta in three
+    * disjoint pieces: (1) sessions of users with no delta activity pass
+    * through untouched; (2) an affected user's CLOSED sessions (ended more
+    * than the 30-min gap before the cutoff — at most the last session per
+    * user can be open, since sessions are gap-separated) pass through too;
+    * (3) the open session, as an interval item carrying its (count, cents)
+    * partial aggregates, gap-merges with the user's delta events under the
+    * exact q06 rule — an interval's END feeds the lag, so the first delta
+    * event sees the last base event's timestamp, exactly what a full
+    * recompute would lag against. Mergeability dictates the store schema:
+    * counts and exact BIGINT cents re-aggregate losslessly across the
+    * base/delta boundary where a rounded double sum or a COUNT DISTINCT
+    * would not.
+    *
+    * The oracle is the WHOLE-corpus sessionization — equality IS the
+    * incremental-correctness theorem, checked per hash. Scale shape: the
+    * base store is read, not recomputed (here derived in-plan to stay
+    * self-contained); merge work is one window over (delta events + one
+    * open session per affected user). */
+  val incrementalSessions: Q = Q(
+    "q126_incremental_sessions",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val cut = ev.agg(max(col("ts")).as("max_ts"))
+        .select((col("max_ts") - expr("INTERVAL 3 DAYS")).as("t0"))
+      val evc = ev.crossJoin(broadcast(cut))
+      val base = evc.filter(col("ts") < col("t0"))
+      val delta = evc.filter(col("ts") >= col("t0"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val baseSessions = base
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_s", when(col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1L)
+          .otherwise(0L))
+        .withColumn("seq", sum(col("new_s")).over(run))
+        .groupBy(col("user_id"), col("seq"))
+        .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+          count(lit(1)).as("events_n"), sum(col("cents")).as("value_cents"))
+      val affected = delta.select(col("user_id")).distinct()
+        .withColumn("aff", lit(1))
+      val bs = baseSessions.crossJoin(broadcast(cut))
+        .join(affected, Seq("user_id"), "left")
+      val openCond = col("aff") === 1 &&
+        col("end_ts") >= col("t0") - expr("INTERVAL 30 MINUTES")
+      val untouched = bs.filter(!coalesce(openCond, lit(false)))
+        .select(col("user_id"), col("start_ts"), col("end_ts"),
+          col("events_n"), col("value_cents"))
+      val open = bs.filter(openCond)
+        .select(col("user_id"), col("start_ts"), col("end_ts"),
+          col("events_n"), col("value_cents"), lit(-1L).as("tie"))
+      val items = open.unionByName(delta.select(col("user_id"),
+        col("ts").as("start_ts"), col("ts").as("end_ts"),
+        lit(1L).as("events_n"), col("cents").as("value_cents"),
+        col("event_id").as("tie")))
+      val wi = Window.partitionBy(col("user_id")).orderBy(col("start_ts"), col("tie"))
+      val runi = wi.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val merged = items
+        .withColumn("prev_end", lag(col("end_ts"), 1).over(wi))
+        .withColumn("new_s", when(col("prev_end").isNull ||
+          (unix_timestamp(col("start_ts")) - unix_timestamp(col("prev_end"))) > 1800, 1L)
+          .otherwise(0L))
+        .withColumn("seq", sum(col("new_s")).over(runi))
+        .groupBy(col("user_id"), col("seq"))
+        .agg(min(col("start_ts")).as("start_ts"), max(col("end_ts")).as("end_ts"),
+          sum(col("events_n")).as("events_n"), sum(col("value_cents")).as("value_cents"))
+      untouched.unionByName(
+          merged.select(col("user_id"), col("start_ts"), col("end_ts"),
+            col("events_n"), col("value_cents")))
+        .select(col("user_id"), col("start_ts").as("session_start_ts"),
+          col("end_ts").as("session_end_ts"), col("events_n"), col("value_cents"))
+    },
+    Some("""WITH ev AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+      ), flagged AS (
+        SELECT user_id, event_id, ts, cents,
+          CASE WHEN lag(ts, 1) OVER w IS NULL
+                 OR date_diff('second', lag(ts, 1) OVER w, ts) > 1800
+               THEN 1 ELSE 0 END AS new_s
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sess AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        FROM flagged
+      )
+      SELECT user_id, MIN(ts) AS session_start_ts, MAX(ts) AS session_end_ts,
+             COUNT(1) AS events_n, CAST(SUM(cents) AS BIGINT) AS value_cents
+      FROM sess GROUP BY user_id, seq"""))
+
   val all: Seq[Q] = Seq(funnel, watermarkIngest, gapFill, hoppingWindow,
     cohortRetention, debounce, timeWeightedAvg, attribution, peakConcurrency,
     rollingActiveUsers, transitionMatrix, decayedPopularity, intervalUnion,
-    bitmapDistinct, volumeAnomaly)
+    bitmapDistinct, volumeAnomaly, incrementalSessions)
 }

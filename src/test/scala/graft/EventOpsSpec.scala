@@ -463,6 +463,35 @@ class EventOpsSpec extends AnyFunSuite {
     assert(gotTiny.map(_._4).sum === 3L)
   }
 
+  test("q126 incremental sessions equal full resessionization, with real merge work") {
+    val got = SparkEntry.queries("q126_incremental_sessions")(spark, sfDir)
+    // full recompute, reduced to the mergeable store schema
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val full = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_s", when(col("prev_ts").isNull ||
+        (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1L)
+        .otherwise(0L))
+      .withColumn("seq", sum(col("new_s")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("seq"))
+      .agg(min(col("ts")).as("session_start_ts"), max(col("ts")).as("session_end_ts"),
+        count(lit(1)).as("events_n"), sum(col("cents")).as("value_cents"))
+      .drop("seq")
+    assert(got.count() > 0)
+    assert(got.exceptAll(full).count() === 0)
+    assert(full.exceptAll(got).count() === 0)
+    // the delta branch is genuinely exercised: events exist on both sides of
+    // the 3-days-from-horizon cutoff
+    val ev = Tables.events(spark, sfDir)
+    val t0 = ev.agg((max(col("ts")) - expr("INTERVAL 3 DAYS")).as("t0")).head().get(0)
+    assert(ev.filter(col("ts") < lit(t0)).count() > 0)
+    assert(ev.filter(col("ts") >= lit(t0)).count() > 0)
+  }
+
   test("q124 volume anomaly equals a driver recompute over daily counts") {
     val got = SparkEntry.queries("q124_volume_anomaly")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getDate(1).toString) ->
