@@ -145,24 +145,31 @@ object Multimodal {
     * local pixel change, while raw byte striding would shift every
     * downstream "pixel" on any length change (the analog of comparing
     * differently-cropped images without resizing first). */
+  /** The stub "resize": the fixed [[PhashPixels]]-cell luminance grid a real
+    * decoder would produce by resampling the image — first byte of each of
+    * 64 strided tokens. Shared by the dHash (q117) and patch-token (q128)
+    * extractors. None when the payload has fewer than 2 tokens. */
+  private def pixelGrid(r: MediaRow): Option[Array[Int]] = {
+    val toks = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+      .split(" ", -1)
+    val n = toks.length
+    if (n < 2) None
+    else Some(Array.tabulate(PhashPixels) { i =>
+      val t = toks((i.toLong * (n - 1) / (PhashPixels - 1)).toInt)
+      if (t.isEmpty) 0 else t.charAt(0).toInt
+    })
+  }
+
   private def phashPartition(rows: Iterator[MediaRow]): Iterator[PhashRow] =
     rows.flatMap { r =>
-      val toks = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
-        .split(" ", -1)
-      val n = toks.length
-      if (n < 2) None
-      else {
-        val px = Array.tabulate(PhashPixels) { i =>
-          val t = toks((i.toLong * (n - 1) / (PhashPixels - 1)).toInt)
-          if (t.isEmpty) 0 else t.charAt(0).toInt
-        }
+      pixelGrid(r).map { px =>
         var fp = 0L
         var i = 0
         while (i < PhashPixels - 1) {
           if (px(i) < px(i + 1)) fp |= (1L << i)
           i += 1
         }
-        Some(PhashRow(r.doc_id, fp))
+        PhashRow(r.doc_id, fp)
       }
     }
 
@@ -290,5 +297,66 @@ object Multimodal {
                   ELSE CAST(0 AS BIGINT) END AS is_silent
       FROM e"""))
 
-  val all: Seq[Q] = Seq(decode, frames, phashNearDup, audioEnergy)
+  // ---- q128: ViT-style patch tokenization ----------------------------------
+  private val patchCells = 4 // grid cells per patch → 16 patch tokens/image
+
+  final case class PatchRow(doc_id: Long, patch_idx: Int, p_sum: Long,
+      p_mean: Double, p_min: Int, p_max: Int)
+
+  /** Patch tokenization — the image-side input prep of every vision
+    * transformer: the decoder's fixed luminance grid (the q117 stub resize)
+    * splits into 16 contiguous 4-cell patches, each emitted as one token
+    * row with its summary features (a real pipeline emits the flattened
+    * patch for the projection layer; the summary keeps the stub's output
+    * fully oracled). Numbers are exact by construction: integer cell sums,
+    * min/max, and a mean that divides by a power of two — bit-identical in
+    * DuckDB with no rounding step. Shape: one flatMap over the media
+    * partition, 16 rows per image, no shuffle — the token table feeds q55's
+    * packing or q100's ordering downstream like any other token stream. */
+  private def patchPartition(rows: Iterator[MediaRow]): Iterator[PatchRow] =
+    rows.flatMap { r =>
+      pixelGrid(r).toSeq.flatMap { px =>
+        (0 until PhashPixels / patchCells).map { p =>
+          val cells = px.slice(p * patchCells, (p + 1) * patchCells)
+          PatchRow(r.doc_id, p, cells.map(_.toLong).sum,
+            cells.sum / 4.0d, cells.min, cells.max)
+        }
+      }
+    }
+
+  val patchTokens: Q = Q(
+    "q128_patch_tokens",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+          lit("image/fake").as("mime"))
+        .as[MediaRow]
+        .mapPartitions(patchPartition)
+        .toDF()
+    },
+    Some(s"""WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+      ), px AS (
+        SELECT doc_id,
+               list_transform(range(0, $PhashPixels),
+                 i -> ascii(substr(
+                        ws[CAST((i * (len(ws) - 1)) // ${PhashPixels - 1} + 1 AS INT)],
+                        1, 1))) AS p
+        FROM w
+      ), patches AS (
+        SELECT doc_id, CAST(g.i AS INT) AS patch_idx,
+               list_slice(p, CAST($patchCells * g.i + 1 AS INT),
+                             CAST($patchCells * g.i + $patchCells AS INT)) AS cells
+        FROM px, (SELECT unnest(range(0, ${PhashPixels / patchCells})) AS i) g
+      )
+      SELECT doc_id, patch_idx,
+             CAST(list_sum(cells) AS BIGINT) AS p_sum,
+             CAST(list_sum(cells) AS BIGINT) / 4.0 AS p_mean,
+             CAST(list_min(cells) AS INT) AS p_min,
+             CAST(list_max(cells) AS INT) AS p_max
+      FROM patches"""))
+
+  val all: Seq[Q] = Seq(decode, frames, phashNearDup, audioEnergy, patchTokens)
 }

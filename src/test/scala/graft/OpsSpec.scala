@@ -680,6 +680,34 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q128 patch tokens equal a driver grid recompute") {
+    val got = SparkEntry.queries("q128_patch_tokens")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getInt(4), r.getInt(5)))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    var expected = 0
+    for ((id, text) <- docs) {
+      val toks = text.split(" ", -1)
+      val n = toks.length
+      if (n >= 2) {
+        val px = Array.tabulate(64) { i =>
+          val t = toks((i.toLong * (n - 1) / 63).toInt)
+          if (t.isEmpty) 0 else t.charAt(0).toInt
+        }
+        for (p <- 0 until 16) {
+          expected += 1
+          val cells = px.slice(p * 4, p * 4 + 4)
+          assert(got((id, p)) ===
+            ((cells.map(_.toLong).sum, cells.sum / 4.0d, cells.min, cells.max)),
+            s"doc $id patch $p")
+        }
+      }
+    }
+    assert(got.size === expected && expected > 0)
+  }
+
   test("q125 mutual-kNN clusters equal a driver union-find recompute") {
     val out = SparkEntry.queries("q125_mutual_knn_clusters")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
