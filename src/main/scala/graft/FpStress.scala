@@ -43,7 +43,12 @@ object FpStress {
     // multi-phase weighted median's bucket arithmetic (q95)
     "q88_time_weighted_avg", "q91_tfidf_top_terms", "q95_weighted_median",
     // round-9: the rational bigram surprisal's round-sum (q116)
-    "q116_bigram_surprisal")
+    "q116_bigram_surprisal",
+    // round-9 continuation: the power-iteration direction's DECIMAL(38,12)
+    // Gram sums — the whole point is geometry-independence of the converged
+    // direction, so the cross-geometry master compare is its natural test
+    // (q121's cosine outputs ride along via the shared cell assignment)
+    "q121_semdedup", "q122_pca_power")
 
   /** 2-decimal deterministic jitter in [0, 0.96], keyed by (row key, copy) —
     * keeps every jittered double a 2-decimal value so the round(sum, p)
