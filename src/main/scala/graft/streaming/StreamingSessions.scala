@@ -226,7 +226,8 @@ object StreamingSessions {
   private def streamToArtifact(s: SparkSession, dir: String, queryTag: String,
       table: String, stream: String => DataFrame,
       mode: String = "complete",
-      flushPhases: Seq[String => Unit] = Nil): DataFrame = {
+      flushPhases: Seq[String => Unit] = Nil,
+      splitSourceFiles: Int = 0): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
     // staging/output root is spark-conf-backed (default: this repo's target
     // dir) so a deployment relocates the stream scratch space without a
@@ -252,8 +253,34 @@ object StreamingSessions {
     // sentinel already present at batch 0 would both pollute the first
     // watermark and, being an already-seen path, never trigger the later
     // data batch whose eviction pass the phase exists to force).
+    // splitSourceFiles > 0 re-stages the table as N data files so a
+    // maxFilesPerTrigger=1 reader sees N REAL micro-batches — the only way a
+    // drive-to-completion run exercises cross-batch state updates on real
+    // keys (a single-file source collapses to one batch). The split is
+    // fingerprint-stamped: it rebuilds when the table changes, never per run.
+    // Batch ORDER is whatever the file source discovers — correct queries
+    // over a split source must converge order-independently (an aggregate
+    // does; q129's spec pins that multiple batches really happened).
     val sourcePath =
-      if (java.nio.file.Files.isDirectory(tablePath) && flushPhases.isEmpty)
+      if (splitSourceFiles > 0) {
+        val splitDir =
+          java.nio.file.Paths.get(s"$root/graft_stream/$queryTag/${tag}_split")
+        val marker = splitDir.resolve("_graft_split_fp")
+        val want = s"${graft.ops.Artifacts.fingerprint(s, tablePath.toString)}" +
+          s":$splitSourceFiles"
+        val have =
+          if (java.nio.file.Files.exists(marker))
+            new String(java.nio.file.Files.readAllBytes(marker),
+              java.nio.charset.StandardCharsets.UTF_8)
+          else ""
+        if (have != want) {
+          s.read.parquet(tablePath.toString).repartition(splitSourceFiles)
+            .write.mode("overwrite").parquet(splitDir.toString)
+          java.nio.file.Files.write(marker,
+            want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        splitDir.toString
+      } else if (java.nio.file.Files.isDirectory(tablePath) && flushPhases.isEmpty)
         tablePath.toString
       else {
         java.nio.file.Files.createDirectories(stageDir)
@@ -303,10 +330,15 @@ object StreamingSessions {
         val out = s"$scratch/out"
         // complete mode re-emits the whole result each batch (overwrite);
         // append mode (the only mode stream-stream joins support) emits each
-        // result row exactly once, so batches accumulate
-        val write: (DataFrame, Long) => Unit =
-          (batch, _) => batch.write
-            .mode(if (mode == "append") "append" else "overwrite").parquet(out)
+        // result row exactly once, so batches accumulate; update mode emits
+        // the CHANGED keys per batch — stamped with the batch id, the
+        // accumulated writes form a changelog a compaction view reads back
+        val write: (DataFrame, Long) => Unit = mode match {
+          case "update" => (batch, id) =>
+            batch.withColumn("batch_id", lit(id)).write.mode("append").parquet(out)
+          case "append" => (batch, _) => batch.write.mode("append").parquet(out)
+          case _ => (batch, _) => batch.write.mode("overwrite").parquet(out)
+        }
         val q = stream(sourcePath).writeStream
           .outputMode(mode)
           .option("checkpointLocation", s"$scratch/ckpt")
@@ -545,6 +577,48 @@ object StreamingSessions {
         ON c.user_id = p.user_id
        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR"""))
 
+  /** Update-mode changelog capture + compaction — the upsert-sink pattern
+    * every streaming feature/session store runs (a Kafka compacted topic, a
+    * CDC MERGE target): a running per-user aggregate emits only the keys
+    * each micro-batch CHANGED, the foreachBatch sink appends those rows
+    * stamped with the batch id, and the store is the compaction view —
+    * latest changelog row per key. The source is re-staged as four data
+    * files with maxFilesPerTrigger=1, so the drive-to-completion run
+    * executes four REAL micro-batches and keys genuinely update across
+    * batches (a single-file source would collapse to one batch and never
+    * exercise the upsert path; StreamingSpec pins the multi-batch history).
+    *
+    * Correctness is batch-slicing-independent by construction: the last
+    * update for a key reflects its full aggregate no matter how files were
+    * sliced or ordered, so the compaction view equals the batch GROUP BY —
+    * the oracle. State is one row per user (bounded by key cardinality, not
+    * stream length); the changelog is wire-efficient — per batch it moves
+    * only changed keys, the 100 TB/day upsert shape. */
+  /** The q129 changelog itself (user_id, aggs, batch_id) — exposed so the
+    * spec can pin that the drive really produced a multi-batch history. */
+  private[graft] def upsertLog(s: SparkSession, dir: String): DataFrame =
+    streamToArtifact(s, dir, "upsert", "events", { p =>
+      eventsStream(s, p, Map("maxFilesPerTrigger" -> "1"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"),
+          max(col("ts")).as("last_ts"))
+    }, mode = "update", splitSourceFiles = 4)
+
+  val streamingUpsert: Q = Q(
+    "q129_streaming_upsert",
+    (s, dir) => {
+      val log = upsertLog(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("batch_id").desc)
+      log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("n_events"), col("value_cents"), col("last_ts"))
+    },
+    Some("""SELECT user_id, COUNT(1) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+      FROM events GROUP BY user_id"""))
+
   // ---- q112: streaming per-key ingestion quota -----------------------------
   /** Default q112 quota: events admitted per (user, UTC day). */
   private val quotaPerDay = 3
@@ -677,5 +751,5 @@ object StreamingSessions {
   val all: Seq[Q] =
     Seq(streamingSessions, streamingDedup, streamingHopping,
       streamingIntervalJoin, streamingOuterJoin, streamingQuota,
-      streamingEnrich)
+      streamingEnrich, streamingUpsert)
 }

@@ -75,6 +75,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streaming).count() === 0)
   }
 
+  test("q129 upsert compaction equals the batch aggregate over a real multi-batch history") {
+    val got = SparkEntry.queries("q129_streaming_upsert")(spark, sfDir)
+    val batch = Tables.events(spark, sfDir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"),
+        max(col("ts")).as("last_ts"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(got).count() === 0)
+    // the changelog really spans micro-batches, and some key was genuinely
+    // UPDATED (emitted in more than one batch) — the path a single-batch
+    // drive would never exercise
+    val log = streaming.StreamingSessions.upsertLog(spark, sfDir)
+    assert(log.select("batch_id").distinct().count() > 1)
+    val updated = log.groupBy("user_id").count().filter(col("count") > 1).count()
+    assert(updated > 0, "no key was updated across batches")
+  }
+
   test("streaming enrich join equals the batch join + tumbling aggregate") {
     val streaming = SparkEntry.queries("q118_streaming_enrich")(spark, sfDir)
     val dim = Tables.customer(spark, sfDir)
