@@ -696,8 +696,89 @@ object CorpusOps {
              n_english, n_english / n_docs AS english_share
       FROM s"""))
 
+  /** Per-source distribution drift — the exact two-sample Kolmogorov–Smirnov
+    * statistic of each source's length distribution against the REST of the
+    * corpus: D = max over thresholds |F_src(x) − F_rest(x)|. The monitor a
+    * continuous-ingest corpus runs to catch a source whose content shifted
+    * (truncation bug, scraper change, new template) before it pollutes a
+    * training mix.
+    *
+    * Exactness: every CDF comparison is integer cross-multiplication —
+    * |cum_src·n_rest − cum_rest·n_src| over BIGINTs — so the max is decided
+    * without a single rounding; the reported `ks` is ONE fixed-shape double
+    * division of that exact numerator, bit-equal in DuckDB.
+    *
+    * 100 TB shape: the row stream collapses to (source, n_chars) grain in one
+    * map-side-combined aggregate; every later step (dense grid, cumulative
+    * windows, max) runs on |sources| × |distinct lengths| rows — metadata-
+    * sized, independent of corpus row count. The only full-data pass is the
+    * first aggregate. The grid×sources densification is a broadcast cross of
+    * two bounded dimensions (not a data cross join); the global CDF needs no
+    * single-partition window — it falls out as Σ_src cum_src(v), a grid-keyed
+    * aggregate. */
+  val ksDrift: Q = Q(
+    "q130_ks_drift",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perSV = Tables.documents(s, dir)
+        .groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("cnt"))
+      val totals = perSV.groupBy("source").agg(sum("cnt").as("n_src"))
+      val grid = perSV.select(col("n_chars")).distinct()
+      val dense = grid.crossJoin(broadcast(totals))
+        .join(perSV, Seq("source", "n_chars"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      val wS = Window.partitionBy("source").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = dense.withColumn("cum_src", sum("cnt").over(wS))
+      val cumAll = cum.groupBy("n_chars").agg(sum("cum_src").as("cum_all"))
+      val tot = totals.agg(sum("n_src").as("n_total"))
+      cum.join(broadcast(cumAll), Seq("n_chars"))
+        .crossJoin(broadcast(tot))
+        .withColumn("n_rest", col("n_total") - col("n_src"))
+        .withColumn("d_num", abs(
+          col("cum_src") * col("n_rest") -
+            (col("cum_all") - col("cum_src")) * col("n_src")))
+        .filter(col("n_src") > 0 && col("n_rest") > 0)
+        .groupBy(col("source"), col("n_src"), col("n_rest"))
+        .agg(max("d_num").as("d_num"))
+        .withColumn("ks", col("d_num").cast("double") /
+          (col("n_src").cast("double") * col("n_rest").cast("double")))
+    },
+    Some("""WITH per_sv AS (
+        SELECT source, n_chars, COUNT(1) AS cnt FROM documents GROUP BY 1, 2
+      ), totals AS (
+        SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_src FROM per_sv GROUP BY 1
+      ), grid AS (SELECT DISTINCT n_chars FROM per_sv),
+      dense AS (
+        SELECT t.source, g.n_chars, t.n_src, COALESCE(p.cnt, 0) AS cnt
+        FROM grid g CROSS JOIN totals t
+        LEFT JOIN per_sv p ON p.source = t.source AND p.n_chars = g.n_chars
+      ), cum AS (
+        SELECT source, n_chars, n_src,
+               CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_src
+        FROM dense
+      ), cum_all AS (
+        SELECT n_chars, CAST(SUM(cum_src) AS BIGINT) AS cum_all
+        FROM cum GROUP BY 1
+      ), tot AS (SELECT CAST(SUM(n_src) AS BIGINT) AS n_total FROM totals)
+      SELECT source, n_src, n_rest, CAST(MAX(d_num) AS BIGINT) AS d_num,
+             CAST(MAX(d_num) AS DOUBLE) /
+               (CAST(n_src AS DOUBLE) * CAST(n_rest AS DOUBLE)) AS ks
+      FROM (
+        SELECT c.source, c.n_src, t.n_total - c.n_src AS n_rest,
+               abs(c.cum_src * (t.n_total - c.n_src) -
+                   (g.cum_all - c.cum_src) * c.n_src) AS d_num
+        FROM cum c
+        JOIN cum_all g USING (n_chars)
+        CROSS JOIN tot t
+        WHERE c.n_src > 0 AND t.n_total - c.n_src > 0)
+      GROUP BY source, n_src, n_rest"""))
+
   val all: Seq[Q] = Seq(piiRedact, decontaminate, mixtureSample, noveltyScore,
     ngramTopK, docPack, embedQuantize, cleanPipeline, zorderKey, docChunks,
-    bm25Score, tfidfTopTerms, heavyHitters, corpusCard)
+    bm25Score, tfidfTopTerms, heavyHitters, corpusCard, ksDrift)
 }
 

@@ -300,4 +300,52 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === Map("hh0" -> 30000L, "hh1" -> 20000L))
   }
+
+  test("q130 KS drift equals a driver-side exact recompute over the real corpus") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = docs.length.toLong
+    val grid = docs.map(_._2).distinct.sorted
+    val got = SparkEntry.queries("q130_ks_drift")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_src"), r.getAs[Long]("n_rest"),
+          r.getAs[Long]("d_num"), r.getAs[Double]("ks")))).toMap
+    val bySrc = docs.groupBy(_._1)
+    assert(got.keySet === bySrc.keySet)
+    for ((src, rows) <- bySrc) {
+      val nSrc = rows.length.toLong
+      val nRest = n - nSrc
+      val srcVals = rows.map(_._2)
+      val restVals = docs.filter(_._1 != src).map(_._2)
+      val dNum = grid.map { v =>
+        val cs = srcVals.count(_ <= v).toLong
+        val cr = restVals.count(_ <= v).toLong
+        math.abs(cs * nRest - cr * nSrc)
+      }.max
+      assert(got(src) ===
+        ((nSrc, nRest, dNum, dNum.toDouble / (nSrc.toDouble * nRest.toDouble))),
+        s"KS mismatch for $src")
+    }
+  }
+
+  test("q130 a planted shifted source dominates identically-distributed ones") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ks_spec").toString
+    // srcA/srcB draw the same lengths; srcC is shifted wholesale
+    val rows =
+      (0 until 50).map(i => (i.toLong, "t", "en", "srcA", (100 + i % 10).toLong)) ++
+        (50 until 100).map(i => (i.toLong, "t", "en", "srcB", (100 + i % 10).toLong)) ++
+        (100 until 150).map(i => (i.toLong, "t", "en", "srcC", (500 + i % 10).toLong))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ks = SparkEntry.queries("q130_ks_drift")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("ks")).toMap
+    // srcC is fully separated from the rest: its CDF reaches 1 while the
+    // rest's is still 0 at every threshold below 500 → D = 1 exactly
+    assert(ks("srcC") === 1.0)
+    // srcA vs (srcB ∪ srcC): at thresholds ≥ 109 srcA's CDF is 1 but the
+    // rest is at 1/2 — D = 1/2; twins never exceed that
+    assert(ks("srcA") === 0.5 && ks("srcB") === 0.5)
+  }
 }
