@@ -927,8 +927,126 @@ object Analytics {
              MIN(v) AS lo_value, MAX(v) AS hi_value, COUNT(1) AS n_rows
       FROM r GROUP BY 1"""))
 
+  // ---- q131: weighted PageRank over the nation trade graph -----------------
+  /** Exact scaled-integer PageRank core, shared by the query and its spec.
+    * Ranks are BIGINT multiples of 1e-15 (S = 1e15); edge probabilities are
+    * pre-quantized to BIGINT multiples of 1e-9; every iteration is integer
+    * multiply / floor-divide / sum — order-independent and replayed verbatim
+    * by the oracle in HUGEINT arithmetic, so ten iterations stay bit-equal
+    * across engines with zero float accumulation. Dangling mass (nodes with
+    * no out-edges) redistributes uniformly, the standard correction. */
+  private[graft] def pageRankScaled(
+      nodes: Seq[String], edges: Seq[(String, String, Long)],
+      iters: Int = 10): Map[String, BigInt] = {
+    val S = BigInt("1000000000000000")
+    val P = BigInt(1000000000)
+    val n = BigInt(nodes.length)
+    val outW = nodes.map(v => v -> edges.filter(_._1 == v).map(_._3).sum).toMap
+    val p = edges.map { case (src, dst, w) => (src, dst, BigInt(w) * P / BigInt(outW(src))) }
+    val byDst = p.groupBy(_._2)
+    var r = nodes.map(v => v -> S / n).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodes.filter(v => outW(v) == 0L).map(r).sum
+      r = nodes.map { v =>
+        val contrib = byDst.getOrElse(v, Nil)
+          .map { case (src, _, pp) => r(src) * pp / P }.sum
+        v -> (BigInt(15) * S / (BigInt(100) * n) +
+          BigInt(85) * (contrib + dang / n) / BigInt(100))
+      }.toMap
+    }
+    r
+  }
+
+  /** Weighted PageRank over the nation-level trade graph — the centrality
+    * measure a marketplace/flow analysis runs: an edge supplier-nation →
+    * customer-nation per lineitem, weighted by shipment count, damping 0.85,
+    * ten fixed iterations, uniform dangling-mass redistribution.
+    *
+    * Scale split: ALL the data-proportional work is the distributed edge
+    * build — lineitem ⋈ orders co-partitioned on orderkey, dim joins
+    * broadcast — collapsing 100 TB of shipments to at most |nations|² edge
+    * weights in one map-side-combined aggregate. The graph solve then runs
+    * on that dimension-bounded summary driver-side (the q122 literal
+    * pattern: collect is bounded by the 25-row nation dimension, never by
+    * data volume). Exactness: see [[pageRankScaled]] — the oracle unrolls
+    * the same ten integer iterations as chained CTEs in HUGEINT, so the
+    * final ranks (and the single double reconstruction per node) hash-match
+    * bit-for-bit. */
+  val tradePageRank: Q = Q(
+    "q131_trade_pagerank",
+    (s, dir) => {
+      import s.implicits._
+      val nation = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      val edgeDf = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation.select(col("n_nationkey").as("sk"), col("n_name").as("src"))),
+          col("s_nationkey") === col("sk"))
+        .join(broadcast(nation.select(col("n_nationkey").as("ck"), col("n_name").as("dst"))),
+          col("c_nationkey") === col("ck"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      // bounded collects: ≤ |nations|² edges, |nations| nodes (dimension-sized)
+      val edges = edgeDf.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      val nodes = nation.select("n_name").collect().map(_.getString(0)).toSeq.sorted
+      val ranks = pageRankScaled(nodes, edges)
+      val outW = nodes.map(v => v -> edges.filter(_._1 == v).map(_._3).sum).toMap
+      nodes.map(v => (v, ranks(v).toLong, ranks(v).toLong.toDouble / 1e15, outW(v)))
+        .toDF("nation", "rank_scaled", "rank", "w_out")
+    },
+    Some {
+      val S = "1000000000000000"
+      val iters = (1 to 10).map { k =>
+        s""", c$k AS MATERIALIZED (
+            SELECT p.dst AS nation,
+                   SUM((CAST(r.r AS HUGEINT) * p.p) // 1000000000) AS contrib
+            FROM p JOIN r${k - 1} r ON r.nation = p.src GROUP BY 1
+          ), d$k AS MATERIALIZED (
+            SELECT COALESCE(SUM(r.r), 0) AS dang
+            FROM r${k - 1} r JOIN outw o ON o.nation = r.nation AND o.w_out = 0
+          ), r$k AS MATERIALIZED (
+            SELECT n.nation,
+                   (15 * $S) // (100 * (SELECT COUNT(1) FROM nodes))
+                   + (85 * (COALESCE(c.contrib, 0)
+                        + (SELECT dang FROM d$k) // (SELECT COUNT(1) FROM nodes)))
+                     // 100 AS r
+            FROM nodes n LEFT JOIN c$k c ON c.nation = n.nation
+          )"""
+      }.mkString("\n")
+      s"""WITH e0 AS MATERIALIZED (
+          SELECT sn.n_name AS src, cn.n_name AS dst, COUNT(1) AS w
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+          JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+          GROUP BY 1, 2
+        ), nodes AS MATERIALIZED (SELECT n_name AS nation FROM nation),
+        outw AS MATERIALIZED (
+          SELECT n.nation, CAST(COALESCE(SUM(e.w), 0) AS BIGINT) AS w_out
+          FROM nodes n LEFT JOIN e0 e ON e.src = n.nation GROUP BY 1
+        ), p AS MATERIALIZED (
+          SELECT e0.src, e0.dst,
+                 CAST(e0.w AS HUGEINT) * 1000000000 // o.w_out AS p
+          FROM e0 JOIN outw o ON o.nation = e0.src
+        ), r0 AS MATERIALIZED (
+          SELECT nation,
+                 CAST($S // (SELECT COUNT(1) FROM nodes) AS HUGEINT) AS r
+          FROM nodes
+        )
+        $iters
+        SELECT r10.nation, CAST(r10.r AS BIGINT) AS rank_scaled,
+               CAST(r10.r AS DOUBLE) / 1e15 AS rank, o.w_out
+        FROM r10 JOIN outw o ON o.nation = r10.nation"""
+    })
+
   val all: Seq[Q] = Seq(windowSuite, setOps, rollup, asofJoin, sqlDdl,
     approxDistinct, percentileStats, pivot, unpivot, cube, countMin, nestedAgg,
     histogram, cooccurrence, weightedMedian, trailingWindow, groupingSets,
-    equidepthHist)
+    equidepthHist, tradePageRank)
 }

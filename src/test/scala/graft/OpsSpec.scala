@@ -783,4 +783,68 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(msq(uArr) > msq(Array.fill(64)(0.125d)))
   }
+
+  /** Independent double-arithmetic PageRank reference (standard textbook
+    * formulation) for cross-checking the scaled-integer core. */
+  private def pageRankDouble(nodes: Seq[String],
+      edges: Seq[(String, String, Long)], iters: Int): Map[String, Double] = {
+    val n = nodes.length
+    val outW = nodes.map(v => v -> edges.filter(_._1 == v).map(_._3).sum.toDouble).toMap
+    var r = nodes.map(v => v -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodes.filter(v => outW(v) == 0.0).map(r).sum
+      r = nodes.map { v =>
+        val in = edges.filter(_._2 == v)
+          .map { case (s0, _, w) => r(s0) * (w.toDouble / outW(s0)) }.sum
+        v -> (0.15 / n + 0.85 * (in + dang / n))
+      }.toMap
+    }
+    r
+  }
+
+  test("q131 scaled-integer core matches a double PageRank on hand graphs") {
+    // 2-cycle: symmetric → equal ranks, no dangling
+    val cyc = ops.Analytics.pageRankScaled(Seq("A", "B"),
+      Seq(("A", "B", 3L), ("B", "A", 7L)))
+    assert(cyc("A") === cyc("B"))
+    // star with a dangling sink: B collects A's mass, redistributes uniformly
+    val star = ops.Analytics.pageRankScaled(Seq("A", "B", "C"),
+      Seq(("A", "B", 1L), ("C", "B", 1L)))
+    val ref = pageRankDouble(Seq("A", "B", "C"),
+      Seq(("A", "B", 1L), ("C", "B", 1L)), 10)
+    for (v <- Seq("A", "B", "C"))
+      assert(math.abs(star(v).toDouble / 1e15 - ref(v)) < 1e-9, s"node $v")
+    assert(star("B") > star("A") && star("A") === star("C"))
+    // mass conservation: truncation loses < 1e-12 of total mass per node
+    assert(math.abs(star.values.sum.toDouble - 1e15) < 3 * 10 * 3)
+  }
+
+  test("q131 trade PageRank matches a double reference on the real corpus") {
+    val out = SparkEntry.queries("q131_trade_pagerank")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.length === Tables.nation(spark, sfDir).count())
+    // rebuild the edge list independently via SQL and run the double reference
+    Seq("lineitem", "orders", "supplier", "customer", "nation").foreach(t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(s"pr_$t"))
+    val edges = spark.sql("""
+      SELECT sn.n_name src, cn.n_name dst, COUNT(1) w
+      FROM pr_lineitem l
+      JOIN pr_orders o ON o.o_orderkey = l.l_orderkey
+      JOIN pr_supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN pr_customer c ON c.c_custkey = o.o_custkey
+      JOIN pr_nation sn ON sn.n_nationkey = s.s_nationkey
+      JOIN pr_nation cn ON cn.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2""").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val nodes = out.map(_._1).toSeq
+    val ref = pageRankDouble(nodes, edges, 10)
+    for ((nat, _, rank, wOut) <- out) {
+      // edge probabilities are quantized at 1e-9; damping compounds that to
+      // ~0.85/(1-0.85) ≈ 6.7 quanta of drift vs the unquantized reference
+      assert(math.abs(rank - ref(nat)) < 1e-7, s"rank of $nat")
+      assert(wOut === edges.filter(_._1 == nat).map(_._3).sum)
+    }
+    // ranks sum to 1 up to integer-truncation dust (each of ≤ n² edge
+    // probabilities under-shoots by < 1e-9, compounding through damping)
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-6)
+  }
 }
