@@ -748,8 +748,45 @@ object StreamingSessions {
              segment, COUNT(1) AS n_events, ROUND(SUM(value), 2) AS seg_value
       FROM e2 GROUP BY window_start, segment"""))
 
+  /** Bounded-state streaming dedup — `dropDuplicatesWithinWatermark`, the
+    * operator q59's exact dedup deliberately is not: q59's state grows with
+    * corpus novelty forever, while here a key's dedup state lives only until
+    * the watermark passes its event time + delay, so state is bounded by the
+    * KEY ARRIVAL RATE × HORIZON no matter how long the stream runs — the
+    * only admissible shape for an unbounded 100 TB/day feed. The cost is the
+    * documented semantics change: a duplicate arriving after its
+    * first-seen's state was evicted is re-admitted (StreamingSpec pins
+    * exactly that eviction behavior on a crafted two-phase source).
+    *
+    * Here the source is re-staged as 4 files with maxFilesPerTrigger=1, so
+    * duplicates genuinely straddle micro-batch boundaries (~20% of
+    * (user, type, day) keys repeat); the 90-day delay exceeds the corpus's
+    * 30-day span, so no replay order can drop a row as late and completion
+    * equals the batch DISTINCT — the oracle. Emitted columns are the key
+    * alone: which physical row survives is arrival-order-dependent, the key
+    * set is not. */
+  /** The q132 stream shape, parameterized by watermark delay so the spec can
+    * drive the EVICTION path on a crafted short-horizon source. */
+  private[graft] def wmDedupStream(s: SparkSession, path: String,
+      delay: String,
+      readerOptions: Map[String, String] = Map.empty): DataFrame =
+    eventsStream(s, path, readerOptions)
+      .withWatermark("ts", delay)
+      .select(col("ts"), col("user_id"), col("event_type"),
+        to_date(col("ts")).as("day"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+      .select(col("user_id"), col("event_type"), col("day"))
+
+  val streamingWmDedup: Q = Q(
+    "q132_streaming_wm_dedup",
+    (s, dir) => streamToArtifact(s, dir, "wmdedup", "events",
+      p => wmDedupStream(s, p, "90 days", Map("maxFilesPerTrigger" -> "1")),
+      mode = "append", splitSourceFiles = 4),
+    Some("""SELECT DISTINCT user_id, event_type,
+           CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events"""))
+
   val all: Seq[Q] =
     Seq(streamingSessions, streamingDedup, streamingHopping,
       streamingIntervalJoin, streamingOuterJoin, streamingQuota,
-      streamingEnrich, streamingUpsert)
+      streamingEnrich, streamingUpsert, streamingWmDedup)
 }

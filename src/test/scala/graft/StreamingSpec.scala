@@ -312,4 +312,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(out === Set((us(40), 1L), (us(50), 2L), (us(0), 3L)),
       s"got $out")
   }
+
+  test("q132 watermark dedup equals batch DISTINCT keys over the real corpus") {
+    val got = SparkEntry.queries("q132_streaming_wm_dedup")(spark, sfDir)
+    val gotKeys = got.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toString))
+    val want = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toString))
+    // set equality AND no duplicate emissions (append stream must emit each
+    // key exactly once even though ~20% of keys straddle the 4 micro-batches)
+    assert(gotKeys.length === want.length, "duplicate or missing emissions")
+    assert(gotKeys.toSet === want.toSet)
+  }
+
+  test("q132 a key is re-admitted only after its dedup state is evicted") {
+    import spark.implicits._
+    val dir = "/root/repo/target/graft_stream_wmdedup"
+    val fs = new java.io.File(dir)
+    if (fs.exists()) fs.listFiles().foreach(f => {
+      if (f.isDirectory) f.listFiles().foreach(_.delete()); f.delete()
+    })
+    fs.mkdirs()
+    val t0 = 1700006400L * 1000000000L // ns — 2023-11-15 00:00:00 UTC
+    def m(n: Long) = n * 60L * 1000000000L
+    def write(name: String, rows: Seq[(Long, Long, Long)], mtime: Long): Unit = {
+      val tmp = s"$dir/_tmp_$name"
+      rows.toDF("event_id", "ts", "user_id")
+        .withColumn("event_type", lit("click"))
+        .withColumn("value", lit(1.0))
+        .withColumn("props", lit("{}"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/$name")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+      new java.io.File(tmp).listFiles().foreach(_.delete())
+      new java.io.File(tmp).delete()
+    }
+    // delay 1h. batch a: users 1,2. batch b: user 2 duplicate while its
+    // state is still live (suppressed) + user 99 at +10h, which advances the
+    // watermark to +9h — past user 1's state expiry (t0 + 1h) → evicted.
+    // batch c: user 1 again at +9h30m, same UTC day, above watermark: with
+    // state evicted it MUST be re-admitted (the bounded-state trade-off).
+    // state cleanup commits with the watermark that was active DURING a
+    // batch, so the eviction driven by batch b's +10h row lands at the end
+    // of batch b2 — only batch c then sees the store without user 1
+    write("a.parquet", Seq((1L, t0, 1L), (2L, t0 + m(5), 2L)), 1000000L)
+    write("b.parquet", Seq((3L, t0 + m(10), 2L), (4L, t0 + m(600), 99L)), 2000000L)
+    write("b2.parquet", Seq((6L, t0 + m(605), 98L)), 3000000L)
+    write("c.parquet", Seq((5L, t0 + m(570), 1L)), 4000000L)
+    val q = graft.streaming.StreamingSessions
+      .wmDedupStream(spark, dir, "1 hour", Map("maxFilesPerTrigger" -> "1"))
+      .writeStream.format("memory").queryName("graft_wmdedup")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("graft_wmdedup").collect()
+      .map(r => r.getLong(0)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(out === Map(1L -> 2, 2L -> 1, 98L -> 1, 99L -> 1),
+      s"expected u1 twice (evicted state), u2 once (live state), got $out")
+  }
 }
