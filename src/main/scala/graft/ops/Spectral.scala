@@ -111,5 +111,94 @@ object Spectral {
       FROM embeddings"""
     }))
 
-  val all: Seq[Q] = Seq(pcaProjection)
+  // ---- q133: GD-trained linear probe -------------------------------------
+  private val probeIters = 8
+  private val probeEta = 0.05d
+
+  private val probeMem =
+    new scala.collection.concurrent.TrieMap[(String, Long), Seq[Double]]()
+  private val probeLastByDir =
+    new scala.collection.concurrent.TrieMap[String, Seq[Double]]()
+  @volatile private var probeLastDir: Option[String] = None
+  private def probeForOracle: Option[Seq[Double]] =
+    sys.props.get("graft.oracle.sfdir").orElse(probeLastDir)
+      .flatMap(probeLastByDir.get)
+
+  /** Train a 3-weight linear probe (bias, chars/1000, ws-tokens/100 →
+    * is-English) by T full-batch gradient-descent passes — the fastText-class
+    * "cheap quality/language classifier" stage of a corpus pipeline, reduced
+    * to its distributed essence: each GD step is ONE aggregation pass,
+    * w ← w − η·Xᵀ(Xw − y)/n, with the current weights broadcast as plan
+    * literals (the q122 loop shape). Per-row residuals are fixed-shape double
+    * expressions; per-row gradient contributions are rounded to
+    * DECIMAL(38,12) and summed exactly, so the trained weights are
+    * bit-identical under any partitioning; the driver update is a fixed
+    * scalar op sequence. Squared loss keeps every op rational — no exp()/
+    * sigmoid, which is not bit-stable across engines.
+    *
+    * Scale shape: T scans of a 3-column projection (persisted), each
+    * collapsing map-side to ≤3 decimal partials per partition — wire volume
+    * independent of N. */
+  private[graft] def probeWeights(s: SparkSession, dir: String): Seq[Double] = {
+    val fp = Artifacts.fingerprint(s, s"$dir/documents.parquet")
+    val w = probeMem.getOrElseUpdate((dir, fp), {
+      val feats = Tables.documents(s, dir).select(
+        (col("n_chars").cast("double") / lit(1000.0d)).as("x1"),
+        (size(split(col("text"), " ")).cast("double") / lit(100.0d)).as("x2"),
+        when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y")).persist()
+      val n = feats.count().toDouble
+      var cur = Array(0d, 0d, 0d)
+      try {
+        for (_ <- 1 to probeIters) {
+          val sums = feats
+            .withColumn("r", lit(cur(0)) + lit(cur(1)) * col("x1") +
+              lit(cur(2)) * col("x2") - col("y"))
+            .select(posexplode(expr(
+              "transform(array(cast(1.0 as double), x1, x2)," +
+                " x -> cast(x * r as decimal(38,12)))")).as(Seq("j", "g")))
+            .groupBy(col("j")).agg(sum("g").as("g"))
+            .collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
+          cur = Array.tabulate(3)(j =>
+            cur(j) - probeEta * (sums.getOrElse(j, 0d) / n))
+        }
+      } finally feats.unpersist()
+      cur.toSeq
+    })
+    probeLastByDir.put(dir, w)
+    probeLastDir = Some(dir)
+    w
+  }
+
+  /** q133: score every document with the trained probe. The scoring
+    * expression is the identical fixed shape in both engines, with the
+    * run-trained weights embedded as DOUBLE literals in the dynamic oracle
+    * (SqlLit forces DuckDB's bit-exact strtod path), so score, threshold
+    * decision and label all hash-match. */
+  val linearProbe: Q = Q(
+    "q133_linear_probe",
+    (s, dir) => {
+      val w = probeWeights(s, dir)
+      val score = lit(w(0)) +
+        lit(w(1)) * (col("n_chars").cast("double") / lit(1000.0d)) +
+        lit(w(2)) * (size(split(col("text"), " ")).cast("double") / lit(100.0d))
+      Tables.documents(s, dir).select(col("doc_id"), score.as("score"),
+        when(score >= 0.5d, 1).otherwise(0).as("pred"),
+        when(col("lang") === "en", 1).otherwise(0).as("label"))
+    },
+    None,
+    Some(() => probeForOracle.map { w =>
+      val Seq(w0, w1, w2) = w.map(graft.SqlLit.double)
+      s"""WITH sc AS (
+          SELECT doc_id,
+                 ($w0 + $w1 * (CAST(n_chars AS DOUBLE) / 1000.0)
+                      + $w2 * (CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0))
+                   AS score,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+          FROM documents)
+        SELECT doc_id, score,
+               CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS pred, label
+        FROM sc"""
+    }))
+
+  val all: Seq[Q] = Seq(pcaProjection, linearProbe)
 }

@@ -784,6 +784,47 @@ class OpsSpec extends AnyFunSuite {
     assert(msq(uArr) > msq(Array.fill(64)(0.125d)))
   }
 
+  test("q133 linear probe matches an exact driver GD recompute and reduces loss") {
+    val w = ops.Spectral.probeWeights(spark, sfDir)
+    val feats = Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars", "text", "lang").collect()
+      .map { r =>
+        (r.getLong(0), r.getLong(1).toDouble / 1000.0,
+          // split(-1) keeps trailing empties — Spark's split / DuckDB's
+          // string_split semantics, NOT Java's default
+          r.getString(2).split(" ", -1).length.toDouble / 100.0,
+          if (r.getString(3) == "en") 1.0 else 0.0)
+      }
+    val n = feats.length.toDouble
+    // exact recompute: decimal(38,12) contributions (Double.toString, HALF_UP)
+    var cur = Array(0d, 0d, 0d)
+    for (_ <- 1 to 8) {
+      val sums = Array.fill(3)(java.math.BigDecimal.ZERO)
+      for ((_, x1, x2, y) <- feats) {
+        val r = cur(0) + cur(1) * x1 + cur(2) * x2 - y
+        val xs = Array(1.0, x1, x2)
+        for (j <- 0 until 3)
+          sums(j) = sums(j).add(new java.math.BigDecimal(
+            java.lang.Double.toString(xs(j) * r))
+            .setScale(12, java.math.RoundingMode.HALF_UP))
+      }
+      cur = Array.tabulate(3)(j => cur(j) - 0.05 * (sums(j).doubleValue / n))
+    }
+    assert(w === cur.toSeq, "trained weights differ from exact recompute")
+    val out = SparkEntry.queries("q133_linear_probe")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out.size === feats.length)
+    for ((id, x1, x2, y) <- feats) {
+      val sc = cur(0) + cur(1) * x1 + cur(2) * x2
+      assert(out(id) === ((sc, if (sc >= 0.5) 1 else 0, y.toInt)), s"doc $id")
+    }
+    // eight GD steps must have reduced squared loss vs the zero init
+    def mse(ws: Array[Double]) = feats.map { case (_, x1, x2, y) =>
+      val r = ws(0) + ws(1) * x1 + ws(2) * x2 - y; r * r
+    }.sum / n
+    assert(mse(cur) < mse(Array(0d, 0d, 0d)))
+  }
+
   /** Independent double-arithmetic PageRank reference (standard textbook
     * formulation) for cross-checking the scaled-integer core. */
   private def pageRankDouble(nodes: Seq[String],
