@@ -8,7 +8,8 @@ object SparkEntry {
   private def registry: Seq[Q] =
     pipelines.Pipelines.all ++ ops.Dedup.all ++ ops.DedupCluster.all ++
       ops.Similarity.all ++ ops.Spectral.all ++
-      ops.TextOps.all ++ ops.CorpusOps.all ++ ops.Multimodal.all ++ ops.Sampling.all ++
+      ops.TextOps.all ++ ops.CorpusOps.all ++ ops.Bpe.all ++
+      ops.Multimodal.all ++ ops.Sampling.all ++
       ops.Skew.all ++ ops.Sources.all ++
       ops.Analytics.all ++ ops.TypedAgg.all ++ ops.Warehouse.all ++
       ops.EventOps.all ++ ops.LineageQueries.all ++ ops.Subqueries.all ++

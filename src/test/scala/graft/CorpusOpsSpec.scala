@@ -301,6 +301,84 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got === Map("hh0" -> 30000L, "hh1" -> 20000L))
   }
 
+  // ---- q134 BPE: independent list-based reference implementation ----------
+  private def bpeNormWords(t: String): Seq[String] =
+    t.toLowerCase.replaceAll("[^a-z0-9]+", "#")
+      .dropWhile(_ == '#').reverse.dropWhile(_ == '#').reverse
+      .split("#").toSeq.filter(_.nonEmpty)
+
+  private def bpeMergeWord(w: List[String], p: (String, String)): List[String] = {
+    val b = List.newBuilder[String]
+    var rest = w
+    while (rest.nonEmpty) rest match {
+      case a :: bb :: t if (a, bb) == p => b += (a + bb); rest = t
+      case a :: t => b += a; rest = t
+      case Nil => ()
+    }
+    b.result()
+  }
+
+  private def bpeTrain(words: Map[String, Long], k: Int): Seq[(String, String)] = {
+    var vocab = words.map { case (w, f) => w.map(_.toString).toList -> f }.toSeq
+    val out = Seq.newBuilder[(String, String)]
+    var done = false
+    for (_ <- 1 to k if !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        counts(p) = counts.getOrElse(p, 0L) + f
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), f) => (-f, a, b) }._1
+        out += best
+        vocab = vocab.map { case (syms, f) => bpeMergeWord(syms, best) -> f }
+      }
+    }
+    out.result()
+  }
+
+  test("q134 BPE merges and token counts match the independent reference") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val wordFreq = docs.flatMap(d => bpeNormWords(d._2))
+      .groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+    val wantMerges = bpeTrain(wordFreq, ops.Bpe.nMerges)
+    assert(ops.Bpe.learnMerges(spark, sfDir) === wantMerges)
+    val got = SparkEntry.queries("q134_bpe_tokenize")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(got.size === docs.length)
+    for ((id, text) <- docs) {
+      val words = bpeNormWords(text)
+      val toks = words.map { w =>
+        wantMerges.foldLeft(w.map(_.toString).toList)(bpeMergeWord).length.toLong
+      }.sum
+      val base = words.map(_.length.toLong).sum
+      val comp = if (toks > 0) Some(base.toDouble / toks.toDouble) else None
+      assert(got(id) === ((toks, base, comp)), s"doc $id")
+    }
+  }
+
+  test("q134 BPE learns the hand-computed merge sequence on a planted corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_spec").toString
+    // three copies of "aaaa bb": round 1 (a,a)=9 beats (b,b)=3; round 2 ties
+    // (aa,aa)=3 with (b,b)=3 → pair-asc tie-break picks (aa,aa); round 3
+    // (b,b); round 4 no pairs left → training stops early
+    (0L until 3L).map(i => (i, "aaaa bb", "en", "src0", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(ops.Bpe.learnMerges(spark, dir) ===
+      Seq(("a", "a"), ("aa", "aa"), ("b", "b")))
+    val row = SparkEntry.queries("q134_bpe_tokenize")(spark, dir)
+      .filter(col("doc_id") === 0L).head()
+    assert(row.getAs[Long]("bpe_tokens") === 2L) // [aaaa] [bb]
+    assert(row.getAs[Long]("base_symbols") === 6L)
+    assert(row.getAs[Double]("compression") === 3.0d)
+  }
+
   test("q130 KS drift equals a driver-side exact recompute over the real corpus") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("source", "n_chars").collect()
