@@ -780,7 +780,86 @@ object Dedup {
              CAST(MAX(ia) - MIN(ia) + $SpanK AS BIGINT) AS span_len
       FROM g GROUP BY doc_a, doc_b, diag, grp"""))
 
+  // ---- q135: asymmetric containment join -----------------------------------
+  private val containTauN = 8 // τ = 0.8, as a ×10 integer for exact threshold math
+
+  /** Directional containment join: doc A is "mostly inside" doc B when
+    * |S(A) ∩ S(B)| / |S(A)| ≥ τ over distinct word 3-grams — the quote /
+    * excerpt / subset-duplicate detector, and the directional complement of
+    * q14/q111's symmetric scores: a 30-word passage quoted inside a
+    * 3000-word page scores Jaccard ≈ 0.01 (invisible to q14) but
+    * containment 1.0.
+    *
+    * Prefix-filter completeness (why the pruned plan is still exact):
+    * containment ≥ τ ⇒ common ≥ ⌈τ·n_a⌉, so ANY (n_a − ⌈τ·n_a⌉ + 1)-subset
+    * of A's shingles must hit B; probing with the globally RAREST such
+    * subset (df-ascending prefix) minimizes index fan-out — the PPJoin
+    * prefix lever WITHOUT its size-ratio prune, which containment must not
+    * apply (the small-doc-in-huge-doc pair is exactly the hit q111's ratio
+    * cut discards). Candidate volume is Σ_A Σ_{s ∈ prefix(A)} df(s) —
+    * duplicate-mass-proportional, never O(n²) in docs; verification is an
+    * exact array_intersect on the bounded per-doc shingle arrays. The
+    * threshold test is integer cross-multiplication (common·10 ≥ n_a·τ10);
+    * the reported score is one BIGINT/BIGINT division, double in both
+    * engines. Oracle: the UNPRUNED full inverted-index join — a different
+    * algorithm, so the hash gate also certifies the pruning bounds. */
+  val containmentJoin: Q = Q(
+    "q135_containment_join",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val shingles = expr(
+        """array_distinct(transform(sequence(0, size(words) - 3),
+           i -> concat_ws(' ', slice(words, i + 1, 3))))""")
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .filter(size(col("words")) >= 3)
+      val toks = base.select(col("doc_id"), explode(shingles).as("ngram"))
+      val dft = toks.groupBy("ngram").agg(count(lit(1)).as("df"))
+      val byRarity = Window.partitionBy("doc_id").orderBy("df", "ngram")
+      val pre = toks.join(dft, "ngram")
+        .select(col("doc_id"), col("ngram"),
+          row_number().over(byRarity).as("rn"),
+          count(lit(1)).over(Window.partitionBy("doc_id")).as("sz"))
+        .filter(col("rn") <= col("sz")
+          - expr(s"(sz * $containTauN + 9) DIV 10") + 1)
+      val cand = pre.as("a").join(toks.as("b"),
+          col("a.ngram") === col("b.ngram") && col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sz").as("n_a"))
+        .distinct()
+      val arrs = base.select(col("doc_id"), shingles.as("tokarr"))
+      cand
+        .join(arrs.select(col("doc_id").as("doc_a"), col("tokarr").as("ta")), "doc_a")
+        .join(arrs.select(col("doc_id").as("doc_b"), col("tokarr").as("tb")), "doc_b")
+        .withColumn("common", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .withColumn("n_b", size(col("tb")).cast("long"))
+        .filter(col("common") * 10 >= col("n_a") * containTauN)
+        .withColumn("containment", col("common") / col("n_a"))
+        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+          col("common"), col("containment"))
+    },
+    Some(s"""WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+      ), ng AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words) - 1),
+          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS ngram
+        FROM docs
+      ), sz AS (SELECT doc_id, COUNT(1) AS n FROM ng GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS common
+        FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT p.doc_a, p.doc_b, sa.n AS n_a, sb.n AS n_b, p.common,
+             p.common / sa.n AS containment
+      FROM pairs p
+      JOIN sz sa ON p.doc_a = sa.doc_id
+      JOIN sz sb ON p.doc_b = sb.doc_id
+      WHERE p.common * 10 >= sa.n * $containTauN"""))
+
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, editDistance,
-      incrementalDedup, fuzzyDecontaminate, setSimJoin, substringSpans)
+      incrementalDedup, fuzzyDecontaminate, setSimJoin, substringSpans,
+      containmentJoin)
 }

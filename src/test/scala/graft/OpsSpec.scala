@@ -784,6 +784,46 @@ class OpsSpec extends AnyFunSuite {
     assert(msq(uArr) > msq(Array.fill(64)(0.125d)))
   }
 
+  test("q135 containment join equals whole-corpus brute force") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def sh(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val sets = docs.map { case (id, t) => id -> sh(t) }.filter(_._2.nonEmpty)
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      common = (sa & sb).size.toLong if common * 10 >= sa.size.toLong * 8
+    } yield (a, b) -> ((sa.size.toLong, sb.size.toLong, common,
+      common.toDouble / sa.size.toDouble))).toMap
+    val got = SparkEntry.queries("q135_containment_join")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got === want)
+    assert(want.nonEmpty, "corpus has no containment pairs — test is vacuous")
+  }
+
+  test("q135 a short quote inside a long page is found in one direction only") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_contain_spec").toString
+    val page = (0 until 60).map(i => s"w$i").mkString(" ")
+    val quote = (10 until 22).map(i => s"w$i").mkString(" ") // verbatim slice
+    val other = (100 until 140).map(i => s"v$i").mkString(" ")
+    Seq((1L, page, "en", "s0", page.length.toLong),
+      (2L, quote, "en", "s1", quote.length.toLong),
+      (3L, other, "en", "s2", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q135_containment_join")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    // the quote (10 3-grams, all inside the page) is contained; the page
+    // (58 3-grams, 10 shared) is NOT contained in the quote; doc 3 matches
+    // nothing
+    assert(got === Map((2L, 1L) -> 1.0))
+  }
+
   test("q133 linear probe matches an exact driver GD recompute and reduces loss") {
     val w = ops.Spectral.probeWeights(spark, sfDir)
     val feats = Tables.documents(spark, sfDir)
