@@ -26,7 +26,10 @@ object PairSweep {
     "q102_dedup_incremental", "q111_setsim_join",
     // round-9 pair miners: window-text inverted index (q115) and
     // phash band join (q117) — candidate-volume-driven like the rest
-    "q115_substring_spans", "q117_phash_neardup")
+    "q115_substring_spans", "q117_phash_neardup",
+    // containment prefix-probe join (q135): candidate volume is
+    // Σ prefix-df — the same class
+    "q135_containment_join")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
