@@ -77,5 +77,148 @@ object Sampling {
         ) AS train_rank
       FROM documents"""))
 
-  val all: Seq[Q] = Seq(trainSplit, trainOrder)
+  // ---- q137: proportional holdout via largest-remainder apportionment ------
+  private val holdoutK = 100
+
+  /** Build a fixed-size eval holdout (K docs) allocated across sources in
+    * EXACT proportion — Hamilton's largest-remainder method, the
+    * deterministic-integer answer to "100 docs, same source mix as the
+    * corpus": base quota n_src·K DIV N per source, then the K − Σbase
+    * leftover seats go to the largest remainders (tie-broken by source).
+    * Unlike q52's per-source rate sampling (expected counts, binomial
+    * jitter) and q80's fixed n-per-group (ignores proportions), the total
+    * and the mix are both exact. Membership within a source is the q48 hash
+    * family — reproducible, engine-portable, leakage-stable.
+    *
+    * Scale shape: apportionment runs on the |sources|-row aggregate (the
+    * driver-size windows); the only data-sized work is the source count and
+    * the per-source hash-rank pick. The rank here is a per-source window;
+    * at 100 TB substitute q58's bounded top-k-per-group aggregator (quota ≤
+    * K, so map-side state is K rows per source) — same rows, no full sort. */
+  val proportionalHoldout: Q = Q(
+    "q137_proportional_holdout",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val bySrc = d.groupBy("source").agg(count(lit(1)).as("n_src"))
+      val tot = bySrc.agg(sum("n_src").as("n_total"))
+      val alloc = bySrc.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"n_src * $holdoutK DIV n_total"))
+        .withColumn("rem", expr(s"n_src * $holdoutK % n_total"))
+        .withColumn("rr", row_number()
+          .over(Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+      val leftover = alloc.agg((lit(holdoutK) - sum("base")).as("leftover"))
+      val quota = alloc.crossJoin(broadcast(leftover))
+        .withColumn("quota",
+          col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+        .select("source", "n_src", "quota")
+      d.select(col("doc_id"), col("source"),
+          md5(concat_ws("|", lit(salt), col("doc_id").cast("string"),
+            lit("holdout"))).as("hk"))
+        .withColumn("rn", row_number()
+          .over(Window.partitionBy("source").orderBy("hk", "doc_id")).cast("long"))
+        .join(broadcast(quota), "source")
+        .filter(col("rn") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("n_src"), col("quota"),
+          col("rn").as("pick_rank"))
+    },
+    Some(s"""WITH by_src AS (
+        SELECT source, COUNT(1) AS n_src FROM documents GROUP BY 1
+      ), tot AS (SELECT CAST(SUM(n_src) AS BIGINT) AS n_total FROM by_src),
+      alloc AS (
+        SELECT source, n_src,
+               n_src * $holdoutK // n_total AS base,
+               n_src * $holdoutK % n_total AS rem,
+               ROW_NUMBER() OVER (ORDER BY n_src * $holdoutK % n_total DESC,
+                 source) AS rr
+        FROM by_src CROSS JOIN tot
+      ), l AS (SELECT $holdoutK - SUM(base) AS leftover FROM alloc),
+      quota AS (
+        SELECT source, n_src,
+               CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+                 AS quota
+        FROM alloc CROSS JOIN l
+      ), ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY md5('$salt' || '|' || CAST(doc_id AS VARCHAR)
+                   || '|' || 'holdout'), doc_id) AS rn
+        FROM documents
+      )
+      SELECT r.doc_id, r.source, q.n_src, q.quota,
+             CAST(r.rn AS BIGINT) AS pick_rank
+      FROM ranked r JOIN quota q ON r.source = q.source AND r.rn <= q.quota"""))
+
+  // ---- q138: per-source token budget via exact water-filling ---------------
+  private val budgetPct = 6 // T = 60% of the corpus's tokens
+
+  /** Mixture design under a token budget: given budget T (60% of corpus
+    * tokens), cap every source at a common water level θ — the classic
+    * water-filling allocation (alloc_s = min(tokens_s, θ) with the maximal
+    * integer θ s.t. Σ alloc ≤ T). Small sources keep everything; big sources
+    * are cut to the level — the standard anti-domination rule when one crawl
+    * dwarfs the rest of a training mix.
+    *
+    * θ is found EXACTLY with one |sources|-row window pass, no search: sort
+    * sources by tokens asc; hypothesizing that the k−1 smallest saturate,
+    * θ_k = (T − cum_{k−1}) DIV (m−k+1); monotonicity makes exactly one k
+    * valid (lag(tokens) ≤ θ_k < tokens_k), with the all-fit fallback
+    * θ = max tokens when T ≥ total. All arithmetic BIGINT — bit-equal by
+    * construction. Scale shape: one map-side-combined token aggregation is
+    * the only data-sized pass; the solve is dimension-sized. */
+  val tokenWaterfill: Q = Q(
+    "q138_token_waterfill",
+    (s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
+        .groupBy("source").agg(sum("t").as("tokens"))
+      val tot = tok.agg(sum("tokens").as("tt"), count(lit(1)).as("m"))
+      val w = Window.orderBy(col("tokens"), col("source"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rows = tok.crossJoin(broadcast(tot))
+        .withColumn("budget", expr(s"tt * $budgetPct DIV 10"))
+        .withColumn("k", row_number().over(w).cast("long"))
+        .withColumn("cum", sum("tokens").over(run))
+        .withColumn("prev_tok", coalesce(lag(col("tokens"), 1).over(w), lit(0L)))
+        .withColumn("cand", expr("(budget - (cum - tokens)) DIV (m - k + 1)"))
+      val theta = rows
+        .withColumn("valid",
+          col("cand") >= col("prev_tok") && col("cand") < col("tokens"))
+        .agg(coalesce(min(when(col("valid"), col("cand"))), max(col("tokens")))
+          .as("theta"))
+      tok.crossJoin(broadcast(theta)).crossJoin(broadcast(tot))
+        .withColumn("budget", expr(s"tt * $budgetPct DIV 10"))
+        .select(col("source"), col("tokens"), col("theta"), col("budget"),
+          least(col("tokens"), col("theta")).as("alloc"),
+          when(col("tokens") > col("theta"), 1).otherwise(0).as("saturated"))
+    },
+    Some(s"""WITH tok AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY 1
+      ), tot AS (
+        SELECT CAST(SUM(tokens) AS BIGINT) AS tt, COUNT(1) AS m FROM tok
+      ), rows_ AS (
+        SELECT source, tokens, tt, m,
+               tt * $budgetPct // 10 AS budget,
+               ROW_NUMBER() OVER w AS k,
+               CAST(SUM(tokens) OVER wcum AS BIGINT) AS cum,
+               COALESCE(LAG(tokens, 1) OVER w, 0) AS prev_tok
+        FROM tok CROSS JOIN tot
+        WINDOW w AS (ORDER BY tokens, source),
+               wcum AS (ORDER BY tokens, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ), cands AS (
+        SELECT *, (budget - (cum - tokens)) // (m - k + 1) AS cand FROM rows_
+      ), theta AS (
+        SELECT COALESCE(
+            MIN(CASE WHEN cand >= prev_tok AND cand < tokens THEN cand END),
+            MAX(tokens)) AS theta
+        FROM cands
+      )
+      SELECT t.source, t.tokens, th.theta, tot.tt * $budgetPct // 10 AS budget,
+             CAST(LEAST(t.tokens, th.theta) AS BIGINT) AS alloc,
+             CASE WHEN t.tokens > th.theta THEN 1 ELSE 0 END AS saturated
+      FROM tok t CROSS JOIN theta th CROSS JOIN tot"""))
+
+  val all: Seq[Q] = Seq(trainSplit, trainOrder, proportionalHoldout, tokenWaterfill)
 }

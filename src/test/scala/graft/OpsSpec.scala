@@ -784,6 +784,86 @@ class OpsSpec extends AnyFunSuite {
     assert(msq(uArr) > msq(Array.fill(64)(0.125d)))
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q137 proportional holdout is exactly K docs with Hamilton quotas") {
+    val k = 100
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val n = docs.length.toLong
+    val bySrc = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // Hamilton recompute: base + largest-remainder seats
+    val base = bySrc.map { case (s0, ns) => s0 -> ns * k / n }
+    val rem = bySrc.map { case (s0, ns) => s0 -> ns * k % n }
+    val leftover = (k - base.values.sum).toInt
+    val seats = rem.toSeq.sortBy { case (s0, r) => (-r, s0) }
+      .take(leftover).map(_._1).toSet
+    val quota = bySrc.keys.map(s0 =>
+      s0 -> (base(s0) + (if (seats(s0)) 1L else 0L))).toMap
+    val out = SparkEntry.queries("q137_proportional_holdout")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(out.length === k, s"holdout must be exactly $k docs")
+    val outBySrc = out.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    for ((s0, q) <- quota)
+      assert(outBySrc.getOrElse(s0, 0L) === q, s"quota of $s0")
+    // quotas are within one of the exact share (Hamilton's guarantee)
+    for ((s0, q) <- quota) {
+      val exact = bySrc(s0).toDouble * k / n
+      assert(q >= math.floor(exact) && q <= math.ceil(exact))
+    }
+    // membership = the quota smallest holdout-hashes within each source
+    val picked = out.map(_._1).toSet
+    for ((s0, members) <- docs.groupBy(_._2)) {
+      val want = members.map(_._1)
+        .sortBy(id => (md5hex(s"split42|$id|holdout"), id))
+        .take(quota(s0).toInt).toSet
+      assert(members.map(_._1).filter(picked).toSet === want, s"picks of $s0")
+    }
+  }
+
+  test("q138 water level is maximal and feasible on the real corpus") {
+    val out = SparkEntry.queries("q138_token_waterfill")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    val tokens = Tables.documents(spark, sfDir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = tokens.values.sum
+    val budget = total * 6 / 10
+    val theta = out.head._3
+    assert(out.forall(_._3 == theta) && out.forall(_._4 == budget))
+    def fill(th: Long) = tokens.values.map(math.min(_, th)).sum
+    // feasible and maximal: θ fits the budget, θ+1 exceeds it
+    assert(fill(theta) <= budget && fill(theta + 1) > budget)
+    for ((s0, t, _, _, alloc, sat) <- out) {
+      assert(t === tokens(s0))
+      assert(alloc === math.min(t, theta))
+      assert(sat === (if (t > theta) 1 else 0))
+    }
+  }
+
+  test("q138 planted three-source corpus hits the hand-computed level") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wf_spec").toString
+    // token counts 2 / 8 / 10, budget = 60% of 20 = 12 → θ = 5:
+    // alloc = 2 + 5 + 5 = 12, small source unsaturated
+    Seq((1L, "a b", "en", "srcA", 3L),
+      (2L, (1 to 8).map(i => s"b$i").mkString(" "), "en", "srcB", 20L),
+      (3L, (1 to 10).map(i => s"c$i").mkString(" "), "en", "srcC", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q138_token_waterfill")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getInt(5)))).toMap
+    assert(got === Map(
+      "srcA" -> ((2L, 5L, 2L, 0)),
+      "srcB" -> ((8L, 5L, 5L, 1)),
+      "srcC" -> ((10L, 5L, 5L, 1))))
+  }
+
   test("q135 containment join equals whole-corpus brute force") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
