@@ -536,7 +536,93 @@ object Similarity {
             FROM labeled GROUP BY component) s USING (component)"""
     }))
 
+  // ---- q139: hybrid retrieval via reciprocal-rank fusion -------------------
+  private val rrfK = 50 // fuse the top-50 of each ranker
+  private val rrfC = 60 // the standard RRF dampening constant
+
+  /** Hybrid search — the modern RAG retrieval shape: a lexical ranker (q68's
+    * BM25, same code path, so the two queries cannot diverge) and a dense
+    * ranker (inner product against a probe embedding) each produce a top-K
+    * list; reciprocal-rank fusion scores the union as Σ 1/(C + rank), list
+    * absence contributing 0 (Cormack et al., the score-free fusion that
+    * needs no cross-ranker calibration).
+    *
+    * Scale shape: each ranker ends in orderBy(...).limit(K) —
+    * TakeOrderedAndProject, per-partition top-K then a K-row driver merge,
+    * never a global sort — and every window in the plan runs AFTER a limit,
+    * on ≤ K (or ≤ 2K fused) rows. The dense side broadcasts one probe
+    * vector and streams the corpus once through a codegen'd vec_dot.
+    * Exactness: ranks are integers with total tie-breaks; BM25 doubles are
+    * q68's bit-exact expression; the dense dot is the sequential fold DuckDB
+    * shares; the RRF sum is two fixed-shape divisions + one add. The oracle
+    * embeds q68's oracle verbatim as the lexical subquery. */
+  val hybridRrf: Q = Q(
+    "q139_hybrid_rrf",
+    (s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val lexTop = CorpusOps.bm25Score.run(s, dir).select("doc_id", "score")
+        .orderBy(col("score").desc, col("doc_id")).limit(rrfK)
+        .withColumn("r_lex", row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "r_lex")
+      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> cast(x as double))").as("qv"))
+      val denseTop = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .crossJoin(broadcast(qv))
+        .withColumn("dot", expr("vec_dot(v, qv)"))
+        .orderBy(col("dot").desc, col("doc_id")).limit(rrfK)
+        .withColumn("r_dense", row_number()
+          .over(Window.orderBy(col("dot").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "r_dense")
+      lexTop.join(denseTop, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          when(col("r_lex").isNull, lit(0.0))
+            .otherwise(lit(1.0) / (lit(rrfC) + col("r_lex"))) +
+          when(col("r_dense").isNull, lit(0.0))
+            .otherwise(lit(1.0) / (lit(rrfC) + col("r_dense"))))
+        .withColumn("fused_rank", row_number()
+          .over(Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "r_lex", "r_dense", "rrf", "fused_rank")
+    },
+    Some {
+      val lexSql = CorpusOps.bm25Score.oracle.get
+      s"""WITH lex_all AS (SELECT doc_id, score FROM ($lexSql)),
+        lex AS (
+          SELECT doc_id, r_lex FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_lex
+            FROM lex_all)
+          WHERE r_lex <= $rrfK
+        ), qv AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0
+        ), d_all AS (
+          SELECT vec_id AS doc_id,
+                 list_dot_product(CAST(embedding AS DOUBLE[]),
+                   (SELECT q FROM qv)) AS dot
+          FROM embeddings
+        ), dense AS (
+          SELECT doc_id, r_dense FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY dot DESC, doc_id) AS r_dense
+            FROM d_all)
+          WHERE r_dense <= $rrfK
+        ), fused AS (
+          SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.r_lex, d.r_dense,
+                 (CASE WHEN l.r_lex IS NULL THEN 0e0
+                       ELSE 1e0 / ($rrfC + l.r_lex) END)
+                 + (CASE WHEN d.r_dense IS NULL THEN 0e0
+                         ELSE 1e0 / ($rrfC + d.r_dense) END) AS rrf
+          FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+        )
+        SELECT doc_id, r_lex, r_dense, rrf,
+               ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+        FROM fused"""
+    })
+
   val all: Seq[Q] =
     Seq(embeddingNearDup, knnBruteForce, knnLsh, knnIvf, semDedup,
-      mutualKnnClusters)
+      mutualKnnClusters, hybridRrf)
 }

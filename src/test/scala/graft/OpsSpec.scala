@@ -784,6 +784,42 @@ class OpsSpec extends AnyFunSuite {
     assert(msq(uArr) > msq(Array.fill(64)(0.125d)))
   }
 
+  test("q139 RRF fusion equals a driver recompute from both rankers") {
+    val lex = SparkEntry.queries("q68_bm25_score")(spark, sfDir)
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val vecs = collectVecs()
+    val qv = vecs.find(_._1 == 0L).get._2
+    val dots = vecs.map { case (id, v) => id -> dotFold(v, qv) }
+    def topRanks(xs: Array[(Long, Double)]): Map[Long, Long] =
+      xs.sortBy { case (id, sc) => (-sc, id) }.take(50).zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    val rLex = topRanks(lex)
+    val rDense = topRanks(dots)
+    val fusedIds = (rLex.keySet ++ rDense.keySet).toSeq
+    val rrf = fusedIds.map { id =>
+      id -> (rLex.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        rDense.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0))
+    }.toMap
+    val order = fusedIds.sortBy(id => (-rrf(id), id))
+    val want = order.zipWithIndex.map { case (id, i) =>
+      id -> ((rLex.get(id), rDense.get(id), rrf(id), (i + 1).toLong))
+    }.toMap
+    val got = SparkEntry.queries("q139_hybrid_rrf")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getDouble(3),
+        r.getLong(4)))).toMap
+    assert(got === want)
+    // a doc present in both lists must out-score one with only a single,
+    // equal-or-worse rank — the fusion property the operator exists for
+    val both = fusedIds.filter(id => rLex.contains(id) && rDense.contains(id))
+    val single = fusedIds.filter(id => rLex.contains(id) ^ rDense.contains(id))
+    for (b <- both; s0 <- single
+         if (rLex.get(s0) ++ rDense.get(s0)).head >=
+           math.max(rLex(b), rDense(b)))
+      assert(rrf(b) > rrf(s0))
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
