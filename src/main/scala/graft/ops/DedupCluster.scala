@@ -183,5 +183,106 @@ object DedupCluster {
                   ELSE 'test' END AS split
       FROM labeled"""))
 
-  val all: Seq[Q] = Seq(dedupClusters, dedupPrune, clusterSplit)
+  // ---- q140: alternating large-star/small-star components ------------------
+  /** Connected components via the ALTERNATING STAR algorithm (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", Alg. 2) — the
+    * web-graph-scale alternative to [[connectedComponents]]'s min-label
+    * frontier propagation: frontier propagation converges in O(diameter)
+    * rounds (painful on a long-chain component), while alternating
+    * large-star/small-star contracts components in O(log² n) rounds
+    * regardless of diameter, each round two grouped aggregations + joins on
+    * the CURRENT edge set (which only shrinks toward one star per
+    * component).
+    *
+    *   large-star: per node u, attach every LARGER neighbor to
+    *     m = min(Γ(u) ∪ {u});
+    *   small-star: per node u, attach u and every smaller neighbor to the
+    *     min of the smaller neighbors.
+    *
+    * Every emitted edge points big → small, so the edge set is its own
+    * canonical form; convergence = the round is a no-op, at which point the
+    * edges are exactly (v, component-min) stars. Per-round localCheckpoint
+    * (managed via [[graft.Ckpt]]) keeps the plan flat, as in the frontier
+    * loop. */
+  private[graft] def alternatingStarComponents(spark: SparkSession,
+      pairs: DataFrame, maxIter: Int = 50): (DataFrame, () => Unit) = {
+    def swap(e: DataFrame) = e.select(col("b").as("a"), col("a").as("b"))
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(swap(e))
+      val mins = sym.groupBy("a").agg(min("b").as("mb"))
+      sym.join(mins, "a")
+        .withColumn("m", least(col("a"), col("mb")))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(swap(e))
+      val dirE = sym.filter(col("b") < col("a"))
+      val mins = dirE.groupBy("a").agg(min("b").as("m"))
+      dirE.join(mins, "a")
+        .filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .unionByName(mins.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    val nodes = graft.Ckpt.eager(
+      pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct())
+    var e = graft.Ckpt.eager(
+      pairs.select(greatest(col("doc_a"), col("doc_b")).as("a"),
+        least(col("doc_a"), col("doc_b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+    var it = 0
+    var converged = false
+    try {
+      while (!converged && it < maxIter) {
+        it += 1
+        val next = graft.Ckpt.eager(smallStar(largeStar(e)))
+        converged = next.count() == e.count() &&
+          next.except(e).isEmpty
+        graft.Ckpt.free(e)
+        e = next
+      }
+      if (!converged) throw new IllegalStateException(
+        s"alternating-star did not converge within $maxIter rounds")
+      // converged edges are (v, component-min); roots have no out-edge. The
+      // returned frame still reads the e/nodes blocks — the caller runs its
+      // terminal action, then calls the release handle.
+      val labels = nodes
+        .join(e.select(col("a").as("doc_id"), col("b").as("comp")),
+          Seq("doc_id"), "left")
+        .groupBy("doc_id")
+        .agg(coalesce(min("comp"), min("doc_id")).as("component"))
+      val eFinal = e
+      (labels, () => { graft.Ckpt.free(eFinal); graft.Ckpt.free(nodes) })
+    } catch {
+      case t: Throwable =>
+        graft.Ckpt.free(e); graft.Ckpt.free(nodes); throw t
+    }
+  }
+
+  /** q140: the q40 component contract (same oracle — the exact reachability
+    * fixpoint) computed by the alternating-star algorithm instead of
+    * frontier propagation. Two independent distributed algorithms, one
+    * hash-gated answer. Published as a fingerprinted artifact (like q40's
+    * clusters) so the checkpoint barriers die with the build and repeat
+    * invocations read data. */
+  val starComponents: Q = Q(
+    "q140_star_components",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+      val fp = Artifacts.fingerprint(s, s"$dir/documents.parquet")
+      Artifacts.publishOnce(s, s"${Artifacts.root(s)}/graft_cc_star/$tag", fp) { tmp =>
+        val pairs = Dedup.ngramJaccard.run(s, dir).select("doc_a", "doc_b")
+        val (cc, release) = alternatingStarComponents(s, pairs)
+        try cc.withColumn("is_canonical",
+            when(col("doc_id") === col("component"), 1).otherwise(0))
+          .write.mode("overwrite").parquet(tmp)
+        finally release()
+      }(p => s.read.parquet(p))
+    },
+    dedupClusters.oracle)
+
+  val all: Seq[Q] = Seq(dedupClusters, dedupPrune, clusterSplit, starComponents)
 }

@@ -784,6 +784,42 @@ class OpsSpec extends AnyFunSuite {
     assert(msq(uArr) > msq(Array.fill(64)(0.125d)))
   }
 
+  test("q140 alternating-star components equal q40's frontier propagation") {
+    val star = SparkEntry.queries("q140_star_components")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val frontier = SparkEntry.queries("q40_dedup_clusters")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(star === frontier)
+    assert(star.nonEmpty)
+  }
+
+  test("q140 alternating-star solves a long chain and a random graph exactly") {
+    import spark.implicits._
+    // chain 0-1-...-9 (diameter 9) + separate pair + a seeded random graph,
+    // all checked against a driver union-find
+    val rnd = new scala.util.Random(7)
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    val pair = Seq((100L, 101L))
+    val rand = (0 until 40).map(_ => (200L + rnd.nextInt(30), 200L + rnd.nextInt(30)))
+      .filter(p => p._1 != p._2)
+    val edges = chain ++ pair ++ rand
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) parent(find(a)) = find(b)
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val roots = nodes.map(find)
+    val want = nodes.zip(roots.map(r => nodes.filter(n => find(n) == r).min))
+      .map { case (n, m) => n -> m }.toMap
+    val (cc, release) = ops.DedupCluster.alternatingStarComponents(
+      spark, edges.toDF("doc_a", "doc_b"))
+    val got = try cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally release()
+    assert(got === want)
+  }
+
   test("q139 RRF fusion equals a driver recompute from both rankers") {
     val lex = SparkEntry.queries("q68_bm25_score")(spark, sfDir)
       .select("doc_id", "score").collect()
