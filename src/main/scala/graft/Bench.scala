@@ -54,6 +54,22 @@ object Bench {
       s""""storage_bytes":$storageBytes,"sf":${jstr(sfDir)}}"""
   }
 
+  /** Compact trailer printed AFTER the full contract line. The driver's
+    * BENCH artifact keeps only the last ~2000 output characters; with 140+
+    * entries the full `queries` map alone overflows that window and the
+    * headline `"metric"/"value"` prefix is cut off (BENCH_r07/r08: parsed
+    * null). This line carries the headline numbers plus only the slowest
+    * queries, sized to always survive the tail truncation. */
+  private[graft] def renderSummary(results: Seq[QResult], sfDir: String): String = {
+    val ok = results.filter(_.err.isEmpty)
+    val slow = ok.sortBy(-_.sec).take(10)
+      .map(r => jstr(r.name) + ":" + math.round(r.sec * 100) / 100.0)
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${ok.map(_.sec).sum},"unit":"sec",""" +
+      s""""n_queries":${results.size},"failed":${results.count(_.err.isDefined)},""" +
+      s""""slowest":$slow,"sf":${jstr(sfDir)}}"""
+  }
+
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
@@ -80,6 +96,7 @@ object Bench {
       .map(i => i.memSize + i.diskSize).sum
     println(renderJson(results, sfDir, gcSec,
       spark.sparkContext.getPersistentRDDs.size, storage))
+    println(renderSummary(results, sfDir))
     spark.stop()
   }
 }
