@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -858,8 +859,86 @@ object Dedup {
       JOIN sz sb ON p.doc_b = sb.doc_id
       WHERE p.common * 10 >= sa.n * $containTauN"""))
 
+  // ---- q141: content-defined chunking dedup --------------------------------
+  private val cdcK = 3 // rolling-window width (tokens) for the boundary hash
+
+  /** q141: content-defined chunking (CDC) dedup — the storage-dedup/FastCDC
+    * idea applied at token level: chunk boundaries are declared wherever a
+    * rolling k-token window hashes into a fixed residue class (here: first
+    * md5 hex nibble ∈ {0,1} ⇒ expected chunk ≈ 8 tokens), so an insertion
+    * early in a document SHIFTS chunk boundaries only locally — unlike
+    * fixed-width blocks (q128's patches) where one inserted token reframes
+    * every downstream block, and unlike q115's all-windows index which pays
+    * k rows per token. Emitted: every chunk whose exact text recurs
+    * (n_occ ≥ 2) with its occurrence/document counts — the chunk-store view
+    * a dedup-at-rest system maintains.
+    *
+    * Boundary portability: the residue test runs on the lowercase-hex md5
+    * prefix directly ([[Md5Draw]] argument — no hex→int conversion), and the
+    * window string uses null-PROPAGATING concatenation so both engines see
+    * the identical boundary set; positions below k−1 can never cut.
+    *
+    * Scale shape: one posexplode (×~40), one doc-keyed window pass for the
+    * boundary prefix-sum, one (doc, chunk) aggregation, one chunk-hash
+    * aggregation — all shuffles on natural keys, no joins, no candidate
+    * blowup: the work is linear in corpus tokens regardless of duplication
+    * structure (vs q115 whose span merge is per matching window PAIR). At
+    * 100 TB the chunk-hash groupBy is the only corpus-wide exchange and its
+    * payload is (hash, doc_id) — bytes per chunk, not chunk text. */
+  /** q141's plan over an arbitrary (doc_id, text) frame — spec entry. */
+  private[graft] def cdcChunksOf(docs: DataFrame): DataFrame = {
+    {
+      val toks = docs
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val win = concat(lag("tok", 2).over(w), lit("|"),
+        lag("tok", 1).over(w), lit("|"), col("tok"))
+      val marked = toks.withColumn("b",
+        when(col("pos") >= cdcK - 1 &&
+          substring(md5(win), 1, 1).isin("0", "1"), 1L).otherwise(0L))
+      val chunkId = coalesce(
+        sum("b").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+      val chunks = marked.withColumn("c", chunkId)
+        .groupBy("doc_id", "c")
+        .agg(count(lit(1)).as("n_tokens"),
+          array_join(expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+            " ").as("chunk_text"))
+      chunks.groupBy(md5(col("chunk_text")).as("chunk_hash"))
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct("doc_id").as("n_docs"),
+          min("n_tokens").as("n_tokens"))
+        .filter(col("n_occ") >= 2)
+    }
+  }
+
+  val cdcChunks: Q = Q(
+    "q141_cdc_chunks",
+    (s, dir) => cdcChunksOf(Tables.documents(s, dir)),
+    Some("""WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), p AS (
+        SELECT doc_id, w, unnest(range(1, len(w)+1)) AS i FROM d
+      ), marked AS (
+        SELECT doc_id, i, w[i] AS tok,
+               CASE WHEN i >= 3 AND substr(md5(w[i-2] || '|' || w[i-1] || '|' || w[i]), 1, 1)
+                         IN ('0','1') THEN 1 ELSE 0 END AS b
+        FROM p
+      ), cids AS (
+        SELECT doc_id, i, tok,
+               COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+        FROM marked
+      ), chunks AS (
+        SELECT doc_id, c, count(1) AS n_tokens,
+               string_agg(tok, ' ' ORDER BY i) AS chunk_text
+        FROM cids GROUP BY doc_id, c
+      )
+      SELECT md5(chunk_text) AS chunk_hash, count(1) AS n_occ,
+             count(DISTINCT doc_id) AS n_docs, min(n_tokens) AS n_tokens
+      FROM chunks GROUP BY md5(chunk_text) HAVING count(1) >= 2"""))
+
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, editDistance,
       incrementalDedup, fuzzyDecontaminate, setSimJoin, substringSpans,
-      containmentJoin)
+      containmentJoin, cdcChunks)
 }

@@ -1080,4 +1080,56 @@ class OpsSpec extends AnyFunSuite {
     // probabilities under-shoots by < 1e-9, compounding through damping)
     assert(math.abs(out.map(_._3).sum - 1.0) < 1e-6)
   }
+
+  // ---- q141 CDC chunking ----------------------------------------------------
+
+  /** Driver reference for q141: chunk each doc (cut AFTER any position whose
+    * trailing 3-token window md5 starts with '0'/'1'), then count recurring
+    * chunk texts. */
+  private def cdcBrute(texts: Seq[(Long, String)]): Set[(String, Long, Long, Long)] = {
+    val chunks = texts.flatMap { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val cuts = toks.indices.filter { i =>
+        i >= 2 && "01".contains(md5hex(s"${toks(i - 2)}|${toks(i - 1)}|${toks(i)}").head)
+      }.toSet
+      val buf = Seq.newBuilder[(Long, String)]
+      var cur = Vector.empty[String]
+      toks.indices.foreach { i =>
+        cur :+= toks(i)
+        if (cuts(i)) { buf += id -> cur.mkString(" "); cur = Vector.empty }
+      }
+      if (cur.nonEmpty) buf += id -> cur.mkString(" ")
+      buf.result()
+    }
+    chunks.groupBy(_._2).collect { case (text, occ) if occ.size >= 2 =>
+      (md5hex(text), occ.size.toLong, occ.map(_._1).distinct.size.toLong,
+        text.split(" ", -1).length.toLong)
+    }.toSet
+  }
+
+  test("q141 CDC chunks equal the driver reference over the whole sf0.001 corpus") {
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = SparkEntry.queries("q141_cdc_chunks")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.nonEmpty && got === cdcBrute(texts))
+  }
+
+  test("q141 CDC boundary locality: an insertion re-chunks only its neighborhood") {
+    import spark.implicits._
+    // deterministic 120-token doc; twin inserts one token at position 5 —
+    // fixed-width blocks would reframe everything downstream, CDC must keep
+    // every chunk after the first post-insertion cut identical
+    val words = (0 until 120).map(i => s"w${(i * 7919) % 101}")
+    val twin = (words.take(5) :+ "INSERTED") ++ words.drop(5)
+    val out = ops.Dedup.cdcChunksOf(
+      Seq(1L -> words.mkString(" "), 2L -> twin.mkString(" ")).toDF("doc_id", "text"))
+      .collect()
+    val shared = out.filter(r => r.getLong(2) == 2) // n_docs = 2
+    assert(shared.nonEmpty, "no chunk survived a single-token insertion")
+    // the shared tail must cover most of the document's tokens
+    val sharedTokens = shared.map(_.getLong(3)).sum
+    assert(sharedTokens >= 60, s"only $sharedTokens tokens re-aligned after insertion")
+  }
 }
