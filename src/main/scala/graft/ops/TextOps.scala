@@ -466,7 +466,86 @@ object TextOps {
              ROUND(SUM(r), 6) / COUNT(1) AS surprisal
       FROM sc GROUP BY doc_id"""))
 
+  /** q142: the Gopher-style repetition rule battery (Rae et al. 2021,
+    * arXiv:2112.11446 Table A1) — the n-gram-level complement to q41's
+    * dominant-token fraction: per doc, the duplicate-2gram and
+    * duplicate-3gram fractions (1 − distinct/total), the top-2gram mass
+    * fraction, and mean word length, each gated by a fixed threshold into
+    * one admission flag. Every metric is an int/int division from exact
+    * counts → bit-identical cross-engine; zero-count grams are guarded to
+    * 0.0 explicitly in BOTH engines (Spark long/0 → NULL, DuckDB would
+    * raise — an unguarded short doc diverges the engines).
+    *
+    * Distributed shape: like q41, pure per-row array HOFs — no explode, no
+    * shuffle AT ALL; the whole battery is one codegen'd projection over the
+    * scan, so it composes into any ingest pass for free. Per-row cost is
+    * O(distinct-grams × grams) for the top-mass term — document-sized, not
+    * corpus-sized. */
+  val gopherRules: Q = Q(
+    "q142_gopher_rules",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .withColumn("n_words", size(col("words")).cast("long"))
+        .withColumn("n_chars_words",
+          expr("CAST(aggregate(words, 0L, (a, x) -> a + length(x)) AS BIGINT)"))
+        .withColumn("g2", expr("CASE WHEN size(words) >= 2 THEN " +
+          "transform(sequence(1, size(words)-1), i -> concat(element_at(words, i), '|', element_at(words, i+1))) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END"))
+        .withColumn("g3", expr("CASE WHEN size(words) >= 3 THEN " +
+          "transform(sequence(1, size(words)-2), i -> concat(element_at(words, i), '|', element_at(words, i+1), '|', element_at(words, i+2))) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END"))
+        .withColumn("n2", size(col("g2")).cast("long"))
+        .withColumn("n3", size(col("g3")).cast("long"))
+        .withColumn("dup2_frac", when(col("n2") > 0,
+          (col("n2") - size(array_distinct(col("g2"))).cast("long")) / col("n2"))
+          .otherwise(lit(0.0)))
+        .withColumn("dup3_frac", when(col("n3") > 0,
+          (col("n3") - size(array_distinct(col("g3"))).cast("long")) / col("n3"))
+          .otherwise(lit(0.0)))
+        .withColumn("top2_frac", when(col("n2") > 0,
+          expr("CAST(array_max(transform(array_distinct(g2), u -> size(filter(g2, x -> x = u)))) AS BIGINT)") / col("n2"))
+          .otherwise(lit(0.0)))
+        .withColumn("mean_word_len", col("n_chars_words") / col("n_words"))
+        .withColumn("pass_gopher",
+          col("n_words") >= 30 && col("mean_word_len") >= 3.0 &&
+            col("mean_word_len") <= 6.0 && col("dup2_frac") <= 0.06 &&
+            col("dup3_frac") <= 0.02 && col("top2_frac") <= 0.08)
+        .select("doc_id", "n_words", "mean_word_len", "dup2_frac",
+          "dup3_frac", "top2_frac", "pass_gopher")
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), g AS (
+        SELECT doc_id, w, len(w) AS n_words,
+          CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),
+            i -> w[i] || '|' || w[i+1]) ELSE [] END AS g2,
+          CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w)-1),
+            i -> w[i] || '|' || w[i+1] || '|' || w[i+2]) ELSE [] END AS g3
+        FROM d
+      ), m AS (
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+          CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS n_chars_words,
+          CAST(len(g2) AS BIGINT) AS n2, CAST(len(g3) AS BIGINT) AS n3,
+          CAST(len(list_distinct(g2)) AS BIGINT) AS d2,
+          CAST(len(list_distinct(g3)) AS BIGINT) AS d3,
+          CAST(COALESCE(list_max(list_transform(list_distinct(g2),
+            u -> len(list_filter(g2, x -> x = u)))), 0) AS BIGINT) AS top2
+        FROM g
+      )
+      SELECT doc_id, n_words,
+        n_chars_words / n_words AS mean_word_len,
+        CASE WHEN n2 > 0 THEN (n2 - d2) / n2 ELSE 0.0 END AS dup2_frac,
+        CASE WHEN n3 > 0 THEN (n3 - d3) / n3 ELSE 0.0 END AS dup3_frac,
+        CASE WHEN n2 > 0 THEN top2 / n2 ELSE 0.0 END AS top2_frac,
+        (n_words >= 30 AND n_chars_words / n_words >= 3.0
+          AND n_chars_words / n_words <= 6.0
+          AND CASE WHEN n2 > 0 THEN (n2 - d2) / n2 ELSE 0.0 END <= 0.06
+          AND CASE WHEN n3 > 0 THEN (n3 - d3) / n3 ELSE 0.0 END <= 0.02
+          AND CASE WHEN n2 > 0 THEN top2 / n2 ELSE 0.0 END <= 0.08) AS pass_gopher
+      FROM m"""))
+
   val all: Seq[Q] = Seq(textQuality, textLangId, tokenCount, docFingerprint,
     repetitionScore, lengthOutliers, robustOutliers, phraseSearch,
-    bigramSurprisal)
+    bigramSurprisal, gopherRules)
 }

@@ -1116,6 +1116,38 @@ class OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got === cdcBrute(texts))
   }
 
+  test("q142 gopher rules: exact metrics on planted docs, repetition fails the gate") {
+    val df = SparkEntry.queries("q142_gopher_rules")(spark, sfDir)
+    // exact recompute for one real doc
+    val (docId, text) = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").head() match { case r => (r.getLong(0), r.getString(1)) }
+    val w = text.split(" ", -1)
+    val g2 = w.sliding(2).filter(_.length == 2).map(_.mkString("|")).toSeq
+    val g3 = w.sliding(3).filter(_.length == 3).map(_.mkString("|")).toSeq
+    val row = df.filter(col("doc_id") === docId).head()
+    assert(row.getLong(1) === w.length.toLong)
+    assert(row.getDouble(2) === w.map(_.length).sum.toDouble / w.length)
+    assert(row.getDouble(3) === (g2.size - g2.distinct.size).toDouble / g2.size)
+    assert(row.getDouble(4) === (g3.size - g3.distinct.size).toDouble / g3.size)
+    assert(row.getDouble(5) ===
+      g2.groupBy(identity).values.map(_.size).max.toDouble / g2.size)
+    // planted: a 40-word doc that is one bigram repeated 20× must fail on
+    // every repetition metric; its dup2 fraction is (39-2)/39
+    import spark.implicits._
+    val planted = SparkEntry.queries("q142_gopher_rules") // same plan, synthetic input
+    val rep = ("ab cd " * 20).trim
+    val out = ops.TextOps.gopherRules.run(spark, sfDir) // corpus run already checked
+    val synth = Seq((900001L, rep)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("gopher").toString
+    synth.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val prow = ops.TextOps.gopherRules.run(spark, tmp).head()
+    assert(prow.getDouble(3) === 37.0 / 39.0, "dup2_frac of pure repetition")
+    assert(!prow.getBoolean(6), "repeated doc must fail the gate")
+    assert(out.columns.toSeq === planted(spark, sfDir).columns.toSeq)
+  }
+
   test("q141 CDC boundary locality: an insertion re-chunks only its neighborhood") {
     import spark.implicits._
     // deterministic 120-token doc; twin inserts one token at position 5 —
