@@ -856,8 +856,66 @@ object EventOps {
              COUNT(1) AS events_n, CAST(SUM(cents) AS BIGINT) AS value_cents
       FROM sess GROUP BY user_id, seq"""))
 
+  // ---- q143: cross-correlation lag scan ------------------------------------
+  /** q143: lead/lag relationship between two event series — the discrete
+    * cross-correlation Σ_d clicks(d)·purchases(d+ℓ) swept over ℓ ∈ [−7, 7]
+    * days, the standard "does metric A lead metric B, and by how much"
+    * diagnostic. The raw score is exact BIGINT (counts × counts, no
+    * normalization → no floats anywhere), days are integer epoch-day
+    * numbers (unix_micros DIV 86.4e9 — no date/timezone arithmetic to
+    * drift between engines), and the argmax flag breaks ties toward the
+    * smallest lag via a total row_number order.
+    *
+    * Distributed shape: the ONLY data-sized work is one map-side-combined
+    * (day, type) count over the scan with the type filter pushed down;
+    * everything after runs on |days| rows — the 15-lag sweep is a broadcast
+    * cross on the day-grain table, then a |days|-key join and a 15-row
+    * aggregate. At 100 TB the lag sweep costs the same as at 100 MB. */
+  val xcorrLag: Q = Q(
+    "q143_xcorr_lag",
+    (s, dir) => {
+      val day = expr("unix_micros(ts) DIV 86400000000").as("day")
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(day, col("event_type")).agg(count(lit(1)).as("n"))
+      val clicks = daily.filter(col("event_type") === "click")
+        .select(col("day"), col("n").as("c"))
+      val purchases = daily.filter(col("event_type") === "purchase")
+        .select(col("day").as("pday"), col("n").as("p"))
+      val lags = s.range(-7, 8).select(col("id").as("lag"))
+      val scores = purchases.crossJoin(broadcast(lags))
+        // c_d pairs with p_{d+ℓ}: purchase day = d + ℓ ⇒ click day = pday − ℓ
+        .withColumn("day", col("pday") - col("lag"))
+        .join(clicks, "day")
+        .groupBy("lag").agg(sum(col("c") * col("p")).as("score"))
+      val full = broadcast(lags).join(scores, Seq("lag"), "left")
+        .withColumn("score", coalesce(col("score"), lit(0L)))
+      full.withColumn("is_best",
+        row_number().over(Window.orderBy(col("score").desc, col("lag"))) === 1)
+    },
+    Some("""WITH ev AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, event_type
+        FROM events WHERE event_type IN ('click', 'purchase')
+      ), c AS (
+        SELECT day, count(1) AS c FROM ev WHERE event_type = 'click' GROUP BY day
+      ), p AS (
+        SELECT day, count(1) AS p FROM ev WHERE event_type = 'purchase' GROUP BY day
+      ), l AS (
+        SELECT unnest(range(-7, 8)) AS lag
+      ), sc AS (
+        SELECT l.lag, SUM(c.c * p.p) AS score
+        FROM l CROSS JOIN p JOIN c ON c.day = p.day - l.lag
+        GROUP BY l.lag
+      ), sweep AS (
+        SELECT l.lag, COALESCE(sc.score, 0) AS score
+        FROM l LEFT JOIN sc ON l.lag = sc.lag
+      )
+      SELECT lag, CAST(score AS BIGINT) AS score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, lag) = 1 AS is_best
+      FROM sweep"""))
+
   val all: Seq[Q] = Seq(funnel, watermarkIngest, gapFill, hoppingWindow,
     cohortRetention, debounce, timeWeightedAvg, attribution, peakConcurrency,
     rollingActiveUsers, transitionMatrix, decayedPopularity, intervalUnion,
-    bitmapDistinct, volumeAnomaly, incrementalSessions)
+    bitmapDistinct, volumeAnomaly, incrementalSessions, xcorrLag)
 }

@@ -524,4 +524,22 @@ class EventOpsSpec extends AnyFunSuite {
     // at least one full-baseline day exists per frequent event type
     assert(expected > 0)
   }
+
+  test("q143 cross-correlation equals a driver recompute; argmax unique") {
+    val got = SparkEntry.queries("q143_xcorr_lag")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got.size === 15)
+    val days = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(expr("unix_micros(ts) DIV 86400000000").as("day"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val c = days.filter(_._2 == "click").groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val p = days.filter(_._2 == "purchase").groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val want = (-7L to 7L).map { l =>
+      l -> c.keys.toSeq.map(d => c(d) * p.getOrElse(d + l, 0L)).sum
+    }.toMap
+    (-7L to 7L).foreach(l => assert(got(l)._1 === want(l), s"lag $l"))
+    val best = want.toSeq.sortBy { case (l, sc) => (-sc, l) }.head._1
+    assert(got(best)._2 && got.count(_._2._2) === 1)
+  }
 }
