@@ -937,8 +937,78 @@ object Dedup {
              count(DISTINCT doc_id) AS n_docs, min(n_tokens) AS n_tokens
       FROM chunks GROUP BY md5(chunk_text) HAVING count(1) >= 2"""))
 
+  // ---- q144: LSH quality evaluation ----------------------------------------
+  /** q144: the evaluation harness a pipeline runs before trusting an ANN/LSH
+    * stage at scale — q15's MinHash-LSH pair set graded against the EXACT
+    * full-shingle Jaccard ≥ 0.5 truth: tp/fp/fn counts plus precision and
+    * recall (each one int/int division). The truth side is the complete
+    * inverted-index join over ALL shingles (no df pruning) with only the
+    * provably result-preserving size-ratio cut (J ≥ 0.5 ⇒ |A| ≤ 2|B|), so
+    * a missed pair can only mean LSH banding/estimation error — exactly
+    * what the eval must measure.
+    *
+    * Distributed shape: the truth join shuffles on shingle then on the pair
+    * key, both natural keys; the grade is three co-partitioned pair-key
+    * joins collapsed to one row. At 100 TB this runs on a sampled shard —
+    * the harness itself is shard-size-agnostic. */
+  val lshEval: Q = Q(
+    "q144_lsh_eval",
+    (s, dir) => {
+      val ng = ngramRows(s, dir)
+      val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val ngN = ng.join(broadcast(sizes), "doc_id")
+      val truth = ngN.as("a").join(ngN.as("b"),
+          col("a.ngram") === col("b.ngram") && col("a.doc_id") < col("b.doc_id")
+            && col("a.n") <= lit(2) * col("b.n")
+            && col("b.n") <= lit(2) * col("a.n"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("common"), min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
+        .filter(col("common") / (col("na") + col("nb") - col("common")) >= 0.5)
+        .select("doc_a", "doc_b")
+      val pred = minhashLsh.run(s, dir).select("doc_a", "doc_b")
+      val keys = Seq("doc_a", "doc_b")
+      val tp = pred.join(truth, keys).agg(count(lit(1)).as("tp"))
+      val fp = pred.join(truth, keys, "left_anti").agg(count(lit(1)).as("fp"))
+      val fn = truth.join(pred, keys, "left_anti").agg(count(lit(1)).as("fn"))
+      tp.crossJoin(fp).crossJoin(fn)
+        .withColumn("precision", when(col("tp") + col("fp") > 0,
+          col("tp") / (col("tp") + col("fp"))).otherwise(lit(0.0)))
+        .withColumn("recall", when(col("tp") + col("fn") > 0,
+          col("tp") / (col("tp") + col("fn"))).otherwise(lit(0.0)))
+    },
+    Some(s"""WITH docs2 AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+      ), tng AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words)-1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS ngram
+        FROM docs2
+      ), tsz AS (
+        SELECT doc_id, count(1) AS n FROM tng GROUP BY doc_id
+      ), tpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS common
+        FROM tng a JOIN tng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      ), truth AS (
+        SELECT p.doc_a, p.doc_b FROM tpairs p
+        JOIN tsz sa ON p.doc_a = sa.doc_id
+        JOIN tsz sb ON p.doc_b = sb.doc_id
+        WHERE p.common / (sa.n + sb.n - p.common) >= 0.5
+      ), pred AS (
+        SELECT doc_a, doc_b FROM (${minhashLsh.oracle.get})
+      ), g AS (
+        SELECT
+          (SELECT count(1) FROM pred JOIN truth USING (doc_a, doc_b)) AS tp,
+          (SELECT count(1) FROM pred ANTI JOIN truth USING (doc_a, doc_b)) AS fp,
+          (SELECT count(1) FROM truth ANTI JOIN pred USING (doc_a, doc_b)) AS fn
+      )
+      SELECT tp, fp, fn,
+        CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END AS precision,
+        CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0.0 END AS recall
+      FROM g"""))
+
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, editDistance,
       incrementalDedup, fuzzyDecontaminate, setSimJoin, substringSpans,
-      containmentJoin, cdcChunks)
+      containmentJoin, cdcChunks, lshEval)
 }

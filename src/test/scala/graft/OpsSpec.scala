@@ -1116,6 +1116,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got === cdcBrute(texts))
   }
 
+  test("q144 LSH eval: counts reconcile with a driver brute-force truth") {
+    val row = SparkEntry.queries("q144_lsh_eval")(spark, sfDir).head()
+    val (tp, fp, fn) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    // brute-force full-shingle Jaccard truth over the whole sf0.001 corpus
+    val sets = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+      .filter(_._2.length >= 3)
+      .map { case (id, w) =>
+        id -> w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }
+    val truthN = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size
+      if inter.toDouble / (sa.size + sb.size - inter) >= 0.5
+    } yield 1).size.toLong
+    val predN = SparkEntry.queries("q15_dedup_minhash_lsh")(spark, sfDir).count()
+    assert(tp + fn === truthN, "truth partition")
+    assert(tp + fp === predN, "pred partition")
+    assert(row.getDouble(3) === (if (predN > 0) tp.toDouble / predN else 0.0))
+    assert(row.getDouble(4) === (if (truthN > 0) tp.toDouble / truthN else 0.0))
+  }
+
   test("q142 gopher rules: exact metrics on planted docs, repetition fails the gate") {
     val df = SparkEntry.queries("q142_gopher_rules")(spark, sfDir)
     // exact recompute for one real doc
