@@ -467,6 +467,141 @@ object Warehouse {
       SELECT 'o_orderstatus.in_domain', CAST(status_violations AS DOUBLE),
              CASE WHEN status_violations = 0 THEN 1 ELSE 0 END FROM m"""))
 
+  // ---- q145: generic column profiler ---------------------------------------
+  /** lineitem's columns with a per-type EXACT canonical string form — the
+    * cross-engine-stable rendering that makes the profile hashable: ints as
+    * decimal strings, doubles through DECIMAL(18,2) (the table's price
+    * grain), timestamps as epoch-µs integers, strings raw. A raw
+    * double→string or timestamp→string cast would hang the hash on each
+    * engine's float/zero-padding rendering quirks. */
+  private val profileCols: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "int", "l_partkey" -> "int", "l_suppkey" -> "int",
+    "l_linenumber" -> "int", "l_quantity" -> "dbl", "l_extendedprice" -> "dbl",
+    "l_discount" -> "dbl", "l_tax" -> "dbl", "l_returnflag" -> "str",
+    "l_linestatus" -> "str", "l_shipdate" -> "ts")
+
+  private def canonCol(c: org.apache.spark.sql.Column, t: String): org.apache.spark.sql.Column =
+    t match {
+      case "int" => c.cast("string")
+      case "dbl" => c.cast("decimal(18,2)").cast("string")
+      case "str" => c.cast("string")
+      // NTZ parquet timestamps cast to TimestampType first (UTC session TZ
+      // pinned in every entry point ⇒ value-preserving reinterpretation)
+      case "ts"  => unix_micros(c.cast("timestamp")).cast("string")
+    }
+
+  private def canonSql(e: String, t: String): String = t match {
+    case "int" => s"CAST($e AS VARCHAR)"
+    case "dbl" => s"CAST(CAST($e AS DECIMAL(18,2)) AS VARCHAR)"
+    case "str" => s"CAST($e AS VARCHAR)"
+    case "ts"  => s"CAST(epoch_us(CAST($e AS TIMESTAMP)) AS VARCHAR)"
+  }
+
+  /** q145: one-shot data profile of a wide table — per column: row count,
+    * null count, exact distinct count, and typed min/max in canonical form.
+    * The Deequ-style profiling pass a platform runs on every new dataset
+    * before queries touch it (q104 is the CONSTRAINT gate; this is the
+    * discovery side).
+    *
+    * Distributed shape: two scans, both fully parallel. (1) counts: each row
+    * expands to |cols| (col, canonical value) entries via one explode, then
+    * a (col, value)-keyed partial-aggregated count collapses to a |cols|-row
+    * profile — the classic long-form trick that gets N exact
+    * distinct-counts in ONE pass instead of N scans or one
+    * O(2^N-expand) multi-distinct aggregate. (2) min/max: a single wide
+    * aggregate over the TYPED columns (numeric/timestamp semantics, not
+    * lexicographic), canonicalized after aggregation, unpivoted. At 100 TB
+    * both passes are map-side-combined; nothing data-sized crosses the
+    * wire except the (col, value) distinct-count shuffle, which is the
+    * irreducible cost of exact distinct. */
+  val columnProfile: Q = Q(
+    "q145_profile",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val kvs = array(profileCols.map { case (c, t) =>
+        struct(lit(c).as("col_name"), canonCol(col(c), t).as("v"))
+      }: _*)
+      val counts = li.select(explode(kvs).as("kv")).select("kv.col_name", "kv.v")
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count("v")).as("n_nulls"),
+          countDistinct("v").as("n_distinct"))
+      val aggs = profileCols.flatMap { case (c, t) =>
+        Seq(canonCol(min(col(c)), t).as(s"min_$c"), canonCol(max(col(c)), t).as(s"max_$c"))
+      }
+      val mm = li.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(profileCols.map { case (c, _) =>
+          struct(lit(c).as("col_name"), col(s"min_$c").as("min_val"),
+            col(s"max_$c").as("max_val"))
+        }: _*)).as("kv")).select("kv.*")
+      counts.join(broadcast(mm), "col_name")
+    },
+    Some(profileCols.map { case (c, t) =>
+      s"""SELECT '$c' AS col_name, count(1) AS n_rows,
+        count(1) - count($c) AS n_nulls,
+        count(DISTINCT ${canonSql(c, t)}) AS n_distinct,
+        ${canonSql(s"MIN($c)", t)} AS min_val,
+        ${canonSql(s"MAX($c)", t)} AS max_val
+      FROM lineitem"""
+    }.mkString("\nUNION ALL\n")))
+
+  // ---- q146: referential-integrity audit -----------------------------------
+  private val fkEdges: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("events", "user_id", "customer", "c_custkey"))
+
+  /** q146: referential-integrity audit over every FK edge of the star
+    * schema (plus the events→customer identity edge, which is genuinely
+    * violated in this dataset): per edge, child row count, distinct child
+    * keys, orphan rows and orphan keys — the whole-lake consistency report
+    * a platform runs after each load.
+    *
+    * Distributed shape: per edge, the child scan is pruned to the single
+    * key column (ReadSchema: one field), orphans come from one key-keyed
+    * anti-join against the parent's key column, and everything collapses to
+    * a 1-row aggregate before the 8-edge union — per-edge cost is the
+    * minimum possible (a scan of one column each side + one shuffle or
+    * broadcast chosen by AQE on the parent's actual size). */
+  /** One FK edge's audit row — q146's per-edge plan; spec entry for planted
+    * violations. */
+  private[graft] def edgeAudit(child: DataFrame, ck: String,
+      parent: DataFrame, pk: String, rel: String): DataFrame = {
+    val c = child.select(col(ck).as("k"))
+    val p = parent.select(col(pk).as("pk")).distinct()
+    val base = c.agg(count(lit(1)).as("n_child"),
+      countDistinct("k").as("n_child_keys"))
+    val orph = c.join(p, col("k") === col("pk"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_rows"),
+        countDistinct("k").as("n_orphan_keys"))
+    base.crossJoin(orph)
+      .select(lit(rel).as("relationship"),
+        col("n_child"), col("n_child_keys"),
+        col("n_orphan_rows"), col("n_orphan_keys"),
+        (col("n_orphan_rows") === 0).as("ok"))
+  }
+
+  val refIntegrity: Q = Q(
+    "q146_ref_integrity",
+    (s, dir) => fkEdges.map { case (ct, ck, pt, pk) =>
+      edgeAudit(Tables.table(s, dir, ct), ck, Tables.table(s, dir, pt), pk,
+        s"$ct.$ck->$pt.$pk")
+    }.reduce(_ unionAll _),
+    Some(fkEdges.map { case (ct, ck, pt, pk) =>
+      s"""SELECT '$ct.$ck->$pt.$pk' AS relationship,
+        (SELECT count(1) FROM $ct) AS n_child,
+        (SELECT count(DISTINCT $ck) FROM $ct) AS n_child_keys,
+        (SELECT count(1) FROM $ct WHERE $ck NOT IN (SELECT $pk FROM $pt)) AS n_orphan_rows,
+        (SELECT count(DISTINCT $ck) FROM $ct WHERE $ck NOT IN (SELECT $pk FROM $pt)) AS n_orphan_keys,
+        (SELECT count(1) FROM $ct WHERE $ck NOT IN (SELECT $pk FROM $pt)) = 0 AS ok"""
+    }.mkString("\nUNION ALL\n")))
+
   val all: Seq[Q] = Seq(scd2History, snapshotCdc, rangeJoin, partitionStats,
-    schemaEvolution, bucketedJoin, incrementalMv, stratifiedSample, qualityAudit)
+    schemaEvolution, bucketedJoin, incrementalMv, stratifiedSample, qualityAudit,
+    columnProfile, refIntegrity)
 }

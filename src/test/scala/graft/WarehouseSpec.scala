@@ -249,4 +249,42 @@ class WarehouseSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(got === Set((1L, 3L), (3L, 2L)))
   }
+
+  test("q145 profile equals a driver recompute per column") {
+    val got = SparkEntry.queries("q145_profile")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    val li = Tables.lineitem(spark, sfDir)
+    val n = li.count()
+    assert(got.size === 11)
+    // typed exact recomputes across the three canonicalization families
+    val ok = li.select("l_orderkey").collect().map(_.getLong(0))
+    assert(got("l_orderkey") ===
+      ((n, 0L, ok.distinct.length.toLong, ok.min.toString, ok.max.toString)))
+    val rf = li.select("l_returnflag").collect().map(_.getString(0))
+    assert(got("l_returnflag") ===
+      ((n, 0L, rf.distinct.length.toLong, rf.min, rf.max)))
+    val disc = li.select("l_discount").collect().map(_.getDouble(0))
+      .map(d => BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+    assert(got("l_discount") ===
+      ((n, 0L, disc.distinct.length.toLong, disc.min.toString, disc.max.toString)))
+    val ship = li.select(unix_micros(col("l_shipdate").cast("timestamp")))
+      .collect().map(_.getLong(0))
+    assert(got("l_shipdate")._4 === ship.min.toString)
+    assert(got("l_shipdate")._5 === ship.max.toString)
+  }
+
+  test("q146 integrity: clean star schema, planted orphan detected") {
+    val rows = SparkEntry.queries("q146_ref_integrity")(spark, sfDir).collect()
+    assert(rows.length === 8)
+    assert(rows.forall(_.getBoolean(5)), "synthetic star schema must be orphan-free")
+    assert(rows.map(_.getLong(1)).sum > 0)
+    // planted: child keys {1,2,99}, parent {1,2} → orphan row/key = 99
+    import spark.implicits._
+    val child = Seq(1L, 2L, 2L, 99L, 99L).toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val audit = ops.Warehouse.edgeAudit(child, "fk", parent, "pk", "t.fk->p.pk").head()
+    assert((audit.getLong(1), audit.getLong(2), audit.getLong(3),
+      audit.getLong(4), audit.getBoolean(5)) === ((5L, 3L, 2L, 1L, false)))
+  }
 }
