@@ -1045,8 +1045,78 @@ object Analytics {
         FROM r10 JOIN outw o ON o.nation = r10.nation"""
     })
 
+  // ---- q147: group-wise exact OLS ------------------------------------------
+  /** q147: per-source simple linear regression of token count on character
+    * count — closed-form OLS from the five EXACT moment sums (n, Σx, Σy,
+    * Σxy, Σx², Σy²), the per-group trend diagnostic ("are tokens scaling
+    * with bytes the same way in every source?") a corpus pipeline runs to
+    * catch tokenizer drift per domain. The moments accumulate as
+    * DECIMAL(38,0) — order-independent under any partitioning AND
+    * overflow-safe where BIGINT n·Σx² is not at planet scale (n≈1e10,
+    * x≈1e3 ⇒ n·Σx² ≈ 1e26 > 2^63). Slope/intercept/r² are then
+    * fixed-shape doubles: each exact decimal is cast once
+    * (correctly-rounded) and combined with one IEEE ÷ or ×, bit-identical
+    * cross-engine.
+    *
+    * Distributed shape: one map-side-combined aggregate over the scan; the
+    * algebra runs on |sources| rows. Nothing else touches the data. */
+  val groupwiseOls: Q = Q(
+    "q147_groupwise_ols",
+    (s, dir) => {
+      val m = Tables.documents(s, dir)
+        .select(col("source"),
+          col("n_chars").cast("decimal(38,0)").as("x"),
+          size(split(col("text"), " ")).cast("long").cast("decimal(38,0)").as("y"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      m.withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("den_x", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("den_y", col("n") * col("syy") - col("sy") * col("sy"))
+        .filter(col("den_x") > 0)
+        .withColumn("slope", col("num").cast("double") / col("den_x").cast("double"))
+        .withColumn("intercept",
+          (col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+            / col("n").cast("double"))
+        .withColumn("r2", when(col("den_y") > 0,
+          (col("num").cast("double") * col("num").cast("double"))
+            / (col("den_x").cast("double") * col("den_y").cast("double")))
+          .otherwise(lit(1.0)))
+        .select(col("source"), col("n").cast("long").as("n_docs"),
+          col("slope"), col("intercept"), col("r2"))
+    },
+    Some("""WITH m AS (
+        -- HUGEINT = DuckDB's 128-bit exact integer, value-identical to the
+        -- Spark side's DECIMAL(38,0) sums on these magnitudes
+        SELECT source, CAST(count(1) AS HUGEINT) AS n,
+          SUM(CAST(n_chars AS HUGEINT)) AS sx,
+          SUM(CAST(len(string_split(text, ' ')) AS HUGEINT)) AS sy,
+          SUM(CAST(n_chars AS HUGEINT) * CAST(len(string_split(text, ' ')) AS HUGEINT)) AS sxy,
+          SUM(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS sxx,
+          SUM(CAST(len(string_split(text, ' ')) AS HUGEINT) * CAST(len(string_split(text, ' ')) AS HUGEINT)) AS syy
+        FROM documents GROUP BY source
+      ), alg AS (
+        SELECT source, n,
+          n * sxy - sx * sy AS num,
+          n * sxx - sx * sx AS den_x,
+          n * syy - sy * sy AS den_y, sx, sy
+        FROM m
+      )
+      SELECT source, CAST(n AS BIGINT) AS n_docs,
+        CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE) AS slope,
+        (CAST(sy AS DOUBLE) - (CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE)) * CAST(sx AS DOUBLE))
+          / CAST(n AS DOUBLE) AS intercept,
+        CASE WHEN den_y > 0 THEN
+          (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+            / (CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE))
+        ELSE 1.0 END AS r2
+      FROM alg WHERE den_x > 0"""))
+
   val all: Seq[Q] = Seq(windowSuite, setOps, rollup, asofJoin, sqlDdl,
     approxDistinct, percentileStats, pivot, unpivot, cube, countMin, nestedAgg,
     histogram, cooccurrence, weightedMedian, trailingWindow, groupingSets,
-    equidepthHist, tradePageRank)
+    equidepthHist, tradePageRank, groupwiseOls)
 }

@@ -777,8 +777,94 @@ object CorpusOps {
         WHERE c.n_src > 0 AND t.n_total - c.n_src > 0)
       GROUP BY source, n_src, n_rest"""))
 
+  // ---- q148: corpus-level source overlap -----------------------------------
+  private val overlapHashes = 32
+
+  /** q148: pairwise content overlap between SOURCES — the dataset-mixing
+    * diagnostic ("how much of crawl B is already in crawl A?") that decides
+    * dedup order and mixture weights before training. Per source-pair, the
+    * exact Jaccard of distinct 3-gram shingle sets sits next to its
+    * 32-hash MinHash estimate (UNION semantics: a source's h-th signature =
+    * min over its whole shingle set of the [[graft.ops.Md5Draw]] draw, so
+    * signatures of shards union by min — the mergeable-sketch property that
+    * makes the estimate computable per shard and combined on |sources|·32
+    * rows). est = matching-signature fraction, one int/int division;
+    * abs_err pins the estimate against the exact gold in the SAME row —
+    * the query is its own accuracy eval.
+    *
+    * Distributed shape: the estimate path is one (source, h)-keyed
+    * map-side-combined min over the distinct shingle set ×32 — at 100 TB
+    * that is the cheap path, and the exact side (shingle-keyed
+    * intersection join) is the audit run at sample scale. Signatures
+    * never exceed |sources|×32 rows, so the pair sweep is a broadcast. */
+  val sourceOverlap: Q = Q(
+    "q148_source_overlap",
+    (s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("source"), explode(expr(
+          "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), " +
+            "i -> concat_ws(' ', element_at(split(text, ' '), i), " +
+            "element_at(split(text, ' '), i + 1), element_at(split(text, ' '), i + 2))))"))
+          .as("ngram"))
+        .distinct()
+      val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.ngram") === col("b.ngram") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("inter"))
+      val sigs = sh.crossJoin(broadcast(s.range(0, overlapHashes).select(col("id").as("h"))))
+        .groupBy("source", "h")
+        .agg(min(Md5Draw.draw(16, col("h"), col("ngram"))).as("sig"))
+      val est = sigs.as("x").join(sigs.as("y"),
+          col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(sum(when(col("x.sig") === col("y.sig"), 1L).otherwise(0L)).as("matches"))
+      inter
+        .join(broadcast(sizes).withColumnRenamed("source", "src_a").withColumnRenamed("n", "na"), "src_a")
+        .join(broadcast(sizes).withColumnRenamed("source", "src_b").withColumnRenamed("n", "nb"), "src_b")
+        .join(est, Seq("src_a", "src_b"))
+        .withColumn("exact_jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+        .withColumn("est_jaccard", col("matches") / lit(overlapHashes.toDouble))
+        .withColumn("abs_err", abs(col("est_jaccard") - col("exact_jaccard")))
+        .select("src_a", "src_b", "inter", "exact_jaccard", "est_jaccard", "abs_err")
+    },
+    Some(s"""WITH d AS (
+        SELECT source, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+      ), sh AS (
+        SELECT DISTINCT source, unnest(list_distinct(list_transform(range(1, len(w)-1),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS ngram
+        FROM d
+      ), sizes AS (
+        SELECT source, count(1) AS n FROM sh GROUP BY source
+      ), inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(1) AS inter
+        FROM sh a JOIN sh b ON a.ngram = b.ngram AND a.source < b.source
+        GROUP BY a.source, b.source
+      ), hs AS (
+        SELECT unnest(range(0, $overlapHashes)) AS h
+      ), sigs AS (
+        SELECT source, h, MIN(${Md5Draw.drawSql(16, "h", "ngram")}) AS sig
+        FROM sh CROSS JOIN hs GROUP BY source, h
+      ), est AS (
+        SELECT x.source AS src_a, y.source AS src_b,
+               SUM(CASE WHEN x.sig = y.sig THEN 1 ELSE 0 END) AS matches
+        FROM sigs x JOIN sigs y ON x.h = y.h AND x.source < y.source
+        GROUP BY x.source, y.source
+      )
+      SELECT i.src_a, i.src_b, i.inter,
+        i.inter / (sa.n + sb.n - i.inter) AS exact_jaccard,
+        e.matches / CAST($overlapHashes AS DOUBLE) AS est_jaccard,
+        ABS(e.matches / CAST($overlapHashes AS DOUBLE)
+          - i.inter / (sa.n + sb.n - i.inter)) AS abs_err
+      FROM inter i
+      JOIN sizes sa ON i.src_a = sa.source
+      JOIN sizes sb ON i.src_b = sb.source
+      JOIN est e ON i.src_a = e.src_a AND i.src_b = e.src_b"""))
+
   val all: Seq[Q] = Seq(piiRedact, decontaminate, mixtureSample, noveltyScore,
     ngramTopK, docPack, embedQuantize, cleanPipeline, zorderKey, docChunks,
-    bm25Score, tfidfTopTerms, heavyHitters, corpusCard, ksDrift)
+    bm25Score, tfidfTopTerms, heavyHitters, corpusCard, ksDrift, sourceOverlap)
 }
 

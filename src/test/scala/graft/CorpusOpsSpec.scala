@@ -426,4 +426,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     // rest is at 1/2 — D = 1/2; twins never exceed that
     assert(ks("srcA") === 0.5 && ks("srcB") === 0.5)
   }
+
+  test("q148 source overlap: exact jaccard matches a driver set recompute, estimate is calibrated") {
+    val rows = SparkEntry.queries("q148_source_overlap")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // driver recompute of the shingle sets per source
+    val sets = Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+      .filter(_._2.length >= 3)
+      .groupBy(_._1).view.mapValues(_.flatMap { case (_, w) =>
+        w.sliding(3).filter(_.length == 3).map(_.mkString(" "))
+      }.toSet).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val inter = (sets(a) & sets(b)).size.toLong
+      assert(r.getLong(2) === inter, s"pair $a,$b")
+      assert(r.getDouble(3) ===
+        inter.toDouble / (sets(a).size + sets(b).size - inter))
+      // 32-hash MinHash: σ ≈ √(J(1−J)/32) ≤ 0.09; 0.35 is > 3.5σ for any J
+      assert(r.getDouble(5) <= 0.35, s"estimate off for $a,$b: ${r.getDouble(5)}")
+    }
+    // every overlapping pair is present exactly once
+    val pairs = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.distinct.length === pairs.length)
+    val wantPairs = (for {
+      a <- sets.keys; b <- sets.keys
+      if a < b && (sets(a) & sets(b)).nonEmpty
+    } yield (a, b)).toSet
+    assert(pairs.toSet === wantPairs)
+  }
 }

@@ -1116,6 +1116,36 @@ class OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got === cdcBrute(texts))
   }
 
+  test("q147 group-wise OLS equals an exact BigInt moment recompute") {
+    val got = SparkEntry.queries("q147_groupwise_ols")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "n_chars", "text").collect()
+      .map(r => (r.getString(0), BigInt(r.getLong(1)),
+        BigInt(r.getString(2).split(" ", -1).length)))
+      .groupBy(_._1)
+    assert(got.keySet === docs.keySet)
+    docs.foreach { case (src, rows) =>
+      val n = BigInt(rows.size)
+      val sx = rows.map(_._2).sum; val sy = rows.map(_._3).sum
+      val sxy = rows.map(r => r._2 * r._3).sum
+      val sxx = rows.map(r => r._2 * r._2).sum
+      val syy = rows.map(r => r._3 * r._3).sum
+      val num = n * sxy - sx * sy
+      val denX = n * sxx - sx * sx
+      val denY = n * syy - sy * sy
+      assert(denX > 0, s"constant x in $src")
+      // the production double sequence: exact ints cast once, then IEEE ops
+      val slope = num.toDouble / denX.toDouble
+      val intercept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+      val r2 = if (denY > 0) (num.toDouble * num.toDouble) /
+        (denX.toDouble * denY.toDouble) else 1.0
+      assert(got(src) === ((rows.size.toLong, slope, intercept, r2)), src)
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
+
   test("q144 LSH eval: counts reconcile with a driver brute-force truth") {
     val row = SparkEntry.queries("q144_lsh_eval")(spark, sfDir).head()
     val (tp, fp, fn) = (row.getLong(0), row.getLong(1), row.getLong(2))
