@@ -1115,8 +1115,155 @@ object Analytics {
         ELSE 1.0 END AS r2
       FROM alg WHERE den_x > 0"""))
 
+  // ---- q151: market-share star query (TPC-H Q8 shape) ----------------------
+  /** q151: national market share — of all revenue from orders placed by
+    * ASIA-region customers, the fraction supplied by NATION_2, per order
+    * year (the TPC-H Q8 shape on this star schema). Revenue is exact
+    * integer 10⁻⁴-dollars (price cents × discount complement percent), so
+    * the share is one BIGINT/BIGINT→double division per year.
+    *
+    * Distributed shape: the canonical broadcast-chain star join — lineitem
+    * (the only fact-sized table) streams once; orders joins on the
+    * co-partitioned orderkey; customer/supplier/nation/region are all
+    * broadcast dims, with the region filter applied INSIDE the dim before
+    * broadcast so the customer side shrinks before it ships. No shuffle
+    * touches fact rows except the single orderkey join and the final
+    * |years|-row aggregate. */
+  val marketShare: Q = Q(
+    "q151_market_share",
+    (s, dir) => {
+      val nation = Tables.nation(s, dir)
+      val region = Tables.region(s, dir)
+      val asiaNations = nation.join(
+          broadcast(region.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cust_nk"))
+      val custAsia = Tables.customer(s, dir)
+        .join(broadcast(asiaNations), col("c_nationkey") === col("cust_nk"))
+        .select("c_custkey")
+      val suppNation = Tables.supplier(s, dir)
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val rev = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            * (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+            .as("rev_e4"))
+      val orders = Tables.orders(s, dir)
+        .join(custAsia, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      rev.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(sum("rev_e4").as("total_rev_e4"),
+          sum(when(col("supp_nation") === "NATION_2", col("rev_e4"))
+            .otherwise(0L)).as("focus_rev_e4"))
+        .withColumn("mkt_share",
+          col("focus_rev_e4").cast("double") / col("total_rev_e4").cast("double"))
+    },
+    Some("""WITH rev AS (
+        SELECT l_orderkey, l_suppkey,
+          CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4
+        FROM lineitem
+      ), cust_asia AS (
+        SELECT c_custkey FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+      ), o AS (
+        SELECT o_orderkey, year(CAST(o_orderdate AS TIMESTAMP)) AS o_year
+        FROM orders JOIN cust_asia ON o_custkey = c_custkey
+      ), sn AS (
+        SELECT s_suppkey, n_name AS supp_nation
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      )
+      SELECT o.o_year,
+        CAST(SUM(rev.rev_e4) AS BIGINT) AS total_rev_e4,
+        CAST(SUM(CASE WHEN sn.supp_nation = 'NATION_2' THEN rev.rev_e4 ELSE 0 END) AS BIGINT)
+          AS focus_rev_e4,
+        CAST(SUM(CASE WHEN sn.supp_nation = 'NATION_2' THEN rev.rev_e4 ELSE 0 END) AS DOUBLE)
+          / CAST(SUM(rev.rev_e4) AS DOUBLE) AS mkt_share
+      FROM rev JOIN o ON rev.l_orderkey = o.o_orderkey
+      JOIN sn ON rev.l_suppkey = sn.s_suppkey
+      GROUP BY o.o_year"""))
+
+  // ---- q149: degree-ordered triangle counting ------------------------------
+  /** q149: per-vertex triangle counts on the word co-occurrence graph
+    * (words linked when they share ≥ 65% of documents — the threshold is an
+    * exact integer cross-multiply against the corpus size, so the graph
+    * definition scales with the data instead of pinning a count). Triangle
+    * counting is THE clustering-coefficient/community primitive, and the
+    * implementation is the canonical distributed algorithm (Cohen 2009;
+    * Suri & Vassilvitskii's MR-friendly variant): orient every undirected
+    * edge from its (degree, id)-smaller endpoint to the larger, enumerate
+    * wedges only at each vertex's out-neighborhood, and close each wedge
+    * against the oriented edge set — every triangle is found EXACTLY once,
+    * and no vertex ever materializes more than its out-degree² wedges,
+    * which the degree orientation bounds by O(m^{3/2}) total regardless of
+    * skew (a hub's wedges are charged to its low-degree neighbors).
+    *
+    * Distributed shape: wedge build and closure are two self-joins on
+    * vertex keys — shuffle volume is the wedge count, the algorithm's
+    * information-theoretic floor; the naive undirected 3-way join would
+    * shuffle deg² per hub. Per-word counts come from one explode of the
+    * triangle rows. */
+  val triangles: Q = Q(
+    "q149_triangles",
+    (s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
+      val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val und = words.as("a").join(words.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.word") < col("b.word"))
+        .groupBy(col("a.word").as("wa"), col("b.word").as("wb"))
+        .agg(count(lit(1)).as("co"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("co") * 100 >= col("n_docs") * 65)
+        .select("wa", "wb")
+      val deg = und.select(col("wa").as("w")).unionAll(und.select(col("wb").as("w")))
+        .groupBy("w").agg(count(lit(1)).as("d"))
+      val oriented = und
+        .join(deg.withColumnRenamed("w", "wa").withColumnRenamed("d", "da"), "wa")
+        .join(deg.withColumnRenamed("w", "wb").withColumnRenamed("d", "db"), "wb")
+        .select(
+          when(col("da") < col("db") || (col("da") === col("db") && col("wa") < col("wb")),
+            col("wa")).otherwise(col("wb")).as("src"),
+          when(col("da") < col("db") || (col("da") === col("db") && col("wa") < col("wb")),
+            col("wb")).otherwise(col("wa")).as("dst"))
+      val wedges = oriented.as("x").join(oriented.as("y"),
+          col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+        .select(col("x.src").as("u"), col("x.dst").as("v"), col("y.dst").as("w"))
+      // close the wedge: the third edge is oriented either v→w or w→v
+      val tri = wedges.join(oriented,
+        (col("src") === col("v") && col("dst") === col("w")) ||
+          (col("src") === col("w") && col("dst") === col("v")))
+        .select("u", "v", "w")
+      tri.select(explode(array(col("u"), col("v"), col("w"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n_triangles"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+        FROM documents
+      ), nd AS (SELECT count(1) AS n_docs FROM documents
+      ), e AS (
+        SELECT a.word AS wa, b.word AS wb
+        FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.word < b.word
+        GROUP BY a.word, b.word
+        HAVING count(1) * 100 >= (SELECT n_docs FROM nd) * 65
+      ), tri AS (
+        -- undirected 3-way enumeration with a < b < c: each triangle once
+        SELECT e1.wa AS a, e1.wb AS b, e2.wb AS c
+        FROM e e1
+        JOIN e e2 ON e2.wa = e1.wb
+        JOIN e e3 ON e3.wa = e1.wa AND e3.wb = e2.wb
+      ), members AS (
+        SELECT a AS word FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+      )
+      SELECT word, count(1) AS n_triangles FROM members GROUP BY word"""))
+
   val all: Seq[Q] = Seq(windowSuite, setOps, rollup, asofJoin, sqlDdl,
     approxDistinct, percentileStats, pivot, unpivot, cube, countMin, nestedAgg,
     histogram, cooccurrence, weightedMedian, trailingWindow, groupingSets,
-    equidepthHist, tradePageRank, groupwiseOls)
+    equidepthHist, tradePageRank, groupwiseOls, marketShare, triangles)
 }

@@ -1116,6 +1116,57 @@ class OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got === cdcBrute(texts))
   }
 
+  test("q149 triangle counts equal a driver brute force over the co-occurrence graph") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).distinct.toSet))
+    val n = docs.length
+    val vocab = docs.flatMap(_._2).distinct.sorted
+    val edges = (for {
+      i <- vocab.indices; j <- (i + 1) until vocab.length
+      co = docs.count(d => d._2(vocab(i)) && d._2(vocab(j)))
+      if co * 100 >= n * 65
+    } yield (vocab(i), vocab(j))).toSet
+    val adj = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val triCount = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for {
+      (a, i) <- vocab.zipWithIndex; b <- adj.getOrElse(a, Set())
+      if a < b
+      c <- adj(a) if b < c && adj(b).contains(c)
+    } { triCount(a) += 1; triCount(b) += 1; triCount(c) += 1 }
+    val got = SparkEntry.queries("q149_triangles")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got === triCount.toMap)
+  }
+
+  test("q151 market share equals a driver exact-cents recompute") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100) * (100L - math.round(r.getDouble(3) * 100))))
+    val orders = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_orderdate")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getAs[java.time.LocalDateTime](2).getYear))).toMap
+    val nation = Tables.nation(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    val asiaRegion = Tables.region(spark, sfDir).collect()
+      .filter(_.getString(1) == "ASIA").map(_.getInt(0)).head
+    val custAsia = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey").collect()
+      .filter(r => nation(r.getInt(1))._2 == asiaRegion).map(_.getLong(0)).toSet
+    val suppNation = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey").collect()
+      .map(r => r.getLong(0) -> nation(r.getInt(1))._1).toMap
+    val byYear = li.flatMap { case (ok, sk, rev) =>
+      orders.get(ok).filter(o => custAsia(o._1)).map(o => (o._2, suppNation(sk), rev))
+    }.groupBy(_._1)
+    val got = SparkEntry.queries("q151_market_share")(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === byYear.keySet)
+    byYear.foreach { case (y, rows) =>
+      val tot = rows.map(_._3).sum
+      val foc = rows.filter(_._2 == "NATION_2").map(_._3).sum
+      assert(got(y) === ((tot, foc, foc.toDouble / tot.toDouble)), s"year $y")
+    }
+  }
+
   test("q147 group-wise OLS equals an exact BigInt moment recompute") {
     val got = SparkEntry.queries("q147_groupwise_ols")(spark, sfDir).collect()
       .map(r => r.getString(0) ->
