@@ -200,5 +200,128 @@ object Spectral {
         FROM sc"""
     }))
 
-  val all: Seq[Q] = Seq(pcaProjection, linearProbe)
+  // ---- q150: geometric median (Weiszfeld) ----------------------------------
+  private val medianIters = 3
+
+  private val medMem =
+    new scala.collection.concurrent.TrieMap[(String, Long), Seq[Double]]()
+  private val medLastByDir =
+    new scala.collection.concurrent.TrieMap[String, Seq[Double]]()
+  @volatile private var medLastDir: Option[String] = None
+  private def medForOracle: Option[Seq[Double]] =
+    sys.props.get("graft.oracle.sfdir").orElse(medLastDir)
+      .flatMap(medLastByDir.get)
+
+  /** The shared cross-engine distance shape: ‖v−m‖ as
+    * √max(v·v − 2(v·m) + m·m, 0) — three sequential dot folds (the ONLY
+    * reduction both engines provably share, per q122) combined left-to-right
+    * in a fixed scalar sequence. A direct Σ(v−m)² fold would hang on each
+    * engine's list-reduction order. */
+  private def distExpr(vv: String, vm: String, mm: String): String =
+    s"sqrt(greatest($vv - (2 * $vm) + $mm, 0D))"
+
+  /** q150: geometric median of the embedding corpus by Weiszfeld iteration —
+    * the 50%-breakdown robust centroid (the mean shifts arbitrarily under a
+    * single adversarial/corrupt shard; the geometric median does not), used
+    * as the reference point for corpus-level embedding outlier gates.
+    *
+    * Weiszfeld is an IRLS fixpoint: y ← Σ(vᵢ/dᵢ) / Σ(1/dᵢ), dᵢ = ‖vᵢ−y‖.
+    * Each iteration is ONE distributed aggregation pass (the q122/q133 loop
+    * shape): the current iterate is a broadcast plan literal, per-row
+    * contributions (vᵢⱼ/dᵢ and the appended 1/dᵢ denominator slot) are
+    * rounded to DECIMAL(38,12) and summed exactly — order-independent under
+    * any partitioning — and the driver closes the step with one fixed-shape
+    * division per dimension. dᵢ = 0 rows (the iterate landing ON a point)
+    * contribute nothing, the standard Weiszfeld guard, applied identically
+    * in the driver recompute. Start is the DECIMAL-exact coordinate mean.
+    *
+    * Scale shape: 1 + T scans of a persisted narrow projection, each
+    * collapsing map-side to ≤65 decimal partials per partition — wire
+    * volume independent of N. */
+  private[graft] def geometricMedian(s: SparkSession, dir: String): Seq[Double] = {
+    val fp = Artifacts.fingerprint(s, s"$dir/embeddings.parquet")
+    val m = medMem.getOrElseUpdate((dir, fp), {
+      graft.functions.VectorFunctions.register(s)
+      val e = Tables.embeddings(s, dir)
+        .select(expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("vv", expr("vec_dot(v, v)"))
+        .persist()
+      try {
+        val n = e.count()
+        val meanSums = e
+          .select(posexplode(expr("transform(v, x -> cast(x as decimal(38,12)))"))
+            .as(Seq("dim", "c")))
+          .groupBy(col("dim")).agg(sum("c").as("sum"))
+          .collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
+        var cur = Array.tabulate(dims)(j => meanSums.getOrElse(j, 0d) / n)
+        for (_ <- 1 to medianIters) {
+          var mm = 0d; var j = 0
+          while (j < dims) { mm += cur(j) * cur(j); j += 1 }
+          val sums = e.withColumn("m", typedLit(cur.toSeq))
+            .withColumn("d", expr(distExpr("vv", "vec_dot(v, m)", mm.toString + "D")))
+            .filter(col("d") =!= 0.0d)
+            .select(posexplode(expr(
+              "transform(v, x -> cast(x / d as decimal(38,12))) || " +
+                "array(cast(1.0D / d as decimal(38,12)))")).as(Seq("dim", "c")))
+            .groupBy(col("dim")).agg(sum("c").as("sum"))
+            .collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
+          val den = sums(dims)
+          cur = Array.tabulate(dims)(j => sums.getOrElse(j, 0d) / den)
+        }
+        cur.toSeq
+      } finally e.unpersist()
+    })
+    medLastByDir.put(dir, m)
+    medLastDir = Some(dir)
+    m
+  }
+
+  /** q150: distance of every embedding to the corpus geometric median, with
+    * a 2×-mean-distance outlier flag. Distances use the shared three-dot
+    * fixed shape; the mean distance is a DECIMAL(38,12)-rounded exact sum
+    * divided once, so the flag threshold is bit-identical cross-engine; the
+    * dynamic oracle embeds the converged median the run itself produced. */
+  val geomMedianDist: Q = Q(
+    "q150_geometric_median",
+    (s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val m = geometricMedian(s, dir)
+      var mm = 0d; var j = 0
+      while (j < dims) { mm += m(j) * m(j); j += 1 }
+      val withD = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("m", typedLit(m))
+        .withColumn("dist", expr(distExpr("vec_dot(v, v)", "vec_dot(v, m)", mm.toString + "D")))
+      val thr = withD
+        .agg(sum(expr("cast(dist as decimal(38,12))")).as("sd"),
+          count(lit(1)).as("n"))
+        .select((col("sd").cast("double") / col("n").cast("double")).as("mean_d"))
+      withD.crossJoin(broadcast(thr))
+        .select(col("vec_id"), col("dist"),
+          (col("dist") > lit(2.0d) * col("mean_d")).as("is_outlier"))
+    },
+    None,
+    Some(() => medForOracle.map { m =>
+      val mLit = graft.SqlLit.doubles(m)
+      var mm = 0d; var j = 0
+      while (j < m.length) { mm += m(j) * m(j); j += 1 }
+      val mmLit = graft.SqlLit.double(mm)
+      s"""WITH d AS (
+          SELECT vec_id,
+            sqrt(greatest(
+              list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))
+              - (2 * list_dot_product(CAST(embedding AS DOUBLE[]), CAST($mLit AS DOUBLE[])))
+              + $mmLit, 0)) AS dist
+          FROM embeddings
+        ), t AS (
+          SELECT CAST(SUM(CAST(dist AS DECIMAL(38,12))) AS DOUBLE)
+                   / CAST(COUNT(1) AS DOUBLE) AS mean_d
+          FROM d
+        )
+        SELECT d.vec_id, d.dist, d.dist > 2 * t.mean_d AS is_outlier
+        FROM d CROSS JOIN t"""
+    }))
+
+  val all: Seq[Q] = Seq(pcaProjection, linearProbe, geomMedianDist)
 }

@@ -1116,6 +1116,51 @@ class OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got === cdcBrute(texts))
   }
 
+  test("q150 geometric median equals an exact driver Weiszfeld replay; objective decreases") {
+    val vs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val n = vs.length
+    val dims = vs.head._2.length
+    def dec12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def dist(v: Array[Double], m: Array[Double], mm: Double): Double = {
+      val d2 = dotFold(v, v) - (2 * dotFold(v, m)) + mm
+      math.sqrt(math.max(d2, 0d))
+    }
+    // mean start: DECIMAL(38,12)-rounded exact per-dim sums
+    var cur = Array.tabulate(dims) { j =>
+      vs.map(v => dec12(v._2(j))).sum.toDouble / n
+    }
+    for (_ <- 1 to 3) {
+      var mm = 0d; var j = 0
+      while (j < dims) { mm += cur(j) * cur(j); j += 1 }
+      val active = vs.map(_._2).filter(v => dist(v, cur, mm) != 0.0d)
+      val den = active.map(v => dec12(1.0d / dist(v, cur, mm))).sum.toDouble
+      cur = Array.tabulate(dims) { k =>
+        active.map(v => dec12(v(k) / dist(v, cur, mm))).sum.toDouble / den
+      }
+    }
+    var mmF = 0d; var j = 0
+    while (j < dims) { mmF += cur(j) * cur(j); j += 1 }
+    val wantDist = vs.map { case (id, v) => id -> dist(v, cur, mmF) }.toMap
+    val meanD = vs.map(v => dec12(dist(v._2, cur, mmF))).sum.toDouble / n.toDouble
+    val got = SparkEntry.queries("q150_geometric_median")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(got.size === n)
+    vs.foreach { case (id, _) =>
+      assert(got(id)._1 === wantDist(id), s"vec $id")
+      assert(got(id)._2 === (wantDist(id) > 2.0d * meanD), s"flag $id")
+    }
+    // Weiszfeld monotonicity: total distance at the median <= at the mean
+    val mean = Array.tabulate(dims)(j => vs.map(v => dec12(v._2(j))).sum.toDouble / n)
+    var mmM = 0d; j = 0
+    while (j < dims) { mmM += mean(j) * mean(j); j += 1 }
+    val objMean = vs.map(v => dist(v._2, mean, mmM)).sum
+    val objMed = wantDist.values.sum
+    assert(objMed <= objMean + 1e-9)
+  }
+
   test("q149 triangle counts equal a driver brute force over the co-occurrence graph") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1).split(" ", -1).distinct.toSet))
