@@ -914,8 +914,125 @@ object EventOps {
              ROW_NUMBER() OVER (ORDER BY score DESC, lag) = 1 AS is_best
       FROM sweep"""))
 
+  // ---- q152: time-bounded funnel -------------------------------------------
+  private val funnelWindowDays = 7
+
+  /** q152: the conversion-window variant of q73 — each stage must land
+    * within 7 days of the previous one (first view; first click in
+    * (t1, t1+7d]; first purchase in (t2, t2+7d]), the form product
+    * analytics actually reports ("7-day conversion"), where q73's unbounded
+    * chain would credit a purchase months later. Same distributed shape as
+    * q73: per-stage scan-filtered conditional mins chained by user-keyed
+    * joins, every shuffle on the one natural key; the window bound is a
+    * pushed filter, not new data movement. Timestamp+interval arithmetic is
+    * exact µs in both engines. */
+  val windowedFunnel: Q = Q(
+    "q152_windowed_funnel",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val bound = expr(s"INTERVAL $funnelWindowDays DAYS")
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val t2 = ev.filter(col("event_type") === "click").join(t1, "user_id")
+        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + bound)
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase").join(t2, "user_id")
+        .filter(col("ts") > col("t2") && col("ts") <= col("t2") + bound)
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      ev.select("user_id").distinct()
+        .join(t1, Seq("user_id"), "left")
+        .join(t2, Seq("user_id"), "left")
+        .join(t3, Seq("user_id"), "left")
+        .withColumn("reached_stage",
+          when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+            .when(col("t1").isNotNull, 1).otherwise(0))
+    },
+    Some(s"""WITH ev AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+      ), t1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id
+      ), t2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2 FROM ev e JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'click' AND e.ts > t1.t1
+          AND e.ts <= t1.t1 + INTERVAL $funnelWindowDays DAY
+        GROUP BY e.user_id
+      ), t3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3 FROM ev e JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+          AND e.ts <= t2.t2 + INTERVAL $funnelWindowDays DAY
+        GROUP BY e.user_id
+      )
+      SELECT u.user_id, t1.t1, t2.t2, t3.t3,
+             CASE WHEN t3.t3 IS NOT NULL THEN 3 WHEN t2.t2 IS NOT NULL THEN 2
+                  WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS reached_stage
+      FROM (SELECT DISTINCT user_id FROM ev) u
+      LEFT JOIN t1 ON u.user_id = t1.user_id
+      LEFT JOIN t2 ON u.user_id = t2.user_id
+      LEFT JOIN t3 ON u.user_id = t3.user_id"""))
+
+  // ---- q153: RFM segmentation ----------------------------------------------
+  /** q153: RFM customer segmentation over purchase events — recency (days
+    * from last purchase to the corpus horizon), frequency (purchase count),
+    * monetary (exact cents), each cut into quintiles and concatenated into
+    * the classic "R{r}F{f}M{m}" segment label. Scores follow the marketing
+    * convention (5 = best: most recent / most frequent / highest spend) via
+    * NTILE(5) over TOTAL orders (metric, then user_id) — deterministic in
+    * both engines because NTILE's floor-division bucket rule is identical
+    * and the order has no ties.
+    *
+    * Distributed shape: one scan-filtered user aggregation (map-side
+    * combined), a broadcast 1-row horizon, then three |users|-row window
+    * passes — at 100 TB the windows run on the user dimension, not the
+    * event log; if even |users| outgrew a sort, each NTILE is replaceable
+    * by q113's rank-arithmetic bucketing. */
+  val rfmSegments: Q = Q(
+    "q153_rfm_segments",
+    (s, dir) => {
+      val p = Tables.events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val horizon = p.agg(max("day").as("h"))
+      val rfm = p.groupBy("user_id")
+        .agg(max("day").as("last_day"), count(lit(1)).as("frequency"),
+          sum("cents").as("monetary_cents"))
+        .crossJoin(broadcast(horizon))
+        .withColumn("recency_days", col("h") - col("last_day"))
+        .drop("h", "last_day")
+      val scored = rfm
+        .withColumn("r", lit(6) - ntile(5).over(
+          Window.orderBy(col("recency_days"), col("user_id"))))
+        .withColumn("f", ntile(5).over(
+          Window.orderBy(col("frequency"), col("user_id"))))
+        .withColumn("m", ntile(5).over(
+          Window.orderBy(col("monetary_cents"), col("user_id"))))
+      scored.withColumn("segment",
+        concat(lit("R"), col("r"), lit("F"), col("f"), lit("M"), col("m")))
+    },
+    Some("""WITH p AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+      ), rfm AS (
+        SELECT user_id,
+               (SELECT MAX(day) FROM p) - MAX(day) AS recency_days,
+               COUNT(1) AS frequency,
+               CAST(SUM(cents) AS BIGINT) AS monetary_cents
+        FROM p GROUP BY user_id
+      ), scored AS (
+        SELECT user_id, frequency, monetary_cents, recency_days,
+          6 - NTILE(5) OVER (ORDER BY recency_days, user_id) AS r,
+          NTILE(5) OVER (ORDER BY frequency, user_id) AS f,
+          NTILE(5) OVER (ORDER BY monetary_cents, user_id) AS m
+        FROM rfm
+      )
+      SELECT user_id, frequency, monetary_cents, recency_days, r, f, m,
+             'R' || CAST(r AS VARCHAR) || 'F' || CAST(f AS VARCHAR)
+               || 'M' || CAST(m AS VARCHAR) AS segment
+      FROM scored"""))
+
   val all: Seq[Q] = Seq(funnel, watermarkIngest, gapFill, hoppingWindow,
     cohortRetention, debounce, timeWeightedAvg, attribution, peakConcurrency,
     rollingActiveUsers, transitionMatrix, decayedPopularity, intervalUnion,
-    bitmapDistinct, volumeAnomaly, incrementalSessions, xcorrLag)
+    bitmapDistinct, volumeAnomaly, incrementalSessions, xcorrLag,
+    windowedFunnel, rfmSegments)
 }

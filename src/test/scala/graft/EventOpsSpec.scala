@@ -525,6 +525,70 @@ class EventOpsSpec extends AnyFunSuite {
     assert(expected > 0)
   }
 
+  test("q152 windowed funnel equals a driver replay and never beats q73") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val week = 7L * 86400L * 1000000L
+    val byUser = ev.groupBy(_._1)
+    val want = byUser.view.mapValues { rows =>
+      val t1 = rows.filter(_._2 == "view").map(_._3).minOption
+      val t2 = t1.flatMap(a => rows.filter(r => r._2 == "click" && r._3 > a && r._3 <= a + week)
+        .map(_._3).minOption)
+      val t3 = t2.flatMap(b => rows.filter(r => r._2 == "purchase" && r._3 > b && r._3 <= b + week)
+        .map(_._3).minOption)
+      (t1, t2, t3)
+    }.toMap
+    val got = SparkEntry.queries("q152_windowed_funnel")(spark, sfDir).collect()
+      .map { r =>
+        def us(i: Int): Option[Long] = Option(r.get(i))
+          .map(_.asInstanceOf[java.sql.Timestamp].toInstant)
+          .map(t => t.getEpochSecond * 1000000L + t.getNano / 1000L)
+        r.getLong(0) -> ((us(1), us(2), us(3), r.getInt(4)))
+      }.toMap
+    assert(got.keySet === want.keySet)
+    val unbounded = SparkEntry.queries("q73_funnel")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    want.foreach { case (u, (t1, t2, t3)) =>
+      val stage = if (t3.isDefined) 3 else if (t2.isDefined) 2 else if (t1.isDefined) 1 else 0
+      assert(got(u) === ((t1, t2, t3, stage)), s"user $u")
+      assert(stage <= unbounded(u), s"window must only remove conversions: $u")
+    }
+    assert(got.values.map(_._4).toSet.size > 1, "stages must discriminate")
+  }
+
+  test("q153 RFM equals a driver ntile recompute") {
+    val p = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val horizon = p.map(_._2).max
+    val rfm = p.groupBy(_._1).map { case (u, rows) =>
+      (u, horizon - rows.map(_._2).max, rows.size.toLong, rows.map(_._3).sum)
+    }.toSeq
+    def ntile5(ordered: Seq[Long]): Map[Long, Int] = {
+      val n = ordered.size
+      ordered.zipWithIndex.map { case (u, i) =>
+        // SQL NTILE: first (n mod 5) buckets get one extra row
+        val base = n / 5; val extra = n % 5
+        val bucket =
+          if (i < (base + 1) * extra) i / (base + 1) else extra + (i - (base + 1) * extra) / base
+        u -> (bucket + 1)
+      }.toMap
+    }
+    val r = ntile5(rfm.sortBy(x => (x._2, x._1)).map(_._1)).view.mapValues(6 - _).toMap
+    val f = ntile5(rfm.sortBy(x => (x._3, x._1)).map(_._1))
+    val m = ntile5(rfm.sortBy(x => (x._4, x._1)).map(_._1))
+    val got = SparkEntry.queries("q153_rfm_segments")(spark, sfDir).collect()
+      .map(row => row.getLong(0) ->
+        ((row.getInt(4), row.getInt(5), row.getInt(6), row.getString(7)))).toMap
+    assert(got.size === rfm.size)
+    rfm.foreach { case (u, _, _, _) =>
+      assert(got(u) === ((r(u), f(u), m(u), s"R${r(u)}F${f(u)}M${m(u)}")), s"user $u")
+    }
+  }
+
   test("q143 cross-correlation equals a driver recompute; argmax unique") {
     val got = SparkEntry.queries("q143_xcorr_lag")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
