@@ -545,7 +545,37 @@ object TextOps {
           AND CASE WHEN n2 > 0 THEN top2 / n2 ELSE 0.0 END <= 0.08) AS pass_gopher
       FROM m"""))
 
+  /** q154: per-source quantile normalization of the q116 surprisal score —
+    * the calibration step before mixing quality-filtered sources: raw LM
+    * scores are not comparable across domains (each source has its own
+    * surprisal distribution), so each doc gets its within-source
+    * percentile, making "keep the best 80% of every source" a single
+    * global threshold. qnorm = PERCENT_RANK over (source; surprisal,
+    * doc_id) — a tie-free total order, so the value is (rank−1)/(n−1),
+    * integer-derived with one IEEE division, bit-identical cross-engine.
+    *
+    * Distributed shape: q116's one-pass scoring (its plan is reused
+    * verbatim), one doc-keyed join for the source column, then one
+    * source-partitioned window — partitions are per-source and the sort is
+    * on the score only; at 100 TB replace the within-source sort by q113's
+    * rank arithmetic if single sources outgrow a partition sort. */
+  val quantileNorm: Q = Q(
+    "q154_quantile_norm",
+    (s, dir) => {
+      val sc = bigramSurprisal.run(s, dir).select("doc_id", "surprisal")
+      val src = Tables.documents(s, dir).select("doc_id", "source")
+      sc.join(src, "doc_id")
+        .withColumn("qnorm", percent_rank().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("source").orderBy("surprisal", "doc_id")))
+    },
+    Some(s"""WITH sc AS (${bigramSurprisal.oracle.get})
+      SELECT sc.doc_id, d.source, sc.surprisal,
+             PERCENT_RANK() OVER (PARTITION BY d.source
+               ORDER BY sc.surprisal, sc.doc_id) AS qnorm
+      FROM sc JOIN documents d ON sc.doc_id = d.doc_id"""))
+
   val all: Seq[Q] = Seq(textQuality, textLangId, tokenCount, docFingerprint,
     repetitionScore, lengthOutliers, robustOutliers, phraseSearch,
-    bigramSurprisal, gopherRules)
+    bigramSurprisal, gopherRules, quantileNorm)
 }

@@ -1116,6 +1116,24 @@ class OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got === cdcBrute(texts))
   }
 
+  test("q154 quantile normalization: exact percent-rank per source, uniform calibration") {
+    val got = SparkEntry.queries("q154_quantile_norm")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getDouble(1), r.getDouble(3)))
+    val bySrc = got.groupBy(_._2)
+    bySrc.foreach { case (src, rows) =>
+      val n = rows.length
+      // exact (rank-1)/(n-1) over the tie-free (surprisal, doc_id) order
+      rows.sortBy(r => (r._3, r._1)).zipWithIndex.foreach { case (r, i) =>
+        val want = if (n == 1) 0.0 else i.toDouble / (n - 1).toDouble
+        assert(r._4 === want, s"doc ${r._1} in $src")
+      }
+      // calibration: within a source, qnorm hits 0 and 1 and is unique
+      assert(rows.map(_._4).min === 0.0 && rows.map(_._4).max === 1.0)
+      assert(rows.map(_._4).distinct.length === n)
+    }
+    assert(bySrc.size > 1)
+  }
+
   test("q150 geometric median equals an exact driver Weiszfeld replay; objective decreases") {
     val vs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))"))
