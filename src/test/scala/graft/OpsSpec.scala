@@ -1116,6 +1116,37 @@ class OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got === cdcBrute(texts))
   }
 
+  test("q155 PQ encoding equals a driver argmin replay; codebook beats 1-centroid baseline") {
+    val cbs = ops.Similarity.PqIndex.codebooks(spark, sfDir)
+    val vs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val got = SparkEntry.queries("q155_pq_encode")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size === vs.length * 8)
+    var sumD2 = 0.0
+    vs.foreach { case (id, v) =>
+      for (m <- 0 until 8) {
+        val sub = v.slice(m * 8, m * 8 + 8)
+        val dists = cbs(m).map { c =>
+          val ca = c.toArray
+          (dotFold(sub, sub) - 2d * dotFold(sub, ca)) + dotFold(ca, ca)
+        }
+        val best = dists.min
+        val code = dists.indexOf(best).toLong
+        assert(got((id, m.toLong)) === ((code, best)), s"vec $id sub $m")
+        sumD2 += best
+      }
+    }
+    // 16-centroid codebooks must beat quantizing each subspace to its mean
+    val baseline = (0 until 8).map { m =>
+      val subs = vs.map(_._2.slice(m * 8, m * 8 + 8))
+      val mean = Array.tabulate(8)(j => subs.map(_(j)).sum / subs.length)
+      subs.map(s2 => (dotFold(s2, s2) - 2d * dotFold(s2, mean)) + dotFold(mean, mean)).sum
+    }.sum
+    assert(sumD2 < baseline, s"PQ error $sumD2 !< baseline $baseline")
+  }
+
   test("q154 quantile normalization: exact percent-rank per source, uniform calibration") {
     val got = SparkEntry.queries("q154_quantile_norm")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(2), r.getDouble(1), r.getDouble(3)))
