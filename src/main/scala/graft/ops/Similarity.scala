@@ -736,7 +736,101 @@ object Similarity {
         SELECT vec_id, m, CAST(code AS BIGINT) AS code, d2 FROM d WHERE rn = 1"""
     }))
 
+  // ---- q156: ADC top-k over PQ codes ---------------------------------------
+  /** q156: asymmetric distance computation — the search half of PQ: each
+    * query keeps its RAW vector and scores the ENCODED corpus by summing,
+    * per subspace, the lookup-table distance from the query's subvector to
+    * the corpus row's assigned centroid (Jégou et al. 2011 §IV: asymmetric
+    * beats symmetric because only the database side is quantized). Per
+    * query the LUT is 8×16 precomputed terms; scoring a corpus row is 8
+    * lookups + a sum — never a 64-dim computation. Top-5 by (distance,
+    * vec_id).
+    *
+    * Exactness: each LUT term is the bit-stable dot-expansion shape rounded
+    * once to DECIMAL(38,12); the 8-term sum is then EXACT decimal addition
+    * — order-independent where a double sum would depend on join order —
+    * so ranking compares exact decimals and the oracle reproduces every
+    * rank. Distributed shape: codes (8 short rows per vector) join a
+    * BROADCAST LUT on (m, code) and collapse by (query, vector) — the
+    * shuffle payload is code-width, not vector-width; the raw corpus is
+    * read once by q155's encode and never again. */
+  val pqAdcTopK: Q = Q(
+    "q156_pq_adc_topk",
+    (s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val cbLit = typedLit(PqIndex.codebooks(s, dir))
+      val codes = pqEncode.run(s, dir).select("vec_id", "m", "code")
+      val lut = Tables.embeddings(s, dir)
+        .filter(col("vec_id") % queryMod === 0)
+        .select(col("vec_id").as("q_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("qv"))
+        .withColumn("cbs", cbLit)
+        .withColumn("m", explode(expr(s"sequence(0, ${PqIndex.subspaces - 1})")))
+        .withColumn("qs", expr(s"slice(qv, m * ${PqIndex.subDim} + 1, ${PqIndex.subDim})"))
+        .withColumn("code", explode(expr(s"sequence(0, ${PqIndex.codes - 1})")))
+        .withColumn("c", expr("element_at(element_at(cbs, CAST(m + 1 AS INT)), CAST(code + 1 AS INT))"))
+        .select(col("q_id"), col("m").cast("long").as("m"), col("code").cast("long").as("code"),
+          expr("cast((vec_dot(qs, qs) - 2D * vec_dot(qs, c)) + vec_dot(c, c) as decimal(38,12))")
+            .as("term"))
+      val w = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
+      codes.join(broadcast(lut), Seq("m", "code"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum("term").as("adc"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+          col("adc").cast("double").as("adc_d2"))
+    },
+    None,
+    Some(() => PqIndex.forOracle.map { cbs =>
+      val cbRows = cbs.zipWithIndex.flatMap { case (cb, m) =>
+        cb.zipWithIndex.map { case (c, i) =>
+          s"($m, $i, CAST(${graft.SqlLit.doubles(c)} AS DOUBLE[]))"
+        }
+      }.mkString(",\n        ")
+      s"""WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), ms AS (
+          SELECT unnest(range(0, ${PqIndex.subspaces})) AS m
+        ), cb (m, code, c) AS (
+          VALUES $cbRows
+        ), sub AS (
+          SELECT vec_id, m,
+                 v[m * ${PqIndex.subDim} + 1 : m * ${PqIndex.subDim} + ${PqIndex.subDim}] AS vs
+          FROM e CROSS JOIN ms
+        ), dd AS (
+          SELECT s.vec_id, s.m, cb.code,
+                 (list_dot_product(s.vs, s.vs) - 2 * list_dot_product(s.vs, cb.c))
+                   + list_dot_product(cb.c, cb.c) AS d2,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                   (list_dot_product(s.vs, s.vs) - 2 * list_dot_product(s.vs, cb.c))
+                     + list_dot_product(cb.c, cb.c), cb.code) AS rn
+          FROM sub s JOIN cb ON s.m = cb.m
+        ), codes AS (
+          SELECT vec_id, m, code FROM dd WHERE rn = 1
+        ), lut AS (
+          SELECT q.vec_id AS q_id, q.m, cb.code,
+                 CAST((list_dot_product(q.vs, q.vs) - 2 * list_dot_product(q.vs, cb.c))
+                   + list_dot_product(cb.c, cb.c) AS DECIMAL(38,12)) AS term
+          FROM sub q JOIN cb ON q.m = cb.m
+          WHERE q.vec_id % $queryMod = 0
+        ), adc AS (
+          SELECT l.q_id, c.vec_id, SUM(l.term) AS adc
+          FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+          WHERE c.vec_id <> l.q_id
+          GROUP BY l.q_id, c.vec_id
+        ), ranked AS (
+          SELECT q_id, vec_id, adc,
+                 row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+          FROM adc
+        )
+        SELECT q_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+               CAST(adc AS DOUBLE) AS adc_d2
+        FROM ranked WHERE rank <= 5"""
+    }))
+
   val all: Seq[Q] =
     Seq(embeddingNearDup, knnBruteForce, knnLsh, knnIvf, semDedup,
-      mutualKnnClusters, hybridRrf, pqEncode)
+      mutualKnnClusters, hybridRrf, pqEncode, pqAdcTopK)
 }

@@ -1147,6 +1147,39 @@ class OpsSpec extends AnyFunSuite {
     assert(sumD2 < baseline, s"PQ error $sumD2 !< baseline $baseline")
   }
 
+  test("q156 ADC top-k equals an exact decimal driver replay") {
+    val cbs = ops.Similarity.PqIndex.codebooks(spark, sfDir)
+    val vs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def dec12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def term(sub: Array[Double], c: Array[Double]): BigDecimal =
+      dec12((dotFold(sub, sub) - 2d * dotFold(sub, c)) + dotFold(c, c))
+    def code(v: Array[Double], m: Int): Int = {
+      val sub = v.slice(m * 8, m * 8 + 8)
+      val dists = cbs(m).map { c =>
+        val ca = c.toArray
+        (dotFold(sub, sub) - 2d * dotFold(sub, ca)) + dotFold(ca, ca)
+      }
+      dists.indexOf(dists.min)
+    }
+    val codesAll = vs.map { case (id, v) => id -> Array.tabulate(8)(m => code(v, m)) }
+    val queries = vs.filter(_._1 % 50 == 0)
+    val want = queries.flatMap { case (qid, qv) =>
+      val luts = Array.tabulate(8)(m =>
+        cbs(m).map(c => term(qv.slice(m * 8, m * 8 + 8), c.toArray)))
+      codesAll.filter(_._1 != qid).map { case (vid, cds) =>
+        (qid, vid, (0 until 8).map(m => luts(m)(cds(m))).sum)
+      }.sortBy { case (_, vid, adc) => (adc, vid) }
+        .take(5).zipWithIndex
+        .map { case ((q, v, adc), i) => (q, v, i + 1L, adc.toDouble) }
+    }.toSet
+    val got = SparkEntry.queries("q156_pq_adc_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === want)
+  }
+
   test("q154 quantile normalization: exact percent-rank per source, uniform calibration") {
     val got = SparkEntry.queries("q154_quantile_norm")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(2), r.getDouble(1), r.getDouble(3)))
