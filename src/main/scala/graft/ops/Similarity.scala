@@ -830,7 +830,138 @@ object Similarity {
         FROM ranked WHERE rank <= 5"""
     }))
 
+  // ---- q157: IVF-PQ two-stage search ---------------------------------------
+  private val adcShortlist = 20
+
+  /** q157: the production ANN index shape — IVF-PQ with exact re-rank
+    * (Jégou et al. 2011 §V "IVFADC"; the FAISS default): (1) the IVF coarse
+    * quantizer prunes the corpus to 4 probed cells, (2) ADC over PQ codes
+    * ranks the probed candidates from 8 table lookups each and keeps a
+    * 20-deep shortlist, (3) only the shortlist touches raw vectors for the
+    * exact cosine top-5. Each stage reuses a proven component verbatim:
+    * q34's cell assignment/probes, q155's codes, q156's decimal LUT — and
+    * the dynamic oracle replays all three stages from the same trained
+    * literals.
+    *
+    * Scale shape (the reason this index exists at 100 TB): the scan space
+    * per query is probed-cells only; within it, scoring reads CODES (8
+    * bytes-ish per vector, broadcast LUT, no raw-vector I/O); raw vectors
+    * are touched for exactly shortlist×queries rows. Stage costs are
+    * independently tunable (nProbes, shortlist depth) — the recall/cost
+    * dials AnnSweep measures for the IVF stage. */
+  val ivfPqTopK: Q = Q(
+    "q157_ivfpq_topk",
+    (s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val cbLit = typedLit(PqIndex.codebooks(s, dir))
+      val cells = assignedCells(s, dir)
+      val codes = pqEncode.run(s, dir).select("vec_id", "m", "code")
+      val probes = cells.filter(col("vec_id") % queryMod === 0)
+        .withColumn("probe_cell", explode(expr(
+          s"""transform(
+            slice(array_sort(zip_with(cdists, sequence(0, ${IvfIndex.nCells - 1}),
+              (d, i) -> struct(d AS d, i AS i))), 1, ${IvfIndex.nProbes}),
+            p -> CAST(p.i AS BIGINT))""")))
+        .select(col("vec_id").as("q_id"), col("probe_cell").as("cell"))
+      val lut = Tables.embeddings(s, dir)
+        .filter(col("vec_id") % queryMod === 0)
+        .select(col("vec_id").as("q_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("qv"))
+        .withColumn("cbs", cbLit)
+        .withColumn("m", explode(expr(s"sequence(0, ${PqIndex.subspaces - 1})")))
+        .withColumn("qs", expr(s"slice(qv, m * ${PqIndex.subDim} + 1, ${PqIndex.subDim})"))
+        .withColumn("code", explode(expr(s"sequence(0, ${PqIndex.codes - 1})")))
+        .withColumn("c", expr("element_at(element_at(cbs, CAST(m + 1 AS INT)), CAST(code + 1 AS INT))"))
+        .select(col("q_id"), col("m").cast("long").as("m"), col("code").cast("long").as("code"),
+          expr("cast((vec_dot(qs, qs) - 2D * vec_dot(qs, c)) + vec_dot(c, c) as decimal(38,12))")
+            .as("term"))
+      val cand = cells.select(col("vec_id"), col("cell"))
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select("q_id", "vec_id")
+      val wAdc = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
+      val short = cand.join(codes, Seq("vec_id"))
+        .join(broadcast(lut), Seq("q_id", "m", "code"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum("term").as("adc"))
+        .withColumn("srank", row_number().over(wAdc))
+        .filter(col("srank") <= adcShortlist)
+        .select("q_id", "vec_id")
+      val vecs = cells.select(col("vec_id"), col("v"), col("norm"))
+      val qvecs = vecs.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qn"))
+      val wCos = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      short.join(vecs, Seq("vec_id")).join(broadcast(qvecs), Seq("q_id"))
+        .withColumn("cos", expr("vec_dot(qv, v)") / (col("qn") * col("norm")))
+        .withColumn("rank", row_number().over(wCos).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+    },
+    None,
+    Some(() => for {
+      cents <- IvfIndex.forOracle
+      cbs <- PqIndex.forOracle
+    } yield {
+      val cbRows = cbs.zipWithIndex.flatMap { case (cb, m) =>
+        cb.zipWithIndex.map { case (c, i) =>
+          s"($m, $i, CAST(${graft.SqlLit.doubles(c)} AS DOUBLE[]))"
+        }
+      }.mkString(",\n        ")
+      ivfOracleBase(cents) + s""", probes AS (
+        SELECT vec_id AS q_id, cell FROM ranked
+        WHERE vec_id % $queryMod = 0 AND rn <= ${IvfIndex.nProbes}
+      ), ms AS (
+        SELECT unnest(range(0, ${PqIndex.subspaces})) AS m
+      ), pqcb (m, code, c) AS (
+        VALUES $cbRows
+      ), sub AS (
+        SELECT vec_id, m,
+               v[m * ${PqIndex.subDim} + 1 : m * ${PqIndex.subDim} + ${PqIndex.subDim}] AS vs
+        FROM e CROSS JOIN ms
+      ), dd AS (
+        SELECT s.vec_id, s.m, pqcb.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                 (list_dot_product(s.vs, s.vs) - 2 * list_dot_product(s.vs, pqcb.c))
+                   + list_dot_product(pqcb.c, pqcb.c), pqcb.code) AS rn
+        FROM sub s JOIN pqcb ON s.m = pqcb.m
+      ), codes AS (
+        SELECT vec_id, m, code FROM dd WHERE rn = 1
+      ), lut AS (
+        SELECT q.vec_id AS q_id, q.m, pqcb.code,
+               CAST((list_dot_product(q.vs, q.vs) - 2 * list_dot_product(q.vs, pqcb.c))
+                 + list_dot_product(pqcb.c, pqcb.c) AS DECIMAL(38,12)) AS term
+        FROM sub q JOIN pqcb ON q.m = pqcb.m
+        WHERE q.vec_id % $queryMod = 0
+      ), cand AS (
+        SELECT p.q_id, a.vec_id FROM probes p JOIN assigned a ON a.cell = p.cell
+        WHERE a.vec_id <> p.q_id
+      ), adc AS (
+        SELECT c.q_id, c.vec_id, SUM(l.term) AS adc
+        FROM cand c
+        JOIN codes k ON k.vec_id = c.vec_id
+        JOIN lut l ON l.q_id = c.q_id AND l.m = k.m AND l.code = k.code
+        GROUP BY c.q_id, c.vec_id
+      ), short AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS srank
+          FROM adc)
+        WHERE srank <= $adcShortlist
+      ), rerank AS (
+        SELECT s.q_id, s.vec_id,
+          list_dot_product(qn.v, cn.v) / (qn.norm * cn.norm) AS cos,
+          row_number() OVER (PARTITION BY s.q_id
+            ORDER BY list_dot_product(qn.v, cn.v) / (qn.norm * cn.norm) DESC,
+                     s.vec_id) AS rn
+        FROM short s
+        JOIN n cn ON cn.vec_id = s.vec_id
+        JOIN n qn ON qn.vec_id = s.q_id
+      )
+      SELECT q_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS rank, cos
+      FROM rerank WHERE rn <= 5"""
+    }))
+
   val all: Seq[Q] =
     Seq(embeddingNearDup, knnBruteForce, knnLsh, knnIvf, semDedup,
-      mutualKnnClusters, hybridRrf, pqEncode, pqAdcTopK)
+      mutualKnnClusters, hybridRrf, pqEncode, pqAdcTopK, ivfPqTopK)
 }

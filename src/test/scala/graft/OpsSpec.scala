@@ -1180,6 +1180,54 @@ class OpsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("q157 IVF-PQ two-stage search equals a full driver replay") {
+    val cents = ops.Similarity.IvfIndex.centroids(spark, sfDir).map(_.toArray)
+    val cbs = ops.Similarity.PqIndex.codebooks(spark, sfDir)
+    val vs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def dec12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def d2(v: Array[Double], c: Array[Double]): Double =
+      (dotFold(v, v) - 2d * dotFold(v, c)) + dotFold(c, c)
+    val cellOf = vs.map { case (id, v) =>
+      val ds = cents.map(c => d2(v, c))
+      id -> ds.indexOf(ds.min)
+    }.toMap
+    val codesOf = vs.map { case (id, v) =>
+      id -> Array.tabulate(8) { m =>
+        val sub = v.slice(m * 8, m * 8 + 8)
+        val ds = cbs(m).map(c => d2(sub, c.toArray))
+        ds.indexOf(ds.min)
+      }
+    }.toMap
+    val norms = vs.map { case (id, v) => id -> math.sqrt(dotFold(v, v)) }.toMap
+    val vmap = vs.toMap
+    val want = vs.filter(_._1 % 50 == 0).flatMap { case (qid, qv) =>
+      val ds = cents.map(c => d2(qv, c))
+      val probed = ds.zipWithIndex.sortBy { case (d, i) => (d, i) }.take(4).map(_._2).toSet
+      val luts = Array.tabulate(8)(m =>
+        cbs(m).map(c => dec12(d2(qv.slice(m * 8, m * 8 + 8), c.toArray))))
+      val cand = vs.filter(x => x._1 != qid && probed(cellOf(x._1)))
+      val short = cand.map { case (vid, _) =>
+        (vid, (0 until 8).map(m => luts(m)(codesOf(vid)(m))).sum)
+      }.sortBy { case (vid, adc) => (adc, vid) }.take(20).map(_._1)
+      short.map { vid =>
+        (vid, dotFold(qv, vmap(vid)) / (norms(qid) * norms(vid)))
+      }.sortBy { case (vid, cos) => (-cos, vid) }.take(5).zipWithIndex
+        .map { case ((vid, cos), i) => (qid, vid, i + 1L, cos) }
+    }.toSet
+    val got = SparkEntry.queries("q157_ivfpq_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === want)
+    // every returned neighbor must come from a probed cell of its query
+    got.foreach { case (q, v, _, _) =>
+      val ds = cents.map(c => d2(vmap(q), c))
+      val probed = ds.zipWithIndex.sortBy { case (d, i) => (d, i) }.take(4).map(_._2).toSet
+      assert(probed(cellOf(v)))
+    }
+  }
+
   test("q154 quantile normalization: exact percent-rank per source, uniform calibration") {
     val got = SparkEntry.queries("q154_quantile_norm")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(2), r.getDouble(1), r.getDouble(3)))
