@@ -1262,8 +1262,91 @@ object Analytics {
       )
       SELECT word, count(1) AS n_triangles FROM members GROUP BY word"""))
 
+  // ---- q160: chi-square independence audit ---------------------------------
+  /** q160: χ² independence of the (source, lang) contingency — the metadata
+    * drift audit ("did language mix shift per source?") behind corpus
+    * release gates. The FULL grid (zero cells included via a dims scaffold
+    * — a missing cell still contributes its expected count) gets per-cell
+    * observed, expected = row·col/N, and the (o−e)²/e term as fixed-shape
+    * doubles from exact integers; the total χ² is a DECIMAL(38,12)-rounded
+    * exact sum of cell terms (order-independent where a double Σ over
+    * cells would depend on plan order), repeated per row with the dof so
+    * one output both itemizes and summarizes.
+    *
+    * Distributed shape: one (source, lang) count over the scan; everything
+    * else — scaffold cross, margins, terms, total — runs on the
+    * dims-sized grid. */
+  val chi2Independence: Q = Q(
+    "q160_chi2_independence",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val obs = d.groupBy("source", "lang").agg(count(lit(1)).as("observed"))
+      val grid = d.select("source").distinct()
+        .crossJoin(d.select("lang").distinct())
+        .join(obs, Seq("source", "lang"), "left")
+        .withColumn("observed", coalesce(col("observed"), lit(0L)))
+      val rowT = grid.groupBy("source").agg(sum("observed").as("row_tot"))
+      val colT = grid.groupBy("lang").agg(sum("observed").as("col_tot"))
+      val tot = grid.agg(sum("observed").as("n"),
+        countDistinct("source").as("nr"), countDistinct("lang").as("nc"))
+      val cells = grid.join(broadcast(rowT), "source").join(broadcast(colT), "lang")
+        .crossJoin(broadcast(tot))
+        .withColumn("expected",
+          (col("row_tot").cast("double") * col("col_tot").cast("double"))
+            / col("n").cast("double"))
+        .withColumn("term",
+          ((col("observed").cast("double") - col("expected"))
+            * (col("observed").cast("double") - col("expected"))) / col("expected"))
+      cells
+        .withColumn("chi2_total",
+          sum(expr("cast(term as decimal(38,12))"))
+            .over(Window.partitionBy(lit(1))).cast("double"))
+        .withColumn("dof", (col("nr") - 1) * (col("nc") - 1))
+        .select("source", "lang", "observed", "expected", "term", "chi2_total", "dof")
+    },
+    Some("""WITH d AS (
+        SELECT source, lang FROM documents
+      ), obs AS (
+        SELECT source, lang, count(1) AS observed FROM d GROUP BY source, lang
+      ), grid AS (
+        SELECT s.source, l.lang, COALESCE(o.observed, 0) AS observed
+        FROM (SELECT DISTINCT source FROM d) s
+        CROSS JOIN (SELECT DISTINCT lang FROM d) l
+        LEFT JOIN obs o ON o.source = s.source AND o.lang = l.lang
+      ), rt AS (
+        SELECT source, SUM(observed) AS row_tot FROM grid GROUP BY source
+      ), ct AS (
+        SELECT lang, SUM(observed) AS col_tot FROM grid GROUP BY lang
+      ), tot AS (
+        SELECT SUM(observed) AS n, COUNT(DISTINCT source) AS nr,
+               COUNT(DISTINCT lang) AS nc
+        FROM grid
+      ), cells AS (
+        SELECT g.source, g.lang, CAST(g.observed AS BIGINT) AS observed,
+          (CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE))
+            / CAST(tot.n AS DOUBLE) AS expected,
+          ((CAST(g.observed AS DOUBLE)
+              - (CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE))
+                / CAST(tot.n AS DOUBLE))
+           * (CAST(g.observed AS DOUBLE)
+              - (CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE))
+                / CAST(tot.n AS DOUBLE)))
+            / ((CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE))
+               / CAST(tot.n AS DOUBLE)) AS term,
+          tot.nr, tot.nc
+        FROM grid g
+        JOIN rt ON rt.source = g.source
+        JOIN ct ON ct.lang = g.lang
+        CROSS JOIN tot
+      )
+      SELECT source, lang, observed, expected, term,
+        CAST(SUM(CAST(term AS DECIMAL(38,12))) OVER () AS DOUBLE) AS chi2_total,
+        (nr - 1) * (nc - 1) AS dof
+      FROM cells"""))
+
   val all: Seq[Q] = Seq(windowSuite, setOps, rollup, asofJoin, sqlDdl,
     approxDistinct, percentileStats, pivot, unpivot, cube, countMin, nestedAgg,
     histogram, cooccurrence, weightedMedian, trailingWindow, groupingSets,
-    equidepthHist, tradePageRank, groupwiseOls, marketShare, triangles)
+    equidepthHist, tradePageRank, groupwiseOls, marketShare, triangles,
+    chi2Independence)
 }

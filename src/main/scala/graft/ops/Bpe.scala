@@ -124,13 +124,17 @@ object Bpe {
             .as("compression"))
     },
     None,
-    Some(() => forOracle.map { ms =>
-      val enc0 = "regexp_replace(trim(regexp_replace(lower(text), " +
-        "'[^a-z0-9]+', '#', 'g'), '#'), '(.)', '|\\1|', 'g')"
-      val encK = ms.foldLeft(enc0) { case (e, (a, b)) =>
-        s"replace($e, '|$a||$b|', '|$a$b|')"
-      }
-      s"""WITH t AS (
+    Some(() => forOracle.map(tokenizeOracleSql)))
+
+  /** q134's oracle body for a given merge list — shared with q158, whose
+    * oracle embeds the same tokenization as a CTE. */
+  private def tokenizeOracleSql(ms: Seq[(String, String)]): String = {
+    val enc0 = "regexp_replace(trim(regexp_replace(lower(text), " +
+      "'[^a-z0-9]+', '#', 'g'), '#'), '(.)', '|\\1|', 'g')"
+    val encK = ms.foldLeft(enc0) { case (e, (a, b)) =>
+      s"replace($e, '|$a||$b|', '|$a$b|')"
+    }
+    s"""WITH t AS (
           SELECT doc_id,
                  trim(regexp_replace(lower(text), '[^a-z0-9]+', '#', 'g'), '#')
                    AS norm,
@@ -148,7 +152,46 @@ object Bpe {
                  THEN CAST(base_symbols AS DOUBLE) / CAST(bpe_tokens AS DOUBLE)
                  ELSE NULL END AS compression
         FROM c"""
+  }
+
+  /** q158: tokenizer fertility by language — BPE tokens per whitespace word
+    * for each lang, the per-domain efficiency report a tokenizer release
+    * ships with (a language whose fertility is far above the corpus mean is
+    * being over-fragmented and under-represented per training byte). Sums
+    * are exact BIGINTs from q134's per-doc tokenization (plan reused
+    * verbatim); fertility and mean compression are single fixed-shape
+    * divisions. Distributed shape: q134's scan + one doc-keyed join + a
+    * |langs|-row aggregate. */
+  val tokenizerFertility: Q = Q(
+    "q158_tokenizer_fertility",
+    (s, dir) => {
+      val toks = bpeTokenize.run(s, dir).select("doc_id", "bpe_tokens", "base_symbols")
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("words"))
+      toks.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("words").as("total_words"),
+          sum("bpe_tokens").as("total_bpe_tokens"),
+          sum("base_symbols").as("total_base_symbols"))
+        .withColumn("fertility",
+          col("total_bpe_tokens").cast("double") / col("total_words").cast("double"))
+        .withColumn("compression",
+          col("total_base_symbols").cast("double") / col("total_bpe_tokens").cast("double"))
+    },
+    None,
+    Some(() => forOracle.map { ms =>
+      s"""WITH b AS (${tokenizeOracleSql(ms)})
+      SELECT d.lang, count(1) AS n_docs,
+             CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS total_words,
+             CAST(SUM(b.bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+             CAST(SUM(b.base_symbols) AS BIGINT) AS total_base_symbols,
+             CAST(SUM(b.bpe_tokens) AS DOUBLE)
+               / CAST(SUM(len(string_split(d.text, ' '))) AS DOUBLE) AS fertility,
+             CAST(SUM(b.base_symbols) AS DOUBLE)
+               / CAST(SUM(b.bpe_tokens) AS DOUBLE) AS compression
+      FROM b JOIN documents d ON b.doc_id = d.doc_id
+      GROUP BY d.lang"""
     }))
 
-  val all: Seq[Q] = Seq(bpeTokenize)
+  val all: Seq[Q] = Seq(bpeTokenize, tokenizerFertility)
 }

@@ -961,7 +961,81 @@ object Similarity {
       FROM rerank WHERE rn <= 5"""
     }))
 
+  // ---- q159: dimension-truncation recall eval ------------------------------
+  private val truncBudgets = Seq(16, 32, 64)
+
+  /** q159: Matryoshka-style dimension-budget evaluation — exact top-5
+    * recall of cosine search restricted to the first d dims (d ∈ {16, 32,
+    * 64}) against the full-width truth, the measurement behind "can we
+    * serve with a 4× smaller index?". Every rank set is a deterministic
+    * total order ((cos desc, vec_id), the bit-stable dot folds), overlap
+    * counts are exact integers and recall is one division — so even this
+    * EVALUATION is hash-gated, and the d=64 row is a built-in self-check
+    * (recall exactly 1). Distributed shape per budget: broadcast query set
+    * over one corpus scan of a d-wide slice, TakeOrdered-style top-5 per
+    * query, then a (q, neighbor)-keyed join against the truth and a 1-row
+    * count. */
+  val truncationRecall: Q = Q(
+    "q159_truncation_recall",
+    (s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      def top5(d: Int): DataFrame = {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            expr(s"slice(transform(embedding, x -> cast(x as double)), 1, $d)").as("v"))
+          .withColumn("norm", expr("sqrt(vec_dot(v, v))"))
+        val q = e.filter(col("vec_id") % queryMod === 0)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .withColumn("cos", expr("vec_dot(qv, v)") / (col("qn") * col("norm")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("q_id", "vec_id")
+      }
+      val full = top5(64)
+      truncBudgets.map { d =>
+        val overlap = top5(d).join(full, Seq("q_id", "vec_id"))
+          .agg(count(lit(1)).as("overlap"))
+        val nq = full.agg(countDistinct("q_id").as("n_queries"))
+        overlap.crossJoin(nq)
+          .select(lit(d.toLong).as("dim_budget"), col("overlap"), col("n_queries"),
+            (col("overlap").cast("double") / (lit(5.0d) * col("n_queries").cast("double")))
+              .as("recall"))
+      }.reduce(_ unionAll _)
+    },
+    Some {
+      def rankedSql(d: Int, name: String): String =
+        s"""$name AS (
+          SELECT q_id, vec_id FROM (
+            SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+              row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                list_dot_product(a.v[1:$d], b.v[1:$d])
+                  / (sqrt(list_dot_product(a.v[1:$d], a.v[1:$d]))
+                     * sqrt(list_dot_product(b.v[1:$d], b.v[1:$d]))) DESC,
+                b.vec_id) AS rn
+            FROM eq a JOIN ee b ON b.vec_id <> a.vec_id
+          ) WHERE rn <= 5
+        )"""
+      val budgets = truncBudgets.map { d =>
+        s"""SELECT CAST($d AS BIGINT) AS dim_budget,
+          (SELECT count(1) FROM t$d x JOIN t64 y
+             ON x.q_id = y.q_id AND x.vec_id = y.vec_id) AS overlap,
+          (SELECT count(DISTINCT q_id) FROM t64) AS n_queries,
+          CAST((SELECT count(1) FROM t$d x JOIN t64 y
+             ON x.q_id = y.q_id AND x.vec_id = y.vec_id) AS DOUBLE)
+            / (5.0 * CAST((SELECT count(DISTINCT q_id) FROM t64) AS DOUBLE)) AS recall"""
+      }.mkString("\nUNION ALL\n")
+      Some(s"""WITH ee AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), eq AS (
+          SELECT vec_id, v FROM ee WHERE vec_id % $queryMod = 0
+        ), ${truncBudgets.map(d => rankedSql(d, s"t$d")).mkString(", ")}
+        $budgets""")
+    }.get)
+
   val all: Seq[Q] =
     Seq(embeddingNearDup, knnBruteForce, knnLsh, knnIvf, semDedup,
-      mutualKnnClusters, hybridRrf, pqEncode, pqAdcTopK, ivfPqTopK)
+      mutualKnnClusters, hybridRrf, pqEncode, pqAdcTopK, ivfPqTopK,
+      truncationRecall)
 }

@@ -1147,6 +1147,81 @@ class OpsSpec extends AnyFunSuite {
     assert(sumD2 < baseline, s"PQ error $sumD2 !< baseline $baseline")
   }
 
+  test("q158 fertility reconciles with q134 per-doc sums") {
+    val perDoc = SparkEntry.queries("q134_bpe_tokenize")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).length.toLong))
+    val got = SparkEntry.queries("q158_tokenizer_fertility")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val byLang = docs.groupBy(_._2)
+    assert(got.keySet === byLang.keySet)
+    byLang.foreach { case (lang, rows) =>
+      val words = rows.map(_._3).sum
+      val bpe = rows.map(r => perDoc(r._1)._1).sum
+      val base = rows.map(r => perDoc(r._1)._2).sum
+      assert(got(lang) === ((rows.size.toLong, words, bpe, base,
+        bpe.toDouble / words.toDouble)), lang)
+      // BPE with merges can never exceed one token per base symbol
+      assert(bpe <= base)
+    }
+  }
+
+  test("q159 truncation recall equals a driver recompute; full width is the fixed point") {
+    val vs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def top5(d: Int): Map[Long, Seq[Long]] = {
+      val sliced = vs.map { case (id, v) => (id, v.take(d)) }
+      val norms = sliced.map { case (id, v) => id -> math.sqrt(dotFold(v, v)) }.toMap
+      val m = sliced.toMap
+      sliced.filter(_._1 % 50 == 0).map { case (qid, qv) =>
+        qid -> sliced.filter(_._1 != qid)
+          .map { case (vid, v) => (vid, dotFold(qv, v) / (norms(qid) * norms(vid))) }
+          .sortBy { case (vid, cos) => (-cos, vid) }.take(5).map(_._1).toSeq
+      }.toMap
+    }
+    val full = top5(64)
+    val got = SparkEntry.queries("q159_truncation_recall")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    Seq(16, 32, 64).foreach { d =>
+      val t = top5(d)
+      val overlap = t.map { case (q, ns) => (ns.toSet & full(q).toSet).size }.sum.toLong
+      val nq = full.size.toLong
+      assert(got(d.toLong) === ((overlap, nq, overlap.toDouble / (5.0 * nq))), s"d=$d")
+    }
+    assert(got(64L)._3 === 1.0, "full width must recall itself exactly")
+  }
+
+  test("q160 chi-square equals an exact driver recompute over the full grid") {
+    val docs = Tables.documents(spark, sfDir).select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = docs.length.toDouble
+    val srcs = docs.map(_._1).distinct; val langs = docs.map(_._2).distinct
+    val obs = docs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def dec12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val rowT = srcs.map(s2 => s2 -> docs.count(_._1 == s2).toLong).toMap
+    val colT = langs.map(l => l -> docs.count(_._2 == l).toLong).toMap
+    val terms = for (s2 <- srcs; l <- langs) yield {
+      val o = obs.getOrElse((s2, l), 0L).toDouble
+      val e = (rowT(s2).toDouble * colT(l).toDouble) / n
+      ((s2, l), ((o - e) * (o - e)) / e, e)
+    }
+    val chi2 = terms.map(t => dec12(t._2)).sum.toDouble
+    val got = SparkEntry.queries("q160_chi2_independence")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))).toMap
+    assert(got.size === srcs.length * langs.length)
+    terms.foreach { case (k, term, e) =>
+      val (o, eGot, tGot, chiGot, dof) = got(k)
+      assert(o === obs.getOrElse(k, 0L), k)
+      assert(eGot === e && tGot === term, k)
+      assert(chiGot === chi2 && dof === (srcs.length - 1).toLong * (langs.length - 1))
+    }
+  }
+
   test("q156 ADC top-k equals an exact decimal driver replay") {
     val cbs = ops.Similarity.PqIndex.codebooks(spark, sfDir)
     val vs = Tables.embeddings(spark, sfDir)
