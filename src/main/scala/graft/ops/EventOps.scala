@@ -1030,9 +1030,60 @@ object EventOps {
                || 'M' || CAST(m AS VARCHAR) AS segment
       FROM scored"""))
 
+  // ---- q161: exhaustive sequence-funnel mining -----------------------------
+  /** q161: every ordered 3-step event-type sequence (5³ = 125 funnels),
+    * mined exhaustively — for each (a, b, c): how many users exhibit a
+    * strictly-ordered a→b→c subsequence under earliest-transition
+    * semantics (first a, first b after it, first c after that). q73/q152
+    * hardcode ONE funnel; this is the discovery query that finds which
+    * funnels exist at all (sequential pattern mining restricted to the
+    * episode length product analytics actually reads).
+    *
+    * Earliest-transition is not just canonical, it is what makes the mine
+    * cheap: stage k is a conditional MIN against stage k−1's row — the
+    * event log is scanned once per stage and every join keys on user_id,
+    * so the 125-fold combinatorics multiplies only the per-user STAGE rows
+    * (|types| then |types|², dimension-sized), never the event log.
+    * Completion counts are exact integers. */
+  val sequenceFunnels: Q = Q(
+    "q161_sequence_funnels",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+      // stage 1: first occurrence of every type per user (|users|×|types| rows)
+      val f1 = ev.groupBy(col("user_id"), col("event_type").as("ta"))
+        .agg(min("ts").as("t1"))
+      // stage 2: first b strictly after the user's first a
+      val f2 = ev.as("e").join(f1.as("s1"), col("e.user_id") === col("s1.user_id"))
+        .filter(col("e.ts") > col("s1.t1"))
+        .groupBy(col("e.user_id").as("user_id"), col("s1.ta").as("ta"),
+          col("e.event_type").as("tb"))
+        .agg(min(col("e.ts")).as("t2"))
+      // stage 3: first c strictly after that b
+      val f3 = ev.as("e").join(f2.as("s2"), col("e.user_id") === col("s2.user_id"))
+        .filter(col("e.ts") > col("s2.t2"))
+        .groupBy(col("s2.ta").as("ta"), col("s2.tb").as("tb"),
+          col("e.event_type").as("tc"))
+        .agg(countDistinct(col("e.user_id")).as("n_users"))
+      f3
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+      ), f1 AS (
+        SELECT user_id, event_type AS ta, MIN(ts) AS t1
+        FROM ev GROUP BY user_id, event_type
+      ), f2 AS (
+        SELECT e.user_id, s1.ta, e.event_type AS tb, MIN(e.ts) AS t2
+        FROM ev e JOIN f1 s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        GROUP BY e.user_id, s1.ta, e.event_type
+      )
+      SELECT s2.ta, s2.tb, e.event_type AS tc,
+             COUNT(DISTINCT e.user_id) AS n_users
+      FROM ev e JOIN f2 s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+      GROUP BY s2.ta, s2.tb, e.event_type"""))
+
   val all: Seq[Q] = Seq(funnel, watermarkIngest, gapFill, hoppingWindow,
     cohortRetention, debounce, timeWeightedAvg, attribution, peakConcurrency,
     rollingActiveUsers, transitionMatrix, decayedPopularity, intervalUnion,
     bitmapDistinct, volumeAnomaly, incrementalSessions, xcorrLag,
-    windowedFunnel, rfmSegments)
+    windowedFunnel, rfmSegments, sequenceFunnels)
 }

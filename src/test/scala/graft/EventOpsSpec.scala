@@ -589,6 +589,37 @@ class EventOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q161 sequence funnels equal a driver earliest-transition replay") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val types = ev.map(_._2).distinct.sorted
+    val byUser = ev.groupBy(_._1)
+    val want = scala.collection.mutable.Map.empty[(String, String, String), Long]
+      .withDefaultValue(0L)
+    byUser.values.foreach { rows =>
+      for (a <- types; b <- types; c <- types) {
+        val t1 = rows.filter(_._2 == a).map(_._3).minOption
+        val t2 = t1.flatMap(x => rows.filter(r => r._2 == b && r._3 > x).map(_._3).minOption)
+        val t3 = t2.flatMap(x => rows.filter(r => r._2 == c && r._3 > x).map(_._3).minOption)
+        if (t3.isDefined) want((a, b, c)) += 1
+      }
+    }
+    val got = SparkEntry.queries("q161_sequence_funnels")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(got === want.toMap)
+    // completing a->b->c requires having all three stages reachable: bound
+    // by the 2-step funnel count
+    val twoStep = got.keys.map { case (a, b, _) => (a, b) }.toSet
+    twoStep.foreach { case (a, b) =>
+      val m2 = byUser.values.count { rows =>
+        val t1 = rows.filter(_._2 == a).map(_._3).minOption
+        t1.exists(x => rows.exists(r => r._2 == b && r._3 > x))
+      }
+      types.foreach(c => assert(got.getOrElse((a, b, c), 0L) <= m2))
+    }
+  }
+
   test("q143 cross-correlation equals a driver recompute; argmax unique") {
     val got = SparkEntry.queries("q143_xcorr_lag")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
