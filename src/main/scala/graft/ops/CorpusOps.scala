@@ -800,18 +800,32 @@ object CorpusOps {
   val sourceOverlap: Q = Q(
     "q148_source_overlap",
     (s, dir) => {
-      val sh = Tables.documents(s, dir)
-        .filter(size(split(col("text"), " ")) >= 3)
-        .select(col("source"), explode(expr(
-          "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), " +
-            "i -> concat_ws(' ', element_at(split(text, ' '), i), " +
-            "element_at(split(text, ' '), i + 1), element_at(split(text, ' '), i + 2))))"))
-          .as("ngram"))
-        .distinct()
+      // the distinct (source, shingle) frame feeds THREE consumers (sizes,
+      // intersections, ×32 signature mins) — materialize once per (session,
+      // dir) instead of re-running the explode+distinct subtree per branch
+      val sh = graft.PlanCache.cached(s, "q148_sh", dir, s"$dir/documents.parquet") {
+        Tables.documents(s, dir)
+          .filter(size(split(col("text"), " ")) >= 3)
+          .select(col("source"), explode(expr(
+            "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), " +
+              "i -> concat_ws(' ', element_at(split(text, ' '), i), " +
+              "element_at(split(text, ' '), i + 1), element_at(split(text, ' '), i + 2))))"))
+            .as("ngram"))
+          .distinct()
+      }
       val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
-      val inter = sh.as("a").join(sh.as("b"),
-          col("a.ngram") === col("b.ngram") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      // pair intersections WITHOUT a shingle-keyed self-join: collapse each
+      // shingle to its sorted source set (bounded by |sources|), expand the
+      // pairs row-locally, count — one aggregation replaces the join whose
+      // fan-out is posting-list² per shingle
+      val inter = sh.groupBy("ngram")
+        .agg(sort_array(collect_set("source")).as("srcs"))
+        .filter(size(col("srcs")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(srcs, (a, i) ->
+               transform(slice(srcs, i + 2, size(srcs)), b -> struct(a AS src_a, b AS src_b))))"""))
+          .as("p"))
+        .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
         .agg(count(lit(1)).as("inter"))
       val sigs = sh.crossJoin(broadcast(s.range(0, overlapHashes).select(col("id").as("h"))))
         .groupBy("source", "h")

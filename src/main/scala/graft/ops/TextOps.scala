@@ -575,7 +575,42 @@ object TextOps {
                ORDER BY sc.surprisal, sc.doc_id) AS qnorm
       FROM sc JOIN documents d ON sc.doc_id = d.doc_id"""))
 
+  private val kwicTerms = Seq("spark", "merge")
+  private val kwicCtx = 3
+
+  /** q162: keyword-in-context concordance — every occurrence of the query
+    * terms with its ±3-token context window, the corpus-inspection view
+    * behind "show me how this term is actually used" (and the
+    * data-diligence tool for auditing what surrounds a contaminating
+    * phrase). One scan: tokens explode WITH their source array retained,
+    * so both context windows are row-local array slices — no self-join, no
+    * window function, no second pass; the occurrence filter prunes before
+    * any slicing. Emitted positions are 0-based token offsets; contexts
+    * are exact string joins, truncated naturally at document edges. */
+  val kwicConcordance: Q = Q(
+    "q162_kwic",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(col("doc_id"), col("words"),
+          posexplode(col("words")).as(Seq("pos", "term")))
+        .filter(col("term").isin(kwicTerms: _*))
+        .select(col("doc_id"), col("term"), col("pos").cast("long").as("pos"),
+          array_join(expr(s"slice(words, greatest(pos - ${kwicCtx - 1}, 1), least(pos, $kwicCtx))"), " ")
+            .as("left_ctx"),
+          array_join(expr(s"slice(words, pos + 2, $kwicCtx)"), " ").as("right_ctx"))
+    },
+    Some(s"""WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), p AS (
+        SELECT doc_id, w, unnest(range(1, len(w)+1)) AS i FROM d
+      )
+      SELECT doc_id, w[i] AS term, CAST(i - 1 AS BIGINT) AS pos,
+             COALESCE(array_to_string(w[greatest(i - $kwicCtx, 1) : i - 1], ' '), '') AS left_ctx,
+             COALESCE(array_to_string(w[i + 1 : i + $kwicCtx], ' '), '') AS right_ctx
+      FROM p WHERE w[i] IN (${kwicTerms.map(t => s"'$t'").mkString(", ")})"""))
+
   val all: Seq[Q] = Seq(textQuality, textLangId, tokenCount, docFingerprint,
     repetitionScore, lengthOutliers, robustOutliers, phraseSearch,
-    bigramSurprisal, gopherRules, quantileNorm)
+    bigramSurprisal, gopherRules, quantileNorm, kwicConcordance)
 }

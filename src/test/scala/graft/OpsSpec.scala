@@ -1147,6 +1147,23 @@ class OpsSpec extends AnyFunSuite {
     assert(sumD2 < baseline, s"PQ error $sumD2 !< baseline $baseline")
   }
 
+  test("q162 KWIC equals a driver context recompute") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val terms = Set("spark", "merge")
+    val want = docs.flatMap { case (id, w) =>
+      w.zipWithIndex.collect { case (t, p) if terms(t) =>
+        (id, t, p.toLong,
+          w.slice(math.max(0, p - 3), p).mkString(" "),
+          w.slice(p + 1, p + 4).mkString(" "))
+      }
+    }.toSet
+    val got = SparkEntry.queries("q162_kwic")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .toSet
+    assert(got.nonEmpty && got === want)
+  }
+
   test("q158 fertility reconciles with q134 per-doc sums") {
     val perDoc = SparkEntry.queries("q134_bpe_tokenize")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
