@@ -1147,6 +1147,25 @@ class OpsSpec extends AnyFunSuite {
     assert(sumD2 < baseline, s"PQ error $sumD2 !< baseline $baseline")
   }
 
+  test("q163 dedup report reconciles with each method's own output") {
+    val got = SparkEntry.queries("q163_dedup_report")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === Set("exact", "ngram_jaccard", "minhash_lsh",
+      "edit_distance", "setsim_ppjoin"))
+    val groups = SparkEntry.queries("q13_dedup_exact")(spark, sfDir).collect()
+      .map(_.getLong(2)).filter(_ >= 2)
+    assert(got("exact") === ((groups.map(k => k * (k - 1) / 2).sum, groups.map(_ - 1).sum)))
+    def pairStats(q: String): (Long, Long) = {
+      val rows = SparkEntry.queries(q)(spark, sfDir)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      (rows.length.toLong, rows.map(_._2).distinct.length.toLong)
+    }
+    assert(got("ngram_jaccard") === pairStats("q14_dedup_ngram_jaccard"))
+    assert(got("minhash_lsh") === pairStats("q15_dedup_minhash_lsh"))
+    assert(got("edit_distance") === pairStats("q87_dedup_edit_distance"))
+    assert(got("setsim_ppjoin") === pairStats("q111_setsim_join"))
+  }
+
   test("q162 KWIC equals a driver context recompute") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
