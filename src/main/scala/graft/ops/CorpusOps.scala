@@ -877,8 +877,62 @@ object CorpusOps {
       JOIN sizes sb ON i.src_b = sb.source
       JOIN est e ON i.src_a = e.src_a AND i.src_b = e.src_b"""))
 
+  // ---- q165: quality-ordered token-budget retention ------------------------
+  /** q165: "keep the best 90% of every source's tokens" — docs rank by
+    * quality within source (q20's score, tie-broken by doc_id into a total
+    * order) and survive while the running INCLUSIVE token total stays
+    * within 90% of the source's tokens (the top-ranked doc always
+    * survives). The top-p complement to q154: q154 calibrates the score
+    * axis, this spends a budget along it. The cumulative walk is exact
+    * BIGINT (the double score only ORDERS; every kept/cut decision is an
+    * integer cross-multiply), so the boundary doc is bit-stable.
+    *
+    * Distributed shape: one scan computes score and token count; one
+    * source-partitioned window does the ordered walk; the per-source
+    * totals ride the same partition. At 100 TB the window is per-source —
+    * if single sources outgrow a partition sort, the walk decomposes via
+    * q113's rank-arithmetic bucketing. */
+  val nucleusRetention: Q = Q(
+    "q165_nucleus_retention",
+    (s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          TextOps.qualityScore(
+            size(split(col("text"), " ")).cast("long"),
+            expr(s"size(filter(split(text, ' '), w -> w IN ${TextOps.inList(TextOps.stopwords)}))")
+              .cast("long")).as("score"))
+      val w = Window.partitionBy("source").orderBy(col("score").desc, col("doc_id"))
+      val wTot = Window.partitionBy("source")
+      scored
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("cum_tokens",
+          sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("src_tokens", sum("n_tokens").over(wTot))
+        .withColumn("kept",
+          col("rnk") === 1L || col("cum_tokens") * 10 <= col("src_tokens") * 9)
+        .select("doc_id", "source", "n_tokens", "rnk", "cum_tokens", "kept")
+    },
+    Some(s"""WITH scored AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               ${TextOps.qualityScoreSql} AS score
+        FROM documents
+      ), walked AS (
+        SELECT doc_id, source, n_tokens,
+          CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+          CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY score DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY source) AS BIGINT) AS src_tokens
+        FROM scored
+      )
+      SELECT doc_id, source, n_tokens, rnk, cum_tokens,
+             (rnk = 1 OR cum_tokens * 10 <= src_tokens * 9) AS kept
+      FROM walked"""))
+
   val all: Seq[Q] = Seq(piiRedact, decontaminate, mixtureSample, noveltyScore,
     ngramTopK, docPack, embedQuantize, cleanPipeline, zorderKey, docChunks,
-    bm25Score, tfidfTopTerms, heavyHitters, corpusCard, ksDrift, sourceOverlap)
+    bm25Score, tfidfTopTerms, heavyHitters, corpusCard, ksDrift, sourceOverlap,
+    nucleusRetention)
 }
 

@@ -601,7 +601,68 @@ object Warehouse {
         (SELECT count(1) FROM $ct WHERE $ck NOT IN (SELECT $pk FROM $pt)) = 0 AS ok"""
     }.mkString("\nUNION ALL\n")))
 
+  // ---- q164: cross-table reconciliation audit ------------------------------
+  /** q164: the fact-to-header reconciliation a warehouse runs after every
+    * load — per order, the lineitem-derived gross revenue (Σ extendedprice,
+    * exact cents) against the header's o_totalprice, classified into
+    * match / mismatch / childless, with the mismatch magnitude
+    * distribution (max and total absolute difference) carried per status
+    * row. Everything is BIGINT cents; one output row per status so the
+    * report is fixed-size regardless of data volume.
+    *
+    * Distributed shape: one map-side-combined orderkey aggregation over
+    * the fact scan (2 columns read), one co-partitioned orderkey join to
+    * the header, then a 3-row status aggregate. This synthetic generator
+    * happens to populate o_totalprice independently of lineitems — the
+    * audit REPORTS that honestly (all-mismatch), which is exactly its job
+    * on a real lake too. */
+  val orderReconcile: Q = Q(
+    "q164_order_reconcile",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("li_cents"),
+          count(lit(1)).as("n_lines"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("hdr_cents"))
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "left")
+        .withColumn("status",
+          when(col("li_cents").isNull, "childless")
+            .when(col("li_cents") === col("hdr_cents"), "match")
+            .otherwise("mismatch"))
+        .withColumn("abs_diff",
+          when(col("li_cents").isNull, lit(0L))
+            .otherwise(abs(col("li_cents") - col("hdr_cents"))))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_orders"),
+          sum("abs_diff").as("total_abs_diff_cents"),
+          max("abs_diff").as("max_abs_diff_cents"))
+    },
+    Some("""WITH li AS (
+        SELECT l_orderkey,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS li_cents,
+               COUNT(1) AS n_lines
+        FROM lineitem GROUP BY l_orderkey
+      ), j AS (
+        SELECT o.o_orderkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS hdr_cents,
+               li.li_cents
+        FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+      ), cls AS (
+        SELECT CASE WHEN li_cents IS NULL THEN 'childless'
+                    WHEN li_cents = hdr_cents THEN 'match'
+                    ELSE 'mismatch' END AS status,
+               CASE WHEN li_cents IS NULL THEN 0
+                    ELSE abs(li_cents - hdr_cents) END AS abs_diff
+        FROM j
+      )
+      SELECT status, count(1) AS n_orders,
+             CAST(SUM(abs_diff) AS BIGINT) AS total_abs_diff_cents,
+             CAST(MAX(abs_diff) AS BIGINT) AS max_abs_diff_cents
+      FROM cls GROUP BY status"""))
+
   val all: Seq[Q] = Seq(scd2History, snapshotCdc, rangeJoin, partitionStats,
     schemaEvolution, bucketedJoin, incrementalMv, stratifiedSample, qualityAudit,
-    columnProfile, refIntegrity)
+    columnProfile, refIntegrity, orderReconcile)
 }

@@ -427,6 +427,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(ks("srcA") === 0.5 && ks("srcB") === 0.5)
   }
 
+  test("q165 nucleus retention: budget law and boundary doc per source") {
+    val rows = SparkEntry.queries("q165_nucleus_retention")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    val bySrc = rows.groupBy(_._2)
+    bySrc.foreach { case (src, rs) =>
+      val total = rs.map(_._3).sum
+      val sorted = rs.sortBy(_._4)
+      // cumulative walk is consistent
+      sorted.foldLeft(0L) { case (acc, r) =>
+        assert(r._5 === acc + r._3, s"cum at rank ${r._4} in $src"); r._5
+      }
+      // kept iff rank 1 or inclusive cum within 90% of the source budget
+      sorted.foreach { r =>
+        assert(r._6 === (r._4 == 1L || r._5 * 10 <= total * 9), s"$src rank ${r._4}")
+      }
+      // the survivor set is a prefix of the quality order
+      val lastKept = sorted.filter(_._6).map(_._4).max
+      assert(sorted.filter(_._4 <= lastKept).forall(_._6))
+      // something is kept and something is cut in every source
+      assert(sorted.exists(_._6) && sorted.exists(!_._6), src)
+    }
+    assert(bySrc.size > 1)
+  }
+
   test("q148 source overlap: exact jaccard matches a driver set recompute, estimate is calibrated") {
     val rows = SparkEntry.queries("q148_source_overlap")(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -250,6 +250,28 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got === Set((1L, 3L), (3L, 2L)))
   }
 
+  test("q164 reconciliation equals a driver cents recompute and partitions all orders") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_extendedprice")
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val orders = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+    val want = orders.groupBy { case (ok, hdr) =>
+      li.get(ok) match {
+        case None => "childless"
+        case Some(c) if c == hdr => "match"
+        case _ => "mismatch"
+      }
+    }.view.mapValues { rows =>
+      val diffs = rows.map { case (ok, hdr) => li.get(ok).map(c => (c - hdr).abs).getOrElse(0L) }
+      (rows.size.toLong, diffs.sum, diffs.max)
+    }.toMap
+    val got = SparkEntry.queries("q164_order_reconcile")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === want)
+    assert(got.values.map(_._1).sum === orders.length.toLong, "statuses partition orders")
+  }
+
   test("q145 profile equals a driver recompute per column") {
     val got = SparkEntry.queries("q145_profile")(spark, sfDir).collect()
       .map(r => r.getString(0) ->
