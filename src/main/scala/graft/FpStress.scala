@@ -48,7 +48,13 @@ object FpStress {
     // Gram sums — the whole point is geometry-independence of the converged
     // direction, so the cross-geometry master compare is its natural test
     // (q121's cosine outputs ride along via the shared cell assignment)
-    "q121_semdedup", "q122_pca_power")
+    "q121_semdedup", "q122_pca_power",
+    // round-9, fifth continuation: every new decimal-sum iterate — the
+    // Weiszfeld median's 1/d contributions (q150), the ADC rank order over
+    // exact decimal LUT sums (q156), the full IVFADC chain (q157), and the
+    // chi-square total's per-cell round-sum (q160)
+    "q150_geometric_median", "q156_pq_adc_topk", "q157_ivfpq_topk",
+    "q160_chi2_independence")
 
   /** 2-decimal deterministic jitter in [0, 0.96], keyed by (row key, copy) —
     * keeps every jittered double a 2-decimal value so the round(sum, p)
