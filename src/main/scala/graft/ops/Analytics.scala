@@ -1344,9 +1344,59 @@ object Analytics {
         (nr - 1) * (nc - 1) AS dof
       FROM cells"""))
 
+  // ---- q166: rolling exact median ------------------------------------------
+  /** q166: trailing-9-order rolling MEDIAN of order value per customer — the
+    * robust rolling statistic where q03/q99's rolling SUM family is
+    * mean-like and outlier-fragile. Exactness across engines comes from
+    * pinning the OP SEQUENCE, not just the values: the frame's values are
+    * collected and sorted per row, and the median is computed explicitly
+    * ((lo + hi) / 2 on the two central cents, one addition and one dyadic
+    * division) — DuckDB's quantile_cont would interpolate with a different
+    * formula, so the oracle replays the same list-sort-and-pick instead.
+    * Cents are BIGINT; the only double op is the final /2 (exact: cents+
+    * cents is exact and /2 is dyadic... rounded once when odd — the same
+    * single rounding in both engines).
+    *
+    * Distributed shape: one custkey-partitioned window; the frame is 9
+    * rows, so the per-row collect is O(w log w) on a constant w — rolling
+    * robust stats are frame-bounded by construction. */
+  val rollingMedian: Q = Q(
+    "q166_rolling_median",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderkey"))
+        .rowsBetween(-8, Window.currentRow)
+      o.withColumn("frame", sort_array(collect_list("cents").over(w)))
+        .withColumn("n", size(col("frame")))
+        .withColumn("med_cents_x2",
+          expr("element_at(frame, CAST((n + 1) div 2 AS INT)) + " +
+            "element_at(frame, CAST(n div 2 + 1 AS INT))"))
+        .select(col("o_custkey"), col("o_orderkey"), col("cents"),
+          col("n").cast("long").as("n_window"),
+          (col("med_cents_x2").cast("double") / 2.0d).as("rolling_median_cents"))
+    },
+    Some("""WITH o AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+      ), f AS (
+        SELECT o_custkey, o_orderkey, cents,
+               list_sort(list(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)) AS frame
+        FROM o
+      )
+      SELECT o_custkey, o_orderkey, cents,
+             CAST(len(frame) AS BIGINT) AS n_window,
+             CAST(frame[(len(frame) + 1) // 2] + frame[len(frame) // 2 + 1] AS DOUBLE) / 2.0
+               AS rolling_median_cents
+      FROM f"""))
+
   val all: Seq[Q] = Seq(windowSuite, setOps, rollup, asofJoin, sqlDdl,
     approxDistinct, percentileStats, pivot, unpivot, cube, countMin, nestedAgg,
     histogram, cooccurrence, weightedMedian, trailingWindow, groupingSets,
     equidepthHist, tradePageRank, groupwiseOls, marketShare, triangles,
-    chi2Independence)
+    chi2Independence, rollingMedian)
 }

@@ -1081,9 +1081,65 @@ object EventOps {
       FROM ev e JOIN f2 s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
       GROUP BY s2.ta, s2.tb, e.event_type"""))
 
+  // ---- q167: exact EWMA (α = 1/2) ------------------------------------------
+  /** q167: exponentially-weighted moving average of daily event counts per
+    * type, computed EXACTLY — the smoothing recurrence s_t = (x_t+s_{t−1})/2
+    * expands to s_t = (x_1 + Σ_{i≥2} x_i·2^{i−2}) / 2^{t−1}, so the whole
+    * state is one BIGINT running sum of shift-weighted counts and the only
+    * float op is a single division by an exact power of two per row.
+    * The usual "EWMA needs a sequential scan" objection dissolves: the
+    * scaled form is a plain prefix sum, distributed like any window — and
+    * unlike a double recurrence it is bit-identical at any parallelism
+    * (the q105 time-decay trick applied to a recurrence). Headroom:
+    * |series| ≈ 30 days here; for longer series the scaled sum promotes to
+    * DECIMAL(38,0) (2^96 ≈ 29 days of headroom per decimal digit ratio —
+    * the window would instead restart per month at planet scale).
+    *
+    * Distributed shape: one (type, day) count collapse, then a
+    * type-partitioned window over day-grain rows. */
+  val exactEwma: Q = Q(
+    "q167_exact_ewma",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("wterm",
+          when(col("rn") === 1, col("x"))
+            .otherwise(col("x") * expr("shiftleft(1L, CAST(rn - 2 AS INT))")))
+        .withColumn("s_scaled",
+          sum("wterm").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("event_type"), col("day"), col("x"), col("rn"),
+          col("s_scaled"),
+          (col("s_scaled").cast("double")
+            / expr("CAST(shiftleft(1L, CAST(rn - 1 AS INT)) AS DOUBLE)")).as("ewma"))
+    },
+    Some("""WITH daily AS (
+        SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+               count(1) AS x
+        FROM events GROUP BY event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+      ), rn AS (
+        SELECT event_type, day, x,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS rn
+        FROM daily
+      ), terms AS (
+        SELECT event_type, day, x, rn,
+               CASE WHEN rn = 1 THEN x ELSE x * (CAST(1 AS BIGINT) << (rn - 2)) END AS wterm
+        FROM rn
+      )
+      SELECT event_type, day, x, rn,
+             CAST(SUM(wterm) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_scaled,
+             CAST(SUM(wterm) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / CAST((CAST(1 AS BIGINT) << (rn - 1)) AS DOUBLE) AS ewma
+      FROM terms"""))
+
   val all: Seq[Q] = Seq(funnel, watermarkIngest, gapFill, hoppingWindow,
     cohortRetention, debounce, timeWeightedAvg, attribution, peakConcurrency,
     rollingActiveUsers, transitionMatrix, decayedPopularity, intervalUnion,
     bitmapDistinct, volumeAnomaly, incrementalSessions, xcorrLag,
-    windowedFunnel, rfmSegments, sequenceFunnels)
+    windowedFunnel, rfmSegments, sequenceFunnels, exactEwma)
 }

@@ -589,6 +589,31 @@ class EventOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q167 exact EWMA equals the scaled closed form and tracks the recurrence") {
+    val got = SparkEntry.queries("q167_exact_ewma")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    daily.foreach { case (t, rows) =>
+      val seq = rows.sortBy(_._2)
+      var sScaled = BigInt(0)
+      seq.zipWithIndex.foreach { case ((_, day, x), i) =>
+        val rn = i + 1
+        sScaled += (if (rn == 1) BigInt(x) else BigInt(x) << (rn - 2))
+        val ewma = sScaled.toLong.toDouble / (1L << (rn - 1)).toDouble
+        assert(got((t, day)) === ((x, rn.toLong, sScaled.toLong, ewma)), s"$t day $day")
+        // the scaled form IS the recurrence: s_t = (x_t + s_{t-1}) / 2
+        val rec = seq.take(rn).map(_._3.toDouble)
+          .reduceLeft((s2, xt) => (xt + s2) / 2.0)
+        assert(math.abs(ewma - rec) < 1e-9, s"recurrence drift $t day $day")
+      }
+    }
+  }
+
   test("q161 sequence funnels equal a driver earliest-transition replay") {
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))

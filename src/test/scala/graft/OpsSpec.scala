@@ -1147,6 +1147,24 @@ class OpsSpec extends AnyFunSuite {
     assert(sumD2 < baseline, s"PQ error $sumD2 !< baseline $baseline")
   }
 
+  test("q166 rolling median equals a driver frame recompute") {
+    val got = SparkEntry.queries("q166_rolling_median")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+      .groupBy(_._1)
+    orders.foreach { case (ck, rows) =>
+      val seq = rows.sortBy(_._2)
+      seq.indices.foreach { i =>
+        val frame = seq.slice(math.max(0, i - 8), i + 1).map(_._3).sorted
+        val n = frame.length
+        val med = (frame((n + 1) / 2 - 1) + frame(n / 2)).toDouble / 2.0
+        assert(got((ck, seq(i)._2)) === ((n.toLong, med)), s"cust $ck order ${seq(i)._2}")
+      }
+    }
+  }
+
   test("q163 dedup report reconciles with each method's own output") {
     val got = SparkEntry.queries("q163_dedup_report")(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
