@@ -516,6 +516,51 @@ object LineageQueries {
     None,
     oracleDyn = retrievalOracleDyn("question::q44", 6))
 
+  /** q169: the q27 impact closure computed by Spark 4's native
+    * `WITH RECURSIVE` — the third independent implementation of the
+    * closure contract (adaptive driver/distributed BFS in q27, GraphX
+    * Pregel in InfraSpec, recursive SQL here), all hash-gated to agree.
+    * Spark's recursion is UNION ALL-only, so termination and boundedness
+    * come from the depth guard plus a DISTINCT in the recursive arm: each
+    * step emits ≤ |columns| rows regardless of path multiplicity (a cycle
+    * or diamond re-walks nodes, it cannot explode paths), and MIN(depth)
+    * recovers exactly the BFS min-depth semantics. The DuckDB oracle runs
+    * the same recursion over THIS run's q25 edge dump. */
+  val recursiveClosure: Q = Q(
+    "q169_recursive_closure",
+    (s, dir) => {
+      val graph = Lineage.columnGraph(Lineage.edges(s, lineages(s, dir)))
+      graph.select(col("src"), col("dst")).distinct()
+        .createOrReplaceTempView("graft_col_edges_q169")
+      s.sql("""WITH RECURSIVE r AS (
+          SELECT CAST('amount' AS STRING) AS name, 0 AS depth
+          UNION ALL
+          SELECT DISTINCT e.dst, r.depth + 1
+          FROM r JOIN graft_col_edges_q169 e ON e.src = r.name
+          WHERE r.depth < 20
+        )
+        SELECT name AS `column`, CAST(MIN(depth) AS INT) AS depth
+        FROM r WHERE name <> 'amount' GROUP BY name""")
+    },
+    None,
+    oracleDyn = Some(() => sys.props.get("graft.oracle.outdir")
+      .filter(out => freshDump(out, "q25_lineage_edges").isDefined)
+      .map { out =>
+        s"""WITH RECURSIVE e AS (
+          SELECT DISTINCT srcCol AS src, targetCol AS dst
+          FROM read_parquet('$out/q25_lineage_edges/*.parquet')
+          WHERE srcCol <> targetCol
+        ), r AS (
+          SELECT CAST('amount' AS VARCHAR) AS name, 0 AS depth
+          UNION ALL
+          SELECT DISTINCT e.dst, r.depth + 1
+          FROM r JOIN e ON e.src = r.name
+          WHERE r.depth < 20
+        )
+        SELECT name AS "column", CAST(MIN(depth) AS INTEGER) AS depth
+        FROM r WHERE name <> 'amount' GROUP BY name"""
+      }))
+
   val all: Seq[Q] = Seq(lineageEdges, repoLinks, impactClosure, corpusDocs,
-    qaRetrieval, qaRetrievalSimple, qaEvidence)
+    qaRetrieval, qaRetrievalSimple, qaEvidence, recursiveClosure)
 }

@@ -159,5 +159,36 @@ object Subqueries {
     },
     Some(q127Sql))
 
-  val all: Seq[Q] = Seq(semiAnti, scalar, notInNull, lateSupplier)
+  // SQL text shared verbatim by both engines: the correlated LATERAL
+  // derived table is ANSI (Spark 4 and DuckDB agree on syntax and
+  // semantics), and the inner ORDER BY carries a custkey tie-break so the
+  // top-3 cut is a total order.
+  private val q168Sql = """SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal, t.rnk
+    FROM nation n
+    CROSS JOIN LATERAL (
+      SELECT c_custkey, c_name, c_acctbal,
+             ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 3
+    ) t"""
+
+  /** q168: correlated LATERAL top-N — the per-row subquery form of
+    * top-k-per-group ("for every nation, its 3 richest customers"),
+    * exercising Spark 4's lateral derived-table support; the same SQL text
+    * runs in both engines. Catalyst de-correlates the lateral into a
+    * windowed rank over a c_nationkey-partitioned customer scan — the q58
+    * plan — so the declarative per-row form pays the set-based price, not
+    * |nations| scans. */
+  val lateralTopN: Q = Q(
+    "q168_lateral_topn",
+    (s, dir) => {
+      Tables.nation(s, dir).createOrReplaceTempView("nation")
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      s.sql(q168Sql)
+    },
+    Some(q168Sql))
+
+  val all: Seq[Q] = Seq(semiAnti, scalar, notInNull, lateSupplier, lateralTopN)
 }

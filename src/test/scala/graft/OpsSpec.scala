@@ -1147,6 +1147,32 @@ class OpsSpec extends AnyFunSuite {
     assert(sumD2 < baseline, s"PQ error $sumD2 !< baseline $baseline")
   }
 
+  test("q168 lateral top-N equals a driver per-nation recompute") {
+    val nations = Tables.nation(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val custs = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    val want = nations.toSeq.flatMap { case (nk, nname) =>
+      custs.filter(_._3 == nk)
+        .sortBy { case (ck, _, _, bal) => (-bal, ck) }.take(3).zipWithIndex
+        .map { case ((ck, cn, _, bal), i) => (nname, ck, cn, bal, i + 1L) }
+    }.toSet
+    val got = SparkEntry.queries("q168_lateral_topn")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getInt(4).toLong))
+      .toSet
+    assert(got === want)
+  }
+
+  test("q169 recursive-SQL closure equals q27's BFS closure") {
+    val viaRecursion = SparkEntry.queries("q169_recursive_closure")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val viaBfs = SparkEntry.queries("q27_impact_closure")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(viaRecursion.nonEmpty && viaRecursion === viaBfs)
+  }
+
   test("q166 rolling median equals a driver frame recompute") {
     val got = SparkEntry.queries("q166_rolling_median")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(3), r.getDouble(4)))).toMap
