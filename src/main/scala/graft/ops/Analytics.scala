@@ -1394,9 +1394,67 @@ object Analytics {
                AS rolling_median_cents
       FROM f"""))
 
+  // ---- q170: per-group Gini coefficient ------------------------------------
+  /** q170: Gini coefficient of customer spend per nation — the standard
+    * concentration measure ("is revenue dominated by a few accounts?").
+    * Computed exactly from the rank formula on cents: with spend sorted
+    * ascending and 1-based rank i, G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) —
+    * every term BIGINT (rank ties carry equal x, so Σ i·xᵢ is
+    * tie-order-invariant), one double division at the end. Customers with
+    * no orders count as zero spend (a left join, not an inner one — their
+    * absence would understate inequality).
+    *
+    * Distributed shape: one custkey-collapsed spend aggregation, a
+    * broadcast nation dim, one nation-partitioned rank window, a
+    * |nations|-row aggregate. */
+  val giniSpend: Q = Q(
+    "q170_gini_spend",
+    (s, dir) => {
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      val cust = Tables.customer(s, dir)
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_nationkey"),
+          coalesce(col("cents"), lit(0L)).as("cents"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+      val w = Window.partitionBy("n_name").orderBy(col("cents"), col("c_custkey"))
+      cust
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum("cents").as("total_cents"),
+          sum(col("i") * col("cents")).as("rank_weighted"))
+        .withColumn("gini",
+          (lit(2L) * col("rank_weighted") - (col("n_customers") + 1) * col("total_cents"))
+            .cast("double")
+            / (col("n_customers") * col("total_cents")).cast("double"))
+        .select("nation", "n_customers", "total_cents", "gini")
+    },
+    Some("""WITH spend AS (
+        SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+      ), cust AS (
+        SELECT c.c_custkey, n.n_name, COALESCE(s.cents, 0) AS cents
+        FROM customer c
+        LEFT JOIN spend s ON c.c_custkey = s.o_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+      ), ranked AS (
+        SELECT n_name, cents,
+               CAST(ROW_NUMBER() OVER (PARTITION BY n_name
+                 ORDER BY cents, c_custkey) AS BIGINT) AS i
+        FROM cust
+      )
+      SELECT n_name AS nation, count(1) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS total_cents,
+             CAST(2 * SUM(i * cents) - (count(1) + 1) * SUM(cents) AS DOUBLE)
+               / CAST(count(1) * SUM(cents) AS DOUBLE) AS gini
+      FROM ranked GROUP BY n_name"""))
+
   val all: Seq[Q] = Seq(windowSuite, setOps, rollup, asofJoin, sqlDdl,
     approxDistinct, percentileStats, pivot, unpivot, cube, countMin, nestedAgg,
     histogram, cooccurrence, weightedMedian, trailingWindow, groupingSets,
     equidepthHist, tradePageRank, groupwiseOls, marketShare, triangles,
-    chi2Independence, rollingMedian)
+    chi2Independence, rollingMedian, giniSpend)
 }

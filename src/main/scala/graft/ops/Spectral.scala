@@ -323,5 +323,65 @@ object Spectral {
         FROM d CROSS JOIN t"""
     }))
 
-  val all: Seq[Q] = Seq(pcaProjection, linearProbe, geomMedianDist)
+  // ---- q171: label centroid separability -----------------------------------
+  /** q171: class-separability report over the labeled embeddings — the
+    * pairwise distance matrix of per-label centroids, the first diagnostic
+    * before trusting labels for supervised filtering ("are the classes
+    * even separated in embedding space?"). Everything runs in LONG FORM
+    * ((label, dim) rows), which is what makes it distributable AND exact:
+    * per-(label, dim) means are DECIMAL(38,12)-rounded exact sums divided
+    * once; pairwise distances join the |labels|×64 means table to itself
+    * on dim, square the mean differences per dim (fixed-shape doubles),
+    * and re-round into an exact 64-term decimal sum — no vector is ever
+    * assembled, no driver collect happens, and the result is bit-stable
+    * under any partitioning.
+    *
+    * Distributed shape: one map-side-combined (label, dim) aggregation
+    * over the scan; the matrix math runs on |labels|×64 rows. */
+  val labelSeparability: Q = Q(
+    "q171_label_separability",
+    (s, dir) => {
+      val long = Tables.embeddings(s, dir)
+        .select(col("label"),
+          posexplode(expr("transform(embedding, x -> cast(x as double))"))
+            .as(Seq("d", "x")))
+      val means = long.groupBy("label", "d")
+        .agg((sum(expr("cast(x as decimal(38,12))")).cast("double")
+          / count(lit(1)).cast("double")).as("m"),
+          count(lit(1)).as("n"))
+      means.as("a").join(means.as("b"),
+          col("a.d") === col("b.d") && col("a.label") < col("b.label"))
+        .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+        .agg(min(col("a.n")).as("n_a"), min(col("b.n")).as("n_b"),
+          sum(expr("cast((a.m - b.m) * (a.m - b.m) as decimal(38,12))")).as("d2"))
+        .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+          col("d2").cast("double").as("dist2"),
+          sqrt(col("d2").cast("double")).as("dist"))
+    },
+    Some("""WITH e AS (
+        SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      ), dims AS (
+        SELECT unnest(range(1, 65)) AS d
+      ), long AS (
+        SELECT label, d, v[d] AS x FROM e CROSS JOIN dims
+      ), means AS (
+        SELECT label, d,
+               CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(COUNT(1) AS DOUBLE) AS m,
+               COUNT(1) AS n
+        FROM long GROUP BY label, d
+      ), pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               MIN(a.n) AS n_a, MIN(b.n) AS n_b,
+               SUM(CAST((a.m - b.m) * (a.m - b.m) AS DECIMAL(38,12))) AS d2
+        FROM means a JOIN means b ON a.d = b.d AND a.label < b.label
+        GROUP BY a.label, b.label
+      )
+      SELECT label_a, label_b, CAST(n_a AS BIGINT) AS n_a,
+             CAST(n_b AS BIGINT) AS n_b,
+             CAST(d2 AS DOUBLE) AS dist2, sqrt(CAST(d2 AS DOUBLE)) AS dist
+      FROM pairs"""))
+
+  val all: Seq[Q] = Seq(pcaProjection, linearProbe, geomMedianDist,
+    labelSeparability)
 }

@@ -662,7 +662,62 @@ object Warehouse {
              CAST(MAX(abs_diff) AS BIGINT) AS max_abs_diff_cents
       FROM cls GROUP BY status"""))
 
+  // ---- q172: deletion footprint (right-to-be-forgotten impact) -------------
+  /** q172: the erasure-impact report a platform produces before executing a
+    * subject-deletion request — for a deterministic subject cohort
+    * (custkey ≡ 0 mod 37), the rows each table would lose, including the
+    * TRANSITIVE reach (lineitem is hit through the subjects' orders, not
+    * by carrying a custkey itself). One row per table with affected-row
+    * and affected-subject counts; exact integers.
+    *
+    * Distributed shape: each table contributes one key-keyed semi-join
+    * (the subject set and the affected-order keyset are the small
+    * broadcast sides) collapsing to a 1-row aggregate — the footprint scan
+    * reads only key columns, so the report costs key-column I/O, not table
+    * width. */
+  val deletionFootprint: Q = Q(
+    "q172_deletion_footprint",
+    (s, dir) => {
+      val subjects = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 37 === 0).select("c_custkey")
+      val custRow = subjects.agg(count(lit(1)).as("n_rows"))
+        .select(lit("customer").as("table_name"), col("n_rows"),
+          col("n_rows").as("n_subjects"))
+      val orders = Tables.orders(s, dir)
+        .join(broadcast(subjects), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_custkey")
+      val orderRow = orders.agg(count(lit(1)).as("n_rows"),
+        countDistinct("o_custkey").as("n_subjects"))
+        .select(lit("orders").as("table_name"), col("n_rows"), col("n_subjects"))
+      val liRow = Tables.lineitem(s, dir)
+        .join(orders.select("o_orderkey", "o_custkey").as("o"),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n_rows"), countDistinct("o_custkey").as("n_subjects"))
+        .select(lit("lineitem").as("table_name"), col("n_rows"), col("n_subjects"))
+      val evRow = Tables.events(s, dir)
+        .join(broadcast(subjects), col("user_id") === col("c_custkey"))
+        .agg(count(lit(1)).as("n_rows"), countDistinct("user_id").as("n_subjects"))
+        .select(lit("events").as("table_name"), col("n_rows"), col("n_subjects"))
+      Seq(custRow, orderRow, liRow, evRow).reduce(_ unionAll _)
+    },
+    Some("""WITH subjects AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 37 = 0
+      ), ords AS (
+        SELECT o_orderkey, o_custkey FROM orders
+        JOIN subjects ON o_custkey = c_custkey
+      )
+      SELECT 'customer' AS table_name, count(1) AS n_rows, count(1) AS n_subjects
+      FROM subjects
+      UNION ALL
+      SELECT 'orders', count(1), count(DISTINCT o_custkey) FROM ords
+      UNION ALL
+      SELECT 'lineitem', count(1), count(DISTINCT o.o_custkey)
+      FROM lineitem l JOIN ords o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'events', count(1), count(DISTINCT user_id)
+      FROM events JOIN subjects ON user_id = c_custkey"""))
+
   val all: Seq[Q] = Seq(scd2History, snapshotCdc, rangeJoin, partitionStats,
     schemaEvolution, bucketedJoin, incrementalMv, stratifiedSample, qualityAudit,
-    columnProfile, refIntegrity, orderReconcile)
+    columnProfile, refIntegrity, orderReconcile, deletionFootprint)
 }

@@ -1147,6 +1147,72 @@ class OpsSpec extends AnyFunSuite {
     assert(sumD2 < baseline, s"PQ error $sumD2 !< baseline $baseline")
   }
 
+  test("q170 Gini equals a driver rank-formula recompute and stays in [0, 1)") {
+    val spend = Tables.orders(spark, sfDir).select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val nation = Tables.nation(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey").collect()
+      .map(r => (r.getLong(0), nation(r.getInt(1)), spend.getOrElse(r.getLong(0), 0L)))
+    val got = SparkEntry.queries("q170_gini_spend")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    cust.groupBy(_._2).foreach { case (nname, rows) =>
+      val xs = rows.sortBy(r => (r._3, r._1)).map(_._3)
+      val n = xs.length.toLong
+      val s2 = xs.sum
+      val a = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val gini = (2 * a - (n + 1) * s2).toDouble / (n * s2).toDouble
+      assert(got(nname) === ((n, s2, gini)), nname)
+      assert(gini >= 0.0 && gini < 1.0, nname)
+    }
+  }
+
+  test("q171 separability equals a driver long-form decimal recompute") {
+    def dec12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val vs = Tables.embeddings(spark, sfDir)
+      .select(col("label"), expr("transform(embedding, x -> cast(x as double))"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val byLabel = vs.groupBy(_._1)
+    val means = byLabel.view.mapValues { rows =>
+      Array.tabulate(64)(d => rows.map(r => dec12(r._2(d))).sum.toDouble / rows.size)
+    }.toMap
+    val got = SparkEntry.queries("q171_label_separability")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val labels = byLabel.keys.toSeq.sorted
+    assert(got.size === labels.size * (labels.size - 1) / 2)
+    for (a <- labels; b <- labels if a < b) {
+      val d2 = (0 until 64).map { d =>
+        val diff = means(a)(d) - means(b)(d); dec12(diff * diff)
+      }.sum.toDouble
+      val (na, nb, gd2, gd) = got((a, b))
+      assert((na, nb) === ((byLabel(a).size.toLong, byLabel(b).size.toLong)))
+      assert(gd2 === d2 && gd === math.sqrt(d2), s"pair $a,$b")
+    }
+  }
+
+  test("q172 deletion footprint equals driver counts, transitively") {
+    val subjects = Tables.customer(spark, sfDir).select("c_custkey").collect()
+      .map(_.getLong(0)).filter(_ % 37 == 0).toSet
+    val orders = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(o => subjects(o._2))
+    val orderKeys = orders.map(_._1).toSet
+    val orderCust = orders.toMap
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey").collect()
+      .map(_.getLong(0)).filter(orderKeys)
+    val ev = Tables.events(spark, sfDir).select("user_id").collect()
+      .map(_.getLong(0)).filter(subjects)
+    val got = SparkEntry.queries("q172_deletion_footprint")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("customer") === ((subjects.size.toLong, subjects.size.toLong)))
+    assert(got("orders") === ((orders.length.toLong, orders.map(_._2).distinct.length.toLong)))
+    assert(got("lineitem") ===
+      ((li.length.toLong, li.map(orderCust).distinct.length.toLong)))
+    assert(got("events") === ((ev.length.toLong, ev.distinct.length.toLong)))
+  }
+
   test("q168 lateral top-N equals a driver per-nation recompute") {
     val nations = Tables.nation(spark, sfDir).collect()
       .map(r => r.getInt(0) -> r.getString(1)).toMap
