@@ -1137,9 +1137,60 @@ object EventOps {
                / CAST((CAST(1 AS BIGINT) << (rn - 1)) AS DOUBLE) AS ewma
       FROM terms"""))
 
+  // ---- q173: out-of-order ingestion audit (Spearman ρ) ---------------------
+  /** q173: how badly does arrival order disagree with event time, per user —
+    * the out-of-order-ingestion audit that sizes watermarks and late-data
+    * windows (q75's reprocess margin is a guess without it). Arrival order
+    * is the event_id sequence; the disagreement statistic is Spearman's
+    * rank correlation ρ = 1 − 6·Σd²/(n·(n²−1)) between the arrival rank
+    * and the event-time rank — exact: both ranks are tie-free total orders
+    * (ts ties break by event_id), Σd² is BIGINT, and ρ is one fixed-shape
+    * division. ρ = 1 ⇔ perfectly ordered; the flag marks users whose
+    * streams are materially shuffled.
+    *
+    * Distributed shape: two user-partitioned rank windows over the same
+    * shuffle, then a user-keyed aggregate — inversion-COUNTING would be
+    * per-pair work; the rank statistic is linear. */
+  val oooSpearman: Q = Q(
+    "q173_ooo_spearman",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select("user_id", "event_id", "ts")
+      val wArr = Window.partitionBy("user_id").orderBy("event_id")
+      val wTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev
+        .withColumn("r_arr", row_number().over(wArr).cast("long"))
+        .withColumn("r_time", row_number().over(wTime).cast("long"))
+        .withColumn("d", col("r_arr") - col("r_time"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("d") * col("d")).as("sum_d2"))
+        .filter(col("n") >= 2)
+        .withColumn("spearman_rho",
+          lit(1.0d) - (lit(6L) * col("sum_d2")).cast("double")
+            / (col("n") * (col("n") * col("n") - 1)).cast("double"))
+        .withColumn("is_shuffled", col("spearman_rho") < 0.8d)
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      ), ranked AS (
+        SELECT user_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS r_arr,
+          CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS r_time
+        FROM ev
+      ), agg AS (
+        SELECT user_id, count(1) AS n,
+               CAST(SUM((r_arr - r_time) * (r_arr - r_time)) AS BIGINT) AS sum_d2
+        FROM ranked GROUP BY user_id
+      )
+      SELECT user_id, n, sum_d2,
+             1.0 - CAST(6 * sum_d2 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE)
+               AS spearman_rho,
+             (1.0 - CAST(6 * sum_d2 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE)) < 0.8
+               AS is_shuffled
+      FROM agg WHERE n >= 2"""))
+
   val all: Seq[Q] = Seq(funnel, watermarkIngest, gapFill, hoppingWindow,
     cohortRetention, debounce, timeWeightedAvg, attribution, peakConcurrency,
     rollingActiveUsers, transitionMatrix, decayedPopularity, intervalUnion,
     bitmapDistinct, volumeAnomaly, incrementalSessions, xcorrLag,
-    windowedFunnel, rfmSegments, sequenceFunnels, exactEwma)
+    windowedFunnel, rfmSegments, sequenceFunnels, exactEwma, oooSpearman)
 }

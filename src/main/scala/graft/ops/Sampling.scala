@@ -220,5 +220,57 @@ object Sampling {
              CASE WHEN t.tokens > th.theta THEN 1 ELSE 0 END AS saturated
       FROM tok t CROSS JOIN theta th CROSS JOIN tot"""))
 
-  val all: Seq[Q] = Seq(trainSplit, trainOrder, proportionalHoldout, tokenWaterfill)
+  // ---- q174: stratified interleaved training order -------------------------
+  /** q174: the data-loader order that keeps every training PREFIX at the
+    * corpus source mix — "homogeneous shuffling": doc k of a source with
+    * n_s docs sorts at fractional position (k+1)/n_s, so source streams
+    * interleave proportionally instead of clumping (q100's global hash
+    * order is mix-correct only in expectation; this is mix-correct by
+    * construction, the property curriculum/mixture schedules rely on).
+    * Within a source, k follows the q48 hash family, so the order is also
+    * shuffled *within* each stream. The fraction is one double division of
+    * exact integers — identical cross-engine — and the final order is the
+    * tie-broken total order (frac, source, doc_id).
+    *
+    * Distributed shape: one source-partitioned rank window + a broadcast
+    * of the |sources|-row size table; the global position is a
+    * row_number over (frac, source, doc_id) — at 100 TB that global sort
+    * becomes a range-partitioned write (the q61/q100 machinery); the
+    * semantic order is what's contracted here. */
+  val interleavedOrder: Q = Q(
+    "q174_interleaved_order",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          Md5Draw.draw(16, lit("ord42"), col("doc_id")).as("draw"))
+      val wSrc = Window.partitionBy("source").orderBy(col("draw"), col("doc_id"))
+      val sizes = d.groupBy("source").agg(count(lit(1)).as("n_src"))
+      d.withColumn("k", row_number().over(wSrc).cast("long"))
+        .join(broadcast(sizes), "source")
+        .withColumn("frac", col("k").cast("double") / col("n_src").cast("double"))
+        .withColumn("global_pos", row_number().over(
+          Window.orderBy(col("frac"), col("source"), col("doc_id"))).cast("long"))
+        .select("doc_id", "source", "k", "n_src", "frac", "global_pos")
+    },
+    Some(s"""WITH d AS (
+        SELECT doc_id, source,
+               ${Md5Draw.drawSql(16, "'ord42'", "doc_id")} AS draw
+        FROM documents
+      ), sizes AS (
+        SELECT source, count(1) AS n_src FROM d GROUP BY source
+      ), ranked AS (
+        SELECT d.doc_id, d.source,
+               CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+                 ORDER BY d.draw, d.doc_id) AS BIGINT) AS k,
+               CAST(s.n_src AS BIGINT) AS n_src
+        FROM d JOIN sizes s ON d.source = s.source
+      )
+      SELECT doc_id, source, k, n_src,
+             CAST(k AS DOUBLE) / CAST(n_src AS DOUBLE) AS frac,
+             CAST(ROW_NUMBER() OVER (ORDER BY CAST(k AS DOUBLE) / CAST(n_src AS DOUBLE),
+               source, doc_id) AS BIGINT) AS global_pos
+      FROM ranked"""))
+
+  val all: Seq[Q] = Seq(trainSplit, trainOrder, proportionalHoldout, tokenWaterfill,
+    interleavedOrder)
 }

@@ -614,6 +614,28 @@ class EventOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q173 Spearman OOO audit equals a driver rank recompute; identity law") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = SparkEntry.queries("q173_ooo_spearman")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    ev.groupBy(_._1).filter(_._2.length >= 2).foreach { case (u, rows) =>
+      val byArr = rows.sortBy(_._2).map(_._2).zipWithIndex
+        .map { case (id, i) => id -> (i + 1L) }.toMap
+      val byTime = rows.sortBy(r => (r._3, r._2)).map(_._2).zipWithIndex
+        .map { case (id, i) => id -> (i + 1L) }.toMap
+      val n = rows.length.toLong
+      val sd2 = rows.map(r => { val d = byArr(r._2) - byTime(r._2); d * d }).sum
+      val rho = 1.0 - (6L * sd2).toDouble / (n * (n * n - 1)).toDouble
+      assert(got(u) === ((n, sd2, rho)), s"user $u")
+    }
+    // identity law: ranking a perfectly ordered stream gives rho = 1
+    val sortedUser = ev.groupBy(_._1).values.head.sortBy(_._2)
+    val isMonotone = sortedUser.sliding(2).forall(p => p.head._3 <= p.last._3)
+    if (isMonotone) assert(got(sortedUser.head._1)._3 === 1.0)
+  }
+
   test("q161 sequence funnels equal a driver earliest-transition replay") {
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))

@@ -1147,6 +1147,37 @@ class OpsSpec extends AnyFunSuite {
     assert(sumD2 < baseline, s"PQ error $sumD2 !< baseline $baseline")
   }
 
+  test("q174 interleaved order: every prefix stays near the corpus mix") {
+    val rows = SparkEntry.queries("q174_interleaved_order")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    val n = rows.length
+    // global positions are a permutation
+    assert(rows.map(_._6).sorted.toSeq === (1L to n.toLong))
+    // frac consistency
+    rows.foreach(r => assert(r._5 === r._3.toDouble / r._4.toDouble))
+    // prefix-mix law: in any prefix of length p, each source contributes
+    // floor/ceil of its proportional share (the interleave guarantee);
+    // verify at several prefix points
+    val bySource = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    val ordered = rows.sortBy(_._6)
+    Seq(n / 10, n / 4, n / 2, (3 * n) / 4).foreach { p =>
+      val prefix = ordered.take(p).groupBy(_._2).view.mapValues(_.length).toMap
+      bySource.foreach { case (src, nSrc) =>
+        val expect = p.toDouble * nSrc / n
+        val gotN = prefix.getOrElse(src, 0)
+        assert(math.abs(gotN - expect) <= 1.0 + 1e-9,
+          s"prefix $p source $src: $gotN vs $expect")
+      }
+    }
+    // within a source, the order follows the hash draw (shuffled, not by id):
+    // ranks are NOT simply increasing in doc_id for at least one source
+    assert(rows.groupBy(_._2).values.exists { rs =>
+      val byK = rs.sortBy(_._3).map(_._1)
+      byK != byK.sorted
+    })
+  }
+
   test("q170 Gini equals a driver rank-formula recompute and stays in [0, 1)") {
     val spend = Tables.orders(spark, sfDir).select("o_custkey", "o_totalprice").collect()
       .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
