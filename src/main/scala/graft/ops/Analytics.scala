@@ -1452,9 +1452,65 @@ object Analytics {
                / CAST(count(1) * SUM(cents) AS DOUBLE) AS gini
       FROM ranked GROUP BY n_name"""))
 
+  // ---- q175: one-way ANOVA F -----------------------------------------------
+  /** q175: one-way ANOVA of document length across sources — the
+    * mean-shift member of the drift-stat family (q130 KS: distribution
+    * shape; q160 χ²: categorical mix; this: group means). All sums of
+    * squares derive from exact integer moments (per-group n, Σx, Σx² as
+    * BIGINT): SSB = Σ_g (Σx_g)²/n_g − (Σx)²/N and SSW = SST − SSB are
+    * computed as fixed-shape doubles from those exact integers, and
+    * F = (SSB/(k−1)) / (SSW/(N−k)) is a fixed chain of IEEE ops —
+    * bit-identical cross-engine with no decimal rounding step needed
+    * because every divisor enters exactly once in a pinned order.
+    * One summary row: k, N, ssb, ssw, f_stat.
+    *
+    * Distributed shape: one map-side-combined per-source moment pass; the
+    * algebra runs on |sources| rows collapsed to one. */
+  val anovaF: Q = Q(
+    "q175_anova_f",
+    (s, dir) => {
+      val g = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sx"),
+          sum(col("n_chars") * col("n_chars")).as("sxx"))
+      g.agg(count(lit(1)).as("k"), sum("n").as("big_n"),
+          sum("sx").as("tx"), sum("sxx").as("txx"),
+          sum(expr("cast(cast(sx as double) * cast(sx as double) / cast(n as double)" +
+            " as decimal(38,12))")).cast("double").as("sum_gsq"))
+        .withColumn("ssb", col("sum_gsq")
+          - col("tx").cast("double") * col("tx").cast("double") / col("big_n").cast("double"))
+        .withColumn("sst", col("txx").cast("double")
+          - col("tx").cast("double") * col("tx").cast("double") / col("big_n").cast("double"))
+        .withColumn("ssw", col("sst") - col("ssb"))
+        .withColumn("f_stat",
+          (col("ssb") / (col("k") - 1).cast("double"))
+            / (col("ssw") / (col("big_n") - col("k")).cast("double")))
+        .select("k", "big_n", "ssb", "ssw", "f_stat")
+    },
+    Some("""WITH g AS (
+        SELECT source, count(1) AS n,
+               SUM(CAST(n_chars AS BIGINT)) AS sx,
+               SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS sxx
+        FROM documents GROUP BY source
+      ), t AS (
+        SELECT count(1) AS k, SUM(n) AS big_n, SUM(sx) AS tx, SUM(sxx) AS txx,
+               CAST(SUM(CAST(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                 AS DECIMAL(38,12))) AS DOUBLE) AS sum_gsq
+        FROM g
+      ), a AS (
+        SELECT k, big_n,
+          sum_gsq - CAST(tx AS DOUBLE) * CAST(tx AS DOUBLE) / CAST(big_n AS DOUBLE) AS ssb,
+          (CAST(txx AS DOUBLE) - CAST(tx AS DOUBLE) * CAST(tx AS DOUBLE) / CAST(big_n AS DOUBLE))
+            - (sum_gsq - CAST(tx AS DOUBLE) * CAST(tx AS DOUBLE) / CAST(big_n AS DOUBLE)) AS ssw
+        FROM t
+      )
+      SELECT k, CAST(big_n AS BIGINT) AS big_n, ssb, ssw,
+             (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(big_n - k AS DOUBLE)) AS f_stat
+      FROM a"""))
+
   val all: Seq[Q] = Seq(windowSuite, setOps, rollup, asofJoin, sqlDdl,
     approxDistinct, percentileStats, pivot, unpivot, cube, countMin, nestedAgg,
     histogram, cooccurrence, weightedMedian, trailingWindow, groupingSets,
     equidepthHist, tradePageRank, groupwiseOls, marketShare, triangles,
-    chi2Independence, rollingMedian, giniSpend)
+    chi2Independence, rollingMedian, giniSpend, anovaF)
 }

@@ -717,7 +717,76 @@ object Warehouse {
       SELECT 'events', count(1), count(DISTINCT user_id)
       FROM events JOIN subjects ON user_id = c_custkey"""))
 
+  // ---- q176: reshard movement cost (consistent vs modulo) ------------------
+  /** Ring positions for N shard nodes — md5 of a fixed node tag, so both
+    * the plan literal and the oracle literal are THE SAME strings (the
+    * lowercase-hex order IS the ring order, the [[Md5Draw]] argument). */
+  private def ringNodes(n: Int): Seq[String] = (0 until n).map { i =>
+    // position depends ONLY on the node id — growing the ring ADDS points
+    // without moving existing ones, which is the entire low-movement
+    // property being measured (keying by (n, i) would rebuild the ring and
+    // move everything)
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"node|$i".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+  }.sorted
+
+  /** q176: what fraction of the corpus MOVES when the shard count grows
+    * 8 → 9 — the reshard-cost analysis behind choosing consistent hashing
+    * for a 100 TB store. Both placement schemes are computed exactly for
+    * every doc: consistent (clockwise successor on an md5 ring, wrap via
+    * COALESCE to the ring minimum — expected movement ≈ 1/9) and modulo
+    * (doc_id mod N — movement ≈ 8/9, the scheme's known failure). One row
+    * per scheme with moved counts and fraction; the ~8× gap between the
+    * two rows is the point of the report.
+    *
+    * Distributed shape: zero shuffles until the 2-row aggregate — ring
+    * placement is a per-row array expression over broadcast literal node
+    * positions. */
+  val reshardCost: Q = Q(
+    "q176_reshard_cost",
+    (s, dir) => {
+      val p8 = ringNodes(8); val p9 = ringNodes(9)
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), Md5Draw.draw(16, lit("ring"), col("doc_id")).as("pos"))
+        .withColumn("n8", typedLit(p8)).withColumn("n9", typedLit(p9))
+        .withColumn("c8", expr("coalesce(array_min(filter(n8, p -> p >= pos)), element_at(n8, 1))"))
+        .withColumn("c9", expr("coalesce(array_min(filter(n9, p -> p >= pos)), element_at(n9, 1))"))
+      val cons = d.agg(count(lit(1)).as("n_docs"),
+          sum(when(col("c8") =!= col("c9"), 1L).otherwise(0L)).as("n_moved"))
+        .select(lit("consistent").as("scheme"), col("n_docs"), col("n_moved"))
+      val mod = Tables.documents(s, dir)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") % 8 =!= col("doc_id") % 9, 1L).otherwise(0L)).as("n_moved"))
+        .select(lit("modulo").as("scheme"), col("n_docs"), col("n_moved"))
+      cons.unionAll(mod)
+        .withColumn("moved_frac",
+          col("n_moved").cast("double") / col("n_docs").cast("double"))
+    },
+    Some {
+      def lst(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
+      val (p8, p9) = (lst(ringNodes(8)), lst(ringNodes(9)))
+      s"""WITH d AS (
+        SELECT doc_id, ${Md5Draw.drawSql(16, "'ring'", "doc_id")} AS pos FROM documents
+      ), placed AS (
+        SELECT doc_id, pos,
+          COALESCE(list_min(list_filter($p8, p -> p >= pos)), $p8[1]) AS c8,
+          COALESCE(list_min(list_filter($p9, p -> p >= pos)), $p9[1]) AS c9
+        FROM d
+      )
+      SELECT 'consistent' AS scheme, count(1) AS n_docs,
+             CAST(SUM(CASE WHEN c8 <> c9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+             CAST(SUM(CASE WHEN c8 <> c9 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(1) AS DOUBLE) AS moved_frac
+      FROM placed
+      UNION ALL
+      SELECT 'modulo', count(1),
+             CAST(SUM(CASE WHEN doc_id % 8 <> doc_id % 9 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN doc_id % 8 <> doc_id % 9 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(1) AS DOUBLE)
+      FROM documents"""
+    })
+
   val all: Seq[Q] = Seq(scd2History, snapshotCdc, rangeJoin, partitionStats,
     schemaEvolution, bucketedJoin, incrementalMv, stratifiedSample, qualityAudit,
-    columnProfile, refIntegrity, orderReconcile, deletionFootprint)
+    columnProfile, refIntegrity, orderReconcile, deletionFootprint, reshardCost)
 }

@@ -1147,6 +1147,54 @@ class OpsSpec extends AnyFunSuite {
     assert(sumD2 < baseline, s"PQ error $sumD2 !< baseline $baseline")
   }
 
+  test("q175 ANOVA F equals a driver moment recompute") {
+    val xs = Tables.documents(spark, sfDir).select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def dec12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val groups = xs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = groups.size.toLong
+    val n = xs.length.toLong
+    val tx = xs.map(_._2).sum
+    val txx = xs.map(x => x._2 * x._2).sum
+    val sumGsq = groups.values.toSeq
+      .map(g => dec12(g.sum.toDouble * g.sum.toDouble / g.size.toDouble)).sum.toDouble
+    val ssb = sumGsq - tx.toDouble * tx.toDouble / n.toDouble
+    val sst = txx.toDouble - tx.toDouble * tx.toDouble / n.toDouble
+    val ssw = sst - ssb
+    val f = (ssb / (k - 1).toDouble) / (ssw / (n - k).toDouble)
+    val row = SparkEntry.queries("q175_anova_f")(spark, sfDir).head()
+    assert((row.getLong(0), row.getLong(1)) === ((k, n)))
+    assert(row.getDouble(2) === ssb && row.getDouble(3) === ssw)
+    assert(row.getDouble(4) === f && f >= 0.0)
+  }
+
+  test("q176 reshard cost: driver ring replay; consistent moves only to the new node") {
+    def md5hex16(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val p8 = (0 until 8).map(i => md5hex16(s"node|$i")).sorted
+    val p9 = (0 until 9).map(i => md5hex16(s"node|$i")).sorted
+    val docs = Tables.documents(spark, sfDir).select("doc_id").collect().map(_.getLong(0))
+    def place(ring: Seq[String], pos: String): String =
+      ring.filter(_ >= pos).minOption.getOrElse(ring.min)
+    val newNode = md5hex16("node|8")
+    var moved = 0L
+    docs.foreach { id =>
+      val pos = md5hex16(s"ring|$id")
+      val (a, b) = (place(p8, pos), place(p9, pos))
+      if (a != b) { moved += 1; assert(b === newNode, s"doc $id moved to an OLD node") }
+    }
+    val movedMod = docs.count(id => id % 8 != id % 9).toLong
+    val got = SparkEntry.queries("q176_reshard_cost")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("consistent") ===
+      ((docs.length.toLong, moved, moved.toDouble / docs.length)))
+    assert(got("modulo") ===
+      ((docs.length.toLong, movedMod, movedMod.toDouble / docs.length)))
+    assert(moved < movedMod / 3, "consistent hashing must move far fewer docs")
+  }
+
   test("q174 interleaved order: every prefix stays near the corpus mix") {
     val rows = SparkEntry.queries("q174_interleaved_order")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
