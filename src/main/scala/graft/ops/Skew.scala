@@ -63,5 +63,48 @@ object Skew {
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand"""))
 
-  val all: Seq[Q] = Seq(skewSaltedJoin)
+  private val skewKeys: Seq[(String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "lineitem.l_orderkey"),
+    ("lineitem", "l_partkey", "lineitem.l_partkey"),
+    ("lineitem", "l_suppkey", "lineitem.l_suppkey"),
+    ("orders", "o_custkey", "orders.o_custkey"),
+    ("events", "user_id", "events.user_id"))
+
+  /** q178: the "should I salt?" report — for every join-key family of the
+    * schema, the exact skew profile that decides partitioning strategy:
+    * distinct keys, rows, the heaviest key's row count and share, and the
+    * avg rows/key. A share near 1/|partitions| means one straggler owns a
+    * reducer — the q49 salting (or AQE skew-join) trigger; reading this
+    * BEFORE wiring a join is the difference between a plan that survives
+    * 100× and one that stalls on a hot key.
+    *
+    * Distributed shape: per family, one map-side-combined key count then a
+    * 1-row aggregate over the key-grain table; scans read exactly one
+    * column. The max-share division is the only double. */
+  val skewReport: Q = Q(
+    "q178_skew_report",
+    (s, dir) => {
+      skewKeys.map { case (table, key, famName) =>
+        val counts = Tables.table(s, dir, table).select(col(key).as("k"))
+          .groupBy("k").agg(count(lit(1)).as("c"))
+        counts.agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+            max("c").as("max_key_rows"))
+          .select(lit(famName).as("key_family"), col("n_keys"), col("n_rows"),
+            col("max_key_rows"),
+            (col("max_key_rows").cast("double") / col("n_rows").cast("double"))
+              .as("max_share"),
+            (col("n_rows").cast("double") / col("n_keys").cast("double"))
+              .as("avg_rows_per_key"))
+      }.reduce(_ unionAll _)
+    },
+    Some(skewKeys.map { case (table, key, famName) =>
+      s"""SELECT '$famName' AS key_family,
+        count(1) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+        CAST(MAX(c) AS BIGINT) AS max_key_rows,
+        CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS max_share,
+        CAST(SUM(c) AS DOUBLE) / CAST(count(1) AS DOUBLE) AS avg_rows_per_key
+      FROM (SELECT $key AS k, count(1) AS c FROM $table GROUP BY $key)"""
+    }.mkString("\nUNION ALL\n")))
+
+  val all: Seq[Q] = Seq(skewSaltedJoin, skewReport)
 }

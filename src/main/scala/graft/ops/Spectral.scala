@@ -382,6 +382,62 @@ object Spectral {
              CAST(d2 AS DOUBLE) AS dist2, sqrt(CAST(d2 AS DOUBLE)) AS dist
       FROM pairs"""))
 
+  // ---- q177: within-label scatter ------------------------------------------
+  /** q177: the within-class half of the Fisher picture (q171 is the
+    * between-class half) — per label, the exact mean SQUARED distance of
+    * members to their centroid, from the classical identity
+    * E‖x−μ‖² = E‖x‖² − ‖μ‖², which needs only per-(label, dim) moment
+    * sums: no member-to-centroid join, no second pass over the data.
+    * Per-dim variance terms (Σx²/n − m²) are fixed-shape doubles from
+    * exact decimal sums, re-rounded into an exact 64-term decimal total —
+    * order-independent like q171. The within/between comparison (join
+    * q171's matrix on the label) is what decides whether labels are
+    * usable for supervised filtering.
+    *
+    * Distributed shape: one map-side-combined (label, dim) moment pass;
+    * everything after runs on |labels|×64 rows. */
+  val withinScatter: Q = Q(
+    "q177_within_scatter",
+    (s, dir) => {
+      val long = Tables.embeddings(s, dir)
+        .select(col("label"),
+          posexplode(expr("transform(embedding, x -> cast(x as double))"))
+            .as(Seq("d", "x")))
+      val mom = long.groupBy("label", "d")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(x as decimal(38,12))")).as("sx"),
+          sum(expr("cast(x * x as decimal(38,12))")).as("sxx"))
+        .withColumn("m", col("sx").cast("double") / col("n").cast("double"))
+        .withColumn("var_d",
+          col("sxx").cast("double") / col("n").cast("double") - col("m") * col("m"))
+      mom.groupBy("label")
+        .agg(min("n").as("n_members"),
+          sum(expr("cast(var_d as decimal(38,12))")).cast("double").as("within_msd"))
+        .withColumn("within_rms", sqrt(col("within_msd")))
+    },
+    Some("""WITH e AS (
+        SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      ), dims AS (
+        SELECT unnest(range(1, 65)) AS d
+      ), long AS (
+        SELECT label, d, v[d] AS x FROM e CROSS JOIN dims
+      ), mom AS (
+        SELECT label, d, COUNT(1) AS n,
+               SUM(CAST(x AS DECIMAL(38,12))) AS sx,
+               SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
+        FROM long GROUP BY label, d
+      ), vard AS (
+        SELECT label, n,
+               CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS var_d
+        FROM mom
+      )
+      SELECT label, CAST(MIN(n) AS BIGINT) AS n_members,
+             CAST(SUM(CAST(var_d AS DECIMAL(38,12))) AS DOUBLE) AS within_msd,
+             sqrt(CAST(SUM(CAST(var_d AS DECIMAL(38,12))) AS DOUBLE)) AS within_rms
+      FROM vard GROUP BY label"""))
+
   val all: Seq[Q] = Seq(pcaProjection, linearProbe, geomMedianDist,
-    labelSeparability)
+    labelSeparability, withinScatter)
 }

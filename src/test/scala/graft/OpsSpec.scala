@@ -1147,6 +1147,49 @@ class OpsSpec extends AnyFunSuite {
     assert(sumD2 < baseline, s"PQ error $sumD2 !< baseline $baseline")
   }
 
+  test("q177 within-scatter equals a driver moment-identity recompute") {
+    def dec12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val vs = Tables.embeddings(spark, sfDir)
+      .select(col("label"), expr("transform(embedding, x -> cast(x as double))"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val got = SparkEntry.queries("q177_within_scatter")(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    vs.groupBy(_._1).foreach { case (l, rows) =>
+      val n = rows.size
+      val msd = (0 until 64).map { d =>
+        val sx = rows.map(r => dec12(r._2(d))).sum
+        val sxx = rows.map(r => dec12(r._2(d) * r._2(d))).sum
+        val m = sx.toDouble / n.toDouble
+        dec12(sxx.toDouble / n.toDouble - m * m)
+      }.sum.toDouble
+      assert(got(l) === ((n.toLong, msd, math.sqrt(msd))), s"label $l")
+      // the moment identity agrees with the direct mean-squared-distance
+      val means = Array.tabulate(64)(d => rows.map(r => dec12(r._2(d))).sum.toDouble / n)
+      val direct = rows.map { r =>
+        (0 until 64).map(d => { val df = r._2(d) - means(d); df * df }).sum
+      }.sum / n
+      assert(math.abs(msd - direct) < 1e-6, s"identity drift for $l")
+    }
+  }
+
+  test("q178 skew report equals driver key-count recomputes") {
+    val got = SparkEntry.queries("q178_skew_report")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    def fam(table: String, key: String): (Long, Long, Long, Double, Double) = {
+      val ks = Tables.table(spark, sfDir, table).select(col(key).cast("long")).collect()
+        .map(_.getLong(0))
+      val counts = ks.groupBy(identity).values.map(_.size.toLong)
+      val (nk, nr, mx) = (counts.size.toLong, ks.length.toLong, counts.max)
+      (nk, nr, mx, mx.toDouble / nr.toDouble, nr.toDouble / nk.toDouble)
+    }
+    assert(got("lineitem.l_orderkey") === fam("lineitem", "l_orderkey"))
+    assert(got("orders.o_custkey") === fam("orders", "o_custkey"))
+    assert(got("events.user_id") === fam("events", "user_id"))
+    assert(got.size === 5)
+  }
+
   test("q175 ANOVA F equals a driver moment recompute") {
     val xs = Tables.documents(spark, sfDir).select("source", "n_chars").collect()
       .map(r => (r.getString(0), r.getLong(1)))
