@@ -271,6 +271,66 @@ object Sampling {
                source, doc_id) AS BIGINT) AS global_pos
       FROM ranked"""))
 
+  // ---- q179: temperature-scaled mixture weights ----------------------------
+  private val mixtureK = 1000L
+
+  /** q179: temperature-scaled source sampling weights — w_s ∝ n_s^(1/2)
+    * (α = 0.5, the up-weight-the-tail rule multilingual mixes use between
+    * proportional α=1 and uniform α=0) — and the exact largest-remainder
+    * allocation of a 1000-doc budget by those weights. √ is a correctly-
+    * rounded IEEE op and the weight normalizer is a DECIMAL(38,12)-rounded
+    * exact sum, so weights are bit-stable; the apportionment reuses q137's
+    * Hamilton scheme with DOUBLE quotas (deterministic: quota, remainder
+    * rank and tie-break are all fixed-shape). Together with q137 (α=1) and
+    * q138 (hard caps) this completes the mixture-design toolbox.
+    *
+    * Distributed shape: everything after the per-source count runs on
+    * |sources| rows. */
+  val temperatureMixture: Q = Q(
+    "q179_temperature_mixture",
+    (s, dir) => {
+      val bySrc = Tables.documents(s, dir)
+        .groupBy("source").agg(count(lit(1)).as("n_src"))
+        .withColumn("w", sqrt(col("n_src").cast("double")))
+      val tot = bySrc.agg(
+        sum(expr("cast(w as decimal(38,12))")).cast("double").as("w_tot"))
+      val alloc = bySrc.crossJoin(broadcast(tot))
+        .withColumn("weight", col("w") / col("w_tot"))
+        .withColumn("quota_raw", lit(mixtureK.toDouble) * col("weight"))
+        .withColumn("base", floor(col("quota_raw")).cast("long"))
+        .withColumn("rem", col("quota_raw") - col("base").cast("double"))
+        .withColumn("rr", row_number()
+          .over(Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+      val leftover = alloc.agg((lit(mixtureK) - sum("base")).as("leftover"))
+      alloc.crossJoin(broadcast(leftover))
+        .withColumn("quota",
+          col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+        .select("source", "n_src", "weight", "quota")
+    },
+    Some(s"""WITH bySrc AS (
+        SELECT source, count(1) AS n_src,
+               sqrt(CAST(count(1) AS DOUBLE)) AS w
+        FROM documents GROUP BY source
+      ), tot AS (
+        SELECT CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS w_tot FROM bySrc
+      ), alloc AS (
+        SELECT source, n_src, w / t.w_tot AS weight,
+               CAST($mixtureK AS DOUBLE) * (w / t.w_tot) AS quota_raw
+        FROM bySrc CROSS JOIN tot t
+      ), ranked AS (
+        SELECT source, n_src, weight,
+               CAST(FLOOR(quota_raw) AS BIGINT) AS base,
+               quota_raw - FLOOR(quota_raw) AS rem,
+               CAST(ROW_NUMBER() OVER (ORDER BY quota_raw - FLOOR(quota_raw) DESC,
+                 source) AS BIGINT) AS rr
+        FROM alloc
+      ), l AS (
+        SELECT $mixtureK - SUM(base) AS leftover FROM ranked
+      )
+      SELECT source, n_src, weight,
+             base + CASE WHEN rr <= l.leftover THEN 1 ELSE 0 END AS quota
+      FROM ranked CROSS JOIN l"""))
+
   val all: Seq[Q] = Seq(trainSplit, trainOrder, proportionalHoldout, tokenWaterfill,
-    interleavedOrder)
+    interleavedOrder, temperatureMixture)
 }

@@ -438,6 +438,62 @@ object Spectral {
              sqrt(CAST(SUM(CAST(var_d AS DECIMAL(38,12))) AS DOUBLE)) AS within_rms
       FROM vard GROUP BY label"""))
 
+  // ---- q180: probe calibration curve ---------------------------------------
+  /** q180: reliability diagram for the q133-trained probe — scores cut into
+    * deciles over the tie-free (score, doc_id) total order, each bucket
+    * reporting its exact positive rate and DECIMAL(38,12)-summed mean
+    * score. The standard post-training eval: a well-calibrated probe's
+    * positive rate tracks its mean score bucket by bucket; systematic gaps
+    * mean the 0.5 decision threshold (q133's `pred`) is miscalibrated for
+    * some regions. Reuses the trained weights and their dynamic-literal
+    * oracle contract.
+    *
+    * Distributed shape: one scoring scan (the q133 expression), one NTILE
+    * window over the doc dimension, a 10-row aggregate. */
+  val probeCalibration: Q = Q(
+    "q180_probe_calibration",
+    (s, dir) => {
+      val w = probeWeights(s, dir)
+      val score = lit(w(0)) +
+        lit(w(1)) * (col("n_chars").cast("double") / lit(1000.0d)) +
+        lit(w(2)) * (size(split(col("text"), " ")).cast("double") / lit(100.0d))
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), score.as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("label"))
+      scored
+        .withColumn("bucket", ntile(10).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score"), col("doc_id"))).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(score as decimal(38,12))")).cast("double").as("sum_score"),
+          sum("label").as("n_pos"))
+        .withColumn("mean_score", col("sum_score") / col("n").cast("double"))
+        .withColumn("pos_rate", col("n_pos").cast("double") / col("n").cast("double"))
+        .select("bucket", "n", "n_pos", "mean_score", "pos_rate")
+    },
+    None,
+    Some(() => probeForOracle.map { w =>
+      val Seq(w0, w1, w2) = w.map(graft.SqlLit.double)
+      s"""WITH sc AS (
+          SELECT doc_id,
+                 ($w0 + $w1 * (CAST(n_chars AS DOUBLE) / 1000.0)
+                      + $w2 * (CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0))
+                   AS score,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+          FROM documents
+        ), b AS (
+          SELECT doc_id, score, label,
+                 CAST(NTILE(10) OVER (ORDER BY score, doc_id) AS BIGINT) AS bucket
+          FROM sc
+        )
+        SELECT bucket, count(1) AS n, CAST(SUM(label) AS BIGINT) AS n_pos,
+               CAST(SUM(CAST(score AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(count(1) AS DOUBLE) AS mean_score,
+               CAST(SUM(label) AS DOUBLE) / CAST(count(1) AS DOUBLE) AS pos_rate
+        FROM b GROUP BY bucket"""
+    }))
+
   val all: Seq[Q] = Seq(pcaProjection, linearProbe, geomMedianDist,
-    labelSeparability, withinScatter)
+    labelSeparability, withinScatter, probeCalibration)
 }

@@ -1147,6 +1147,58 @@ class OpsSpec extends AnyFunSuite {
     assert(sumD2 < baseline, s"PQ error $sumD2 !< baseline $baseline")
   }
 
+  test("q179 temperature mixture: exact Hamilton allocation over sqrt weights") {
+    def dec12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val sizes = Tables.documents(spark, sfDir).groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val wTot = sizes.map(s2 => dec12(math.sqrt(s2._2.toDouble))).sum.toDouble
+    val alloc = sizes.map { case (src, n) =>
+      val weight = math.sqrt(n.toDouble) / wTot
+      val raw = 1000.0 * weight
+      (src, n, weight, math.floor(raw).toLong, raw - math.floor(raw))
+    }
+    val leftover = 1000L - alloc.map(_._4).sum
+    val bump = alloc.sortBy { case (src, _, _, _, rem) => (-rem, src) }
+      .take(leftover.toInt).map(_._1).toSet
+    val got = SparkEntry.queries("q179_temperature_mixture")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    alloc.foreach { case (src, n, w, base, _) =>
+      assert(got(src) === ((n, w, base + (if (bump(src)) 1L else 0L))), src)
+    }
+    assert(got.values.map(_._3).sum === 1000L, "budget exact")
+    // alpha = 0.5 up-weights small sources relative to proportional (equal
+    // when all sources are the same size, as in the uniform test corpus)
+    val (big, small) = (alloc.maxBy(_._2), alloc.minBy(_._2))
+    assert(small._3 / (small._2.toDouble / sizes.map(_._2).sum) >=
+      big._3 / (big._2.toDouble / sizes.map(_._2).sum))
+  }
+
+  test("q180 probe calibration equals a driver decile recompute") {
+    val scored = SparkEntry.queries("q133_linear_probe")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(3).toLong))
+    def dec12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val ordered = scored.sortBy { case (id, sc, _) => (sc, id) }
+    val n = ordered.length
+    def bucketOf(i: Int): Int = {
+      val base = n / 10; val extra = n % 10
+      if (i < (base + 1) * extra) i / (base + 1) else extra + (i - (base + 1) * extra) / base
+    }
+    val want = ordered.zipWithIndex.groupBy { case (_, i) => bucketOf(i) + 1 }
+      .view.mapValues { rows =>
+        val k = rows.length
+        (k.toLong, rows.map(_._1._3).sum,
+          rows.map(r => dec12(r._1._2)).sum.toDouble / k,
+          rows.map(_._1._3).sum.toDouble / k)
+      }.toMap
+    val got = SparkEntry.queries("q180_probe_calibration")(spark, sfDir).collect()
+      .map(r => r.getLong(0).toInt ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.size === 10)
+    want.foreach { case (b, t) => assert(got(b) === t, s"bucket $b") }
+  }
+
   test("q177 within-scatter equals a driver moment-identity recompute") {
     def dec12(x: Double): BigDecimal =
       BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
