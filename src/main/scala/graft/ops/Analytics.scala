@@ -1473,15 +1473,21 @@ object Analytics {
         .groupBy("source")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("sx"),
           sum(col("n_chars") * col("n_chars")).as("sxx"))
+      // DECIMAL(38,6) is the conversion-safety scale: every decimal that is
+      // CAST to double below is a small DIFFERENCE (ssb, ssw), whose
+      // significand stays under 2^53 — a large decimal (sum_gsq ≈ 1e12 at
+      // 12 dp) converted directly hits DuckDB's two-step decimal→double
+      // rounding and, amplified by the ssb cancellation, breaks the hash
+      // (diagnosed at sf0.1). All subtractions happen IN decimal.
       g.agg(count(lit(1)).as("k"), sum("n").as("big_n"),
           sum("sx").as("tx"), sum("sxx").as("txx"),
           sum(expr("cast(cast(sx as double) * cast(sx as double) / cast(n as double)" +
-            " as decimal(38,12))")).cast("double").as("sum_gsq"))
-        .withColumn("ssb", col("sum_gsq")
-          - col("tx").cast("double") * col("tx").cast("double") / col("big_n").cast("double"))
-        .withColumn("sst", col("txx").cast("double")
-          - col("tx").cast("double") * col("tx").cast("double") / col("big_n").cast("double"))
-        .withColumn("ssw", col("sst") - col("ssb"))
+            " as decimal(38,6))")).as("sum_gsq"))
+        .withColumn("corr", expr(
+          "cast(cast(tx as double) * cast(tx as double) / cast(big_n as double) as decimal(38,6))"))
+        .withColumn("ssb", (col("sum_gsq") - col("corr")).cast("double"))
+        .withColumn("ssw",
+          (col("txx").cast("decimal(38,6)") - col("sum_gsq")).cast("double"))
         .withColumn("f_stat",
           (col("ssb") / (col("k") - 1).cast("double"))
             / (col("ssw") / (col("big_n") - col("k")).cast("double")))
@@ -1494,18 +1500,21 @@ object Analytics {
         FROM documents GROUP BY source
       ), t AS (
         SELECT count(1) AS k, SUM(n) AS big_n, SUM(sx) AS tx, SUM(sxx) AS txx,
-               CAST(SUM(CAST(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
-                 AS DECIMAL(38,12))) AS DOUBLE) AS sum_gsq
+               SUM(CAST(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                 AS DECIMAL(38,6))) AS sum_gsq
         FROM g
       ), a AS (
-        SELECT k, big_n,
-          sum_gsq - CAST(tx AS DOUBLE) * CAST(tx AS DOUBLE) / CAST(big_n AS DOUBLE) AS ssb,
-          (CAST(txx AS DOUBLE) - CAST(tx AS DOUBLE) * CAST(tx AS DOUBLE) / CAST(big_n AS DOUBLE))
-            - (sum_gsq - CAST(tx AS DOUBLE) * CAST(tx AS DOUBLE) / CAST(big_n AS DOUBLE)) AS ssw
+        SELECT k, big_n, sum_gsq,
+          CAST(CAST(tx AS DOUBLE) * CAST(tx AS DOUBLE) / CAST(big_n AS DOUBLE)
+            AS DECIMAL(38,6)) AS corr,
+          CAST(txx AS DECIMAL(38,6)) AS txx_dec
         FROM t
       )
-      SELECT k, CAST(big_n AS BIGINT) AS big_n, ssb, ssw,
-             (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(big_n - k AS DOUBLE)) AS f_stat
+      SELECT k, CAST(big_n AS BIGINT) AS big_n,
+             CAST(sum_gsq - corr AS DOUBLE) AS ssb,
+             CAST(txx_dec - sum_gsq AS DOUBLE) AS ssw,
+             (CAST(sum_gsq - corr AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+               / (CAST(txx_dec - sum_gsq AS DOUBLE) / CAST(big_n - k AS DOUBLE)) AS f_stat
       FROM a"""))
 
   val all: Seq[Q] = Seq(windowSuite, setOps, rollup, asofJoin, sqlDdl,

@@ -17,7 +17,12 @@ import graft.{Q, Tables}
   *    below the rounding boundary;
   *  - averages/ratios are expressed as round(sum,p)/count so both engines
   *    divide identical doubles — never `avg()` of raw doubles;
-  *  - large-group aggregates are integer-valued (counts, integer-valued sums).
+  *  - large-group aggregates are integer-valued (counts, integer-valued sums);
+  *  - DECIMAL values CAST to double must keep their significand (value×10^scale)
+  *    under 2^53: above it, DuckDB's two-step conversion (int128→double, then
+  *    ÷10^scale) double-rounds where Java rounds once — subtract large
+  *    near-equal decimals IN decimal and convert only the small difference
+  *    (diagnosed on q175's ≈1e12 between-group sum at 12 dp).
   */
 object Pipelines {
 

@@ -1245,18 +1245,20 @@ class OpsSpec extends AnyFunSuite {
   test("q175 ANOVA F equals a driver moment recompute") {
     val xs = Tables.documents(spark, sfDir).select("source", "n_chars").collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    def dec12(x: Double): BigDecimal =
-      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def dec6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
     val groups = xs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val k = groups.size.toLong
     val n = xs.length.toLong
     val tx = xs.map(_._2).sum
     val txx = xs.map(x => x._2 * x._2).sum
+    // the production sequence: 6-dp decimal terms, subtractions IN decimal,
+    // only the small differences converted to double
     val sumGsq = groups.values.toSeq
-      .map(g => dec12(g.sum.toDouble * g.sum.toDouble / g.size.toDouble)).sum.toDouble
-    val ssb = sumGsq - tx.toDouble * tx.toDouble / n.toDouble
-    val sst = txx.toDouble - tx.toDouble * tx.toDouble / n.toDouble
-    val ssw = sst - ssb
+      .map(g => dec6(g.sum.toDouble * g.sum.toDouble / g.size.toDouble)).sum
+    val corr = dec6(tx.toDouble * tx.toDouble / n.toDouble)
+    val ssb = (sumGsq - corr).toDouble
+    val ssw = (BigDecimal(txx) - sumGsq).toDouble
     val f = (ssb / (k - 1).toDouble) / (ssw / (n - k).toDouble)
     val row = SparkEntry.queries("q175_anova_f")(spark, sfDir).head()
     assert((row.getLong(0), row.getLong(1)) === ((k, n)))
