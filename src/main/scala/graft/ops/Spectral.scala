@@ -293,8 +293,12 @@ object Spectral {
           expr("transform(embedding, x -> cast(x as double))").as("v"))
         .withColumn("m", typedLit(m))
         .withColumn("dist", expr(distExpr("vec_dot(v, v)", "vec_dot(v, m)", mm.toString + "D")))
+      // 6 dp here, not 12: the corpus-wide distance SUM is the one decimal
+      // in this file whose significand can cross 2^53 (the conversion-safety
+      // boundary documented in Pipelines.scala) — at 6 dp it stays exact-
+      // convertible past 1e9 total distance
       val thr = withD
-        .agg(sum(expr("cast(dist as decimal(38,12))")).as("sd"),
+        .agg(sum(expr("cast(dist as decimal(38,6))")).as("sd"),
           count(lit(1)).as("n"))
         .select((col("sd").cast("double") / col("n").cast("double")).as("mean_d"))
       withD.crossJoin(broadcast(thr))
@@ -315,7 +319,7 @@ object Spectral {
               + $mmLit, 0)) AS dist
           FROM embeddings
         ), t AS (
-          SELECT CAST(SUM(CAST(dist AS DECIMAL(38,12))) AS DOUBLE)
+          SELECT CAST(SUM(CAST(dist AS DECIMAL(38,6))) AS DOUBLE)
                    / CAST(COUNT(1) AS DOUBLE) AS mean_d
           FROM d
         )

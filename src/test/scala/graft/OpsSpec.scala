@@ -1671,7 +1671,8 @@ class OpsSpec extends AnyFunSuite {
     var mmF = 0d; var j = 0
     while (j < dims) { mmF += cur(j) * cur(j); j += 1 }
     val wantDist = vs.map { case (id, v) => id -> dist(v, cur, mmF) }.toMap
-    val meanD = vs.map(v => dec12(dist(v._2, cur, mmF))).sum.toDouble / n.toDouble
+    val meanD = vs.map(v => BigDecimal(dist(v._2, cur, mmF))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / n.toDouble
     val got = SparkEntry.queries("q150_geometric_median")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
     assert(got.size === n)
