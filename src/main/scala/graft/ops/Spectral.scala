@@ -470,7 +470,9 @@ object Spectral {
             .orderBy(col("score"), col("doc_id"))).cast("long"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
-          sum(expr("cast(score as decimal(38,12))")).cast("double").as("sum_score"),
+          // 6 dp: corpus-wide score sums cross the 2^53 conversion boundary
+          // at stress scale at 12 dp (Pipelines.scala float contract)
+          sum(expr("cast(score as decimal(38,6))")).cast("double").as("sum_score"),
           sum("label").as("n_pos"))
         .withColumn("mean_score", col("sum_score") / col("n").cast("double"))
         .withColumn("pos_rate", col("n_pos").cast("double") / col("n").cast("double"))
@@ -492,7 +494,7 @@ object Spectral {
           FROM sc
         )
         SELECT bucket, count(1) AS n, CAST(SUM(label) AS BIGINT) AS n_pos,
-               CAST(SUM(CAST(score AS DECIMAL(38,12))) AS DOUBLE)
+               CAST(SUM(CAST(score AS DECIMAL(38,6))) AS DOUBLE)
                  / CAST(count(1) AS DOUBLE) AS mean_score,
                CAST(SUM(label) AS DOUBLE) / CAST(count(1) AS DOUBLE) AS pos_rate
         FROM b GROUP BY bucket"""

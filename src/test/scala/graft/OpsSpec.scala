@@ -1185,11 +1185,13 @@ class OpsSpec extends AnyFunSuite {
       val base = n / 10; val extra = n % 10
       if (i < (base + 1) * extra) i / (base + 1) else extra + (i - (base + 1) * extra) / base
     }
+    def dec6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
     val want = ordered.zipWithIndex.groupBy { case (_, i) => bucketOf(i) + 1 }
       .view.mapValues { rows =>
         val k = rows.length
         (k.toLong, rows.map(_._1._3).sum,
-          rows.map(r => dec12(r._1._2)).sum.toDouble / k,
+          rows.map(r => dec6(r._1._2)).sum.toDouble / k,
           rows.map(_._1._3).sum.toDouble / k)
       }.toMap
     val got = SparkEntry.queries("q180_probe_calibration")(spark, sfDir).collect()
