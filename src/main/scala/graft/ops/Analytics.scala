@@ -1517,9 +1517,65 @@ object Analytics {
                / (CAST(txx_dec - sum_gsq AS DOUBLE) / CAST(big_n - k AS DOUBLE)) AS f_stat
       FROM a"""))
 
+  // ---- q181: Herfindahl concentration index --------------------------------
+  /** q181: HHI of customer spend per nation — the antitrust-style
+    * concentration index that complements q170's Gini (HHI weights the
+    * TOP of the distribution: one dominant account moves HHI far more
+    * than Gini). Formulated conversion-safely per the float contract:
+    * instead of Σx²/S² (whose exact integer numerator crosses the 2^53
+    * conversion boundary at scale), each customer's share is one
+    * fixed-shape double division, its square is rounded to
+    * DECIMAL(38,12) (shares² ≤ 1, significand stays tiny), and the HHI
+    * is the exact decimal sum → one safe conversion. n_effective = 1/HHI
+    * is the "equivalent equal-size competitors" reading.
+    *
+    * Distributed shape: custkey spend collapse, broadcast nation dim +
+    * |nations|-row totals, one nation-keyed aggregate. */
+  val hhiSpend: Q = Q(
+    "q181_hhi_spend",
+    (s, dir) => {
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      val cust = Tables.customer(s, dir)
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_nationkey"),
+          coalesce(col("cents"), lit(0L)).as("cents"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("cents"))
+      val totals = cust.groupBy("nation").agg(sum("cents").as("s_tot"))
+      cust.join(broadcast(totals), "nation")
+        .withColumn("share", col("cents").cast("double") / col("s_tot").cast("double"))
+        .groupBy("nation")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(expr("cast(share * share as decimal(38,12))")).cast("double").as("hhi"))
+        .withColumn("n_effective", lit(1.0d) / col("hhi"))
+    },
+    Some("""WITH spend AS (
+        SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+      ), cust AS (
+        SELECT n.n_name AS nation, COALESCE(s.cents, 0) AS cents
+        FROM customer c
+        LEFT JOIN spend s ON c.c_custkey = s.o_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+      ), tot AS (
+        SELECT nation, SUM(cents) AS s_tot FROM cust GROUP BY nation
+      )
+      SELECT c.nation, count(1) AS n_customers,
+             CAST(SUM(CAST((CAST(c.cents AS DOUBLE) / CAST(t.s_tot AS DOUBLE))
+               * (CAST(c.cents AS DOUBLE) / CAST(t.s_tot AS DOUBLE))
+               AS DECIMAL(38,12))) AS DOUBLE) AS hhi,
+             1.0 / CAST(SUM(CAST((CAST(c.cents AS DOUBLE) / CAST(t.s_tot AS DOUBLE))
+               * (CAST(c.cents AS DOUBLE) / CAST(t.s_tot AS DOUBLE))
+               AS DECIMAL(38,12))) AS DOUBLE) AS n_effective
+      FROM cust c JOIN tot t ON c.nation = t.nation
+      GROUP BY c.nation"""))
+
   val all: Seq[Q] = Seq(windowSuite, setOps, rollup, asofJoin, sqlDdl,
     approxDistinct, percentileStats, pivot, unpivot, cube, countMin, nestedAgg,
     histogram, cooccurrence, weightedMedian, trailingWindow, groupingSets,
     equidepthHist, tradePageRank, groupwiseOls, marketShare, triangles,
-    chi2Independence, rollingMedian, giniSpend, anovaF)
+    chi2Independence, rollingMedian, giniSpend, anovaF, hhiSpend)
 }

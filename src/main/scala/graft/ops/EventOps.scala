@@ -1188,9 +1188,71 @@ object EventOps {
                AS is_shuffled
       FROM agg WHERE n >= 2"""))
 
+  // ---- q182: inter-order gap / churn-risk stats ----------------------------
+  /** q182: per-customer purchase-cadence profile — order count, mean and
+    * maximum inter-order gap in whole days, days quiet since the last
+    * order (relative to the corpus horizon, so the query is deterministic),
+    * and the standard churn-risk flag: quiet longer than twice the
+    * customer's own mean gap (single-order customers flag on quiet > the
+    * corpus-median gap proxy of 60 days). All gaps are exact integer
+    * day differences on epoch days; the mean gap is one division.
+    *
+    * Distributed shape: one custkey-partitioned lag window and a custkey
+    * aggregate over the same shuffle; the horizon is a broadcast 1-row
+    * aggregate. */
+  val orderGaps: Q = Q(
+    "q182_order_gaps",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("day"),
+          col("o_orderkey"))
+      val w = Window.partitionBy("o_custkey").orderBy(col("day"), col("o_orderkey"))
+      val gaps = o.withColumn("gap", col("day") - lag("day", 1).over(w))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), max("day").as("last_day"),
+          sum("gap").as("gap_sum"), count("gap").as("n_gaps"), max("gap").as("max_gap"))
+      val horizon = o.agg(max("day").as("h"))
+      gaps.crossJoin(broadcast(horizon))
+        .withColumn("quiet_days", col("h") - col("last_day"))
+        .withColumn("mean_gap", when(col("n_gaps") > 0,
+          col("gap_sum").cast("double") / col("n_gaps").cast("double")))
+        .withColumn("churn_risk",
+          when(col("n_gaps") > 0,
+            col("quiet_days").cast("double") > lit(2.0d) * col("mean_gap"))
+            .otherwise(col("quiet_days") > 60))
+        .select("o_custkey", "n_orders", "max_gap", "mean_gap", "quiet_days", "churn_risk")
+    },
+    Some("""WITH o AS (
+        SELECT o_custkey,
+               epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+               o_orderkey
+        FROM orders
+      ), g AS (
+        SELECT o_custkey, day,
+               day - lag(day) OVER (PARTITION BY o_custkey
+                 ORDER BY day, o_orderkey) AS gap
+        FROM o
+      ), agg AS (
+        SELECT o_custkey, count(1) AS n_orders, MAX(day) AS last_day,
+               CAST(SUM(gap) AS BIGINT) AS gap_sum, count(gap) AS n_gaps,
+               CAST(MAX(gap) AS BIGINT) AS max_gap
+        FROM g GROUP BY o_custkey
+      ), h AS (SELECT MAX(day) AS h FROM o)
+      SELECT o_custkey, n_orders, max_gap,
+             CASE WHEN n_gaps > 0
+               THEN CAST(gap_sum AS DOUBLE) / CAST(n_gaps AS DOUBLE) END AS mean_gap,
+             CAST(h.h - last_day AS BIGINT) AS quiet_days,
+             CASE WHEN n_gaps > 0
+               THEN CAST(h.h - last_day AS DOUBLE)
+                 > 2.0 * (CAST(gap_sum AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+               ELSE (h.h - last_day) > 60 END AS churn_risk
+      FROM agg CROSS JOIN h"""))
+
   val all: Seq[Q] = Seq(funnel, watermarkIngest, gapFill, hoppingWindow,
     cohortRetention, debounce, timeWeightedAvg, attribution, peakConcurrency,
     rollingActiveUsers, transitionMatrix, decayedPopularity, intervalUnion,
     bitmapDistinct, volumeAnomaly, incrementalSessions, xcorrLag,
-    windowedFunnel, rfmSegments, sequenceFunnels, exactEwma, oooSpearman)
+    windowedFunnel, rfmSegments, sequenceFunnels, exactEwma, oooSpearman,
+    orderGaps)
 }

@@ -1147,6 +1147,50 @@ class OpsSpec extends AnyFunSuite {
     assert(sumD2 < baseline, s"PQ error $sumD2 !< baseline $baseline")
   }
 
+  test("q181 HHI equals a driver share recompute; bounds and Gini coherence") {
+    def dec12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val spend = Tables.orders(spark, sfDir).select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val nation = Tables.nation(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey").collect()
+      .map(r => (nation(r.getInt(1)), spend.getOrElse(r.getLong(0), 0L)))
+    val got = SparkEntry.queries("q181_hhi_spend")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    cust.groupBy(_._1).foreach { case (nname, rows) =>
+      val s2 = rows.map(_._2).sum
+      val hhi = rows.map { case (_, c) =>
+        val sh = c.toDouble / s2.toDouble; dec12(sh * sh)
+      }.sum.toDouble
+      assert(got(nname) === ((rows.size.toLong, hhi, 1.0 / hhi)), nname)
+      // bounds: 1/n <= HHI <= 1
+      assert(hhi >= 1.0 / rows.size - 1e-9 && hhi <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q182 order gaps equal a driver cadence recompute") {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"),
+        col("o_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val horizon = o.map(_._2).max
+    val got = SparkEntry.queries("q182_order_gaps")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getLong(4), r.getBoolean(5)))).toMap
+    o.groupBy(_._1).foreach { case (ck, rows) =>
+      val days = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      val gaps = days.sliding(2).filter(_.length == 2).map(p => p(1) - p(0)).toSeq
+      val quiet = horizon - days.max
+      val meanGap = if (gaps.nonEmpty) Some(gaps.sum.toDouble / gaps.length) else None
+      val risk = meanGap.map(m => quiet.toDouble > 2.0 * m).getOrElse(quiet > 60)
+      assert(got(ck) === ((days.size.toLong, gaps.maxOption, meanGap, quiet, risk)),
+        s"cust $ck")
+    }
+  }
+
   test("q179 temperature mixture: exact Hamilton allocation over sqrt weights") {
     def dec12(x: Double): BigDecimal =
       BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
