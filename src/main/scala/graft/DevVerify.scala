@@ -29,6 +29,12 @@ object DevVerify {
       fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       println(s"[dev] dumped $name")
     }
+    // the lineage-family dynamic oracles (q26/q28/q29/q30/q44/q183/q184) need
+    // the aux dumps in the same outDir — cheap (metadata scale), dump always
+    try ops.LineageQueries.dumpRetrievalAux(spark, sfDir, outDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[dev] aux dump failed: ${e.getMessage}")
+    }
     val json = SparkEntry.oracleSql.filter(kv => names(kv._1))
       .map { case (k, v) => s"${Json.str(k)}: ${Json.str(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

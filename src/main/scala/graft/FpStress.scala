@@ -54,7 +54,14 @@ object FpStress {
     // exact decimal LUT sums (q156), the full IVFADC chain (q157), and the
     // chi-square total's per-cell round-sum (q160)
     "q150_geometric_median", "q156_pq_adc_topk", "q157_ivfpq_topk",
-    "q160_chi2_independence")
+    "q160_chi2_independence",
+    // round-10: the newest decimal/double iterates — ANOVA's per-group
+    // decimal moment sums (q175), the temperature-mixture's exp/logsumexp
+    // ladder (q179), the probe-calibration's corpus-wide conversion-safe
+    // score sum (q180), and the Herfindahl concentration's share-of-total
+    // squares (q181)
+    "q175_anova_f", "q179_temperature_mixture", "q180_probe_calibration",
+    "q181_hhi_spend")
 
   /** 2-decimal deterministic jitter in [0, 0.96], keyed by (row key, copy) —
     * keeps every jittered double a 2-decimal value so the round(sum, p)

@@ -1452,6 +1452,85 @@ object Analytics {
                / CAST(count(1) * SUM(cents) AS DOUBLE) AS gini
       FROM ranked GROUP BY n_name"""))
 
+  // ---- q136: hash-fold jackknife CI ----------------------------------------
+  /** q136: delete-a-group jackknife confidence interval for a corpus-level
+    * metric (mean document length) — the one-pass uncertainty estimate a
+    * pipeline attaches to every corpus-card number at 100 TB, where
+    * resampling replicas are unaffordable. Documents are assigned to K=16
+    * folds by one engine-portable md5 hex digit (the [[Md5Draw]] idiom);
+    * each fold's exact BIGINT moments (Σ n_chars, n) give the
+    * leave-one-fold-out mean θ_f = (S−S_f)·10⁶ DIV (N−N_f) in exact
+    * scaled-integer space (both operands positive, so Spark's
+    * truncating DIV and DuckDB's flooring // agree), and the jackknife
+    * variance (K−1)/K · Σ(θ_f−θ̄)² folds as the exact integer
+    * Σ(K·θ_f−T)² (DECIMAL(38,0) / HUGEINT) — floats appear only in the
+    * final fixed-shape divide/sqrt chain, so the result is bit-identical
+    * cross-engine (conversion contract atop Pipelines.scala; the Σ(…)²
+    * integer stays ≪ 2^53 for any plausible per-fold mean spread).
+    *
+    * Distributed shape: ONE map-side-combined 16-group aggregation over a
+    * single projected column; everything after is 16-row algebra. No
+    * resampling pass, no per-replica shuffle — the reason the jackknife
+    * (not the bootstrap) is the scale-native CI here. */
+  val jackknifeCi: Q = Q(
+    "q136_jackknife_ci",
+    (s, dir) => {
+      val folds = Tables.documents(s, dir)
+        .select(substring(md5(col("doc_id").cast("string")), 1, 1).as("fold"),
+          col("n_chars"))
+        .groupBy("fold")
+        .agg(sum("n_chars").as("s_f"), count(lit(1)).as("n_f"))
+      val tot = folds.agg(sum("s_f").as("s"), sum("n_f").as("n"),
+        count(lit(1)).as("k"))
+      val theta = folds.crossJoin(broadcast(tot))
+        .select(col("s"), col("n"), col("k"),
+          expr("((s - s_f) * 1000000L) DIV (n - n_f)").as("theta"))
+      val tsum = theta.groupBy("s", "n", "k").agg(sum("theta").as("t"))
+      val dev = col("k") * col("theta") - col("t")
+      val se = sqrt(col("d").cast("double") * (col("k") - 1).cast("double")
+        / (col("k") * col("k") * col("k")).cast("double")) / lit(1e6)
+      theta.crossJoin(broadcast(tsum.select(col("t"))))
+        .select(col("s"), col("n"), col("k"), col("t"),
+          (dev.cast("decimal(38,0)") * dev.cast("decimal(38,0)")).as("sq"))
+        .groupBy("s", "n", "k", "t")
+        .agg(sum("sq").as("d"))
+        .select(col("n").as("n_docs"), col("k").as("n_folds"),
+          (col("s").cast("double") / col("n").cast("double")).as("mean_chars"),
+          se.as("jk_se"))
+        .withColumn("ci_lo", col("mean_chars") - lit(1.96) * col("jk_se"))
+        .withColumn("ci_hi", col("mean_chars") + lit(1.96) * col("jk_se"))
+    },
+    Some("""WITH f AS (
+        SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS fold,
+               CAST(SUM(n_chars) AS BIGINT) AS s_f, count(1) AS n_f
+        FROM documents GROUP BY 1
+      ), t AS (
+        SELECT CAST(SUM(s_f) AS BIGINT) AS s, CAST(SUM(n_f) AS BIGINT) AS n,
+               count(1) AS k FROM f
+      ), th AS (
+        SELECT t.s, t.n, t.k,
+               CAST(((t.s - f.s_f) * 1000000) // (t.n - f.n_f) AS BIGINT) AS theta
+        FROM f, t
+      ), ts AS (
+        SELECT s, n, k, CAST(SUM(theta) AS BIGINT) AS t FROM th GROUP BY s, n, k
+      ), d AS (
+        SELECT th.s, th.n, th.k, ts.t,
+               SUM(CAST(th.k * th.theta - ts.t AS HUGEINT)
+                 * CAST(th.k * th.theta - ts.t AS HUGEINT)) AS dd
+        FROM th, ts GROUP BY th.s, th.n, th.k, ts.t
+      )
+      SELECT n AS n_docs, k AS n_folds,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_chars,
+             sqrt(CAST(dd AS DOUBLE) * CAST(k - 1 AS DOUBLE)
+               / CAST(k * k * k AS DOUBLE)) / 1e6 AS jk_se,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+               - 1.96 * (sqrt(CAST(dd AS DOUBLE) * CAST(k - 1 AS DOUBLE)
+                 / CAST(k * k * k AS DOUBLE)) / 1e6) AS ci_lo,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+               + 1.96 * (sqrt(CAST(dd AS DOUBLE) * CAST(k - 1 AS DOUBLE)
+                 / CAST(k * k * k AS DOUBLE)) / 1e6) AS ci_hi
+      FROM d"""))
+
   // ---- q175: one-way ANOVA F -----------------------------------------------
   /** q175: one-way ANOVA of document length across sources — the
     * mean-shift member of the drift-stat family (q130 KS: distribution
@@ -1577,5 +1656,5 @@ object Analytics {
     approxDistinct, percentileStats, pivot, unpivot, cube, countMin, nestedAgg,
     histogram, cooccurrence, weightedMedian, trailingWindow, groupingSets,
     equidepthHist, tradePageRank, groupwiseOls, marketShare, triangles,
-    chi2Independence, rollingMedian, giniSpend, anovaF, hhiSpend)
+    chi2Independence, rollingMedian, giniSpend, anovaF, hhiSpend, jackknifeCi)
 }

@@ -804,14 +804,9 @@ object CorpusOps {
       // intersections, ×32 signature mins) — materialize once per (session,
       // dir) instead of re-running the explode+distinct subtree per branch
       val sh = graft.PlanCache.cached(s, "q148_sh", dir, s"$dir/documents.parquet") {
-        Tables.documents(s, dir)
-          .filter(size(split(col("text"), " ")) >= 3)
-          .select(col("source"), explode(expr(
-            "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), " +
-              "i -> concat_ws(' ', element_at(split(text, ' '), i), " +
-              "element_at(split(text, ' '), i + 1), element_at(split(text, ' '), i + 2))))"))
-            .as("ngram"))
-          .distinct()
+        // derived from the shared all-shingle posting table (one explode per
+        // corpus, shared with q14/q144) instead of re-splitting raw text
+        Dedup.allShingleRows(s, dir).select("source", "ngram").distinct()
       }
       val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
       // pair intersections WITHOUT a shingle-keyed self-join: collapse each

@@ -49,7 +49,27 @@ object Dedup {
         .as("ngram"))
 
   private def ngramRows(s: SparkSession, dir: String): DataFrame =
-    ngramsOf(Tables.documents(s, dir))
+    allShingleRows(s, dir).select("doc_id", "ngram")
+
+  /** The corpus-wide all-shingle posting table (doc_id, source, ngram),
+    * distinct per doc — ONE PlanCache-materialized copy per (session, dir)
+    * shared by every consumer that needs unpruned shingles: q14's
+    * rare-shingle index build (df counts + join input), q144's exact-truth
+    * inverted index, and q148's source-grain projection. Before r10 each of
+    * those re-ran the split/explode subtree from raw text per invocation;
+    * now the explode runs once and everything downstream is a projection of
+    * the persisted frame. At 100 TB this IS the production shape: the
+    * shingle posting table is a maintained materialization beside the
+    * corpus, not a per-query recompute. */
+  private[graft] def allShingleRows(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(s, "dedup_allsh", dir, s"$dir/documents.parquet") {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("words"))
+        .filter(size(col("words")) >= 3)
+        .select(col("doc_id"), col("source"), explode(array_distinct(expr(
+          "transform(sequence(0, size(words)-3), i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))")))
+          .as("ngram"))
+    }
 
   private val maxDf = 50 // shingles seen in more docs than this are stop-shingles
 
@@ -949,12 +969,27 @@ object Dedup {
     *
     * Distributed shape: the truth join shuffles on shingle then on the pair
     * key, both natural keys; the grade is three co-partitioned pair-key
-    * joins collapsed to one row. At 100 TB this runs on a sampled shard —
-    * the harness itself is shard-size-agnostic. */
+    * joins collapsed to one row. At 100 TB this runs on a sampled shard:
+    * set spark.graft.lshEval.docSampleFraction < 1.0 for a deterministic
+    * hash-sample of docs on BOTH the truth and prediction sides (the
+    * default 1.0 keeps the exact full-corpus form the oracle checks). */
   val lshEval: Q = Q(
     "q144_lsh_eval",
     (s, dir) => {
-      val ng = ngramRows(s, dir)
+      // Sampled-shard dial: spark.graft.lshEval.docSampleFraction < 1.0
+      // restricts the eval to a deterministic hash-sample of documents
+      // (truth AND prediction sides, so precision/recall are measured on
+      // the induced subcorpus — an unbiased estimate whose CI shrinks as
+      // 1/√pairs). Default 1.0 = exact full-corpus eval, hash-gated by the
+      // oracle; the dial exists because the truth join's cost grows with
+      // corpus self-similarity (quadratic in hot-shingle df), which an
+      // eval harness should not impose on every bench run at planet scale.
+      val frac = s.conf.get("spark.graft.lshEval.docSampleFraction", "1.0").toDouble
+      def sampled(df: DataFrame, idCol: String): DataFrame =
+        if (frac >= 1.0) df
+        else df.filter(pmod(xxhash64(col(idCol)), lit(1000000L))
+          < lit((frac * 1000000L).toLong))
+      val ng = sampled(ngramRows(s, dir), "doc_id")
       val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val ngN = ng.join(broadcast(sizes), "doc_id")
       val truth = ngN.as("a").join(ngN.as("b"),
@@ -965,7 +1000,8 @@ object Dedup {
         .agg(count(lit(1)).as("common"), min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
         .filter(col("common") / (col("na") + col("nb") - col("common")) >= 0.5)
         .select("doc_a", "doc_b")
-      val pred = minhashLsh.run(s, dir).select("doc_a", "doc_b")
+      val pred = sampled(sampled(minhashLsh.run(s, dir)
+        .select("doc_a", "doc_b"), "doc_a"), "doc_b")
       val keys = Seq("doc_a", "doc_b")
       val tp = pred.join(truth, keys).agg(count(lit(1)).as("tp"))
       val fp = pred.join(truth, keys, "left_anti").agg(count(lit(1)).as("fp"))
@@ -1053,8 +1089,8 @@ object Dedup {
         s"""SELECT '$name' AS method, count(1) AS n_pairs,
           count(DISTINCT doc_b) AS n_docs_dropped FROM ($oracle)"""
       s"""SELECT 'exact' AS method,
-        COALESCE(SUM(dup_count * (dup_count - 1) // 2), 0) AS n_pairs,
-        COALESCE(SUM(dup_count - 1), 0) AS n_docs_dropped
+        CAST(COALESCE(SUM(dup_count * (dup_count - 1) // 2), 0) AS BIGINT) AS n_pairs,
+        CAST(COALESCE(SUM(dup_count - 1), 0) AS BIGINT) AS n_docs_dropped
       FROM (${exact.oracle.get}) WHERE dup_count >= 2
       UNION ALL ${pairSql("ngram_jaccard", ngramJaccard.oracle.get)}
       UNION ALL ${pairSql("minhash_lsh", minhashLsh.oracle.get)}

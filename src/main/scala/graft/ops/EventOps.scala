@@ -1091,9 +1091,10 @@ object EventOps {
     * scaled form is a plain prefix sum, distributed like any window — and
     * unlike a double recurrence it is bit-identical at any parallelism
     * (the q105 time-decay trick applied to a recurrence). Headroom:
-    * |series| ≈ 30 days here; for longer series the scaled sum promotes to
-    * DECIMAL(38,0) (2^96 ≈ 29 days of headroom per decimal digit ratio —
-    * the window would instead restart per month at planet scale).
+    * |series| ≈ 30 days here, and a raise_error guard fails the query
+    * loudly past 62 rows per series (where Spark's shiftleft and DuckDB's
+    * << stop agreeing); for longer series the scaled sum promotes to
+    * DECIMAL(38,0) or the window restarts per month at planet scale.
     *
     * Distributed shape: one (type, day) count collapse, then a
     * type-partitioned window over day-grain rows. */
@@ -1106,8 +1107,17 @@ object EventOps {
       val w = Window.partitionBy("event_type").orderBy("day")
       daily
         .withColumn("rn", row_number().over(w).cast("long"))
+        // Loud guard, not a comment: past 64 daily rows Spark's shiftleft
+        // wraps the shift amount mod 64 while DuckDB's << yields 0, so the
+        // two engines would silently diverge. Fail the query instead; the
+        // fix at that scale is the DECIMAL(38,0) promotion / monthly
+        // re-windowing described above, chosen deliberately, not silently.
         .withColumn("wterm",
-          when(col("rn") === 1, col("x"))
+          when(col("rn") > 62, expr(
+            "raise_error('q167_exact_ewma: series exceeds 62 daily rows — " +
+              "BIGINT scaled EWMA would overflow/diverge cross-engine; " +
+              "promote to DECIMAL(38,0) or re-window the series')").cast("long"))
+            .when(col("rn") === 1, col("x"))
             .otherwise(col("x") * expr("shiftleft(1L, CAST(rn - 2 AS INT))")))
         .withColumn("s_scaled",
           sum("wterm").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -120,10 +120,12 @@ object LineageQueries {
     val docVecs = graft.PlanCache.cached(s, "qa_docvecs", dir, dir) {
       QA.embed(docs, "text")
     }
-    val qVecs = QA.embed(Seq(
+    val qVecs = QA.embed((Seq(
       "question::q29" -> RetrievalQuestion,
       "question::q44" -> SimpleQuestion,
-      "question::q30" -> EvidenceQuestion).toDF("id", "text"), "text")
+      "question::q30" -> EvidenceQuestion) ++
+      QA.Questions.zipWithIndex.map { case (q, i) => s"question::qa$i" -> q })
+      .toDF("id", "text"), "text")
     docVecs.select("id", "v").unionByName(qVecs.select("id", "v"))
       .select(col("id"),
         concat_ws(",", expr("transform(v, x -> CAST(x AS STRING))")).as("v_csv"))
@@ -391,7 +393,8 @@ object LineageQueries {
       // the per-question caches can be released — repeated driver invocations
       // must not accumulate persisted plans
       val (ev, _, cleanup) = graft.qa.Ask.evidenceFrameManaged(s, dir, EvidenceQuestion)
-      val rows = try ev.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      val rows = try ev.orderBy("sec", "ord").collect()
+        .map(r => (r.getAs[String]("section"), r.getAs[String]("line"))).toSeq
         finally cleanup()
       rows.toDF("section", "line")
     },
@@ -402,9 +405,20 @@ object LineageQueries {
         freshDump(out, "q25_lineage_edges").isDefined &&
         freshDump(out, "q28_corpus_docs").isDefined)
       .map { out =>
+        s"SELECT section, line FROM ${evidenceLinesSubquery(out, EvidenceQuestion, "question::q30")} ev"
+      }))
+
+  /** Parenthesized DuckDB subquery re-deriving ONE question's capped
+    * evidence lines — (sec, ord, section, line), sec = section ordinal,
+    * ord = 1-based rank under the section's canonical sort, both matching
+    * [[QA.evidence]] — from this run's dumps. Shared by the q30 evidence
+    * oracle and the per-question folds of the q183 grounded-answer oracle.
+    * `vecId` names the question's embedding row in aux_qa_vectors. */
+  private def evidenceLinesSubquery(out: String, question: String,
+      vecId: String): String = {
         val cfg = graft.qa.QaConfig.default
-        val qLit = EvidenceQuestion.replace("'", "''")
-        s"""WITH RECURSIVE parts AS (
+        val qLit = question.replace("'", "''")
+        s"""(WITH RECURSIVE parts AS (
           SELECT * FROM read_parquet('$out/aux_corpus_parts/*.parquet')
         ), e25 AS (
           SELECT * FROM read_parquet('$out/q25_lineage_edges/*.parquet')
@@ -434,9 +448,11 @@ object LineageQueries {
           SELECT name, MIN(depth) AS depth FROM r
           WHERE name <> seed GROUP BY name
         ), impact_lines AS (
-          SELECT 'IMPACTED_COLUMN' AS section,
+          SELECT 1 AS sec,
+                 CAST(row_number() OVER (ORDER BY depth, name) AS BIGINT) AS ord,
+                 'IMPACTED_COLUMN' AS section,
                  name || ' (depth ' || depth || ')' AS line
-          FROM impact ORDER BY depth, name LIMIT ${cfg.maxImpactShow}
+          FROM impact QUALIFY ord <= ${cfg.maxImpactShow}
         ), la AS (
           SELECT script, direction, regexp_replace(path, '/+$$', '') AS norm
           FROM parts WHERE kind = 'asset'
@@ -456,22 +472,26 @@ object LineageQueries {
         ), simp AS (
           SELECT script, MIN(depth) AS depth FROM s GROUP BY script
         ), script_lines AS (
-          SELECT 'IMPACTED_SCRIPT' AS section, script AS line
-          FROM simp ORDER BY depth, script LIMIT ${cfg.maxScriptsShow}
+          SELECT 2 AS sec,
+                 CAST(row_number() OVER (ORDER BY depth, script) AS BIGINT) AS ord,
+                 'IMPACTED_SCRIPT' AS section, script AS line
+          FROM simp QUALIFY ord <= ${cfg.maxScriptsShow}
         ), gold AS (
           SELECT DISTINCT p.script, p.path
           FROM parts p JOIN simp ON p.script = simp.script
           WHERE p.kind = 'asset' AND p.direction = 'write'
             AND list_contains(string_split(p.path, '/'), 'gold')
         ), gold_lines AS (
-          SELECT 'GOLD_OUTPUT' AS section, script || ' -> ' || path AS line
-          FROM gold ORDER BY path LIMIT ${cfg.maxGoldShow}
+          SELECT 3 AS sec,
+                 CAST(row_number() OVER (ORDER BY path, script) AS BIGINT) AS ord,
+                 'GOLD_OUTPUT' AS section, script || ' -> ' || path AS line
+          FROM gold QUALIFY ord <= ${cfg.maxGoldShow}
         ), vecs AS (
           SELECT id, list_transform(string_split(v_csv, ','),
                                     x -> CAST(x AS DOUBLE)) AS v
           FROM read_parquet('$out/aux_qa_vectors/*.parquet')
         ), qv AS (
-          SELECT v FROM vecs WHERE id = 'question::q30'
+          SELECT v FROM vecs WHERE id = '$vecId'
         ), d AS (
           SELECT id, v FROM vecs WHERE id NOT LIKE 'question::%'
         ), ranked AS (
@@ -480,17 +500,18 @@ object LineageQueries {
                    AS rank
           FROM d, qv
         ), fact_lines AS (
-          SELECT 'FACT' AS section, '[' || rk.rank || '] ' || c.text AS line
+          SELECT 4 AS sec, CAST(rk.rank AS BIGINT) AS ord,
+                 'FACT' AS section, '[' || rk.rank || '] ' || c.text AS line
           FROM ranked rk
           JOIN read_parquet('$out/q28_corpus_docs/*.parquet') c
             ON c.id = rk.doc_id
           WHERE rk.rank <= ${cfg.topK}
         )
-        SELECT section, line FROM impact_lines
-        UNION ALL SELECT section, line FROM script_lines
-        UNION ALL SELECT section, line FROM gold_lines
-        UNION ALL SELECT section, line FROM fact_lines"""
-      }))
+        SELECT sec, ord, section, line FROM impact_lines
+        UNION ALL SELECT sec, ord, section, line FROM script_lines
+        UNION ALL SELECT sec, ord, section, line FROM gold_lines
+        UNION ALL SELECT sec, ord, section, line FROM fact_lines)"""
+  }
 
   /** Retrieval-only variant (the reference's simple `qa.py` mode: TOP_K=6, no
     * deterministic graphs — qa.py:34,208-248). */
@@ -561,6 +582,165 @@ object LineageQueries {
         FROM r WHERE name <> 'amount' GROUP BY name"""
       }))
 
+  /** q183: the grounded deterministic ANSWERS (A24) for the three README
+    * acceptance questions, one row per question with the FULL answer text —
+    * the last spec-only §2A surface brought under the driver's hash gate.
+    * The Spark side runs the full Ask pipeline (candidate NER → closures →
+    * BFS → gold → retrieval → evidence → DeterministicAnswerer fold); the
+    * oracle re-derives each question's capped evidence entirely in DuckDB
+    * (the q30 subquery, parameterized per question) and re-folds the answer
+    * template on top: a QUESTION header, then per non-empty section in
+    * fixed order a "SECTION (count):" header plus the first 10 lines as
+    * "  - line" (qa/ask.py:82-113 rules, QA.DeterministicAnswerer). The
+    * answer is one multi-line string per row (evidence lines may themselves
+    * embed newlines — FACT lines carry whole corpus docs — so a
+    * line-per-row shape would not round-trip). */
+  val groundedAnswers: Q = Q(
+    "q183_grounded_answers",
+    (s, dir) => {
+      import s.implicits._
+      QA.Questions.zipWithIndex.map { case (q, i) =>
+        (s"qa$i", graft.qa.Ask.ask(s, dir, q).answer)
+      }.toDF("question_id", "answer")
+    },
+    None,
+    oracleDyn = Some(() => sys.props.get("graft.oracle.outdir")
+      .filter(out => freshDump(out, "aux_corpus_parts").isDefined &&
+        freshDump(out, "aux_qa_vectors").isDefined &&
+        freshDump(out, "q25_lineage_edges").isDefined &&
+        freshDump(out, "q28_corpus_docs").isDefined)
+      .map { out =>
+        QA.Questions.zipWithIndex.map { case (q, i) =>
+          val sub = evidenceLinesSubquery(out, q, s"question::qa$i")
+          val qLit = q.replace("'", "''")
+          s"""SELECT 'qa$i' AS question_id,
+               string_agg(line, chr(10) ORDER BY sec, pos, ord) || chr(10)
+                 AS answer
+             FROM (
+               SELECT 0 AS sec, 0 AS pos, CAST(0 AS BIGINT) AS ord,
+                      'QUESTION: $qLit' AS line
+               UNION ALL
+               SELECT sec, 0 AS pos, CAST(0 AS BIGINT) AS ord,
+                      section || ' (' || count(1) || '):' AS line
+               FROM $sub ev GROUP BY sec, section
+               UNION ALL
+               SELECT sec, 1 AS pos, ord, '  - ' || line AS line
+               FROM $sub ev2 WHERE ord <= 10
+             ) t"""
+        }.mkString("\nUNION ALL\n")
+      }))
+
+  /** q184: the mermaid lineage DOCUMENT (A13) as (graph_id, line_no, line)
+    * rows — the repo overview flowchart plus every per-script column graph,
+    * rendered by the same [[graft.render.Mermaid]] templating the HTML CLI
+    * ships, with pinned input order (scripts and links sorted; edges sorted
+    * by their full tuple) so the fold is deterministic. The oracle re-folds
+    * every line in DuckDB from the raw asset dump (node/edge lines per
+    * script block, writer→reader dashed links re-derived by the q26 stitch)
+    * and the q25 edge dump (per-script `a -->|reason| b` lines), including
+    * mermaid's safe_id sanitization (build_html.py:31) as a regexp_replace.
+    */
+  val mermaidDoc: Q = Q(
+    "q184_mermaid_doc",
+    (s, dir) => {
+      import s.implicits._
+      val ls = lineages(s, dir).sortBy(_.script)
+      val links = Lineage.stitch(s, ls).collect().toSeq
+        .sortBy(l => (l.fromScript, l.toScript, l.asset))
+      val edges = Lineage.edges(s, ls).collect().toSeq
+        .sortBy(e => (e.srcDf, e.srcCol, e.df, e.targetCol, e.reason))
+      val over = graft.render.Mermaid.overview(ls, links)
+        .linesIterator.zipWithIndex
+        .map { case (l, n) => ("overview", n.toLong, l) }.toSeq
+      val per = ls.flatMap { sl =>
+        graft.render.Mermaid.columnGraph(sl.script, edges)
+          .linesIterator.zipWithIndex
+          .map { case (l, n) => (s"script:${sl.script}", n.toLong, l) }
+      }
+      (over ++ per).toDF("graph_id", "line_no", "line")
+    },
+    None,
+    oracleDyn = Some(() => sys.props.get("graft.oracle.outdir")
+      .filter(out => freshDump(out, "aux_corpus_parts").isDefined &&
+        freshDump(out, "q25_lineage_edges").isDefined)
+      .map { out =>
+        s"""WITH parts AS (
+          SELECT * FROM read_parquet('$out/aux_corpus_parts/*.parquet')
+        ), scripts AS (
+          SELECT script, CAST(row_number() OVER (ORDER BY script) AS BIGINT) AS si
+          FROM parts WHERE kind = 'script'
+        ), assets AS (
+          SELECT script, direction, path, ord FROM parts WHERE kind = 'asset'
+        ), ov AS (
+          SELECT 0 AS blk, CAST(0 AS BIGINT) AS si, CAST(0 AS BIGINT) AS ao,
+                 0 AS sub, 'flowchart LR' AS line
+          UNION ALL
+          SELECT 1, s.si, CAST(-1 AS BIGINT), 0,
+                 '  ' || regexp_replace(s.script, '[^A-Za-z0-9_]', '_', 'g')
+                   || '["' || s.script || '"]'
+          FROM scripts s
+          UNION ALL
+          SELECT 1, s.si, CAST(a.ord AS BIGINT), 0,
+                 '  ' || regexp_replace(a.path, '[^A-Za-z0-9_]', '_', 'g')
+                   || '(("' || a.path || '"))'
+          FROM assets a JOIN scripts s ON a.script = s.script
+          UNION ALL
+          SELECT 1, s.si, CAST(a.ord AS BIGINT), 1,
+                 CASE WHEN a.direction = 'read'
+                   THEN '  ' || regexp_replace(a.path, '[^A-Za-z0-9_]', '_', 'g')
+                     || ' --> ' || regexp_replace(a.script, '[^A-Za-z0-9_]', '_', 'g')
+                   ELSE '  ' || regexp_replace(a.script, '[^A-Za-z0-9_]', '_', 'g')
+                     || ' --> ' || regexp_replace(a.path, '[^A-Za-z0-9_]', '_', 'g')
+                 END
+          FROM assets a JOIN scripts s ON a.script = s.script
+          UNION ALL
+          SELECT 2,
+                 CAST(row_number() OVER (ORDER BY l.src, l.dst, l.asset) AS BIGINT),
+                 CAST(0 AS BIGINT), 0,
+                 '  ' || regexp_replace(l.src, '[^A-Za-z0-9_]', '_', 'g')
+                   || ' -. ' || l.asset || ' .-> '
+                   || regexp_replace(l.dst, '[^A-Za-z0-9_]', '_', 'g')
+          FROM (
+            SELECT DISTINCT w.script AS src, r.script AS dst, w.norm AS asset
+            FROM (SELECT script, direction,
+                         regexp_replace(path, '/+$$', '') AS norm FROM assets) w
+            JOIN (SELECT script, direction,
+                         regexp_replace(path, '/+$$', '') AS norm FROM assets) r
+              ON w.norm = r.norm
+            WHERE w.direction = 'write' AND r.direction = 'read'
+              AND w.script <> r.script
+          ) l
+        ), overview_rows AS (
+          SELECT 'overview' AS graph_id,
+                 CAST(row_number() OVER (ORDER BY blk, si, ao, sub) - 1 AS BIGINT)
+                   AS line_no, line
+          FROM ov
+        ), sg AS (
+          SELECT s.script, 0 AS sub,
+                 '' AS k1, '' AS k2, '' AS k3, '' AS k4, '' AS k5,
+                 'flowchart TB' AS line
+          FROM scripts s
+          UNION ALL
+          SELECT e.script, 1,
+                 e."srcDf", e."srcCol", e.df, e."targetCol", e.reason,
+                 '  ' || regexp_replace(e."srcDf" || '.' || e."srcCol", '[^A-Za-z0-9_]', '_', 'g')
+                   || '["' || e."srcDf" || '.' || e."srcCol" || '"]'
+                   || ' -->|' || e.reason || '| '
+                   || regexp_replace(e.df || '.' || e."targetCol", '[^A-Za-z0-9_]', '_', 'g')
+                   || '["' || e.df || '.' || e."targetCol" || '"]'
+          FROM read_parquet('$out/q25_lineage_edges/*.parquet') e
+        ), script_rows AS (
+          SELECT 'script:' || script AS graph_id,
+                 CAST(row_number() OVER (PARTITION BY script
+                   ORDER BY sub, k1, k2, k3, k4, k5) - 1 AS BIGINT) AS line_no,
+                 line
+          FROM sg
+        )
+        SELECT graph_id, line_no, line FROM overview_rows
+        UNION ALL SELECT graph_id, line_no, line FROM script_rows"""
+      }))
+
   val all: Seq[Q] = Seq(lineageEdges, repoLinks, impactClosure, corpusDocs,
-    qaRetrieval, qaRetrievalSimple, qaEvidence, recursiveClosure)
+    qaRetrieval, qaRetrievalSimple, qaEvidence, recursiveClosure,
+    groundedAnswers, mermaidDoc)
 }

@@ -557,10 +557,14 @@ object Warehouse {
     ("events", "user_id", "customer", "c_custkey"))
 
   /** q146: referential-integrity audit over every FK edge of the star
-    * schema (plus the events→customer identity edge, which is genuinely
-    * violated in this dataset): per edge, child row count, distinct child
-    * keys, orphan rows and orphan keys — the whole-lake consistency report
-    * a platform runs after each load.
+    * schema (plus the events→customer identity edge): per edge, child row
+    * count, distinct child keys, orphan rows and orphan keys — the
+    * whole-lake consistency report a platform runs after each load. All
+    * eight edges are clean in the synthetic testdata (WarehouseSpec asserts
+    * so); the violation path is covered by the planted-orphan unit test
+    * over [[edgeAudit]]. NULL child keys are pinned as NOT orphans in both
+    * engines (filtered before the anti-join / NOT IN), so a nullable FK
+    * column cannot diverge the engines' NULL semantics.
     *
     * Distributed shape: per edge, the child scan is pruned to the single
     * key column (ReadSchema: one field), orphans come from one key-keyed
@@ -576,7 +580,8 @@ object Warehouse {
     val p = parent.select(col(pk).as("pk")).distinct()
     val base = c.agg(count(lit(1)).as("n_child"),
       countDistinct("k").as("n_child_keys"))
-    val orph = c.join(p, col("k") === col("pk"), "left_anti")
+    val orph = c.filter(col("k").isNotNull)
+      .join(p, col("k") === col("pk"), "left_anti")
       .agg(count(lit(1)).as("n_orphan_rows"),
         countDistinct("k").as("n_orphan_keys"))
     base.crossJoin(orph)
@@ -596,9 +601,9 @@ object Warehouse {
       s"""SELECT '$ct.$ck->$pt.$pk' AS relationship,
         (SELECT count(1) FROM $ct) AS n_child,
         (SELECT count(DISTINCT $ck) FROM $ct) AS n_child_keys,
-        (SELECT count(1) FROM $ct WHERE $ck NOT IN (SELECT $pk FROM $pt)) AS n_orphan_rows,
-        (SELECT count(DISTINCT $ck) FROM $ct WHERE $ck NOT IN (SELECT $pk FROM $pt)) AS n_orphan_keys,
-        (SELECT count(1) FROM $ct WHERE $ck NOT IN (SELECT $pk FROM $pt)) = 0 AS ok"""
+        (SELECT count(1) FROM $ct WHERE $ck IS NOT NULL AND $ck NOT IN (SELECT $pk FROM $pt WHERE $pk IS NOT NULL)) AS n_orphan_rows,
+        (SELECT count(DISTINCT $ck) FROM $ct WHERE $ck IS NOT NULL AND $ck NOT IN (SELECT $pk FROM $pt WHERE $pk IS NOT NULL)) AS n_orphan_keys,
+        (SELECT count(1) FROM $ct WHERE $ck IS NOT NULL AND $ck NOT IN (SELECT $pk FROM $pt WHERE $pk IS NOT NULL)) = 0 AS ok"""
     }.mkString("\nUNION ALL\n")))
 
   // ---- q164: cross-table reconciliation audit ------------------------------

@@ -96,7 +96,8 @@ object Ask {
       answerer: QA.AnswerClient = QA.DeterministicAnswerer,
       cfg: QaConfig = QaConfig.default): Result = {
     val (ev, cands, cleanup) = evidenceFrameManaged(spark, sfDir, question, cfg)
-    val evidence = try ev.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val evidence = try ev.orderBy("sec", "ord").collect()
+      .map(r => (r.getAs[String]("section"), r.getAs[String]("line"))).toSeq
       finally cleanup()
     Result(answerer.answer(question, evidence), evidence, cands)
   }

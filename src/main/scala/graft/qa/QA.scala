@@ -124,22 +124,33 @@ object QA {
 
   /** Evidence assembly (A23; qa/ask.py:391-450): deterministic sections with
     * the reference's caps (overridable via [[QaConfig]]), one row per
-    * evidence line. */
+    * evidence line. Each row carries an explicit (sec, ord) position — the
+    * section ordinal and the 1-based within-section rank under that
+    * section's canonical sort — so consumers (the grounded answerer's
+    * take-10, q183's line fold) order by columns instead of relying on
+    * collect-order, which Spark does not guarantee across a union. The
+    * caps are applied as rank filters over the same sort, identical to the
+    * previous orderBy+limit. */
   def evidence(spark: SparkSession, impactCols: DataFrame, impactedScripts: DataFrame,
       gold: DataFrame, hits: DataFrame, corpusDocs: Dataset[CorpusDoc],
       cfg: QaConfig = QaConfig.default): DataFrame = {
-    import spark.implicits._
-    val impact = impactCols.orderBy(col("depth"), col("column")).limit(cfg.maxImpactShow)
-      .select(lit("IMPACTED_COLUMN").as("section"),
-        concat(col("column"), lit(" (depth "), col("depth"), lit(")")).as("line"))
-    val scripts = impactedScripts.orderBy(col("depth"), col("script")).limit(cfg.maxScriptsShow)
-      .select(lit("IMPACTED_SCRIPT").as("section"), col("script").as("line"))
-    val goldLines = gold.orderBy(col("path")).limit(cfg.maxGoldShow)
-      .select(lit("GOLD_OUTPUT").as("section"),
-        concat(col("script"), lit(" -> "), col("path")).as("line"))
+    // single-partition windows: every section frame is metadata-scale
+    // (display-capped at 80/50/60/25 rows) — the warning is acceptable
+    def ranked(df: DataFrame, sec: Int, cap: Int, order: Seq[org.apache.spark.sql.Column],
+        section: String, line: org.apache.spark.sql.Column): DataFrame =
+      df.withColumn("ord", row_number().over(Window.orderBy(order: _*)).cast("long"))
+        .filter(col("ord") <= cap)
+        .select(lit(sec).as("sec"), col("ord"), lit(section).as("section"), line.as("line"))
+    val impact = ranked(impactCols, 1, cfg.maxImpactShow,
+      Seq(col("depth"), col("column")), "IMPACTED_COLUMN",
+      concat(col("column"), lit(" (depth "), col("depth"), lit(")")))
+    val scripts = ranked(impactedScripts, 2, cfg.maxScriptsShow,
+      Seq(col("depth"), col("script")), "IMPACTED_SCRIPT", col("script"))
+    val goldLines = ranked(gold, 3, cfg.maxGoldShow,
+      Seq(col("path"), col("script")), "GOLD_OUTPUT",
+      concat(col("script"), lit(" -> "), col("path")))
     val facts = hits.join(corpusDocs.select(col("id").as("doc_id"), col("text")), "doc_id")
-      .orderBy(col("rank"))
-      .select(lit("FACT").as("section"),
+      .select(lit(4).as("sec"), col("rank").as("ord"), lit("FACT").as("section"),
         concat(lit("["), col("rank"), lit("] "), col("text")).as("line"))
     impact.unionByName(scripts).unionByName(goldLines).unionByName(facts)
   }

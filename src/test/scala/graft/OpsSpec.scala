@@ -1312,6 +1312,35 @@ class OpsSpec extends AnyFunSuite {
     assert(row.getDouble(4) === f && f >= 0.0)
   }
 
+  test("q136 jackknife CI equals a driver fold recompute; CI brackets the mean") {
+    def md5h1(x: String): Char =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.head
+    val xs = Tables.documents(spark, sfDir).select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val folds = xs.groupBy { case (id, _) => md5h1(id.toString) }
+    val k = folds.size.toLong
+    val n = xs.length.toLong
+    val s = xs.map(_._2).sum
+    // leave-one-fold-out means in exact 1e-6-scaled integer space (all
+    // operands positive, so / == DIV), then the exact integer square sum
+    val thetas = folds.values.toSeq.map { g =>
+      val sf = g.map(_._2).sum
+      ((s - sf) * 1000000L) / (n - g.size)
+    }
+    val t = thetas.sum
+    val d = thetas.map { th => val dv = BigInt(k * th - t); dv * dv }.sum
+    val se = math.sqrt(d.toDouble * (k - 1).toDouble / (k * k * k).toDouble) / 1e6
+    val mean = s.toDouble / n.toDouble
+    val row = SparkEntry.queries("q136_jackknife_ci")(spark, sfDir).head()
+    assert((row.getLong(0), row.getLong(1)) === ((n, k)))
+    assert(row.getDouble(2) === mean)
+    assert(row.getDouble(3) === se)
+    assert(row.getDouble(4) < mean && mean < row.getDouble(5))
+    assert(row.getDouble(4) === mean - 1.96 * se)
+    assert(row.getDouble(5) === mean + 1.96 * se)
+  }
+
   test("q176 reshard cost: driver ring replay; consistent moves only to the new node") {
     def md5hex16(x: String): String =
       java.security.MessageDigest.getInstance("MD5")

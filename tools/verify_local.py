@@ -8,6 +8,7 @@ rows, exact value compare (timestamps normalized to naive UTC microseconds).
 
 Usage: python3 tools/verify_local.py <sfdir> <outdir>
 """
+import datetime
 import glob
 import json
 import sys
@@ -21,6 +22,25 @@ TABLES = [
 ]
 
 
+def kind(s: pd.Series) -> str:
+    """Canonical dtype class, mirroring the driver's hash sensitivity.
+
+    The driver hashes canonicalized values, so an integral Spark column vs a
+    DuckDB HUGEINT/DECIMAL fetched as float64 (3 vs 3.0) is a hash MISMATCH
+    even when numerically equal. Comparing dtype classes here catches that
+    locally (the round-9 q163 escape) instead of at the driver.
+    """
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "ts"
+    return "obj"
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -30,8 +50,17 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
                 s = s.dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = s.dt.floor("us")
         elif s.dtype == object:
-            df[c] = s.map(lambda v: tuple(v) if isinstance(v, (list, tuple)) or
-                          str(type(v)).endswith("ndarray'>") else v)
+            nn = s.dropna()
+            if len(nn) and all(isinstance(v, datetime.date)
+                               and not isinstance(v, datetime.datetime)
+                               for v in nn):
+                # Spark DATE reads back as datetime.date objects; DuckDB DATE
+                # fetches as datetime64[us]. The driver equates them — do the
+                # same so the dtype-kind gate below doesn't false-positive.
+                df[c] = pd.to_datetime(s)
+            else:
+                df[c] = s.map(lambda v: tuple(v) if isinstance(v, (list, tuple))
+                              or str(type(v)).endswith("ndarray'>") else v)
     df = df.sort_values(by=list(df.columns), kind="mergesort",
                         na_position="first").reset_index(drop=True)
     return df
@@ -63,6 +92,14 @@ def main(sfdir: str, outdir: str) -> int:
             continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            fails += 1
+            continue
+        dk = [(c, kind(got[c]), kind(exp[c])) for c in got.columns
+              if kind(got[c]) != kind(exp[c])]
+        if dk:
+            c, a, b = dk[0]
+            print(f"FAIL {name}: dtype col {c}: spark={got[c].dtype}({a}) "
+                  f"oracle={exp[c].dtype}({b}) — driver hash would mismatch")
             fails += 1
             continue
         bad = None
