@@ -1531,6 +1531,76 @@ object Analytics {
                  / CAST(k * k * k AS DOUBLE)) / 1e6) AS ci_hi
       FROM d"""))
 
+  // ---- q186: exact trimmed / winsorized means ------------------------------
+  /** q186: per-source 10%-trimmed and winsorized means of document length —
+    * the outlier-robust location stats a corpus report quotes next to the
+    * raw mean (q110's MAD flags outliers; this REMOVES their influence).
+    * Exactness without a per-document sort: lengths collapse to per-(source,
+    * value) counts first, so every window below runs over DISTINCT VALUES
+    * (bounded by the length domain), not documents — the q113 bucket-parallel
+    * idea applied to trimming. A value's kept multiplicity inside the rank
+    * window (lo, n−lo] is the overlap of its cumulative-count range with
+    * that window (exact, duplicate-correct — partial overlap trims only the
+    * copies that fall outside); the winsor bounds are the values whose
+    * cumulative count first reaches lo+1 / n−lo. All arithmetic is integer
+    * until each mean's single double division.
+    *
+    * Distributed shape: one map-side-combined value-histogram pass, then
+    * per-source windows over distinct lengths. At 100 TB the histogram is
+    * the only document-scale shuffle; no one-task sort exists anywhere. */
+  val trimmedMean: Q = Q(
+    "q186_trimmed_mean",
+    (s, dir) => {
+      val vals = Tables.documents(s, dir)
+        .groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+      val bySrc = Window.partitionBy("source")
+      val cw = bySrc.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vals
+        .withColumn("cum", sum("cnt").over(cw))
+        .withColumn("prev", col("cum") - col("cnt"))
+        .withColumn("n", sum("cnt").over(bySrc))
+        .withColumn("lo", expr("n DIV 10"))
+        .withColumn("kept", greatest(lit(0L),
+          least(col("cum"), col("n") - col("lo")) - greatest(col("prev"), col("lo"))))
+        .groupBy("source", "n", "lo")
+        .agg(sum(col("n_chars") * col("kept")).as("tsum"),
+          min(when(col("cum") >= col("lo") + 1, col("n_chars"))).as("vlo"),
+          min(when(col("cum") >= col("n") - col("lo"), col("n_chars"))).as("vhi"))
+        .select(col("source"), col("n").as("n_docs"),
+          col("lo").as("n_trimmed_each_side"),
+          (col("tsum").cast("double")
+            / (col("n") - lit(2L) * col("lo")).cast("double")).as("trimmed_mean"),
+          ((col("tsum") + col("lo") * (col("vlo") + col("vhi"))).cast("double")
+            / col("n").cast("double")).as("winsorized_mean"))
+    },
+    Some("""WITH v AS (
+        SELECT source, n_chars, count(1) AS cnt
+        FROM documents GROUP BY source, n_chars
+      ), c AS (
+        SELECT source, n_chars, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+        FROM v
+      ), k AS (
+        SELECT source, n_chars, cnt, cum, cum - cnt AS prev, n, n // 10 AS lo,
+               GREATEST(0, LEAST(cum, n - n // 10) - GREATEST(cum - cnt, n // 10))
+                 AS kept
+        FROM c
+      ), g AS (
+        SELECT source, n, lo,
+               CAST(SUM(n_chars * kept) AS BIGINT) AS tsum,
+               MIN(CASE WHEN cum >= lo + 1 THEN n_chars END) AS vlo,
+               MIN(CASE WHEN cum >= n - lo THEN n_chars END) AS vhi
+        FROM k GROUP BY source, n, lo
+      )
+      SELECT source, n AS n_docs, lo AS n_trimmed_each_side,
+             CAST(tsum AS DOUBLE) / CAST(n - 2 * lo AS DOUBLE) AS trimmed_mean,
+             CAST(tsum + lo * (vlo + vhi) AS DOUBLE) / CAST(n AS DOUBLE)
+               AS winsorized_mean
+      FROM g"""))
+
   // ---- q175: one-way ANOVA F -----------------------------------------------
   /** q175: one-way ANOVA of document length across sources — the
     * mean-shift member of the drift-stat family (q130 KS: distribution
@@ -1656,5 +1726,6 @@ object Analytics {
     approxDistinct, percentileStats, pivot, unpivot, cube, countMin, nestedAgg,
     histogram, cooccurrence, weightedMedian, trailingWindow, groupingSets,
     equidepthHist, tradePageRank, groupwiseOls, marketShare, triangles,
-    chi2Independence, rollingMedian, giniSpend, anovaF, hhiSpend, jackknifeCi)
+    chi2Independence, rollingMedian, giniSpend, anovaF, hhiSpend, jackknifeCi,
+    trimmedMean)
 }

@@ -925,9 +925,82 @@ object CorpusOps {
              (rnk = 1 OR cum_tokens * 10 <= src_tokens * 9) AS kept
       FROM walked"""))
 
+  // ---- q185: vocabulary growth (Heaps' law) --------------------------------
+  /** q185: the vocabulary-growth curve — distinct word types vs tokens seen
+    * at exponentially spaced corpus prefixes — the Heaps'-law diagnostic a
+    * pipeline reads before sizing a tokenizer vocabulary or predicting how
+    * much new text still adds new types. Prefixes are doc_id ranges
+    * bucketed by BINARY LENGTH (doc_id < 2^k), so the checkpoint grid is
+    * log-spaced, data-derived, and engine-portable via `bin()` string
+    * length — no log2 float whose rounding could differ at exact powers.
+    * A word's contribution to vocabulary growth is its FIRST-occurrence
+    * doc (min doc_id); vocabulary at checkpoint k is then one 15-row
+    * cumulative sum over first-occurrence buckets. type_token_ratio is the
+    * row's single double division.
+    *
+    * Distributed shape: one map-side-combined min per word (the only
+    * vocabulary-scale shuffle), one per-doc token-count pass, then
+    * ~log2(max_id)-row algebra. No global sort, no per-prefix rescan —
+    * the naive "count distinct words per prefix" is |prefixes| passes;
+    * this is one. */
+  val vocabGrowth: Q = Q(
+    "q185_vocab_growth",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        length(bin(col("doc_id"))).cast("long").as("k"))
+      val dk = docs.groupBy("k")
+        .agg(count(lit(1)).as("nd"), sum("toks").as("nt"))
+      val firsts = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(min("doc_id").as("fd"))
+      val wk = firsts.groupBy(length(bin(col("fd"))).cast("long").as("k"))
+        .agg(count(lit(1)).as("nw"))
+      val cw = Window.orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dk.join(wk, Seq("k"), "left")
+        .withColumn("nw", coalesce(col("nw"), lit(0L)))
+        .withColumn("n_docs", sum("nd").over(cw))
+        .withColumn("n_tokens", sum("nt").over(cw))
+        .withColumn("vocab", sum("nw").over(cw))
+        .select(col("k"),
+          (expr("shiftleft(1L, CAST(k AS INT))") - 1).as("max_doc_id"),
+          col("n_docs"), col("n_tokens"), col("vocab"),
+          (col("vocab").cast("double") / col("n_tokens").cast("double"))
+            .as("type_token_ratio"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+               CAST(length(bin(doc_id)) AS BIGINT) AS k
+        FROM documents
+      ), dk AS (
+        SELECT k, count(1) AS nd, CAST(SUM(toks) AS BIGINT) AS nt
+        FROM d GROUP BY k
+      ), fw AS (
+        SELECT word, MIN(doc_id) AS fd FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        ) t WHERE word <> '' GROUP BY word
+      ), wk AS (
+        SELECT CAST(length(bin(fd)) AS BIGINT) AS k, count(1) AS nw
+        FROM fw GROUP BY 1
+      ), j AS (
+        SELECT dk.k, dk.nd, dk.nt, COALESCE(wk.nw, 0) AS nw
+        FROM dk LEFT JOIN wk ON dk.k = wk.k
+      )
+      SELECT k, (CAST(1 AS BIGINT) << CAST(k AS INT)) - 1 AS max_doc_id,
+             CAST(SUM(nd) OVER cw AS BIGINT) AS n_docs,
+             CAST(SUM(nt) OVER cw AS BIGINT) AS n_tokens,
+             CAST(SUM(nw) OVER cw AS BIGINT) AS vocab,
+             CAST(SUM(nw) OVER cw AS DOUBLE) / CAST(SUM(nt) OVER cw AS DOUBLE)
+               AS type_token_ratio
+      FROM j
+      WINDOW cw AS (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""))
+
   val all: Seq[Q] = Seq(piiRedact, decontaminate, mixtureSample, noveltyScore,
     ngramTopK, docPack, embedQuantize, cleanPipeline, zorderKey, docChunks,
     bm25Score, tfidfTopTerms, heavyHitters, corpusCard, ksDrift, sourceOverlap,
-    nucleusRetention)
+    nucleusRetention, vocabGrowth)
 }
 

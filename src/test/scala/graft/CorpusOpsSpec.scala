@@ -481,4 +481,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     } yield (a, b)).toSet
     assert(pairs.toSet === wantPairs)
   }
+
+  test("q185 vocab growth equals a driver prefix recompute; growth laws hold") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def binlen(x: Long): Int = java.lang.Long.toBinaryString(x).length
+    val ks = docs.map { case (id, _) => binlen(id) }.distinct.sorted
+    val rows = SparkEntry.queries("q185_vocab_growth")(spark, sfDir)
+      .orderBy("k").collect()
+    assert(rows.map(_.getLong(0)).toSeq === ks.map(_.toLong).toSeq)
+    // driver recompute per checkpoint: docs/tokens/vocab over doc_id < 2^k
+    rows.foreach { r =>
+      val k = r.getLong(0).toInt
+      val pre = docs.filter { case (id, _) => binlen(id) <= k }
+      val toks = pre.map(_._2.split(" ", -1).length.toLong).sum
+      val vocab = pre.iterator.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+        .toSet.size.toLong
+      assert(r.getLong(1) === (1L << k) - 1)
+      assert(r.getLong(2) === pre.length.toLong, s"n_docs at k=$k")
+      assert(r.getLong(3) === toks, s"n_tokens at k=$k")
+      assert(r.getLong(4) === vocab, s"vocab at k=$k")
+      assert(r.getDouble(5) === vocab.toDouble / toks.toDouble)
+    }
+    // laws: all three cumulative series are non-decreasing; types <= tokens
+    val v = rows.map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    v.sliding(2).foreach { case Array(a, b) =>
+      assert(a._1 <= b._1 && a._2 <= b._2 && a._3 <= b._3)
+    }
+    assert(v.last._3 <= v.last._2)
+  }
 }

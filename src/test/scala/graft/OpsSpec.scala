@@ -1341,6 +1341,30 @@ class OpsSpec extends AnyFunSuite {
     assert(row.getDouble(5) === mean + 1.96 * se)
   }
 
+  test("q186 trimmed/winsorized means equal a driver sort recompute") {
+    val xs = Tables.documents(spark, sfDir).select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = xs.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val got = SparkEntry.queries("q186_trimmed_mean")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === bySrc.keySet)
+    bySrc.foreach { case (src, sorted) =>
+      val n = sorted.length.toLong
+      val lo = (n / 10).toInt
+      val kept = sorted.slice(lo, sorted.length - lo)
+      val tsum = kept.sum
+      val vlo = sorted(lo)          // value at rank lo+1
+      val vhi = sorted(sorted.length - lo - 1) // value at rank n-lo
+      val r = got(src)
+      assert(r.getLong(1) === n && r.getLong(2) === lo.toLong, src)
+      assert(r.getDouble(3) === tsum.toDouble / (n - 2 * lo).toDouble, src)
+      assert(r.getDouble(4) ===
+        (tsum + lo * (vlo + vhi)).toDouble / n.toDouble, src)
+      // trimming cannot move the mean past the winsor bounds
+      assert(r.getDouble(3) >= vlo.toDouble && r.getDouble(3) <= vhi.toDouble, src)
+    }
+  }
+
   test("q176 reshard cost: driver ring replay; consistent moves only to the new node") {
     def md5hex16(x: String): String =
       java.security.MessageDigest.getInstance("MD5")
