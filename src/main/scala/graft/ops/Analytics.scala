@@ -1469,36 +1469,34 @@ object Analytics {
     * integer stays ≪ 2^53 for any plausible per-fold mean spread).
     *
     * Distributed shape: ONE map-side-combined 16-group aggregation over a
-    * single projected column; everything after is 16-row algebra. No
+    * single projected column — the only document-scale work — then exact
+    * driver algebra over the collected 16 fold rows (bounded at 16 by
+    * construction, the same measured-collect policy as the BFS probe; a
+    * frame-side formulation would instead replay the fold aggregation once
+    * per algebra stage, since Spark does not dedupe shared subplans). No
     * resampling pass, no per-replica shuffle — the reason the jackknife
     * (not the bootstrap) is the scale-native CI here. */
   val jackknifeCi: Q = Q(
     "q136_jackknife_ci",
     (s, dir) => {
+      import s.implicits._
       val folds = Tables.documents(s, dir)
         .select(substring(md5(col("doc_id").cast("string")), 1, 1).as("fold"),
           col("n_chars"))
         .groupBy("fold")
         .agg(sum("n_chars").as("s_f"), count(lit(1)).as("n_f"))
-      val tot = folds.agg(sum("s_f").as("s"), sum("n_f").as("n"),
-        count(lit(1)).as("k"))
-      val theta = folds.crossJoin(broadcast(tot))
-        .select(col("s"), col("n"), col("k"),
-          expr("((s - s_f) * 1000000L) DIV (n - n_f)").as("theta"))
-      val tsum = theta.groupBy("s", "n", "k").agg(sum("theta").as("t"))
-      val dev = col("k") * col("theta") - col("t")
-      val se = sqrt(col("d").cast("double") * (col("k") - 1).cast("double")
-        / (col("k") * col("k") * col("k")).cast("double")) / lit(1e6)
-      theta.crossJoin(broadcast(tsum.select(col("t"))))
-        .select(col("s"), col("n"), col("k"), col("t"),
-          (dev.cast("decimal(38,0)") * dev.cast("decimal(38,0)")).as("sq"))
-        .groupBy("s", "n", "k", "t")
-        .agg(sum("sq").as("d"))
-        .select(col("n").as("n_docs"), col("k").as("n_folds"),
-          (col("s").cast("double") / col("n").cast("double")).as("mean_chars"),
-          se.as("jk_se"))
-        .withColumn("ci_lo", col("mean_chars") - lit(1.96) * col("jk_se"))
-        .withColumn("ci_hi", col("mean_chars") + lit(1.96) * col("jk_se"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      val k = folds.length.toLong
+      val sTot = folds.map(_._1).sum
+      val n = folds.map(_._2).sum
+      val thetas = folds.map { case (sf, nf) => ((sTot - sf) * 1000000L) / (n - nf) }
+      val t = thetas.sum
+      val d = thetas.map { th => val dv = BigInt(k * th - t); dv * dv }.sum
+      val mean = sTot.toDouble / n.toDouble
+      val se = math.sqrt(d.toDouble * (k - 1).toDouble
+        / (k * k * k).toDouble) / 1e6
+      Seq((n, k, mean, se, mean - 1.96 * se, mean + 1.96 * se))
+        .toDF("n_docs", "n_folds", "mean_chars", "jk_se", "ci_lo", "ci_hi")
     },
     Some("""WITH f AS (
         SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS fold,

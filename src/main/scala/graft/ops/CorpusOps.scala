@@ -998,9 +998,55 @@ object CorpusOps {
       FROM j
       WINDOW cw AS (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""))
 
+  // ---- q187: sequence-bucketing padding waste ------------------------------
+  /** q187: the padding-waste report for length-bucketed batching — how many
+    * pad tokens a trainer burns per length bucket when batches pad to the
+    * bucket's longest sequence, versus padding everything to the global
+    * max. Buckets are binary-length classes of the token count (the q185
+    * integer-portable log grid); per bucket the real token sum, the padded
+    * volume n·max_len, and waste = 1 − real/padded (one double division of
+    * exact BIGINTs). A final ALL row shows the unbucketed baseline, so the
+    * report directly quantifies what bucketing saves — the number that
+    * decides a packing strategy (compare q55's dense packing: zero pad,
+    * but crosses document boundaries).
+    *
+    * Distributed shape: one map-side-combined aggregation over a per-doc
+    * projection; ~15 bucket rows of algebra after. */
+  val paddingWaste: Q = Q(
+    "q187_padding_waste",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(size(split(col("text"), " ")).cast("long").as("t"))
+      def report(df: DataFrame, label: org.apache.spark.sql.Column) = df
+        .groupBy(label.as("bucket"))
+        .agg(count(lit(1)).as("n_seqs"), sum("t").as("real_tokens"),
+          max("t").as("max_len"))
+        .select(col("bucket"), col("n_seqs"), col("max_len"),
+          col("real_tokens"),
+          (col("n_seqs") * col("max_len")).as("padded_tokens"),
+          (lit(1.0) - col("real_tokens").cast("double")
+            / (col("n_seqs") * col("max_len")).cast("double")).as("waste_frac"))
+      report(toks, length(bin(col("t"))).cast("string"))
+        .unionAll(report(toks, lit("ALL")))
+    },
+    Some("""WITH d AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS t FROM documents
+      ), b AS (
+        SELECT CAST(length(bin(t)) AS VARCHAR) AS bucket, count(1) AS n_seqs,
+               CAST(SUM(t) AS BIGINT) AS real_tokens, MAX(t) AS max_len
+        FROM d GROUP BY 1
+        UNION ALL
+        SELECT 'ALL', count(1), CAST(SUM(t) AS BIGINT), MAX(t) FROM d
+      )
+      SELECT bucket, n_seqs, max_len, real_tokens,
+             n_seqs * max_len AS padded_tokens,
+             1.0 - CAST(real_tokens AS DOUBLE)
+               / CAST(n_seqs * max_len AS DOUBLE) AS waste_frac
+      FROM b"""))
+
   val all: Seq[Q] = Seq(piiRedact, decontaminate, mixtureSample, noveltyScore,
     ngramTopK, docPack, embedQuantize, cleanPipeline, zorderKey, docChunks,
     bm25Score, tfidfTopTerms, heavyHitters, corpusCard, ksDrift, sourceOverlap,
-    nucleusRetention, vocabGrowth)
+    nucleusRetention, vocabGrowth, paddingWaste)
 }
 

@@ -510,4 +510,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
     assert(v.last._3 <= v.last._2)
   }
+
+  test("q187 padding waste equals a driver bucket recompute; bucketing beats ALL") {
+    val ts = Tables.documents(spark, sfDir).select("text").collect()
+      .map(_.getString(0).split(" ", -1).length.toLong)
+    def binlen(x: Long): String = java.lang.Long.toBinaryString(x).length.toString
+    val rows = SparkEntry.queries("q187_padding_waste")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val buckets = ts.groupBy(binlen)
+    assert(rows.keySet === buckets.keySet + "ALL")
+    (buckets ++ Map("ALL" -> ts)).foreach { case (b, g) =>
+      val r = rows(b)
+      val (n, real, mx) = (g.length.toLong, g.sum, g.max)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+        ((n, mx, real, n * mx)), b)
+      assert(r.getDouble(5) === 1.0 - real.toDouble / (n * mx).toDouble, b)
+    }
+    // bucketed padded volume never exceeds the unbucketed baseline
+    val bucketedPadded = buckets.values.map(g => g.length.toLong * g.max).sum
+    assert(bucketedPadded <= rows("ALL").getLong(4))
+  }
 }
