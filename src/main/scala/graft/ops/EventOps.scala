@@ -1259,10 +1259,61 @@ object EventOps {
                ELSE (h.h - last_day) > 60 END AS churn_risk
       FROM agg CROSS JOIN h"""))
 
+  // ---- q188: burstiness (Fano factor) per event type -----------------------
+  /** q188: the dispersion index (Fano factor) of per-minute event counts by
+    * type — the burstiness diagnostic that separates Poisson-like traffic
+    * (F≈1) from bursty sources (F≫1), which decides batch sizing and
+    * autoscaling headroom for an ingestion pipeline. Counts are bucketed to
+    * minutes; the factor uses exact integer moments over the FULL minute
+    * span (empty minutes included via span arithmetic, not materialized):
+    * F = σ²/μ = (B·Σc² − n²) / (B·n) with B = spanned minutes, n = events,
+    * Σc² over nonzero minutes only (zeros add nothing) — one double
+    * division of exact BIGINTs (B·Σc² stays far under 2^63 for any
+    * plausible per-minute density; past that the sum promotes to DECIMAL).
+    *
+    * Distributed shape: one map-side-combined (type, minute) count pass,
+    * one per-type moment collapse. Nothing is materialized per empty
+    * minute and nothing sorts. */
+  val fanoBurstiness: Q = Q(
+    "q188_fano_burstiness",
+    (s, dir) => {
+      val mins = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 60000000").as("minute"))
+        .agg(count(lit(1)).as("c"))
+      mins.groupBy("event_type")
+        .agg(sum("c").as("n"), sum(col("c") * col("c")).as("s2"),
+          count(lit(1)).as("active_minutes"),
+          (max("minute") - min("minute") + 1).as("span_minutes"))
+        .select(col("event_type"), col("n").as("n_events"),
+          col("span_minutes"), col("active_minutes"),
+          (col("n").cast("double") / col("span_minutes").cast("double"))
+            .as("mean_per_minute"),
+          ((col("span_minutes") * col("s2") - col("n") * col("n")).cast("double")
+            / (col("span_minutes") * col("n")).cast("double")).as("fano"))
+    },
+    Some("""WITH m AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 60000000 AS minute,
+               count(1) AS c
+        FROM events GROUP BY 1, 2
+      ), g AS (
+        SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * c) AS BIGINT) AS s2,
+               count(1) AS active_minutes,
+               MAX(minute) - MIN(minute) + 1 AS span_minutes
+        FROM m GROUP BY event_type
+      )
+      SELECT event_type, n AS n_events, span_minutes, active_minutes,
+             CAST(n AS DOUBLE) / CAST(span_minutes AS DOUBLE) AS mean_per_minute,
+             CAST(span_minutes * s2 - n * n AS DOUBLE)
+               / CAST(span_minutes * n AS DOUBLE) AS fano
+      FROM g"""))
+
   val all: Seq[Q] = Seq(funnel, watermarkIngest, gapFill, hoppingWindow,
     cohortRetention, debounce, timeWeightedAvg, attribution, peakConcurrency,
     rollingActiveUsers, transitionMatrix, decayedPopularity, intervalUnion,
     bitmapDistinct, volumeAnomaly, incrementalSessions, xcorrLag,
     windowedFunnel, rfmSegments, sequenceFunnels, exactEwma, oooSpearman,
-    orderGaps)
+    orderGaps, fanoBurstiness)
 }

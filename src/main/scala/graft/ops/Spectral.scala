@@ -500,6 +500,77 @@ object Spectral {
         FROM b GROUP BY bucket"""
     }))
 
+  // ---- q189: exact probe AUC (Mann–Whitney, tie-corrected) -----------------
+  /** q189: the exact ROC-AUC of the q133-trained probe — the
+    * threshold-free companion to q180's reliability diagram, completing the
+    * train (q133) → calibrate (q180) → rank-quality (this) eval chain. AUC
+    * is the Mann–Whitney statistic: with average ranks for ties,
+    * AUC = (R₊ − n₊(n₊+1)/2) / (n₊·n₋). The whole computation stays in
+    * exact integers by doubling: per distinct score value the average rank
+    * ×2 is 2·prev + c + 1, so U2 = Σ p·(2·prev+c+1) is an exact BIGINT and
+    * AUC = (U2 − n₊(n₊+1)) / (2·n₊·n₋) is one double division — duplicate
+    * scores handled exactly, no per-document rank.
+    *
+    * Distributed shape: one scoring scan collapsed to per-VALUE counts
+    * (the q186 histogram idea), then a prefix sum over distinct score
+    * values. At tested scales that window is a few thousand rows; at
+    * 100 TB the prefix sum goes bucket-parallel exactly like q100/q113 —
+    * never a per-document global sort. */
+  val probeAuc: Q = Q(
+    "q189_probe_auc",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = probeWeights(s, dir)
+      val score = lit(w(0)) +
+        lit(w(1)) * (col("n_chars").cast("double") / lit(1000.0d)) +
+        lit(w(2)) * (size(split(col("text"), " ")).cast("double") / lit(100.0d))
+      val vals = Tables.documents(s, dir)
+        .select(score.as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("label"))
+        .groupBy("score")
+        .agg(count(lit(1)).as("c"), sum("label").as("p"))
+      val cw = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vals
+        .withColumn("cum", sum("c").over(cw))
+        .select((((lit(2L) * (col("cum") - col("c")) + col("c") + 1) * col("p")))
+          .as("u2c"), col("c"), col("p"))
+        .agg(sum("u2c").as("u2"), sum("p").as("np"), sum("c").as("n"))
+        .select(col("np").as("n_pos"), (col("n") - col("np")).as("n_neg"),
+          col("u2").as("rank_sum_x2"),
+          ((col("u2") - col("np") * (col("np") + 1)).cast("double")
+            / (lit(2L) * col("np") * (col("n") - col("np"))).cast("double"))
+            .as("auc"))
+    },
+    None,
+    Some(() => probeForOracle.map { w =>
+      val Seq(w0, w1, w2) = w.map(graft.SqlLit.double)
+      s"""WITH sc AS (
+          SELECT ($w0 + $w1 * (CAST(n_chars AS DOUBLE) / 1000.0)
+                      + $w2 * (CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0))
+                   AS score,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+          FROM documents
+        ), v AS (
+          SELECT score, count(1) AS c, CAST(SUM(label) AS BIGINT) AS p
+          FROM sc GROUP BY score
+        ), cu AS (
+          SELECT score, c, p,
+                 CAST(SUM(c) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum
+          FROM v
+        ), a AS (
+          SELECT CAST(SUM((2 * (cum - c) + c + 1) * p) AS BIGINT) AS u2,
+                 CAST(SUM(p) AS BIGINT) AS np, CAST(SUM(c) AS BIGINT) AS n
+          FROM cu
+        )
+        SELECT np AS n_pos, n - np AS n_neg, u2 AS rank_sum_x2,
+               CAST(u2 - np * (np + 1) AS DOUBLE)
+                 / CAST(2 * np * (n - np) AS DOUBLE) AS auc
+        FROM a"""
+    }))
+
   val all: Seq[Q] = Seq(pcaProjection, linearProbe, geomMedianDist,
-    labelSeparability, withinScatter, probeCalibration)
+    labelSeparability, withinScatter, probeCalibration, probeAuc)
 }

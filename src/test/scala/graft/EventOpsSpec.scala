@@ -684,4 +684,27 @@ class EventOpsSpec extends AnyFunSuite {
     val best = want.toSeq.sortBy { case (l, sc) => (-sc, l) }.head._1
     assert(got(best)._2 && got.count(_._2._2) === 1)
   }
+
+  test("q188 Fano factor equals a driver minute-bucket recompute") {
+    val ev = Tables.events(spark, sfDir).select("event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime * 1000L +
+        r.getTimestamp(1).getNanos / 1000 % 1000))
+    val byType = ev.groupBy(_._1)
+    val rows = SparkEntry.queries("q188_fano_burstiness")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === byType.keySet)
+    byType.foreach { case (t, es) =>
+      val mins = es.map(_._2 / 60000000L)
+      val counts = mins.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val n = es.length.toLong
+      val b = mins.max - mins.min + 1
+      val s2 = counts.values.map(c => c * c).sum
+      val r = rows(t)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) ===
+        ((n, b, counts.size.toLong)), t)
+      assert(r.getDouble(4) === n.toDouble / b.toDouble, t)
+      assert(r.getDouble(5) === (b * s2 - n * n).toDouble / (b * n).toDouble, t)
+      assert(r.getDouble(5) >= 0.0, t) // dispersion index is non-negative
+    }
+  }
 }

@@ -1365,6 +1365,35 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q189 probe AUC equals a driver rank recompute and a pair-count identity") {
+    val scored = SparkEntry.queries("q133_linear_probe")(spark, sfDir)
+      .select("score", "label").collect()
+      .map(r => (r.getDouble(0), r.getInt(1)))
+    // tie-corrected Mann-Whitney via average ranks over sorted scores
+    val sorted = scored.sortBy(_._1)
+    val n = sorted.length.toLong
+    val np = sorted.count(_._2 == 1).toLong
+    var i = 0
+    var u2 = 0L // 2x rank sum over positives
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+      val r2 = 2L * i + (j - i) + 1 // 2x average rank of the tie group
+      u2 += r2 * sorted.slice(i, j).count(_._2 == 1)
+      i = j
+    }
+    val auc = (u2 - np * (np + 1)).toDouble / (2L * np * (n - np)).toDouble
+    val r = SparkEntry.queries("q189_probe_auc")(spark, sfDir).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((np, n - np, u2)))
+    assert(r.getDouble(3) === auc)
+    // identity: AUC equals the win-fraction over all pos-neg pairs
+    val pos = scored.filter(_._2 == 1).map(_._1)
+    val neg = scored.filter(_._2 == 0).map(_._1)
+    val wins = (for (p <- pos; q <- neg)
+      yield if (p > q) 2L else if (p == q) 1L else 0L).sum
+    assert(auc === wins.toDouble / (2L * pos.length * neg.length).toDouble)
+  }
+
   test("q176 reshard cost: driver ring replay; consistent moves only to the new node") {
     def md5hex16(x: String): String =
       java.security.MessageDigest.getInstance("MD5")
