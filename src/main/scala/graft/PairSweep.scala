@@ -29,7 +29,12 @@ object PairSweep {
     "q115_substring_spans", "q117_phash_neardup",
     // containment prefix-probe join (q135): candidate volume is
     // Σ prefix-df — the same class
-    "q135_containment_join")
+    "q135_containment_join",
+    // round-10: the exact-truth eval join (q144 — all-shingle inverted
+    // index, the one deliberately unpruned plan) and the source-overlap
+    // posting fold (q148), both now reading the shared materialized
+    // all-shingle table
+    "q144_lsh_eval", "q148_source_overlap")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

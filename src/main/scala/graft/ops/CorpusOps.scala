@@ -1010,35 +1010,33 @@ object CorpusOps {
     * decides a packing strategy (compare q55's dense packing: zero pad,
     * but crosses document boundaries).
     *
-    * Distributed shape: one map-side-combined aggregation over a per-doc
-    * projection; ~15 bucket rows of algebra after. */
+    * Distributed shape: ONE map-side-combined ROLLUP aggregation over a
+    * per-doc projection (the per-bucket rows and the ALL grand-total row
+    * come out of the same pass — a UNION of two aggregates would scan the
+    * table twice); ~15 bucket rows of algebra after. */
   val paddingWaste: Q = Q(
     "q187_padding_waste",
     (s, dir) => {
-      val toks = Tables.documents(s, dir)
+      Tables.documents(s, dir)
         .select(size(split(col("text"), " ")).cast("long").as("t"))
-      def report(df: DataFrame, label: org.apache.spark.sql.Column) = df
-        .groupBy(label.as("bucket"))
+        .withColumn("bucket", length(bin(col("t"))).cast("string"))
+        .rollup("bucket")
         .agg(count(lit(1)).as("n_seqs"), sum("t").as("real_tokens"),
           max("t").as("max_len"))
-        .select(col("bucket"), col("n_seqs"), col("max_len"),
-          col("real_tokens"),
+        .select(coalesce(col("bucket"), lit("ALL")).as("bucket"),
+          col("n_seqs"), col("max_len"), col("real_tokens"),
           (col("n_seqs") * col("max_len")).as("padded_tokens"),
           (lit(1.0) - col("real_tokens").cast("double")
             / (col("n_seqs") * col("max_len")).cast("double")).as("waste_frac"))
-      report(toks, length(bin(col("t"))).cast("string"))
-        .unionAll(report(toks, lit("ALL")))
     },
     Some("""WITH d AS (
         SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS t FROM documents
       ), b AS (
         SELECT CAST(length(bin(t)) AS VARCHAR) AS bucket, count(1) AS n_seqs,
                CAST(SUM(t) AS BIGINT) AS real_tokens, MAX(t) AS max_len
-        FROM d GROUP BY 1
-        UNION ALL
-        SELECT 'ALL', count(1), CAST(SUM(t) AS BIGINT), MAX(t) FROM d
+        FROM d GROUP BY ROLLUP(bucket)
       )
-      SELECT bucket, n_seqs, max_len, real_tokens,
+      SELECT COALESCE(bucket, 'ALL') AS bucket, n_seqs, max_len, real_tokens,
              n_seqs * max_len AS padded_tokens,
              1.0 - CAST(real_tokens AS DOUBLE)
                / CAST(n_seqs * max_len AS DOUBLE) AS waste_frac
