@@ -599,9 +599,16 @@ object LineageQueries {
     "q183_grounded_answers",
     (s, dir) => {
       import s.implicits._
-      QA.Questions.zipWithIndex.map { case (q, i) =>
-        (s"qa$i", graft.qa.Ask.ask(s, dir, q).answer)
-      }.toDF("question_id", "answer")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // the three question pipelines are independent and overhead-bound
+      // (many tiny jobs on metadata-scale frames) — run them as concurrent
+      // Spark job groups; PlanCache serializes the shared corpus builds
+      val fs = QA.Questions.zipWithIndex.map { case (q, i) =>
+        Future((s"qa$i", graft.qa.Ask.ask(s, dir, q).answer))
+      }
+      fs.map(Await.result(_, Duration.Inf)).toDF("question_id", "answer")
     },
     None,
     oracleDyn = Some(() => sys.props.get("graft.oracle.outdir")
