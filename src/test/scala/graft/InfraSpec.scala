@@ -163,4 +163,28 @@ class InfraSpec extends AnyFunSuite {
       s"persistent RDD count grew across full-suite passes: $after1 -> $after2 " +
         "(a localCheckpoint/persist site is missing managed release)")
   }
+
+  test("round-10 operators keep their claimed plan shapes") {
+    // q187's ALL row must come from the SAME scan as the bucket rows (the
+    // ROLLUP single-pass claim): exactly one parquet scan in the plan
+    val p187 = SparkEntry.queries("q187_padding_waste")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p187.split("Scan parquet", -1).length - 1 === 1,
+      s"q187 scans the table more than once:\n$p187")
+    // q186 runs its windows over the value HISTOGRAM, never a per-document
+    // sort: the scan must read only (source, n_chars) and the plan must
+    // aggregate before windowing (no Window directly over the scan)
+    val q186 = SparkEntry.queries("q186_trimmed_mean")(spark, sfDir)
+    val p186f = q186.queryExecution.executedPlan.toString
+    assert(p186f.contains("Window"), "q186 lost its window stage")
+    val schema186 = q186.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(schema186.contains("source") && schema186.contains("n_chars")
+      && !schema186.contains("text"), "q186 scan reads more than 2 columns")
+    // q188 must not materialize empty minutes: no generator/sequence
+    // explode anywhere in its plan
+    val p188 = SparkEntry.queries("q188_fano_burstiness")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p188.contains("Generate"), s"q188 materializes minutes:\n$p188")
+  }
 }
