@@ -571,6 +571,106 @@ object Spectral {
         FROM a"""
     }))
 
+  // ---- q191: centroid silhouette -------------------------------------------
+  /** q191: the (simplified, centroid-form) silhouette score per label —
+    * for each point, a = distance to its OWN label centroid, b = distance
+    * to the NEAREST other centroid, s = (b−a)/max(a,b); per label the mean
+    * s and the count of negative-s points (members that sit closer to a
+    * foreign centroid — the misfiled candidates a label-cleaning pass
+    * reviews first). Completes the clustering-quality family: q171 =
+    * between-centroid distances, q177 = within-label scatter, this = the
+    * per-member ratio of the two. The classical silhouette's mean PAIRWISE
+    * distances are O(n²); the centroid form is the scale-native variant
+    * and is stated as such.
+    *
+    * Exactness: everything runs in long form. Per-(label,dim) centroid
+    * means, per-point ‖x‖², per-(point,label) dots and per-label ‖μ‖² are
+    * DECIMAL(38,12)-rounded exact sums (the q171 rule — cross-dim folds
+    * are the one order-sensitive reduction, so they get the decimal
+    * treatment); each distance is then the fixed scalar shape
+    * √max(x²−2·dot+μ², 0) (the q150 contract), a/b/s are per-row doubles,
+    * and the per-label mean re-rounds s at 6 dp before the division.
+    *
+    * Distributed shape: one (label,dim) centroid pass, one
+    * points×|labels| long-form join (rows = n·|labels|·dim, shuffled on
+    * the dim key then the point key — never a point×point pair space), a
+    * per-point 2-value collapse, a per-label aggregate. */
+  val centroidSilhouette: Q = Q(
+    "q191_centroid_silhouette",
+    (s, dir) => {
+      val long = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(expr("transform(embedding, x -> cast(x as double))"))
+            .as(Seq("d", "x")))
+      val means = long.groupBy(col("label").as("tl"), col("d"))
+        .agg((sum(expr("cast(x as decimal(38,12))")).cast("double")
+          / count(lit(1)).cast("double")).as("m"))
+      val mu2 = means.groupBy("tl")
+        .agg(sum(expr("cast(m * m as decimal(38,12))")).cast("double").as("mu2"))
+      val x2 = long.groupBy("vec_id")
+        .agg(sum(expr("cast(x * x as decimal(38,12))")).cast("double").as("x2"))
+      val dots = long.join(means, "d")
+        .groupBy("vec_id", "label", "tl")
+        .agg(sum(expr("cast(x * m as decimal(38,12))")).cast("double").as("dot"))
+      val dists = dots.join(mu2, "tl").join(x2, "vec_id")
+        .withColumn("dist",
+          sqrt(greatest(col("x2") - lit(2.0) * col("dot") + col("mu2"), lit(0.0))))
+      val ab = dists.groupBy("vec_id", "label")
+        .agg(min(when(col("tl") === col("label"), col("dist"))).as("a"),
+          min(when(col("tl") =!= col("label"), col("dist"))).as("b"))
+        .withColumn("sil", when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+      ab.groupBy("label")
+        .agg(count(lit(1)).as("n_members"),
+          (sum(expr("cast(sil as decimal(38,6))")).cast("double")
+            / count(lit(1)).cast("double")).as("mean_silhouette"),
+          sum(when(col("sil") < 0.0, 1L).otherwise(0L)).as("n_misfiled"))
+    },
+    Some("""WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      ), dims AS (
+        SELECT unnest(range(1, 65)) AS d
+      ), long AS (
+        SELECT vec_id, label, d, v[d] AS x FROM e CROSS JOIN dims
+      ), means AS (
+        SELECT label AS tl, d,
+               CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(COUNT(1) AS DOUBLE) AS m
+        FROM long GROUP BY label, d
+      ), mu2 AS (
+        SELECT tl, CAST(SUM(CAST(m * m AS DECIMAL(38,12))) AS DOUBLE) AS mu2
+        FROM means GROUP BY tl
+      ), x2 AS (
+        SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS x2
+        FROM long GROUP BY vec_id
+      ), dots AS (
+        SELECT l.vec_id, l.label, mn.tl,
+               CAST(SUM(CAST(l.x * mn.m AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        FROM long l JOIN means mn ON l.d = mn.d
+        GROUP BY l.vec_id, l.label, mn.tl
+      ), dists AS (
+        SELECT dt.vec_id, dt.label, dt.tl,
+               sqrt(GREATEST(x2.x2 - 2.0 * dt.dot + mu2.mu2, 0.0)) AS dist
+        FROM dots dt JOIN mu2 ON dt.tl = mu2.tl JOIN x2 ON dt.vec_id = x2.vec_id
+      ), ab AS (
+        SELECT vec_id, label,
+               MIN(CASE WHEN tl = label THEN dist END) AS a,
+               MIN(CASE WHEN tl <> label THEN dist END) AS b
+        FROM dists GROUP BY vec_id, label
+      ), sil AS (
+        SELECT vec_id, label,
+               CASE WHEN GREATEST(a, b) = 0.0 THEN 0.0
+                    ELSE (b - a) / GREATEST(a, b) END AS sil
+        FROM ab
+      )
+      SELECT label, count(1) AS n_members,
+             CAST(SUM(CAST(sil AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(count(1) AS DOUBLE) AS mean_silhouette,
+             CAST(SUM(CASE WHEN sil < 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_misfiled
+      FROM sil GROUP BY label"""))
+
   val all: Seq[Q] = Seq(pcaProjection, linearProbe, geomMedianDist,
-    labelSeparability, withinScatter, probeCalibration, probeAuc)
+    labelSeparability, withinScatter, probeCalibration, probeAuc,
+    centroidSilhouette)
 }

@@ -791,7 +791,59 @@ object Warehouse {
       FROM documents"""
     })
 
+  // ---- q190: functional-dependency audit -----------------------------------
+  /** The candidate FDs q190 audits: (name, table, lhs, rhs). Two hold by
+    * key/foreign-key construction, four are plausible-but-false — the audit
+    * REPORTS, it does not assume. */
+  private val fdCandidates: Seq[(String, String, String, String)] = Seq(
+    ("part.p_partkey->p_name", "part", "p_partkey", "p_name"),
+    ("customer.c_custkey->c_nationkey", "customer", "c_custkey", "c_nationkey"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+    ("lineitem.l_orderkey->l_suppkey", "lineitem", "l_orderkey", "l_suppkey"),
+    ("events.user_id->event_type", "events", "user_id", "event_type"),
+    ("documents.source->lang", "documents", "source", "lang"))
+
+  /** q190: functional-dependency audit — for each candidate rule LHS→RHS,
+    * how many LHS values exist, how many map to MORE than one RHS value
+    * (violations), the violation rate and the worst fan-out. The
+    * dependency-discovery half of data-quality profiling (q104 checks
+    * declared constraints; q146 checks referential edges; this measures
+    * whether a column DETERMINES another — the fact schema designers,
+    * dedup-key pickers and CDC compaction all implicitly rely on).
+    *
+    * Distributed shape: per FD, one two-column scan collapsed to distinct
+    * (lhs, rhs) pairs map-side, one lhs-keyed distinct-count, one 1-row
+    * aggregate — cost is O(distinct pairs), never O(rows²). */
+  val fdAudit: Q = Q(
+    "q190_fd_audit",
+    (s, dir) => fdCandidates.map { case (name, table, lhs, rhs) =>
+      // events goes through the adaptive loader (layout-proof), like
+      // everything else that touches that table — see Tables.normalizeTs
+      (if (table == "events") Tables.events(s, dir) else Tables.table(s, dir, table))
+        .groupBy(col(lhs).as("l"))
+        .agg(countDistinct(col(rhs)).as("k"))
+        .agg(count(lit(1)).as("n_lhs"),
+          sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max("k").as("max_fanout"))
+        .select(lit(name).as("fd"), col("n_lhs"), col("n_violating"),
+          (col("n_violating").cast("double") / col("n_lhs").cast("double"))
+            .as("violation_rate"),
+          col("max_fanout"),
+          (col("n_violating") === 0).as("holds"))
+    }.reduce(_ unionAll _),
+    Some(fdCandidates.map { case (name, table, lhs, rhs) =>
+      s"""SELECT '$name' AS fd, count(1) AS n_lhs,
+        CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(count(1) AS DOUBLE) AS violation_rate,
+        MAX(k) AS max_fanout,
+        SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0 AS holds
+      FROM (SELECT $lhs AS l, CAST(count(DISTINCT $rhs) AS BIGINT) AS k
+            FROM $table GROUP BY $lhs)"""
+    }.mkString("\nUNION ALL\n")))
+
   val all: Seq[Q] = Seq(scd2History, snapshotCdc, rangeJoin, partitionStats,
     schemaEvolution, bucketedJoin, incrementalMv, stratifiedSample, qualityAudit,
-    columnProfile, refIntegrity, orderReconcile, deletionFootprint, reshardCost)
+    columnProfile, refIntegrity, orderReconcile, deletionFootprint, reshardCost,
+    fdAudit)
 }

@@ -1394,6 +1394,45 @@ class OpsSpec extends AnyFunSuite {
     assert(auc === wins.toDouble / (2L * pos.length * neg.length).toDouble)
   }
 
+  test("q191 centroid silhouette equals a driver decimal-chain recompute") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def dec(x: Double, sc: Int): JBD =
+      new JBD(x).setScale(sc, RoundingMode.HALF_UP)
+    def decSum(xs: Seq[Double], sc: Int): Double =
+      xs.map(dec(_, sc)).foldLeft(JBD.ZERO)(_.add(_)).doubleValue
+    val vs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val labels = vs.map(_._2).distinct.sorted
+    val means = labels.map { l =>
+      val g = vs.filter(_._2 == l)
+      l -> Array.tabulate(64)(d => decSum(g.map(_._3(d)).toSeq, 12) / g.length)
+    }.toMap
+    val mu2 = means.view.mapValues(m => decSum(m.map(x => x * x).toSeq, 12)).toMap
+    val sil = vs.map { case (_, l, v) =>
+      val x2 = decSum(v.map(x => x * x).toSeq, 12)
+      val dist = labels.map { tl =>
+        val dot = decSum(v.indices.map(d => v(d) * means(tl)(d)), 12)
+        tl -> math.sqrt(math.max(x2 - 2.0 * dot + mu2(tl), 0.0))
+      }.toMap
+      val a = dist(l)
+      val b = (dist - l).values.min
+      (l, if (math.max(a, b) == 0.0) 0.0 else (b - a) / math.max(a, b))
+    }
+    val got = SparkEntry.queries("q191_centroid_silhouette")(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(got.keySet === labels.toSet)
+    labels.foreach { l =>
+      val ss = sil.filter(_._1 == l).map(_._2).toSeq
+      val r = got(l)
+      assert(r.getLong(1) === ss.length.toLong, l)
+      assert(r.getDouble(2) === decSum(ss, 6) / ss.length, l)
+      assert(r.getLong(3) === ss.count(_ < 0.0).toLong, l)
+      assert(r.getDouble(2) >= -1.0 - 1e-12 && r.getDouble(2) <= 1.0 + 1e-12, l)
+    }
+  }
+
   test("q176 reshard cost: driver ring replay; consistent moves only to the new node") {
     def md5hex16(x: String): String =
       java.security.MessageDigest.getInstance("MD5")

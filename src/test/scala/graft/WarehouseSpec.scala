@@ -309,4 +309,31 @@ class WarehouseSpec extends AnyFunSuite {
     assert((audit.getLong(1), audit.getLong(2), audit.getLong(3),
       audit.getLong(4), audit.getBoolean(5)) === ((5L, 3L, 2L, 1L, false)))
   }
+
+  test("q190 FD audit equals a driver group recompute; key FDs hold") {
+    val rows = SparkEntry.queries("q190_fd_audit")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def recompute(df: org.apache.spark.sql.DataFrame, lhs: String, rhs: String) = {
+      val groups = df.select(lhs, rhs).collect()
+        .map(r => (r.get(0), r.get(1))).distinct
+        .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      (groups.size.toLong, groups.values.count(_ > 1).toLong, groups.values.max)
+    }
+    val cases = Seq(
+      ("part.p_partkey->p_name", Tables.part(spark, sfDir), "p_partkey", "p_name"),
+      ("orders.o_custkey->o_orderpriority", Tables.orders(spark, sfDir),
+        "o_custkey", "o_orderpriority"),
+      ("documents.source->lang", Tables.documents(spark, sfDir), "source", "lang"))
+    cases.foreach { case (name, df, lhs, rhs) =>
+      val (n, v, mx) = recompute(df, lhs, rhs)
+      val r = rows(name)
+      assert((r.getLong(1), r.getLong(2), r.getLong(4)) === ((n, v, mx)), name)
+      assert(r.getDouble(3) === v.toDouble / n.toDouble, name)
+      assert(r.getBoolean(5) === (v == 0L), name)
+    }
+    // the two by-construction keys must HOLD; the synthetic-corpus FDs must not
+    assert(rows("part.p_partkey->p_name").getBoolean(5))
+    assert(rows("customer.c_custkey->c_nationkey").getBoolean(5))
+    assert(!rows("lineitem.l_orderkey->l_suppkey").getBoolean(5))
+  }
 }
