@@ -1042,9 +1042,57 @@ object CorpusOps {
                / CAST(n_seqs * max_len AS DOUBLE) AS waste_frac
       FROM b"""))
 
+  // ---- q192: Zipf octave ratios --------------------------------------------
+  /** q192: the log-free Zipf diagnostic — for ranks r = 1,2,4,…,512 over
+    * the corpus term-frequency table, the octave ratio f(r)/f(2r). Under a
+    * Zipf law f ∝ r^(−s) every octave ratio is the constant 2^s, so a flat
+    * ratio column IS the power-law fit (s = log₂ratio, taken by the READER
+    * — no ln in either engine, which keeps the whole query bit-portable:
+    * ratios are single divisions of exact counts). Vocabulary heads decide
+    * tokenizer size and stop-lists; this is the one-screen check that the
+    * head behaves.
+    *
+    * Distributed shape: one map-side-combined term-count pass, a
+    * TakeOrdered top-1025 (per-partition top-k then a driver-side merge —
+    * never a global sort), 10-row algebra after. Ranks tie-break by term
+    * so both engines order identically. */
+  val zipfOctaves: Q = Q(
+    "q192_zipf_octaves",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("f"))
+      val top = counts.orderBy(col("f").desc, col("word")).limit(1025)
+        .withColumn("r", row_number()
+          .over(Window.orderBy(col("f").desc, col("word"))).cast("long"))
+      val octaves = (0 to 9).map(1L << _)
+      val a = top.filter(col("r").isin(octaves: _*))
+        .select(col("r"), col("word").as("term"), col("f").as("f_r"))
+      val b = top.select(col("r").as("r2"), col("f").as("f_2r"))
+      a.join(b, a("r") * 2 === b("r2"))
+        .select(col("r"), col("term"), col("f_r"), col("f_2r"),
+          (col("f_r").cast("double") / col("f_2r").cast("double"))
+            .as("octave_ratio"))
+    },
+    Some("""WITH c AS (
+        SELECT word, count(1) AS f FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ) t WHERE word <> '' GROUP BY word
+      ), top AS (
+        SELECT word, f,
+               CAST(ROW_NUMBER() OVER (ORDER BY f DESC, word) AS BIGINT) AS r
+        FROM c ORDER BY f DESC, word LIMIT 1025
+      )
+      SELECT a.r, a.word AS term, a.f AS f_r, b.f AS f_2r,
+             CAST(a.f AS DOUBLE) / CAST(b.f AS DOUBLE) AS octave_ratio
+      FROM top a JOIN top b ON b.r = a.r * 2
+      WHERE a.r IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)"""))
+
   val all: Seq[Q] = Seq(piiRedact, decontaminate, mixtureSample, noveltyScore,
     ngramTopK, docPack, embedQuantize, cleanPipeline, zorderKey, docChunks,
     bm25Score, tfidfTopTerms, heavyHitters, corpusCard, ksDrift, sourceOverlap,
-    nucleusRetention, vocabGrowth, paddingWaste)
+    nucleusRetention, vocabGrowth, paddingWaste, zipfOctaves)
 }
 

@@ -842,8 +842,76 @@ object Warehouse {
             FROM $table GROUP BY $lhs)"""
     }.mkString("\nUNION ALL\n")))
 
+  // ---- q193: join-cardinality estimation audit -----------------------------
+  /** q193: the skew audit of the optimizer's uniformity assumption — per FK
+    * edge, the EXACT join cardinality Σ_k cnt_child(k)·cnt_parent(k)
+    * (computed from per-key count frames, never by materializing the join)
+    * against the textbook CBO estimate |A|·|B| / max(ndv_A, ndv_B), and
+    * their ratio. Ratio ≈ 1 means uniform-assumption planning is safe;
+    * ratio ≫ 1 is exactly the hot-key skew that needs salting (q49) or
+    * AQE skew splitting — this is the one-screen report that says WHERE.
+    *
+    * Distributed shape: per edge, two single-column map-side-combined
+    * count passes, one key-keyed join of the (much smaller) count frames,
+    * a 1-row aggregate. Cost is O(distinct keys), independent of the join
+    * output size it measures. */
+  val joinCardAudit: Q = Q(
+    "q193_join_card_audit",
+    (s, dir) => fkEdges.map { case (ct, ck, pt, pk) =>
+      // NULL keys are excluded on BOTH sides and in both engines (a NULL
+      // never joins, and DuckDB's count(DISTINCT) drops NULLs while a
+      // Spark groupBy keeps a NULL group — filtering pins one semantics)
+      val child = (if (ct == "events") Tables.events(s, dir)
+        else Tables.table(s, dir, ct))
+        .filter(col(ck).isNotNull)
+        .groupBy(col(ck).as("k")).agg(count(lit(1)).as("ca"))
+      val parent = Tables.table(s, dir, pt)
+        .filter(col(pk).isNotNull)
+        .groupBy(col(pk).as("k")).agg(count(lit(1)).as("cb"))
+      val sides = child.agg(sum("ca").as("n_child"), count(lit(1)).as("ndv_child"))
+        .crossJoin(parent.agg(sum("cb").as("n_parent"), count(lit(1)).as("ndv_parent")))
+      val actual = child.join(parent, "k")
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("actual_rows"))
+      sides.crossJoin(actual)
+        .select(lit(s"$ct.$ck->$pt.$pk").as("edge"),
+          col("n_child"), col("n_parent"), col("ndv_child"), col("ndv_parent"),
+          col("actual_rows"),
+          ((col("n_child").cast("double") * col("n_parent").cast("double"))
+            / greatest(col("ndv_child"), col("ndv_parent")).cast("double"))
+            .as("uniform_estimate"),
+          (col("actual_rows").cast("double")
+            / ((col("n_child").cast("double") * col("n_parent").cast("double"))
+              / greatest(col("ndv_child"), col("ndv_parent")).cast("double")))
+            .as("actual_over_estimate"))
+    }.reduce(_ unionAll _),
+    Some(fkEdges.map { case (ct, ck, pt, pk) =>
+      s"""SELECT '$ct.$ck->$pt.$pk' AS edge,
+        (SELECT count(1) FROM $ct WHERE $ck IS NOT NULL) AS n_child,
+        (SELECT count(1) FROM $pt WHERE $pk IS NOT NULL) AS n_parent,
+        (SELECT count(DISTINCT $ck) FROM $ct) AS ndv_child,
+        (SELECT count(DISTINCT $pk) FROM $pt) AS ndv_parent,
+        (SELECT CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) FROM
+          (SELECT $ck AS k, count(1) AS ca FROM $ct GROUP BY $ck) a
+          JOIN (SELECT $pk AS k, count(1) AS cb FROM $pt GROUP BY $pk) b
+          ON a.k = b.k) AS actual_rows,
+        (CAST((SELECT count(1) FROM $ct WHERE $ck IS NOT NULL) AS DOUBLE)
+          * CAST((SELECT count(1) FROM $pt WHERE $pk IS NOT NULL) AS DOUBLE))
+          / CAST(GREATEST((SELECT count(DISTINCT $ck) FROM $ct),
+                          (SELECT count(DISTINCT $pk) FROM $pt)) AS DOUBLE)
+          AS uniform_estimate,
+        CAST((SELECT CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) FROM
+          (SELECT $ck AS k, count(1) AS ca FROM $ct GROUP BY $ck) a
+          JOIN (SELECT $pk AS k, count(1) AS cb FROM $pt GROUP BY $pk) b
+          ON a.k = b.k) AS DOUBLE)
+          / ((CAST((SELECT count(1) FROM $ct WHERE $ck IS NOT NULL) AS DOUBLE)
+            * CAST((SELECT count(1) FROM $pt WHERE $pk IS NOT NULL) AS DOUBLE))
+            / CAST(GREATEST((SELECT count(DISTINCT $ck) FROM $ct),
+                            (SELECT count(DISTINCT $pk) FROM $pt)) AS DOUBLE))
+          AS actual_over_estimate"""
+    }.mkString("\nUNION ALL\n")))
+
   val all: Seq[Q] = Seq(scd2History, snapshotCdc, rangeJoin, partitionStats,
     schemaEvolution, bucketedJoin, incrementalMv, stratifiedSample, qualityAudit,
     columnProfile, refIntegrity, orderReconcile, deletionFootprint, reshardCost,
-    fdAudit)
+    fdAudit, joinCardAudit)
 }

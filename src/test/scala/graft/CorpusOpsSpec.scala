@@ -530,4 +530,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     val bucketedPadded = buckets.values.map(g => g.length.toLong * g.max).sum
     assert(bucketedPadded <= rows("ALL").getLong(4))
   }
+
+  test("q192 Zipf octaves equal a driver frequency recompute") {
+    val freq = Tables.documents(spark, sfDir).select("text").collect()
+      .iterator.flatMap(_.getString(0).split(" ", -1)).filter(_.nonEmpty)
+      .foldLeft(Map.empty[String, Long]) { (m, w) => m.updated(w, m.getOrElse(w, 0L) + 1L) }
+    val ranked = freq.toSeq.sortBy { case (w, f) => (-f, w) }
+    val rows = SparkEntry.queries("q192_zipf_octaves")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val expected = (0 to 9).map(1L << _)
+      .filter(r => 2 * r <= ranked.length)
+    assert(rows.keySet === expected.toSet)
+    expected.foreach { r =>
+      val (term, fr) = ranked((r - 1).toInt)
+      val f2r = ranked((2 * r - 1).toInt)._2
+      val row = rows(r)
+      assert((row.getString(1), row.getLong(2), row.getLong(3)) ===
+        ((term, fr, f2r)), s"rank $r")
+      assert(row.getDouble(4) === fr.toDouble / f2r.toDouble, s"rank $r")
+      assert(row.getDouble(4) >= 1.0, s"rank $r") // frequencies are sorted
+    }
+  }
 }

@@ -336,4 +336,26 @@ class WarehouseSpec extends AnyFunSuite {
     assert(rows("customer.c_custkey->c_nationkey").getBoolean(5))
     assert(!rows("lineitem.l_orderkey->l_suppkey").getBoolean(5))
   }
+
+  test("q193 join cardinality: exact product-sum matches a real join count") {
+    val rows = SparkEntry.queries("q193_join_card_audit")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // the product-sum must equal the materialized join's row count
+    val li = Tables.lineitem(spark, sfDir)
+    val ords = Tables.orders(spark, sfDir)
+    val actual = li.join(ords, li("l_orderkey") === ords("o_orderkey")).count()
+    val r = rows("lineitem.l_orderkey->orders.o_orderkey")
+    assert(r.getLong(5) === actual)
+    // orderkey is unique in orders, so the estimate denominator is ndv_child
+    // and the estimate equals n_child exactly -> ratio 1
+    assert(r.getLong(3) >= r.getLong(4) || r.getLong(4) >= r.getLong(3))
+    val est = r.getLong(1).toDouble * r.getLong(2).toDouble /
+      math.max(r.getLong(3), r.getLong(4)).toDouble
+    assert(r.getDouble(6) === est)
+    assert(r.getDouble(7) === actual.toDouble / est)
+    // events->customer: every event joins (orphan-free, q146), so the exact
+    // count equals the events row count
+    val ev = rows("events.user_id->customer.c_custkey")
+    assert(ev.getLong(5) === Tables.events(spark, sfDir).count())
+  }
 }
