@@ -1310,10 +1310,84 @@ object EventOps {
                / CAST(span_minutes * n AS DOUBLE) AS fano
       FROM g"""))
 
+  // ---- q194: event-lateness profile ----------------------------------------
+  /** q194: the lateness profile that DECIDES a watermark — per event type,
+    * how far behind the maximum event-time seen so far (in ingestion
+    * order, proxied by event_id like q173's out-of-order audit) each event
+    * arrives, bucketed into power-of-two second classes with cumulative
+    * coverage. The row where cum_frac crosses the pipeline's completeness
+    * target (say 0.99) IS the `withWatermark` delay to configure; without
+    * this profile a watermark is a guess that either drops late data or
+    * holds state forever. Lateness is exact integer µs (running max −
+    * event time), bucketed via the binary-length idiom (q185) so the grid
+    * is engine-portable; cum_frac is the row's single double division.
+    *
+    * Distributed shape: one per-type window (running max over the natural
+    * ingestion order — partition-parallel across types), a (type, bucket)
+    * count collapse, a ~40-row cumulative sum. */
+  /** q194's core over any (event_type, event_id, us) frame — factored so the
+    * spec can drive the nonzero-lateness path with a planted out-of-order
+    * stream (the synthetic testdata arrives fully in order, where the
+    * profile correctly collapses to "bucket ≤1 s, cum_frac 1.0": a 0-second
+    * watermark already retains everything). */
+  private[graft] def latenessProfileOf(ev: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val late = ev
+        .withColumn("lateness_s",
+          expr("(max(us) OVER (PARTITION BY event_type ORDER BY event_id " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us) DIV 1000000"))
+        .withColumn("bucket", length(bin(col("lateness_s"))).cast("long"))
+      val byBucket = late.groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"), max("lateness_s").as("max_lateness_s"))
+      val cw = Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tw = Window.partitionBy("event_type")
+      byBucket
+        .withColumn("cum_n", sum("n").over(cw))
+        .withColumn("total", sum("n").over(tw))
+        .select(col("event_type"), col("bucket"),
+          (expr("shiftleft(1L, CAST(bucket AS INT))") - 1).as("max_bucket_s"),
+          col("n"), col("max_lateness_s"), col("cum_n"),
+          (col("cum_n").cast("double") / col("total").cast("double"))
+            .as("cum_frac"))
+  }
+
+  val latenessProfile: Q = Q(
+    "q194_lateness_profile",
+    (s, dir) => latenessProfileOf(Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), expr("unix_micros(ts)").as("us"))),
+    Some("""WITH e AS (
+        SELECT event_type, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+      ), late AS (
+        SELECT event_type,
+               (MAX(us) OVER (PARTITION BY event_type ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us)
+                 // 1000000 AS lateness_s
+        FROM e
+      ), b AS (
+        SELECT event_type,
+               CAST(length(bin(lateness_s)) AS BIGINT) AS bucket,
+               count(1) AS n, MAX(lateness_s) AS max_lateness_s
+        FROM late GROUP BY 1, 2
+      )
+      SELECT event_type, bucket,
+             (CAST(1 AS BIGINT) << CAST(bucket AS INT)) - 1 AS max_bucket_s,
+             n, max_lateness_s,
+             CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_n,
+             CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+               AS cum_frac
+      FROM b"""))
+
   val all: Seq[Q] = Seq(funnel, watermarkIngest, gapFill, hoppingWindow,
     cohortRetention, debounce, timeWeightedAvg, attribution, peakConcurrency,
     rollingActiveUsers, transitionMatrix, decayedPopularity, intervalUnion,
     bitmapDistinct, volumeAnomaly, incrementalSessions, xcorrLag,
     windowedFunnel, rfmSegments, sequenceFunnels, exactEwma, oooSpearman,
-    orderGaps, fanoBurstiness)
+    orderGaps, fanoBurstiness, latenessProfile)
 }

@@ -707,4 +707,34 @@ class EventOpsSpec extends AnyFunSuite {
       assert(r.getDouble(5) >= 0.0, t) // dispersion index is non-negative
     }
   }
+
+  test("q194 lateness profile: planted out-of-order stream + real-data identity") {
+    import spark.implicits._
+    // planted: type A arrives in order except one event 130s late and one
+    // 5s late; type B fully in order
+    val ev = Seq(
+      ("A", 1L, 0L), ("A", 2L, 10_000_000L), ("A", 3L, 5_000_000L),
+      ("A", 4L, 20_000_000L), ("A", 5L, 20_000_000L - 130_000_000L),
+      ("B", 1L, 0L), ("B", 2L, 1_000_000L))
+      .toDF("event_type", "event_id", "us")
+    val got = ops.EventOps.latenessProfileOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    // A: lateness 0,0,5,0,130 -> buckets binlen(0)=1 (x3), binlen(5)=3,
+    // binlen(130)=8
+    assert(got.keySet === Set(("A", 1L), ("A", 3L), ("A", 8L), ("B", 1L)))
+    assert(got(("A", 1L)).getLong(3) === 3L)
+    assert(got(("A", 3L)).getLong(3) === 1L &&
+      got(("A", 3L)).getLong(4) === 5L)       // max lateness in bucket
+    assert(got(("A", 8L)).getLong(3) === 1L &&
+      got(("A", 8L)).getLong(4) === 130L)
+    assert(got(("A", 8L)).getDouble(6) === 1.0) // last bucket covers all
+    assert(got(("A", 3L)).getDouble(6) === 4.0 / 5.0)
+    assert(got(("A", 1L)).getLong(2) === 1L)    // bucket cap 2^1-1
+    assert(got(("A", 8L)).getLong(2) === 255L)  // bucket cap 2^8-1
+    assert(got(("B", 1L)).getDouble(6) === 1.0)
+    // real data arrives in order -> the registered query must say a zero
+    // watermark retains everything (cum_frac 1.0 in the <=1s bucket)
+    val real = SparkEntry.queries("q194_lateness_profile")(spark, sfDir).collect()
+    assert(real.forall(r => r.getLong(1) === 1L && r.getDouble(6) === 1.0))
+  }
 }
