@@ -1034,8 +1034,56 @@ object Similarity {
         $budgets""")
     }.get)
 
+  // ---- q195: ANN recall eval (LSH vs exact) --------------------------------
+  /** q195: per-query recall@5 of the multi-probe LSH index (q19) against
+    * the exact brute-force top-5 (q18) — the ANN acceptance gate a
+    * pipeline runs before routing retrieval through the index. Completes
+    * the eval family: q144 grades the dedup LSH, q159 grades dimension
+    * truncation, this grades the ANN index itself; the per-query rows
+    * (not just a mean) are what localize WHICH queries the probe budget
+    * fails, the input to tuning the q19 Hamming dial (AnnSweep's table in
+    * BENCH_NOTES). Queries whose LSH candidate set came up empty stay in
+    * the report with recall 0 — dropping them would inflate the grade.
+    *
+    * Distributed shape: both sides are existing top-5 frames; the grade is
+    * one (q_id, neighbor)-keyed join plus per-q_id counts — cost is
+    * O(queries·k), nothing rescans the corpus. */
+  val annRecall: Q = Q(
+    "q195_ann_recall",
+    (s, dir) => {
+      val b = knnBruteForce.run(s, dir).select(col("q_id"), col("neighbor_id"))
+      val l = knnLsh.run(s, dir).select(col("q_id"), col("neighbor_id"))
+      val common = b.join(l, Seq("q_id", "neighbor_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_common"))
+      b.groupBy("q_id").agg(count(lit(1)).as("n_brute"))
+        .join(l.groupBy("q_id").agg(count(lit(1)).as("n_lsh")), Seq("q_id"), "left")
+        .join(common, Seq("q_id"), "left")
+        .na.fill(0L, Seq("n_lsh", "n_common"))
+        .select(col("q_id"), col("n_brute"), col("n_lsh"), col("n_common"),
+          (col("n_common").cast("double") / col("n_brute").cast("double"))
+            .as("recall_at_5"))
+    },
+    Some(s"""WITH b AS (
+        SELECT q_id, neighbor_id FROM (${knnBruteForce.oracle.get})
+      ), l AS (
+        SELECT q_id, neighbor_id FROM (${knnLsh.oracle.get})
+      ), c AS (
+        SELECT b.q_id, count(1) AS n_common
+        FROM b JOIN l ON b.q_id = l.q_id AND b.neighbor_id = l.neighbor_id
+        GROUP BY b.q_id
+      )
+      SELECT nb.q_id, nb.n_brute,
+             CAST(COALESCE(nl.n_lsh, 0) AS BIGINT) AS n_lsh,
+             CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+             CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+               / CAST(nb.n_brute AS DOUBLE) AS recall_at_5
+      FROM (SELECT q_id, count(1) AS n_brute FROM b GROUP BY q_id) nb
+      LEFT JOIN (SELECT q_id, count(1) AS n_lsh FROM l GROUP BY q_id) nl
+        ON nb.q_id = nl.q_id
+      LEFT JOIN c ON nb.q_id = c.q_id"""))
+
   val all: Seq[Q] =
     Seq(embeddingNearDup, knnBruteForce, knnLsh, knnIvf, semDedup,
       mutualKnnClusters, hybridRrf, pqEncode, pqAdcTopK, ivfPqTopK,
-      truncationRecall)
+      truncationRecall, annRecall)
 }

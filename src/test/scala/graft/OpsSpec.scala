@@ -1433,6 +1433,25 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q195 ANN recall equals a driver set recompute over q18/q19") {
+    def topSets(q: String) = SparkEntry.queries(q)(spark, sfDir)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = topSets("q18_knn_bruteforce")
+    val lsh = topSets("q19_knn_lsh")
+    val got = SparkEntry.queries("q195_ann_recall")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === brute.keySet)
+    brute.foreach { case (q, bs) =>
+      val ls = lsh.getOrElse(q, Set.empty)
+      val r = got(q)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) ===
+        ((bs.size.toLong, ls.size.toLong, (bs & ls).size.toLong)), q)
+      assert(r.getDouble(4) === (bs & ls).size.toDouble / bs.size.toDouble, q)
+    }
+  }
+
   test("q176 reshard cost: driver ring replay; consistent moves only to the new node") {
     def md5hex16(x: String): String =
       java.security.MessageDigest.getInstance("MD5")
