@@ -1599,6 +1599,59 @@ object Analytics {
                AS winsorized_mean
       FROM g"""))
 
+  // ---- q197: Benford first-digit audit -------------------------------------
+  /** q197: Benford's-law audit of order amounts — the observed first-digit
+    * distribution of o_totalprice cents against the Benford expectation
+    * P(d) = log₁₀(1+1/d), per digit with the absolute deviation. The
+    * classic fabricated-data / generator-artifact detector: natural
+    * multiplicative amounts follow Benford closely, uniform synthetic
+    * generators (like this corpus's) do NOT — the audit REPORTS the
+    * misfit either way. No ln/log runs in either engine: the nine
+    * expectations are compile-time double literals (SqlLit pins the
+    * DuckDB parse bit-exact), the first digit is the leading character of
+    * the integer's decimal rendering (identical in both engines for
+    * positive BIGINTs), and obs_freq is one exact-count division.
+    *
+    * Distributed shape: one map-side-combined 9-group count over a
+    * single-column scan; 9-row algebra after. */
+  val benfordAudit: Q = Q(
+    "q197_benford_audit",
+    (s, dir) => {
+      val expect = (1 to 9).map(d => d.toLong -> math.log10(1.0 + 1.0 / d)).toMap
+      val expectCol = (1 to 9).foldLeft(lit(0.0)) { (acc, d) =>
+        when(col("digit") === d.toLong, lit(expect(d.toLong))).otherwise(acc)
+      }
+      val digits = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 0)
+        .select(substring(expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"),
+          1, 1).cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      digits
+        .withColumn("total", sum("n").over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select(col("digit"), col("n"),
+          (col("n").cast("double") / col("total").cast("double")).as("obs_freq"),
+          expectCol.as("benford_freq"))
+        .withColumn("abs_dev", abs(col("obs_freq") - col("benford_freq")))
+    },
+    Some {
+      val cases = (1 to 9).map(d =>
+        s"WHEN $d THEN ${graft.SqlLit.double(math.log10(1.0 + 1.0 / d))}")
+        .mkString(" ")
+      s"""WITH dg AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                 AS BIGINT) AS digit,
+               count(1) AS n
+        FROM orders WHERE o_totalprice > 0 GROUP BY 1
+      )
+      SELECT digit, n,
+             CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS obs_freq,
+             CASE digit $cases ELSE 0.0e0 END AS benford_freq,
+             abs(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)
+               - CASE digit $cases ELSE 0.0e0 END) AS abs_dev
+      FROM dg"""
+    })
+
   // ---- q175: one-way ANOVA F -----------------------------------------------
   /** q175: one-way ANOVA of document length across sources — the
     * mean-shift member of the drift-stat family (q130 KS: distribution
@@ -1725,5 +1778,5 @@ object Analytics {
     histogram, cooccurrence, weightedMedian, trailingWindow, groupingSets,
     equidepthHist, tradePageRank, groupwiseOls, marketShare, triangles,
     chi2Independence, rollingMedian, giniSpend, anovaF, hhiSpend, jackknifeCi,
-    trimmedMean)
+    trimmedMean, benfordAudit)
 }

@@ -1090,9 +1090,76 @@ object CorpusOps {
       FROM top a JOIN top b ON b.r = a.r * 2
       WHERE a.r IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)"""))
 
+  // ---- q196: directional source containment --------------------------------
+  /** q196: the DIRECTIONAL companion to q148's symmetric Jaccard — per
+    * source pair, |A∩B|/|A| and |A∩B|/|B| over distinct 3-gram shingle
+    * sets. Jaccard can't distinguish "B is a re-crawl subset of A" from
+    * "A and B half-overlap", but containment can, and it is the number
+    * that decides DEDUP ORDER for dataset mixing: dedup the contained
+    * (mostly-redundant) source against the containing one first, so its
+    * unique remainder is what enters the mix. The is_subset_like flag
+    * (max containment ≥ 0.5) marks the pairs worth that treatment.
+    *
+    * Distributed shape: reuses q148's PlanCache-materialized distinct
+    * (source, shingle) frame and its row-local sorted-source-set pair
+    * expansion — no posting-list² self-join; output is |sources|² rows. */
+  val sourceContainment: Q = Q(
+    "q196_source_containment",
+    (s, dir) => {
+      val sh = graft.PlanCache.cached(s, "q148_sh", dir, s"$dir/documents.parquet") {
+        Dedup.allShingleRows(s, dir).select("source", "ngram").distinct()
+      }
+      val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = sh.groupBy("ngram")
+        .agg(sort_array(collect_set("source")).as("srcs"))
+        .filter(size(col("srcs")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(srcs, (a, i) ->
+               transform(slice(srcs, i + 2, size(srcs)), b -> struct(a AS src_a, b AS src_b))))"""))
+          .as("p"))
+        .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes).withColumnRenamed("source", "src_a")
+          .withColumnRenamed("n", "na"), "src_a")
+        .join(broadcast(sizes).withColumnRenamed("source", "src_b")
+          .withColumnRenamed("n", "nb"), "src_b")
+        .select(col("src_a"), col("src_b"), col("inter"), col("na"), col("nb"),
+          (col("inter").cast("double") / col("na").cast("double"))
+            .as("containment_a_in_b"),
+          (col("inter").cast("double") / col("nb").cast("double"))
+            .as("containment_b_in_a"))
+        .withColumn("is_subset_like",
+          greatest(col("containment_a_in_b"), col("containment_b_in_a")) >= 0.5)
+    },
+    Some("""WITH d AS (
+        SELECT source, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+      ), sh AS (
+        SELECT DISTINCT source, unnest(list_distinct(list_transform(range(1, len(w)-1),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS ngram
+        FROM d
+      ), sizes AS (
+        SELECT source, count(1) AS n FROM sh GROUP BY source
+      ), inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(1) AS inter
+        FROM sh a JOIN sh b ON a.ngram = b.ngram AND a.source < b.source
+        GROUP BY a.source, b.source
+      )
+      SELECT i.src_a, i.src_b, CAST(i.inter AS BIGINT) AS inter,
+             CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+             CAST(i.inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment_a_in_b,
+             CAST(i.inter AS DOUBLE) / CAST(sb.n AS DOUBLE) AS containment_b_in_a,
+             GREATEST(CAST(i.inter AS DOUBLE) / CAST(sa.n AS DOUBLE),
+                      CAST(i.inter AS DOUBLE) / CAST(sb.n AS DOUBLE)) >= 0.5
+               AS is_subset_like
+      FROM inter i
+      JOIN sizes sa ON i.src_a = sa.source
+      JOIN sizes sb ON i.src_b = sb.source"""))
+
   val all: Seq[Q] = Seq(piiRedact, decontaminate, mixtureSample, noveltyScore,
     ngramTopK, docPack, embedQuantize, cleanPipeline, zorderKey, docChunks,
     bm25Score, tfidfTopTerms, heavyHitters, corpusCard, ksDrift, sourceOverlap,
-    nucleusRetention, vocabGrowth, paddingWaste, zipfOctaves)
+    nucleusRetention, vocabGrowth, paddingWaste, zipfOctaves, sourceContainment)
 }
 

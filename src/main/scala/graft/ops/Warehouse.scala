@@ -910,8 +910,53 @@ object Warehouse {
           AS actual_over_estimate"""
     }.mkString("\nUNION ALL\n")))
 
+  // ---- q198: data-freshness report -----------------------------------------
+  /** q198: the freshness SLA report a platform shows per table — row count,
+    * latest event date, and how many days each table lags the freshest
+    * table in the lake. "Now" is deliberately NOT the wall clock (which
+    * would make the result nondeterministic): the reference point is the
+    * global maximum date across the audited tables, so the report measures
+    * RELATIVE staleness — exactly the signal that catches a stalled
+    * ingestion (one table's lag growing while the others advance).
+    *
+    * Distributed shape: one single-column max/count aggregate per table,
+    * then 3-row algebra; date arithmetic is exact integer days in both
+    * engines. */
+  val freshnessReport: Q = Q(
+    "q198_freshness_report",
+    (s, dir) => {
+      val perTable = Seq(
+        Tables.orders(s, dir).agg(lit("orders").as("table_name"),
+          count(lit(1)).as("n_rows"),
+          max(to_date(col("o_orderdate"))).as("max_date")),
+        Tables.lineitem(s, dir).agg(lit("lineitem").as("table_name"),
+          count(lit(1)).as("n_rows"),
+          max(to_date(col("l_shipdate"))).as("max_date")),
+        Tables.events(s, dir).agg(lit("events").as("table_name"),
+          count(lit(1)).as("n_rows"),
+          max(to_date(col("ts"))).as("max_date")))
+        .reduce(_ unionAll _)
+      perTable
+        .withColumn("lake_max", max("max_date").over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select(col("table_name"), col("n_rows"), col("max_date"),
+          datediff(col("lake_max"), col("max_date")).cast("long")
+            .as("days_behind"))
+    },
+    Some("""WITH t AS (
+        SELECT 'orders' AS table_name, count(1) AS n_rows,
+               MAX(CAST(o_orderdate AS DATE)) AS max_date FROM orders
+        UNION ALL
+        SELECT 'lineitem', count(1), MAX(CAST(l_shipdate AS DATE)) FROM lineitem
+        UNION ALL
+        SELECT 'events', count(1), MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)) FROM events
+      )
+      SELECT table_name, n_rows, max_date,
+             CAST(MAX(max_date) OVER () - max_date AS BIGINT) AS days_behind
+      FROM t"""))
+
   val all: Seq[Q] = Seq(scd2History, snapshotCdc, rangeJoin, partitionStats,
     schemaEvolution, bucketedJoin, incrementalMv, stratifiedSample, qualityAudit,
     columnProfile, refIntegrity, orderReconcile, deletionFootprint, reshardCost,
-    fdAudit, joinCardAudit)
+    fdAudit, joinCardAudit, freshnessReport)
 }

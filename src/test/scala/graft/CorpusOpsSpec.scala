@@ -551,4 +551,28 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(row.getDouble(4) >= 1.0, s"rank $r") // frequencies are sorted
     }
   }
+
+  test("q196 containment equals a driver set recompute and dominates Jaccard") {
+    val sets = Tables.documents(spark, sfDir).select("source", "text").collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ", -1)
+        (r.getString(0), ws.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet)
+      }.groupBy(_._1).view.mapValues(_.iterator.map(_._2)
+        .foldLeft(Set.empty[String])(_ ++ _)).toMap
+    val rows = SparkEntry.queries("q196_source_containment")(spark, sfDir)
+      .collect()
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val inter = (sets(a) & sets(b)).size.toLong
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) ===
+        ((inter, sets(a).size.toLong, sets(b).size.toLong)), s"$a,$b")
+      assert(r.getDouble(5) === inter.toDouble / sets(a).size)
+      assert(r.getDouble(6) === inter.toDouble / sets(b).size)
+      // each containment dominates the symmetric Jaccard
+      val jac = inter.toDouble / (sets(a).size + sets(b).size - inter)
+      assert(r.getDouble(5) >= jac - 1e-15 && r.getDouble(6) >= jac - 1e-15)
+      assert(r.getBoolean(7) === (math.max(r.getDouble(5), r.getDouble(6)) >= 0.5))
+    }
+  }
 }

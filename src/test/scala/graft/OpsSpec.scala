@@ -1452,6 +1452,40 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q197 Benford audit equals a driver digit recompute; frequencies sum to 1") {
+    val cents = Tables.orders(spark, sfDir).select("o_totalprice").collect()
+      .map(_.getDouble(0)).filter(_ > 0)
+      .map(v => math.round(v * 100))
+    val hist = cents.map(_.toString.head.asDigit.toLong)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = SparkEntry.queries("q197_benford_audit")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === hist.keySet)
+    val total = hist.values.sum
+    hist.foreach { case (d, n) =>
+      val r = rows(d)
+      assert(r.getLong(1) === n, s"digit $d")
+      assert(r.getDouble(2) === n.toDouble / total.toDouble, s"digit $d")
+      assert(r.getDouble(3) === math.log10(1.0 + 1.0 / d), s"digit $d")
+      assert(r.getDouble(4) === math.abs(r.getDouble(2) - r.getDouble(3)))
+    }
+    assert(math.abs(rows.values.map(_.getDouble(2)).sum - 1.0) < 1e-12)
+  }
+
+  test("q198 freshness: lag is relative to the freshest table; one table at 0") {
+    val rows = SparkEntry.queries("q198_freshness_report")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDate(2), r.getLong(3))).toMap
+    assert(rows.keySet === Set("orders", "lineitem", "events"))
+    assert(rows.values.map(_._3).min === 0L)
+    assert(rows("orders")._1 === Tables.orders(spark, sfDir).count())
+    // the freshest table's date minus each table's date equals its lag
+    val freshest = rows.values.map(_._2.toLocalDate).max(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+    rows.foreach { case (t, (_, d, lag)) =>
+      assert(lag === freshest.toEpochDay - d.toLocalDate.toEpochDay, t)
+    }
+  }
+
   test("q176 reshard cost: driver ring replay; consistent moves only to the new node") {
     def md5hex16(x: String): String =
       java.security.MessageDigest.getInstance("MD5")
