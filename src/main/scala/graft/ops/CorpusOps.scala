@@ -1157,9 +1157,97 @@ object CorpusOps {
       JOIN sizes sa ON i.src_a = sa.source
       JOIN sizes sb ON i.src_b = sb.source"""))
 
+  // ---- q200: cleaning-pipeline retention waterfall -------------------------
+  /** q200: the attrition waterfall of q57's cleaning composition — per
+    * stage, documents in, documents out, dropped and drop fraction, with
+    * the stages attributed in the canonical order (exact dedup → language
+    * → quality floor → eval-slice removal → decontamination). q57 executes
+    * the stages as one fused conjunction; this report answers the question
+    * the fused plan can't: WHICH stage is eating the corpus (the first
+    * thing an operator asks when retention moves between crawls). The
+    * final n_out is definitionally q57's row count — asserted in the spec,
+    * so the report can never drift from the pipeline it describes.
+    *
+    * Distributed shape: ONE pass — every stage predicate becomes a flag on
+    * the same scan (dedup's window and the broadcast contamination
+    * anti-flag included) and the waterfall is a single conditional
+    * aggregate unpivoted to 5 rows; the naive form is 5 re-scans. */
+  val cleaningWaterfall: Q = Q(
+    "q200_cleaning_waterfall",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val contaminated =
+        graft.PlanCache.cached(s, "q57_contam", dir, s"$dir/documents.parquet") {
+          decontaminate.run(s, dir)
+            .filter(col("is_contaminated") === 1).select("doc_id")
+        }
+      val flags = Tables.documents(s, dir)
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("n_words", size(col("words")).cast("long"))
+        .withColumn("stop_n", expr(
+          s"size(filter(words, w -> w IN ${TextOps.inList(TextOps.stopwords)}))").cast("long"))
+        .withColumn("quality_score", TextOps.qualityScore(col("n_words"), col("stop_n")))
+        .withColumn("first_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+        .join(contaminated.withColumn("is_cont", lit(1)), Seq("doc_id"), "left")
+        .select(
+          (col("doc_id") === col("first_id")).as("f1"),
+          (col("lang") === "en").as("f2"),
+          (col("quality_score") >= qualityFloor).as("f3"),
+          (col("doc_id") % evalMod =!= 0).as("f4"),
+          col("is_cont").isNull.as("f5"))
+      def cum(fs: org.apache.spark.sql.Column*) =
+        sum(when(fs.reduce(_ && _), 1L).otherwise(0L))
+      flags.agg(count(lit(1)).as("c0"),
+          cum(col("f1")).as("c1"),
+          cum(col("f1"), col("f2")).as("c2"),
+          cum(col("f1"), col("f2"), col("f3")).as("c3"),
+          cum(col("f1"), col("f2"), col("f3"), col("f4")).as("c4"),
+          cum(col("f1"), col("f2"), col("f3"), col("f4"), col("f5")).as("c5"))
+        .select(expr("""stack(5,
+            1L, 'dedup_exact',   c0, c1,
+            2L, 'lang_en',       c1, c2,
+            3L, 'quality_floor', c2, c3,
+            4L, 'eval_slice',    c3, c4,
+            5L, 'decontaminate', c4, c5) AS (stage_idx, stage, n_in, n_out)"""))
+        .withColumn("n_dropped", col("n_in") - col("n_out"))
+        .withColumn("drop_frac", when(col("n_in") === 0, lit(0.0))
+          .otherwise(col("n_dropped").cast("double") / col("n_in").cast("double")))
+    },
+    Some(s"""WITH contaminated AS (
+        SELECT doc_id FROM (${decontaminate.oracle.get}) WHERE is_contaminated = 1
+      ), flags AS (
+        SELECT doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS f1,
+               lang = 'en' AS f2,
+               ${TextOps.qualityScoreSql} >= $qualityFloor AS f3,
+               doc_id % $evalMod <> 0 AS f4,
+               doc_id NOT IN (SELECT doc_id FROM contaminated) AS f5
+        FROM documents
+      ), c AS (
+        SELECT count(1) AS c0,
+               CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+               CAST(SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+               CAST(SUM(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+               CAST(SUM(CASE WHEN f1 AND f2 AND f3 AND f4 AND f5 THEN 1 ELSE 0 END) AS BIGINT) AS c5
+        FROM flags
+      ), w AS (
+        SELECT 1 AS stage_idx, 'dedup_exact' AS stage, c0 AS n_in, c1 AS n_out FROM c
+        UNION ALL SELECT 2, 'lang_en', c1, c2 FROM c
+        UNION ALL SELECT 3, 'quality_floor', c2, c3 FROM c
+        UNION ALL SELECT 4, 'eval_slice', c3, c4 FROM c
+        UNION ALL SELECT 5, 'decontaminate', c4, c5 FROM c
+      )
+      SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, n_in, n_out,
+             n_in - n_out AS n_dropped,
+             CASE WHEN n_in = 0 THEN 0.0
+                  ELSE CAST(n_in - n_out AS DOUBLE) / CAST(n_in AS DOUBLE) END
+               AS drop_frac
+      FROM w"""))
+
   val all: Seq[Q] = Seq(piiRedact, decontaminate, mixtureSample, noveltyScore,
     ngramTopK, docPack, embedQuantize, cleanPipeline, zorderKey, docChunks,
     bm25Score, tfidfTopTerms, heavyHitters, corpusCard, ksDrift, sourceOverlap,
-    nucleusRetention, vocabGrowth, paddingWaste, zipfOctaves, sourceContainment)
+    nucleusRetention, vocabGrowth, paddingWaste, zipfOctaves, sourceContainment,
+    cleaningWaterfall)
 }
 

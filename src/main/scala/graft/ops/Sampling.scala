@@ -331,6 +331,90 @@ object Sampling {
              base + CASE WHEN rr <= l.leftover THEN 1 ELSE 0 END AS quota
       FROM ranked CROSS JOIN l"""))
 
+  // ---- q199: Neyman sampling allocation ------------------------------------
+  private val neymanBudget = 1000L
+
+  /** q199: Neyman (optimal) allocation of a 1000-doc audit budget across
+    * sources — n_h·σ_h weights instead of q137's proportional or q179's
+    * temperature-scaled n_h^α: for a fixed budget, sampling variance of the
+    * estimated corpus mean is MINIMIZED by allocating to strata in
+    * proportion to size × within-stratum spread. σ_h comes from exact
+    * integer moments (the q175 recipe: Σx, Σx² as BIGINT; quotients and
+    * the m² subtraction are fixed-shape doubles), the weight normalizer is
+    * a DECIMAL(38,12)-rounded exact sum, and the integer split reuses the
+    * q137/q179 Hamilton largest-remainder scheme — so the allocation is
+    * bit-stable and sums to the budget exactly.
+    *
+    * Distributed shape: one map-side-combined per-source moment pass;
+    * |sources|-row algebra after. */
+  val neymanAllocation: Q = Q(
+    "q199_neyman_allocation",
+    (s, dir) => {
+      val by = Tables.documents(s, dir)
+        .groupBy("source").agg(count(lit(1)).as("n_src"),
+          sum("n_chars").as("sx"),
+          sum(col("n_chars") * col("n_chars")).as("sxx"))
+        .withColumn("m", col("sx").cast("double") / col("n_src").cast("double"))
+        .withColumn("sd", sqrt(greatest(
+          col("sxx").cast("double") / col("n_src").cast("double")
+            - col("m") * col("m"), lit(0.0))))
+        .withColumn("wq",
+          floor(col("n_src").cast("double") * col("sd") * lit(1000.0)).cast("long"))
+      val tot = by.agg(sum("wq").as("w_tot"))
+      val alloc = by.crossJoin(broadcast(tot))
+        .withColumn("weight",
+          col("wq").cast("double") / col("w_tot").cast("double"))
+        .withColumn("quota_raw",
+          (lit(neymanBudget) * col("wq")).cast("double")
+            / col("w_tot").cast("double"))
+        .withColumn("base", floor(col("quota_raw")).cast("long"))
+        .withColumn("rem", col("quota_raw") - col("base").cast("double"))
+        .withColumn("rr", row_number()
+          .over(Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+      val leftover = alloc.agg((lit(neymanBudget) - sum("base")).as("leftover"))
+      alloc.crossJoin(broadcast(leftover))
+        .withColumn("quota",
+          col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+        .select("source", "n_src", "sd", "weight", "quota")
+    },
+    Some(s"""WITH by AS (
+        SELECT source, count(1) AS n_src,
+               CAST(SUM(n_chars) AS BIGINT) AS sx,
+               CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        FROM documents GROUP BY source
+      ), sds AS (
+        SELECT source, n_src,
+               sqrt(GREATEST(CAST(sxx AS DOUBLE) / CAST(n_src AS DOUBLE)
+                 - (CAST(sx AS DOUBLE) / CAST(n_src AS DOUBLE))
+                   * (CAST(sx AS DOUBLE) / CAST(n_src AS DOUBLE)), 0.0)) AS sd
+        FROM by
+      ), ws AS (
+        SELECT source, n_src, sd,
+               CAST(FLOOR(CAST(n_src AS DOUBLE) * sd * 1000.0) AS BIGINT) AS wq
+        FROM sds
+      ), tot AS (
+        SELECT CAST(SUM(wq) AS BIGINT) AS w_tot FROM ws
+      ), alloc AS (
+        SELECT source, n_src, sd,
+               CAST(wq AS DOUBLE) / CAST(t.w_tot AS DOUBLE) AS weight,
+               CAST($neymanBudget * wq AS DOUBLE) / CAST(t.w_tot AS DOUBLE)
+                 AS quota_raw
+        FROM ws CROSS JOIN tot t
+      ), ranked AS (
+        SELECT source, n_src, sd, weight,
+               CAST(FLOOR(quota_raw) AS BIGINT) AS base,
+               quota_raw - FLOOR(quota_raw) AS rem,
+               CAST(ROW_NUMBER() OVER (ORDER BY quota_raw - FLOOR(quota_raw) DESC,
+                 source) AS BIGINT) AS rr
+        FROM alloc
+      ), l AS (
+        SELECT $neymanBudget - SUM(base) AS leftover FROM ranked
+      )
+      SELECT source, CAST(n_src AS BIGINT) AS n_src, sd, weight,
+             CAST(base + CASE WHEN rr <= l.leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS quota
+      FROM ranked CROSS JOIN l"""))
+
   val all: Seq[Q] = Seq(trainSplit, trainOrder, proportionalHoldout, tokenWaterfill,
-    interleavedOrder, temperatureMixture)
+    interleavedOrder, temperatureMixture, neymanAllocation)
 }

@@ -22,7 +22,15 @@ import graft.{Q, Tables}
   *    under 2^53: above it, DuckDB's two-step conversion (int128→double, then
   *    ÷10^scale) double-rounds where Java rounds once — subtract large
   *    near-equal decimals IN decimal and convert only the small difference
-  *    (diagnosed on q175's ≈1e12 between-group sum at 12 dp).
+  *    (diagnosed on q175's ≈1e12 between-group sum at 12 dp);
+  *  - the REVERSE cast (arbitrary double → DECIMAL(38,s)) is tie-unsafe:
+  *    Spark rounds the double's SHORTEST decimal rendering while DuckDB
+  *    rounds its full binary expansion, and a value whose (s+1)-th digit
+  *    sits at a representation boundary flips (diagnosed on q199's n·σ
+  *    weights at 12 dp). Decimal-casting is safe for values ALREADY on a
+  *    p-decimal grid (the round(sum, p) outputs above); for arbitrary
+  *    doubles quantize with FLOOR(x · 10^s) into BIGINT instead — floor
+  *    has no tie semantics.
   */
 object Pipelines {
 

@@ -1486,6 +1486,59 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q199 Neyman allocation equals a driver moment recompute; sums to budget") {
+    val xs = Tables.documents(spark, sfDir).select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val by = xs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val wq = by.map { case (src, g) =>
+      val n = g.length.toLong
+      val sx = g.sum
+      val sxx = g.map(x => x * x).sum
+      val m = sx.toDouble / n.toDouble
+      val sd = math.sqrt(math.max(sxx.toDouble / n.toDouble - m * m, 0.0))
+      src -> (n, sd, math.floor(n.toDouble * sd * 1000.0).toLong)
+    }
+    val wTot = wq.values.map(_._3).sum
+    val quotas = {
+      val base = wq.view.mapValues { case (_, _, w) => (1000L * w) / wTot }.toMap
+      val rem = wq.map { case (src, (_, _, w)) =>
+        src -> (1000.0 * w.toDouble / wTot.toDouble - base(src).toDouble)
+      }
+      val leftover = 1000L - base.values.sum
+      val order = rem.toSeq.sortBy { case (src, r) => (-r, src) }.map(_._1)
+      base ++ order.take(leftover.toInt).map(src => src -> (base(src) + 1L))
+    }
+    val got = SparkEntry.queries("q199_neyman_allocation")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === by.keySet)
+    wq.foreach { case (src, (n, sd, w)) =>
+      val r = got(src)
+      assert(r.getLong(1) === n, src)
+      assert(r.getDouble(2) === sd, src)
+      assert(r.getDouble(3) === w.toDouble / wTot.toDouble, src)
+      assert(r.getLong(4) === quotas(src), src)
+    }
+    assert(got.values.map(_.getLong(4)).sum === 1000L)
+  }
+
+  test("q200 waterfall: stages chain, and the final stage equals q57's output") {
+    val rows = SparkEntry.queries("q200_cleaning_waterfall")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getString(1)).toSeq ===
+      Seq("dedup_exact", "lang_en", "quality_floor", "eval_slice", "decontaminate"))
+    // each stage's input is the previous stage's output; drops are counted
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) === b.getLong(2))
+    }
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2))
+      assert(r.getLong(4) === r.getLong(2) - r.getLong(3))
+    }
+    assert(rows.head.getLong(2) === Tables.documents(spark, sfDir).count())
+    assert(rows.last.getLong(3) ===
+      SparkEntry.queries("q57_clean_pipeline")(spark, sfDir).count())
+  }
+
   test("q176 reshard cost: driver ring replay; consistent moves only to the new node") {
     def md5hex16(x: String): String =
       java.security.MessageDigest.getInstance("MD5")
