@@ -278,8 +278,12 @@ object Sampling {
     * (α = 0.5, the up-weight-the-tail rule multilingual mixes use between
     * proportional α=1 and uniform α=0) — and the exact largest-remainder
     * allocation of a 1000-doc budget by those weights. √ is a correctly-
-    * rounded IEEE op and the weight normalizer is a DECIMAL(38,12)-rounded
-    * exact sum, so weights are bit-stable; the apportionment reuses q137's
+    * rounded IEEE op, and the weight normalizer FLOOR-quantizes each
+    * weight to a 1e-6 BIGINT before the exact integer sum — the tie-safe
+    * form the float contract prescribes for arbitrary doubles (a
+    * double→DECIMAL cast rounds shortest-repr in Spark but binary
+    * expansion in DuckDB; diagnosed on q199's n·σ weights, hardened here
+    * too since √n is equally arbitrary); the apportionment reuses q137's
     * Hamilton scheme with DOUBLE quotas (deterministic: quota, remainder
     * rank and tie-break are all fixed-shape). Together with q137 (α=1) and
     * q138 (hard caps) this completes the mixture-design toolbox.
@@ -291,12 +295,14 @@ object Sampling {
     (s, dir) => {
       val bySrc = Tables.documents(s, dir)
         .groupBy("source").agg(count(lit(1)).as("n_src"))
-        .withColumn("w", sqrt(col("n_src").cast("double")))
-      val tot = bySrc.agg(
-        sum(expr("cast(w as decimal(38,12))")).cast("double").as("w_tot"))
+        .withColumn("wq",
+          floor(sqrt(col("n_src").cast("double")) * lit(1e6)).cast("long"))
+      val tot = bySrc.agg(sum("wq").as("w_tot"))
       val alloc = bySrc.crossJoin(broadcast(tot))
-        .withColumn("weight", col("w") / col("w_tot"))
-        .withColumn("quota_raw", lit(mixtureK.toDouble) * col("weight"))
+        .withColumn("weight",
+          col("wq").cast("double") / col("w_tot").cast("double"))
+        .withColumn("quota_raw", (lit(mixtureK) * col("wq")).cast("double")
+          / col("w_tot").cast("double"))
         .withColumn("base", floor(col("quota_raw")).cast("long"))
         .withColumn("rem", col("quota_raw") - col("base").cast("double"))
         .withColumn("rr", row_number()
@@ -309,13 +315,15 @@ object Sampling {
     },
     Some(s"""WITH bySrc AS (
         SELECT source, count(1) AS n_src,
-               sqrt(CAST(count(1) AS DOUBLE)) AS w
+               CAST(FLOOR(sqrt(CAST(count(1) AS DOUBLE)) * 1e6) AS BIGINT) AS wq
         FROM documents GROUP BY source
       ), tot AS (
-        SELECT CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS w_tot FROM bySrc
+        SELECT CAST(SUM(wq) AS BIGINT) AS w_tot FROM bySrc
       ), alloc AS (
-        SELECT source, n_src, w / t.w_tot AS weight,
-               CAST($mixtureK AS DOUBLE) * (w / t.w_tot) AS quota_raw
+        SELECT source, n_src,
+               CAST(wq AS DOUBLE) / CAST(t.w_tot AS DOUBLE) AS weight,
+               CAST($mixtureK * wq AS DOUBLE) / CAST(t.w_tot AS DOUBLE)
+                 AS quota_raw
         FROM bySrc CROSS JOIN tot t
       ), ranked AS (
         SELECT source, n_src, weight,

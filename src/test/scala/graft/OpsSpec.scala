@@ -1192,14 +1192,14 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("q179 temperature mixture: exact Hamilton allocation over sqrt weights") {
-    def dec12(x: Double): BigDecimal =
-      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
     val sizes = Tables.documents(spark, sfDir).groupBy("source").count().collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    val wTot = sizes.map(s2 => dec12(math.sqrt(s2._2.toDouble))).sum.toDouble
+    // floor-quantized 1e-6 integer weights (the tie-safe normalizer form)
+    def wq(n: Long): Long = math.floor(math.sqrt(n.toDouble) * 1e6).toLong
+    val wTot = sizes.map(s2 => wq(s2._2)).sum
     val alloc = sizes.map { case (src, n) =>
-      val weight = math.sqrt(n.toDouble) / wTot
-      val raw = 1000.0 * weight
+      val weight = wq(n).toDouble / wTot.toDouble
+      val raw = (1000L * wq(n)).toDouble / wTot.toDouble
       (src, n, weight, math.floor(raw).toLong, raw - math.floor(raw))
     }
     val leftover = 1000L - alloc.map(_._4).sum
