@@ -1244,10 +1244,134 @@ object CorpusOps {
                AS drop_frac
       FROM w"""))
 
+  // ---- q201: token-denominated cleaning waterfall --------------------------
+  /** q201: q200's waterfall in the denomination that actually matters for
+    * training-budget planning — TOKENS in/out per cleaning stage, not
+    * documents. Dedup removes duplicate docs (often long), the quality
+    * floor removes short ones: the doc-count and token-count waterfalls
+    * disagree in exactly the ways a mixture designer needs to see before
+    * committing a token budget (q138/q179/q199 all allocate tokens).
+    * Same canonical stage order and ONE-scan flag shape as q200.
+    *
+    * Distributed shape: one pass — the same flags, summing n_words instead
+    * of counting rows; 5 unpivoted rows out. */
+  val tokenWaterfall: Q = Q(
+    "q201_token_waterfall",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val contaminated =
+        graft.PlanCache.cached(s, "q57_contam", dir, s"$dir/documents.parquet") {
+          decontaminate.run(s, dir)
+            .filter(col("is_contaminated") === 1).select("doc_id")
+        }
+      val flags = Tables.documents(s, dir)
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("n_words", size(col("words")).cast("long"))
+        .withColumn("stop_n", expr(
+          s"size(filter(words, w -> w IN ${TextOps.inList(TextOps.stopwords)}))").cast("long"))
+        .withColumn("quality_score", TextOps.qualityScore(col("n_words"), col("stop_n")))
+        .withColumn("first_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+        .join(contaminated.withColumn("is_cont", lit(1)), Seq("doc_id"), "left")
+        .select(col("n_words"),
+          (col("doc_id") === col("first_id")).as("f1"),
+          (col("lang") === "en").as("f2"),
+          (col("quality_score") >= qualityFloor).as("f3"),
+          (col("doc_id") % evalMod =!= 0).as("f4"),
+          col("is_cont").isNull.as("f5"))
+      def cum(fs: org.apache.spark.sql.Column*) =
+        sum(when(fs.reduce(_ && _), col("n_words")).otherwise(0L))
+      flags.agg(sum("n_words").as("t0"),
+          cum(col("f1")).as("t1"),
+          cum(col("f1"), col("f2")).as("t2"),
+          cum(col("f1"), col("f2"), col("f3")).as("t3"),
+          cum(col("f1"), col("f2"), col("f3"), col("f4")).as("t4"),
+          cum(col("f1"), col("f2"), col("f3"), col("f4"), col("f5")).as("t5"))
+        .select(expr("""stack(5,
+            1L, 'dedup_exact',   t0, t1,
+            2L, 'lang_en',       t1, t2,
+            3L, 'quality_floor', t2, t3,
+            4L, 'eval_slice',    t3, t4,
+            5L, 'decontaminate', t4, t5) AS (stage_idx, stage, tokens_in, tokens_out)"""))
+        .withColumn("tokens_dropped", col("tokens_in") - col("tokens_out"))
+        .withColumn("drop_frac", when(col("tokens_in") === 0, lit(0.0))
+          .otherwise(col("tokens_dropped").cast("double")
+            / col("tokens_in").cast("double")))
+    },
+    Some(s"""WITH contaminated AS (
+        SELECT doc_id FROM (${decontaminate.oracle.get}) WHERE is_contaminated = 1
+      ), flags AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS f1,
+               lang = 'en' AS f2,
+               ${TextOps.qualityScoreSql} >= $qualityFloor AS f3,
+               doc_id % $evalMod <> 0 AS f4,
+               doc_id NOT IN (SELECT doc_id FROM contaminated) AS f5
+        FROM documents
+      ), c AS (
+        SELECT CAST(SUM(n_words) AS BIGINT) AS t0,
+               CAST(SUM(CASE WHEN f1 THEN n_words ELSE 0 END) AS BIGINT) AS t1,
+               CAST(SUM(CASE WHEN f1 AND f2 THEN n_words ELSE 0 END) AS BIGINT) AS t2,
+               CAST(SUM(CASE WHEN f1 AND f2 AND f3 THEN n_words ELSE 0 END) AS BIGINT) AS t3,
+               CAST(SUM(CASE WHEN f1 AND f2 AND f3 AND f4 THEN n_words ELSE 0 END) AS BIGINT) AS t4,
+               CAST(SUM(CASE WHEN f1 AND f2 AND f3 AND f4 AND f5 THEN n_words ELSE 0 END) AS BIGINT) AS t5
+        FROM flags
+      ), w AS (
+        SELECT 1 AS stage_idx, 'dedup_exact' AS stage, t0 AS tokens_in, t1 AS tokens_out FROM c
+        UNION ALL SELECT 2, 'lang_en', t1, t2 FROM c
+        UNION ALL SELECT 3, 'quality_floor', t2, t3 FROM c
+        UNION ALL SELECT 4, 'eval_slice', t3, t4 FROM c
+        UNION ALL SELECT 5, 'decontaminate', t4, t5 FROM c
+      )
+      SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, tokens_in, tokens_out,
+             tokens_in - tokens_out AS tokens_dropped,
+             CASE WHEN tokens_in = 0 THEN 0.0
+                  ELSE CAST(tokens_in - tokens_out AS DOUBLE)
+                    / CAST(tokens_in AS DOUBLE) END AS drop_frac
+      FROM w"""))
+
+  // ---- q202: RAG chunk-duplication histogram -------------------------------
+  /** q202: boilerplate detection at CHUNK grain — the duplicate-size
+    * histogram of q67's 40-word RAG chunks (how many distinct chunk texts
+    * occur exactly k times, and what fraction of all chunks they carry).
+    * A document-level dedup (q13) misses the template paragraphs that
+    * repeat INSIDE otherwise-unique documents, yet those are exactly what
+    * bloats a RAG index and biases retrieval; k≥2 mass here is the size of
+    * that problem. Chunks hash to md5 before any grouping, so the shuffle
+    * carries 16-byte keys, never chunk text.
+    *
+    * Distributed shape: the q67 per-row explode, one hash-keyed count,
+    * one count-of-counts collapse (histogram rows ≤ max multiplicity). */
+  val chunkDedup: Q = Q(
+    "q202_chunk_dedup",
+    (s, dir) => {
+      val byText = docChunks.run(s, dir)
+        .groupBy(md5(col("chunk_text")).as("h")).agg(count(lit(1)).as("k"))
+      val hist = byText.groupBy("k").agg(count(lit(1)).as("n_chunk_texts"))
+      val tot = hist.agg(sum(col("k") * col("n_chunk_texts")).as("n_total"))
+      hist.crossJoin(broadcast(tot))
+        .select(col("k").as("dup_count"), col("n_chunk_texts"),
+          (col("k") * col("n_chunk_texts")).as("n_chunks"),
+          ((col("k") * col("n_chunk_texts")).cast("double")
+            / col("n_total").cast("double")).as("chunk_frac"))
+    },
+    Some(s"""WITH by_text AS (
+        SELECT md5(chunk_text) AS h, count(1) AS k
+        FROM (${docChunks.oracle.get}) GROUP BY md5(chunk_text)
+      ), hist AS (
+        SELECT k, count(1) AS n_chunk_texts FROM by_text GROUP BY k
+      ), tot AS (
+        SELECT CAST(SUM(k * n_chunk_texts) AS BIGINT) AS n_total FROM hist
+      )
+      SELECT CAST(k AS BIGINT) AS dup_count, n_chunk_texts,
+             CAST(k * n_chunk_texts AS BIGINT) AS n_chunks,
+             CAST(k * n_chunk_texts AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+               AS chunk_frac
+      FROM hist CROSS JOIN tot t"""))
+
   val all: Seq[Q] = Seq(piiRedact, decontaminate, mixtureSample, noveltyScore,
     ngramTopK, docPack, embedQuantize, cleanPipeline, zorderKey, docChunks,
     bm25Score, tfidfTopTerms, heavyHitters, corpusCard, ksDrift, sourceOverlap,
     nucleusRetention, vocabGrowth, paddingWaste, zipfOctaves, sourceContainment,
-    cleaningWaterfall)
+    cleaningWaterfall, tokenWaterfall, chunkDedup)
 }
 

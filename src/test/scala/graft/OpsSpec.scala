@@ -1539,6 +1539,30 @@ class OpsSpec extends AnyFunSuite {
       SparkEntry.queries("q57_clean_pipeline")(spark, sfDir).count())
   }
 
+  test("q201 token waterfall chains and its final stage equals q57's token sum") {
+    val rows = SparkEntry.queries("q201_token_waterfall")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) === b.getLong(2))
+    }
+    rows.foreach(r => assert(r.getLong(4) === r.getLong(2) - r.getLong(3)))
+    val totalTokens = Tables.documents(spark, sfDir).select("text").collect()
+      .map(_.getString(0).split(" ", -1).length.toLong).sum
+    assert(rows.head.getLong(2) === totalTokens)
+    val survivors = SparkEntry.queries("q57_clean_pipeline")(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("n_words")).head().getLong(0)
+    assert(rows.last.getLong(3) === survivors)
+  }
+
+  test("q202 chunk histogram: masses sum to the chunk total; fractions to 1") {
+    val rows = SparkEntry.queries("q202_chunk_dedup")(spark, sfDir).collect()
+    val totalChunks = SparkEntry.queries("q67_doc_chunks")(spark, sfDir).count()
+    assert(rows.map(_.getLong(2)).sum === totalChunks)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-12)
+    // distinct texts times their multiplicity reproduce each mass row
+    rows.foreach(r => assert(r.getLong(2) === r.getLong(0) * r.getLong(1)))
+  }
+
   test("q176 reshard cost: driver ring replay; consistent moves only to the new node") {
     def md5hex16(x: String): String =
       java.security.MessageDigest.getInstance("MD5")
