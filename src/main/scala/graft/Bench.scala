@@ -35,11 +35,36 @@ object Bench {
 
   private def jstr(s: String): String = Json.str(s)
 
+  /** Pinned per-query seconds from the previous round's clean run
+    * (`bench_pins.json`, flat {"name": sec} — committed, regenerated each
+    * round from the builder's clean reading). A query is a REGRESSION when
+    * it has a pin, runs slower than 2× it, and is slow enough in absolute
+    * terms for the ratio to mean anything (>0.5 s — a 0.05→0.12 s jitter is
+    * scheduler noise, not a plan change). This is the alarm that would have
+    * caught BENCH_r10's q148 3.8× drift at build time instead of judge
+    * time. Absent/unreadable file → no check (empty pins). */
+  private[graft] def loadPins(path: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      "\"([^\"]+)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Exception => Map.empty }
+
+  private[graft] def regressions(results: Seq[QResult],
+      pins: Map[String, Double]): Seq[(String, Double, Double)] =
+    results.collect {
+      case QResult(n, sec, None)
+        if pins.get(n).exists(p => sec > 2 * p && sec > 0.5) =>
+          (n, sec, pins(n))
+    }.sortBy(-_._2)
+
   /** The driver-contract JSON line: `queries` maps every query to its
     * seconds (−1 on failure), `errors` maps failed queries to messages,
     * `value` sums only the successful timings. */
   private[graft] def renderJson(results: Seq[QResult], sfDir: String,
-      gcSec: Double, persistentRdds: Int, storageBytes: Long): String = {
+      gcSec: Double, persistentRdds: Int, storageBytes: Long,
+      regs: Seq[(String, Double, Double)], warmSharedSec: Double): String = {
     val qs = results.map(r => jstr(r.name) + ":" + r.sec).mkString("{", ",", "}")
     val errs = results.collect { case QResult(n, _, Some(e)) => jstr(n) + ":" + jstr(e) }
       .mkString("{", ",", "}")
@@ -51,8 +76,17 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$errs,"failed":${results.count(_.err.isDefined)},""" +
       s""""gc_sec":$gc3,"persistent_rdds":$persistentRdds,""" +
-      s""""storage_bytes":$storageBytes,"sf":${jstr(sfDir)}}"""
+      s""""storage_bytes":$storageBytes,""" +
+      s""""regressions":${renderRegs(regs)},""" +
+      s""""warm_shared_sec":${math.round(warmSharedSec * 1000) / 1000.0},""" +
+      s""""sf":${jstr(sfDir)}}"""
   }
+
+  private def renderRegs(regs: Seq[(String, Double, Double)]): String =
+    regs.map { case (n, sec, pin) =>
+      jstr(n) + ":[" + math.round(sec * 100) / 100.0 + "," +
+        math.round(pin * 100) / 100.0 + "]"
+    }.mkString("{", ",", "}")
 
   /** Compact trailer printed AFTER the full contract line. The driver's
     * BENCH artifact keeps only the last ~2000 output characters; with 140+
@@ -60,14 +94,16 @@ object Bench {
     * headline `"metric"/"value"` prefix is cut off (BENCH_r07/r08: parsed
     * null). This line carries the headline numbers plus only the slowest
     * queries, sized to always survive the tail truncation. */
-  private[graft] def renderSummary(results: Seq[QResult], sfDir: String): String = {
+  private[graft] def renderSummary(results: Seq[QResult], sfDir: String,
+      regs: Seq[(String, Double, Double)]): String = {
     val ok = results.filter(_.err.isEmpty)
     val slow = ok.sortBy(-_.sec).take(10)
       .map(r => jstr(r.name) + ":" + math.round(r.sec * 100) / 100.0)
       .mkString("{", ",", "}")
     s"""{"metric":"total","value":${ok.map(_.sec).sum},"unit":"sec",""" +
       s""""n_queries":${results.size},"failed":${results.count(_.err.isDefined)},""" +
-      s""""slowest":$slow,"sf":${jstr(sfDir)}}"""
+      s""""slowest":$slow,"regressions":${renderRegs(regs)},""" +
+      s""""sf":${jstr(sfDir)}}"""
   }
 
   private def gcMillis(): Long = {
@@ -89,14 +125,26 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     // warmup: one untimed pass (JIT + codegen caches + repo materialization)
     runSuite(spark, sfDir, queries)
+    // re-materialize every PlanCache shared frame on this UNTIMED line: a
+    // late-warmup unpersist of an equivalent canonicalized plan can evict a
+    // shared entry, and without this the timed pass's first consumer pays
+    // the rebuild (BENCH_r10: q148 7.29 s). Entries that were cold here show
+    // up as multi-second rewarm times on stderr.
+    val w0 = System.nanoTime()
+    val warmed = PlanCache.rewarm(spark)
+    val warmSharedSec = (System.nanoTime() - w0) / 1e9
+    warmed.filter(_._2 > 0.2).foreach { case (n, sec) =>
+      System.err.println(f"[bench] shared frame '$n' was COLD after warmup: rewarm took $sec%.2f s") }
+    val pins = loadPins(sys.env.getOrElse("SPARK_GRAFT_BENCH_PINS", "bench_pins.json"))
     val gc0 = gcMillis()
     val results = runSuite(spark, sfDir, queries)
     val gcSec = (gcMillis() - gc0) / 1e3
+    val regs = regressions(results, pins)
     val storage = spark.sparkContext.getRDDStorageInfo
       .map(i => i.memSize + i.diskSize).sum
     println(renderJson(results, sfDir, gcSec,
-      spark.sparkContext.getPersistentRDDs.size, storage))
-    println(renderSummary(results, sfDir))
+      spark.sparkContext.getPersistentRDDs.size, storage, regs, warmSharedSec))
+    println(renderSummary(results, sfDir, regs))
     spark.stop()
   }
 }

@@ -20,6 +20,29 @@ object PlanCache {
   private val entries =
     new scala.collection.concurrent.TrieMap[(SparkSession, String, String), Entry]()
 
+  /** Force every entry of `s` to be fully materialized NOW: re-persist any
+    * entry whose storage level was dropped and count() each one so its
+    * blocks exist before the caller's timed region starts. `persist()` is
+    * lazy, and an unrelated `Dataset.unpersist()` of an EQUIVALENT
+    * canonicalized plan can evict an entry out from under us mid-suite
+    * (CacheManager uncaches by plan, not by reference — the BENCH_r10 q148
+    * signature: the timed pass's first consumer of the shared shingle frame
+    * paid a full rebuild). A count on a warm sf-scale entry costs tens of
+    * ms; a cold one pays the rebuild HERE, on the caller's untimed line.
+    * Returns (name, seconds) per entry so the caller can log which were
+    * cold. */
+  def rewarm(s: SparkSession): Seq[(String, Double)] = {
+    val es = synchronized {
+      entries.toSeq.collect { case ((sess, name, _), e) if sess eq s => (name, e.df) }
+    }
+    es.sortBy(_._1).map { case (name, df) =>
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+      val t0 = System.nanoTime()
+      df.count()
+      (name, (System.nanoTime() - t0) / 1e9)
+    }
+  }
+
   /** The persisted frame for (name, dir), built via `build` on first use or
     * when `dir`'s backing files changed since the cached copy was built. */
   def cached(s: SparkSession, name: String, dir: String, fingerprintPath: String)

@@ -1489,9 +1489,17 @@ object Analytics {
       val k = folds.length.toLong
       val sTot = folds.map(_._1).sum
       val n = folds.map(_._2).sum
-      val thetas = folds.map { case (sf, nf) => ((sTot - sf) * 1000000L) / (n - nf) }
+      // BigInt multiply: the ×1e6 fixed-point scale wraps a Scala Long once
+      // total corpus chars exceed ~9.2e12 (≈10 TB of text) — exactly the
+      // scale this operator claims. DuckDB's BIGINT multiply RAISES there;
+      // the require mirrors that raise so the engines fail loudly together
+      // instead of Spark silently wrapping while the oracle errors.
+      require(sTot <= Long.MaxValue / 1000000L,
+        s"q136: total corpus chars $sTot would overflow the BIGINT*1e6 " +
+          "fixed-point grid (DuckDB raises here); rescale the theta grid")
+      val thetas = folds.map { case (sf, nf) => (BigInt(sTot - sf) * 1000000) / (n - nf) }
       val t = thetas.sum
-      val d = thetas.map { th => val dv = BigInt(k * th - t); dv * dv }.sum
+      val d = thetas.map { th => val dv = BigInt(k) * th - t; dv * dv }.sum
       val mean = sTot.toDouble / n.toDouble
       val se = math.sqrt(d.toDouble * (k - 1).toDouble
         / (k * k * k).toDouble) / 1e6

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
@@ -1157,6 +1157,37 @@ object CorpusOps {
       JOIN sizes sa ON i.src_a = sa.source
       JOIN sizes sb ON i.src_b = sb.source"""))
 
+  // ---- q200/q201 shared stage flags ----------------------------------------
+  /** The q57 cleaning-stage flags (f1..f5 in canonical order) plus n_words,
+    * on one documents scan — the SINGLE source both waterfalls (q200 docs,
+    * q201 tokens) aggregate from, so the documented invariant "both describe
+    * the same q57 composition" is structural, not a copy-paste discipline.
+    * Flags: f1 exact-dedup keeper, f2 lang=en, f3 quality floor, f4
+    * eval-slice keep, f5 not contaminated (broadcast anti-flag via the
+    * PlanCache-shared q57 contamination frame). */
+  private def cleaningFlags(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val contaminated =
+      graft.PlanCache.cached(s, "q57_contam", dir, s"$dir/documents.parquet") {
+        decontaminate.run(s, dir)
+          .filter(col("is_contaminated") === 1).select("doc_id")
+      }
+    Tables.documents(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("stop_n", expr(
+        s"size(filter(words, w -> w IN ${TextOps.inList(TextOps.stopwords)}))").cast("long"))
+      .withColumn("quality_score", TextOps.qualityScore(col("n_words"), col("stop_n")))
+      .withColumn("first_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .join(contaminated.withColumn("is_cont", lit(1)), Seq("doc_id"), "left")
+      .select(col("n_words"),
+        (col("doc_id") === col("first_id")).as("f1"),
+        (col("lang") === "en").as("f2"),
+        (col("quality_score") >= qualityFloor).as("f3"),
+        (col("doc_id") % evalMod =!= 0).as("f4"),
+        col("is_cont").isNull.as("f5"))
+  }
+
   // ---- q200: cleaning-pipeline retention waterfall -------------------------
   /** q200: the attrition waterfall of q57's cleaning composition — per
     * stage, documents in, documents out, dropped and drop fraction, with
@@ -1175,26 +1206,7 @@ object CorpusOps {
   val cleaningWaterfall: Q = Q(
     "q200_cleaning_waterfall",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val contaminated =
-        graft.PlanCache.cached(s, "q57_contam", dir, s"$dir/documents.parquet") {
-          decontaminate.run(s, dir)
-            .filter(col("is_contaminated") === 1).select("doc_id")
-        }
-      val flags = Tables.documents(s, dir)
-        .withColumn("words", split(col("text"), " "))
-        .withColumn("n_words", size(col("words")).cast("long"))
-        .withColumn("stop_n", expr(
-          s"size(filter(words, w -> w IN ${TextOps.inList(TextOps.stopwords)}))").cast("long"))
-        .withColumn("quality_score", TextOps.qualityScore(col("n_words"), col("stop_n")))
-        .withColumn("first_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
-        .join(contaminated.withColumn("is_cont", lit(1)), Seq("doc_id"), "left")
-        .select(
-          (col("doc_id") === col("first_id")).as("f1"),
-          (col("lang") === "en").as("f2"),
-          (col("quality_score") >= qualityFloor).as("f3"),
-          (col("doc_id") % evalMod =!= 0).as("f4"),
-          col("is_cont").isNull.as("f5"))
+      val flags = cleaningFlags(s, dir)
       def cum(fs: org.apache.spark.sql.Column*) =
         sum(when(fs.reduce(_ && _), 1L).otherwise(0L))
       flags.agg(count(lit(1)).as("c0"),
@@ -1258,26 +1270,7 @@ object CorpusOps {
   val tokenWaterfall: Q = Q(
     "q201_token_waterfall",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val contaminated =
-        graft.PlanCache.cached(s, "q57_contam", dir, s"$dir/documents.parquet") {
-          decontaminate.run(s, dir)
-            .filter(col("is_contaminated") === 1).select("doc_id")
-        }
-      val flags = Tables.documents(s, dir)
-        .withColumn("words", split(col("text"), " "))
-        .withColumn("n_words", size(col("words")).cast("long"))
-        .withColumn("stop_n", expr(
-          s"size(filter(words, w -> w IN ${TextOps.inList(TextOps.stopwords)}))").cast("long"))
-        .withColumn("quality_score", TextOps.qualityScore(col("n_words"), col("stop_n")))
-        .withColumn("first_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
-        .join(contaminated.withColumn("is_cont", lit(1)), Seq("doc_id"), "left")
-        .select(col("n_words"),
-          (col("doc_id") === col("first_id")).as("f1"),
-          (col("lang") === "en").as("f2"),
-          (col("quality_score") >= qualityFloor).as("f3"),
-          (col("doc_id") % evalMod =!= 0).as("f4"),
-          col("is_cont").isNull.as("f5"))
+      val flags = cleaningFlags(s, dir)
       def cum(fs: org.apache.spark.sql.Column*) =
         sum(when(fs.reduce(_ && _), col("n_words")).otherwise(0L))
       flags.agg(sum("n_words").as("t0"),

@@ -621,8 +621,14 @@ object LineageQueries {
           val sub = evidenceLinesSubquery(out, q, s"question::qa$i")
           val qLit = q.replace("'", "''")
           s"""SELECT 'qa$i' AS question_id,
-               string_agg(line, chr(10) ORDER BY sec, pos, ord) || chr(10)
-                 AS answer
+               -- DeterministicAnswerer (QA.scala) returns this literal when a
+               -- question yields ZERO evidence rows; without the CASE the
+               -- oracle would still emit the bare 'QUESTION: …' header and
+               -- hash-diverge on any future evidence-less question
+               CASE WHEN (SELECT count(1) FROM $sub e0) = 0
+                 THEN 'Unknown from available lineage metadata.'
+                 ELSE string_agg(line, chr(10) ORDER BY sec, pos, ord) || chr(10)
+               END AS answer
              FROM (
                SELECT 0 AS sec, 0 AS pos, CAST(0 AS BIGINT) AS ord,
                       'QUESTION: $qLit' AS line

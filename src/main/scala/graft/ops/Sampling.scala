@@ -348,8 +348,11 @@ object Sampling {
     * estimated corpus mean is MINIMIZED by allocating to strata in
     * proportion to size × within-stratum spread. σ_h comes from exact
     * integer moments (the q175 recipe: Σx, Σx² as BIGINT; quotients and
-    * the m² subtraction are fixed-shape doubles), the weight normalizer is
-    * a DECIMAL(38,12)-rounded exact sum, and the integer split reuses the
+    * the m² subtraction are fixed-shape doubles), each weight n_h·σ_h is
+    * FLOOR-quantized onto a 1e-3 BIGINT grid before the normalizer sum
+    * (FLOOR(x·1000) — the q179 scheme and the Pipelines.scala conversion
+    * contract, closing the double→DECIMAL rounding-boundary tie class), and
+    * the integer split reuses the
     * q137/q179 Hamilton largest-remainder scheme — so the allocation is
     * bit-stable and sums to the budget exactly.
     *

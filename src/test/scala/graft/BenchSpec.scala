@@ -18,11 +18,40 @@ class BenchSpec extends AnyFunSuite {
     assert(boom.err.isDefined, "throwing query did not surface an error")
     assert(boom.sec == -1.0)
     assert(rs.find(_.name == "ok").get.err.isEmpty)
-    val json = Bench.renderJson(rs, sfDir, gcSec = 0.1, persistentRdds = 0, storageBytes = 0L)
+    val json = Bench.renderJson(rs, sfDir, gcSec = 0.1, persistentRdds = 0, storageBytes = 0L,
+      regs = Nil, warmSharedSec = 0.0)
     assert(json.contains("\"boom\":-1.0"), json)
     assert(json.contains("\"failed\":1"), json)
     // total sums only successes — the failure must not contribute −1
     val total = """"value":([-0-9.eE]+)""".r.findFirstMatchIn(json).get.group(1).toDouble
     assert(total >= 0.0, json)
+  }
+
+  test("regression alarm: pinned queries over 2x and 0.5s flag; others don't") {
+    val rs = Seq(
+      Bench.QResult("q_slow", 7.29, None),     // pinned 1.93 -> 3.8x, flags
+      Bench.QResult("q_jitter", 0.12, None),   // pinned 0.05 -> 2.4x but under abs floor
+      Bench.QResult("q_fine", 1.00, None),     // pinned 0.90 -> 1.1x
+      Bench.QResult("q_unpinned", 9.0, None),  // no pin -> never flags
+      Bench.QResult("q_broken", -1.0, Some("boom"))) // failures aren't regressions
+    val pins = Map("q_slow" -> 1.93, "q_jitter" -> 0.05, "q_fine" -> 0.9,
+      "q_broken" -> 0.1)
+    val regs = Bench.regressions(rs, pins)
+    assert(regs == Seq(("q_slow", 7.29, 1.93)), regs.toString)
+    val json = Bench.renderJson(rs, sfDir, 0.0, 0, 0L, regs, warmSharedSec = 1.234)
+    assert(json.contains("\"regressions\":{\"q_slow\":[7.29,1.93]}"), json)
+    assert(json.contains("\"warm_shared_sec\":1.234"), json)
+    val summary = Bench.renderSummary(rs, sfDir, regs)
+    assert(summary.contains("\"regressions\":{\"q_slow\":[7.29,1.93]}"), summary)
+  }
+
+  test("loadPins parses a flat json map and tolerates a missing file") {
+    val f = java.nio.file.Files.createTempFile("pins", ".json")
+    java.nio.file.Files.write(f,
+      """{"q01_x": 0.34, "q148_source_overlap":1.93}""".getBytes)
+    val pins = Bench.loadPins(f.toString)
+    assert(pins == Map("q01_x" -> 0.34, "q148_source_overlap" -> 1.93), pins)
+    assert(Bench.loadPins("/nonexistent/pins.json").isEmpty)
+    java.nio.file.Files.delete(f)
   }
 }
