@@ -61,7 +61,15 @@ object FpStress {
     // score sum (q180), and the Herfindahl concentration's share-of-total
     // squares (q181)
     "q175_anova_f", "q179_temperature_mixture", "q180_probe_calibration",
-    "q181_hhi_spend")
+    "q181_hhi_spend",
+    // round-11: the newest double-emitting operators — the tie-corrected
+    // ROC-AUC's per-value histogram algebra (q189), the centroid
+    // silhouette's per-cluster decimal distance sums (q191), the ANN
+    // recall@5 quotients over the q19-vs-q18 match counts (q195), and the
+    // Neyman allocation's FLOOR-quantized weights + Hamilton remainders
+    // (q199)
+    "q189_probe_auc", "q191_centroid_silhouette", "q195_ann_recall",
+    "q199_neyman_allocation")
 
   /** 2-decimal deterministic jitter in [0, 0.96], keyed by (row key, copy) —
     * keeps every jittered double a 2-decimal value so the round(sum, p)

@@ -34,7 +34,12 @@ object PairSweep {
     // index, the one deliberately unpruned plan) and the source-overlap
     // posting fold (q148), both now reading the shared materialized
     // all-shingle table
-    "q144_lsh_eval", "q148_source_overlap")
+    "q144_lsh_eval", "q148_source_overlap",
+    // round-11: the two newest shared-frame miners — directional source
+    // containment (q196, reuses q148's materialized projection, so this
+    // also measures the shared-frame steady state end-to-end) and the RAG
+    // chunk-duplication histogram (q202, md5-keyed count-of-counts)
+    "q196_source_containment", "q202_chunk_dedup")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -1011,6 +1011,15 @@ object Dedup {
           col("tp") / (col("tp") + col("fp"))).otherwise(lit(0.0)))
         .withColumn("recall", when(col("tp") + col("fn") > 0,
           col("tp") / (col("tp") + col("fn"))).otherwise(lit(0.0)))
+        // acceptance floors AS hash-gated columns (r10 directive #7): the
+        // oracle pins TRUE literals, so an LSH dial regression that drops
+        // precision or recall below 0.9 hash-diverges the report instead of
+        // only failing a spec. Integer-exact (10·tp ≥ 9·denominator) — no
+        // double boundary.
+        .withColumn("precision_floor_met",
+          col("tp") * 10L >= (col("tp") + col("fp")) * 9L)
+        .withColumn("recall_floor_met",
+          col("tp") * 10L >= (col("tp") + col("fn")) * 9L)
     },
     Some(s"""WITH docs2 AS (
         SELECT doc_id, string_split(text, ' ') AS words FROM documents
@@ -1040,7 +1049,12 @@ object Dedup {
       )
       SELECT tp, fp, fn,
         CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END AS precision,
-        CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0.0 END AS recall
+        CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0.0 END AS recall,
+        -- PINNED acceptance verdicts (literals, not re-derived): Spark
+        -- computes 10*tp >= 9*denominator; a dial regression flips its
+        -- columns to false and hash-diverges against these
+        TRUE AS precision_floor_met,
+        TRUE AS recall_floor_met
       FROM g"""))
 
   // ---- q163: dedup method report card --------------------------------------

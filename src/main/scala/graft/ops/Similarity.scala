@@ -1055,13 +1055,23 @@ object Similarity {
       val l = knnLsh.run(s, dir).select(col("q_id"), col("neighbor_id"))
       val common = b.join(l, Seq("q_id", "neighbor_id"))
         .groupBy("q_id").agg(count(lit(1)).as("n_common"))
-      b.groupBy("q_id").agg(count(lit(1)).as("n_brute"))
+      val perQuery = b.groupBy("q_id").agg(count(lit(1)).as("n_brute"))
         .join(l.groupBy("q_id").agg(count(lit(1)).as("n_lsh")), Seq("q_id"), "left")
         .join(common, Seq("q_id"), "left")
         .na.fill(0L, Seq("n_lsh", "n_common"))
         .select(col("q_id"), col("n_brute"), col("n_lsh"), col("n_common"),
           (col("n_common").cast("double") / col("n_brute").cast("double"))
             .as("recall_at_5"))
+      // acceptance floor AS a hash-gated column (r10 directive #7): the
+      // oracle pins the EXPECTED verdict as a literal TRUE, so a q19 dial
+      // regression that drops suite recall below the floor flips this to
+      // false on every row and FAILS the driver's hash compare — the gate
+      // moves from OpsSpec-only to the correctness artifact. Micro-averaged
+      // (Σcommon/Σbrute ≥ 0.8 ⇔ 5·Σcommon ≥ 4·Σbrute) in pure integer
+      // arithmetic: no double sum, no rounding-boundary flake.
+      val floorMet = perQuery.agg(
+        (sum("n_common") * 5L >= sum("n_brute") * 4L).as("suite_floor_met"))
+      perQuery.crossJoin(broadcast(floorMet))
     },
     Some(s"""WITH b AS (
         SELECT q_id, neighbor_id FROM (${knnBruteForce.oracle.get})
@@ -1076,7 +1086,11 @@ object Similarity {
              CAST(COALESCE(nl.n_lsh, 0) AS BIGINT) AS n_lsh,
              CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
              CAST(COALESCE(c.n_common, 0) AS DOUBLE)
-               / CAST(nb.n_brute AS DOUBLE) AS recall_at_5
+               / CAST(nb.n_brute AS DOUBLE) AS recall_at_5,
+             -- the PINNED acceptance verdict (not re-derived): Spark computes
+             -- 5*sum(n_common) >= 4*sum(n_brute); a dial regression flips its
+             -- column to false and hash-diverges against this literal
+             TRUE AS suite_floor_met
       FROM (SELECT q_id, count(1) AS n_brute FROM b GROUP BY q_id) nb
       LEFT JOIN (SELECT q_id, count(1) AS n_lsh FROM l GROUP BY q_id) nl
         ON nb.q_id = nl.q_id

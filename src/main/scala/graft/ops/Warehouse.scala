@@ -576,15 +576,21 @@ object Warehouse {
     * violations. */
   private[graft] def edgeAudit(child: DataFrame, ck: String,
       parent: DataFrame, pk: String, rel: String): DataFrame = {
+    // ONE pass: the child key column left-joins the (distinct, hence
+    // fanout-free) parent key column, and base counts + orphan counts fall
+    // out of the same aggregate — the previous base-agg + anti-join shape
+    // scanned every child twice (6 lineitem column scans across the 3
+    // lineitem edges; the r11 ratio audit flagged the suite's only
+    // double-scan). NULL child keys are never orphans: the orphan
+    // predicates require k IS NOT NULL, same pinning as before.
     val c = child.select(col(ck).as("k"))
     val p = parent.select(col(pk).as("pk")).distinct()
-    val base = c.agg(count(lit(1)).as("n_child"),
-      countDistinct("k").as("n_child_keys"))
-    val orph = c.filter(col("k").isNotNull)
-      .join(p, col("k") === col("pk"), "left_anti")
-      .agg(count(lit(1)).as("n_orphan_rows"),
-        countDistinct("k").as("n_orphan_keys"))
-    base.crossJoin(orph)
+    val orphan = col("k").isNotNull && col("pk").isNull
+    c.join(p, col("k") === col("pk"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        countDistinct("k").as("n_child_keys"),
+        sum(when(orphan, 1L).otherwise(0L)).as("n_orphan_rows"),
+        countDistinct(when(orphan, col("k"))).as("n_orphan_keys"))
       .select(lit(rel).as("relationship"),
         col("n_child"), col("n_child_keys"),
         col("n_orphan_rows"), col("n_orphan_keys"),

@@ -44,6 +44,9 @@ def main(sfdir: str, outdir: str, repeats: int = 1) -> int:
     for name, err in errors.items():
         print(f"ERROR    {name}: {err}")
     total = sum(s for s, _ in best.values())
+    # per-query times for tools/ratio_audit.py (the per-query 2x-gate join)
+    with open(f"{outdir}/oracle_times.json", "w") as f:
+        json.dump({n: round(s, 4) for n, (s, _) in sorted(best.items())}, f)
     for name in sorted(best, key=lambda n: -best[n][0])[:10]:
         print(f"{best[name][0]:8.3f}s {name} ({best[name][1]} rows)")
     print(json.dumps({"metric": "duckdb_oracle_total", "value": round(total, 3),
