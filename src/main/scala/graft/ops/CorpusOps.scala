@@ -797,17 +797,20 @@ object CorpusOps {
     * that is the cheap path, and the exact side (shingle-keyed
     * intersection join) is the audit run at sample scale. Signatures
     * never exceed |sources|×32 rows, so the pair sweep is a broadcast. */
+  /** The distinct (source, shingle) frame — ONE PlanCache-materialized copy
+    * per (session, dir), derived from the shared all-shingle posting table
+    * (one explode per corpus, shared with q14/q144) instead of re-splitting
+    * raw text. Consumers: q148 (sizes, intersections, ×32 signature mins),
+    * q196 (containment), q209 (novelty ordering). */
+  private def sourceShingles(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(s, "q148_sh", dir, s"$dir/documents.parquet") {
+      Dedup.allShingleRows(s, dir).select("source", "ngram").distinct()
+    }
+
   val sourceOverlap: Q = Q(
     "q148_source_overlap",
     (s, dir) => {
-      // the distinct (source, shingle) frame feeds THREE consumers (sizes,
-      // intersections, ×32 signature mins) — materialize once per (session,
-      // dir) instead of re-running the explode+distinct subtree per branch
-      val sh = graft.PlanCache.cached(s, "q148_sh", dir, s"$dir/documents.parquet") {
-        // derived from the shared all-shingle posting table (one explode per
-        // corpus, shared with q14/q144) instead of re-splitting raw text
-        Dedup.allShingleRows(s, dir).select("source", "ngram").distinct()
-      }
+      val sh = sourceShingles(s, dir)
       val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
       // pair intersections WITHOUT a shingle-keyed self-join: collapse each
       // shingle to its sorted source set (bounded by |sources|), expand the
@@ -1106,9 +1109,7 @@ object CorpusOps {
   val sourceContainment: Q = Q(
     "q196_source_containment",
     (s, dir) => {
-      val sh = graft.PlanCache.cached(s, "q148_sh", dir, s"$dir/documents.parquet") {
-        Dedup.allShingleRows(s, dir).select("source", "ngram").distinct()
-      }
+      val sh = sourceShingles(s, dir)
       val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
       val inter = sh.groupBy("ngram")
         .agg(sort_array(collect_set("source")).as("srcs"))
@@ -1361,10 +1362,223 @@ object CorpusOps {
                AS chunk_frac
       FROM hist CROSS JOIN tot t"""))
 
+  // ---- q203: binned distribution drift (TV / Hellinger / L-inf) ------------
+  /** q203: per-source distribution drift of n_chars between the two corpus
+    * halves (doc_id parity plays two ingestion batches) over 10 equal-width
+    * bins — total variation, Hellinger distance and the max per-bin
+    * deviation per source. Complements q130's KS (a sup over the CDF,
+    * direction-blind at the bin level): TV is the mass that moved,
+    * Hellinger penalizes appearing/vanishing bins hardest, L∞ localizes
+    * the worst bin — the triple a drift monitor actually alarms on. PSI's
+    * ln() term is deliberately NOT used: ln is not bit-stable across
+    * engines (the q116/BM25 rule); TV and Hellinger carry the same signal
+    * with exact-integer and sqrt-only arithmetic (sqrt is IEEE
+    * correctly-rounded, hence bit-identical in both engines).
+    *
+    * FP shape: bin assignment is pure integer DIV; TV and L∞ numerators
+    * are exact BIGINT (|c1·n2 − c2·n1| sums); the Bhattacharyya sum is
+    * ≤10 bit-identical sqrt terms under round(·,6) (small-group rule);
+    * every division is a pinned-shape op on exact inputs.
+    *
+    * Distributed shape: one scan → (source, bin, parity) counts; the rest
+    * is |sources|×10 algebra. The min/max grid scalars broadcast. */
+  val driftReport: Q = Q(
+    "q203_drift_report",
+    (s, dir) => {
+      // the split key is an md5 nibble (the q136 fold idiom), NOT doc_id
+      // parity: the synthetic generator assigns sources by doc_id modulus,
+      // so any doc_id-arithmetic split is perfectly correlated with source
+      // (every source would see one empty half)
+      val d = Tables.documents(s, dir).select(col("source"), col("n_chars"),
+        when(substring(md5(col("doc_id").cast("string")), 1, 1)
+          .between("0", "7"), 0).otherwise(1).as("parity"))
+      val mm = d.agg(min("n_chars").as("mn"), max("n_chars").as("mx"))
+      val cell = d.crossJoin(broadcast(mm))
+        .withColumn("bin", expr("((n_chars - mn) * 10) DIV (mx - mn + 1)"))
+        .groupBy("source", "bin")
+        .agg(sum(when(col("parity") === 0, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("parity") === 1, 1L).otherwise(0L)).as("c2"))
+      val tot = cell.groupBy("source").agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      val dev = abs(col("c1") * col("n2") - col("c2") * col("n1"))
+      // an empty half leaves drift undefined — NULL, never a /0 (reachable
+      // at sf0.001 where a source holds only 2-3 docs)
+      val defined = col("n1") > 0 && col("n2") > 0
+      cell.join(broadcast(tot), "source")
+        .groupBy("source", "n1", "n2")
+        .agg(sum(dev).as("tv_num"), max(dev).as("linf_num"),
+          round(sum(sqrt((col("c1") * col("c2")).cast("double"))), 6).as("bc_sum"))
+        .select(col("source"), col("n1"), col("n2"),
+          when(defined, col("tv_num").cast("double")
+            / (lit(2.0) * col("n1").cast("double") * col("n2").cast("double"))).as("tv"),
+          when(defined, sqrt(greatest(lit(1.0) - col("bc_sum")
+            / sqrt(col("n1").cast("double") * col("n2").cast("double")), lit(0.0))))
+            .as("hellinger"),
+          when(defined, col("linf_num").cast("double")
+            / (col("n1").cast("double") * col("n2").cast("double"))).as("linf"))
+    },
+    Some("""WITH d AS (
+        SELECT source, n_chars,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                      BETWEEN '0' AND '7' THEN 0 ELSE 1 END AS parity
+        FROM documents
+      ), mm AS (
+        SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM d
+      ), cell AS (
+        SELECT source, ((n_chars - mn) * 10) // (mx - mn + 1) AS bin,
+               CAST(SUM(CASE WHEN parity = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN parity = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM d CROSS JOIN mm GROUP BY 1, 2
+      ), tot AS (
+        SELECT source, CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2
+        FROM cell GROUP BY source
+      ), m AS (
+        SELECT cell.source, n1, n2,
+               CAST(SUM(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS tv_num,
+               CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS linf_num,
+               ROUND(SUM(SQRT(CAST(c1 * c2 AS DOUBLE))), 6) AS bc_sum
+        FROM cell JOIN tot ON cell.source = tot.source
+        GROUP BY 1, 2, 3
+      )
+      SELECT source, n1, n2,
+             CASE WHEN n1 > 0 AND n2 > 0 THEN
+               CAST(tv_num AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             END AS tv,
+             CASE WHEN n1 > 0 AND n2 > 0 THEN
+               SQRT(GREATEST(1.0 - bc_sum
+                 / SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 0.0))
+             END AS hellinger,
+             CASE WHEN n1 > 0 AND n2 > 0 THEN
+               CAST(linf_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             END AS linf
+      FROM m"""))
+
+  // ---- q208: dedup survivorship profile ------------------------------------
+  /** q208: what exact dedup DELETES, per source — the kept-vs-dropped
+    * profile (doc count, mean length, mean token count, mean quality
+    * score) that answers the survivorship question a mixture designer must
+    * ask before trusting post-dedup statistics: duplicates are not a
+    * uniform sample (templates are long, spam is short), so the surviving
+    * corpus is biased relative to the crawl, and this report measures that
+    * bias at the only grain that matters for mixture design (per source).
+    *
+    * FP shape: counts and Σn_chars/Σn_words are exact BIGINT; the quality
+    * mean goes through FLOOR(q·10^6)→BIGINT per row (the q199 contract for
+    * arbitrary doubles) so its corpus-wide sum is exact and the final
+    * division is one pinned-shape op.
+    *
+    * Distributed shape: the dedup keeper flag is the same md5-window one
+    * scan q200 uses; everything else is a (source, kept) aggregate —
+    * 2·|sources| output rows. */
+  val dedupSurvivorship: Q = Q(
+    "q208_dedup_survivorship",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("n_words", size(col("words")).cast("long"))
+        .withColumn("stop_n", expr(
+          s"size(filter(words, w -> w IN ${TextOps.inList(TextOps.stopwords)}))").cast("long"))
+        .withColumn("q", TextOps.qualityScore(col("n_words"), col("stop_n")))
+        .withColumn("kept", col("doc_id") ===
+          min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      d.groupBy("source", "kept")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          sum("n_words").as("sum_words"),
+          sum(floor(col("q") * 1000000.0).cast("long")).as("q_sum_u"))
+        .select(col("source"), col("kept"), col("n_docs"),
+          (col("sum_chars").cast("double") / col("n_docs").cast("double"))
+            .as("mean_chars"),
+          (col("sum_words").cast("double") / col("n_docs").cast("double"))
+            .as("mean_words"),
+          (col("q_sum_u").cast("double") / col("n_docs").cast("double")
+            / lit(1000000.0)).as("mean_quality"))
+    },
+    Some(s"""WITH d AS (
+        SELECT source, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               ${TextOps.qualityScoreSql} AS qs,
+               doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS kept
+        FROM documents
+      )
+      SELECT source, kept, count(1) AS n_docs,
+             CAST(SUM(n_chars) AS DOUBLE) / CAST(count(1) AS DOUBLE) AS mean_chars,
+             CAST(SUM(n_words) AS DOUBLE) / CAST(count(1) AS DOUBLE) AS mean_words,
+             CAST(CAST(SUM(CAST(FLOOR(qs * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / CAST(count(1) AS DOUBLE) / 1000000.0 AS mean_quality
+      FROM d GROUP BY source, kept"""))
+
+  // ---- q209: source novelty ordering ---------------------------------------
+  /** q209: marginal vocabulary contribution per source under a pinned
+    * ingestion order (alphabetical) — for each source, its distinct
+    * 3-gram shingle count, how many of those shingles NO earlier source
+    * contains (its novel mass), and the cumulative corpus coverage after
+    * adding it. This is the greedy data-valuation curve behind "which
+    * source do we add next": a source whose novelty_frac is near zero is
+    * already covered by what precedes it (q53 computes the same signal at
+    * document grain; the source grain is what mixture decisions act on).
+    *
+    * Distributed shape: reuses the q148 PlanCache-materialized distinct
+    * (source, shingle) frame; novel mass is one min(source)-per-shingle
+    * aggregate (shingle-keyed, map-side combined); the cumulative curve is
+    * a window over the |sources|-row result. Exact integers throughout. */
+  val sourceNoveltyOrder: Q = Q(
+    "q209_source_novelty_order",
+    (s, dir) => {
+      val sh = sourceShingles(s, dir)
+      val totals = sh.groupBy("source").agg(count(lit(1)).as("n_shingles"))
+      val novel = sh.groupBy("ngram").agg(min("source").as("first_source"))
+        .groupBy(col("first_source").as("source"))
+        .agg(count(lit(1)).as("n_novel"))
+      val grand = novel.agg(sum("n_novel").as("n_corpus"))
+      totals.join(novel, Seq("source"), "left")
+        .na.fill(0L, Seq("n_novel"))
+        .crossJoin(broadcast(grand))
+        .withColumn("cum_novel",
+          sum("n_novel").over(Window.orderBy("source")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("source"), col("n_shingles"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+            .as("novelty_frac"),
+          col("cum_novel"),
+          (col("cum_novel").cast("double") / col("n_corpus").cast("double"))
+            .as("cum_coverage"))
+    },
+    Some("""WITH sh AS (
+        SELECT DISTINCT source, ngram FROM (
+          SELECT source, unnest(list_distinct(list_transform(
+                   range(1, len(words) - 1),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS ngram
+          FROM (SELECT source, string_split(text, ' ') AS words FROM documents
+                WHERE len(string_split(text, ' ')) >= 3)
+        )
+      ), totals AS (
+        SELECT source, count(1) AS n_shingles FROM sh GROUP BY source
+      ), novel AS (
+        SELECT first_source AS source, count(1) AS n_novel FROM (
+          SELECT ngram, MIN(source) AS first_source FROM sh GROUP BY ngram
+        ) GROUP BY first_source
+      ), grand AS (
+        SELECT CAST(SUM(n_novel) AS BIGINT) AS n_corpus FROM novel
+      )
+      SELECT t.source, t.n_shingles,
+             CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+             CAST(COALESCE(n.n_novel, 0) AS DOUBLE)
+               / CAST(t.n_shingles AS DOUBLE) AS novelty_frac,
+             CAST(SUM(COALESCE(n.n_novel, 0))
+               OVER (ORDER BY t.source ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_novel,
+             CAST(SUM(COALESCE(n.n_novel, 0))
+               OVER (ORDER BY t.source ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / CAST(g.n_corpus AS DOUBLE) AS cum_coverage
+      FROM totals t LEFT JOIN novel n ON t.source = n.source
+      CROSS JOIN grand g"""))
+
   val all: Seq[Q] = Seq(piiRedact, decontaminate, mixtureSample, noveltyScore,
     ngramTopK, docPack, embedQuantize, cleanPipeline, zorderKey, docChunks,
     bm25Score, tfidfTopTerms, heavyHitters, corpusCard, ksDrift, sourceOverlap,
     nucleusRetention, vocabGrowth, paddingWaste, zipfOctaves, sourceContainment,
-    cleaningWaterfall, tokenWaterfall, chunkDedup)
+    cleaningWaterfall, tokenWaterfall, chunkDedup, driftReport,
+    dedupSurvivorship, sourceNoveltyOrder)
 }
 

@@ -1112,8 +1112,82 @@ object Dedup {
       UNION ALL ${pairSql("setsim_ppjoin", setSimJoin.oracle.get)}"""
     })
 
+  // ---- q206: memorization-span audit (13-gram duplication) -----------------
+  private val memN = 13
+
+  /** q206: the 13-gram memorization audit — per source, how many documents
+    * contain at least one 13-word span that also occurs in ANOTHER
+    * document, and the total duplicated-span mass. 13 words is the
+    * standard span length for training-data memorization screens (long
+    * enough that a match is essentially never chance, short enough to
+    * catch partial template reuse that document-level dedup misses —
+    * q13/q15 operate at document grain, q115 at character-window grain;
+    * this is the word-span grain those screens report). Spans are
+    * md5-hashed before any shuffle — 16-byte keys, never text.
+    *
+    * Distributed shape: one explode (per-doc distinct spans) → one
+    * hash-keyed df count → one hash-keyed join back and a per-doc then
+    * per-source roll-up. Candidate volume is span count (≈ words/doc −12
+    * per doc), linear in the corpus; no pair expansion anywhere. */
+  val memorizationSpans: Q = Q(
+    "q206_memorization_spans",
+    (s, dir) => {
+      val spans = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= memN)
+        .select(col("doc_id"), col("source"), explode(array_distinct(expr(
+          s"transform(sequence(0, size(ws) - $memN), i -> md5(array_join(slice(ws, i + 1, $memN), ' ')))")))
+          .as("h"))
+      val dupHashes = spans.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select("h")
+      val perDoc = spans.join(dupHashes, Seq("h"), "left_semi")
+        .groupBy("doc_id", "source").agg(count(lit(1)).as("n_dup_spans"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).as("nw"))
+        .filter(col("nw") >= memN)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      docs.join(
+          perDoc.groupBy("source").agg(count(lit(1)).as("n_docs_at_risk"),
+            sum("n_dup_spans").as("n_dup_spans")),
+          Seq("source"), "left")
+        .na.fill(0L, Seq("n_docs_at_risk", "n_dup_spans"))
+        .select(col("source"), col("n_docs"), col("n_docs_at_risk"),
+          col("n_dup_spans"),
+          (col("n_docs_at_risk").cast("double") / col("n_docs").cast("double"))
+            .as("risk_frac"))
+    },
+    Some(s"""WITH d AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+        WHERE len(string_split(text, ' ')) >= $memN
+      ), spans AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(
+                 range(1, len(ws) - ${memN - 2}),
+                 i -> md5(array_to_string(ws[i : i + ${memN - 1}], ' '))))) AS h
+        FROM d
+      ), duph AS (
+        SELECT h FROM spans GROUP BY h HAVING count(1) >= 2
+      ), per_doc AS (
+        SELECT doc_id, source, count(1) AS n_dup_spans
+        FROM spans SEMI JOIN duph USING (h)
+        GROUP BY doc_id, source
+      ), docs AS (
+        SELECT source, count(1) AS n_docs FROM d GROUP BY source
+      ), risk AS (
+        SELECT source, count(1) AS n_docs_at_risk,
+               CAST(SUM(n_dup_spans) AS BIGINT) AS n_dup_spans
+        FROM per_doc GROUP BY source
+      )
+      SELECT d.source, d.n_docs,
+             CAST(COALESCE(r.n_docs_at_risk, 0) AS BIGINT) AS n_docs_at_risk,
+             CAST(COALESCE(r.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+             CAST(COALESCE(r.n_docs_at_risk, 0) AS DOUBLE)
+               / CAST(d.n_docs AS DOUBLE) AS risk_frac
+      FROM docs d LEFT JOIN risk r ON d.source = r.source"""))
+
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, editDistance,
       incrementalDedup, fuzzyDecontaminate, setSimJoin, substringSpans,
-      containmentJoin, cdcChunks, lshEval, dedupReport)
+      containmentJoin, cdcChunks, lshEval, dedupReport, memorizationSpans)
 }

@@ -1384,10 +1384,52 @@ object EventOps {
                AS cum_frac
       FROM b"""))
 
+  // ---- q210: intra-day duplicate-event rate --------------------------------
+  /** q210: per-day duplicate-delivery rate — the fraction of events whose
+    * full identity tuple (user, type, value) already occurred earlier the
+    * same day. At-least-once ingestion (Kafka redeliveries, client
+    * retries) shows up exactly here, and the per-day series is what an
+    * ingestion SLO tracks: a redelivery storm is a step in dup_frac days
+    * before it is a step in volume. Rank-free formulation: per identity
+    * tuple k occurrences contribute k−1 duplicates, so the whole report is
+    * two keyed counts — no window, no ordering tie-break to pin.
+    *
+    * Distributed shape: one (day, user, type, value)-keyed count with
+    * map-side combine, one day-keyed roll-up; |days| output rows. */
+  val intradayDupRate: Q = Q(
+    "q210_intraday_dup_rate",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .select(date_trunc("day", col("ts")).as("day"),
+          col("user_id"), col("event_type"), col("value"))
+        .groupBy("day", "user_id", "event_type", "value")
+        .agg(count(lit(1)).as("k"))
+        .groupBy("day")
+        .agg(sum("k").as("n_events"),
+          sum(col("k") - 1L).as("n_dups"),
+          count(lit(1)).as("n_identities"))
+        .select(col("day"), col("n_events"), col("n_dups"), col("n_identities"),
+          (col("n_dups").cast("double") / col("n_events").cast("double"))
+            .as("dup_frac"))
+    },
+    Some("""WITH ev AS (
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+               user_id, event_type, value
+        FROM events
+      ), ident AS (
+        SELECT day, user_id, event_type, value, count(1) AS k
+        FROM ev GROUP BY 1, 2, 3, 4
+      )
+      SELECT day, CAST(SUM(k) AS BIGINT) AS n_events,
+             CAST(SUM(k - 1) AS BIGINT) AS n_dups,
+             count(1) AS n_identities,
+             CAST(SUM(k - 1) AS DOUBLE) / CAST(SUM(k) AS DOUBLE) AS dup_frac
+      FROM ident GROUP BY day"""))
+
   val all: Seq[Q] = Seq(funnel, watermarkIngest, gapFill, hoppingWindow,
     cohortRetention, debounce, timeWeightedAvg, attribution, peakConcurrency,
     rollingActiveUsers, transitionMatrix, decayedPopularity, intervalUnion,
     bitmapDistinct, volumeAnomaly, incrementalSessions, xcorrLag,
     windowedFunnel, rfmSegments, sequenceFunnels, exactEwma, oooSpearman,
-    orderGaps, fanoBurstiness, latenessProfile)
+    orderGaps, fanoBurstiness, latenessProfile, intradayDupRate)
 }

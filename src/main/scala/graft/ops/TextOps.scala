@@ -610,7 +610,173 @@ object TextOps {
              COALESCE(array_to_string(w[i + 1 : i + $kwicCtx], ' '), '') AS right_ctx
       FROM p WHERE w[i] IN (${kwicTerms.map(t => s"'$t'").mkString(", ")})"""))
 
+  // ---- q204: per-source unigram divergence vs corpus -----------------------
+  /** q204: how far each source's unigram word distribution sits from the
+    * corpus-wide distribution — exact total variation plus Bhattacharyya /
+    * Hellinger — the per-source "is this source linguistically weird"
+    * signal a mixture designer reads next to q130/q203's length drift.
+    * KL/perplexity is deliberately NOT used: ln() is not bit-stable across
+    * engines (the q116/BM25 rule); TV and Hellinger carry the same ranking
+    * with exact-integer and sqrt-only arithmetic.
+    *
+    * FP shape: TV is EXACT — Σ_{w∈src}|c_sw·N − c_w·n_s| is a BIGINT sum,
+    * and the out-of-vocabulary mass Σ_{w∉src} c_w·n_s = (N − cov_s)·n_s
+    * closes the sum without ever materializing the src×vocab complement;
+    * one final division. The Bhattacharyya sum quantizes each
+    * √(c_sw·c_w) term with FLOOR(·1000)→BIGINT (the q199 contract: sqrt
+    * is correctly-rounded hence bit-identical, FLOOR has no tie) — exact
+    * order-independent integer sum, one pinned division chain after.
+    *
+    * Distributed shape: one explode → (source, word) counts; corpus counts
+    * roll up FROM the source counts (no second scan); one word-keyed join;
+    * |sources| output rows. The scalar N broadcasts. */
+  val sourceDivergence: Q = Q(
+    "q204_source_divergence",
+    (s, dir) => {
+      val sw = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+      val cw = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
+      val ns = sw.groupBy("source").agg(sum("c_sw").as("n_src"))
+      val nTot = cw.agg(sum("c_w").as("n_tot"))
+      val bc = col("bc_u").cast("double") / lit(1000.0) /
+        sqrt(col("n_src").cast("double") * col("n_tot").cast("double"))
+      sw.join(cw, "w")
+        .join(broadcast(ns), "source")
+        .crossJoin(broadcast(nTot))
+        .groupBy("source", "n_src", "n_tot")
+        .agg(count(lit(1)).as("vocab_src"),
+          sum("c_w").as("cov"),
+          sum(abs(col("c_sw") * col("n_tot") - col("c_w") * col("n_src")))
+            .as("tv_in"),
+          sum(floor(sqrt((col("c_sw") * col("c_w")).cast("double")) * 1000.0)
+            .cast("long")).as("bc_u"))
+        .select(col("source"), col("n_src"), col("vocab_src"),
+          ((col("tv_in") + (col("n_tot") - col("cov")) * col("n_src")).cast("double")
+            / (lit(2.0) * col("n_src").cast("double") * col("n_tot").cast("double")))
+            .as("tv"),
+          bc.as("bhattacharyya"),
+          sqrt(greatest(lit(1.0) - bc, lit(0.0))).as("hellinger"))
+    },
+    Some("""WITH sw AS (
+        SELECT source, w, count(1) AS c_sw FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+        ) GROUP BY source, w
+      ), cw AS (
+        SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY w
+      ), ns AS (
+        SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_src FROM sw GROUP BY source
+      ), nt AS (
+        SELECT CAST(SUM(c_w) AS BIGINT) AS n_tot FROM cw
+      ), per AS (
+        SELECT sw.source, ns.n_src, nt.n_tot,
+               count(1) AS vocab_src,
+               CAST(SUM(cw.c_w) AS BIGINT) AS cov,
+               CAST(SUM(ABS(sw.c_sw * nt.n_tot - cw.c_w * ns.n_src)) AS BIGINT)
+                 AS tv_in,
+               CAST(SUM(CAST(FLOOR(SQRT(CAST(sw.c_sw * cw.c_w AS DOUBLE)) * 1000.0)
+                 AS BIGINT)) AS BIGINT) AS bc_u
+        FROM sw JOIN cw ON sw.w = cw.w
+        JOIN ns ON sw.source = ns.source
+        CROSS JOIN nt
+        GROUP BY 1, 2, 3
+      )
+      SELECT source, n_src, vocab_src,
+             CAST(tv_in + (n_tot - cov) * n_src AS DOUBLE)
+               / (2.0 * CAST(n_src AS DOUBLE) * CAST(n_tot AS DOUBLE)) AS tv,
+             CAST(bc_u AS DOUBLE) / 1000.0
+               / SQRT(CAST(n_src AS DOUBLE) * CAST(n_tot AS DOUBLE))
+               AS bhattacharyya,
+             SQRT(GREATEST(1.0 - CAST(bc_u AS DOUBLE) / 1000.0
+               / SQRT(CAST(n_src AS DOUBLE) * CAST(n_tot AS DOUBLE)), 0.0))
+               AS hellinger
+      FROM per"""))
+
+  // ---- q205: language-ID confusion matrix ----------------------------------
+  /** q205: the confusion matrix of q21's n-gram-heuristic language ID
+    * against the declared `lang` column — per (declared, predicted) cell,
+    * count plus the share of the declared language's documents — the
+    * language-routing audit that decides whether the cheap classifier is
+    * good enough to gate a per-language pipeline (and, off-diagonal, WHICH
+    * confusions it makes). Reuses q21's scored frame verbatim, so the
+    * matrix can never drift from the classifier it grades.
+    *
+    * Distributed shape: one (lang, predicted)-keyed count over q21's
+    * per-row output, a broadcast per-lang total join; ≤|langs|² rows. */
+  val langConfusion: Q = Q(
+    "q205_lang_confusion",
+    (s, dir) => {
+      val p = textLangId.run(s, dir).select("lang", "predicted_lang")
+      val cells = p.groupBy("lang", "predicted_lang").agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy("lang").agg(sum("n").as("n_lang"))
+      cells.join(broadcast(totals), "lang")
+        .select(col("lang"), col("predicted_lang"), col("n"), col("n_lang"),
+          (col("n").cast("double") / col("n_lang").cast("double")).as("frac"),
+          (col("lang") === col("predicted_lang")).as("is_diagonal"))
+    },
+    Some(s"""WITH p AS (${textLangId.oracle.get}),
+      cells AS (
+        SELECT lang, predicted_lang, count(1) AS n
+        FROM p GROUP BY lang, predicted_lang
+      ), totals AS (
+        SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang FROM cells GROUP BY lang
+      )
+      SELECT c.lang, c.predicted_lang, c.n, t.n_lang,
+             CAST(c.n AS DOUBLE) / CAST(t.n_lang AS DOUBLE) AS frac,
+             c.lang = c.predicted_lang AS is_diagonal
+      FROM cells c JOIN totals t ON c.lang = t.lang"""))
+
+  // ---- q207: n-gram diversity (distinct-n) ---------------------------------
+  /** q207: per-source distinct-n diversity for n = 1, 2, 3 — distinct
+    * n-grams over total n-grams, the standard text-diversity ratio that
+    * flags template-heavy or machine-generated sources (low distinct-2/3
+    * with normal distinct-1 is the boilerplate signature; q41 scores the
+    * same signal per document, this is the source-grain roll-up mixture
+    * decisions act on). N-grams are md5-hashed before the distinct count,
+    * so the shuffle carries 16-byte keys, never n-gram text.
+    *
+    * Distributed shape: one explode per n (the n=1 leg reuses the token
+    * split), each a (source, hash)-keyed distinct + count — map-side
+    * combined; 3·|sources| output rows. */
+  val ngramDiversity: Q = Q(
+    "q207_ngram_diversity",
+    (s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(col("source"), split(col("text"), " ").as("ws"))
+      def leg(n: Int): org.apache.spark.sql.DataFrame = {
+        val grams =
+          if (n == 1) words.select(col("source"), explode(col("ws")).as("g"))
+          else words.filter(size(col("ws")) >= n)
+            .select(col("source"), explode(expr(
+              s"transform(sequence(0, size(ws) - $n), i -> array_join(slice(ws, i + 1, $n), ' '))"))
+              .as("g"))
+        grams.groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+            countDistinct(md5(col("g"))).as("n_distinct"))
+          .select(lit(n.toLong).as("n"), col("source"), col("n_total"),
+            col("n_distinct"),
+            (col("n_distinct").cast("double") / col("n_total").cast("double"))
+              .as("distinct_frac"))
+      }
+      leg(1).unionAll(leg(2)).unionAll(leg(3))
+    },
+    Some((1 to 3).map { n =>
+      val grams =
+        if (n == 1) "SELECT source, unnest(string_split(text, ' ')) AS g FROM documents"
+        else s"""SELECT source, unnest(list_transform(
+                   range(1, len(ws) - ${n - 2}),
+                   i -> array_to_string(ws[i : i + ${n - 1}], ' '))) AS g
+                 FROM (SELECT source, string_split(text, ' ') AS ws FROM documents
+                       WHERE len(string_split(text, ' ')) >= $n)"""
+      s"""SELECT CAST($n AS BIGINT) AS n, source, count(1) AS n_total,
+            CAST(count(DISTINCT md5(g)) AS BIGINT) AS n_distinct,
+            CAST(count(DISTINCT md5(g)) AS DOUBLE) / CAST(count(1) AS DOUBLE)
+              AS distinct_frac
+          FROM ($grams) GROUP BY source"""
+    }.mkString("\nUNION ALL\n")))
+
   val all: Seq[Q] = Seq(textQuality, textLangId, tokenCount, docFingerprint,
     repetitionScore, lengthOutliers, robustOutliers, phraseSearch,
-    bigramSurprisal, gopherRules, quantileNorm, kwicConcordance)
+    bigramSurprisal, gopherRules, quantileNorm, kwicConcordance,
+    sourceDivergence, langConfusion, ngramDiversity)
 }

@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral coverage for the round-11 corpus-audit operators
+  * (q203–q210): planted synthetic corpora with hand-computable answers
+  * driven through the REGISTERED query entries (the driver's code path),
+  * plus invariants over the real sf0.001 corpus.
+  */
+class R11OpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** Synthetic documents dir with hand-checkable structure. */
+  private lazy val synthDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r11_spec").toString
+    // a 13-word span shared verbatim by docs 1 and 2 (same source), absent
+    // from doc 3; srcB's docs are word-disjoint from srcA's
+    val span = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13"
+    Seq(
+      (1L, s"$span extra1 extra2", "en", "srcA", 60L),
+      (2L, s"lead1 lead2 $span", "en", "srcA", 60L),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13 u14", "en", "srcA", 50L),
+      // srcB: doc 5 is an exact duplicate of doc 4 (dedup drops it);
+      // doc 6 unique
+      (4L, "b1 b2 b3 b4 b5", "en", "srcB", 14L),
+      (5L, "b1 b2 b3 b4 b5", "en", "srcB", 14L),
+      (6L, "c1 c2 c3 c4 c5", "en", "srcB", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q206 finds exactly the planted shared 13-gram span") {
+    val rows = SparkEntry.queries("q206_memorization_spans")(spark, synthDir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = rows("srcA")
+    // docs 1/2/3 all have >= 13 words; only 1 and 2 share a 13-gram
+    assert(a.getAs[Long]("n_docs") === 3L)
+    assert(a.getAs[Long]("n_docs_at_risk") === 2L)
+    // doc1 spans: [w1..w13],[w2..extra1],[w3..extra2]; doc2: [lead1..w11],
+    // [lead2..w12],[w1..w13] — exactly one hash collides per doc
+    assert(a.getAs[Long]("n_dup_spans") === 2L)
+    assert(a.getAs[Double]("risk_frac") === 2.0 / 3.0)
+    // srcB's docs are under 13 words → no srcB row
+    assert(!rows.contains("srcB"))
+  }
+
+  test("q208 splits kept vs dropped on the planted exact duplicate") {
+    val rows = SparkEntry.queries("q208_dedup_survivorship")(spark, synthDir)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Boolean]("kept")) -> r)
+      .toMap
+    assert(rows(("srcB", true)).getAs[Long]("n_docs") === 2L)  // docs 4, 6
+    assert(rows(("srcB", false)).getAs[Long]("n_docs") === 1L) // doc 5
+    assert(!rows.contains(("srcA", false)))                    // no dups in srcA
+    assert(rows(("srcA", true)).getAs[Long]("n_docs") === 3L)
+    // exact means on integer columns: docs 4 and 6 are both 5 words
+    assert(rows(("srcB", true)).getAs[Double]("mean_words") === 5.0)
+  }
+
+  test("q209 novelty: disjoint-vocabulary sources are each fully novel") {
+    val rows = SparkEntry.queries("q209_source_novelty_order")(spark, synthDir)
+      .collect().sortBy(_.getAs[String]("source"))
+    val Seq(a, b) = rows.toSeq
+    // srcA first alphabetically → all its shingles are novel
+    assert(a.getAs[String]("source") === "srcA")
+    assert(a.getAs[Long]("n_novel") === a.getAs[Long]("n_shingles"))
+    assert(a.getAs[Double]("novelty_frac") === 1.0)
+    // srcB shares no words with srcA → also fully novel
+    assert(b.getAs[Long]("n_novel") === b.getAs[Long]("n_shingles"))
+    // cumulative coverage closes at exactly 1
+    assert(b.getAs[Double]("cum_coverage") === 1.0)
+    assert(b.getAs[Long]("cum_novel") ===
+      a.getAs[Long]("n_novel") + b.getAs[Long]("n_novel"))
+  }
+
+  test("q204 divergence: hand-computed TV for a two-source split") {
+    // srcB: 15 tokens of which b1..b5 ×2, c1..c5 ×1; corpus adds srcA's 47
+    val rows = SparkEntry.queries("q204_source_divergence")(spark, synthDir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val words = Tables.documents(spark, synthDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .collect().map(_.getString(0))
+    val bWords = Tables.documents(spark, synthDir)
+      .filter(col("source") === "srcB")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .collect().map(_.getString(0))
+    val n = words.length.toDouble
+    val ns = bWords.length.toDouble
+    val corpus = words.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val src = bWords.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    // keys.toSeq: mapping over the key SET would dedupe equal per-word
+    // terms (five b-words contribute five identical |Δp| values)
+    val tv = corpus.keys.toSeq.map { w =>
+      math.abs(src.getOrElse(w, 0.0) / ns - corpus(w) / n)
+    }.sum / 2.0
+    val got = rows("srcB").getAs[Double]("tv")
+    assert(math.abs(got - tv) < 1e-12, s"tv $got vs hand $tv")
+    // Hellinger within the 1e-3 quantization grid of a driver recompute
+    val bc = corpus.keys.toSeq.map { w =>
+      math.sqrt(src.getOrElse(w, 0.0) / ns * corpus(w) / n)
+    }.sum
+    val h = math.sqrt(math.max(1.0 - bc, 0.0))
+    assert(math.abs(rows("srcB").getAs[Double]("hellinger") - h) < 1e-2)
+    assert(rows("srcB").getAs[Long]("vocab_src") === src.size.toLong)
+  }
+
+  test("q205 confusion matrix rows partition q21's output") {
+    val m = SparkEntry.queries("q205_lang_confusion")(spark, sfDir).collect()
+    val q21 = SparkEntry.queries("q21_text_langid")(spark, sfDir)
+    // cell counts sum to the per-declared-lang doc counts
+    val declared = q21.groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    m.groupBy(_.getAs[String]("lang")).foreach { case (lang, cells) =>
+      assert(cells.map(_.getAs[Long]("n")).sum === declared(lang))
+      assert(math.abs(cells.map(_.getAs[Double]("frac")).sum - 1.0) < 1e-12)
+      assert(cells.forall(_.getAs[Long]("n_lang") === declared(lang)))
+    }
+    // diagonal mass equals q21's is_correct count
+    val diag = m.filter(_.getAs[Boolean]("is_diagonal")).map(_.getAs[Long]("n")).sum
+    val correct = q21.agg(sum("is_correct")).head().getLong(0)
+    assert(diag === correct)
+  }
+
+  test("q207 diversity: exact distinct counts on the planted corpus") {
+    val rows = SparkEntry.queries("q207_ngram_diversity")(spark, synthDir)
+      .collect().map(r => (r.getAs[Long]("n"), r.getAs[String]("source")) -> r)
+      .toMap
+    // srcB unigrams: 15 total, 10 distinct (b1..b5 twice, c1..c5 once)
+    val b1 = rows((1L, "srcB"))
+    assert(b1.getAs[Long]("n_total") === 15L)
+    assert(b1.getAs[Long]("n_distinct") === 10L)
+    assert(b1.getAs[Double]("distinct_frac") === 10.0 / 15.0)
+    // srcB bigrams: 4 per 5-word doc ×3 docs = 12 total; doc5 repeats
+    // doc4's 4 bigrams → 8 distinct
+    val b2 = rows((2L, "srcB"))
+    assert(b2.getAs[Long]("n_total") === 12L)
+    assert(b2.getAs[Long]("n_distinct") === 8L)
+  }
+
+  test("q203 drift: uniform-length corpus reports zero drift; real corpus bounded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r11_drift").toString
+    // 40 docs, all n_chars = 100 → one bin, p = q → tv = hellinger = 0 for
+    // any source with both md5-halves populated
+    (1L to 40L).map(i => (i, s"doc $i text", "en", s"s${i % 2}", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    SparkEntry.queries("q203_drift_report")(spark, dir).collect().foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("tv"))) {
+        assert(r.getAs[Double]("tv") === 0.0)
+        assert(r.getAs[Double]("hellinger") === 0.0)
+        assert(r.getAs[Double]("linf") === 0.0)
+      }
+    }
+    // real corpus: metrics in [0,1], linf <= 2*tv (the L1 bound)
+    SparkEntry.queries("q203_drift_report")(spark, sfDir).collect().foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("tv"))) {
+        val (tv, h, li) = (r.getAs[Double]("tv"), r.getAs[Double]("hellinger"),
+          r.getAs[Double]("linf"))
+        assert(tv >= 0.0 && tv <= 1.0 && h >= 0.0 && h <= 1.0)
+        assert(li <= 2.0 * tv + 1e-12)
+      }
+    }
+  }
+
+  test("q210 counts planted same-day redeliveries exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r11_ev").toString
+    val t0 = java.sql.Timestamp.valueOf("2025-03-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2025-03-01 11:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2025-03-02 09:00:00")
+    Seq(
+      (1L, t0, 7L, "click", 1.5, "p"),   // identity X
+      (2L, t1, 7L, "click", 1.5, "p"),   // X redelivered same day
+      (3L, t1, 7L, "click", 2.5, "p"),   // different value → distinct
+      (4L, t2, 7L, "click", 1.5, "p"))   // X again but next day → distinct
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("q210_intraday_dup_rate")(spark, dir)
+      .collect().sortBy(_.getAs[java.sql.Timestamp]("day").getTime)
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Long]("n_events") === 3L)
+    assert(rows(0).getAs[Long]("n_dups") === 1L)
+    assert(rows(0).getAs[Long]("n_identities") === 2L)
+    assert(rows(0).getAs[Double]("dup_frac") === 1.0 / 3.0)
+    assert(rows(1).getAs[Long]("n_dups") === 0L)
+  }
+
+  test("q204/q206/q209 plans: shuffles carry keys/counts, no data-sized broadcast") {
+    // the word-keyed join in q204 must NOT broadcast the corpus count table
+    // at real scale; sizes here are tiny so just pin no cartesian and that
+    // the scalar N enters via BroadcastNestedLoopJoin of a 1-row aggregate
+    val p204 = SparkEntry.queries("q204_source_divergence")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p204.contains("CartesianProduct"), p204)
+    val p209 = SparkEntry.queries("q209_source_novelty_order")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p209.contains("CartesianProduct"), p209)
+  }
+}
