@@ -1574,11 +1574,63 @@ object CorpusOps {
       FROM totals t LEFT JOIN novel n ON t.source = n.source
       CROSS JOIN grand g"""))
 
+  // ---- q213: cross-source boilerplate miner --------------------------------
+  private val bpN = 5      // span width in words
+  private val bpTopK = 100 // removal-list size
+
+  /** q213: the boilerplate REMOVAL LIST — the top-100 5-word spans ranked
+    * by how many distinct sources carry them (then docs, occurrences,
+    * text). Cross-source spread is the boilerplate signature: a phrase
+    * native to one crawl stays in one source, while cookie banners,
+    * licence headers and scraper artifacts recur across unrelated sources
+    * — exactly the spans a cleaning pipeline strips BEFORE dedup so they
+    * stop welding unrelated documents into q40 clusters. q54 ranks by raw
+    * frequency (which top-ranks natural collocations); the n_sources ≥ 2
+    * filter plus spread-first ordering is what makes this a removal list
+    * rather than a frequency table. Output carries the span text (the list
+    * is consumed by a filter), ranked by a fully deterministic tuple.
+    *
+    * Distributed shape: one explode → one span-keyed aggregate (count +
+    * two distinct counts, map-side combined) → TakeOrdered(100); nothing
+    * data-sized reaches the driver. */
+  val boilerplateMiner: Q = Q(
+    "q213_boilerplate_miner",
+    (s, dir) => {
+      val spans = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= bpN)
+        .select(col("source"), col("doc_id"), explode(expr(
+          s"transform(sequence(0, size(ws) - $bpN), i -> array_join(slice(ws, i + 1, $bpN), ' '))"))
+          .as("g"))
+      spans.groupBy("g")
+        .agg(countDistinct("source").as("n_sources"),
+          countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_occ"))
+        .filter(col("n_sources") >= 2)
+        .orderBy(col("n_sources").desc, col("n_docs").desc,
+          col("n_occ").desc, col("g").asc)
+        .limit(bpTopK)
+    },
+    Some(s"""WITH spans AS (
+        SELECT source, doc_id, unnest(list_transform(
+                 range(1, len(ws) - ${bpN - 2}),
+                 i -> array_to_string(ws[i : i + ${bpN - 1}], ' '))) AS g
+        FROM (SELECT source, doc_id, string_split(text, ' ') AS ws
+              FROM documents WHERE len(string_split(text, ' ')) >= $bpN)
+      )
+      SELECT g, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             count(1) AS n_occ
+      FROM spans GROUP BY g
+      HAVING count(DISTINCT source) >= 2
+      ORDER BY n_sources DESC, n_docs DESC, n_occ DESC, g ASC
+      LIMIT $bpTopK"""))
+
   val all: Seq[Q] = Seq(piiRedact, decontaminate, mixtureSample, noveltyScore,
     ngramTopK, docPack, embedQuantize, cleanPipeline, zorderKey, docChunks,
     bm25Score, tfidfTopTerms, heavyHitters, corpusCard, ksDrift, sourceOverlap,
     nucleusRetention, vocabGrowth, paddingWaste, zipfOctaves, sourceContainment,
     cleaningWaterfall, tokenWaterfall, chunkDedup, driftReport,
-    dedupSurvivorship, sourceNoveltyOrder)
+    dedupSurvivorship, sourceNoveltyOrder, boilerplateMiner)
 }
 

@@ -284,5 +284,111 @@ object DedupCluster {
     },
     dedupClusters.oracle)
 
-  val all: Seq[Q] = Seq(dedupClusters, dedupPrune, clusterSplit, starComponents)
+  // ---- q211: dedup-cluster purity audit ------------------------------------
+  /** q211: the quality audit of q40's connected components — per cluster,
+    * the exact full-shingle Jaccard over EVERY member pair (not just the
+    * mined edges): mean and min pairwise similarity plus how many pairs
+    * share no shingle at all. Transitive closure is exactly where dedup
+    * clustering over-merges (a—b—c chains where a and c are unrelated),
+    * and a pair-level gate like q144 cannot see it — the min column here
+    * is the over-merge detector, completing the dedup eval family (q144
+    * grades the pair miner, q163 the method menu, this the clusters a
+    * keep-one sweep actually acts on).
+    *
+    * FP shape: each pair's jaccard is one int/int division; per-cluster
+    * means are round(sum,6)/total over small groups (cluster sizes);
+    * unscored pairs contribute exactly 0 via the closed-form total
+    * k(k−1)/2, never a NULL-skewed average.
+    *
+    * Distributed shape: member shingles prune via the cluster join before
+    * the (component, ngram)-keyed self-join, so candidate volume is
+    * Σ_cluster (k·shingles)², bounded by cluster size — never corpus
+    * pairs. The artifact-published clusters are reused, not re-mined. */
+  val clusterPurity: Q = Q(
+    "q211_cluster_purity",
+    (s, dir) => {
+      val cc = clusters(s, dir).select("doc_id", "component")
+      val sizes = cc.groupBy("component").agg(count(lit(1)).as("n_members"))
+      val ng = Dedup.allShingleRows(s, dir).select("doc_id", "ngram").join(cc, "doc_id")
+      val shCounts = ng.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val pairSim = ng.as("a").join(ng.as("b"),
+          col("a.component") === col("b.component") &&
+            col("a.ngram") === col("b.ngram") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.component").as("component"),
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("common"))
+        .join(shCounts.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(shCounts.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("n_sh", "nb"), "doc_b")
+        .select(col("component"),
+          (col("common").cast("double")
+            / (col("na") + col("nb") - col("common")).cast("double")).as("j"))
+      val perC = pairSim.groupBy("component")
+        .agg(count(lit(1)).as("n_scored_pairs"),
+          round(sum("j"), 6).as("j_sum"), min("j").as("j_min_scored"))
+      sizes.join(perC, Seq("component"), "left")
+        .na.fill(0L, Seq("n_scored_pairs"))
+        .withColumn("n_pairs", expr("n_members * (n_members - 1) DIV 2"))
+        .select(col("component"), col("n_members"), col("n_pairs"),
+          col("n_scored_pairs"),
+          (coalesce(col("j_sum"), lit(0.0))
+            / col("n_pairs").cast("double")).as("mean_jaccard"),
+          when(col("n_scored_pairs") < col("n_pairs"), lit(0.0))
+            .otherwise(col("j_min_scored")).as("min_jaccard"))
+    },
+    Some(s"""WITH RECURSIVE pairs AS (
+        ${Dedup.ngramJaccard.oracle.get}
+      ), cc_edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+      ), walk AS (
+        SELECT u AS doc_id, u AS label FROM cc_edges
+        UNION
+        SELECT e.u AS doc_id, w.label FROM cc_edges e JOIN walk w ON e.v = w.doc_id
+      ), cc AS (
+        SELECT doc_id, MIN(label) AS component FROM walk GROUP BY doc_id
+      ), sizes AS (
+        SELECT component, count(1) AS n_members FROM cc GROUP BY component
+      ), docs2 AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+      ), tng AS (
+        SELECT d.doc_id, c.component, unnest(list_distinct(list_transform(
+                 range(1, len(words) - 1),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS ngram
+        FROM docs2 d JOIN cc c ON d.doc_id = c.doc_id
+      ), shc AS (
+        SELECT doc_id, count(1) AS n_sh FROM tng GROUP BY doc_id
+      ), ps AS (
+        SELECT a.component, a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(1) AS common
+        FROM tng a JOIN tng b ON a.component = b.component
+          AND a.ngram = b.ngram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3
+      ), sim AS (
+        SELECT ps.component,
+               CAST(ps.common AS DOUBLE)
+                 / CAST(sa.n_sh + sb.n_sh - ps.common AS DOUBLE) AS j
+        FROM ps JOIN shc sa ON ps.doc_a = sa.doc_id
+        JOIN shc sb ON ps.doc_b = sb.doc_id
+      ), perc AS (
+        SELECT component, count(1) AS n_scored_pairs,
+               ROUND(SUM(j), 6) AS j_sum, MIN(j) AS j_min_scored
+        FROM sim GROUP BY component
+      )
+      SELECT s.component, s.n_members,
+             CAST(s.n_members * (s.n_members - 1) // 2 AS BIGINT) AS n_pairs,
+             CAST(COALESCE(p.n_scored_pairs, 0) AS BIGINT) AS n_scored_pairs,
+             COALESCE(p.j_sum, 0.0)
+               / CAST(s.n_members * (s.n_members - 1) // 2 AS DOUBLE)
+               AS mean_jaccard,
+             CASE WHEN COALESCE(p.n_scored_pairs, 0)
+                    < s.n_members * (s.n_members - 1) // 2
+                  THEN 0.0 ELSE p.j_min_scored END AS min_jaccard
+      FROM sizes s LEFT JOIN perc p ON s.component = p.component"""))
+
+  val all: Seq[Q] = Seq(dedupClusters, dedupPrune, clusterSplit, starComponents,
+    clusterPurity)
 }

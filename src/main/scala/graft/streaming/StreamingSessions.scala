@@ -785,8 +785,41 @@ object StreamingSessions {
     Some("""SELECT DISTINCT user_id, event_type,
            CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events"""))
 
+  /** q212: the streaming form of q210's intra-day duplicate-delivery rate.
+    * The STATEFUL half — the (day, user, type, value) identity ledger with
+    * per-identity delivery counts — runs as one incremental streaming
+    * aggregation (state = one row per live identity tuple; the continuous
+    * analog adds a day-grain watermark so identities age out after their
+    * day closes). The day-grain roll-up (Σk, Σ(k−1)) is a STATELESS
+    * projection of that ledger and runs batch-side over the published
+    * artifact — the standard two-tier shape for chained aggregates, and
+    * why the batch q210 oracle applies verbatim. splitSourceFiles forces
+    * real multi-batch state updates (an identity delivered in batch 1 and
+    * again in batch 3 must count 2, not appear twice). */
+  val streamingDupRate: Q = Q(
+    "q212_streaming_dup_rate",
+    (s, dir) => {
+      val ledger = streamToArtifact(s, dir, "dup_ledger", "events",
+        p => eventsStream(s, p)
+          .select(date_trunc("day", col("ts")).as("day"),
+            col("user_id"), col("event_type"), col("value"))
+          .groupBy("day", "user_id", "event_type", "value")
+          .agg(count(lit(1)).as("k")),
+        splitSourceFiles = 4)
+      ledger.groupBy("day")
+        .agg(sum("k").as("n_events"),
+          sum(col("k") - 1L).as("n_dups"),
+          count(lit(1)).as("n_identities"))
+        .select(col("day"), col("n_events"), col("n_dups"), col("n_identities"),
+          (col("n_dups").cast("double") / col("n_events").cast("double"))
+            .as("dup_frac"))
+    },
+    // q210's oracle verbatim: driving the static table to completion makes
+    // the streaming ledger exactly the batch identity table
+    graft.ops.EventOps.intradayDupRate.oracle)
+
   val all: Seq[Q] =
     Seq(streamingSessions, streamingDedup, streamingHopping,
       streamingIntervalJoin, streamingOuterJoin, streamingQuota,
-      streamingEnrich, streamingUpsert, streamingWmDedup)
+      streamingEnrich, streamingUpsert, streamingWmDedup, streamingDupRate)
 }

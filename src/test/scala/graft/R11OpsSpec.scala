@@ -188,6 +188,65 @@ class R11OpsSpec extends AnyFunSuite {
     assert(rows(1).getAs[Long]("n_dups") === 0L)
   }
 
+  test("q211 purity: exact-dup cluster scores 1.0, partial-overlap cluster exact") {
+    val rows = SparkEntry.queries("q211_cluster_purity")(spark, synthDir)
+      .collect().map(r => r.getAs[Long]("component") -> r).toMap
+    // docs 4 and 5 are verbatim duplicates → cluster {4,5}, jaccard 1.0
+    val dup = rows(4L)
+    assert(dup.getAs[Long]("n_members") === 2L)
+    assert(dup.getAs[Long]("n_pairs") === 1L)
+    assert(dup.getAs[Double]("mean_jaccard") === 1.0)
+    assert(dup.getAs[Double]("min_jaccard") === 1.0)
+    // docs 1 and 2 share 11 of their 13 3-gram shingles → J = 11/15,
+    // reported through the round(sum, 6) contract
+    val near = rows(1L)
+    assert(near.getAs[Long]("n_members") === 2L)
+    assert(near.getAs[Double]("mean_jaccard") === 0.733333)
+    // real corpus invariants: scored <= total pairs, jaccard in [0.5-able range]
+    SparkEntry.queries("q211_cluster_purity")(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("n_scored_pairs") <= r.getAs[Long]("n_pairs"))
+      val m = r.getAs[Double]("mean_jaccard")
+      assert(m >= 0.0 && m <= 1.0)
+      // mean passes through round(sum, 6); min is exact — compare on the grid
+      assert(r.getAs[Double]("min_jaccard") <= m + 1e-6)
+    }
+  }
+
+  test("q212 streaming dup-rate ledger equals the batch q210 report") {
+    val stream = SparkEntry.queries("q212_streaming_dup_rate")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q210_intraday_dup_rate")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(stream === batch)
+  }
+
+  test("q213 mines the planted cross-source span and drops single-source spans") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r11_bp").toString
+    val banner = "accept all cookies to continue browsing"
+    Seq(
+      (1L, s"$banner page one body text", "en", "srcA", 60L),
+      (2L, s"$banner page two body text", "en", "srcB", 60L),
+      (3L, s"$banner another page entirely here", "en", "srcB", 60L),
+      // single-source repeated phrase — must NOT appear
+      (4L, "local phrase repeated here again now", "en", "srcC", 40L),
+      (5L, "local phrase repeated here again now", "en", "srcC", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q213_boilerplate_miner")(spark, dir).collect()
+    val top = rows.head
+    // "accept all cookies to continue" spans 2 sources, 3 docs, 3 occurrences
+    assert(top.getAs[String]("g") === "accept all cookies to continue")
+    assert(top.getAs[Long]("n_sources") === 2L)
+    assert(top.getAs[Long]("n_docs") === 3L)
+    assert(top.getAs[Long]("n_occ") === 3L)
+    assert(!rows.exists(_.getAs[String]("g").startsWith("local phrase")))
+    // ordering is the documented deterministic tuple
+    val keys = rows.map(r => (-r.getAs[Long]("n_sources"), -r.getAs[Long]("n_docs"),
+      -r.getAs[Long]("n_occ"), r.getAs[String]("g")))
+    assert(keys.sameElements(keys.sorted))
+  }
+
   test("q204/q206/q209 plans: shuffles carry keys/counts, no data-sized broadcast") {
     // the word-keyed join in q204 must NOT broadcast the corpus count table
     // at real scale; sizes here are tiny so just pin no cartesian and that
