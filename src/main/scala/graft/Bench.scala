@@ -135,7 +135,20 @@ object Bench {
     val warmSharedSec = (System.nanoTime() - w0) / 1e9
     warmed.filter(_._2 > 0.2).foreach { case (n, sec) =>
       System.err.println(f"[bench] shared frame '$n' was COLD after warmup: rewarm took $sec%.2f s") }
-    val pins = loadPins(sys.env.getOrElse("SPARK_GRAFT_BENCH_PINS", "bench_pins.json"))
+    // pins are recorded at ONE scale (the "_sf" tag in the file, e.g.
+    // "sf0.1"); a run against any other sf dir skips the alarm — sf1 runs
+    // would otherwise flag every data-proportional query against its
+    // 10×-smaller pin
+    val pinsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PINS", "bench_pins.json")
+    val pinSf = try {
+      "\"_sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(pinsPath)),
+          java.nio.charset.StandardCharsets.UTF_8)).map(_.group(1))
+    } catch { case _: Exception => None }
+    val pins =
+      if (pinSf.forall(t => sfDir.contains(t))) loadPins(pinsPath)
+      else Map.empty[String, Double]
     val gc0 = gcMillis()
     val results = runSuite(spark, sfDir, queries)
     val gcSec = (gcMillis() - gc0) / 1e3

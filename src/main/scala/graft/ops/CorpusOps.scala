@@ -1590,26 +1590,33 @@ object CorpusOps {
     * rather than a frequency table. Output carries the span text (the list
     * is consumed by a filter), ranked by a fully deterministic tuple.
     *
-    * Distributed shape: one explode → one span-keyed aggregate (count +
-    * two distinct counts, map-side combined) → TakeOrdered(100); nothing
-    * data-sized reaches the driver. */
+    * Distributed shape: the heavy aggregate keys on md5(span) — 16-byte
+    * shuffle keys, never span text (the distinct-count expansion defeats
+    * map-side dedup, so a text-keyed aggregate would shuffle O(corpus)
+    * text at 100 TB). Span text is recovered ONLY for the 100 winners via
+    * a broadcast join back to the explode. Top-k ties at the cut break on
+    * the hash in BOTH engines, so the selected set is identical. */
   val boilerplateMiner: Q = Q(
     "q213_boilerplate_miner",
     (s, dir) => {
-      val spans = Tables.documents(s, dir)
+      def spans = Tables.documents(s, dir)
         .select(col("source"), col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= bpN)
         .select(col("source"), col("doc_id"), explode(expr(
           s"transform(sequence(0, size(ws) - $bpN), i -> array_join(slice(ws, i + 1, $bpN), ' '))"))
           .as("g"))
-      spans.groupBy("g")
+      val top = spans.groupBy(md5(col("g")).as("h"))
         .agg(countDistinct("source").as("n_sources"),
           countDistinct("doc_id").as("n_docs"),
           count(lit(1)).as("n_occ"))
         .filter(col("n_sources") >= 2)
         .orderBy(col("n_sources").desc, col("n_docs").desc,
-          col("n_occ").desc, col("g").asc)
+          col("n_occ").desc, col("h").asc)
         .limit(bpTopK)
+      broadcast(top).join(spans.select(md5(col("g")).as("h"), col("g")), "h")
+        .groupBy("h", "n_sources", "n_docs", "n_occ")
+        .agg(min("g").as("g")) // all g under one md5 are the same span
+        .select("g", "n_sources", "n_docs", "n_occ")
     },
     Some(s"""WITH spans AS (
         SELECT source, doc_id, unnest(list_transform(
@@ -1617,14 +1624,18 @@ object CorpusOps {
                  i -> array_to_string(ws[i : i + ${bpN - 1}], ' '))) AS g
         FROM (SELECT source, doc_id, string_split(text, ' ') AS ws
               FROM documents WHERE len(string_split(text, ' ')) >= $bpN)
+      ), top AS (
+        SELECT md5(g) AS h, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               count(1) AS n_occ
+        FROM spans GROUP BY md5(g)
+        HAVING count(DISTINCT source) >= 2
+        ORDER BY n_sources DESC, n_docs DESC, n_occ DESC, h ASC
+        LIMIT $bpTopK
       )
-      SELECT g, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-             count(1) AS n_occ
-      FROM spans GROUP BY g
-      HAVING count(DISTINCT source) >= 2
-      ORDER BY n_sources DESC, n_docs DESC, n_occ DESC, g ASC
-      LIMIT $bpTopK"""))
+      SELECT MIN(spans.g) AS g, t.n_sources, t.n_docs, t.n_occ
+      FROM top t JOIN spans ON md5(spans.g) = t.h
+      GROUP BY t.h, t.n_sources, t.n_docs, t.n_occ"""))
 
   val all: Seq[Q] = Seq(piiRedact, decontaminate, mixtureSample, noveltyScore,
     ngramTopK, docPack, embedQuantize, cleanPipeline, zorderKey, docChunks,
