@@ -1781,10 +1781,84 @@ object Analytics {
       FROM cust c JOIN tot t ON c.nation = t.nation
       GROUP BY c.nation"""))
 
+  // ---- q217: per-source length-quality Pearson correlation -----------------
+  /** q217: exact Pearson correlation between document length (words) and
+    * the q20 quality score, per source — the "is quality just a length
+    * proxy here" check a mixture designer runs before filtering on either
+    * signal (a source where r ≈ 1 gains nothing from a quality floor that
+    * a length floor doesn't already give; q173 ranks event streams by
+    * Spearman, this is the value-grain moment form over documents).
+    *
+    * FP shape: the q175 recipe — quality quantizes to the FLOOR(q·10^6)
+    * BIGINT grid, all five moment sums (Σx, Σx², Σy, Σy², Σxy) are exact
+    * integers, and the correlation is a fixed-shape double chain
+    * (cov/√(varx·vary) from the per-source means) on those exact inputs;
+    * sqrt is correctly rounded, so both engines agree bit-for-bit.
+    * Undefined (zero variance either side) → NULL, never /0.
+    *
+    * Distributed shape: one scan, one map-side-combined per-source moment
+    * aggregate; |sources| rows of driver-free algebra. */
+  val lengthQualityCorr: Q = Q(
+    "q217_length_quality_corr",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("x", size(col("words")).cast("long"))
+        .withColumn("stop_n", expr(
+          s"size(filter(words, w -> w IN ${TextOps.inList(TextOps.stopwords)}))").cast("long"))
+        .withColumn("y",
+          floor(TextOps.qualityScore(col("x"), col("stop_n")) * 1000000.0).cast("long"))
+      val m = d.groupBy("source").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"),
+        sum("y").as("sy"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      val nD = col("n").cast("double")
+      val mx = col("sx").cast("double") / nD
+      val my = col("sy").cast("double") / nD
+      val varx = col("sxx").cast("double") / nD - mx * mx
+      val vary = col("syy").cast("double") / nD - my * my
+      val cov = col("sxy").cast("double") / nD - mx * my
+      m.select(col("source"), col("n").as("n_docs"),
+        mx.as("mean_words"), (my / lit(1000000.0)).as("mean_quality"),
+        when(varx > 0 && vary > 0, cov / sqrt(varx * vary)).as("pearson_r"))
+    },
+    Some(s"""WITH d AS (
+        SELECT source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+               CAST(FLOOR((${TextOps.qualityScoreSql}) * 1000000.0) AS BIGINT) AS y
+        FROM documents
+      ), m AS (
+        SELECT source, count(1) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM d GROUP BY source
+      )
+      SELECT source, n AS n_docs,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_words,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mean_quality,
+             CASE WHEN CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+                   AND CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+               THEN (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                    / SQRT((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                             - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                           * (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                             - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                               * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))
+               END AS pearson_r
+      FROM m"""))
+
   val all: Seq[Q] = Seq(windowSuite, setOps, rollup, asofJoin, sqlDdl,
     approxDistinct, percentileStats, pivot, unpivot, cube, countMin, nestedAgg,
     histogram, cooccurrence, weightedMedian, trailingWindow, groupingSets,
     equidepthHist, tradePageRank, groupwiseOls, marketShare, triangles,
     chi2Independence, rollingMedian, giniSpend, anovaF, hhiSpend, jackknifeCi,
-    trimmedMean, benfordAudit)
+    trimmedMean, benfordAudit, lengthQualityCorr)
 }

@@ -1637,11 +1637,211 @@ object CorpusOps {
       FROM top t JOIN spans ON md5(spans.g) = t.h
       GROUP BY t.h, t.n_sources, t.n_docs, t.n_occ"""))
 
+  // ---- q214: cross-source copy matrix (prefix grain) -----------------------
+  private val dupPrefixWords = 20
+
+  /** q214: copy flow between sources at the LEADING-PREFIX grain — for
+    * each source pair, how many distinct 20-word document openings both
+    * carry, with each side's distinct-prefix total and the Jaccard of
+    * their prefix sets. Syndication and scraper recycling rarely survive
+    * as byte-identical documents (footers, timestamps and ads differ) but
+    * the article OPENING does — the prefix grain is how "same story,
+    * different wrapper" flows are actually counted, sitting between q13's
+    * full-text md5 and q148's bag-of-shingles overlap. Prefixes hash to
+    * md5 before any shuffle.
+    *
+    * Distributed shape: one (source, md5) distinct, one md5-keyed
+    * sorted-source-set fold with row-local pair expansion (the q148
+    * shape — never a posting-list self-join); |sources|² output rows. */
+  val sourceDupMatrix: Q = Q(
+    "q214_source_dup_matrix",
+    (s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("source"), md5(expr(
+          s"array_join(slice(split(text, ' '), 1, $dupPrefixWords), ' ')")).as("h"))
+        .distinct()
+      val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      val pairs = sh.groupBy("h")
+        .agg(sort_array(collect_set("source")).as("srcs"))
+        .filter(size(col("srcs")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(srcs, (a, i) ->
+               transform(slice(srcs, i + 2, size(srcs)), b -> struct(a AS src_a, b AS src_b))))"""))
+          .as("p"))
+        .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      pairs
+        .join(broadcast(sizes).withColumnRenamed("source", "src_a")
+          .withColumnRenamed("n", "na"), "src_a")
+        .join(broadcast(sizes).withColumnRenamed("source", "src_b")
+          .withColumnRenamed("n", "nb"), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_shared"), col("na"), col("nb"),
+          (col("n_shared").cast("double")
+            / (col("na") + col("nb") - col("n_shared")).cast("double"))
+            .as("text_jaccard"))
+    },
+    Some(s"""WITH sh AS (
+        SELECT DISTINCT source,
+               md5(array_to_string(string_split(text, ' ')[1 : $dupPrefixWords], ' ')) AS h
+        FROM documents
+      ), sizes AS (
+        SELECT source, count(1) AS n FROM sh GROUP BY source
+      ), pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(1) AS n_shared
+        FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+      )
+      SELECT p.src_a, p.src_b, p.n_shared, sa.n AS na, sb.n AS nb,
+             CAST(p.n_shared AS DOUBLE)
+               / CAST(sa.n + sb.n - p.n_shared AS DOUBLE) AS text_jaccard
+      FROM pairs p JOIN sizes sa ON p.src_a = sa.source
+      JOIN sizes sb ON p.src_b = sb.source"""))
+
+  // ---- q215: eval-leak surface per source ----------------------------------
+  /** q215: decontamination risk at SOURCE grain — for each source's
+    * TRAINING slice, what fraction of its distinct 5-gram spans also
+    * occur in the eval slice, and how many of its documents carry at
+    * least one such span. q51 flags individual documents; this is the
+    * report that decides which SOURCE needs aggressive decontamination
+    * before mixing (a high leak_frac source shares provenance with the
+    * eval set — dropping flagged docs is not enough, its unflagged
+    * remainder is suspect too). Span hashes join a broadcast eval-side
+    * set (small by construction, the q51 premise).
+    *
+    * Distributed shape: one explode over train docs → distinct (source,
+    * doc, hash) → broadcast semi-join against eval hashes → two keyed
+    * counts; |sources| rows out. */
+  val evalLeakSurface: Q = Q(
+    "q215_eval_leak_surface",
+    (s, dir) => {
+      def grams(df: DataFrame) = df
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= contamN)
+        .select(col("doc_id"), col("source"), explode(array_distinct(expr(
+          s"transform(sequence(0, size(ws) - $contamN), i -> md5(array_join(slice(ws, i + 1, $contamN), ' ')))")))
+          .as("h"))
+      val docs = Tables.documents(s, dir)
+      val evalH = grams(docs.filter(col("doc_id") % evalMod === 0))
+        .select("h").distinct()
+      val train = grams(docs.filter(col("doc_id") % evalMod =!= 0))
+      val perDoc = train
+        .join(broadcast(evalH), Seq("h"), "left_semi")
+        .groupBy("doc_id", "source").agg(count(lit(1)).as("n_leaked"))
+      val spanTot = train.groupBy("source")
+        .agg(countDistinct("h").as("n_spans"), countDistinct("doc_id").as("n_docs"))
+      val leak = perDoc.groupBy("source")
+        .agg(count(lit(1)).as("n_docs_leaky"), sum("n_leaked").as("n_leaked_spans"))
+      val leakSpans = train.join(broadcast(evalH), Seq("h"), "left_semi")
+        .groupBy("source").agg(countDistinct("h").as("n_spans_leaked"))
+      spanTot.join(leak, Seq("source"), "left")
+        .join(leakSpans, Seq("source"), "left")
+        .na.fill(0L, Seq("n_docs_leaky", "n_leaked_spans", "n_spans_leaked"))
+        .select(col("source"), col("n_docs"), col("n_docs_leaky"),
+          col("n_spans"), col("n_spans_leaked"),
+          (col("n_docs_leaky").cast("double") / col("n_docs").cast("double"))
+            .as("doc_leak_frac"),
+          (col("n_spans_leaked").cast("double") / col("n_spans").cast("double"))
+            .as("span_leak_frac"))
+    },
+    Some(s"""WITH g AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(
+                 range(1, len(ws) - ${contamN - 2}),
+                 i -> md5(array_to_string(ws[i : i + ${contamN - 1}], ' '))))) AS h
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+              FROM documents WHERE len(string_split(text, ' ')) >= $contamN)
+      ), evalh AS (
+        SELECT DISTINCT h FROM g WHERE doc_id % $evalMod = 0
+      ), train AS (
+        SELECT * FROM g WHERE doc_id % $evalMod <> 0
+      ), tot AS (
+        SELECT source, CAST(count(DISTINCT h) AS BIGINT) AS n_spans,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM train GROUP BY source
+      ), leaky AS (
+        SELECT source,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_leaky,
+               count(1) AS n_leaked_spans,
+               CAST(count(DISTINCT h) AS BIGINT) AS n_spans_leaked
+        FROM train SEMI JOIN evalh USING (h)
+        GROUP BY source
+      )
+      SELECT t.source, t.n_docs,
+             CAST(COALESCE(l.n_docs_leaky, 0) AS BIGINT) AS n_docs_leaky,
+             t.n_spans,
+             CAST(COALESCE(l.n_spans_leaked, 0) AS BIGINT) AS n_spans_leaked,
+             CAST(COALESCE(l.n_docs_leaky, 0) AS DOUBLE)
+               / CAST(t.n_docs AS DOUBLE) AS doc_leak_frac,
+             CAST(COALESCE(l.n_spans_leaked, 0) AS DOUBLE)
+               / CAST(t.n_spans AS DOUBLE) AS span_leak_frac
+      FROM tot t LEFT JOIN leaky l ON t.source = l.source"""))
+
+  // ---- q216: Pareto token-coverage profile ---------------------------------
+  /** q216: how top-heavy each source is — the minimum number of documents
+    * (longest first) that cover 50% and 90% of the source's tokens, plus
+    * the token share of its top decile of documents. A source where 2% of
+    * documents carry half the tokens weights its mixture share toward a
+    * handful of giants — the q138/q179 token-budget allocators assume
+    * within-source homogeneity this report checks. Exact integers: ranks
+    * come from a per-source window ordered by (n_words DESC, doc_id),
+    * thresholds are integer cross-multiplications (2·cum ≥ total), never
+    * a double quantile.
+    *
+    * Distributed shape: one scan → per-source window (partition-parallel
+    * across sources; a pathologically giant source serializes its own
+    * partition — the documented skew caveat) → one conditional aggregate;
+    * |sources| rows out. */
+  val paretoCoverage: Q = Q(
+    "q216_pareto_coverage",
+    (s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_words").desc, col("doc_id").asc)
+      val d = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_words"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("cum", sum("n_words").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_words").as("total_tokens"))
+      d.join(broadcast(tot), "source")
+        .groupBy("source", "n_docs", "total_tokens")
+        .agg(min(when(col("cum") * 2 >= col("total_tokens"), col("rk"))).as("k50"),
+          min(when(col("cum") * 10 >= col("total_tokens") * 9, col("rk"))).as("k90"),
+          max(when(col("rk") * 10 <= col("n_docs"), col("cum"))).as("top_decile_cum"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("k50"), col("k90"),
+          (coalesce(col("top_decile_cum"), lit(0L)).cast("double")
+            / col("total_tokens").cast("double")).as("top_decile_token_frac"))
+    },
+    Some("""WITH d AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        FROM documents
+      ), r AS (
+        SELECT source, doc_id, n_words,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rk,
+               CAST(SUM(n_words) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM d WINDOW w AS (PARTITION BY source ORDER BY n_words DESC, doc_id ASC)
+      ), tot AS (
+        SELECT source, count(1) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS total_tokens
+        FROM d GROUP BY source
+      )
+      SELECT r.source, t.n_docs, t.total_tokens,
+             CAST(MIN(CASE WHEN r.cum * 2 >= t.total_tokens THEN r.rk END) AS BIGINT) AS k50,
+             CAST(MIN(CASE WHEN r.cum * 10 >= t.total_tokens * 9 THEN r.rk END) AS BIGINT) AS k90,
+             CAST(COALESCE(MAX(CASE WHEN r.rk * 10 <= t.n_docs THEN r.cum END), 0) AS DOUBLE)
+               / CAST(t.total_tokens AS DOUBLE) AS top_decile_token_frac
+      FROM r JOIN tot t ON r.source = t.source
+      GROUP BY r.source, t.n_docs, t.total_tokens"""))
+
   val all: Seq[Q] = Seq(piiRedact, decontaminate, mixtureSample, noveltyScore,
     ngramTopK, docPack, embedQuantize, cleanPipeline, zorderKey, docChunks,
     bm25Score, tfidfTopTerms, heavyHitters, corpusCard, ksDrift, sourceOverlap,
     nucleusRetention, vocabGrowth, paddingWaste, zipfOctaves, sourceContainment,
     cleaningWaterfall, tokenWaterfall, chunkDedup, driftReport,
-    dedupSurvivorship, sourceNoveltyOrder, boilerplateMiner)
+    dedupSurvivorship, sourceNoveltyOrder, boilerplateMiner, sourceDupMatrix,
+    evalLeakSurface, paretoCoverage)
 }
 

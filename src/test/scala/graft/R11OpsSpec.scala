@@ -246,6 +246,97 @@ class R11OpsSpec extends AnyFunSuite {
     assert(rows.length <= 100)
   }
 
+  test("q214 counts the planted shared 20-word opening across sources") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r11_dupm").toString
+    val opening = (1 to 20).map(i => s"o$i").mkString(" ")
+    Seq(
+      (1L, s"$opening tail one here", "en", "srcA", 90L),
+      (2L, s"$opening different tail text", "en", "srcB", 95L),
+      (3L, "u1 u2 u3 unrelated", "en", "srcA", 20L),
+      (4L, "v1 v2 v3 other", "en", "srcB", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q214_source_dup_matrix")(spark, dir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[String]("src_a") === "srcA" && r.getAs[String]("src_b") === "srcB")
+    assert(r.getAs[Long]("n_shared") === 1L)
+    assert(r.getAs[Long]("na") === 2L && r.getAs[Long]("nb") === 2L)
+    assert(r.getAs[Double]("text_jaccard") === 1.0 / 3.0)
+  }
+
+  test("q215 flags the source whose train doc copies an eval span") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r11_leak").toString
+    val span = "alpha beta gamma delta epsilon"
+    Seq(
+      // doc 20 is eval (20 % 20 == 0) and carries the span
+      (20L, s"$span zeta eta", "en", "srcE", 40L),
+      // train doc in srcA copies the span → leaky
+      (1L, s"intro words $span outro", "en", "srcA", 50L),
+      // train doc in srcB shares nothing with eval
+      (2L, "one two three four five six", "en", "srcB", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q215_eval_leak_surface")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = rows("srcA")
+    assert(a.getAs[Long]("n_docs") === 1L)
+    assert(a.getAs[Long]("n_docs_leaky") === 1L)
+    assert(a.getAs[Double]("doc_leak_frac") === 1.0)
+    // doc 1 has 8 words → 4 distinct 5-grams; exactly 1 is the eval span
+    assert(a.getAs[Long]("n_spans") === 4L)
+    assert(a.getAs[Long]("n_spans_leaked") === 1L)
+    val b = rows("srcB")
+    assert(b.getAs[Long]("n_docs_leaky") === 0L)
+    assert(b.getAs[Double]("span_leak_frac") === 0.0)
+    // the eval source itself has no train docs → absent
+    assert(!rows.contains("srcE"))
+  }
+
+  test("q216 computes k50/k90 exactly on a hand-built skewed source") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r11_pareto").toString
+    def words(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    Seq(
+      (1L, words(10, "a"), "en", "srcA", 60L),  // 10 words
+      (2L, words(5, "b"), "en", "srcA", 30L),   // 5
+      (3L, words(5, "c"), "en", "srcA", 30L))   // 5; total 20
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q216_pareto_coverage")(spark, dir).head()
+    assert(r.getAs[Long]("n_docs") === 3L)
+    assert(r.getAs[Long]("total_tokens") === 20L)
+    assert(r.getAs[Long]("k50") === 1L)  // top doc alone: 10/20 = 50%
+    assert(r.getAs[Long]("k90") === 3L)  // 15/20 < 90%, needs all three
+    assert(r.getAs[Double]("top_decile_token_frac") === 0.0) // floor(3/10)=0 docs
+  }
+
+  test("q217 reports r = 1 when quality is an exact linear function of length") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r11_corr").toString
+    // all docs under 20 words, zero stopwords → q = n_words/20 exactly
+    def words(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    Seq(
+      (1L, words(4, "a"), "en", "srcL", 20L),
+      (2L, words(8, "b"), "en", "srcL", 40L),
+      (3L, words(12, "c"), "en", "srcL", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q217_length_quality_corr")(spark, dir).head()
+    assert(r.getAs[Long]("n_docs") === 3L)
+    assert(r.getAs[Double]("mean_words") === 8.0)
+    assert(math.abs(r.getAs[Double]("pearson_r") - 1.0) < 1e-9)
+    // real corpus: r defined and in [-1, 1] for every source
+    SparkEntry.queries("q217_length_quality_corr")(spark, sfDir).collect().foreach { row =>
+      if (!row.isNullAt(row.fieldIndex("pearson_r"))) {
+        val v = row.getAs[Double]("pearson_r")
+        assert(v >= -1.0 - 1e-12 && v <= 1.0 + 1e-12)
+      }
+    }
+  }
+
   test("q204/q206/q209 plans: shuffles carry keys/counts, no data-sized broadcast") {
     // the word-keyed join in q204 must NOT broadcast the corpus count table
     // at real scale; sizes here are tiny so just pin no cartesian and that
