@@ -1836,12 +1836,76 @@ object CorpusOps {
       FROM r JOIN tot t ON r.source = t.source
       GROUP BY r.source, t.n_docs, t.total_tokens"""))
 
+  // ---- q220: source report card --------------------------------------------
+  /** q220: the one-screen source scorecard a mixture review reads — per
+    * source: mean quality and the length-quality Pearson (q217), the
+    * eval-leak surface (q215), token top-heaviness (q216), and the
+    * exact-dup drop share (q208's kept/dropped split collapsed to a
+    * fraction), with deterministic quality and leak rank columns. Every
+    * underlying plan is reused verbatim, so the card cannot drift from
+    * the reports it summarizes; the oracle recomposes the same four
+    * oracles as CTEs, so even the composition is hash-gated.
+    *
+    * Distributed shape: four |sources|-row frames joined on source; rank
+    * windows run over |sources| rows. Adds no data-sized work beyond its
+    * inputs. */
+  val sourceReportCard: Q = Q(
+    "q220_source_report_card",
+    (s, dir) => {
+      val corr = Analytics.lengthQualityCorr.run(s, dir)
+        .select("source", "n_docs", "mean_quality", "pearson_r")
+      val leak = evalLeakSurface.run(s, dir)
+        .select("source", "doc_leak_frac", "span_leak_frac")
+      val pareto = paretoCoverage.run(s, dir)
+        .select("source", "k50", "top_decile_token_frac")
+      val dup = dedupSurvivorship.run(s, dir)
+        .groupBy("source")
+        .agg((sum(when(col("kept"), 0L).otherwise(col("n_docs"))).cast("double")
+          / sum("n_docs").cast("double")).as("dup_drop_frac"))
+      val card = corr
+        .join(leak, Seq("source"), "left")
+        .join(pareto, Seq("source"), "left")
+        .join(dup, Seq("source"), "left")
+      card
+        .withColumn("quality_rank", row_number().over(
+          Window.orderBy(col("mean_quality").desc, col("source").asc)).cast("long"))
+        .withColumn("leak_rank", row_number().over(
+          Window.orderBy(coalesce(col("span_leak_frac"), lit(2.0)).asc,
+            col("source").asc)).cast("long"))
+    },
+    Some(s"""WITH corr AS (
+        SELECT source, n_docs, mean_quality, pearson_r
+        FROM (${Analytics.lengthQualityCorr.oracle.get})
+      ), leak AS (
+        SELECT source, doc_leak_frac, span_leak_frac
+        FROM (${evalLeakSurface.oracle.get})
+      ), pareto AS (
+        SELECT source, k50, top_decile_token_frac
+        FROM (${paretoCoverage.oracle.get})
+      ), dup AS (
+        SELECT source,
+               CAST(SUM(CASE WHEN kept THEN 0 ELSE n_docs END) AS DOUBLE)
+                 / CAST(SUM(n_docs) AS DOUBLE) AS dup_drop_frac
+        FROM (${dedupSurvivorship.oracle.get}) GROUP BY source
+      )
+      SELECT c.source, c.n_docs, c.mean_quality, c.pearson_r,
+             l.doc_leak_frac, l.span_leak_frac,
+             p.k50, p.top_decile_token_frac, d.dup_drop_frac,
+             CAST(ROW_NUMBER() OVER (ORDER BY c.mean_quality DESC, c.source ASC)
+               AS BIGINT) AS quality_rank,
+             CAST(ROW_NUMBER() OVER (ORDER BY COALESCE(l.span_leak_frac, 2.0) ASC,
+               c.source ASC) AS BIGINT) AS leak_rank
+      FROM corr c
+      LEFT JOIN leak l ON c.source = l.source
+      LEFT JOIN pareto p ON c.source = p.source
+      LEFT JOIN dup d ON c.source = d.source"""))
+
   val all: Seq[Q] = Seq(piiRedact, decontaminate, mixtureSample, noveltyScore,
     ngramTopK, docPack, embedQuantize, cleanPipeline, zorderKey, docChunks,
     bm25Score, tfidfTopTerms, heavyHitters, corpusCard, ksDrift, sourceOverlap,
     nucleusRetention, vocabGrowth, paddingWaste, zipfOctaves, sourceContainment,
     cleaningWaterfall, tokenWaterfall, chunkDedup, driftReport,
     dedupSurvivorship, sourceNoveltyOrder, boilerplateMiner, sourceDupMatrix,
-    evalLeakSurface, paretoCoverage)
+    evalLeakSurface, paretoCoverage, sourceReportCard)
 }
 

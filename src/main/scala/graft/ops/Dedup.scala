@@ -1186,8 +1186,99 @@ object Dedup {
                / CAST(d.n_docs AS DOUBLE) AS risk_frac
       FROM docs d LEFT JOIN risk r ON d.source = r.source"""))
 
+  // ---- q218: dedup threshold sensitivity sweep -----------------------------
+  /** q218: what each Jaccard threshold would do — for t ∈ {0.50, 0.55,
+    * …, 0.95}, the surviving pair count and how many documents a
+    * keep-lowest-id sweep would drop (q163's drop semantic: distinct
+    * larger-id pair members). The threshold is the single most
+    * consequential dedup dial and this is its dose-response curve: the
+    * elbow where drops stop falling is where near-dups end and template
+    * noise begins. Pairs are mined ONCE (q14's plan, PlanCache-shared);
+    * the sweep is a 10-row broadcast grid over the pair table.
+    *
+    * FP shape: each pair's jaccard is the same exact int/int double both
+    * engines compute; grid literals are identical text in both plans, so
+    * every >= comparison decides identically.
+    *
+    * Distributed shape: pairs × 10 grid rows, one (t)-keyed aggregate
+    * with a distinct count; 10 rows out. */
+  val thresholdSweep: Q = Q(
+    "q218_dedup_threshold_sweep",
+    (s, dir) => {
+      val pairs = ngramJaccard.run(s, dir).select("doc_a", "doc_b", "jaccard")
+      val grid = (10 to 19).map(i => i / 20.0)
+      val g = s.createDataFrame(
+        s.sparkContext.parallelize(grid.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("t",
+            org.apache.spark.sql.types.DoubleType))))
+      pairs.crossJoin(broadcast(g))
+        .filter(col("jaccard") >= col("t"))
+        .groupBy("t")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct("doc_b").as("n_docs_dropped"))
+        .unionByName(
+          // thresholds that kill every pair still appear, with zeros —
+          // the curve's tail is the point of the report
+          g.join(pairs.crossJoin(broadcast(g)).filter(col("jaccard") >= col("t"))
+              .select("t").distinct(), Seq("t"), "left_anti")
+            .select(col("t"), lit(0L).as("n_pairs"), lit(0L).as("n_docs_dropped")))
+    },
+    Some(s"""WITH pairs AS (
+        ${ngramJaccard.oracle.get}
+      ), grid AS (
+        SELECT i / 20.0 AS t FROM (SELECT unnest(range(10, 20)) AS i)
+      )
+      SELECT g.t,
+             CAST(COALESCE(SUM(CASE WHEN p.jaccard >= g.t THEN 1 END), 0) AS BIGINT)
+               AS n_pairs,
+             CAST(COALESCE(count(DISTINCT CASE WHEN p.jaccard >= g.t
+               THEN p.doc_b END), 0) AS BIGINT) AS n_docs_dropped
+      FROM grid g LEFT JOIN pairs p ON p.jaccard >= g.t
+      GROUP BY g.t"""))
+
+  // ---- q219: template-hub documents ----------------------------------------
+  private val hubTopK = 50
+
+  /** q219: the documents welded into the most near-dup pairs — pair-graph
+    * degree ranking, top 50 with source and length. A handful of hub
+    * documents (templates, navigation pages, license texts) typically
+    * accounts for most of the pair volume, and removing THEM first
+    * collapses the q40 mega-components that keep-lowest-id sweeps handle
+    * worst; this is the triage list. Deterministic rank tuple (degree,
+    * doc_id); degree counting shuffles only ids.
+    *
+    * Distributed shape: pair table → union of both endpoints → one
+    * id-keyed count → TakeOrdered(50) → broadcast join back to the docs
+    * scan for metadata. */
+  val templateHubs: Q = Q(
+    "q219_template_hubs",
+    (s, dir) => {
+      val pairs = ngramJaccard.run(s, dir)
+      val deg = pairs.select(col("doc_a").as("doc_id"))
+        .unionAll(pairs.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+        .orderBy(col("degree").desc, col("doc_id").asc)
+        .limit(hubTopK)
+      broadcast(deg).join(
+          Tables.documents(s, dir).select("doc_id", "source", "n_chars"), "doc_id")
+        .select("doc_id", "degree", "source", "n_chars")
+    },
+    Some(s"""WITH pairs AS (
+        ${ngramJaccard.oracle.get}
+      ), deg AS (
+        SELECT doc_id, count(1) AS degree FROM (
+          SELECT doc_a AS doc_id FROM pairs
+          UNION ALL SELECT doc_b AS doc_id FROM pairs
+        ) GROUP BY doc_id
+        ORDER BY degree DESC, doc_id ASC LIMIT $hubTopK
+      )
+      SELECT d.doc_id, d.degree, x.source, x.n_chars
+      FROM deg d JOIN documents x ON d.doc_id = x.doc_id"""))
+
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, editDistance,
       incrementalDedup, fuzzyDecontaminate, setSimJoin, substringSpans,
-      containmentJoin, cdcChunks, lshEval, dedupReport, memorizationSpans)
+      containmentJoin, cdcChunks, lshEval, dedupReport, memorizationSpans,
+      thresholdSweep, templateHubs)
 }

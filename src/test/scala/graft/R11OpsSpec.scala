@@ -337,6 +337,71 @@ class R11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q218 sweep: planted pairs at J=1.0 and J=11/15 step down correctly") {
+    val rows = SparkEntry.queries("q218_dedup_threshold_sweep")(spark, synthDir)
+      .collect().map(r => math.round(r.getAs[Double]("t") * 100) -> r).toMap
+    assert(rows.size === 10)
+    // q14's RARE-shingle jaccard: doc1/doc2's unshared shingles have df=1
+    // (not rare), so their rare sets coincide → J = 1.0, like the verbatim
+    // (4,5) pair — both pairs survive every threshold, drops = {2, 5}
+    assert(rows(50).getAs[Long]("n_pairs") === 2L)
+    assert(rows(50).getAs[Long]("n_docs_dropped") === 2L)
+    assert(rows(95).getAs[Long]("n_pairs") === 2L)
+    assert(rows(95).getAs[Long]("n_docs_dropped") === 2L)
+    // monotone non-increasing in t
+    val byT = rows.toSeq.sortBy(_._1).map(_._2.getAs[Long]("n_pairs"))
+    assert(byT.zip(byT.tail).forall { case (a, b) => a >= b })
+    // the real corpus DOES step down across the grid
+    val real = SparkEntry.queries("q218_dedup_threshold_sweep")(spark, sfDir)
+      .collect().map(r => math.round(r.getAs[Double]("t") * 100) ->
+        r.getAs[Long]("n_pairs")).toMap
+    assert(real(50) >= real(95))
+  }
+
+  test("q218 sweep: a pairless corpus reports ten explicit zero rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r11_sweep0").toString
+    (1L to 10L).map(i => (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e", "en", "s", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q218_dedup_threshold_sweep")(spark, dir).collect()
+    assert(rows.length === 10)
+    assert(rows.forall(_.getAs[Long]("n_pairs") === 0L))
+    assert(rows.forall(_.getAs[Long]("n_docs_dropped") === 0L))
+  }
+
+  test("q219 hubs: planted pair endpoints ranked with metadata joined") {
+    val rows = SparkEntry.queries("q219_template_hubs")(spark, synthDir).collect()
+    // pairs (1,2) and (4,5): four endpoints, each degree 1
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(1L, 2L, 4L, 5L))
+    assert(rows.forall(_.getAs[Long]("degree") === 1L))
+    assert(rows.forall(r => r.getAs[String]("source") != null))
+  }
+
+  test("q220 card: columns reconcile with the reports it summarizes") {
+    val card = SparkEntry.queries("q220_source_report_card")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val corr = SparkEntry.queries("q217_length_quality_corr")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(card.keySet === corr.keySet)
+    card.foreach { case (src, r) =>
+      assert(r.getAs[Double]("mean_quality") === corr(src).getAs[Double]("mean_quality"))
+    }
+    // ranks are permutations of 1..n
+    val n = card.size
+    assert(card.values.map(_.getAs[Long]("quality_rank")).toSeq.sorted === (1L to n).toSeq)
+    assert(card.values.map(_.getAs[Long]("leak_rank")).toSeq.sorted === (1L to n).toSeq)
+    // dup_drop_frac reconciles with q208's kept/dropped split
+    val surv = SparkEntry.queries("q208_dedup_survivorship")(spark, sfDir).collect()
+      .groupBy(_.getAs[String]("source"))
+    card.foreach { case (src, r) =>
+      val rows = surv(src)
+      val total = rows.map(_.getAs[Long]("n_docs")).sum
+      val dropped = rows.filter(!_.getAs[Boolean]("kept")).map(_.getAs[Long]("n_docs")).sum
+      assert(r.getAs[Double]("dup_drop_frac") === dropped.toDouble / total)
+    }
+  }
+
   test("q204/q206/q209 plans: shuffles carry keys/counts, no data-sized broadcast") {
     // the word-keyed join in q204 must NOT broadcast the corpus count table
     // at real scale; sizes here are tiny so just pin no cartesian and that
