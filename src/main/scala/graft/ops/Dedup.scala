@@ -95,7 +95,14 @@ object Dedup {
     * pairs sharing ≥1 rare 3-gram, jaccard = |∩| / |∪| of rare-shingle sets. */
   val ngramJaccard: Q = Q(
     "q14_dedup_ngram_jaccard",
-    (s, dir) => {
+    // the PAIR TABLE is PlanCache-materialized: it is tiny (hundreds of
+    // rows — pairs over the dedup threshold) but its build is the rare-
+    // shingle self-join, and FOUR consumers replay it per suite run (q14
+    // itself, q163's report, q218's threshold sweep, q219's hub ranking,
+    // plus q40's cluster artifact build) — one persisted copy per
+    // (session, dir) collapses those to reads
+    (s, dir) => graft.PlanCache.cached(s, "q14_pairs", dir,
+        s"$dir/documents.parquet") {
       val ngr = rareShingleRows(s, dir)
       val sizes = ngr.groupBy("doc_id").agg(count(lit(1)).as("n"))
       // each index row carries its doc's rare-set size (broadcast of the
