@@ -1900,12 +1900,90 @@ object CorpusOps {
       LEFT JOIN pareto p ON c.source = p.source
       LEFT JOIN dup d ON c.source = d.source"""))
 
+  /** q223's shard count — small so the per-shard report stays readable; the
+    * assignment arithmetic is S-agnostic. */
+  private val packShards = 8
+
+  // ---- q223: balanced shard packing ----------------------------------------
+  /** q223: assign every document to one of [[packShards]] output shards so
+    * that per-shard token mass is balanced — the step that decides whether
+    * 1000 downstream training readers finish together or wait on one fat
+    * shard. Classic shape: sort docs by weight descending, deal them out
+    * boustrophedon (snake) — round r places its S docs left-to-right when r
+    * is even, right-to-left when odd, so within every round the shard
+    * totals differ by at most one doc's weight and the final spread is
+    * bounded by the heaviest single document.
+    *
+    * Distributed shape: the global rank by (tokens DESC, doc_id) is NOT a
+    * single-task window — it is the q186 histogram decomposition: one
+    * per-value count frame (bounded by the distinct token-length grid),
+    * one cumulative pass over that bounded grid, then row_number windows
+    * PARTITIONED BY the token value (parallel, skew-bounded by the largest
+    * tie group). Everything after the rank is per-row modular arithmetic +
+    * one |shards|-row aggregate. All integers; the spread ratio is the one
+    * double at the end. */
+  val shardPacking: Q = Q(
+    "q223_shard_packing",
+    (s, dir) => {
+      val S = packShards
+      val d = Tables.documents(s, dir)
+        .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
+        .select("doc_id", "tokens")
+      val vc = d.groupBy("tokens").agg(count(lit(1)).as("cnt"))
+      val wVals = Window.orderBy(col("tokens").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = vc.withColumn("cum_before",
+        coalesce(sum("cnt").over(wVals), lit(0L)))
+        .select("tokens", "cum_before")
+      val wIn = Window.partitionBy("tokens").orderBy("doc_id")
+      val ranked = d.join(broadcast(cum), "tokens")
+        .withColumn("idx",
+          col("cum_before") + row_number().over(wIn).cast("long") - 1L)
+      val assigned = ranked
+        .withColumn("rnd", expr(s"idx div $S"))
+        .withColumn("pos", col("idx") % S)
+        .withColumn("shard",
+          when(col("rnd") % 2 === 0, col("pos"))
+            .otherwise(lit(S - 1L) - col("pos")))
+      val sh = assigned.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("tokens").as("shard_tokens"))
+      val spread = sh.agg(max("shard_tokens").as("max_shard_tokens"),
+        min("shard_tokens").as("min_shard_tokens"),
+        (max("shard_tokens").cast("double")
+          / min("shard_tokens").cast("double")).as("spread"))
+      sh.crossJoin(broadcast(spread))
+    },
+    Some(s"""WITH d AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        FROM documents
+      ), r AS (
+        SELECT doc_id, tokens,
+               row_number() OVER (ORDER BY tokens DESC, doc_id) - 1 AS idx
+        FROM d
+      ), a AS (
+        SELECT tokens,
+               CASE WHEN (idx // $packShards) % 2 = 0 THEN idx % $packShards
+                    ELSE ${packShards - 1} - (idx % $packShards) END AS shard
+        FROM r
+      ), sh AS (
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(count(1) AS BIGINT) AS n_docs,
+               CAST(SUM(tokens) AS BIGINT) AS shard_tokens
+        FROM a GROUP BY shard
+      )
+      SELECT shard, n_docs, shard_tokens,
+             (SELECT CAST(MAX(shard_tokens) AS BIGINT) FROM sh) AS max_shard_tokens,
+             (SELECT CAST(MIN(shard_tokens) AS BIGINT) FROM sh) AS min_shard_tokens,
+             (SELECT CAST(MAX(shard_tokens) AS DOUBLE)
+                     / CAST(MIN(shard_tokens) AS DOUBLE) FROM sh) AS spread
+      FROM sh"""))
+
   val all: Seq[Q] = Seq(piiRedact, decontaminate, mixtureSample, noveltyScore,
     ngramTopK, docPack, embedQuantize, cleanPipeline, zorderKey, docChunks,
     bm25Score, tfidfTopTerms, heavyHitters, corpusCard, ksDrift, sourceOverlap,
     nucleusRetention, vocabGrowth, paddingWaste, zipfOctaves, sourceContainment,
     cleaningWaterfall, tokenWaterfall, chunkDedup, driftReport,
     dedupSurvivorship, sourceNoveltyOrder, boilerplateMiner, sourceDupMatrix,
-    evalLeakSurface, paretoCoverage, sourceReportCard)
+    evalLeakSurface, paretoCoverage, sourceReportCard, shardPacking)
 }
 

@@ -1283,9 +1283,101 @@ object Dedup {
       SELECT d.doc_id, d.degree, x.source, x.n_chars
       FROM deg d JOIN documents x ON d.doc_id = x.doc_id"""))
 
+  // ---- q221: dedup method agreement (Cohen's kappa) ------------------------
+  /** q221: chance-corrected agreement between two dedup stacks' doc-level
+    * drop decisions — Cohen's kappa between the exact n-gram Jaccard sweep
+    * (q14) and the MinHash-LSH sweep (q15), both under the keep-lowest-id
+    * rule (a doc is dropped iff it appears as the larger id of any pair,
+    * q163's definition). q163 counts each method's drops side by side;
+    * kappa is the missing pairwise number — raw agreement is inflated by
+    * the ~never-dropped majority, and kappa is what tells a pipeline owner
+    * whether the cheap method is a safe substitute for the exact one.
+    *
+    * FP/overflow shape: the 2×2 contingency is exact BIGINT; kappa's
+    * closed form κ = (N·(n11+n00) − pe)/(N² − pe) with
+    * pe = mA·mB + (N−mA)(N−mB) needs N²-sized products, so the products
+    * are computed in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — neither
+    * wraps below 10^19 docs — with ONE final double division.
+    *
+    * Distributed shape: both pair frames already exist (PlanCache); the
+    * drop sets are distinct projections of doc_b; the contingency is one
+    * aggregate over documents left-joined to two broadcast-sized drop
+    * sets. Output is a single row. */
+  val methodKappa: Q = Q(
+    "q221_dedup_method_kappa",
+    (s, dir) => {
+      val dropsA = ngramJaccard.run(s, dir).select(col("doc_b").as("doc_id"))
+        .distinct().withColumn("fa", lit(1L))
+      val dropsB = minhashLsh.run(s, dir).select(col("doc_b").as("doc_id"))
+        .distinct().withColumn("fb", lit(1L))
+      val f = Tables.documents(s, dir).select("doc_id")
+        .join(dropsA, Seq("doc_id"), "left")
+        .join(dropsB, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("fa", "fb"))
+      val c = f.agg(count(lit(1)).as("n_docs"),
+        sum("fa").as("dropped_a"), sum("fb").as("dropped_b"),
+        sum(col("fa") * col("fb")).as("both_dropped"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      c.select(col("n_docs"), col("dropped_a"), col("dropped_b"),
+          col("both_dropped"),
+          (col("dropped_a") - col("both_dropped")).as("only_a"),
+          (col("dropped_b") - col("both_dropped")).as("only_b"),
+          (col("n_docs") - col("dropped_a") - col("dropped_b")
+            + col("both_dropped")).as("neither"))
+        .withColumn("agree_frac",
+          (col("both_dropped") + col("neither")).cast("double")
+            / col("n_docs").cast("double"))
+        .withColumn("pe_num",
+          dec(col("dropped_a")) * dec(col("dropped_b"))
+            + dec(col("n_docs") - col("dropped_a"))
+            * dec(col("n_docs") - col("dropped_b")))
+        .withColumn("kappa",
+          when(dec(col("n_docs")) * dec(col("n_docs")) > col("pe_num"),
+            (dec(col("n_docs")) * dec(col("both_dropped") + col("neither"))
+              - col("pe_num")).cast("double")
+              / (dec(col("n_docs")) * dec(col("n_docs"))
+                - col("pe_num")).cast("double")))
+        .drop("pe_num")
+    },
+    Some(s"""WITH pa AS (
+        SELECT DISTINCT doc_b AS doc_id FROM (${ngramJaccard.oracle.get})
+      ), pb AS (
+        SELECT DISTINCT doc_b AS doc_id FROM (${minhashLsh.oracle.get})
+      ), f AS (
+        SELECT d.doc_id,
+               CASE WHEN pa.doc_id IS NOT NULL THEN 1 ELSE 0 END AS fa,
+               CASE WHEN pb.doc_id IS NOT NULL THEN 1 ELSE 0 END AS fb
+        FROM documents d
+        LEFT JOIN pa ON d.doc_id = pa.doc_id
+        LEFT JOIN pb ON d.doc_id = pb.doc_id
+      ), c AS (
+        SELECT CAST(count(1) AS BIGINT) AS n,
+               CAST(SUM(fa) AS BIGINT) AS m_a,
+               CAST(SUM(fb) AS BIGINT) AS m_b,
+               CAST(SUM(fa * fb) AS BIGINT) AS n11
+        FROM f
+      )
+      SELECT n AS n_docs, m_a AS dropped_a, m_b AS dropped_b,
+             n11 AS both_dropped,
+             m_a - n11 AS only_a, m_b - n11 AS only_b,
+             n - m_a - m_b + n11 AS neither,
+             CAST(n11 + (n - m_a - m_b + n11) AS DOUBLE)
+               / CAST(n AS DOUBLE) AS agree_frac,
+             CASE WHEN CAST(n AS HUGEINT) * n
+                       > CAST(m_a AS HUGEINT) * m_b
+                         + CAST(n - m_a AS HUGEINT) * (n - m_b)
+               THEN CAST(CAST(n AS HUGEINT) * (n11 + (n - m_a - m_b + n11))
+                           - (CAST(m_a AS HUGEINT) * m_b
+                              + CAST(n - m_a AS HUGEINT) * (n - m_b)) AS DOUBLE)
+                    / CAST(CAST(n AS HUGEINT) * n
+                           - (CAST(m_a AS HUGEINT) * m_b
+                              + CAST(n - m_a AS HUGEINT) * (n - m_b)) AS DOUBLE)
+               END AS kappa
+      FROM c"""))
+
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, editDistance,
       incrementalDedup, fuzzyDecontaminate, setSimJoin, substringSpans,
       containmentJoin, cdcChunks, lshEval, dedupReport, memorizationSpans,
-      thresholdSweep, templateHubs)
+      thresholdSweep, templateHubs, methodKappa)
 }

@@ -1096,8 +1096,74 @@ object Similarity {
         ON nb.q_id = nl.q_id
       LEFT JOIN c ON nb.q_id = c.q_id"""))
 
+  // ---- q222: ANN rank quality (MRR + displacement) --------------------------
+  /** q222: rank-sensitive grading of the LSH index — q195's recall@5 treats
+    * the top-5 as a set, but a retrieval stack cares WHERE the true
+    * neighbors land: per query, the first rank at which q19's list hits the
+    * exact top-5 (→ reciprocal rank), how many exact neighbors it carries,
+    * and the total rank displacement Σ|rank_exact − rank_lsh| over the
+    * common pairs. Together with q195 these are the two standard IR grades
+    * (recall, MRR) a pipeline pins before routing retrieval through ANN.
+    *
+    * FP shape: reciprocal ranks over k=5 live in {1, 1/2, 1/3, 1/4, 1/5} —
+    * not all IEEE-exact — so the per-query value is carried as the exact
+    * integer 60/rank (lcm(1..5)=60 → {60,30,20,15,12,0}) and the suite MRR
+    * is ONE division of two BIGINTs at the end: no double sum anywhere.
+    *
+    * Distributed shape: joins two existing k-row-per-query frames on
+    * (q_id, neighbor_id) — O(queries·k), no corpus rescan; the suite scalar
+    * broadcasts onto the per-query rows. */
+  val annRankQuality: Q = Q(
+    "q222_ann_rank_quality",
+    (s, dir) => {
+      val b = knnBruteForce.run(s, dir)
+        .select(col("q_id"), col("neighbor_id"), col("rank").as("rank_b"))
+      val l = knnLsh.run(s, dir)
+        .select(col("q_id"), col("neighbor_id"), col("rank").as("rank_l"))
+      val common = b.join(l, Seq("q_id", "neighbor_id"))
+      val perQ = b.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+        .join(common.groupBy("q_id").agg(
+            count(lit(1)).as("n_common"),
+            min("rank_l").as("first_hit_rank"),
+            sum(abs(col("rank_b") - col("rank_l"))).as("displacement")),
+          Seq("q_id"), "left")
+        .na.fill(0L, Seq("n_common", "displacement"))
+        .withColumn("rr_x60",
+          when(col("first_hit_rank").isNull, lit(0L))
+            .otherwise(expr("60 div first_hit_rank")))
+      val suite = perQ.agg(
+        (sum("rr_x60").cast("double")
+          / (count(lit(1)) * lit(60L)).cast("double")).as("suite_mrr"))
+      perQ.crossJoin(broadcast(suite))
+    },
+    Some(s"""WITH b AS (
+        SELECT q_id, neighbor_id, rank AS rank_b FROM (${knnBruteForce.oracle.get})
+      ), l AS (
+        SELECT q_id, neighbor_id, rank AS rank_l FROM (${knnLsh.oracle.get})
+      ), c AS (
+        SELECT b.q_id, count(1) AS n_common,
+               CAST(MIN(l.rank_l) AS BIGINT) AS first_hit_rank,
+               CAST(SUM(ABS(b.rank_b - l.rank_l)) AS BIGINT) AS displacement
+        FROM b JOIN l ON b.q_id = l.q_id AND b.neighbor_id = l.neighbor_id
+        GROUP BY b.q_id
+      ), perq AS (
+        SELECT nb.q_id, nb.n_exact,
+               CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+               c.first_hit_rank,
+               CAST(COALESCE(c.displacement, 0) AS BIGINT) AS displacement,
+               CAST(CASE WHEN c.first_hit_rank IS NULL THEN 0
+                         ELSE 60 // c.first_hit_rank END AS BIGINT) AS rr_x60
+        FROM (SELECT q_id, CAST(count(1) AS BIGINT) AS n_exact
+              FROM b GROUP BY q_id) nb
+        LEFT JOIN c ON nb.q_id = c.q_id
+      )
+      SELECT q_id, n_exact, n_common, first_hit_rank, displacement, rr_x60,
+             (SELECT CAST(CAST(SUM(rr_x60) AS BIGINT) AS DOUBLE)
+                     / CAST(count(1) * 60 AS DOUBLE) FROM perq) AS suite_mrr
+      FROM perq"""))
+
   val all: Seq[Q] =
     Seq(embeddingNearDup, knnBruteForce, knnLsh, knnIvf, semDedup,
       mutualKnnClusters, hybridRrf, pqEncode, pqAdcTopK, ivfPqTopK,
-      truncationRecall, annRecall)
+      truncationRecall, annRecall, annRankQuality)
 }
