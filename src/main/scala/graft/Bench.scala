@@ -23,6 +23,11 @@ object Bench {
   private[graft] def runSuite(spark: SparkSession, sfDir: String,
       queries: Seq[(String, (SparkSession, String) => DataFrame)]): Seq[QResult] =
     queries.map { case (name, fn) =>
+      // label PlanCache self-heal events with the query that paid for them
+      // (the q111-q115 forensics: a mid-timed-pass eviction shows up as
+      // "entry@query" in the JSON's cache_selfheals, adjudicating the slow
+      // reading as a shared-frame rebuild rather than machine contention)
+      PlanCache.setConsumer(name)
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
@@ -64,7 +69,8 @@ object Bench {
     * `value` sums only the successful timings. */
   private[graft] def renderJson(results: Seq[QResult], sfDir: String,
       gcSec: Double, persistentRdds: Int, storageBytes: Long,
-      regs: Seq[(String, Double, Double)], warmSharedSec: Double): String = {
+      regs: Seq[(String, Double, Double)], warmSharedSec: Double,
+      rewarmed: Seq[(String, Double)], selfHeals: Seq[(String, String)]): String = {
     val qs = results.map(r => jstr(r.name) + ":" + r.sec).mkString("{", ",", "}")
     val errs = results.collect { case QResult(n, _, Some(e)) => jstr(n) + ":" + jstr(e) }
       .mkString("{", ",", "}")
@@ -73,12 +79,19 @@ object Bench {
     // comma-decimal locale would emit `0,123` and break the driver's
     // json.load; Double.toString is locale-free
     val gc3 = math.round(gcSec * 1000) / 1000.0
+    // per-entry rewarm seconds (round-11 directive #7: the cold-entry story
+    // belongs in the contract line, not on stderr the harness may drop)
+    val rw = rewarmed.map { case (n, sec) =>
+      jstr(n) + ":" + math.round(sec * 1000) / 1000.0 }.mkString("{", ",", "}")
+    // mid-timed-pass eviction forensics: "entry@consumer" occurrences
+    val sh = selfHeals.map { case (e, c) => jstr(s"$e@$c") }.mkString("[", ",", "]")
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$errs,"failed":${results.count(_.err.isDefined)},""" +
       s""""gc_sec":$gc3,"persistent_rdds":$persistentRdds,""" +
       s""""storage_bytes":$storageBytes,""" +
       s""""regressions":${renderRegs(regs)},""" +
       s""""warm_shared_sec":${math.round(warmSharedSec * 1000) / 1000.0},""" +
+      s""""rewarm_sec":$rw,"cache_selfheals":$sh,""" +
       s""""sf":${jstr(sfDir)}}"""
   }
 
@@ -95,14 +108,17 @@ object Bench {
     * null). This line carries the headline numbers plus only the slowest
     * queries, sized to always survive the tail truncation. */
   private[graft] def renderSummary(results: Seq[QResult], sfDir: String,
-      regs: Seq[(String, Double, Double)]): String = {
+      regs: Seq[(String, Double, Double)],
+      selfHeals: Seq[(String, String)] = Nil): String = {
     val ok = results.filter(_.err.isEmpty)
     val slow = ok.sortBy(-_.sec).take(10)
       .map(r => jstr(r.name) + ":" + math.round(r.sec * 100) / 100.0)
       .mkString("{", ",", "}")
+    val sh = selfHeals.map { case (e, c) => jstr(s"$e@$c") }.mkString("[", ",", "]")
     s"""{"metric":"total","value":${ok.map(_.sec).sum},"unit":"sec",""" +
       s""""n_queries":${results.size},"failed":${results.count(_.err.isDefined)},""" +
       s""""slowest":$slow,"regressions":${renderRegs(regs)},""" +
+      s""""cache_selfheals":$sh,""" +
       s""""sf":${jstr(sfDir)}}"""
   }
 
@@ -135,10 +151,16 @@ object Bench {
     val warmSharedSec = (System.nanoTime() - w0) / 1e9
     warmed.filter(_._2 > 0.2).foreach { case (n, sec) =>
       System.err.println(f"[bench] shared frame '$n' was COLD after warmup: rewarm took $sec%.2f s") }
+    // warmup-pass self-heals are expected (first materializations); drain so
+    // the timed pass starts from a clean forensic log
+    PlanCache.drainSelfHeals()
     // pins are recorded at ONE scale (the "_sf" tag in the file, e.g.
     // "sf0.1"); a run against any other sf dir skips the alarm — sf1 runs
     // would otherwise flag every data-proportional query against its
-    // 10×-smaller pin
+    // 10×-smaller pin. The tag must match a PATH COMPONENT exactly (a
+    // substring test would let an "sf0.1" pin fire against an sf0.12 dir),
+    // and a pins file WITHOUT the tag disables the alarm rather than
+    // applying the pins at every scale.
     val pinsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PINS", "bench_pins.json")
     val pinSf = try {
       "\"_sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(
@@ -147,17 +169,19 @@ object Bench {
           java.nio.charset.StandardCharsets.UTF_8)).map(_.group(1))
     } catch { case _: Exception => None }
     val pins =
-      if (pinSf.forall(t => sfDir.contains(t))) loadPins(pinsPath)
+      if (pinSf.exists(t => sfDir.split('/').contains(t))) loadPins(pinsPath)
       else Map.empty[String, Double]
     val gc0 = gcMillis()
     val results = runSuite(spark, sfDir, queries)
     val gcSec = (gcMillis() - gc0) / 1e3
+    val selfHeals = PlanCache.drainSelfHeals()
     val regs = regressions(results, pins)
     val storage = spark.sparkContext.getRDDStorageInfo
       .map(i => i.memSize + i.diskSize).sum
     println(renderJson(results, sfDir, gcSec,
-      spark.sparkContext.getPersistentRDDs.size, storage, regs, warmSharedSec))
-    println(renderSummary(results, sfDir, regs))
+      spark.sparkContext.getPersistentRDDs.size, storage, regs, warmSharedSec,
+      warmed, selfHeals))
+    println(renderSummary(results, sfDir, regs, selfHeals))
     spark.stop()
   }
 }

@@ -69,7 +69,11 @@ object FpStress {
     // Neyman allocation's FLOOR-quantized weights + Hamilton remainders
     // (q199)
     "q189_probe_auc", "q191_centroid_silhouette", "q195_ann_recall",
-    "q199_neyman_allocation")
+    "q199_neyman_allocation",
+    // round-12: the newest final-double divisions — Cohen's kappa over
+    // DECIMAL(38) cross-multiplications (q221) and the exact-integer MRR /
+    // displacement quotients (q222)
+    "q221_dedup_method_kappa", "q222_ann_rank_quality")
 
   /** 2-decimal deterministic jitter in [0, 0.96], keyed by (row key, copy) —
     * keeps every jittered double a 2-decimal value so the round(sum, p)

@@ -39,7 +39,12 @@ object PairSweep {
     // containment (q196, reuses q148's materialized projection, so this
     // also measures the shared-frame steady state end-to-end) and the RAG
     // chunk-duplication histogram (q202, md5-keyed count-of-counts)
-    "q196_source_containment", "q202_chunk_dedup")
+    "q196_source_containment", "q202_chunk_dedup",
+    // round-12: the two newest heavy corpus miners — the boilerplate span
+    // aggregate (q213, |spans|-bounded md5-keyed heavy agg) and the
+    // copy-flow prefix pair fold (q214, |pairs|-bounded row-local
+    // expansion) — both sub-quadratic claims that deserve measurement
+    "q213_boilerplate_miner", "q214_source_dup_matrix")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -1376,7 +1376,9 @@ object CorpusOps {
     * correctly-rounded, hence bit-identical in both engines).
     *
     * FP shape: bin assignment is pure integer DIV; TV and L∞ numerators
-    * are exact BIGINT (|c1·n2 − c2·n1| sums); the Bhattacharyya sum is
+    * are exact DECIMAL(38,0)/HUGEINT (|c1·n2 − c2·n1| sums — BIGINT would
+    * wrap silently in Spark above ~3e9 docs/source while DuckDB raises);
+    * the Bhattacharyya sum is
     * ≤10 bit-identical sqrt terms under round(·,6) (small-group rule);
     * every division is a pinned-shape op on exact inputs.
     *
@@ -1399,14 +1401,19 @@ object CorpusOps {
         .agg(sum(when(col("parity") === 0, 1L).otherwise(0L)).as("c1"),
           sum(when(col("parity") === 1, 1L).otherwise(0L)).as("c2"))
       val tot = cell.groupBy("source").agg(sum("c1").as("n1"), sum("c2").as("n2"))
-      val dev = abs(col("c1") * col("n2") - col("c2") * col("n1"))
+      // cross-multiplied deviation in DECIMAL(38,0) (HUGEINT in the oracle):
+      // plain BIGINT wraps silently in Spark above ~3e9 docs per source
+      // while DuckDB raises — the q136/q204 divergence class (ADVICE r11)
+      val dev = abs(col("c1").cast("decimal(38,0)") * col("n2")
+        - col("c2").cast("decimal(38,0)") * col("n1"))
       // an empty half leaves drift undefined — NULL, never a /0 (reachable
       // at sf0.001 where a source holds only 2-3 docs)
       val defined = col("n1") > 0 && col("n2") > 0
       cell.join(broadcast(tot), "source")
         .groupBy("source", "n1", "n2")
         .agg(sum(dev).as("tv_num"), max(dev).as("linf_num"),
-          round(sum(sqrt((col("c1") * col("c2")).cast("double"))), 6).as("bc_sum"))
+          round(sum(sqrt((col("c1").cast("decimal(38,0)") * col("c2"))
+            .cast("double"))), 6).as("bc_sum"))
         .select(col("source"), col("n1"), col("n2"),
           when(defined, col("tv_num").cast("double")
             / (lit(2.0) * col("n1").cast("double") * col("n2").cast("double"))).as("tv"),
@@ -1434,9 +1441,12 @@ object CorpusOps {
         FROM cell GROUP BY source
       ), m AS (
         SELECT cell.source, n1, n2,
-               CAST(SUM(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS tv_num,
-               CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS linf_num,
-               ROUND(SUM(SQRT(CAST(c1 * c2 AS DOUBLE))), 6) AS bc_sum
+               SUM(ABS(CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1))
+                 AS tv_num,
+               MAX(ABS(CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1))
+                 AS linf_num,
+               ROUND(SUM(SQRT(CAST(CAST(c1 AS HUGEINT) * c2 AS DOUBLE))), 6)
+                 AS bc_sum
         FROM cell JOIN tot ON cell.source = tot.source
         GROUP BY 1, 2, 3
       )

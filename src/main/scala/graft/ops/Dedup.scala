@@ -1219,17 +1219,17 @@ object Dedup {
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("t",
             org.apache.spark.sql.types.DoubleType))))
-      pairs.crossJoin(broadcast(g))
+      // one pass: sweep-join once, aggregate, then grid left-joins the
+      // ≤10-row aggregate so thresholds that kill every pair still appear
+      // with zeros — the curve's tail is the point of the report
+      val agg = pairs.crossJoin(broadcast(g))
         .filter(col("jaccard") >= col("t"))
         .groupBy("t")
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct("doc_b").as("n_docs_dropped"))
-        .unionByName(
-          // thresholds that kill every pair still appear, with zeros —
-          // the curve's tail is the point of the report
-          g.join(pairs.crossJoin(broadcast(g)).filter(col("jaccard") >= col("t"))
-              .select("t").distinct(), Seq("t"), "left_anti")
-            .select(col("t"), lit(0L).as("n_pairs"), lit(0L).as("n_docs_dropped")))
+      g.join(broadcast(agg), Seq("t"), "left")
+        .select(col("t"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"))
     },
     Some(s"""WITH pairs AS (
         ${ngramJaccard.oracle.get}
@@ -1375,9 +1375,123 @@ object Dedup {
                END AS kappa
       FROM c"""))
 
+  // ---- q228: LSH banding S-curve -------------------------------------------
+  /** Closed-form banded-MinHash catch probability 1−(1−s^r)^b at each
+    * Jaccard-decile midpoint, computed ONCE here on the driver and embedded
+    * as the identical literal in both plans — pow is not cross-engine
+    * bit-stable, so neither engine evaluates it. */
+  private val sCurveTheory: Seq[(Int, Double, Double)] = (0 until 10).map { k =>
+    val mid = (k + 0.5) / 10.0
+    (k, mid, 1.0 - math.pow(1.0 - math.pow(mid, perBand), bands))
+  }
+
+  /** q228: the measured S-curve of q15's banding (16 minhashes, 4 bands × 4
+    * rows) — per exact-Jaccard decile over the shared-shingle pair
+    * universe: pair count, how many the band join actually caught, the
+    * empirical catch rate, and the textbook 1−(1−s^r)^b value at the
+    * bucket midpoint. q144 grades the END of the pipeline (one precision/
+    * recall point at the 0.5 threshold); this is the whole dial curve — the
+    * evidence for choosing (b, r) that an LSH tuning note cites, and the
+    * alarm that fires when the hash family degrades at SOME similarity
+    * level (e.g. banding bug catching high-J pairs only).
+    *
+    * FP shape: exact Jaccard is the same int/int double both engines
+    * compute; bucket = FLOOR(j·10) capped at 9 decides identically on
+    * identical doubles; catch counting is integers; the empirical rate is
+    * one BIGINT/BIGINT division; theory values are embedded literals.
+    *
+    * Distributed shape: reuses the shared all-shingle posting table for the
+    * truth join (the cost q144 already pays) and q15's cached signature
+    * table for the candidate set; the grade is one pair-keyed left join +
+    * a 10-row aggregate, then the 10-row grid left-joins the aggregate
+    * (q218's one-pass zero-tail idiom). */
+  val lshSCurve: Q = Q(
+    "q228_lsh_s_curve",
+    (s, dir) => {
+      val ng = ngramRows(s, dir)
+      val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val ngN = ng.join(broadcast(sizes), "doc_id")
+      // the shared-shingle pair universe with EXACT jaccard, unfiltered —
+      // q144's truth join without the ≥0.5 cut (the curve's low buckets
+      // are the point; no size-ratio prune, it would bias them)
+      val pairs = ngN.as("a").join(ngN.as("b"),
+          col("a.ngram") === col("b.ngram") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("common"),
+          min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
+        .withColumn("jaccard",
+          col("common") / (col("na") + col("nb") - col("common")))
+        .withColumn("bucket", least(lit(9L), floor(col("jaccard") * 10)))
+      val cand = bandRowsOf(corpusSigs(s, dir)).as("a")
+        .join(bandRowsOf(corpusSigs(s, dir)).as("b"),
+          col("a.band_idx") === col("b.band_idx")
+            && col("a.band_hash") === col("b.band_hash")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct().withColumn("hit", lit(1L))
+      val agg = pairs.join(cand, Seq("doc_a", "doc_b"), "left")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_pairs"), sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
+      val grid = s.createDataFrame(
+        s.sparkContext.parallelize(sCurveTheory.map { case (k, mid, th) =>
+          org.apache.spark.sql.Row(k.toLong, mid, th) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("mid_jaccard",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("theory_catch",
+            org.apache.spark.sql.types.DoubleType))))
+      grid.join(broadcast(agg), Seq("bucket"), "left")
+        .select(col("bucket"), col("mid_jaccard"), col("theory_catch"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_caught"), lit(0L)).as("n_caught"),
+          when(coalesce(col("n_pairs"), lit(0L)) > 0,
+            col("n_caught").cast("double") / col("n_pairs").cast("double"))
+            .as("empirical_catch"))
+    },
+    Some {
+      val gridSql = sCurveTheory.map { case (k, mid, th) =>
+        s"($k, ${graft.SqlLit.double(mid)}, ${graft.SqlLit.double(th)})"
+      }.mkString(", ")
+      s"""WITH $sigCtesSql, cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+      ), tsz AS (
+        SELECT doc_id, count(1) AS n FROM ngr GROUP BY doc_id
+      ), tpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS common
+        FROM ngr a JOIN ngr b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      ), jp AS (
+        SELECT p.doc_a, p.doc_b,
+               LEAST(9, CAST(FLOOR(p.common / (sa.n + sb.n - p.common) * 10)
+                 AS BIGINT)) AS bucket
+        FROM tpairs p
+        JOIN tsz sa ON p.doc_a = sa.doc_id
+        JOIN tsz sb ON p.doc_b = sb.doc_id
+      ), agg AS (
+        SELECT jp.bucket, CAST(count(1) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_caught
+        FROM jp LEFT JOIN cand c
+          ON jp.doc_a = c.doc_a AND jp.doc_b = c.doc_b
+        GROUP BY jp.bucket
+      ), grid(bucket, mid_jaccard, theory_catch) AS (VALUES $gridSql)
+      SELECT CAST(g.bucket AS BIGINT) AS bucket, g.mid_jaccard, g.theory_catch,
+             CAST(COALESCE(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+             CAST(COALESCE(a.n_caught, 0) AS BIGINT) AS n_caught,
+             CASE WHEN COALESCE(a.n_pairs, 0) > 0
+                  THEN CAST(a.n_caught AS DOUBLE) / CAST(a.n_pairs AS DOUBLE)
+             END AS empirical_catch
+      FROM grid g LEFT JOIN agg a ON g.bucket = a.bucket"""
+    })
+
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, editDistance,
       incrementalDedup, fuzzyDecontaminate, setSimJoin, substringSpans,
       containmentJoin, cdcChunks, lshEval, dedupReport, memorizationSpans,
-      thresholdSweep, templateHubs, methodKappa)
+      thresholdSweep, templateHubs, methodKappa, lshSCurve)
 }

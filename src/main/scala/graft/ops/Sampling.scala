@@ -426,6 +426,78 @@ object Sampling {
                AS quota
       FROM ranked CROSS JOIN l"""))
 
-  val all: Seq[Q] = Seq(trainSplit, trainOrder, proportionalHoldout, tokenWaterfill,
+  // ---- q227: split manifest ------------------------------------------------
+  /** q227: the release manifest of a deterministic 3-way train/val/test
+    * split — per (split, source): document count, token mass, char mass —
+    * plus, per split, the EXACT deviation of its realized document count
+    * from the hash-family target (204/26/26 of 256). The manifest is what a
+    * training run records next to its data card, and the deviation column
+    * is the drift alarm: a re-generated corpus whose split fractions move
+    * beyond binomial noise means the key family or the id space changed —
+    * the silent leakage class q48's docstring warns about.
+    *
+    * FP shape: all columns are exact integers; the deviation is the
+    * cross-multiplication n_split·256 − target·n_total (no division, no
+    * ppm rounding) so both engines agree bit-for-bit at any corpus size
+    * that fits BIGINT/256.
+    *
+    * Distributed shape: one scan → (split, source) cells; the per-split and
+    * grand totals roll up from the ≤ 3·|sources| cells (never a second
+    * scan) and broadcast back. |splits|×|sources| rows out. */
+  val splitManifest: Q = Q(
+    "q227_split_manifest",
+    (s, dir) => {
+      // same salt + md5-hex family as q48, widened to 3 ways: first 204/256
+      // ("cc") → train, next 26 ("e6") → val, last 26 → test
+      val key = md5(concat_ws("|", lit(salt), col("doc_id").cast("string")))
+      val keyed = Tables.documents(s, dir)
+        .select(col("source"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          when(key < "cc", "train").when(key < "e6", "val").otherwise("test")
+            .as("split"))
+      val cell = keyed.groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+          sum("n_chars").as("n_chars"))
+      val bySplit = cell.groupBy("split").agg(sum("n_docs").as("split_docs"))
+      val grand = cell.agg(sum("n_docs").as("total_docs"))
+      cell.join(broadcast(bySplit), "split").crossJoin(broadcast(grand))
+        .withColumn("target_256",
+          when(col("split") === "train", 204L).when(col("split") === "val", 26L)
+            .otherwise(26L))
+        .withColumn("dev_256",
+          col("split_docs") * 256L - col("target_256") * col("total_docs"))
+        .select("split", "source", "n_docs", "n_tokens", "n_chars",
+          "split_docs", "target_256", "dev_256")
+    },
+    Some(s"""WITH keyed AS (
+        SELECT source, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CASE WHEN md5('$salt' || '|' || CAST(doc_id AS VARCHAR)) < 'cc'
+                      THEN 'train'
+                    WHEN md5('$salt' || '|' || CAST(doc_id AS VARCHAR)) < 'e6'
+                      THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+      ), cell AS (
+        SELECT split, source, CAST(count(1) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM keyed GROUP BY split, source
+      ), bysplit AS (
+        SELECT split, CAST(SUM(n_docs) AS BIGINT) AS split_docs
+        FROM cell GROUP BY split
+      ), grand AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM cell
+      )
+      SELECT cell.split, cell.source, cell.n_docs, cell.n_tokens, cell.n_chars,
+             b.split_docs,
+             CAST(CASE WHEN cell.split = 'train' THEN 204 ELSE 26 END AS BIGINT)
+               AS target_256,
+             CAST(b.split_docs * 256
+               - CASE WHEN cell.split = 'train' THEN 204 ELSE 26 END
+                 * g.total_docs AS BIGINT) AS dev_256
+      FROM cell JOIN bysplit b ON cell.split = b.split CROSS JOIN grand g"""))
+
+  val all: Seq[Q] = Seq(trainSplit, trainOrder, proportionalHoldout, tokenWaterfill, splitManifest,
     interleavedOrder, temperatureMixture, neymanAllocation)
 }

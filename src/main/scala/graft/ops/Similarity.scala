@@ -1162,8 +1162,143 @@ object Similarity {
                      / CAST(count(1) * 60 AS DOUBLE) FROM perq) AS suite_mrr
       FROM perq"""))
 
+  // ---- q224: contrastive hard-negative mining --------------------------------
+  /** Labeled variant of [[scored]]: every (query, corpus) cosine row carries
+    * both labels, so the contrastive ops (q224/q225) never join labels back
+    * onto the scored pairs (a second corpus-sized shuffle). */
+  private def scoredLabeled(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("norm", expr("sqrt(vec_dot(v, v))"))
+    val q = e.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("norm").as("qn"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr("vec_dot(qv, v)") / (col("qn") * col("norm")))
+  }
+
+  /** Shared labeled-cosine CTE for the q224/q225 oracles. */
+  private def labeledOracleBase =
+    s"""WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      ), n AS (
+        SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS norm FROM e
+      ), q AS (
+        SELECT vec_id AS q_id, label AS q_label, v AS qv, norm AS qn
+        FROM n WHERE vec_id % $queryMod = 0
+      ), s AS (
+        SELECT q.q_id, q.q_label, n.vec_id, n.label,
+               list_dot_product(q.qv, n.v) / (q.qn * n.norm) AS cos
+        FROM q JOIN n ON n.vec_id <> q.q_id
+      )"""
+
+  /** q224: hard-negative mining for contrastive embedding training — per
+    * sampled query vector, the top-5 nearest neighbors carrying a DIFFERENT
+    * label (the negatives a triplet/InfoNCE loss should see), each with the
+    * margin against the query's nearest SAME-label neighbor. A negative
+    * with nonpositive margin outranks every positive — the "hard" rows a
+    * curriculum feeds first, and the rows that expose label noise when the
+    * margin is large-negative.
+    *
+    * FP shape: cosine is the bit-identical vec_dot/list_dot_product fold
+    * (q17/q18 precedent); pos_cos is a MAX over those exact doubles
+    * (order-independent pick, no accumulation); margin is one subtraction
+    * of two such values — every output double is reproducible bit-exactly.
+    *
+    * Distributed shape: the 2% query sample broadcasts with labels onboard;
+    * the corpus streams once through the cosine join (no corpus shuffle of
+    * vectors); negatives top-5 is a per-query window over the scored rows;
+    * the positives reduce to one max row per query before a ≤|queries|-row
+    * broadcast join back. At 100 TB the corpus-side scan dominates and
+    * nothing else grows. */
+  val hardNegatives: Q = Q(
+    "q224_hard_negatives",
+    (s, dir) => {
+      val sc = scoredLabeled(s, dir)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      val negs = sc.filter(col("label") =!= col("q_label"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+      val pos = sc.filter(col("label") === col("q_label"))
+        .groupBy("q_id").agg(max("cos").as("pos_cos"))
+      negs.join(broadcast(pos), Seq("q_id"), "left")
+        .select(col("q_id"), col("q_label"), col("vec_id").as("neighbor_id"),
+          col("label").as("neg_label"), col("rank"), col("cos"), col("pos_cos"),
+          (col("pos_cos") - col("cos")).as("margin"))
+    },
+    Some(labeledOracleBase +
+      s"""
+      , negs AS (
+        SELECT q_id, q_label, vec_id AS neighbor_id, label AS neg_label, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+        FROM s WHERE label <> q_label
+      ), pos AS (
+        SELECT q_id, MAX(cos) AS pos_cos FROM s WHERE label = q_label GROUP BY q_id
+      )
+      SELECT negs.q_id, negs.q_label, negs.neighbor_id, negs.neg_label,
+             CAST(negs.rn AS BIGINT) AS rank, negs.cos, pos.pos_cos,
+             pos.pos_cos - negs.cos AS margin
+      FROM negs LEFT JOIN pos ON negs.q_id = pos.q_id
+      WHERE negs.rn <= 5"""))
+
+  // ---- q225: embedding-space label-noise audit -------------------------------
+  /** q225: per label, how often a member's exact 5 nearest neighbors share
+    * its label — the kNN self-consistency audit run before trusting labels
+    * for supervised mixing or probe training. Per label: query count, total
+    * same-label neighbor count (of 5·n), the agreement fraction, and how
+    * many members are SUSPECT (≤1 of 5 neighbors agree — the standard
+    * "likely mislabeled" flag from kNN label-noise literature).
+    *
+    * FP shape: all counting is exact integers over the bit-identical cosine
+    * ranking (ties broken by vec_id); agree_frac is one BIGINT/BIGINT
+    * division per label row.
+    *
+    * Distributed shape: reuses the scored broadcast join; one per-query
+    * window for top-5, one q_id-keyed count, one label-keyed rollup —
+    * |labels| rows out. */
+  val knnLabelNoise: Q = Q(
+    "q225_knn_label_noise",
+    (s, dir) => {
+      val sc = scoredLabeled(s, dir)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      val top5 = sc.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      val perQ = top5.groupBy("q_id", "q_label")
+        .agg(sum(when(col("label") === col("q_label"), 1L).otherwise(0L)).as("n_same"),
+          count(lit(1)).as("k"))
+      perQ.groupBy(col("q_label").as("label"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum("n_same").as("n_same_total"),
+          sum("k").as("n_neighbors"),
+          sum(when(col("n_same") <= 1, 1L).otherwise(0L)).as("n_suspect"))
+        .withColumn("agree_frac",
+          col("n_same_total").cast("double") / col("n_neighbors").cast("double"))
+    },
+    Some(labeledOracleBase +
+      """
+      , top5 AS (
+        SELECT q_id, q_label, label,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+        FROM s
+      ), perq AS (
+        SELECT q_id, q_label,
+               CAST(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_same,
+               CAST(count(1) AS BIGINT) AS k
+        FROM top5 WHERE rn <= 5 GROUP BY q_id, q_label
+      )
+      SELECT q_label AS label,
+             CAST(count(1) AS BIGINT) AS n_queries,
+             CAST(SUM(n_same) AS BIGINT) AS n_same_total,
+             CAST(SUM(k) AS BIGINT) AS n_neighbors,
+             CAST(SUM(CASE WHEN n_same <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_suspect,
+             CAST(SUM(n_same) AS DOUBLE) / CAST(SUM(k) AS DOUBLE) AS agree_frac
+      FROM perq GROUP BY q_label"""))
+
   val all: Seq[Q] =
     Seq(embeddingNearDup, knnBruteForce, knnLsh, knnIvf, semDedup,
       mutualKnnClusters, hybridRrf, pqEncode, pqAdcTopK, ivfPqTopK,
-      truncationRecall, annRecall, annRankQuality)
+      truncationRecall, annRecall, annRankQuality, hardNegatives, knnLabelNoise)
 }

@@ -619,7 +619,9 @@ object TextOps {
     * engines (the q116/BM25 rule); TV and Hellinger carry the same ranking
     * with exact-integer and sqrt-only arithmetic.
     *
-    * FP shape: TV is EXACT — Σ_{w∈src}|c_sw·N − c_w·n_s| is a BIGINT sum,
+    * FP shape: TV is EXACT — Σ_{w∈src}|c_sw·N − c_w·n_s| is a
+    * DECIMAL(38,0)/HUGEINT sum (BIGINT would wrap silently in Spark at
+    * ~10^10 total tokens while DuckDB raises),
     * and the out-of-vocabulary mass Σ_{w∉src} c_w·n_s = (N − cov_s)·n_s
     * closes the sum without ever materializing the src×vocab complement;
     * one final division. The Bhattacharyya sum quantizes each
@@ -647,12 +649,19 @@ object TextOps {
         .groupBy("source", "n_src", "n_tot")
         .agg(count(lit(1)).as("vocab_src"),
           sum("c_w").as("cov"),
-          sum(abs(col("c_sw") * col("n_tot") - col("c_w") * col("n_src")))
+          // the cross-multiplied numerators in DECIMAL(38,0) (HUGEINT in
+          // the oracle): in plain BIGINT, c_sw·N wraps silently in Spark
+          // at ~10^10-10^11 total tokens while DuckDB raises — the q136/
+          // q221 silent-wrap-vs-loud-raise divergence class (ADVICE r11)
+          sum(abs(col("c_sw").cast("decimal(38,0)") * col("n_tot")
+            - col("c_w").cast("decimal(38,0)") * col("n_src")))
             .as("tv_in"),
-          sum(floor(sqrt((col("c_sw") * col("c_w")).cast("double")) * 1000.0)
-            .cast("long")).as("bc_u"))
+          sum(floor(sqrt((col("c_sw").cast("decimal(38,0)") * col("c_w"))
+              .cast("double")) * 1000.0)
+            .cast("decimal(38,0)")).as("bc_u"))
         .select(col("source"), col("n_src"), col("vocab_src"),
-          ((col("tv_in") + (col("n_tot") - col("cov")) * col("n_src")).cast("double")
+          ((col("tv_in") + (col("n_tot") - col("cov")).cast("decimal(38,0)")
+              * col("n_src")).cast("double")
             / (lit(2.0) * col("n_src").cast("double") * col("n_tot").cast("double")))
             .as("tv"),
           bc.as("bhattacharyya"),
@@ -672,17 +681,17 @@ object TextOps {
         SELECT sw.source, ns.n_src, nt.n_tot,
                count(1) AS vocab_src,
                CAST(SUM(cw.c_w) AS BIGINT) AS cov,
-               CAST(SUM(ABS(sw.c_sw * nt.n_tot - cw.c_w * ns.n_src)) AS BIGINT)
-                 AS tv_in,
-               CAST(SUM(CAST(FLOOR(SQRT(CAST(sw.c_sw * cw.c_w AS DOUBLE)) * 1000.0)
-                 AS BIGINT)) AS BIGINT) AS bc_u
+               SUM(ABS(CAST(sw.c_sw AS HUGEINT) * nt.n_tot
+                 - CAST(cw.c_w AS HUGEINT) * ns.n_src)) AS tv_in,
+               SUM(CAST(FLOOR(SQRT(CAST(CAST(sw.c_sw AS HUGEINT) * cw.c_w
+                 AS DOUBLE)) * 1000.0) AS HUGEINT)) AS bc_u
         FROM sw JOIN cw ON sw.w = cw.w
         JOIN ns ON sw.source = ns.source
         CROSS JOIN nt
         GROUP BY 1, 2, 3
       )
       SELECT source, n_src, vocab_src,
-             CAST(tv_in + (n_tot - cov) * n_src AS DOUBLE)
+             CAST(tv_in + CAST(n_tot - cov AS HUGEINT) * n_src AS DOUBLE)
                / (2.0 * CAST(n_src AS DOUBLE) * CAST(n_tot AS DOUBLE)) AS tv,
              CAST(bc_u AS DOUBLE) / 1000.0
                / SQRT(CAST(n_src AS DOUBLE) * CAST(n_tot AS DOUBLE))
@@ -775,8 +784,74 @@ object TextOps {
           FROM ($grams) GROUP BY source"""
     }.mkString("\nUNION ALL\n")))
 
+  // ---- q226: code-vs-prose detection ---------------------------------------
+  private val codeSymbols = "{}();=<>[]#&|"
+  private val digitChars = "0123456789"
+
+  /** q226: the cheap code-vs-prose router — per document, exact counts of
+    * code-symbol chars (braces/semicolons/operators) and digit chars via
+    * length-minus-translate (no regex engine in the hot path), flagged
+    * `is_code` at ≥1.5% symbol density and `digit_heavy` at ≥20% digits;
+    * rolled up per source. Code routed into a prose-tokenized mixture (or
+    * vice versa) is a classic silent quality leak, and symbol density is
+    * the standard first-pass router a pipeline runs before a real
+    * classifier — this measures how much of each source it would divert.
+    *
+    * FP shape: counts are exact integers (translate deletes, length
+    * subtracts — identical semantics in both engines); flags are integer
+    * cross-multiplications (sym·1000 ≥ n·15, dig·100 ≥ n·20) with an n>0
+    * guard; the two per-source fractions are one BIGINT/BIGINT division
+    * each.
+    *
+    * Distributed shape: zero-shuffle per-row scoring, one source-keyed
+    * rollup, |sources| rows out. */
+  val codeDetect: Q = Q(
+    "q226_code_detect",
+    (s, dir) => {
+      val n = length(col("text")).cast("long")
+      val sym = (n - length(translate(col("text"), codeSymbols, ""))).cast("long")
+      val dig = (n - length(translate(col("text"), digitChars, ""))).cast("long")
+      val scoredDocs = Tables.documents(s, dir)
+        .select(col("source"), n.as("n"), sym.as("sym"), dig.as("dig"))
+        .withColumn("is_code", col("n") > 0 && col("sym") * 1000L >= col("n") * 15L)
+        .withColumn("digit_heavy", col("n") > 0 && col("dig") * 100L >= col("n") * 20L)
+      scoredDocs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_code"), 1L).otherwise(0L)).as("n_code"),
+          sum(when(col("digit_heavy"), 1L).otherwise(0L)).as("n_digit_heavy"),
+          sum("sym").as("sym_chars"), sum("dig").as("digit_chars"),
+          sum("n").as("total_chars"))
+        .withColumn("sym_frac",
+          col("sym_chars").cast("double") / col("total_chars").cast("double"))
+        .withColumn("digit_frac",
+          col("digit_chars").cast("double") / col("total_chars").cast("double"))
+    },
+    Some(s"""WITH d AS (
+        SELECT source, CAST(len(text) AS BIGINT) AS n,
+               CAST(len(text) - len(translate(text, '$codeSymbols', '')) AS BIGINT)
+                 AS sym,
+               CAST(len(text) - len(translate(text, '$digitChars', '')) AS BIGINT)
+                 AS dig
+        FROM documents
+      ), f AS (
+        SELECT source, n, sym, dig,
+               (n > 0 AND sym * 1000 >= n * 15) AS is_code,
+               (n > 0 AND dig * 100 >= n * 20) AS digit_heavy
+        FROM d
+      )
+      SELECT source, CAST(count(1) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN is_code THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+             CAST(SUM(CASE WHEN digit_heavy THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_digit_heavy,
+             CAST(SUM(sym) AS BIGINT) AS sym_chars,
+             CAST(SUM(dig) AS BIGINT) AS digit_chars,
+             CAST(SUM(n) AS BIGINT) AS total_chars,
+             CAST(SUM(sym) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS sym_frac,
+             CAST(SUM(dig) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS digit_frac
+      FROM f GROUP BY source"""))
+
   val all: Seq[Q] = Seq(textQuality, textLangId, tokenCount, docFingerprint,
     repetitionScore, lengthOutliers, robustOutliers, phraseSearch,
     bigramSurprisal, gopherRules, quantileNorm, kwicConcordance,
-    sourceDivergence, langConfusion, ngramDiversity)
+    sourceDivergence, langConfusion, ngramDiversity, codeDetect)
 }

@@ -19,7 +19,7 @@ class BenchSpec extends AnyFunSuite {
     assert(boom.sec == -1.0)
     assert(rs.find(_.name == "ok").get.err.isEmpty)
     val json = Bench.renderJson(rs, sfDir, gcSec = 0.1, persistentRdds = 0, storageBytes = 0L,
-      regs = Nil, warmSharedSec = 0.0)
+      regs = Nil, warmSharedSec = 0.0, rewarmed = Nil, selfHeals = Nil)
     assert(json.contains("\"boom\":-1.0"), json)
     assert(json.contains("\"failed\":1"), json)
     // total sums only successes — the failure must not contribute −1
@@ -38,11 +38,45 @@ class BenchSpec extends AnyFunSuite {
       "q_broken" -> 0.1)
     val regs = Bench.regressions(rs, pins)
     assert(regs == Seq(("q_slow", 7.29, 1.93)), regs.toString)
-    val json = Bench.renderJson(rs, sfDir, 0.0, 0, 0L, regs, warmSharedSec = 1.234)
+    val json = Bench.renderJson(rs, sfDir, 0.0, 0, 0L, regs, warmSharedSec = 1.234,
+      rewarmed = Seq("q14_pairs" -> 0.2345), selfHeals = Seq("qa_corpus" -> "q30_qa"))
     assert(json.contains("\"regressions\":{\"q_slow\":[7.29,1.93]}"), json)
     assert(json.contains("\"warm_shared_sec\":1.234"), json)
-    val summary = Bench.renderSummary(rs, sfDir, regs)
+    assert(json.contains("\"rewarm_sec\":{\"q14_pairs\":0.235"), json)
+    assert(json.contains("\"cache_selfheals\":[\"qa_corpus@q30_qa\"]"), json)
+    val summary = Bench.renderSummary(rs, sfDir, regs, Seq("qa_corpus" -> "q30_qa"))
     assert(summary.contains("\"regressions\":{\"q_slow\":[7.29,1.93]}"), summary)
+    assert(summary.contains("\"cache_selfheals\":[\"qa_corpus@q30_qa\"]"), summary)
+  }
+
+  test("self-heal forensics: an external unpersist of a cached entry is recorded") {
+    PlanCache.drainSelfHeals()
+    val name = "benchspec_selfheal_probe"
+    val df = PlanCache.cached(spark, name, sfDir, sfDir + "/region.parquet") {
+      Tables.region(spark, sfDir)
+    }
+    df.count()
+    df.unpersist(blocking = true) // the CacheManager eviction class, by reference
+    PlanCache.setConsumer("q_probe_consumer")
+    val again = PlanCache.cached(spark, name, sfDir, sfDir + "/region.parquet") {
+      Tables.region(spark, sfDir)
+    }
+    assert(again.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "self-heal did not re-persist the evicted entry")
+    val events = PlanCache.drainSelfHeals()
+    assert(events.contains((name, "q_probe_consumer")), events.toString)
+    again.unpersist(blocking = true)
+  }
+
+  test("every non-aux registered query has a bench pin (alarm coverage)") {
+    // The regression alarm only protects what it can see (VERDICT r11: q213's
+    // 3.11 s was invisible because the 20 r11 queries landed unpinned). Every
+    // new operator must land with its pin in the same commit.
+    val pins = Bench.loadPins("bench_pins.json")
+    assert(pins.nonEmpty, "bench_pins.json missing or unparseable")
+    val unpinned = SparkEntry.queries.keys.toSeq
+      .filterNot(_.startsWith("aux_")).filterNot(pins.contains).sorted
+    assert(unpinned.isEmpty, s"queries without a bench pin: ${unpinned.mkString(", ")}")
   }
 
   test("loadPins parses a flat json map and tolerates a missing file") {

@@ -358,6 +358,16 @@ class R11OpsSpec extends AnyFunSuite {
     assert(real(50) >= real(95))
   }
 
+  test("q218 plan: the sweep join runs once (zero tail folded into a left join)") {
+    // round-11 verdict's cosmetic finding: the explicit-zero tail used to
+    // re-run pairs×grid a second time behind a left_anti; the folded form
+    // evaluates the jaccard>=t sweep predicate at exactly one plan site
+    val plan = SparkEntry.queries("q218_dedup_threshold_sweep")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val sweepSites = "jaccard#\\d+L? >= t#\\d+".r.findAllIn(plan).size
+    assert(sweepSites === 1, s"sweep predicate at $sweepSites sites:\n$plan")
+  }
+
   test("q218 sweep: a pairless corpus reports ten explicit zero rows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_r11_sweep0").toString

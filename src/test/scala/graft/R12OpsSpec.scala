@@ -1,0 +1,179 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral coverage for the round-12 operators (q224–q228): planted
+  * synthetic corpora with hand-computable answers driven through the
+  * REGISTERED query entries (the driver's code path), plus invariants over
+  * the real sf0.001 corpus.
+  */
+class R12OpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** Embeddings dir with one query vector (vec_id 0 — the only id ≡ 0 mod
+    * 50) and four planted corpus vectors whose cosines are hand-orderable. */
+  private lazy val embDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r12_emb").toString
+    Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 1),   // the query, label 1
+      (1L, Seq(0.9f, 0.1f, 0f, 0f), 1), // same-label, cos ~0.9939 (the positive)
+      (2L, Seq(0.8f, 0.2f, 0f, 0f), 2), // diff-label, cos ~0.9701 (hard negative)
+      (3L, Seq(0f, 0f, 1f, 0f), 2),   // diff-label, cos 0 (easy negative)
+      (4L, Seq(0f, 1f, 0f, 0f), 1))   // same-label, cos 0
+      .toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as float)) AS embedding",
+        "cast(label as int) AS label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  /** Documents dir shared with the R11 fixture's planted structure:
+    * (1,2) share an 11-shingle overlap (J = 11/15), (4,5) are verbatim
+    * duplicates (J = 1), everything else is shingle-disjoint. */
+  private lazy val docDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r12_docs").toString
+    val span = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13"
+    Seq(
+      (1L, s"$span extra1 extra2", "en", "srcA", 60L),
+      (2L, s"lead1 lead2 $span", "en", "srcA", 60L),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13 u14", "en", "srcA", 50L),
+      (4L, "b1 b2 b3 b4 b5", "en", "srcB", 14L),
+      (5L, "b1 b2 b3 b4 b5", "en", "srcB", 14L),
+      (6L, "c1 c2 c3 c4 c5", "en", "srcB", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q224 hard negatives: planted ordering, positive margin for the hard one") {
+    val rows = SparkEntry.queries("q224_hard_negatives")(spark, embDir)
+      .collect().sortBy(_.getAs[Long]("rank"))
+    assert(rows.length === 2) // only two diff-label vectors exist
+    val Array(r1, r2) = rows
+    assert(r1.getAs[Long]("q_id") === 0L)
+    assert(r1.getAs[Int]("q_label") === 1)
+    assert(r1.getAs[Long]("neighbor_id") === 2L) // the hard negative ranks first
+    assert(r2.getAs[Long]("neighbor_id") === 3L)
+    // pos_cos is vec 1's cosine; the hard negative still sits BELOW it
+    assert(r1.getAs[Double]("pos_cos") > 0.99)
+    assert(r1.getAs[Double]("margin") > 0.0 && r1.getAs[Double]("margin") < 0.1)
+    assert(r2.getAs[Double]("margin") > 0.9) // the easy negative's margin is wide
+  }
+
+  test("q224 on the real corpus: ranks 1..5 per query, margin = pos_cos - cos") {
+    val rows = SparkEntry.queries("q224_hard_negatives")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq === (1L to rs.length).toSeq)
+    }
+    rows.filter(r => !r.isNullAt(r.fieldIndex("pos_cos"))).foreach { r =>
+      assert(r.getAs[Double]("margin") ===
+        r.getAs[Double]("pos_cos") - r.getAs[Double]("cos"))
+    }
+  }
+
+  test("q225 label noise: hand-counted agreement on the planted vectors") {
+    val rows = SparkEntry.queries("q225_knn_label_noise")(spark, embDir)
+      .collect().map(r => r.getAs[Int]("label") -> r).toMap
+    // only vec 0 is a query: 4 neighbors total, 2 share label 1
+    val l1 = rows(1)
+    assert(l1.getAs[Long]("n_queries") === 1L)
+    assert(l1.getAs[Long]("n_neighbors") === 4L)
+    assert(l1.getAs[Long]("n_same_total") === 2L)
+    assert(l1.getAs[Long]("n_suspect") === 0L)
+    assert(l1.getAs[Double]("agree_frac") === 0.5)
+    assert(!rows.contains(2)) // no label-2 queries
+  }
+
+  test("q225 on the real corpus: fractions in [0,1], neighbor counts = 5 per query") {
+    val rows = SparkEntry.queries("q225_knn_label_noise")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f = r.getAs[Double]("agree_frac")
+      assert(f >= 0.0 && f <= 1.0)
+      assert(r.getAs[Long]("n_neighbors") === 5L * r.getAs[Long]("n_queries"))
+      assert(r.getAs[Long]("n_suspect") <= r.getAs[Long]("n_queries"))
+    }
+  }
+
+  test("q226 code detect: hand-counted symbol/digit densities and flags") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r12_code").toString
+    Seq(
+      (1L, "a b c d e f g h", "en", "prose", 15L),           // 0 sym, 0 dig
+      (2L, "if (x) { y = 1; }", "en", "code", 17L),           // 6 sym, 1 dig
+      (3L, "1 2 3 4 5", "en", "nums", 9L))                    // 0 sym, 5 dig
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q226_code_detect")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows("prose").getAs[Long]("n_code") === 0L)
+    assert(rows("prose").getAs[Long]("n_digit_heavy") === 0L)
+    assert(rows("code").getAs[Long]("sym_chars") === 6L)
+    assert(rows("code").getAs[Long]("n_code") === 1L)       // 6/17 >= 1.5%
+    assert(rows("code").getAs[Long]("n_digit_heavy") === 0L) // 1/17 < 20%
+    assert(rows("nums").getAs[Long]("digit_chars") === 5L)
+    assert(rows("nums").getAs[Long]("n_digit_heavy") === 1L) // 5/9 >= 20%
+    assert(rows("nums").getAs[Long]("n_code") === 0L)
+    assert(rows("code").getAs[Double]("sym_frac") === 6.0 / 17.0)
+  }
+
+  test("q227 split manifest: assignment matches an independent md5 recompute") {
+    val rows = SparkEntry.queries("q227_split_manifest")(spark, docDir).collect()
+    // independent recompute of the split family (salt 'split42', md5-hex)
+    def splitOf(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split42|$id".getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString
+      if (hex < "cc") "train" else if (hex < "e6") "val" else "test"
+    }
+    val expected = (1L to 6L).groupBy(splitOf).map { case (k, v) => k -> v.size }
+    val got = rows.groupBy(_.getAs[String]("split"))
+      .map { case (k, v) => k -> v.map(_.getAs[Long]("n_docs")).sum }
+    assert(got === expected.map { case (k, v) => k -> v.toLong })
+    // the per-split deviation identity: split_docs*256 - target*total
+    val total = rows.groupBy(_.getAs[String]("split"))
+      .map(_._2.head.getAs[Long]("split_docs")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dev_256") ===
+        r.getAs[Long]("split_docs") * 256L - r.getAs[Long]("target_256") * total)
+    }
+    // token mass: 6 docs with 15+15+14+5+5+5 = 59 words
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum === 59L)
+  }
+
+  test("q228 S-curve: planted pairs land in buckets 7 and 9; the verbatim pair is caught") {
+    val rows = SparkEntry.queries("q228_lsh_s_curve")(spark, docDir)
+      .collect().map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(rows.size === 10)
+    // (1,2): J = 11/15 = 0.733 -> bucket 7; (4,5): J = 1.0 -> capped at 9
+    assert(rows(7L).getAs[Long]("n_pairs") === 1L)
+    assert(rows(9L).getAs[Long]("n_pairs") === 1L)
+    // identical docs have identical signatures -> always band-caught
+    assert(rows(9L).getAs[Long]("n_caught") === 1L)
+    assert(rows(9L).getAs[Double]("empirical_catch") === 1.0)
+    // empty buckets: zero pairs, null empirical rate
+    assert(rows(0L).getAs[Long]("n_pairs") === 0L)
+    assert(rows(0L).isNullAt(rows(0L).fieldIndex("empirical_catch")))
+    // the embedded theory curve is monotone increasing and saturates
+    val th = (0L to 9L).map(rows(_).getAs[Double]("theory_catch"))
+    assert(th.zip(th.tail).forall { case (a, b) => a < b })
+    assert(th.last > 0.99 && th.head < 0.01)
+  }
+
+  test("q228 on the real corpus: counts are consistent and rates well-formed") {
+    val rows = SparkEntry.queries("q228_lsh_s_curve")(spark, sfDir).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_caught") <= r.getAs[Long]("n_pairs"))
+      if (!r.isNullAt(r.fieldIndex("empirical_catch"))) {
+        val e = r.getAs[Double]("empirical_catch")
+        assert(e >= 0.0 && e <= 1.0)
+      }
+    }
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum > 0L)
+  }
+}

@@ -74,7 +74,12 @@ def main(bench_path, oracle_path):
     for name, s, d, excess, excl in rows[:30]:
         status = excl or ("**BREACH**" if excess > 0 else "ok")
         print(f"| {name} | {s:.2f} | {d:.3f} | {OVERHEAD + RATIO_CAP*d:.2f} | {status} |")
-    print(f"| ... ({len(rows) - 30} more, all ok) | | | | |" if len(rows) > 30 else "")
+    if len(rows) > 30:
+        # the remainder may still hold breaches (rows sort by excess but
+        # include excluded entries); never claim "all ok" without checking
+        rest_breach = sum(1 for r in rows[30:] if r[3] > 0 and r[4] is None)
+        tag = "all ok" if rest_breach == 0 else f"{rest_breach} BREACHES below cutoff"
+        print(f"| ... ({len(rows) - 30} more, {tag}) | | | | |")
     n_cmp = sum(1 for r in rows if r[4] is None)
     print(f"\ncomparable: {n_cmp}, dump-derived: "
           f"{sum(1 for r in rows if r[4] == 'dump-derived')}, "
