@@ -1601,11 +1601,16 @@ object CorpusOps {
     * is consumed by a filter), ranked by a fully deterministic tuple.
     *
     * Distributed shape: the heavy aggregate keys on md5(span) — 16-byte
-    * shuffle keys, never span text (the distinct-count expansion defeats
-    * map-side dedup, so a text-keyed aggregate would shuffle O(corpus)
-    * text at 100 TB). Span text is recovered ONLY for the 100 winners via
-    * a broadcast join back to the explode. Top-k ties at the cut break on
-    * the hash in BOTH engines, so the selected set is identical. */
+    * shuffle keys with one span-text copy per distinct (span, doc) riding
+    * the first aggregate — the (h, source, doc_id) grain collapses
+    * ENTIRELY map-side (a document's spans never straddle input
+    * partitions), so the shuffle moves per-doc-distinct rows, not
+    * occurrences, and the second aggregate needs a single distinct
+    * (n_docs is a plain count at that grain) instead of the 3×-expand
+    * double countDistinct. One corpus scan total (r12: was two — the old
+    * winner-text join-back re-ran the explode for 2.5 s of the 3.9 s
+    * wall). Top-k ties at the cut break on the hash in BOTH engines, so
+    * the selected set is identical. */
   val boilerplateMiner: Q = Q(
     "q213_boilerplate_miner",
     (s, dir) => {
@@ -1615,17 +1620,26 @@ object CorpusOps {
         .select(col("source"), col("doc_id"), explode(expr(
           s"transform(sequence(0, size(ws) - $bpN), i -> array_join(slice(ws, i + 1, $bpN), ' '))"))
           .as("g"))
-      val top = spans.groupBy(md5(col("g")).as("h"))
+      // ONE scan, two keyed aggregates (was: agg + a second full explode
+      // scan to recover winner text, r12 ratio-audit entry). Stage 1 keys
+      // on (h, source, doc_id): a document's spans all sit in one input
+      // partition, so the partial aggregate collapses every group map-side
+      // and the shuffle carries one row per distinct (span, doc) with the
+      // span text riding once. Stage 2 then needs only ONE distinct
+      // (source) — n_docs is a plain count of the stage-1 rows — avoiding
+      // the 3× expand the double countDistinct cost, and min(g) recovers
+      // the text with no join-back (all g under one md5 are the same span).
+      val perDoc = spans.groupBy(md5(col("g")).as("h"), col("source"), col("doc_id"))
+        .agg(count(lit(1)).as("c"), min("g").as("g"))
+      perDoc.groupBy("h")
         .agg(countDistinct("source").as("n_sources"),
-          countDistinct("doc_id").as("n_docs"),
-          count(lit(1)).as("n_occ"))
+          count(lit(1)).as("n_docs"),
+          sum("c").as("n_occ"),
+          min("g").as("g"))
         .filter(col("n_sources") >= 2)
         .orderBy(col("n_sources").desc, col("n_docs").desc,
           col("n_occ").desc, col("h").asc)
         .limit(bpTopK)
-      broadcast(top).join(spans.select(md5(col("g")).as("h"), col("g")), "h")
-        .groupBy("h", "n_sources", "n_docs", "n_occ")
-        .agg(min("g").as("g")) // all g under one md5 are the same span
         .select("g", "n_sources", "n_docs", "n_occ")
     },
     Some(s"""WITH spans AS (
@@ -1932,38 +1946,37 @@ object CorpusOps {
     * tie group). Everything after the rank is per-row modular arithmetic +
     * one |shards|-row aggregate. All integers; the spread ratio is the one
     * double at the end. */
-  val shardPacking: Q = Q(
-    "q223_shard_packing",
-    (s, dir) => {
-      val S = packShards
-      val d = Tables.documents(s, dir)
-        .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
-        .select("doc_id", "tokens")
-      val vc = d.groupBy("tokens").agg(count(lit(1)).as("cnt"))
-      val wVals = Window.orderBy(col("tokens").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val cum = vc.withColumn("cum_before",
-        coalesce(sum("cnt").over(wVals), lit(0L)))
-        .select("tokens", "cum_before")
-      val wIn = Window.partitionBy("tokens").orderBy("doc_id")
-      val ranked = d.join(broadcast(cum), "tokens")
-        .withColumn("idx",
-          col("cum_before") + row_number().over(wIn).cast("long") - 1L)
-      val assigned = ranked
-        .withColumn("rnd", expr(s"idx div $S"))
-        .withColumn("pos", col("idx") % S)
-        .withColumn("shard",
-          when(col("rnd") % 2 === 0, col("pos"))
-            .otherwise(lit(S - 1L) - col("pos")))
-      val sh = assigned.groupBy("shard")
-        .agg(count(lit(1)).as("n_docs"), sum("tokens").as("shard_tokens"))
-      val spread = sh.agg(max("shard_tokens").as("max_shard_tokens"),
-        min("shard_tokens").as("min_shard_tokens"),
-        (max("shard_tokens").cast("double")
-          / min("shard_tokens").cast("double")).as("spread"))
-      sh.crossJoin(broadcast(spread))
-    },
-    Some(s"""WITH d AS (
+  /** The boustrophedon shard assignment (doc_id, tokens, shard) — shared by
+    * q223 (the balance report) and q232 (the per-shard mixture audit) so the
+    * two reports can never disagree on what a shard contains. */
+  private def packAssigned(s: SparkSession, dir: String): DataFrame = {
+    val S = packShards
+    val d = Tables.documents(s, dir)
+      .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
+      .select("doc_id", "tokens")
+    val vc = d.groupBy("tokens").agg(count(lit(1)).as("cnt"))
+    val wVals = Window.orderBy(col("tokens").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = vc.withColumn("cum_before",
+      coalesce(sum("cnt").over(wVals), lit(0L)))
+      .select("tokens", "cum_before")
+    val wIn = Window.partitionBy("tokens").orderBy("doc_id")
+    val ranked = d.join(broadcast(cum), "tokens")
+      .withColumn("idx",
+        col("cum_before") + row_number().over(wIn).cast("long") - 1L)
+    ranked
+      .withColumn("rnd", expr(s"idx div $S"))
+      .withColumn("pos", col("idx") % S)
+      .withColumn("shard",
+        when(col("rnd") % 2 === 0, col("pos"))
+          .otherwise(lit(S - 1L) - col("pos")))
+      .select("doc_id", "tokens", "shard")
+  }
+
+  /** The DuckDB spelling of [[packAssigned]] (CTEs d → r → a; `a` carries
+    * (doc_id, tokens, shard)) — one string, embedded by both oracles. */
+  private val packAssignSql: String =
+    s"""d AS (
         SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
         FROM documents
       ), r AS (
@@ -1971,11 +1984,24 @@ object CorpusOps {
                row_number() OVER (ORDER BY tokens DESC, doc_id) - 1 AS idx
         FROM d
       ), a AS (
-        SELECT tokens,
+        SELECT doc_id, tokens,
                CASE WHEN (idx // $packShards) % 2 = 0 THEN idx % $packShards
                     ELSE ${packShards - 1} - (idx % $packShards) END AS shard
         FROM r
-      ), sh AS (
+      )"""
+
+  val shardPacking: Q = Q(
+    "q223_shard_packing",
+    (s, dir) => {
+      val sh = packAssigned(s, dir).groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("tokens").as("shard_tokens"))
+      val spread = sh.agg(max("shard_tokens").as("max_shard_tokens"),
+        min("shard_tokens").as("min_shard_tokens"),
+        (max("shard_tokens").cast("double")
+          / min("shard_tokens").cast("double")).as("spread"))
+      sh.crossJoin(broadcast(spread))
+    },
+    Some(s"""WITH $packAssignSql, sh AS (
         SELECT CAST(shard AS BIGINT) AS shard,
                CAST(count(1) AS BIGINT) AS n_docs,
                CAST(SUM(tokens) AS BIGINT) AS shard_tokens
@@ -1988,12 +2014,155 @@ object CorpusOps {
                      / CAST(MIN(shard_tokens) AS DOUBLE) FROM sh) AS spread
       FROM sh"""))
 
+  // ---- q231: decontamination n-gram-width dose-response ----------------------
+  /** q231: q51's eval-decontamination flag swept across shingle widths
+    * n ∈ {3..8} — per width, how many eligible train documents (≥ n words,
+    * outside the eval slice) share at least one word n-gram with the eval
+    * slice, and the flagged fraction. The width is decontamination's one
+    * dial (too narrow flags half the corpus on common phrases, too wide
+    * misses paraphrased leaks); this is its dose-response curve, the q218
+    * idiom applied to contamination. n = 5 reproduces q51's count exactly
+    * (pinned in the spec).
+    *
+    * FP shape: all counting is exact integers over exact string equality;
+    * the fraction is one BIGINT/BIGINT division per width.
+    *
+    * Distributed shape: ONE scan explodes shingles for all six widths
+    * (6× the token volume of one width — at 100 TB run widths in batches
+    * if memory-bound, the unioned plan partitions identically); the eval
+    * side stays a few documents' distinct shingles per width (broadcast);
+    * flags reduce to distinct (n, doc_id) then a 6-row aggregate. */
+  val contamNSweep: Q = Q(
+    "q231_contam_n_sweep",
+    (s, dir) => {
+      val ns = 3 to 8
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+      def shinglesAt(n: Int): DataFrame = base
+        .filter(size(col("words")) >= n)
+        .select(lit(n.toLong).as("n"), col("doc_id"),
+          explode(array_distinct(expr(
+            s"""transform(sequence(0, size(words) - $n),
+               i -> concat_ws(' ', slice(words, i + 1, $n)))""")))
+            .as("shingle"))
+      val sh = ns.map(shinglesAt).reduce(_ unionByName _)
+      val evalSh = sh.filter(col("doc_id") % evalMod === 0)
+        .select("n", "shingle").distinct()
+      val eligible = ns.map(n => base.filter(size(col("words")) >= n)
+          .filter(col("doc_id") % evalMod =!= 0)
+          .agg(count(lit(1)).as("n_train_docs"))
+          .select(lit(n.toLong).as("n"), col("n_train_docs")))
+        .reduce(_ unionByName _)
+      val flagged = sh.filter(col("doc_id") % evalMod =!= 0)
+        .join(broadcast(evalSh), Seq("n", "shingle"))
+        .select("n", "doc_id").distinct()
+        .groupBy("n").agg(count(lit(1)).as("n_flagged"))
+      eligible.join(flagged, Seq("n"), "left")
+        .select(col("n"), col("n_train_docs"),
+          coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+          (coalesce(col("n_flagged"), lit(0L)).cast("double")
+            / col("n_train_docs").cast("double")).as("flag_frac"))
+    },
+    Some(s"""WITH grid AS (
+        SELECT unnest(range(3, 9)) AS n
+      ), d AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      ), sh AS (
+        SELECT g.n, d.doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, len(words) - g.n + 2),
+                 i -> array_to_string(list_slice(words, i, i + g.n - 1), ' '))))
+                 AS shingle
+        FROM d CROSS JOIN grid g WHERE len(words) >= g.n
+      ), eval_sh AS (
+        SELECT DISTINCT n, shingle FROM sh WHERE doc_id % $evalMod = 0
+      ), flagged AS (
+        SELECT n, CAST(count(1) AS BIGINT) AS n_flagged FROM (
+          SELECT DISTINCT s.n, s.doc_id
+          FROM sh s JOIN eval_sh e ON s.n = e.n AND s.shingle = e.shingle
+          WHERE s.doc_id % $evalMod <> 0
+        ) GROUP BY n
+      ), eligible AS (
+        SELECT g.n, CAST(count(1) AS BIGINT) AS n_train_docs
+        FROM d CROSS JOIN grid g
+        WHERE len(words) >= g.n AND doc_id % $evalMod <> 0
+        GROUP BY g.n
+      )
+      SELECT CAST(el.n AS BIGINT) AS n, el.n_train_docs,
+             CAST(COALESCE(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+             CAST(COALESCE(f.n_flagged, 0) AS DOUBLE)
+               / CAST(el.n_train_docs AS DOUBLE) AS flag_frac
+      FROM eligible el LEFT JOIN flagged f ON el.n = f.n"""))
+
+  // ---- q232: per-shard source-mixture audit ----------------------------------
+  /** q232: what q223's token-balanced shards look like from the MIXTURE
+    * side — per shard: doc count, distinct sources, the majority source and
+    * its share, and the source-concentration HHI (Σ share², the q181
+    * statistic). Token balancing is blind to provenance, and a shard that
+    * accidentally concentrates one source gives sequential readers a
+    * non-iid stretch — this is the report that says whether the packing
+    * also needs a source-interleave pass.
+    *
+    * FP shape: counts exact; Σc² in DECIMAL(38,0)/HUGEINT (the q203 wrap
+    * rule — c² passes 2^63 at ~3e9 docs per (shard, source)); top_share
+    * and hhi are one division each on exact inputs; majority ties break by
+    * source name.
+    *
+    * Distributed shape: the assignment frame joins source on doc_id (the
+    * scan's own key), then |shards|×|sources| cells drive everything —
+    * two bounded aggregates and one bounded window. */
+  val shardMixture: Q = Q(
+    "q232_shard_mixture",
+    (s, dir) => {
+      val cell = packAssigned(s, dir)
+        .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
+        .groupBy("shard", "source").agg(count(lit(1)).as("c"))
+      val tot = cell.groupBy("shard").agg(
+        sum("c").as("n_docs"), count(lit(1)).as("n_sources"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("sum_sq"))
+      val wTop = Window.partitionBy("shard")
+        .orderBy(col("c").desc, col("source").asc)
+      val top = cell.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") === 1)
+        .select(col("shard"), col("source").as("top_source"),
+          col("c").as("top_count"))
+      tot.join(top, "shard")
+        .select(col("shard"), col("n_docs"), col("n_sources"), col("top_source"),
+          (col("top_count").cast("double") / col("n_docs").cast("double"))
+            .as("top_share"),
+          (col("sum_sq").cast("double")
+            / (col("n_docs").cast("double") * col("n_docs").cast("double")))
+            .as("hhi"))
+    },
+    Some(s"""WITH $packAssignSql, cell AS (
+        SELECT a.shard, doc.source, CAST(count(1) AS BIGINT) AS c
+        FROM a JOIN documents doc ON a.doc_id = doc.doc_id
+        GROUP BY a.shard, doc.source
+      ), tot AS (
+        SELECT shard, CAST(SUM(c) AS BIGINT) AS n_docs,
+               CAST(count(1) AS BIGINT) AS n_sources,
+               SUM(CAST(c AS HUGEINT) * c) AS sum_sq
+        FROM cell GROUP BY shard
+      ), top AS (
+        SELECT shard, source AS top_source, c AS top_count,
+               row_number() OVER (PARTITION BY shard
+                 ORDER BY c DESC, source ASC) AS rn
+        FROM cell
+      )
+      SELECT CAST(t.shard AS BIGINT) AS shard, t.n_docs, t.n_sources,
+             p.top_source,
+             CAST(p.top_count AS DOUBLE) / CAST(t.n_docs AS DOUBLE) AS top_share,
+             CAST(t.sum_sq AS DOUBLE)
+               / (CAST(t.n_docs AS DOUBLE) * CAST(t.n_docs AS DOUBLE)) AS hhi
+      FROM tot t JOIN top p ON t.shard = p.shard AND p.rn = 1"""))
+
   val all: Seq[Q] = Seq(piiRedact, decontaminate, mixtureSample, noveltyScore,
     ngramTopK, docPack, embedQuantize, cleanPipeline, zorderKey, docChunks,
     bm25Score, tfidfTopTerms, heavyHitters, corpusCard, ksDrift, sourceOverlap,
     nucleusRetention, vocabGrowth, paddingWaste, zipfOctaves, sourceContainment,
     cleaningWaterfall, tokenWaterfall, chunkDedup, driftReport,
     dedupSurvivorship, sourceNoveltyOrder, boilerplateMiner, sourceDupMatrix,
-    evalLeakSurface, paretoCoverage, sourceReportCard, shardPacking)
+    evalLeakSurface, paretoCoverage, sourceReportCard, shardPacking,
+    contamNSweep, shardMixture)
 }
 

@@ -389,6 +389,147 @@ object DedupCluster {
                   THEN 0.0 ELSE p.j_min_scored END AS min_jaccard
       FROM sizes s LEFT JOIN perc p ON s.component = p.component"""))
 
+  // ---- q229: canonical-selection policy comparison ---------------------------
+  /** q229: which document each dedup cluster KEEPS under the two standard
+    * representative policies — keep-lowest-id (q40/q46's current sweep,
+    * cheap and deterministic) vs keep-longest (max n_chars, ties to lowest
+    * id — the content-preserving policy curation guides recommend) — one
+    * row per cluster with both representatives, whether they agree, and
+    * the exact character mass the longest-policy keeps that lowest-id
+    * throws away. The aggregate of chars_delta is the cost of the cheap
+    * policy; clusters where the policies disagree are where a sweep
+    * silently keeps truncated variants.
+    *
+    * FP shape: all columns are exact integers/booleans; representative
+    * selection is a deterministic (n_chars DESC, doc_id ASC) rank.
+    *
+    * Distributed shape: the cluster map (pair-graph scale, far smaller
+    * than the corpus) joins n_chars on doc_id, then one per-component
+    * window + two bounded joins; |clusters| rows out. */
+  val canonicalPolicy: Q = Q(
+    "q229_canonical_policy",
+    (s, dir) => {
+      val sized = clusters(s, dir).select("doc_id", "component")
+        .join(graft.Tables.documents(s, dir).select("doc_id", "n_chars"), "doc_id")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      val byQuality = sized.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("component"), col("doc_id").as("rep_longest"),
+          col("n_chars").as("chars_longest"))
+      val byLowest = sized.filter(col("doc_id") === col("component"))
+        .select(col("component"), col("n_chars").as("chars_lowest"))
+      val members = sized.groupBy("component")
+        .agg(count(lit(1)).as("n_members"))
+      members.join(byQuality, "component").join(byLowest, "component")
+        .select(col("component"), col("n_members"),
+          col("component").as("rep_lowest"), col("rep_longest"),
+          (col("rep_longest") === col("component")).as("same_rep"),
+          col("chars_lowest"), col("chars_longest"),
+          (col("chars_longest") - col("chars_lowest")).as("chars_delta"))
+    },
+    Some(s"""WITH comp AS (
+        ${dedupClusters.oracle.get}
+      ), sized AS (
+        SELECT c.doc_id, c.component, d.n_chars
+        FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+      ), byq AS (
+        SELECT component, doc_id AS rep_longest, n_chars AS chars_longest,
+               row_number() OVER (PARTITION BY component
+                 ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM sized
+      ), bylow AS (
+        SELECT component, n_chars AS chars_lowest FROM sized
+        WHERE doc_id = component
+      ), members AS (
+        SELECT component, CAST(count(1) AS BIGINT) AS n_members
+        FROM sized GROUP BY component
+      )
+      SELECT m.component, m.n_members,
+             m.component AS rep_lowest, q.rep_longest,
+             q.rep_longest = m.component AS same_rep,
+             l.chars_lowest, q.chars_longest,
+             CAST(q.chars_longest - l.chars_lowest AS BIGINT) AS chars_delta
+      FROM members m
+      JOIN byq q ON m.component = q.component AND q.rn = 1
+      JOIN bylow l ON m.component = l.component"""))
+
+  // ---- q233: split-leakage comparison --------------------------------------
+  /** q233: the measured justification for q69 — how many q14 near-dup
+    * pairs STRADDLE a train/val/test boundary under (a) the naive policy
+    * that hashes raw doc_ids and (b) q69's cluster-aware policy that
+    * hashes the component representative. Both policies use the identical
+    * md5 draw and 80/10/10 thresholds, so the ONLY difference is the
+    * hash key — the naive row quantifies the eval-leak a doc-keyed split
+    * ships (~1−Σp² ≈ 34% of near-dup pairs straddle), and the cluster row
+    * is structurally zero (both members share the component key), which
+    * the oracle re-derives rather than pins.
+    *
+    * FP shape: exact integer counting; leak_frac is one BIGINT/BIGINT
+    * division guarded to 0.0 on an empty pair table.
+    *
+    * Distributed shape: the pair table is the PlanCache-shared q14 frame
+    * (hundreds of rows per million docs); the cluster row joins the
+    * pair-graph-sized q69 assignment twice on its own key; 2 rows out. */
+  val splitLeakage: Q = Q(
+    "q233_split_leakage",
+    (s, dir) => {
+      val pairs = Dedup.ngramJaccard.run(s, dir).select("doc_a", "doc_b")
+      def naiveSplit(c: org.apache.spark.sql.Column) = {
+        val d = Md5Draw.draw(8, lit("split"), c)
+        when(d < "cccccccc", "train").when(d < "e6666666", "val").otherwise("test")
+      }
+      val nv = pairs.agg(count(lit(1)).as("n_pairs"),
+          sum(when(naiveSplit(col("doc_a")) =!= naiveSplit(col("doc_b")), 1L)
+            .otherwise(0L)).as("n_straddling"))
+        .select(lit("doc_hash").as("policy"), col("n_pairs"), col("n_straddling"))
+      val cs = clusterSplit.run(s, dir).select("doc_id", "split")
+      val cl = pairs
+        .join(cs.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+        .join(cs.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("n_straddling"))
+        .select(lit("cluster_hash").as("policy"), col("n_pairs"), col("n_straddling"))
+      nv.unionByName(cl)
+        .withColumn("leak_frac",
+          when(col("n_pairs") > 0,
+            col("n_straddling").cast("double") / col("n_pairs").cast("double"))
+            .otherwise(lit(0.0)))
+    },
+    Some {
+      def naiveSql(c: String) =
+        s"""CASE WHEN ${Md5Draw.drawSql(8, "'split'", c)} < 'cccccccc' THEN 'train'
+                 WHEN ${Md5Draw.drawSql(8, "'split'", c)} < 'e6666666' THEN 'val'
+                 ELSE 'test' END"""
+      s"""WITH pairs AS (
+        ${Dedup.ngramJaccard.oracle.get}
+      ), cs AS (
+        ${clusterSplit.oracle.get}
+      ), nv AS (
+        SELECT CAST(count(1) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(SUM(CASE WHEN ${naiveSql("doc_a")}
+                 <> ${naiveSql("doc_b")} THEN 1 ELSE 0 END), 0) AS BIGINT)
+                 AS n_straddling
+        FROM pairs
+      ), cl AS (
+        SELECT CAST(count(1) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(SUM(CASE WHEN a.split <> b.split
+                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_straddling
+        FROM pairs p
+        JOIN cs a ON p.doc_a = a.doc_id
+        JOIN cs b ON p.doc_b = b.doc_id
+      )
+      SELECT policy, n_pairs, n_straddling,
+             CASE WHEN n_pairs > 0
+                  THEN CAST(n_straddling AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+                  ELSE 0.0 END AS leak_frac
+      FROM (
+        SELECT 'doc_hash' AS policy, n_pairs, n_straddling FROM nv
+        UNION ALL
+        SELECT 'cluster_hash' AS policy, n_pairs, n_straddling FROM cl
+      )"""
+    })
+
   val all: Seq[Q] = Seq(dedupClusters, dedupPrune, clusterSplit, starComponents,
-    clusterPurity)
+    clusterPurity, canonicalPolicy, splitLeakage)
 }

@@ -130,7 +130,23 @@ object LineageQueries {
       .select(col("id"),
         concat_ws(",", expr("transform(v, x -> CAST(x AS STRING))")).as("v_csv"))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/aux_qa_vectors")
-    s.createDataset(corpusParts(ls))
+    // explicit Rows + schema rather than the AuxPart product encoder: under
+    // sbt's layered classloader Janino cannot resolve the case class's
+    // accessor methods in generated code (ERROR CodeGenerator + interpreted
+    // fallback on every Verify run) — the row build is driver-side metadata
+    // scale, so nothing is lost and the logs stay clean
+    val partSchema = org.apache.spark.sql.types.StructType(
+      Seq("kind", "script", "df", "name", "direction", "format", "path",
+        "expression", "fn", "sources", "group_by", "condition", "left_cols",
+        "right_cols").map(f => org.apache.spark.sql.types.StructField(
+          f, org.apache.spark.sql.types.StringType)) :+
+        org.apache.spark.sql.types.StructField("ord",
+          org.apache.spark.sql.types.IntegerType, nullable = false))
+    val partRows = corpusParts(ls).map(p => org.apache.spark.sql.Row(
+      p.kind, p.script, p.df, p.name, p.direction, p.format, p.path,
+      p.expression, p.fn, p.sources, p.group_by, p.condition, p.left_cols,
+      p.right_cols, p.ord))
+    s.createDataFrame(s.sparkContext.parallelize(partRows, 1), partSchema)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/aux_corpus_parts")
   }
 

@@ -498,6 +498,72 @@ object Sampling {
                  * g.total_docs AS BIGINT) AS dev_256
       FROM cell JOIN bysplit b ON cell.split = b.split CROSS JOIN grand g"""))
 
-  val all: Seq[Q] = Seq(trainSplit, trainOrder, proportionalHoldout, tokenWaterfill, splitManifest,
+  // ---- q230: validation OOV rate against the train vocabulary ---------------
+  /** q230: per source, how much of the VAL split's token mass is
+    * out-of-vocabulary relative to the TRAIN split (q48's md5 family) —
+    * token-occurrence OOV rate plus distinct-type OOV rate. A val set
+    * whose vocabulary the train split never saw measures generalization to
+    * noise, not language; per-source OOV is the diagnostic read before
+    * trusting per-source val loss (a high-OOV source's loss is inflated by
+    * construction).
+    *
+    * FP shape: all counting exact integers; two BIGINT/BIGINT divisions
+    * per source row.
+    *
+    * Distributed shape: one explode → (split, source, word) counts; the
+    * train vocabulary is a distinct-word frame joined on the word key (the
+    * shuffle both sides already have); |sources| rows out. No broadcast of
+    * the corpus-sized vocabulary. */
+  val valOovRate: Q = Q(
+    "q230_val_oov_rate",
+    (s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(col("source"),
+          when(md5(concat_ws("|", lit(salt), col("doc_id").cast("string")))
+            < trainThreshold, "train").otherwise("val").as("split"),
+          explode(split(col("text"), " ")).as("w"))
+      val trainVocab = words.filter(col("split") === "train")
+        .select("w").distinct().withColumn("seen", lit(1L))
+      val valCounts = words.filter(col("split") === "val")
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      valCounts.join(trainVocab, Seq("w"), "left")
+        .groupBy("source")
+        .agg(sum("c").as("n_val_tokens"),
+          sum(when(col("seen").isNull, col("c")).otherwise(0L))
+            .as("n_oov_tokens"),
+          count(lit(1)).as("n_val_types"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_oov_types"))
+        .withColumn("oov_token_frac",
+          col("n_oov_tokens").cast("double") / col("n_val_tokens").cast("double"))
+        .withColumn("oov_type_frac",
+          col("n_oov_types").cast("double") / col("n_val_types").cast("double"))
+    },
+    Some(s"""WITH words AS (
+        SELECT source,
+               CASE WHEN md5('$salt' || '|' || CAST(doc_id AS VARCHAR))
+                      < '$trainThreshold' THEN 'train' ELSE 'val' END AS split,
+               unnest(string_split(text, ' ')) AS w
+        FROM documents
+      ), train_vocab AS (
+        SELECT DISTINCT w FROM words WHERE split = 'train'
+      ), val_counts AS (
+        SELECT source, w, CAST(count(1) AS BIGINT) AS c
+        FROM words WHERE split = 'val' GROUP BY source, w
+      )
+      SELECT v.source,
+             CAST(SUM(v.c) AS BIGINT) AS n_val_tokens,
+             CAST(SUM(CASE WHEN t.w IS NULL THEN v.c ELSE 0 END) AS BIGINT)
+               AS n_oov_tokens,
+             CAST(count(1) AS BIGINT) AS n_val_types,
+             CAST(SUM(CASE WHEN t.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov_types,
+             CAST(SUM(CASE WHEN t.w IS NULL THEN v.c ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(v.c) AS DOUBLE) AS oov_token_frac,
+             CAST(SUM(CASE WHEN t.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(1) AS DOUBLE) AS oov_type_frac
+      FROM val_counts v LEFT JOIN train_vocab t ON v.w = t.w
+      GROUP BY v.source"""))
+
+  val all: Seq[Q] = Seq(trainSplit, trainOrder, proportionalHoldout, tokenWaterfill, splitManifest, valOovRate,
     interleavedOrder, temperatureMixture, neymanAllocation)
 }

@@ -1297,8 +1297,59 @@ object Similarity {
              CAST(SUM(n_same) AS DOUBLE) / CAST(SUM(k) AS DOUBLE) AS agree_frac
       FROM perq GROUP BY q_label"""))
 
+  // ---- q235: embedding-table health audit ------------------------------------
+  /** q235: the data-quality gate an embedding table passes before anything
+    * consumes it — per label: vector count, dimension range (a ragged
+    * dimension breaks every dot product downstream), zero-vector count
+    * (cosine undefined), and the norm distribution (min/max exact, mean
+    * via a FLOOR(·1e6) BIGINT quantized sum — the q199 rule, since a raw
+    * double sum of sqrt values is order-dependent).
+    *
+    * FP shape: norms are correctly-rounded sqrt of the bit-identical
+    * vec_dot fold (both engines agree per row); min/max are exact picks;
+    * the mean is one pinned division chain over an exact integer sum.
+    *
+    * Distributed shape: zero-shuffle per-row scoring + one label-keyed
+    * rollup; |labels| rows out. */
+  val embeddingStats: Q = Q(
+    "q235_embedding_stats",
+    (s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = Tables.embeddings(s, dir)
+        .select(col("label"), size(col("embedding")).as("dim"),
+          expr("sqrt(vec_dot(transform(embedding, x -> cast(x as double)), " +
+            "transform(embedding, x -> cast(x as double))))").as("norm"))
+      e.groupBy("label")
+        .agg(count(lit(1)).as("n_vectors"),
+          min("dim").cast("long").as("min_dim"),
+          max("dim").cast("long").as("max_dim"),
+          sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero_vectors"),
+          min("norm").as("min_norm"), max("norm").as("max_norm"),
+          sum(floor(col("norm") * 1e6).cast("long")).as("norm_sum_u"))
+        .withColumn("mean_norm",
+          col("norm_sum_u").cast("double") / lit(1e6) / col("n_vectors").cast("double"))
+    },
+    Some("""WITH e AS (
+        SELECT label, CAST(len(embedding) AS BIGINT) AS dim,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS norm
+        FROM embeddings
+      )
+      SELECT label, CAST(count(1) AS BIGINT) AS n_vectors,
+             CAST(MIN(dim) AS BIGINT) AS min_dim,
+             CAST(MAX(dim) AS BIGINT) AS max_dim,
+             CAST(SUM(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_vectors,
+             MIN(norm) AS min_norm, MAX(norm) AS max_norm,
+             CAST(SUM(CAST(FLOOR(norm * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS norm_sum_u,
+             CAST(SUM(CAST(FLOOR(norm * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / CAST(count(1) AS DOUBLE) AS mean_norm
+      FROM e GROUP BY label"""))
+
   val all: Seq[Q] =
     Seq(embeddingNearDup, knnBruteForce, knnLsh, knnIvf, semDedup,
       mutualKnnClusters, hybridRrf, pqEncode, pqAdcTopK, ivfPqTopK,
-      truncationRecall, annRecall, annRankQuality, hardNegatives, knnLabelNoise)
+      truncationRecall, annRecall, annRankQuality, hardNegatives, knnLabelNoise,
+      embeddingStats)
 }

@@ -850,8 +850,62 @@ object TextOps {
              CAST(SUM(dig) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS digit_frac
       FROM f GROUP BY source"""))
 
+  // ---- q234: hapax / lexical-richness profile ------------------------------
+  /** q234: the lexical long tail per source — token mass, distinct types,
+    * words occurring exactly once WITHIN the source (source hapax: the
+    * classic richness signal), and words occurring exactly once in the
+    * WHOLE corpus (corpus hapax — necessarily exclusive to this source:
+    * typos, OCR junk and genuinely rare vocabulary a tokenizer must carry
+    * in its tail). A source whose hapax share collapses after dedup was
+    * template mass; one whose corpus-hapax share spikes is noise. Reads
+    * next to q204's divergence and q207's distinct-n diversity.
+    *
+    * FP shape: exact integers; two BIGINT/BIGINT divisions per row.
+    *
+    * Distributed shape: one explode → (source, word) counts; corpus
+    * counts roll up FROM the source counts (no second scan, the q204
+    * pattern); one word-keyed join; |sources| rows out. */
+  val hapaxProfile: Q = Q(
+    "q234_hapax_profile",
+    (s, dir) => {
+      val sw = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+      val cw = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
+      sw.join(cw, "w")
+        .groupBy("source")
+        .agg(sum("c_sw").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c_sw") === 1L, 1L).otherwise(0L)).as("n_source_hapax"),
+          sum(when(col("c_w") === 1L, 1L).otherwise(0L)).as("n_corpus_hapax"))
+        .withColumn("source_hapax_type_frac",
+          col("n_source_hapax").cast("double") / col("n_types").cast("double"))
+        .withColumn("corpus_hapax_type_frac",
+          col("n_corpus_hapax").cast("double") / col("n_types").cast("double"))
+    },
+    Some("""WITH sw AS (
+        SELECT source, w, count(1) AS c_sw FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+        ) GROUP BY source, w
+      ), cw AS (
+        SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY w
+      )
+      SELECT sw.source,
+             CAST(SUM(sw.c_sw) AS BIGINT) AS n_tokens,
+             CAST(count(1) AS BIGINT) AS n_types,
+             CAST(SUM(CASE WHEN sw.c_sw = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_source_hapax,
+             CAST(SUM(CASE WHEN cw.c_w = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_corpus_hapax,
+             CAST(SUM(CASE WHEN sw.c_sw = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(1) AS DOUBLE) AS source_hapax_type_frac,
+             CAST(SUM(CASE WHEN cw.c_w = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(1) AS DOUBLE) AS corpus_hapax_type_frac
+      FROM sw JOIN cw ON sw.w = cw.w
+      GROUP BY sw.source"""))
+
   val all: Seq[Q] = Seq(textQuality, textLangId, tokenCount, docFingerprint,
     repetitionScore, lengthOutliers, robustOutliers, phraseSearch,
     bigramSurprisal, gopherRules, quantileNorm, kwicConcordance,
-    sourceDivergence, langConfusion, ngramDiversity, codeDetect)
+    sourceDivergence, langConfusion, ngramDiversity, codeDetect, hapaxProfile)
 }

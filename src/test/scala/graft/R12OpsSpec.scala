@@ -164,6 +164,186 @@ class R12OpsSpec extends AnyFunSuite {
     assert(th.last > 0.99 && th.head < 0.01)
   }
 
+  test("q229 policy comparison: keep-longest picks the longer member, delta exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r12_policy").toString
+    // 10/11 near-dup where the HIGHER id is longer; 12 unclustered
+    Seq(
+      (10L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "en", "s", 30L),
+      (11L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 x1 x2", "en", "s", 38L),
+      (12L, "z1 z2 z3 z4 z5", "en", "s", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q229_canonical_policy")(spark, dir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("component") === 10L)
+    assert(r.getAs[Long]("n_members") === 2L)
+    assert(r.getAs[Long]("rep_lowest") === 10L)
+    assert(r.getAs[Long]("rep_longest") === 11L)
+    assert(!r.getAs[Boolean]("same_rep"))
+    assert(r.getAs[Long]("chars_lowest") === 30L)
+    assert(r.getAs[Long]("chars_longest") === 38L)
+    assert(r.getAs[Long]("chars_delta") === 8L)
+  }
+
+  test("q230 OOV: doc 1 is the only val doc; extra1/extra2 are its OOV words") {
+    val rows = SparkEntry.queries("q230_val_oov_rate")(spark, docDir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[String]("source") === "srcA")
+    assert(r.getAs[Long]("n_val_tokens") === 15L)
+    assert(r.getAs[Long]("n_oov_tokens") === 2L) // extra1, extra2
+    assert(r.getAs[Long]("n_val_types") === 15L)
+    assert(r.getAs[Long]("n_oov_types") === 2L)
+    assert(r.getAs[Double]("oov_token_frac") === 2.0 / 15.0)
+  }
+
+  test("q230 on the real corpus: fractions in [0,1], token >= type counts") {
+    val rows = SparkEntry.queries("q230_val_oov_rate")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_oov_tokens") <= r.getAs[Long]("n_val_tokens"))
+      assert(r.getAs[Long]("n_oov_types") <= r.getAs[Long]("n_val_types"))
+      assert(r.getAs[Long]("n_val_tokens") >= r.getAs[Long]("n_val_types"))
+      val f = r.getAs[Double]("oov_token_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
+
+  test("q231 n-sweep: planted 4-word leak flags at n=3,4 only; eligibility by width") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r12_nsweep").toString
+    Seq(
+      (20L, "e1 e2 e3 e4 e5 e6", "en", "s", 17L),          // eval (20 % 20 == 0)
+      (21L, "e1 e2 e3 e4 x5 x6", "en", "s", 17L),          // shares a 4-gram run
+      (22L, "f1 f2 f3 f4 f5 f6 f7 f8", "en", "s", 23L))    // clean
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q231_contam_n_sweep")(spark, dir)
+      .collect().map(r => r.getAs[Long]("n") -> r).toMap
+    assert(rows.keySet === (3L to 8L).toSet)
+    assert(rows(3L).getAs[Long]("n_flagged") === 1L)
+    assert(rows(4L).getAs[Long]("n_flagged") === 1L)
+    (5L to 8L).foreach(n => assert(rows(n).getAs[Long]("n_flagged") === 0L))
+    // eligibility: both train docs have >= 6 words; only doc 22 has >= 7
+    (3L to 6L).foreach(n => assert(rows(n).getAs[Long]("n_train_docs") === 2L))
+    (7L to 8L).foreach(n => assert(rows(n).getAs[Long]("n_train_docs") === 1L))
+    assert(rows(3L).getAs[Double]("flag_frac") === 0.5)
+  }
+
+  test("q231 at n=5 reproduces q51's contamination count on the real corpus") {
+    val sweep5 = SparkEntry.queries("q231_contam_n_sweep")(spark, sfDir)
+      .collect().find(_.getAs[Long]("n") === 5L).get.getAs[Long]("n_flagged")
+    val q51 = SparkEntry.queries("q51_decontaminate")(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("is_contaminated")).head().getLong(0)
+    assert(sweep5 === q51)
+    // monotone: widening the shingle can only reduce flags
+    val byN = SparkEntry.queries("q231_contam_n_sweep")(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("n")).map(_.getAs[Long]("n_flagged"))
+    assert(byN.zip(byN.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q232 mixture: singleton shards on the tiny corpus; reconciles with q223") {
+    val rows = SparkEntry.queries("q232_shard_mixture")(spark, docDir).collect()
+    assert(rows.length === 6) // 6 docs into 8 shards -> 6 singletons
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") === 1L)
+      assert(r.getAs[Long]("n_sources") === 1L)
+      assert(r.getAs[Double]("top_share") === 1.0)
+      assert(r.getAs[Double]("hhi") === 1.0)
+    }
+    // doc-count reconciliation with the balance report, shard by shard
+    val q223 = SparkEntry.queries("q223_shard_packing")(spark, docDir)
+      .collect().map(r => r.getAs[Long]("shard") -> r.getAs[Long]("n_docs")).toMap
+    rows.foreach { r =>
+      assert(q223(r.getAs[Long]("shard")) === r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("q232 on the real corpus: hhi and shares well-formed") {
+    val rows = SparkEntry.queries("q232_shard_mixture")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hhi = r.getAs[Double]("hhi"); val ts = r.getAs[Double]("top_share")
+      val ns = r.getAs[Long]("n_sources").toDouble
+      assert(hhi >= 1.0 / ns - 1e-12 && hhi <= 1.0)
+      assert(ts >= 1.0 / ns - 1e-12 && ts <= 1.0)
+      assert(hhi <= ts + 1e-12) // HHI is bounded above by the majority share...
+    }
+  }
+
+  test("q233 leakage: cluster policy straddles zero; doc policy matches recompute") {
+    val rows = SparkEntry.queries("q233_split_leakage")(spark, docDir)
+      .collect().map(r => r.getAs[String]("policy") -> r).toMap
+    assert(rows.keySet === Set("doc_hash", "cluster_hash"))
+    // pair universe: (1,2) and (4,5)
+    assert(rows("doc_hash").getAs[Long]("n_pairs") === 2L)
+    assert(rows("cluster_hash").getAs[Long]("n_pairs") === 2L)
+    assert(rows("cluster_hash").getAs[Long]("n_straddling") === 0L)
+    assert(rows("cluster_hash").getAs[Double]("leak_frac") === 0.0)
+    // independent recompute of the naive 3-way draw
+    def splitOf(id: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split|$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 8)
+      if (hex < "cccccccc") "train" else if (hex < "e6666666") "val" else "test"
+    }
+    val expected = Seq((1L, 2L), (4L, 5L))
+      .count { case (a, b) => splitOf(a) != splitOf(b) }.toLong
+    assert(rows("doc_hash").getAs[Long]("n_straddling") === expected)
+  }
+
+  test("q234 hapax: hand-counted type/hapax ledger on the planted corpus") {
+    val rows = SparkEntry.queries("q234_hapax_profile")(spark, docDir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val b = rows("srcB") // b1..b5 x2 (docs 4,5), c1..c5 x1 (doc 6)
+    assert(b.getAs[Long]("n_tokens") === 15L)
+    assert(b.getAs[Long]("n_types") === 10L)
+    assert(b.getAs[Long]("n_source_hapax") === 5L)
+    assert(b.getAs[Long]("n_corpus_hapax") === 5L)
+    assert(b.getAs[Double]("source_hapax_type_frac") === 0.5)
+    val a = rows("srcA") // w1..w13 x2; extra1/2, lead1/2, u1..u14 x1
+    assert(a.getAs[Long]("n_tokens") === 44L)
+    assert(a.getAs[Long]("n_types") === 31L)
+    assert(a.getAs[Long]("n_source_hapax") === 18L)
+    assert(a.getAs[Long]("n_corpus_hapax") === 18L)
+  }
+
+  test("q235 embedding stats: zero vector counted, norms and dims exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r12_estats").toString
+    Seq(
+      (0L, Seq(1f, 0f), 1), (1L, Seq(0f, 0f), 1), (2L, Seq(3f, 4f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as float)) AS embedding",
+        "cast(label as int) AS label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("q235_embedding_stats")(spark, dir)
+      .collect().map(r => r.getAs[Int]("label") -> r).toMap
+    val l1 = rows(1)
+    assert(l1.getAs[Long]("n_vectors") === 2L)
+    assert(l1.getAs[Long]("min_dim") === 2L && l1.getAs[Long]("max_dim") === 2L)
+    assert(l1.getAs[Long]("n_zero_vectors") === 1L)
+    assert(l1.getAs[Double]("min_norm") === 0.0)
+    assert(l1.getAs[Double]("max_norm") === 1.0)
+    assert(l1.getAs[Double]("mean_norm") === 0.5)
+    assert(rows(2).getAs[Double]("max_norm") === 5.0)
+  }
+
+  test("q235 on the real corpus: mean within [min,max], uniform dims, no zeros") {
+    val rows = SparkEntry.queries("q235_embedding_stats")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_dim") === 64L)
+      assert(r.getAs[Long]("max_dim") === 64L)
+      assert(r.getAs[Long]("n_zero_vectors") === 0L)
+      val mean = r.getAs[Double]("mean_norm")
+      assert(mean >= r.getAs[Double]("min_norm") - 1e-6)
+      assert(mean <= r.getAs[Double]("max_norm") + 1e-6)
+    }
+  }
+
   test("q228 on the real corpus: counts are consistent and rates well-formed") {
     val rows = SparkEntry.queries("q228_lsh_s_curve")(spark, sfDir).collect()
     assert(rows.length === 10)
