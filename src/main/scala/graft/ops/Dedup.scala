@@ -188,8 +188,10 @@ object Dedup {
   private lazy val agreeSql = (0 until numHashes)
     .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
     .mkString(" + ")
-  /** The sigs/bands CTE bodies over `documents` (ngram → sigs → bands). */
-  private lazy val sigCtesSql =
+  /** The sigs/bands CTE bodies over `documents` (ngram → sigs → bands) —
+    * `private[graft]` so the streaming collision registry (q236) oracles
+    * against the identical signature family. */
+  private[graft] lazy val sigCtesSql =
     s"""docsw AS (
         SELECT doc_id, string_split(text, ' ') AS words FROM documents
         WHERE len(string_split(text, ' ')) >= 3

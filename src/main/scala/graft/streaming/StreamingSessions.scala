@@ -818,8 +818,61 @@ object StreamingSessions {
     // the streaming ledger exactly the batch identity table
     graft.ops.EventOps.intradayDupRate.oracle)
 
+  /** Streaming MinHash-LSH collision registry — the continuous-ingest form
+    * of q15's band join: documents arrive as files, each doc's 16-minhash
+    * signature and 4 band hashes are computed ROW-LOCALLY (HOF fold over
+    * the doc's own shingles — no relational aggregate, so the plan stays a
+    * single streaming aggregation, which is the only shape Structured
+    * Streaming allows), and the running (band → first doc, member count)
+    * registry updates incrementally. A new document whose band hash is
+    * already registered is a near-dup suspect the moment it lands — the
+    * online dedup gate in front of an ingest pipeline. Only colliding
+    * bands (n_docs ≥ 2) are emitted; state is one row per distinct band
+    * hash (corpus-novelty-bounded, like q59's content-hash state; a
+    * production deployment ages bands out with a TTL'd state store).
+    *
+    * The hash family is BIT-IDENTICAL to the batch q15 ([[graft.ops.Dedup]]
+    * sigsOf: mh_i = lexicographic min of md5("i|" + shingle); band hash =
+    * md5(mh concat) — array_min over the same md5 strings picks the same
+    * min), so at completion the registry equals the batch band table's
+    * collision groups and the q15-family oracle applies. The source splits
+    * into 4 real micro-batches so cross-batch registry updates are
+    * exercised on real keys, and the aggregate is order-independent (min +
+    * count), so batch discovery order cannot change the answer. */
+  val streamingLshRegistry: Q = Q(
+    "q236_streaming_lsh_registry",
+    (s, dir) => streamToArtifact(s, dir, "lshreg", "documents", { p =>
+      val mh = (0 until 16).map(i => expr(
+        s"array_min(transform(ngrams, g -> md5(concat('$i', '|', g))))").as(s"mh$i"))
+      val sigs = s.readStream.schema(docsSchema).parquet(p)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .filter(size(col("words")) >= 3)
+        .withColumn("ngrams", expr(
+          """array_distinct(transform(sequence(0, size(words) - 3),
+             i -> concat(words[i], ' ', words[i + 1], ' ', words[i + 2])))"""))
+        .select((col("doc_id") +: mh): _*)
+      val bandCols = (0 until 4).map { b =>
+        struct(lit(b.toLong).as("band_idx"),
+          md5(concat_ws("|", (b * 4 until (b + 1) * 4)
+            .map(i => col(s"mh$i")): _*)).as("band_hash"))
+      }
+      sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band_idx").as("band_idx"),
+          col("bk.band_hash").as("band_hash"))
+        .groupBy("band_idx", "band_hash")
+        .agg(min("doc_id").as("first_doc_id"), count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+    }, splitSourceFiles = 4),
+    Some(s"""WITH ${graft.ops.Dedup.sigCtesSql}
+      SELECT CAST(band_idx AS BIGINT) AS band_idx, band_hash,
+             CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,
+             CAST(count(1) AS BIGINT) AS n_docs
+      FROM bands GROUP BY band_idx, band_hash
+      HAVING count(1) >= 2"""))
+
   val all: Seq[Q] =
     Seq(streamingSessions, streamingDedup, streamingHopping,
       streamingIntervalJoin, streamingOuterJoin, streamingQuota,
-      streamingEnrich, streamingUpsert, streamingWmDedup, streamingDupRate)
+      streamingEnrich, streamingUpsert, streamingWmDedup, streamingDupRate,
+      streamingLshRegistry)
 }

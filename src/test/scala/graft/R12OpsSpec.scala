@@ -344,6 +344,60 @@ class R12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q236 streaming registry: the verbatim pair collides in all four bands") {
+    val rows = SparkEntry.queries("q236_streaming_lsh_registry")(spark, docDir)
+      .collect()
+    assert(rows.forall(_.getAs[Long]("n_docs") >= 2L))
+    // docs 4 and 5 are byte-identical -> identical signatures -> all 4 bands
+    val pairBands = rows.filter(_.getAs[Long]("first_doc_id") === 4L)
+    assert(pairBands.map(_.getAs[Long]("band_idx")).sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(pairBands.forall(_.getAs[Long]("n_docs") === 2L))
+    // distinct band hashes per band index (no accidental cross-band merge)
+    assert(pairBands.map(_.getAs[String]("band_hash")).distinct.length === 4)
+  }
+
+  test("q236 equals an independent relational recompute on the real corpus") {
+    import org.apache.spark.sql.functions._
+    val streamed = SparkEntry.queries("q236_streaming_lsh_registry")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("band_idx"), r.getAs[String]("band_hash"))
+        -> (r.getAs[Long]("first_doc_id"), r.getAs[Long]("n_docs"))).toMap
+    assert(streamed.nonEmpty)
+    // independent formulation of the same hash family: RELATIONAL min over
+    // exploded shingles (q15's sigsOf shape) instead of the streaming side's
+    // row-local HOF fold — a family drift in either shows here
+    val ng = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(0, size(words) - 3),
+           i -> concat(words[i], ' ', words[i + 1], ' ', words[i + 2]))""")))
+        .as("g"))
+    val mh = (0 until 16).map(i =>
+      min(md5(concat_ws("|", lit(i.toString), col("g")))).as(s"mh$i"))
+    val sigs = ng.groupBy("doc_id").agg(mh.head, mh.tail: _*)
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b.toLong).as("band_idx"),
+        md5(concat_ws("|", (b * 4 until (b + 1) * 4)
+          .map(i => col(s"mh$i")): _*)).as("band_hash"))
+    }
+    val expected = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .groupBy(col("bk.band_idx").as("band_idx"), col("bk.band_hash").as("band_hash"))
+      .agg(min("doc_id").as("first_doc_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .collect().map(r => (r.getAs[Long]("band_idx"), r.getAs[String]("band_hash"))
+        -> (r.getAs[Long]("first_doc_id"), r.getAs[Long]("n_docs"))).toMap
+    assert(streamed === expected)
+  }
+
+  test("plan pins: q224/q225 broadcast the query sample, never a cartesian") {
+    Seq("q224_hard_negatives", "q225_knn_label_noise").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      assert(plan.contains("Broadcast"), s"$q lost the broadcast query side:\n$plan")
+    }
+  }
+
   test("q228 on the real corpus: counts are consistent and rates well-formed") {
     val rows = SparkEntry.queries("q228_lsh_s_curve")(spark, sfDir).collect()
     assert(rows.length === 10)
