@@ -2156,6 +2156,69 @@ object CorpusOps {
                / (CAST(t.n_docs AS DOUBLE) * CAST(t.n_docs AS DOUBLE)) AS hhi
       FROM tot t JOIN top p ON t.shard = p.shard AND p.rn = 1"""))
 
+  // ---- q239: k-anonymity quasi-identifier audit ----------------------------
+
+  /** q239's privacy parameter and the length-bucket width (chars). */
+  private val kAnonK = 5
+  private val kAnonLenBucket = 100L
+
+  /** q239: k-anonymity audit over the release metadata (Sweeney's model):
+    * treat (source, lang, ⌊n_chars/100⌋) as the quasi-identifier a
+    * re-identification adversary joins on — the columns a dataset card or
+    * per-document manifest exposes even when the text is withheld — and
+    * report, per source, how much of the corpus sits in QI cells smaller
+    * than k = [[kAnonK]]. A document alone in its cell is uniquely
+    * re-identifiable from metadata; the per-source at-risk fraction says
+    * which sources need coarser buckets (or suppression) before the
+    * manifest ships. Also reports each source's smallest and largest cell
+    * and its k-anonymity level (the min cell size — the k the source
+    * actually achieves).
+    *
+    * All counting is exact integers; one BIGINT/BIGINT → DOUBLE division
+    * per source row. Distributed shape: one groupBy over the QI triple
+    * (map-side combine; |cells| ≤ |sources|·|langs|·|buckets| rows), then
+    * a |cells|-sized rollup to |sources| rows — the corpus is touched
+    * once and nothing text-sized shuffles. */
+  val kAnonymityAudit: Q = Q(
+    "q239_k_anonymity",
+    (s, dir) => {
+      val cells = Tables.documents(s, dir)
+        .groupBy(col("source"), col("lang"),
+          expr(s"n_chars div $kAnonLenBucket").as("len_bucket"))
+        .agg(count(lit(1)).as("cell_n"))
+      cells.groupBy("source").agg(
+        sum("cell_n").as("n_docs"),
+        count(lit(1)).as("n_cells"),
+        min("cell_n").as("k_achieved"),
+        max("cell_n").as("max_cell"),
+        sum(when(col("cell_n") < kAnonK, 1L).otherwise(0L))
+          .as("n_small_cells"),
+        sum(when(col("cell_n") < kAnonK, col("cell_n")).otherwise(0L))
+          .as("n_docs_at_risk"),
+        sum(when(col("cell_n") === 1L, 1L).otherwise(0L)).as("n_unique_docs"))
+        .withColumn("at_risk_frac",
+          col("n_docs_at_risk").cast("double") / col("n_docs").cast("double"))
+    },
+    Some(s"""WITH cells AS (
+        SELECT source, lang, n_chars // $kAnonLenBucket AS len_bucket,
+               CAST(count(1) AS BIGINT) AS cell_n
+        FROM documents GROUP BY 1, 2, 3
+      )
+      SELECT source,
+             CAST(SUM(cell_n) AS BIGINT) AS n_docs,
+             CAST(count(1) AS BIGINT) AS n_cells,
+             CAST(MIN(cell_n) AS BIGINT) AS k_achieved,
+             CAST(MAX(cell_n) AS BIGINT) AS max_cell,
+             CAST(SUM(CASE WHEN cell_n < $kAnonK THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_small_cells,
+             CAST(SUM(CASE WHEN cell_n < $kAnonK THEN cell_n ELSE 0 END)
+                  AS BIGINT) AS n_docs_at_risk,
+             CAST(SUM(CASE WHEN cell_n = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_unique_docs,
+             CAST(SUM(CASE WHEN cell_n < $kAnonK THEN cell_n ELSE 0 END)
+                  AS DOUBLE) / CAST(SUM(cell_n) AS DOUBLE) AS at_risk_frac
+      FROM cells GROUP BY source"""))
+
   val all: Seq[Q] = Seq(piiRedact, decontaminate, mixtureSample, noveltyScore,
     ngramTopK, docPack, embedQuantize, cleanPipeline, zorderKey, docChunks,
     bm25Score, tfidfTopTerms, heavyHitters, corpusCard, ksDrift, sourceOverlap,
@@ -2163,6 +2226,6 @@ object CorpusOps {
     cleaningWaterfall, tokenWaterfall, chunkDedup, driftReport,
     dedupSurvivorship, sourceNoveltyOrder, boilerplateMiner, sourceDupMatrix,
     evalLeakSurface, paretoCoverage, sourceReportCard, shardPacking,
-    contamNSweep, shardMixture)
+    contamNSweep, shardMixture, kAnonymityAudit)
 }
 

@@ -1491,9 +1491,126 @@ object Dedup {
       FROM grid g LEFT JOIN agg a ON g.bucket = a.bucket"""
     })
 
+  // ---- q238: winnowing fingerprint overlap ---------------------------------
+
+  /** q238's shape: word k-grams, window of [[winnowW]] consecutive k-gram
+    * hashes, hub guard at [[winnowDfCap]] docs per fingerprint. */
+  private val winnowK = 3
+  private val winnowW = 4
+  private val winnowDfCap = 100
+  // report floor: one or two shared fingerprints is dominated by chance
+  // phrase collisions on this small-vocabulary corpus (sf0.1: 8177 of 8581
+  // pairs shared exactly two; at three the 8.5k collapses to the 400 pairs
+  // the other miners also see) — the floor is the corpus-noise dial a real
+  // deployment tunes, and it keeps the output match-mass-bounded instead of
+  // chance-pair-quadratic
+  private val winnowMinShared = 3
+
+  /** q238: document-overlap detection via WINNOWING fingerprints (Schleimer,
+    * Wilkerson & Aiken, SIGMOD 2003 — the MOSS algorithm): hash every word
+    * [[winnowK]]-gram, slide a window of [[winnowW]] consecutive hashes, and
+    * select from each window its minimum hash, ties broken RIGHTMOST. The
+    * paper's guarantee carries over verbatim: any shared run of at least
+    * w + k − 1 = 6 words between two documents shares at least one SELECTED
+    * fingerprint, while the expected density of selected positions is only
+    * 2/(w+1) of all k-grams — a guaranteed-recall sketch at a fraction of
+    * q115's all-windows index cost. Windows shorter than w at a document's
+    * head still select their running min (warm-up windows), which only adds
+    * fingerprints, so the guarantee is preserved.
+    *
+    * Rightmost-argmin without a self-join: the windowed aggregate
+    * MIN(struct(hash, −pos)) is lexicographic in both engines, so its
+    * struct minimum IS (min hash, rightmost position) — one window pass
+    * instead of the textbook pointer walk, and identical SQL oracles it.
+    *
+    * Distributed shape: explode → one per-doc window pass (partitioned by
+    * doc, never global) → distinct selected (doc, hash) → group-by-hash
+    * pair expansion, hub-capped at [[winnowDfCap]] docs per fingerprint
+    * (the q115 boilerplate guard; a 100 TB run tunes the cap, the planted
+    * overlaps here sit far below it). Output is pair-mass-bounded:
+    * (doc_a, doc_b, shared fingerprint count, each side's fingerprint
+    * count, integer containment per mille). */
+  val winnowingOverlap: Q = Q(
+    "q238_winnowing_overlap",
+    (s, dir) => {
+      val w = Window.partitionBy("doc_id").orderBy("p")
+        .rowsBetween(-(winnowW - 1), Window.currentRow)
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .filter(size(col("words")) >= winnowK)
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(0, size(words) - $winnowK),
+              i -> md5(concat('wfp|', words[i], ' ', words[i + 1],
+                              ' ', words[i + 2])))""")))
+        .toDF("doc_id", "p", "h")
+      val fps = grams
+        .withColumn("sel", min(struct(col("h"), (-col("p")).as("np")))
+          .over(w))
+        .select(col("doc_id"), col("sel.h").as("fp")).distinct()
+      val perDoc = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+      val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= winnowDfCap).select("fp")
+      val pairs = fps.join(keep, Seq("fp"))
+        .select(col("fp"), col("doc_id").as("doc_a"))
+        .join(fps.join(keep, Seq("fp"))
+          .select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= winnowMinShared)
+      pairs
+        .join(perDoc.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("n_fp", "n_fp_a"), Seq("doc_a"))
+        .join(perDoc.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("n_fp", "n_fp_b"), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          col("n_fp_a"), col("n_fp_b"),
+          expr("CAST((n_shared * 1000) div least(n_fp_a, n_fp_b) AS BIGINT)")
+            .as("containment_pm"))
+    },
+    Some(s"""WITH docsw AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        WHERE len(string_split(text, ' ')) >= $winnowK
+      ), positions AS (
+        SELECT doc_id, words,
+               unnest(range(1, len(words) - ${winnowK - 2})) AS i
+        FROM docsw
+      ), grams AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+               md5('wfp|' || words[i] || ' ' || words[i + 1]
+                   || ' ' || words[i + 2]) AS h
+        FROM positions
+      ), sel AS (
+        SELECT doc_id,
+               MIN({'h': h, 'np': -p}) OVER (
+                 PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN ${winnowW - 1} PRECEDING AND CURRENT ROW)
+                 AS s
+        FROM grams
+      ), fps AS (
+        SELECT DISTINCT doc_id, s['h'] AS fp FROM sel
+      ), per_doc AS (
+        SELECT doc_id, CAST(count(1) AS BIGINT) AS n_fp
+        FROM fps GROUP BY doc_id
+      ), keep AS (
+        SELECT fp FROM fps GROUP BY fp HAVING count(1) <= $winnowDfCap
+      ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(1) AS BIGINT) AS n_shared
+        FROM fps a JOIN keep USING (fp) JOIN fps b USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(1) >= $winnowMinShared
+      )
+      SELECT doc_a, doc_b, n_shared, pa.n_fp AS n_fp_a, pb.n_fp AS n_fp_b,
+             CAST((n_shared * 1000) // LEAST(pa.n_fp, pb.n_fp) AS BIGINT)
+               AS containment_pm
+      FROM pairs
+      JOIN per_doc pa ON pairs.doc_a = pa.doc_id
+      JOIN per_doc pb ON pairs.doc_b = pb.doc_id"""))
+
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, editDistance,
       incrementalDedup, fuzzyDecontaminate, setSimJoin, substringSpans,
       containmentJoin, cdcChunks, lshEval, dedupReport, memorizationSpans,
-      thresholdSweep, templateHubs, methodKappa, lshSCurve)
+      thresholdSweep, templateHubs, methodKappa, lshSCurve, winnowingOverlap)
 }

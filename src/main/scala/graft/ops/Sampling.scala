@@ -564,6 +564,121 @@ object Sampling {
       FROM val_counts v LEFT JOIN train_vocab t ON v.w = t.w
       GROUP BY v.source"""))
 
+  // ---- q237: DSIR-style hashed-ngram importance selection -------------------
+
+  /** q237's selection size and feature-space width. 256 buckets = the 2-hex
+    * md5 prefix (the q78 count-min family); DSIR's paper uses 10k hashed
+    * buckets at web scale — the bucket count is a dial, the mechanism is
+    * identical. */
+  private val dsirTopK = 100
+  private val dsirBuckets = 256
+  private val dsirScale = 1000000L
+
+  /** q237: data selection for language-model training via hashed-n-gram
+    * importance weights (the DSIR recipe, arXiv:2302.03169): score every
+    * candidate document by how much its hashed-bigram profile looks like a
+    * TARGET corpus (here: the 'src0' slice, standing in for a curated
+    * reference set) relative to the RAW corpus, and keep the top-K.
+    *
+    * Exact-arithmetic variant: DSIR's log-likelihood-ratio Σ n_f·log(p_t(f)/
+    * p_r(f)) is NOT cross-engine bit-stable (ln() differs in final ulps
+    * between engines — the q116 rule), so the per-bucket importance is kept
+    * as the add-1-smoothed probability RATIO itself, floor-quantized to
+    * integer micro-units with one integer division per bucket:
+    *   w_f = ⌊ 10^6 · (ct_f+1)(R+B) / ((cr_f+1)(T+B)) ⌋
+    * (ct/cr = target/raw bucket counts, T/R their totals, B = 256). The
+    * products are computed in DECIMAL(38,0) / HUGEINT — at 100 TB scale,
+    * (ct+1)(R+B)·10^6 ≤ ~10^32 stays in range where BIGINT would wrap
+    * silently (the q221/q136 overflow rule) — and a doc's score is the
+    * exact integer Σ n_f·w_f, normalized per-bigram (avg_w_micro = score
+    * DIV n_bigrams, floor-exact in both engines) so selection doesn't just
+    * favor long documents. Linear pooling of ratios instead of log pooling
+    * is a monotone-per-bucket member of the same importance-weight family;
+    * the ordering it induces is what the gate pins.
+    *
+    * Distributed shape: one explode over candidate+target docs → per-doc
+    * bucket counts; the weight table is |B| = 256 rows (broadcast to the
+    * scoring join — the only join the corpus-sized side sees); the global
+    * totals are a one-row aggregate cross-joined in (the q137/q179
+    * pattern); selection is TakeOrdered over (avg DESC, doc_id) — a total
+    * order, so top-K is deterministic and never a single-task global sort.
+    * Output: K rows. */
+  val dsirSelection: Q = Q(
+    "q237_dsir_selection",
+    (s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"),
+          split(col("text"), " ").as("words"))
+        .filter(size(col("words")) >= 2)
+        .select(col("doc_id"), col("source"), col("lang"),
+          explode(expr("""transform(sequence(0, size(words) - 2),
+            i -> concat(words[i], ' ', words[i + 1]))""")).as("g"))
+        .withColumn("bucket", Md5Draw.draw(2, lit("dsir"), col("g")))
+      val perDoc = grams.groupBy("doc_id", "source", "lang", "bucket")
+        .agg(count(lit(1)).as("n"))
+      val byBucket = perDoc.groupBy("bucket").agg(
+        sum("n").as("cr"),
+        sum(when(col("source") === "src0", col("n")).otherwise(0L)).as("ct"))
+      val tot = byBucket.agg(sum("cr").as("r_tot"), sum("ct").as("t_tot"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val weights = byBucket.crossJoin(broadcast(tot))
+        .select(col("bucket"),
+          expr(s"""CAST((CAST(ct + 1 AS DECIMAL(38,0))
+                         * CAST(r_tot + $dsirBuckets AS DECIMAL(38,0))
+                         * CAST($dsirScale AS DECIMAL(38,0)))
+                    div (CAST(cr + 1 AS DECIMAL(38,0))
+                         * CAST(t_tot + $dsirBuckets AS DECIMAL(38,0)))
+                    AS BIGINT)""").as("w"))
+      perDoc.filter(col("source") =!= "src0")
+        .join(broadcast(weights), Seq("bucket"))
+        .groupBy("doc_id", "source", "lang")
+        .agg(sum("n").as("n_bigrams"),
+          sum(dec(col("n")) * dec(col("w"))).as("score_u"))
+        .select(col("doc_id"), col("source"), col("lang"), col("n_bigrams"),
+          expr("CAST(score_u div n_bigrams AS BIGINT)").as("avg_w_micro"))
+        .orderBy(col("avg_w_micro").desc, col("doc_id"))
+        .limit(dsirTopK)
+    },
+    Some(s"""WITH docsw AS (
+        SELECT doc_id, source, lang, string_split(text, ' ') AS words
+        FROM documents WHERE len(string_split(text, ' ')) >= 2
+      ), grams AS (
+        SELECT doc_id, source, lang,
+               ${Md5Draw.drawSql(2, "'dsir'", "g")} AS bucket
+        FROM (SELECT doc_id, source, lang,
+                     unnest(list_transform(range(1, len(words)),
+                            i -> words[i] || ' ' || words[i + 1])) AS g
+              FROM docsw)
+      ), per_doc AS (
+        SELECT doc_id, source, lang, bucket, CAST(count(1) AS BIGINT) AS n
+        FROM grams GROUP BY doc_id, source, lang, bucket
+      ), by_bucket AS (
+        SELECT bucket, CAST(SUM(n) AS BIGINT) AS cr,
+               CAST(SUM(CASE WHEN source = 'src0' THEN n ELSE 0 END)
+                    AS BIGINT) AS ct
+        FROM per_doc GROUP BY bucket
+      ), tot AS (
+        SELECT CAST(SUM(cr) AS BIGINT) AS r_tot,
+               CAST(SUM(ct) AS BIGINT) AS t_tot
+        FROM by_bucket
+      ), weights AS (
+        SELECT bucket,
+               (CAST(ct + 1 AS HUGEINT)
+                  * CAST(r_tot + $dsirBuckets AS HUGEINT) * $dsirScale)
+               // (CAST(cr + 1 AS HUGEINT)
+                  * CAST(t_tot + $dsirBuckets AS HUGEINT)) AS w
+        FROM by_bucket CROSS JOIN tot
+      )
+      SELECT doc_id, source, lang,
+             CAST(SUM(n) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CAST(n AS HUGEINT) * w) // CAST(SUM(n) AS HUGEINT)
+                  AS BIGINT) AS avg_w_micro
+      FROM per_doc JOIN weights USING (bucket)
+      WHERE source <> 'src0'
+      GROUP BY doc_id, source, lang
+      ORDER BY avg_w_micro DESC, doc_id
+      LIMIT $dsirTopK"""))
+
   val all: Seq[Q] = Seq(trainSplit, trainOrder, proportionalHoldout, tokenWaterfill, splitManifest, valOovRate,
-    interleavedOrder, temperatureMixture, neymanAllocation)
+    interleavedOrder, temperatureMixture, neymanAllocation, dsirSelection)
 }

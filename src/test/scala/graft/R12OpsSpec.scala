@@ -410,4 +410,130 @@ class R12OpsSpec extends AnyFunSuite {
     }
     assert(rows.map(_.getAs[Long]("n_pairs")).sum > 0L)
   }
+
+  /** DSIR fixture: src0 is the target (all 'alpha'-flavored bigrams); the
+    * candidates are one alpha-heavy doc (should win), one mixed, one fully
+    * off-distribution. */
+  private lazy val dsirDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r12_dsir").toString
+    Seq(
+      (1L, "alpha beta alpha beta alpha beta", "en", "src0", 30L),
+      (2L, "alpha beta alpha beta", "en", "src0", 20L),
+      (3L, "alpha beta alpha beta alpha", "en", "srcX", 25L), // target-like
+      (4L, "alpha beta gamma delta", "en", "srcX", 20L), // 1 of 3 on-target
+      (5L, "zeta eta theta iota", "en", "srcY", 20L)) // 0 of 3 on-target
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q237 DSIR: target-like candidate outranks mixed outranks off-target") {
+    val rows = SparkEntry.queries("q237_dsir_selection")(spark, dsirDir).collect()
+    // src0 (the target) never appears among the selected candidates
+    assert(rows.forall(_.getAs[String]("source") != "src0"))
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet === Set(3L, 4L, 5L))
+    val byDoc = rows.map(r => r.getAs[Long]("doc_id")
+      -> r.getAs[Long]("avg_w_micro")).toMap
+    // doc 3's bigrams all come from the target's buckets; doc 4 shares one
+    // of its three with the target; doc 5 none (and all three off-target
+    // buckets are raw singletons, so 4 and 5 differ only in that one
+    // target-bucket substitution) — the induced ordering is structural,
+    // not hash-lucky
+    assert(byDoc(3L) > byDoc(4L) && byDoc(4L) > byDoc(5L))
+  }
+
+  test("q237 on the real corpus: top-K, ordered, candidates only") {
+    val rows = SparkEntry.queries("q237_dsir_selection")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.forall(_.getAs[String]("source") != "src0"))
+    assert(rows.forall(_.getAs[Long]("n_bigrams") > 0L))
+    // the result IS the top-K under (avg desc, doc_id asc): re-sorting the
+    // collected rows by that key must be a no-op modulo row order
+    val sorted = rows.sortBy(r =>
+      (-r.getAs[Long]("avg_w_micro"), r.getAs[Long]("doc_id")))
+    assert(sorted.map(_.getAs[Long]("doc_id")).toSet ===
+      rows.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
+  /** Winnowing fixture: 1 and 2 are verbatim duplicates (every selected
+    * fingerprint shared), 3 copies an 11-word run from them (≥ w+k−1 = 6
+    * words ⇒ the Schleimer guarantee forces shared fingerprints), 4 is
+    * disjoint. */
+  private lazy val winnowDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r12_win").toString
+    val run = "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10 m11"
+    Seq(
+      (1L, s"p1 p2 p3 $run q1 q2 q3 q4 q5 q6 q7", "en", "srcA", 90L),
+      (2L, s"p1 p2 p3 $run q1 q2 q3 q4 q5 q6 q7", "en", "srcA", 90L),
+      (3L, s"r1 r2 r3 r4 r5 $run s1 s2 s3", "en", "srcB", 80L),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13 u14 u15",
+        "en", "srcB", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q238 winnowing: verbatim pair at full containment, shared-run pair caught, disjoint doc silent") {
+    val rows = SparkEntry.queries("q238_winnowing_overlap")(spark, winnowDir)
+      .collect()
+    val pairs = rows.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r).toMap
+    // identical docs: identical selection => n_shared = n_fp both sides,
+    // containment exactly 1000 per mille
+    val dup = pairs((1L, 2L))
+    assert(dup.getAs[Long]("n_shared") === dup.getAs[Long]("n_fp_a"))
+    assert(dup.getAs[Long]("n_fp_a") === dup.getAs[Long]("n_fp_b"))
+    assert(dup.getAs[Long]("containment_pm") === 1000L)
+    // the 11-word shared run: 9 shared 3-grams spanning > w windows — the
+    // winnowing guarantee plus the report floor keep both cross pairs
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(pairs((1L, 3L)).getAs[Long]("n_shared") >= 3L)
+    // doc 4 shares no 3-gram with anyone: never reported
+    assert(rows.forall(r => r.getAs[Long]("doc_a") != 4L
+      && r.getAs[Long]("doc_b") != 4L))
+  }
+
+  test("q238 on the real corpus: floors hold and containment is well-formed") {
+    val rows = SparkEntry.queries("q238_winnowing_overlap")(spark, sfDir)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_shared") >= 3L)
+      assert(r.getAs[Long]("n_shared")
+        <= math.min(r.getAs[Long]("n_fp_a"), r.getAs[Long]("n_fp_b")))
+      val pm = r.getAs[Long]("containment_pm")
+      assert(pm >= 0L && pm <= 1000L)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+  }
+
+  test("q239 k-anonymity: hand-computed cells on the planted corpus") {
+    val rows = SparkEntry.queries("q239_k_anonymity")(spark, docDir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // srcA: docs 1,2,3 all (en, bucket 0) -> one cell of 3 (< k=5)
+    val a = rows("srcA")
+    assert(a.getAs[Long]("n_docs") === 3L && a.getAs[Long]("n_cells") === 1L)
+    assert(a.getAs[Long]("k_achieved") === 3L && a.getAs[Long]("max_cell") === 3L)
+    assert(a.getAs[Long]("n_small_cells") === 1L)
+    assert(a.getAs[Long]("n_docs_at_risk") === 3L)
+    assert(a.getAs[Long]("n_unique_docs") === 0L)
+    assert(a.getAs[Double]("at_risk_frac") === 1.0)
+    // srcB: docs 4,5,6 all (en, bucket 0) -> one cell of 3
+    val b = rows("srcB")
+    assert(b.getAs[Long]("n_cells") === 1L && b.getAs[Long]("k_achieved") === 3L)
+  }
+
+  test("q239 on the real corpus: partition of the corpus, fractions in range") {
+    val rows = SparkEntry.queries("q239_k_anonymity")(spark, sfDir).collect()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k_achieved") >= 1L)
+      assert(r.getAs[Long]("n_docs_at_risk") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_unique_docs") <= r.getAs[Long]("n_small_cells"))
+      val f = r.getAs[Double]("at_risk_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
 }
