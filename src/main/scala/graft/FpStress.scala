@@ -73,7 +73,12 @@ object FpStress {
     // round-12: the newest final-double divisions — Cohen's kappa over
     // DECIMAL(38) cross-multiplications (q221) and the exact-integer MRR /
     // displacement quotients (q222)
-    "q221_dedup_method_kappa", "q222_ann_rank_quality")
+    "q221_dedup_method_kappa", "q222_ann_rank_quality",
+    // late round-12: the HLL estimate (q240 — one double division whose
+    // operands are exact by construction: register max + a harmonic sum
+    // capped at 2^53; geometry-independence here certifies the register
+    // aggregation, not the arithmetic)
+    "q240_hll_distinct")
 
   /** 2-decimal deterministic jitter in [0, 0.96], keyed by (row key, copy) —
     * keeps every jittered double a 2-decimal value so the round(sum, p)

@@ -44,7 +44,12 @@ object PairSweep {
     // aggregate (q213, |spans|-bounded md5-keyed heavy agg) and the
     // copy-flow prefix pair fold (q214, |pairs|-bounded row-local
     // expansion) — both sub-quadratic claims that deserve measurement
-    "q213_boilerplate_miner", "q214_source_dup_matrix")
+    "q213_boilerplate_miner", "q214_source_dup_matrix",
+    // late round-12: the winnowing fingerprint overlap (q238 — group-by-
+    // hash pair expansion over the SELECTED fingerprints, hub-capped; the
+    // selection thins postings to ~2/(w+1) density so growth should track
+    // match mass, not corpus pairs)
+    "q238_winnowing_overlap")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -181,7 +181,8 @@ object VectorFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => VecDot(es(0), es(1))),
     "vec_l2sq" -> (es => VecL2Sq(es(0), es(1))),
-    "vec_band_keys" -> (es => VecBandKeys(es(0), es(1), es(2))))
+    "vec_band_keys" -> (es => VecBandKeys(es(0), es(1), es(2))),
+    "kmv_minset" -> (es => KmvMinSet.build(es)))
 
   /** Idempotent per-session SQL registration, after which the functions are
     * usable from expr()/spark.sql. */
@@ -208,5 +209,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_band_keys"),
       new ExpressionInfo(classOf[VectorFunctions.VecBandKeys].getName, "vec_band_keys"),
       (es: Seq[Expression]) => VectorFunctions.VecBandKeys(es(0), es(1), es(2))))
+    e.injectFunction((
+      FunctionIdentifier("kmv_minset"),
+      new ExpressionInfo(classOf[KmvMinSet].getName, "kmv_minset"),
+      (es: Seq[Expression]) => KmvMinSet.build(es)))
   }
 }

@@ -1426,10 +1426,246 @@ object EventOps {
              CAST(SUM(k - 1) AS DOUBLE) / CAST(SUM(k) AS DOUBLE) AS dup_frac
       FROM ident GROUP BY day"""))
 
+  // ---- q240: HyperLogLog distinct, exact-arithmetic registers --------------
+
+  /** q240's register count (2^8 = first two md5 hex chars) and the fixed-
+    * point scale for the harmonic-mean sum (10^18 keeps every register term
+    * inside BIGINT; the floor truncation for ranks > 18 perturbs a term by
+    * < 1 scaled unit — noise orders below the estimator's own ~4% standard
+    * error, and identically floored in both engines). */
+  private val hllM = 256
+  // fixed-point scale for the harmonic sum — 2^45, NOT a power of ten: each
+  // register term 2^45 div 2^M is then an exact power of two for M ≤ 45
+  // (ranks 46–49 floor to 0 — a ≤ 2^-46-relative perturbation), and the
+  // worst-case sum is m·2^45 = 2^53 exactly, so EVERY possible harm_sum is
+  // an integer ≤ 2^53 — exactly representable in a double, making the
+  // HUGEINT/DECIMAL → DOUBLE cast exact in both engines by construction
+  // (DuckDB's HUGEINT→DOUBLE is not correctly rounded above 2^53; a 10^18
+  // scale showed data-dependent final-ulp drift at sf0.01)
+  private val hllScale = 1L << 45
+  // alpha_m · m² · 2^45 — the HLL bias constant for m ≥ 128 (Flajolet et
+  // al. 2007, α_m = 0.7213/(1 + 1.079/m)), pre-multiplied on the driver so
+  // the estimate is ONE double division; embedded as the identical literal
+  // in both engines (the q228 technique)
+  private val hllAlphaNum: Double =
+    0.7213 / (1.0 + 1.079 / hllM) * hllM * hllM * hllScale.toDouble
+  // the paper's small-range branch needs m·ln(m/V) — ln() is not
+  // cross-engine bit-stable (the q116 rule), but V only takes 255 values,
+  // so the whole correction is a driver-computed literal lookup table
+  // joined on the empty-register count (the q228 closed-form move, in
+  // table form)
+  private val hllLinearCounting: Seq[(Int, Double)] =
+    (1 until hllM).map(v => v -> hllM * math.log(hllM.toDouble / v))
+
+  /** q240: per-event-type distinct DAILY-ACTIVE identities (user × day)
+    * via a fully-oracled HyperLogLog — the md5 family makes the sketch
+    * itself deterministic and identical in both engines (the q78 count-min
+    * move, applied to HLL): bucket = first 2 md5 hex chars (m = 256
+    * registers), the next 12 hex chars are a 48-bit value whose
+    * leading-zero rank is exact integer string algebra (49 − len(bin(v))),
+    * and each register keeps MAX(rank).
+    *
+    * This is the mergeable-sketch shape 100 TB cardinality estimation
+    * actually uses: max() is order- and duplicate-insensitive, so the plan
+    * aggregates RAW events with map-side combine straight to |types|·256
+    * register rows — no distinct shuffle, no state proportional to
+    * cardinality; union across shards/days is register-wise max. The exact
+    * distinct count (computed alongside, the expensive way) turns the query
+    * into its own accuracy report: observed |relative error| at m = 256
+    * should sit within a few standard errors (1.04/√m ≈ 6.5%).
+    *
+    * FP shape: the harmonic sum Σ 2^−M_j is fixed-point BIGINT per term
+    * (2^45 DIV 2^M — an exact power of two), summed over all m registers
+    * including the empty-register grid rows; every possible sum is an
+    * integer ≤ m·2^45 = 2^53, so its DOUBLE cast is exact in both engines
+    * (see [[hllScale]]) and the raw estimate is one double division of
+    * bit-identical quantities.
+    * The paper's small-range branch (E ≤ 2.5m with empty registers →
+    * linear counting m·ln(m/V)) is applied through the
+    * [[hllLinearCounting]] literal table, so the branch predicate and both
+    * branch values are bit-identical cross-engine; the 2^32 large-range
+    * branch is structurally unreachable in a 48-bit hash space. */
+  val hllDistinct: Q = Q(
+    "q240_hll_distinct",
+    (s, dir) => {
+      val keySql =
+        "md5(concat('hll|', CAST(user_id AS STRING), '|', CAST(CAST(ts AS DATE) AS STRING)))"
+      val regs = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr(s"substring($keySql, 1, 2)").as("bucket"),
+          expr(s"CAST(conv(substring($keySql, 3, 12), 16, 10) AS BIGINT)")
+            .as("v"))
+        .withColumn("rank",
+          when(col("v") === 0L, lit(49)).otherwise(lit(49) - length(bin(col("v")))))
+        .groupBy("event_type", "bucket").agg(max("rank").as("m"))
+      val grid = Tables.events(s, dir).select("event_type").distinct()
+        .crossJoin(broadcast(s.range(hllM.toLong)
+          .select(format_string("%02x", col("id")).as("bucket"))))
+      val sums = grid.join(regs, Seq("event_type", "bucket"), "left")
+        .withColumn("term",
+          expr(s"$hllScale div shiftleft(CAST(1 AS BIGINT), coalesce(m, 0))"))
+        .groupBy("event_type").agg(
+          sum(col("term")).as("harm_sum"),
+          sum(when(col("m").isNotNull, 1L).otherwise(0L)).as("n_active"),
+          max(coalesce(col("m"), lit(0))).cast("long").as("max_rank"))
+      val exact = Tables.events(s, dir).groupBy("event_type")
+        .agg(countDistinct(col("user_id"), to_date(col("ts"))).as("n_exact"))
+      val lc = {
+        import s.implicits._
+        hllLinearCounting.toDF("v_empty", "lc_est")
+          .select(col("v_empty").cast("long"), col("lc_est"))
+      }
+      sums.join(exact, Seq("event_type"))
+        .withColumn("hll_raw",
+          lit(hllAlphaNum) / col("harm_sum").cast("double"))
+        .withColumn("v_empty", lit(hllM.toLong) - col("n_active"))
+        .join(broadcast(lc), Seq("v_empty"), "left")
+        .withColumn("hll_estimate",
+          when(col("hll_raw") <= lit(2.5 * hllM) && col("v_empty") > 0L,
+            col("lc_est")).otherwise(col("hll_raw")))
+        .withColumn("rel_err",
+          (col("hll_estimate") - col("n_exact").cast("double"))
+            / col("n_exact").cast("double"))
+        .select("event_type", "n_exact", "n_active", "max_rank",
+          "hll_raw", "hll_estimate", "rel_err")
+    },
+    Some {
+      val keySql =
+        "md5('hll|' || CAST(user_id AS VARCHAR) || '|' || CAST(ts::DATE AS VARCHAR))"
+      val lcValues = hllLinearCounting
+        .map { case (v, e) => s"($v, ${graft.SqlLit.double(e)})" }
+        .mkString(", ")
+      s"""WITH hashed AS (
+        SELECT event_type,
+               substr($keySql, 1, 2) AS bucket,
+               ('0x' || substr($keySql, 3, 12))::BIGINT AS v
+        FROM events
+      ), regs AS (
+        SELECT event_type, bucket,
+               MAX(CASE WHEN v = 0 THEN 49 ELSE 49 - len(bin(v)) END) AS m
+        FROM hashed GROUP BY event_type, bucket
+      ), grid AS (
+        SELECT event_type, printf('%02x', i) AS bucket
+        FROM (SELECT DISTINCT event_type FROM events)
+        CROSS JOIN (SELECT unnest(range(0, $hllM)) AS i)
+      ), sums AS (
+        SELECT g.event_type,
+               SUM($hllScale // (CAST(1 AS BIGINT) << coalesce(r.m, 0)))
+                 AS harm_sum,
+               CAST(SUM(CASE WHEN r.m IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_active,
+               CAST(MAX(coalesce(r.m, 0)) AS BIGINT) AS max_rank
+        FROM grid g LEFT JOIN regs r
+          ON g.event_type = r.event_type AND g.bucket = r.bucket
+        GROUP BY g.event_type
+      ), exact AS (
+        SELECT event_type,
+               CAST(count(DISTINCT user_id || '|' || CAST(ts::DATE AS VARCHAR))
+                    AS BIGINT) AS n_exact
+        FROM events GROUP BY event_type
+      ), lc(v_empty, lc_est) AS (
+        SELECT * FROM (VALUES $lcValues)
+      ), staged AS (
+        SELECT s.event_type, n_exact, n_active, max_rank,
+               ${graft.SqlLit.double(hllAlphaNum)} / CAST(harm_sum AS DOUBLE)
+                 AS hll_raw,
+               $hllM - n_active AS v_empty
+        FROM sums s JOIN exact e ON s.event_type = e.event_type
+      )
+      SELECT event_type, n_exact, n_active, max_rank, hll_raw,
+             CASE WHEN hll_raw <= ${2.5 * hllM} AND v_empty > 0
+                  THEN lc_est ELSE hll_raw END AS hll_estimate,
+             (CASE WHEN hll_raw <= ${2.5 * hllM} AND v_empty > 0
+                   THEN lc_est ELSE hll_raw END
+               - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+      FROM staged LEFT JOIN lc USING (v_empty)"""
+    })
+
+  // ---- q241: KMV distinct via the custom Catalyst aggregate ----------------
+
+  /** q241's sketch size. (k−1)·2^48 stays far inside BIGINT. */
+  private val kmvK = 256
+
+  /** q241: the same per-type daily-active cardinality as q240, estimated
+    * through the OTHER classical sketch — K-minimum-values (Bar-Yossef et
+    * al. 2002) — implemented as a native Catalyst
+    * [[graft.functions.KmvMinSet]] TypedImperativeAggregate: the plan's
+    * ordinary partial aggregation carries bounded ≤ k·8-byte buffers of the
+    * k smallest distinct 48-bit md5 values per (type), merged with
+    * union-then-trim, instead of shuffling the distinct key stream. The
+    * estimator is pure integer arithmetic: θ = k-th minimum, estimate =
+    * (k−1)·2^48 DIV θ — exact floor division in both engines — and when a
+    * group holds fewer than k distinct values the sketch IS the exact count
+    * (n_held), so the small-range branch is trivially exact (no ln(), no
+    * lookup table — KMV's advantage over q240's HLL in the exactness
+    * regime).
+    *
+    * The DuckDB oracle recomputes θ relationally (DISTINCT → row_number →
+    * rank k) — a different algorithm over a different execution model
+    * landing on the identical integers, which is precisely what makes a
+    * custom imperative aggregate safe to trust. */
+  val kmvDistinct: Q = Q(
+    "q241_kmv_distinct",
+    (s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val keySql =
+        "md5(concat('kmv|', CAST(user_id AS STRING), '|', CAST(CAST(ts AS DATE) AS STRING)))"
+      val sk = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr(s"CAST(conv(substring($keySql, 1, 12), 16, 10) AS BIGINT)")
+            .as("v"))
+        .groupBy("event_type")
+        .agg(expr(s"kmv_minset(v, $kmvK)").as("sk"))
+        .select(col("event_type"), col("sk.n_held").as("n_held"),
+          col("sk.theta").as("theta"))
+      val exact = Tables.events(s, dir).groupBy("event_type")
+        .agg(countDistinct(col("user_id"), to_date(col("ts"))).as("n_exact"))
+      sk.join(exact, Seq("event_type"))
+        .withColumn("kmv_estimate",
+          when(col("n_held") < kmvK.toLong, col("n_held")).otherwise(
+            expr(s"CAST((${kmvK - 1} * 281474976710656) div theta AS BIGINT)")))
+        .withColumn("rel_err",
+          (col("kmv_estimate").cast("double") - col("n_exact").cast("double"))
+            / col("n_exact").cast("double"))
+        .select("event_type", "n_exact", "n_held", "theta",
+          "kmv_estimate", "rel_err")
+    },
+    Some(s"""WITH hashed AS (
+        SELECT event_type,
+               ('0x' || substr(md5('kmv|' || CAST(user_id AS VARCHAR)
+                  || '|' || CAST(ts::DATE AS VARCHAR)), 1, 12))::BIGINT AS v
+        FROM events
+      ), dv AS (
+        SELECT DISTINCT event_type, v FROM hashed
+      ), ranked AS (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+        FROM dv
+      ), st AS (
+        SELECT event_type,
+               CAST(LEAST(count(1), $kmvK) AS BIGINT) AS n_held,
+               MAX(CASE WHEN rn = $kmvK THEN v END) AS theta
+        FROM ranked GROUP BY event_type
+      ), exact AS (
+        SELECT event_type,
+               CAST(count(DISTINCT user_id || '|' || CAST(ts::DATE AS VARCHAR))
+                    AS BIGINT) AS n_exact
+        FROM events GROUP BY event_type
+      )
+      SELECT s.event_type, n_exact, n_held, theta,
+             CAST(CASE WHEN n_held < $kmvK THEN n_held
+                  ELSE (${kmvK - 1} * 281474976710656) // theta END
+                  AS BIGINT) AS kmv_estimate,
+             (CAST(CASE WHEN n_held < $kmvK THEN n_held
+                   ELSE (${kmvK - 1} * 281474976710656) // theta END AS DOUBLE)
+               - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+      FROM st s JOIN exact e ON s.event_type = e.event_type"""))
+
   val all: Seq[Q] = Seq(funnel, watermarkIngest, gapFill, hoppingWindow,
     cohortRetention, debounce, timeWeightedAvg, attribution, peakConcurrency,
     rollingActiveUsers, transitionMatrix, decayedPopularity, intervalUnion,
     bitmapDistinct, volumeAnomaly, incrementalSessions, xcorrLag,
     windowedFunnel, rfmSegments, sequenceFunnels, exactEwma, oooSpearman,
-    orderGaps, fanoBurstiness, latenessProfile, intradayDupRate)
+    orderGaps, fanoBurstiness, latenessProfile, intradayDupRate, hllDistinct,
+    kmvDistinct)
 }

@@ -524,6 +524,72 @@ class R12OpsSpec extends AnyFunSuite {
     assert(b.getAs[Long]("n_cells") === 1L && b.getAs[Long]("k_achieved") === 3L)
   }
 
+  test("q240 HLL: small planted cardinality routes to linear counting and lands close") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r12_hll").toString
+    val t0 = java.sql.Timestamp.valueOf("2025-03-01 10:00:00")
+    // 10 users, one day, one type — plus every event duplicated: the
+    // register sketch must be duplicate-insensitive by construction
+    val base = (1L to 10L).map(u => (u, t0, u, "click", 1.0, "p"))
+    (base ++ base.map { case (e, t, u, ty, v, p) => (e + 100L, t, u, ty, v, p) })
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q240_hll_distinct")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_exact") === 10L)
+    assert(r.getAs[Long]("n_active") <= 10L)
+    // raw HLL at V ≈ 246 empty registers is far below 2.5m → the published
+    // small-range branch must fire, and linear counting is near-exact here
+    assert(r.getAs[Double]("hll_estimate") !== r.getAs[Double]("hll_raw"))
+    assert(math.abs(r.getAs[Double]("rel_err")) < 0.15)
+  }
+
+  test("q240 on the real corpus: error within estimator bounds, registers well-formed") {
+    val rows = SparkEntry.queries("q240_hll_distinct")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") >= 1L && r.getAs[Long]("n_active") <= 256L)
+      assert(r.getAs[Long]("max_rank") >= 1L && r.getAs[Long]("max_rank") <= 49L)
+      assert(r.getAs[Double]("hll_estimate") > 0.0)
+      // 1.04/√256 = 6.5% standard error; 5σ is a generous but real bound
+      assert(math.abs(r.getAs[Double]("rel_err")) < 0.325,
+        s"${r.getAs[String]("event_type")}: ${r.getAs[Double]("rel_err")}")
+    }
+  }
+
+  test("q241 KMV: sub-k planted cardinality is EXACT, duplicates invisible") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r12_kmv").toString
+    val t0 = java.sql.Timestamp.valueOf("2025-03-01 10:00:00")
+    val base = (1L to 10L).map(u => (u, t0, u, "click", 1.0, "p"))
+    (base ++ base.map { case (e, t, u, ty, v, p) => (e + 100L, t, u, ty, v, p) })
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q241_kmv_distinct")(spark, dir).collect().head
+    // below k the sketch holds every distinct value: the estimate IS exact
+    assert(r.getAs[Long]("n_held") === 10L)
+    assert(r.isNullAt(r.fieldIndex("theta")))
+    assert(r.getAs[Long]("kmv_estimate") === 10L)
+    assert(r.getAs[Double]("rel_err") === 0.0)
+  }
+
+  test("q241 on the real corpus: saturated sketches, error within KMV bounds") {
+    val rows = SparkEntry.queries("q241_kmv_distinct")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val held = r.getAs[Long]("n_held")
+      assert(held <= 256L)
+      if (held == 256L) {
+        assert(!r.isNullAt(r.fieldIndex("theta")))
+        // 1/√(k−2) ≈ 6.3% standard error; 5σ bound
+        assert(math.abs(r.getAs[Double]("rel_err")) < 0.315,
+          s"${r.getAs[String]("event_type")}: ${r.getAs[Double]("rel_err")}")
+      } else {
+        assert(r.getAs[Long]("kmv_estimate") === held)
+        assert(r.getAs[Long]("n_exact") === held)
+      }
+    }
+  }
+
   test("q239 on the real corpus: partition of the corpus, fractions in range") {
     val rows = SparkEntry.queries("q239_k_anonymity")(spark, sfDir).collect()
     val total = Tables.documents(spark, sfDir).count()
