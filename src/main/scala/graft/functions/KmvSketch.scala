@@ -107,3 +107,55 @@ object KmvMinSet {
       "kmv_minset(value BIGINT, k INT-literal)")
   }
 }
+
+/** The same bounded k-min buffer, but eval emits the full SORTED ARRAY of
+  * held values instead of (n_held, θ) — the form sketch SET ALGEBRA needs:
+  * the k smallest of `array_union(A.mins, B.mins)` are provably the k
+  * smallest of the full A ∪ B, so union/intersection/Jaccard estimators are
+  * row-local array HOFs over two ≤ k-long arrays (q242). Shares every
+  * buffer/merge/serialize code path with [[KmvMinSet]]. */
+case class KmvMinArray(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.TreeSet[Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 2, s"kmv_minarray needs k >= 2, got $k")
+
+  private val inner = KmvMinSet(child, k)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): mutable.TreeSet[Long] =
+    inner.createAggregationBuffer()
+  override def update(
+      buf: mutable.TreeSet[Long], input: InternalRow): mutable.TreeSet[Long] =
+    inner.update(buf, input)
+  override def merge(
+      b1: mutable.TreeSet[Long],
+      b2: mutable.TreeSet[Long]): mutable.TreeSet[Long] = inner.merge(b1, b2)
+  override def eval(buf: mutable.TreeSet[Long]): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buf.toArray)
+  override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] =
+    inner.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] =
+    inner.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): KmvMinArray =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KmvMinArray =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): KmvMinArray =
+    copy(child = newChild)
+}
+
+object KmvMinArray {
+  def build(es: Seq[Expression]): Expression = es match {
+    case Seq(v, Literal(k: Int, IntegerType)) => KmvMinArray(v, k)
+    case _ => throw new IllegalArgumentException(
+      "kmv_minarray(value BIGINT, k INT-literal)")
+  }
+}

@@ -182,7 +182,8 @@ object VectorFunctions {
     "vec_dot" -> (es => VecDot(es(0), es(1))),
     "vec_l2sq" -> (es => VecL2Sq(es(0), es(1))),
     "vec_band_keys" -> (es => VecBandKeys(es(0), es(1), es(2))),
-    "kmv_minset" -> (es => KmvMinSet.build(es)))
+    "kmv_minset" -> (es => KmvMinSet.build(es)),
+    "kmv_minarray" -> (es => KmvMinArray.build(es)))
 
   /** Idempotent per-session SQL registration, after which the functions are
     * usable from expr()/spark.sql. */
@@ -213,5 +214,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kmv_minset"),
       new ExpressionInfo(classOf[KmvMinSet].getName, "kmv_minset"),
       (es: Seq[Expression]) => KmvMinSet.build(es)))
+    e.injectFunction((
+      FunctionIdentifier("kmv_minarray"),
+      new ExpressionInfo(classOf[KmvMinArray].getName, "kmv_minarray"),
+      (es: Seq[Expression]) => KmvMinArray.build(es)))
   }
 }

@@ -1661,11 +1661,152 @@ object EventOps {
                - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
       FROM st s JOIN exact e ON s.event_type = e.event_type"""))
 
+  // ---- q242: KMV sketch set algebra (audience overlap) ---------------------
+
+  /** q242: pairwise audience overlap between event types FROM SKETCHES ONLY
+    * — the DataSketches-style set algebra that makes bounded sketches worth
+    * keeping at 100 TB: once each type's [[graft.functions.KmvMinArray]]
+    * (k = 256 smallest distinct 48-bit md5 values of the user-day key) is
+    * materialized, every union/intersection estimate is a ROW-LOCAL array
+    * HOF over two ≤ k-long arrays — no rescan of the corpus per pair, and
+    * a new pair costs microseconds regardless of corpus size.
+    *
+    * Correctness of the composition: the k smallest of
+    * array_union(A.mins, B.mins) are provably the k smallest of the full
+    * A ∪ B (each side's sketch holds its k global minima, so nothing
+    * smaller was lost), giving θ_U and est_union = (k−1)·2^48 DIV θ_U
+    * exactly as if the union had been sketched directly; ρ = how many of
+    * those union minima appear in BOTH sides' sketches estimates the
+    * Jaccard numerator, and est_inter = ρ·est_union DIV |K_U|. When the
+    * MERGED sketch stays below k the inputs were complete and so is the
+    * union — every estimate degrades to exact (est_union = |A∪B|,
+    * est_inter = ρ); note two complete sub-k sets can still union past k,
+    * where the θ-estimator takes over seamlessly. All
+    * sketch arithmetic is exact integers; the only doubles are the final
+    * error columns, guarded against zero denominators.
+    *
+    * Exact union/intersection (the expensive way) are computed alongside
+    * over the same 48-bit domain, making the query its own accuracy
+    * report. */
+  val kmvOverlap: Q = Q(
+    "q242_kmv_overlap",
+    (s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val keySql =
+        "md5(concat('kmv|', CAST(user_id AS STRING), '|', CAST(CAST(ts AS DATE) AS STRING)))"
+      val hashed = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr(s"CAST(conv(substring($keySql, 1, 12), 16, 10) AS BIGINT)")
+            .as("v"))
+      val dv = hashed.distinct()
+      val sk = hashed.groupBy("event_type")
+        .agg(expr(s"kmv_minarray(v, $kmvK)").as("mins"))
+        .join(dv.groupBy("event_type").agg(count(lit(1)).as("n_exact")),
+          Seq("event_type"))
+      val inter = dv.as("x").join(dv.as("y"),
+          col("x.v") === col("y.v")
+            && col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      val pairs = sk.select(col("event_type").as("type_a"),
+          col("mins").as("mins_a"), col("n_exact").as("n_a"))
+        .join(sk.select(col("event_type").as("type_b"),
+          col("mins").as("mins_b"), col("n_exact").as("n_b")),
+          col("type_a") < col("type_b"))
+        .join(inter, Seq("type_a", "type_b"), "left")
+        .na.fill(0L, Seq("exact_inter"))
+      pairs
+        .withColumn("ku",
+          expr(s"slice(array_sort(array_union(mins_a, mins_b)), 1, $kmvK)"))
+        .withColumn("nu", expr("size(ku)").cast("long"))
+        .withColumn("rho", expr(
+          """CAST(size(filter(ku, x -> array_contains(mins_a, x)
+                                   AND array_contains(mins_b, x))) AS BIGINT)"""))
+        // exact ⟺ the MERGED sketch is below k (two complete sub-k sets can
+        // still union past k, where θ takes over — both sides' k smallest
+        // are present, so ku[k] is the true union's k-th minimum either way)
+        .withColumn("est_union",
+          when(col("nu") < kmvK.toLong, col("nu")).otherwise(expr(
+            s"CAST((${kmvK - 1} * 281474976710656) div element_at(ku, $kmvK) AS BIGINT)")))
+        // rho·est_union can reach 256·(k−1)·2^48 ≈ 1.8e19 > BIGINT at
+        // extreme cardinalities — DECIMAL(38,0)/HUGEINT (the q221 rule)
+        .withColumn("est_inter", expr(
+          "CAST((CAST(rho AS DECIMAL(38,0)) * est_union) div nu AS BIGINT)"))
+        .withColumn("exact_union",
+          col("n_a") + col("n_b") - col("exact_inter"))
+        .withColumn("err_union",
+          (col("est_union").cast("double") - col("exact_union").cast("double"))
+            / col("exact_union").cast("double"))
+        .withColumn("err_inter",
+          when(col("exact_inter") > 0L,
+            (col("est_inter").cast("double") - col("exact_inter").cast("double"))
+              / col("exact_inter").cast("double")))
+        .select("type_a", "type_b", "n_a", "n_b", "est_union", "exact_union",
+          "est_inter", "exact_inter", "err_union", "err_inter")
+    },
+    Some(s"""WITH hashed AS (
+        SELECT DISTINCT event_type,
+               ('0x' || substr(md5('kmv|' || CAST(user_id AS VARCHAR)
+                  || '|' || CAST(ts::DATE AS VARCHAR)), 1, 12))::BIGINT AS v
+        FROM events
+      ), ranked AS (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+        FROM hashed
+      ), sk AS (
+        SELECT event_type,
+               list(v ORDER BY v) FILTER (rn <= $kmvK) AS mins,
+               CAST(count(1) AS BIGINT) AS n_exact
+        FROM ranked GROUP BY event_type
+      ), inter AS (
+        SELECT x.event_type AS type_a, y.event_type AS type_b,
+               CAST(count(1) AS BIGINT) AS exact_inter
+        FROM hashed x JOIN hashed y
+          ON x.v = y.v AND x.event_type < y.event_type
+        GROUP BY x.event_type, y.event_type
+      ), pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.mins AS mins_a, b.mins AS mins_b,
+               a.n_exact AS n_a, b.n_exact AS n_b,
+               coalesce(i.exact_inter, 0) AS exact_inter
+        FROM sk a JOIN sk b ON a.event_type < b.event_type
+        LEFT JOIN inter i
+          ON i.type_a = a.event_type AND i.type_b = b.event_type
+      ), algebra AS (
+        SELECT *,
+               list_sort(list_distinct(list_concat(mins_a, mins_b)))[1:$kmvK]
+                 AS ku
+        FROM pairs
+      ), est AS (
+        SELECT type_a, type_b, n_a, n_b, exact_inter,
+               CAST(len(ku) AS BIGINT) AS nu,
+               CAST(len(list_filter(ku, x -> list_contains(mins_a, x)
+                                        AND list_contains(mins_b, x)))
+                    AS BIGINT) AS rho,
+               CAST(CASE WHEN len(ku) < $kmvK
+                    THEN len(ku)
+                    ELSE (${kmvK - 1} * 281474976710656) // ku[$kmvK] END
+                    AS BIGINT) AS est_union,
+               n_a + n_b - exact_inter AS exact_union
+        FROM algebra
+      )
+      SELECT type_a, type_b, n_a, n_b, est_union, exact_union,
+             CAST((CAST(rho AS HUGEINT) * est_union) // nu AS BIGINT) AS est_inter,
+             exact_inter,
+             (CAST(est_union AS DOUBLE) - CAST(exact_union AS DOUBLE))
+               / CAST(exact_union AS DOUBLE) AS err_union,
+             CASE WHEN exact_inter > 0
+                  THEN (CAST((CAST(rho AS HUGEINT) * est_union) // nu AS DOUBLE)
+                        - CAST(exact_inter AS DOUBLE))
+                       / CAST(exact_inter AS DOUBLE) END AS err_inter
+      FROM est"""))
+
   val all: Seq[Q] = Seq(funnel, watermarkIngest, gapFill, hoppingWindow,
     cohortRetention, debounce, timeWeightedAvg, attribution, peakConcurrency,
     rollingActiveUsers, transitionMatrix, decayedPopularity, intervalUnion,
     bitmapDistinct, volumeAnomaly, incrementalSessions, xcorrLag,
     windowedFunnel, rfmSegments, sequenceFunnels, exactEwma, oooSpearman,
     orderGaps, fanoBurstiness, latenessProfile, intradayDupRate, hllDistinct,
-    kmvDistinct)
+    kmvDistinct, kmvOverlap)
 }

@@ -590,6 +590,44 @@ class R12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q242 overlap: planted sets below k are exact through the sketch algebra") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r12_kov").toString
+    val t0 = java.sql.Timestamp.valueOf("2025-03-01 10:00:00")
+    // A = users 1..10, B = users 6..15, same day: |A∩B| = 5, |A∪B| = 15
+    val a = (1L to 10L).map(u => (u, t0, u, "alpha", 1.0, "p"))
+    val b = (6L to 15L).map(u => (u + 50L, t0, u, "beta", 1.0, "p"))
+    (a ++ b).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q242_kmv_overlap")(spark, dir).collect().head
+    assert(r.getAs[String]("type_a") === "alpha" && r.getAs[String]("type_b") === "beta")
+    assert(r.getAs[Long]("n_a") === 10L && r.getAs[Long]("n_b") === 10L)
+    assert(r.getAs[Long]("est_union") === 15L && r.getAs[Long]("exact_union") === 15L)
+    assert(r.getAs[Long]("est_inter") === 5L && r.getAs[Long]("exact_inter") === 5L)
+    assert(r.getAs[Double]("err_union") === 0.0 && r.getAs[Double]("err_inter") === 0.0)
+  }
+
+  test("q242 on the real corpus: sub-k groups stay exact, pairs complete") {
+    val rows = SparkEntry.queries("q242_kmv_overlap")(spark, sfDir).collect()
+    assert(rows.length === 10) // C(5,2) event-type pairs
+    // at sf0.001 every type holds < k = 256 user-days; a pair whose MERGED
+    // set also stays below k must be exact end-to-end, while a pair whose
+    // union crosses k exercises the θ hand-off and only owes the 5σ bound
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_inter") <= r.getAs[Long]("est_union"))
+      if (r.getAs[Long]("est_union") < 256L) {
+        assert(r.getAs[Long]("est_union") === r.getAs[Long]("exact_union"))
+        assert(r.getAs[Long]("est_inter") === r.getAs[Long]("exact_inter"))
+        assert(r.getAs[Double]("err_union") === 0.0)
+      } else {
+        assert(math.abs(r.getAs[Double]("err_union")) < 0.315)
+      }
+    }
+    // both regimes must actually occur at this scale, or the test is vacuous
+    assert(rows.exists(_.getAs[Long]("est_union") < 256L))
+    assert(rows.exists(_.getAs[Long]("est_union") >= 256L))
+  }
+
   test("q239 on the real corpus: partition of the corpus, fractions in range") {
     val rows = SparkEntry.queries("q239_k_anonymity")(spark, sfDir).collect()
     val total = Tables.documents(spark, sfDir).count()
