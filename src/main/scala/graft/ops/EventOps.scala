@@ -1802,11 +1802,117 @@ object EventOps {
                        / CAST(exact_inter AS DOUBLE) END AS err_inter
       FROM est"""))
 
+  // ---- q243: Bloom filter false-positive audit -----------------------------
+
+  /** q243's filter geometry: m bits, j double-hashed probes per key
+    * (Kirsch–Mitzenmacher: h1 + i·h2 mod m preserves the Bloom FPR with
+    * two base hashes). */
+  private val bloomM = 16384L
+  private val bloomJ = 3
+
+  /** q243: an md5-family Bloom filter over the 'purchase' audience's
+    * user-day keys, probed with every NON-member user-day — the pre-join
+    * membership gate a 100 TB pipeline ships to executors instead of a
+    * distinct-key set (Spark's own runtime row-group skipping works the
+    * same way). Because the hash family is the engine-portable md5 double
+    * hash, the ENTIRE filter — every set bit — is deterministic, so unlike
+    * production bloom filters this one is fully oracled: the bit table,
+    * the exact false-positive count against ground truth, and the
+    * fill-ratio FPR prediction (B/m)^j (the observed-fill form — exact
+    * given B, no data-dependent pow over n, and written as the identical
+    * three-factor double product in both engines).
+    *
+    * Distributed shape: build = explode members ×j → distinct positions
+    * (≤ m = 16k rows — broadcastable anywhere); probe = anti-join for the
+    * non-member population, explode ×j, ONE broadcast semi-join against
+    * the bit table, per-key all-positions-present fold. Output: one row —
+    * geometry, fill, exact FPR vs predicted. */
+  val bloomAudit: Q = Q(
+    "q243_bloom_audit",
+    (s, dir) => {
+      val keys = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("CAST(conv(substring(md5(concat('blm|', CAST(user_id AS STRING), '|', CAST(CAST(ts AS DATE) AS STRING))), 1, 12), 16, 10) AS BIGINT)").as("h1"),
+          expr("CAST(conv(substring(md5(concat('blm|', CAST(user_id AS STRING), '|', CAST(CAST(ts AS DATE) AS STRING))), 13, 12), 16, 10) AS BIGINT)").as("h2"))
+      val members = keys.filter(col("event_type") === "purchase")
+        .select("h1", "h2").distinct()
+      val nonMembers = keys.filter(col("event_type") =!= "purchase")
+        .select("h1", "h2").distinct()
+        .join(members, Seq("h1", "h2"), "left_anti")
+      val probes = array((0 until bloomJ).map(i =>
+        expr(s"(h1 + $i * h2) % $bloomM")): _*)
+      val bits = members.select(explode(probes).as("pos")).distinct()
+      val stats = broadcast(bits.agg(count(lit(1)).as("n_bits_set"))
+        .crossJoin(members.agg(count(lit(1)).as("n_members"))))
+      val fp = nonMembers
+        .select(col("h1"), col("h2"),
+          explode(array_distinct(probes)).as("pos"))
+        .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("pos"), "left")
+        .groupBy("h1", "h2")
+        .agg((count(lit(1)) === sum(coalesce(col("hit"), lit(0L))))
+          .as("all_hit"))
+        .agg(count(lit(1)).as("n_probe_keys"),
+          sum(when(col("all_hit"), 1L).otherwise(0L)).as("n_false_pos"))
+      fp.crossJoin(stats)
+        .select(lit(bloomM).as("m_bits"), lit(bloomJ.toLong).as("j_hashes"),
+          col("n_members"), col("n_bits_set"), col("n_probe_keys"),
+          col("n_false_pos"))
+        .withColumn("fill_frac",
+          col("n_bits_set").cast("double") / lit(bloomM.toDouble))
+        .withColumn("fpr_exact",
+          col("n_false_pos").cast("double") / col("n_probe_keys").cast("double"))
+        .withColumn("fpr_predicted",
+          col("fill_frac") * col("fill_frac") * col("fill_frac"))
+    },
+    Some(s"""WITH keys AS (
+        SELECT event_type,
+               ('0x' || substr(md5('blm|' || CAST(user_id AS VARCHAR)
+                  || '|' || CAST(ts::DATE AS VARCHAR)), 1, 12))::BIGINT AS h1,
+               ('0x' || substr(md5('blm|' || CAST(user_id AS VARCHAR)
+                  || '|' || CAST(ts::DATE AS VARCHAR)), 13, 12))::BIGINT AS h2
+        FROM events
+      ), members AS (
+        SELECT DISTINCT h1, h2 FROM keys WHERE event_type = 'purchase'
+      ), non_members AS (
+        SELECT DISTINCT h1, h2 FROM keys WHERE event_type <> 'purchase'
+        EXCEPT SELECT h1, h2 FROM members
+      ), bits AS (
+        SELECT DISTINCT (h1 + i * h2) % $bloomM AS pos
+        FROM members CROSS JOIN (SELECT unnest(range(0, $bloomJ)) AS i)
+      ), stats AS (
+        SELECT (SELECT CAST(count(1) AS BIGINT) FROM bits) AS n_bits_set,
+               (SELECT CAST(count(1) AS BIGINT) FROM members) AS n_members
+      ), probe AS (
+        SELECT h1, h2, unnest(list_distinct(list_transform(range(0, $bloomJ),
+               i -> (h1 + i * h2) % $bloomM))) AS pos
+        FROM non_members
+      ), fp AS (
+        SELECT CAST(count(1) AS BIGINT) AS n_probe_keys,
+               CAST(SUM(CASE WHEN all_hit THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_false_pos
+        FROM (SELECT p.h1, p.h2,
+                     count(1) = SUM(CASE WHEN b.pos IS NOT NULL
+                                         THEN 1 ELSE 0 END) AS all_hit
+              FROM probe p LEFT JOIN bits b ON p.pos = b.pos
+              GROUP BY p.h1, p.h2)
+      )
+      SELECT CAST($bloomM AS BIGINT) AS m_bits,
+             CAST($bloomJ AS BIGINT) AS j_hashes,
+             n_members, n_bits_set, n_probe_keys, n_false_pos,
+             CAST(n_bits_set AS DOUBLE) / ${bloomM.toDouble}e0 AS fill_frac,
+             CAST(n_false_pos AS DOUBLE) / CAST(n_probe_keys AS DOUBLE)
+               AS fpr_exact,
+             (CAST(n_bits_set AS DOUBLE) / ${bloomM.toDouble}e0)
+               * (CAST(n_bits_set AS DOUBLE) / ${bloomM.toDouble}e0)
+               * (CAST(n_bits_set AS DOUBLE) / ${bloomM.toDouble}e0)
+               AS fpr_predicted
+      FROM fp CROSS JOIN stats"""))
+
   val all: Seq[Q] = Seq(funnel, watermarkIngest, gapFill, hoppingWindow,
     cohortRetention, debounce, timeWeightedAvg, attribution, peakConcurrency,
     rollingActiveUsers, transitionMatrix, decayedPopularity, intervalUnion,
     bitmapDistinct, volumeAnomaly, incrementalSessions, xcorrLag,
     windowedFunnel, rfmSegments, sequenceFunnels, exactEwma, oooSpearman,
     orderGaps, fanoBurstiness, latenessProfile, intradayDupRate, hllDistinct,
-    kmvDistinct, kmvOverlap)
+    kmvDistinct, kmvOverlap, bloomAudit)
 }

@@ -628,6 +628,36 @@ class R12OpsSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("est_union") >= 256L))
   }
 
+  test("q243 bloom: planted tiny filter — geometry exact, no false positives at 0.3% fill") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r12_blm").toString
+    val t0 = java.sql.Timestamp.valueOf("2025-03-01 10:00:00")
+    val m = (1L to 5L).map(u => (u, t0, u, "purchase", 1.0, "p"))
+    val o = (6L to 10L).map(u => (u + 50L, t0, u, "click", 1.0, "p"))
+    (m ++ o).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q243_bloom_audit")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_members") === 5L)
+    assert(r.getAs[Long]("n_bits_set") <= 15L && r.getAs[Long]("n_bits_set") >= 1L)
+    assert(r.getAs[Long]("n_probe_keys") === 5L)
+    // 15 bits of 16384 → (B/m)³ ≈ 8e-10: a false positive here would mean
+    // the hash plumbing is broken, not bad luck
+    assert(r.getAs[Long]("n_false_pos") === 0L)
+    assert(r.getAs[Double]("fpr_exact") === 0.0)
+  }
+
+  test("q243 on the real corpus: filter well-formed, FPR tracks the fill prediction") {
+    val r = SparkEntry.queries("q243_bloom_audit")(spark, sfDir).collect().head
+    val bits = r.getAs[Long]("n_bits_set")
+    assert(bits >= 1L && bits <= math.min(16384L, 3L * r.getAs[Long]("n_members")))
+    assert(r.getAs[Long]("n_false_pos") <= r.getAs[Long]("n_probe_keys"))
+    val (exact, pred) = (r.getAs[Double]("fpr_exact"), r.getAs[Double]("fpr_predicted"))
+    assert(exact >= 0.0 && exact <= 1.0 && pred > 0.0 && pred < 1.0)
+    // at sf0.001's ~3% fill the prediction is ~2.5e-5 — the observed rate
+    // must not exceed it by orders of magnitude
+    assert(exact <= 10.0 * pred + 1e-9)
+  }
+
   test("q239 on the real corpus: partition of the corpus, fractions in range") {
     val rows = SparkEntry.queries("q239_k_anonymity")(spark, sfDir).collect()
     val total = Tables.documents(spark, sfDir).count()
