@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1485,57 +1485,64 @@ object EventOps {
     * [[hllLinearCounting]] literal table, so the branch predicate and both
     * branch values are bit-identical cross-engine; the 2^32 large-range
     * branch is structurally unreachable in a 48-bit hash space. */
-  val hllDistinct: Q = Q(
-    "q240_hll_distinct",
-    (s, dir) => {
-      val keySql =
-        "md5(concat('hll|', CAST(user_id AS STRING), '|', CAST(CAST(ts AS DATE) AS STRING)))"
-      val regs = Tables.events(s, dir)
-        .select(col("event_type"),
-          expr(s"substring($keySql, 1, 2)").as("bucket"),
-          expr(s"CAST(conv(substring($keySql, 3, 12), 16, 10) AS BIGINT)")
-            .as("v"))
-        .withColumn("rank",
-          when(col("v") === 0L, lit(49)).otherwise(lit(49) - length(bin(col("v")))))
-        .groupBy("event_type", "bucket").agg(max("rank").as("m"))
-      val grid = Tables.events(s, dir).select("event_type").distinct()
-        .crossJoin(broadcast(s.range(hllM.toLong)
-          .select(format_string("%02x", col("id")).as("bucket"))))
-      val sums = grid.join(regs, Seq("event_type", "bucket"), "left")
-        .withColumn("term",
-          expr(s"$hllScale div shiftleft(CAST(1 AS BIGINT), coalesce(m, 0))"))
-        .groupBy("event_type").agg(
-          sum(col("term")).as("harm_sum"),
-          sum(when(col("m").isNotNull, 1L).otherwise(0L)).as("n_active"),
-          max(coalesce(col("m"), lit(0))).cast("long").as("max_rank"))
-      val exact = Tables.events(s, dir).groupBy("event_type")
-        .agg(countDistinct(col("user_id"), to_date(col("ts"))).as("n_exact"))
-      val lc = {
-        import s.implicits._
-        hllLinearCounting.toDF("v_empty", "lc_est")
-          .select(col("v_empty").cast("long"), col("lc_est"))
-      }
-      sums.join(exact, Seq("event_type"))
-        .withColumn("hll_raw",
-          lit(hllAlphaNum) / col("harm_sum").cast("double"))
-        .withColumn("v_empty", lit(hllM.toLong) - col("n_active"))
-        .join(broadcast(lc), Seq("v_empty"), "left")
-        .withColumn("hll_estimate",
-          when(col("hll_raw") <= lit(2.5 * hllM) && col("v_empty") > 0L,
-            col("lc_est")).otherwise(col("hll_raw")))
-        .withColumn("rel_err",
-          (col("hll_estimate") - col("n_exact").cast("double"))
-            / col("n_exact").cast("double"))
-        .select("event_type", "n_exact", "n_active", "max_rank",
-          "hll_raw", "hll_estimate", "rel_err")
-    },
-    Some {
-      val keySql =
-        "md5('hll|' || CAST(user_id AS VARCHAR) || '|' || CAST(ts::DATE AS VARCHAR))"
-      val lcValues = hllLinearCounting
-        .map { case (v, e) => s"($v, ${graft.SqlLit.double(e)})" }
-        .mkString(", ")
-      s"""WITH hashed AS (
+  /** Row-local HLL decomposition of a (batch OR streaming) events frame:
+    * (event_type, bucket, rank) — everything before the register groupBy,
+    * shared with the streaming registry (q244) so both maintain the
+    * identical register family. */
+  private[graft] def hllRowTerms(events: DataFrame): DataFrame = {
+    val keySql =
+      "md5(concat('hll|', CAST(user_id AS STRING), '|', CAST(CAST(ts AS DATE) AS STRING)))"
+    events
+      .select(col("event_type"),
+        expr(s"substring($keySql, 1, 2)").as("bucket"),
+        expr(s"CAST(conv(substring($keySql, 3, 12), 16, 10) AS BIGINT)")
+          .as("v"))
+      .withColumn("rank",
+        when(col("v") === 0L, lit(49)).otherwise(lit(49) - length(bin(col("v")))))
+      .drop("v")
+  }
+
+  /** Register table (event_type, bucket, m) → per-type HLL estimate with
+    * the literal-table small-range branch: (event_type, n_active, max_rank,
+    * hll_raw, hll_estimate). Shared by q240 and the streaming q244. */
+  private[graft] def hllEstimateFromRegs(
+      s: SparkSession, regs: DataFrame): DataFrame = {
+    val grid = regs.select("event_type").distinct()
+      .crossJoin(broadcast(s.range(hllM.toLong)
+        .select(format_string("%02x", col("id")).as("bucket"))))
+    val sums = grid.join(regs, Seq("event_type", "bucket"), "left")
+      .withColumn("term",
+        expr(s"$hllScale div shiftleft(CAST(1 AS BIGINT), coalesce(m, 0))"))
+      .groupBy("event_type").agg(
+        sum(col("term")).as("harm_sum"),
+        sum(when(col("m").isNotNull, 1L).otherwise(0L)).as("n_active"),
+        max(coalesce(col("m"), lit(0))).cast("long").as("max_rank"))
+    val lc = {
+      import s.implicits._
+      hllLinearCounting.toDF("v_empty", "lc_est")
+        .select(col("v_empty").cast("long"), col("lc_est"))
+    }
+    sums
+      .withColumn("hll_raw",
+        lit(hllAlphaNum) / col("harm_sum").cast("double"))
+      .withColumn("v_empty", lit(hllM.toLong) - col("n_active"))
+      .join(broadcast(lc), Seq("v_empty"), "left")
+      .withColumn("hll_estimate",
+        when(col("hll_raw") <= lit(2.5 * hllM) && col("v_empty") > 0L,
+          col("lc_est")).otherwise(col("hll_raw")))
+      .select("event_type", "n_active", "max_rank", "hll_raw", "hll_estimate")
+  }
+
+  /** The hashed/regs/grid/sums/lc/staged CTE chain both HLL oracles share;
+    * `staged` carries (event_type, n_active, max_rank, hll_raw, v_empty)
+    * and `lc` the literal linear-counting table. */
+  private[graft] lazy val hllOracleCtes: String = {
+    val keySql =
+      "md5('hll|' || CAST(user_id AS VARCHAR) || '|' || CAST(ts::DATE AS VARCHAR))"
+    val lcValues = hllLinearCounting
+      .map { case (v, e) => s"($v, ${graft.SqlLit.double(e)})" }
+      .mkString(", ")
+    s"""hashed AS (
         SELECT event_type,
                substr($keySql, 1, 2) AS bucket,
                ('0x' || substr($keySql, 3, 12))::BIGINT AS v
@@ -1558,28 +1565,47 @@ object EventOps {
         FROM grid g LEFT JOIN regs r
           ON g.event_type = r.event_type AND g.bucket = r.bucket
         GROUP BY g.event_type
-      ), exact AS (
+      ), lc(v_empty, lc_est) AS (
+        SELECT * FROM (VALUES $lcValues)
+      ), staged AS (
+        SELECT event_type, n_active, max_rank,
+               ${graft.SqlLit.double(hllAlphaNum)} / CAST(harm_sum AS DOUBLE)
+                 AS hll_raw,
+               $hllM - n_active AS v_empty
+        FROM sums
+      )"""
+  }
+  /** The branch expression over `staged`/`lc` columns. */
+  private[graft] val hllEstimateCaseSql: String =
+    s"""CASE WHEN hll_raw <= ${2.5 * hllM} AND v_empty > 0
+             THEN lc_est ELSE hll_raw END"""
+
+  val hllDistinct: Q = Q(
+    "q240_hll_distinct",
+    (s, dir) => {
+      val regs = hllRowTerms(Tables.events(s, dir))
+        .groupBy("event_type", "bucket").agg(max("rank").as("m"))
+      val exact = Tables.events(s, dir).groupBy("event_type")
+        .agg(countDistinct(col("user_id"), to_date(col("ts"))).as("n_exact"))
+      hllEstimateFromRegs(s, regs).join(exact, Seq("event_type"))
+        .withColumn("rel_err",
+          (col("hll_estimate") - col("n_exact").cast("double"))
+            / col("n_exact").cast("double"))
+        .select("event_type", "n_exact", "n_active", "max_rank",
+          "hll_raw", "hll_estimate", "rel_err")
+    },
+    Some(s"""WITH $hllOracleCtes, exact AS (
         SELECT event_type,
                CAST(count(DISTINCT user_id || '|' || CAST(ts::DATE AS VARCHAR))
                     AS BIGINT) AS n_exact
         FROM events GROUP BY event_type
-      ), lc(v_empty, lc_est) AS (
-        SELECT * FROM (VALUES $lcValues)
-      ), staged AS (
-        SELECT s.event_type, n_exact, n_active, max_rank,
-               ${graft.SqlLit.double(hllAlphaNum)} / CAST(harm_sum AS DOUBLE)
-                 AS hll_raw,
-               $hllM - n_active AS v_empty
-        FROM sums s JOIN exact e ON s.event_type = e.event_type
       )
-      SELECT event_type, n_exact, n_active, max_rank, hll_raw,
-             CASE WHEN hll_raw <= ${2.5 * hllM} AND v_empty > 0
-                  THEN lc_est ELSE hll_raw END AS hll_estimate,
-             (CASE WHEN hll_raw <= ${2.5 * hllM} AND v_empty > 0
-                   THEN lc_est ELSE hll_raw END
+      SELECT s.event_type, n_exact, n_active, max_rank, hll_raw,
+             $hllEstimateCaseSql AS hll_estimate,
+             ($hllEstimateCaseSql
                - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
-      FROM staged LEFT JOIN lc USING (v_empty)"""
-    })
+      FROM staged s LEFT JOIN lc USING (v_empty)
+      JOIN exact e ON s.event_type = e.event_type"""))
 
   // ---- q241: KMV distinct via the custom Catalyst aggregate ----------------
 

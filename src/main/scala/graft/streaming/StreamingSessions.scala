@@ -870,9 +870,36 @@ object StreamingSessions {
       FROM bands GROUP BY band_idx, band_hash
       HAVING count(1) >= 2"""))
 
+  /** Streaming HyperLogLog register maintenance — the continuous form of
+    * q240: events arrive as 4 real micro-batches, each row contributes its
+    * (type, bucket, rank) ROW-LOCALLY through the shared
+    * [[graft.ops.EventOps.hllRowTerms]] decomposition, and the running
+    * register table is ONE streaming max-aggregation — the ideal
+    * streaming-state shape (|types|·256 rows of state, forever, regardless
+    * of stream volume; max() is order- and duplicate-insensitive, so batch
+    * arrival order cannot change the registers). The published artifact
+    * then rolls up to the per-type estimate through the same batch stage
+    * as q240, so at completion the streaming registry provably equals the
+    * batch sketch — which is exactly what the shared oracle CTEs check.
+    * This is live dashboard cardinality ("distinct daily-active users
+    * right now") without ever storing a distinct-key set. */
+  val streamingHll: Q = Q(
+    "q244_streaming_hll",
+    (s, dir) => {
+      val regs = streamToArtifact(s, dir, "hllreg", "events",
+        p => graft.ops.EventOps.hllRowTerms(eventsStream(s, p))
+          .groupBy("event_type", "bucket").agg(max("rank").as("m")),
+        splitSourceFiles = 4)
+      graft.ops.EventOps.hllEstimateFromRegs(s, regs)
+    },
+    Some(s"""WITH ${graft.ops.EventOps.hllOracleCtes}
+      SELECT s.event_type, n_active, max_rank, hll_raw,
+             ${graft.ops.EventOps.hllEstimateCaseSql} AS hll_estimate
+      FROM staged s LEFT JOIN lc USING (v_empty)"""))
+
   val all: Seq[Q] =
     Seq(streamingSessions, streamingDedup, streamingHopping,
       streamingIntervalJoin, streamingOuterJoin, streamingQuota,
       streamingEnrich, streamingUpsert, streamingWmDedup, streamingDupRate,
-      streamingLshRegistry)
+      streamingLshRegistry, streamingHll)
 }

@@ -658,6 +658,22 @@ class R12OpsSpec extends AnyFunSuite {
     assert(exact <= 10.0 * pred + 1e-9)
   }
 
+  test("q244 streaming HLL equals the batch sketch at completion") {
+    val streamed = SparkEntry.queries("q244_streaming_hll")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_active"), r.getAs[Long]("max_rank"),
+          r.getAs[Double]("hll_raw"), r.getAs[Double]("hll_estimate"))).toMap
+    assert(streamed.nonEmpty)
+    // the micro-batched registry must land on the BIT-IDENTICAL registers
+    // and estimate the one-shot batch plan produces — max() register state
+    // is order-insensitive, so batch discovery order cannot matter
+    val batch = SparkEntry.queries("q240_hll_distinct")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_active"), r.getAs[Long]("max_rank"),
+          r.getAs[Double]("hll_raw"), r.getAs[Double]("hll_estimate"))).toMap
+    assert(streamed === batch)
+  }
+
   test("q239 on the real corpus: partition of the corpus, fractions in range") {
     val rows = SparkEntry.queries("q239_k_anonymity")(spark, sfDir).collect()
     val total = Tables.documents(spark, sfDir).count()
