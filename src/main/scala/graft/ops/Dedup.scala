@@ -1608,9 +1608,130 @@ object Dedup {
       JOIN per_doc pa ON pairs.doc_a = pa.doc_id
       JOIN per_doc pb ON pairs.doc_b = pb.doc_id"""))
 
+  // ---- q245: multi-pass sorted-neighborhood dedup --------------------------
+  private val snmW = 4         // window: each doc pairs with the next w-1
+  private val snmKeyLen = 12   // blocking-key prefix length (non-space chars)
+  private val snmFloorPm = 400 // report floor on verified Jaccard, per mille
+
+  /** Global rank of every doc under `key` (ties by doc_id) WITHOUT a
+    * one-task sort: the q100 two-phase shape — bucket by the key's 2-char
+    * prefix (bucket order IS key-prefix order, so per-bucket ranks + the
+    * broadcast cumulative bucket offsets compose to the exact global rank).
+    * At 100 TB substitute repartitionByRange with sampled boundaries for
+    * the fixed prefix buckets — same algebra, skew-proof. */
+  private def snmRanks(docs: DataFrame, key: Column): DataFrame = {
+    val keyed = docs.select(col("doc_id"), key.as("k"))
+      .withColumn("bucket", substring(col("k"), 1, 2))
+    val offsets = keyed.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(
+        sum("bn").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "off")
+    keyed.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("r", col("off") + row_number().over(
+        Window.partitionBy("bucket").orderBy(col("k"), col("doc_id"))))
+      .select(col("doc_id"), col("r"))
+  }
+
+  /** In-window candidate pairs for one pass: each rank r meets ranks
+    * r+1 .. r+w−1 — exactly n·(w−1) candidates, joined on 8-byte integer
+    * rank keys (never on text). */
+  private def snmPairs(ranks: DataFrame): DataFrame = {
+    val probes = ranks.select(col("doc_id").as("da"),
+      explode(sequence(col("r") + 1, col("r") + (snmW - 1))).as("pr"))
+    probes.join(ranks.select(col("doc_id").as("db"), col("r").as("pr")), Seq("pr"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+  }
+
+  /** q245: the classic SORTED NEIGHBORHOOD method (Hernández & Stolfo,
+    * SIGMOD 1995): order the corpus by a cheap blocking key, slide a fixed
+    * window of [[snmW]] consecutive docs, verify every in-window pair
+    * exactly. Two passes with complementary keys — the first [[snmKeyLen]]
+    * and the reversed last [[snmKeyLen]] non-space lowercase chars — the
+    * textbook multi-pass variant: a shared body behind a differing prefix
+    * sorts far apart in pass 1 but adjacent in pass 2 (`n_passes` reports
+    * which passes proposed each surviving pair).
+    *
+    * Complements the repo's other candidate generators: LSH (q15/q16)
+    * trades recall probabilistically and q111's prefix filter needs the
+    * similarity threshold up front; SNM's candidate volume is EXACTLY
+    * n·(w−1) per pass regardless of data distribution — the one generator
+    * whose cost is tunable to a hard budget before verification. Verify is
+    * exact 3-shingle Jaccard over the shared posting frame (candidate-
+    * bounded; zero-overlap candidates die in the inner join). */
+  val sortedNeighborhood: Q = Q(
+    "q245_sorted_neighborhood",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val flat = lower(translate(col("text"), " ", ""))
+      val k1 = substring(flat, 1, snmKeyLen)
+      val k2 = substring(reverse(flat), 1, snmKeyLen)
+      val cand = snmPairs(snmRanks(docs, k1)).withColumn("pass", lit(1))
+        .union(snmPairs(snmRanks(docs, k2)).withColumn("pass", lit(2)))
+        .groupBy("doc_a", "doc_b")
+        .agg(countDistinct(col("pass")).as("n_passes"))
+      val sh = allShingleRows(s, dir).select("doc_id", "ngram")
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("ngram")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("ngram")), Seq("doc_b", "ngram"))
+        .groupBy("doc_a", "doc_b", "n_passes").agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a"))),
+          Seq("doc_a"))
+        .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b"))),
+          Seq("doc_b"))
+        .withColumn("j_pm",
+          expr("CAST((inter * 1000) div (n_a + n_b - inter) AS BIGINT)"))
+        .filter(col("j_pm") >= snmFloorPm)
+        .select("doc_a", "doc_b", "n_passes", "inter", "n_a", "n_b", "j_pm")
+    },
+    Some(s"""WITH base AS (
+        SELECT doc_id, text, replace(lower(text), ' ', '') AS flat FROM documents
+      ), k1r AS (
+        SELECT doc_id, row_number() OVER (
+          ORDER BY substring(flat, 1, $snmKeyLen), doc_id) AS r FROM base
+      ), k2r AS (
+        SELECT doc_id, row_number() OVER (
+          ORDER BY substring(reverse(flat), 1, $snmKeyLen), doc_id) AS r FROM base
+      ), cand AS (
+        SELECT doc_a, doc_b, CAST(count(DISTINCT pass) AS BIGINT) AS n_passes
+        FROM (
+          SELECT least(a.doc_id, b.doc_id) AS doc_a,
+                 greatest(a.doc_id, b.doc_id) AS doc_b, 1 AS pass
+          FROM k1r a JOIN k1r b ON b.r > a.r AND b.r <= a.r + ${snmW - 1}
+          UNION ALL
+          SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id), 2
+          FROM k2r a JOIN k2r b ON b.r > a.r AND b.r <= a.r + ${snmW - 1}
+        ) GROUP BY doc_a, doc_b
+      ), docs AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+      ), ng AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words)-1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS ngram
+        FROM docs
+      ), sizes AS (
+        SELECT doc_id, CAST(count(1) AS BIGINT) AS n FROM ng GROUP BY doc_id
+      ), ix AS (
+        SELECT c.doc_a, c.doc_b, c.n_passes, CAST(count(1) AS BIGINT) AS inter
+        FROM cand c
+        JOIN ng a ON a.doc_id = c.doc_a
+        JOIN ng b ON b.doc_id = c.doc_b AND b.ngram = a.ngram
+        GROUP BY c.doc_a, c.doc_b, c.n_passes
+      )
+      SELECT i.doc_a, i.doc_b, i.n_passes, i.inter, sa.n AS n_a, sb.n AS n_b,
+             CAST((i.inter * 1000) // (sa.n + sb.n - i.inter) AS BIGINT) AS j_pm
+      FROM ix i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE (i.inter * 1000) // (sa.n + sb.n - i.inter) >= $snmFloorPm"""))
+
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, editDistance,
       incrementalDedup, fuzzyDecontaminate, setSimJoin, substringSpans,
       containmentJoin, cdcChunks, lshEval, dedupReport, memorizationSpans,
-      thresholdSweep, templateHubs, methodKappa, lshSCurve, winnowingOverlap)
+      thresholdSweep, templateHubs, methodKappa, lshSCurve, winnowingOverlap,
+      sortedNeighborhood)
 }

@@ -674,6 +674,70 @@ class R12OpsSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  /** SNM fixture: docs 1/2 share the whole body behind a DIFFERING first
+    * word (adjacent only under the reversed-suffix key — the multi-pass
+    * case); 10/11 are verbatim duplicates (adjacent under both keys); the
+    * fillers push 1 and 2 more than w−1 ranks apart in pass-1 order and are
+    * shingle-disjoint from everything. */
+  private lazy val snmDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r12_snm").toString
+    Seq(
+      (1L, "alpha common body words one two three four five six"),
+      (2L, "zeta common body words one two three four five six"),
+      (3L, "beta aa1 aa2 aa3 aa4 aa5 aa6"),
+      (4L, "cat bb1 bb2 bb3 bb4 bb5 bb6"),
+      (5L, "delta cc1 cc2 cc3 cc4 cc5 cc6"),
+      (6L, "echo dd1 dd2 dd3 dd4 dd5 dd6"),
+      (7L, "golf ee1 ee2 ee3 ee4 ee5 ee6"),
+      (8L, "hotel ff1 ff2 ff3 ff4 ff5 ff6"),
+      (9L, "india gg1 gg2 gg3 gg4 gg5 gg6"),
+      (10L, "mike dup body xx1 xx2 xx3 xx4 xx5"),
+      (11L, "mike dup body xx1 xx2 xx3 xx4 xx5"))
+      .map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q245 SNM: verbatim pair via both passes, suffix-shared pair via pass 2 only") {
+    val rows = SparkEntry.queries("q245_sorted_neighborhood")(spark, snmDir)
+      .collect()
+    val pairs = rows.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r).toMap
+    // verbatim duplicates: identical blocking keys in both passes
+    val dup = pairs((10L, 11L))
+    assert(dup.getAs[Long]("n_passes") === 2L)
+    assert(dup.getAs[Long]("j_pm") === 1000L)
+    assert(dup.getAs[Long]("inter") === dup.getAs[Long]("n_a"))
+    // prefix differs (10 ranks apart in pass 1), reversed suffix identical:
+    // only pass 2 proposes it; 7 of 8 shingles shared -> 7/9 = 777 pm
+    val suf = pairs((1L, 2L))
+    assert(suf.getAs[Long]("n_passes") === 1L)
+    assert(suf.getAs[Long]("inter") === 7L)
+    assert(suf.getAs[Long]("n_a") === 8L && suf.getAs[Long]("n_b") === 8L)
+    assert(suf.getAs[Long]("j_pm") === 777L)
+    // fillers are shingle-disjoint: never reported
+    assert(rows.forall(r => !(3L to 9L).contains(r.getAs[Long]("doc_a"))
+      && !(3L to 9L).contains(r.getAs[Long]("doc_b"))))
+  }
+
+  test("q245 on the real corpus: floors and pair invariants hold") {
+    val rows = SparkEntry.queries("q245_sorted_neighborhood")(spark, sfDir)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val np = r.getAs[Long]("n_passes")
+      assert(np === 1L || np === 2L)
+      val (i, na, nb) = (r.getAs[Long]("inter"),
+        r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(i >= 1L && i <= math.min(na, nb))
+      val pm = r.getAs[Long]("j_pm")
+      assert(pm >= 400L && pm <= 1000L)
+      assert(pm === (i * 1000L) / (na + nb - i))
+    }
+  }
+
   test("q239 on the real corpus: partition of the corpus, fractions in range") {
     val rows = SparkEntry.queries("q239_k_anonymity")(spark, sfDir).collect()
     val total = Tables.documents(spark, sfDir).count()
