@@ -5,11 +5,7 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val (sfDir, outDir) = (args(0), args(1))
-    // dev-only third arg: comma-separated name prefixes — dump only matching
-    // queries (fast single-operator parity checks); the driver passes 2 args
-    val only: Option[Seq[String]] =
-      if (args.length > 2) Some(args(2).split(',').toSeq) else None
+    val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,26 +23,21 @@ object Verify {
     System.setProperty("graft.oracle.outdir", new java.io.File(outDir).getAbsolutePath)
     System.setProperty("graft.oracle.runstart", System.currentTimeMillis().toString)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-      .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+    }
     // aux dump for the dump-derived retrieval oracles (after the loop so the
     // q28 metadata dump the oracle joins is already on disk)
-    if (only.isEmpty) {
-      try ops.LineageQueries.dumpRetrievalAux(spark, sfDir, outDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] aux_qa_vectors failed: ${e.getMessage}")
-      }
+    try ops.LineageQueries.dumpRetrievalAux(spark, sfDir, outDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] aux_qa_vectors failed: ${e.getMessage}")
     }
     def q(s: String): String = Json.str(s)
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.exists(k.startsWith)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
