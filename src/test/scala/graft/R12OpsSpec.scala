@@ -738,6 +738,52 @@ class R12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q246 LPA core: bridge between two triangles stays cut (where CC merges)") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} joined by the single bridge 3-4
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val labels = ops.DedupCluster.lpaLabelFrame(pairs, 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("label")).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L))
+    // the same graph under q40's semantics is ONE component — LPA's local
+    // majority is what keeps the chance bridge from fusing the templates
+    val cc = ops.DedupCluster.connectedComponents(spark, pairs).collect()
+      .map(_.getAs[Long]("component")).distinct
+    assert(cc === Array(1L))
+  }
+
+  test("q246 on the planted corpus: 2-cliques converge to min label via the self-vote") {
+    val rows = SparkEntry.queries("q246_label_propagation")(spark, docDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // q14 pairs on docDir: (1,2) at J=11/15 and (4,5) at J=1 — two 2-cliques.
+    // Self-vote forces the tie, min-label breaks it: both members land on
+    // the smaller doc_id and are stable by round 2.
+    assert(rows.keySet === Set(1L, 2L, 4L, 5L))
+    for ((m, c) <- Seq(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L)) {
+      assert(rows(m).getAs[Long]("community") === c)
+      assert(rows(m).getAs[Long]("csize") === 2L)
+      assert(rows(m).getAs[Long]("converged") === 1L)
+    }
+  }
+
+  test("q246 on the real corpus: communities refine q40's components") {
+    val lpa = SparkEntry.queries("q246_label_propagation")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("community"))
+      .toMap
+    val cc = SparkEntry.queries("q40_dedup_clusters")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component"))
+      .toMap
+    assert(lpa.keySet === cc.keySet) // same node set: every paired doc
+    // refinement: two docs in different components NEVER share a community
+    // (labels only travel along edges, which never leave a component)
+    val lpaByCommunity = lpa.groupMap(_._2)(_._1)
+    lpaByCommunity.values.foreach { members =>
+      assert(members.map(cc).toSet.size === 1)
+    }
+  }
+
   test("q239 on the real corpus: partition of the corpus, fractions in range") {
     val rows = SparkEntry.queries("q239_k_anonymity")(spark, sfDir).collect()
     val total = Tables.documents(spark, sfDir).count()
