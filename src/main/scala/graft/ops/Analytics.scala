@@ -1855,10 +1855,109 @@ object Analytics {
                END AS pearson_r
       FROM m"""))
 
+  // ---- q247: hash-sample quantile estimation with exact DKW audit ----------
+  private val sqK = 256               // sample size (bottom-k by hash)
+  private val sqPs = Seq(100L, 250L, 500L, 750L, 900L, 990L) // per-mille
+  private val sqDkwPm = 100           // gate: DKW ε at k=256, δ=0.02 → 94.9 pm
+
+  /** q247: approximate quantiles from a DETERMINISTIC uniform sample — the
+    * bottom-[[sqK]] docs by md5(doc_id) (order-independent and mergeable:
+    * the same bottom-k-of-hashes shape as q241's KMV, so at 100 TB the
+    * sample is a TakeOrdered over partial per-partition top-k's, never a
+    * global sort) — plus an EXACT audit of what the estimate got wrong:
+    * for each target rank p, the sampled estimate's true rank band
+    * [rank_lo, rank_hi] in the full corpus, its per-mille rank error, and
+    * a `within_dkw` gate column at [[sqDkwPm]] pm (the
+    * Dvoretzky–Kiefer–Wolfowitz bound √(ln(2/δ)/2k) at δ = 0.02; the gate
+    * is part of the hash-compared result, so an estimator regression fails
+    * correctness, not just a benchmark eyeball — the q144/q195 pattern).
+    * All arithmetic is integer-exact: the error numerator
+    * max(p·N − 1000·rank_hi, 1000·rank_lo − p·N, 0) never leaves BIGINT.
+    *
+    * Complements q113 (exact equi-depth at fixed cost per boundary): this
+    * is the o(N)-communication path a 100 TB profile runs first, with the
+    * exact audit as its acceptance harness at test scale. */
+  val sampleQuantiles: Q = Q(
+    "q247_sample_quantiles",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+      val sample = docs
+        .withColumn("h", md5(concat(lit("sq|"), col("doc_id").cast("string"))))
+        .orderBy("h").limit(sqK) // TakeOrdered: per-partition k, driver merge
+      // k-row bounded windows (k ≤ 256): rank within the sample + actual k
+      val ranked = sample
+        .withColumn("sr", row_number().over(
+          Window.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+        .withColumn("kk", count(lit(1)).over(
+          Window.orderBy(lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+      val grid = sqPs.toDF("p_pm")
+      val est = ranked.crossJoin(broadcast(grid))
+        .filter(col("sr") ===
+          greatest(lit(1L), expr("(p_pm * kk + 999) div 1000")))
+        .select(col("p_pm"), col("n_chars").as("est_value"),
+          col("sr").as("sample_rank"), col("kk").as("sample_k"))
+      val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+      val tot = docs.agg(count(lit(1)).as("n_tot"))
+      hist.crossJoin(broadcast(est))
+        .groupBy("p_pm", "est_value", "sample_rank", "sample_k")
+        .agg(
+          sum(when(col("n_chars") < col("est_value"), col("c")).otherwise(0L))
+            .as("rank_lo"),
+          sum(when(col("n_chars") <= col("est_value"), col("c")).otherwise(0L))
+            .as("rank_hi"))
+        .crossJoin(broadcast(tot))
+        .withColumn("dev_num", greatest(
+          col("p_pm") * col("n_tot") - lit(1000L) * col("rank_hi"),
+          lit(1000L) * col("rank_lo") - col("p_pm") * col("n_tot"), lit(0L)))
+        .select(col("p_pm"), col("est_value"), col("sample_rank"),
+          col("sample_k"), col("rank_lo"), col("rank_hi"), col("n_tot"),
+          expr("CAST(dev_num div n_tot AS BIGINT)").as("err_pm"),
+          when(col("dev_num") <= lit(sqDkwPm.toLong) * col("n_tot"), 1L)
+            .otherwise(0L).as("within_dkw"))
+    },
+    Some(s"""WITH sample AS (
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY md5('sq|' || CAST(doc_id AS VARCHAR)) LIMIT $sqK
+      ), ranked AS (
+        SELECT n_chars, doc_id,
+               CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS sr,
+               CAST(count(1) OVER () AS BIGINT) AS kk
+        FROM sample
+      ), grid AS (
+        SELECT CAST(unnest([${sqPs.mkString(", ")}]) AS BIGINT) AS p_pm
+      ), est AS (
+        SELECT g.p_pm, r.n_chars AS est_value, r.sr AS sample_rank,
+               r.kk AS sample_k
+        FROM ranked r JOIN grid g
+          ON r.sr = greatest(CAST(1 AS BIGINT), (g.p_pm * r.kk + 999) // 1000)
+      ), tot AS (
+        SELECT CAST(count(1) AS BIGINT) AS n_tot FROM documents
+      ), ranks AS (
+        SELECT e.p_pm, e.est_value, e.sample_rank, e.sample_k,
+          CAST(sum(CASE WHEN d.n_chars < e.est_value THEN 1 ELSE 0 END)
+            AS BIGINT) AS rank_lo,
+          CAST(sum(CASE WHEN d.n_chars <= e.est_value THEN 1 ELSE 0 END)
+            AS BIGINT) AS rank_hi
+        FROM est e, documents d
+        GROUP BY e.p_pm, e.est_value, e.sample_rank, e.sample_k
+      )
+      SELECT r.p_pm, r.est_value, r.sample_rank, r.sample_k,
+             r.rank_lo, r.rank_hi, t.n_tot,
+             CAST(greatest(r.p_pm * t.n_tot - 1000 * r.rank_hi,
+                           1000 * r.rank_lo - r.p_pm * t.n_tot, 0)
+                  // t.n_tot AS BIGINT) AS err_pm,
+             CAST(CASE WHEN greatest(r.p_pm * t.n_tot - 1000 * r.rank_hi,
+                                     1000 * r.rank_lo - r.p_pm * t.n_tot, 0)
+                            <= $sqDkwPm * t.n_tot
+                       THEN 1 ELSE 0 END AS BIGINT) AS within_dkw
+      FROM ranks r, tot t"""))
+
   val all: Seq[Q] = Seq(windowSuite, setOps, rollup, asofJoin, sqlDdl,
     approxDistinct, percentileStats, pivot, unpivot, cube, countMin, nestedAgg,
     histogram, cooccurrence, weightedMedian, trailingWindow, groupingSets,
     equidepthHist, tradePageRank, groupwiseOls, marketShare, triangles,
     chi2Independence, rollingMedian, giniSpend, anovaF, hhiSpend, jackknifeCi,
-    trimmedMean, benfordAudit, lengthQualityCorr)
+    trimmedMean, benfordAudit, lengthQualityCorr, sampleQuantiles)
 }

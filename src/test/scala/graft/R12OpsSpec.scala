@@ -784,6 +784,44 @@ class R12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q247 sample quantiles: sub-k corpus makes the sample exhaustive and errors zero") {
+    val rows = SparkEntry.queries("q247_sample_quantiles")(spark, docDir)
+      .collect().map(r => r.getAs[Long]("p_pm") -> r).toMap
+    // docDir: 6 docs, n_chars sorted = [14,14,14,50,60,60]; k = N = 6 so the
+    // sample IS the corpus and every rank band contains its target exactly
+    val expect = Map(100L -> (14L, 1L), 250L -> (14L, 2L), 500L -> (14L, 3L),
+      750L -> (60L, 5L), 900L -> (60L, 6L), 990L -> (60L, 6L))
+    assert(rows.keySet === expect.keySet)
+    for ((p, (v, sr)) <- expect) {
+      val r = rows(p)
+      assert(r.getAs[Long]("est_value") === v, s"p=$p")
+      assert(r.getAs[Long]("sample_rank") === sr, s"p=$p")
+      assert(r.getAs[Long]("sample_k") === 6L)
+      assert(r.getAs[Long]("n_tot") === 6L)
+      assert(r.getAs[Long]("err_pm") === 0L, s"p=$p")
+      assert(r.getAs[Long]("within_dkw") === 1L)
+    }
+  }
+
+  test("q247 on the real corpus: bands bracket the estimate and DKW holds") {
+    val rows = SparkEntry.queries("q247_sample_quantiles")(spark, sfDir)
+      .collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      val (lo, hi, n) = (r.getAs[Long]("rank_lo"), r.getAs[Long]("rank_hi"),
+        r.getAs[Long]("n_tot"))
+      assert(lo < hi && hi <= n) // the estimate's value class is non-empty
+      assert(r.getAs[Long]("sample_k") === math.min(256L, n))
+      // the audit's own law: err_pm is the banded deviation over N
+      val p = r.getAs[Long]("p_pm")
+      val dev = math.max(math.max(p * n - 1000L * hi, 1000L * lo - p * n), 0L)
+      assert(r.getAs[Long]("err_pm") === dev / n)
+      assert(r.getAs[Long]("within_dkw") === (if (dev <= 100L * n) 1L else 0L))
+      // with this fixed hash family the DKW gate holds on the shipped corpus
+      assert(r.getAs[Long]("within_dkw") === 1L)
+    }
+  }
+
   test("q239 on the real corpus: partition of the corpus, fractions in range") {
     val rows = SparkEntry.queries("q239_k_anonymity")(spark, sfDir).collect()
     val total = Tables.documents(spark, sfDir).count()
