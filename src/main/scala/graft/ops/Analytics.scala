@@ -274,25 +274,46 @@ object Analytics {
     * mergeable-sketch property — and the per-item estimate joins the tiny
     * counter table back as a broadcast; item cardinality never enters
     * executor memory. */
+  /** The events' JSON item key — the count-min input column, shared by the
+    * batch sketch (q78) and the streaming register maintenance (q248) so
+    * the two cannot diverge on extraction semantics. Md5Draw concatenation
+    * propagates nulls exactly like the oracle's ||, so an event with no
+    * item lands in a null bucket in BOTH engines (concat_ws would silently
+    * skip the null on this side only). */
+  private[graft] def cmItemsOf(events: DataFrame): DataFrame =
+    events.select(get_json_object(col("props"), "$.k").as("item"))
+
+  /** The (d, bucket) → count counter table — a (depth × 256)-cell aggregate
+    * with map-side combine (the mergeable-sketch property). Pure
+    * stateless-projection + aggregation, so the same stage runs as a batch
+    * plan (q78) or a streaming complete-mode aggregation (q248). */
+  private[graft] def cmCounters(items: DataFrame): DataFrame = {
+    val depths = array((0 until cmsDepth).map(lit): _*)
+    items.withColumn("d", explode(depths))
+      .withColumn("bucket", Md5Draw.draw(2, col("d"), col("item")))
+      .groupBy("d", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-item CMS estimates (min across the depth rows) from a counter
+    * table, verified against the exact per-item counts computed from
+    * `items` in the same result — shared tail of q78 and q248. */
+  private[graft] def cmReport(items: DataFrame, counters: DataFrame)
+      : DataFrame = {
+    val depths = array((0 until cmsDepth).map(lit): _*)
+    val exact = items.groupBy("item").agg(count(lit(1)).as("exact_n"))
+    val est = exact.select("item").withColumn("d", explode(depths))
+      .withColumn("bucket", Md5Draw.draw(2, col("d"), col("item")))
+      .join(broadcast(counters), Seq("d", "bucket"))
+      .groupBy("item").agg(min("cnt").as("cms_estimate"))
+    exact.join(est, Seq("item"))
+      .withColumn("overestimate", col("cms_estimate") - col("exact_n"))
+  }
+
   val countMin: Q = Q(
     "q78_countmin",
     (s, dir) => {
-      val depths = array((0 until cmsDepth).map(lit): _*)
-      val items = Tables.events(s, dir)
-        .select(get_json_object(col("props"), "$.k").as("item"))
-      // Md5Draw concatenation propagates nulls exactly like the oracle's ||,
-      // so an event with no item lands in a null bucket in BOTH engines
-      // (concat_ws would silently skip the null on this side only)
-      val exact = items.groupBy("item").agg(count(lit(1)).as("exact_n"))
-      val counters = items.withColumn("d", explode(depths))
-        .withColumn("bucket", Md5Draw.draw(2, col("d"), col("item")))
-        .groupBy("d", "bucket").agg(count(lit(1)).as("cnt"))
-      val est = exact.select("item").withColumn("d", explode(depths))
-        .withColumn("bucket", Md5Draw.draw(2, col("d"), col("item")))
-        .join(broadcast(counters), Seq("d", "bucket"))
-        .groupBy("item").agg(min("cnt").as("cms_estimate"))
-      exact.join(est, Seq("item"))
-        .withColumn("overestimate", col("cms_estimate") - col("exact_n"))
+      val items = cmItemsOf(Tables.events(s, dir))
+      cmReport(items, cmCounters(items))
     },
     Some(s"""WITH items AS (
         SELECT json_extract_string(props, '$$.k') AS item FROM events

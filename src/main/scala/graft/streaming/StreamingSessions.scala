@@ -897,9 +897,32 @@ object StreamingSessions {
              ${graft.ops.EventOps.hllEstimateCaseSql} AS hll_estimate
       FROM staged s LEFT JOIN lc USING (v_empty)"""))
 
+  /** q248: STREAMING count-min register maintenance — the production shape
+    * of q78's sketch: the (d, bucket) → count counter table is maintained
+    * as a complete-mode streaming aggregation over real micro-batches
+    * (events split into 4 source files), then the batch estimate/verify
+    * tail runs off the materialized registers. The counter update is a
+    * commutative count — batch-order-independent by construction — so the
+    * streamed registers are bit-identical to q78's batch registers, and
+    * the whole query shares q78's oracle verbatim. Stage sharing with the
+    * batch path ([[graft.ops.Analytics.cmItemsOf]]/`cmCounters`/`cmReport`)
+    * is what makes the parity a property of the code, not a coincidence —
+    * the q244 HLL pattern applied to the second classic mergeable sketch. */
+  val streamingCountMin: Q = Q(
+    "q248_streaming_countmin",
+    (s, dir) => {
+      val counters = streamToArtifact(s, dir, "cmreg", "events",
+        p => graft.ops.Analytics.cmCounters(
+          graft.ops.Analytics.cmItemsOf(eventsStream(s, p))),
+        splitSourceFiles = 4)
+      graft.ops.Analytics.cmReport(
+        graft.ops.Analytics.cmItemsOf(graft.Tables.events(s, dir)), counters)
+    },
+    graft.ops.Analytics.countMin.oracle)
+
   val all: Seq[Q] =
     Seq(streamingSessions, streamingDedup, streamingHopping,
       streamingIntervalJoin, streamingOuterJoin, streamingQuota,
       streamingEnrich, streamingUpsert, streamingWmDedup, streamingDupRate,
-      streamingLshRegistry, streamingHll)
+      streamingLshRegistry, streamingHll, streamingCountMin)
 }

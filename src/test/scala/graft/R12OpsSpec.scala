@@ -822,6 +822,19 @@ class R12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q248 streaming count-min: streamed registers reproduce the batch sketch bit-identically") {
+    val key = (r: org.apache.spark.sql.Row) => Option(r.getAs[String]("item"))
+    val streamed = SparkEntry.queries("q248_streaming_countmin")(spark, sfDir)
+      .collect().map(r => key(r) -> (r.getAs[Long]("exact_n"),
+        r.getAs[Long]("cms_estimate"), r.getAs[Long]("overestimate"))).toMap
+    val batch = SparkEntry.queries("q78_countmin")(spark, sfDir)
+      .collect().map(r => key(r) -> (r.getAs[Long]("exact_n"),
+        r.getAs[Long]("cms_estimate"), r.getAs[Long]("overestimate"))).toMap
+    assert(streamed === batch)
+    // CMS law: estimates never undercount
+    streamed.values.foreach { case (_, _, over) => assert(over >= 0L) }
+  }
+
   test("q239 on the real corpus: partition of the corpus, fractions in range") {
     val rows = SparkEntry.queries("q239_k_anonymity")(spark, sfDir).collect()
     val total = Tables.documents(spark, sfDir).count()
