@@ -1347,9 +1347,122 @@ object Similarity {
                / 1000000.0 / CAST(count(1) AS DOUBLE) AS mean_norm
       FROM e GROUP BY label"""))
 
+  // ---- q249: MMR diversified reranking -------------------------------------
+  private val mmrCand = 12   // candidate pool per query (by relevance)
+  private val mmrK = 4       // picks per query
+  private val mmrLambda = 0.7
+  private val mmrMu = 0.3    // spelled out: 1.0 - 0.7 in binary is 0.30000…04
+
+  /** The MMR result frame — built once per (session, dir) by the Q below.
+    * Greedy is inherently sequential in the PICK dimension, so the k=4
+    * rounds are UNROLLED at the plan level and all queries advance through
+    * a round together: each round is one anti-join (drop already-picked),
+    * one candidate×selected join against the precomputed pair-sim table,
+    * one keyed max, one per-query top-1 window. Everything is bounded by
+    * the candidate pool (12/query, 132 pair sims/query) — corpus size only
+    * enters through the relevance scan, which is q18's shape. The pool and
+    * pair table are checkpoint-flattened first: 4 unrolled rounds re-
+    * reference them ~8×, and the barriers keep that from re-executing the
+    * corpus scan (they live as long as the PlanCache entry). */
+  private def mmrFrame(s: SparkSession, dir: String): DataFrame = {
+    val wRel = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val cand = graft.Ckpt.eager(
+      scored(s, dir).withColumn("rn", row_number().over(wRel))
+        .filter(col("rn") <= mmrCand).select("q_id", "vec_id", "cos"))
+    val e = withNorm(s, dir)
+    val cv = cand.join(e, "vec_id")
+    val pair = graft.Ckpt.eager(
+      cv.as("a").join(cv.as("b"),
+          col("a.q_id") === col("b.q_id") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.q_id").as("q_id"), col("a.vec_id").as("ca"),
+          col("b.vec_id").as("cb"),
+          (expr("vec_dot(a.v, b.v)") / (col("a.norm") * col("b.norm")))
+            .as("sim")))
+    val sel1 = cand.withColumn("rn2", row_number().over(wRel))
+      .filter(col("rn2") === 1)
+      .select(col("q_id"), col("vec_id"), col("cos"),
+        (lit(mmrLambda) * col("cos")).as("score"), lit(1L).as("pick_rank"))
+    def round(selected: DataFrame, t: Int): DataFrame = {
+      val wSc = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+      cand.join(selected.select("q_id", "vec_id"), Seq("q_id", "vec_id"),
+          "left_anti")
+        .join(pair.withColumnRenamed("ca", "vec_id"), Seq("q_id", "vec_id"))
+        .join(selected.select(col("q_id"), col("vec_id").as("cb")),
+          Seq("q_id", "cb"))
+        .groupBy("q_id", "vec_id", "cos").agg(max("sim").as("maxsim"))
+        .withColumn("score",
+          lit(mmrLambda) * col("cos") - lit(mmrMu) * col("maxsim"))
+        .withColumn("rn2", row_number().over(wSc)).filter(col("rn2") === 1)
+        .select(col("q_id"), col("vec_id"), col("cos"), col("score"),
+          lit(t.toLong).as("pick_rank"))
+    }
+    val sels = (2 to mmrK).foldLeft(Vector(sel1)) { (acc, t) =>
+      acc :+ round(acc.reduce(_ union _), t)
+    }
+    sels.reduce(_ union _)
+      .select(col("q_id"), col("pick_rank"), col("vec_id").as("picked_id"),
+        col("cos").as("rel_cos"), col("score").as("mmr_score"))
+  }
+
+  /** q249: MAXIMAL MARGINAL RELEVANCE reranking (Carbonell & Goldstein,
+    * SIGIR 1998) — the classic diversity-aware retrieval pass the RAG
+    * stack runs after q18's pure-relevance top-k: greedily pick
+    * argmax λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s), so near-duplicate
+    * hits (exactly what a deduplicated-but-templated corpus returns) stop
+    * crowding out coverage. λ = 0.7 over a 12-candidate pool, 4 picks,
+    * ties by vec_id. Fully oracled: cosines are the q17/q18 bit-identical
+    * vec_dot family, the λ/μ literals are e0-suffixed doubles, and the
+    * oracle unrolls the same 4 greedy rounds as chained CTEs with explicit
+    * NOT-EXISTS exclusion — both engines make every pick decision on
+    * bit-identical doubles. */
+  val mmrRerank: Q = Q(
+    "q249_mmr_rerank",
+    (s, dir) => graft.PlanCache.cached(s, "q249_mmr", dir,
+      s"$dir/embeddings.parquet") { graft.Ckpt.eager(mmrFrame(s, dir)) },
+    Some {
+      def selUnion(t: Int): String =
+        (1 until t).map(i => s"SELECT q_id, vec_id FROM sel$i")
+          .mkString(" UNION ALL ")
+      def round(t: Int): String =
+        s"""r$t AS (
+        SELECT c.q_id, c.vec_id, c.cos,
+               ${mmrLambda}e0 * c.cos - ${mmrMu}e0 * max(p.sim) AS score
+        FROM cand c
+        JOIN pair p ON p.q_id = c.q_id AND p.ca = c.vec_id
+        JOIN (${selUnion(t)}) s ON s.q_id = p.q_id AND s.vec_id = p.cb
+        WHERE NOT EXISTS (SELECT 1 FROM (${selUnion(t)}) s2
+                          WHERE s2.q_id = c.q_id AND s2.vec_id = c.vec_id)
+        GROUP BY c.q_id, c.vec_id, c.cos
+      ), sel$t AS (
+        SELECT q_id, vec_id, cos, score FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY score DESC, vec_id) AS rn2 FROM r$t)
+        WHERE rn2 = 1
+      )"""
+      s"""$oracleBase, cand AS (
+        SELECT q_id, vec_id, cos FROM sims WHERE rn <= $mmrCand
+      ), pair AS (
+        SELECT a.q_id, a.vec_id AS ca, b.vec_id AS cb,
+               list_dot_product(va.v, vb.v) / (va.norm * vb.norm) AS sim
+        FROM cand a
+        JOIN cand b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+        JOIN n va ON va.vec_id = a.vec_id
+        JOIN n vb ON vb.vec_id = b.vec_id
+      ), sel1 AS (
+        SELECT q_id, vec_id, cos, ${mmrLambda}e0 * cos AS score FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY cos DESC, vec_id) AS rn2 FROM cand)
+        WHERE rn2 = 1
+      ), ${(2 to mmrK).map(round).mkString(", ")}
+      ${(1 to mmrK).map(t =>
+        s"""SELECT q_id, CAST($t AS BIGINT) AS pick_rank,
+               vec_id AS picked_id, cos AS rel_cos, score AS mmr_score
+           FROM sel$t""").mkString(" UNION ALL ")}"""
+    })
+
   val all: Seq[Q] =
     Seq(embeddingNearDup, knnBruteForce, knnLsh, knnIvf, semDedup,
       mutualKnnClusters, hybridRrf, pqEncode, pqAdcTopK, ivfPqTopK,
       truncationRecall, annRecall, annRankQuality, hardNegatives, knnLabelNoise,
-      embeddingStats)
+      embeddingStats, mmrRerank)
 }

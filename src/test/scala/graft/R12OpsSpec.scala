@@ -835,6 +835,60 @@ class R12OpsSpec extends AnyFunSuite {
     streamed.values.foreach { case (_, _, over) => assert(over >= 0L) }
   }
 
+  /** MMR fixture: c1 is the top hit, c2 is a near-duplicate of c1 with
+    * marginally lower relevance, c3 is moderately relevant but diverse,
+    * c4 is irrelevant. Pure relevance ranks 1,2,3,4; MMR must demote the
+    * near-duplicate: 1,3,2,4 (margins ≥ 0.05 — far above float noise). */
+  private lazy val mmrDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r12_mmr").toString
+    Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),        // the query (vec_id ≡ 0 mod 50)
+      (1L, Seq(0.95f, 0.312f, 0f, 0f)), // rel ≈ 0.9501
+      (2L, Seq(0.94f, 0.309f, 0f, 0f)), // rel ≈ 0.9500, sim to c1 ≈ 1.0
+      (3L, Seq(0.9f, -0.436f, 0f, 0f)), // rel ≈ 0.9000, sim to c1 ≈ 0.719
+      (4L, Seq(0f, 0f, 1f, 0f)))        // rel 0, orthogonal to everything
+      .toDF("vec_id", "embedding")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(x as float)) AS embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("q249 MMR: the near-duplicate of pick 1 is demoted below the diverse hit") {
+    val rows = SparkEntry.queries("q249_mmr_rerank")(spark, mmrDir)
+      .collect().sortBy(_.getAs[Long]("pick_rank"))
+    assert(rows.map(_.getAs[Long]("q_id")).toSet === Set(0L))
+    assert(rows.map(_.getAs[Long]("pick_rank")).toSeq === Seq(1L, 2L, 3L, 4L))
+    // relevance order is 1,2,3,4 (rel: .9501, .9500, .9000, 0) — MMR demotes
+    // the near-dup c2 below the diverse c3
+    assert(rows.map(_.getAs[Long]("picked_id")).toSeq === Seq(1L, 3L, 2L, 4L))
+    val r1 = rows(0)
+    assert(r1.getAs[Double]("mmr_score") === 0.7 * r1.getAs[Double]("rel_cos"))
+    // every later pick scores rel minus a positive-or-zero diversity penalty
+    rows.drop(1).foreach { r =>
+      assert(r.getAs[Double]("mmr_score") <= 0.7 * r.getAs[Double]("rel_cos") + 1e-12)
+    }
+  }
+
+  test("q249 on the real corpus: 4 picks per query, scores non-increasing in rank is NOT required but penalty law holds") {
+    val rows = SparkEntry.queries("q249_mmr_rerank")(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    val nVec = Tables.embeddings(spark, sfDir).count()
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, picks) =>
+      val ranks = picks.map(_.getAs[Long]("pick_rank")).sorted.toSeq
+      assert(ranks === (1L to math.min(4L, ranks.length.toLong)))
+      // picks are distinct vectors
+      assert(picks.map(_.getAs[Long]("picked_id")).distinct.length === picks.length)
+      picks.foreach { r =>
+        assert(r.getAs[Double]("rel_cos") <= 1.0 + 1e-9)
+        assert(r.getAs[Long]("picked_id") !== r.getAs[Long]("q_id"))
+      }
+    }
+    assert(rows.length <= byQ.size * 4 && byQ.size >= (nVec / 50).toInt - 1)
+  }
+
   test("q239 on the real corpus: partition of the corpus, fractions in range") {
     val rows = SparkEntry.queries("q239_k_anonymity")(spark, sfDir).collect()
     val total = Tables.documents(spark, sfDir).count()
