@@ -1934,11 +1934,81 @@ object EventOps {
                AS fpr_predicted
       FROM fp CROSS JOIN stats"""))
 
+  // ---- q250: MapType column surface ----------------------------------------
+  /** q250: the MAP column surface — the one Spark SQL type family no other
+    * query exercises: build a map<string,string> per event (JSON field +
+    * typed row fields), then push it through the map higher-order functions
+    * — `map_filter` (drop null/empty entries: an absent props.k vanishes),
+    * `map_concat` (append a computed entry), `transform_values` (tag every
+    * value), `map_keys`/`element_at`/`cardinality` — and aggregate the
+    * results per event_type. Everything is codegen-friendly expression work
+    * (zero-shuffle until the final keyed aggregate).
+    *
+    * The oracle never builds a map: it re-derives every output scalar from
+    * first principles on the raw columns (entry count = 3 fixed + k-present
+    * + the appended 'n'; the sorted-key CSV enumerated per presence case) —
+    * so a divergence in Spark's map-HOF semantics from the documented
+    * behavior fails the hash compare rather than being replicated. */
+  val mapOps: Q = Q(
+    "q250_map_ops",
+    (s, dir) => {
+      val base = Tables.events(s, dir).select(col("event_type"),
+        map(
+          lit("k"), get_json_object(col("props"), "$.k"),
+          lit("type"), col("event_type"),
+          lit("vbin"), floor(col("value") / 100).cast("long").cast("string"),
+          lit("user"), (col("user_id") % 10).cast("string")).as("m"))
+      val shaped = base
+        .withColumn("f",
+          expr("map_filter(m, (k, v) -> v IS NOT NULL AND v <> '')"))
+        .withColumn("e2",
+          expr("map_concat(f, map('n', cast(cardinality(f) as string)))"))
+        .withColumn("tagged",
+          expr("transform_values(e2, (k, v) -> concat(k, '=', v))"))
+        .withColumn("n_entries", expr("cardinality(tagged)").cast("long"))
+        .withColumn("has_k", expr("element_at(f, 'k') IS NOT NULL"))
+        .withColumn("keys_csv",
+          expr("array_join(sort_array(map_keys(tagged)), ',')"))
+      shaped.groupBy("event_type").agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("has_k"), 1L).otherwise(0L)).as("n_with_k"),
+        sum(col("n_entries")).as("total_entries"),
+        countDistinct(col("keys_csv")).as("n_key_shapes"),
+        min(col("keys_csv")).as("min_keys_csv"),
+        max(expr("cast(element_at(f, 'vbin') AS BIGINT)")).as("max_vbin"))
+    },
+    Some("""WITH ev AS (
+        SELECT event_type,
+               json_extract_string(props, '$.k') AS kval,
+               CAST(floor(value / 100) AS BIGINT) AS vbin
+        FROM events
+      ), shaped AS (
+        SELECT event_type, vbin,
+               (kval IS NOT NULL AND kval <> '') AS has_k,
+               -- tagged map entries: type/vbin/user always survive the
+               -- filter, k iff present, plus the appended 'n' entry
+               CAST(CASE WHEN kval IS NOT NULL AND kval <> ''
+                    THEN 5 ELSE 4 END AS BIGINT) AS n_entries,
+               CASE WHEN kval IS NOT NULL AND kval <> ''
+                    THEN 'k,n,type,user,vbin' ELSE 'n,type,user,vbin' END
+                 AS keys_csv
+        FROM ev
+      )
+      SELECT event_type,
+             CAST(count(1) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN has_k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_k,
+             CAST(sum(n_entries) AS BIGINT) AS total_entries,
+             CAST(count(DISTINCT keys_csv) AS BIGINT) AS n_key_shapes,
+             min(keys_csv) AS min_keys_csv,
+             max(vbin) AS max_vbin
+      FROM shaped GROUP BY event_type"""))
+
   val all: Seq[Q] = Seq(funnel, watermarkIngest, gapFill, hoppingWindow,
     cohortRetention, debounce, timeWeightedAvg, attribution, peakConcurrency,
     rollingActiveUsers, transitionMatrix, decayedPopularity, intervalUnion,
     bitmapDistinct, volumeAnomaly, incrementalSessions, xcorrLag,
     windowedFunnel, rfmSegments, sequenceFunnels, exactEwma, oooSpearman,
     orderGaps, fanoBurstiness, latenessProfile, intradayDupRate, hllDistinct,
-    kmvDistinct, kmvOverlap, bloomAudit)
+    kmvDistinct, kmvOverlap, bloomAudit, mapOps)
 }

@@ -889,6 +889,44 @@ class R12OpsSpec extends AnyFunSuite {
     assert(rows.length <= byQ.size * 4 && byQ.size >= (nVec / 50).toInt - 1)
   }
 
+  test("q250 map ops: the filter drops an absent k, shapes and entry counts are exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r12_map").toString
+    val t0 = java.sql.Timestamp.valueOf("2025-03-01 10:00:00")
+    Seq(
+      (1L, t0, 7L, "view", 250.0, """{"k": 42}"""),
+      (2L, t0, 8L, "view", -50.0, "{}"),          // no k -> filtered out
+      (3L, t0, 9L, "buy", 99.0, """{"k": 7}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("q250_map_ops")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val view = rows("view")
+    assert(view.getAs[Long]("n_events") === 2L)
+    assert(view.getAs[Long]("n_with_k") === 1L)
+    // with k: {k,type,vbin,user} + n = 5 entries; without: 4
+    assert(view.getAs[Long]("total_entries") === 9L)
+    assert(view.getAs[Long]("n_key_shapes") === 2L)
+    assert(view.getAs[String]("min_keys_csv") === "k,n,type,user,vbin")
+    // vbins: floor(250/100)=2, floor(-50/100)=-1 -> max 2
+    assert(view.getAs[Long]("max_vbin") === 2L)
+    val buy = rows("buy")
+    assert(buy.getAs[Long]("n_events") === 1L)
+    assert(buy.getAs[Long]("total_entries") === 5L)
+    assert(buy.getAs[Long]("max_vbin") === 0L)
+  }
+
+  test("q250 on the real corpus: every event carries k, one key shape per type") {
+    val rows = SparkEntry.queries("q250_map_ops")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_with_k") === r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("total_entries") === 5L * r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("n_key_shapes") === 1L)
+      assert(r.getAs[String]("min_keys_csv") === "k,n,type,user,vbin")
+    }
+  }
+
   test("q239 on the real corpus: partition of the corpus, fractions in range") {
     val rows = SparkEntry.queries("q239_k_anonymity")(spark, sfDir).collect()
     val total = Tables.documents(spark, sfDir).count()
