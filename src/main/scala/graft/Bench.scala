@@ -13,28 +13,47 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * during the timed pass) and the end-of-run persisted-RDD/storage totals,
   * so a contended or memory-pressured run (the BENCH_r06 signature) is
   * self-diagnosing from the JSON alone.
+  *
+  * Round-13 additions (VERDICT r12 directives #1/#7):
+  *  - CONFIRM PASS: every query whose timed reading breached its pin is
+  *    re-timed ONCE after the suite, and the regressions field emits
+  *    `[timed, pin, confirm]`. A confirm inside the 2×-pin band
+  *    self-adjudicates the breach as transient (machine contention during
+  *    the timed window) IN THE ARTIFACT; a confirm that also breaches is a
+  *    real, persistent regression. This retires the r10/r11/r12 pattern of
+  *    driver-only contention windows needing a whole later round to refute.
+  *  - TIMESTAMPS: per-query wall-clock starts (`t_start`, epoch ms) in the
+  *    full line, plus compact `t0` + every-10th-query offsets (`ckpt_sec`)
+  *    in the truncation-proof summary line, so a future contention window's
+  *    absolute time-of-day is recoverable and can be correlated with
+  *    periodic external processes on the machine.
   */
 object Bench {
 
-  final case class QResult(name: String, sec: Double, err: Option[String])
+  final case class QResult(name: String, sec: Double, err: Option[String],
+      tStartMs: Long = 0L)
 
   /** One timed pass over `queries`; a throwing query yields err=Some and is
-    * never silently folded into the timings. */
+    * never silently folded into the timings. `consumerPrefix` labels
+    * PlanCache self-heal events (""=timed pass, "confirm:"=confirm pass). */
   private[graft] def runSuite(spark: SparkSession, sfDir: String,
-      queries: Seq[(String, (SparkSession, String) => DataFrame)]): Seq[QResult] =
+      queries: Seq[(String, (SparkSession, String) => DataFrame)],
+      consumerPrefix: String = ""): Seq[QResult] =
     queries.map { case (name, fn) =>
       // label PlanCache self-heal events with the query that paid for them
       // (the q111-q115 forensics: a mid-timed-pass eviction shows up as
       // "entry@query" in the JSON's cache_selfheals, adjudicating the slow
       // reading as a shared-frame rebuild rather than machine contention)
-      PlanCache.setConsumer(name)
+      PlanCache.setConsumer(consumerPrefix + name)
+      val wall0 = System.currentTimeMillis()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
-        QResult(name, (System.nanoTime() - t0) / 1e9, None)
+        QResult(name, (System.nanoTime() - t0) / 1e9, None, wall0)
       } catch {
         case e: Throwable => QResult(name, -1.0,
-          Some((e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)).take(200)))
+          Some((e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)).take(200)),
+          wall0)
       }
     }
 
@@ -59,20 +78,43 @@ object Bench {
   private[graft] def regressions(results: Seq[QResult],
       pins: Map[String, Double]): Seq[(String, Double, Double)] =
     results.collect {
-      case QResult(n, sec, None)
+      case QResult(n, sec, None, _)
         if pins.get(n).exists(p => sec > 2 * p && sec > 0.5) =>
           (n, sec, pins(n))
     }.sortBy(-_._2)
 
+  /** Re-time each breached query once (VERDICT r12 directive #1). The
+    * confirm reading runs at suite end on the same warm session: a reading
+    * back inside the pin band means the timed breach was a transient window
+    * (external contention); a confirm that ALSO breaches is a persistent
+    * regression. Failures confirm as −1 (never a fast-looking time). */
+  private[graft] def confirmRegs(spark: SparkSession, sfDir: String,
+      queries: Seq[(String, (SparkSession, String) => DataFrame)],
+      regs: Seq[(String, Double, Double)]): Map[String, Double] = {
+    val byName = queries.toMap
+    regs.flatMap { case (name, _, _) =>
+      byName.get(name).map { fn =>
+        val r = runSuite(spark, sfDir, Seq(name -> fn), "confirm:").head
+        name -> r.sec
+      }
+    }.toMap
+  }
+
   /** The driver-contract JSON line: `queries` maps every query to its
     * seconds (−1 on failure), `errors` maps failed queries to messages,
-    * `value` sums only the successful timings. */
+    * `value` sums only the successful timings. `t_start` maps every query
+    * to its wall-clock start (epoch ms). */
   private[graft] def renderJson(results: Seq[QResult], sfDir: String,
       gcSec: Double, persistentRdds: Int, storageBytes: Long,
       regs: Seq[(String, Double, Double)], warmSharedSec: Double,
-      rewarmed: Seq[(String, Double)], selfHeals: Seq[(String, String)]): String = {
+      rewarmed: Seq[(String, Double)], selfHeals: Seq[(String, String)],
+      confirm: Map[String, Double] = Map.empty): String = {
     val qs = results.map(r => jstr(r.name) + ":" + r.sec).mkString("{", ",", "}")
-    val errs = results.collect { case QResult(n, _, Some(e)) => jstr(n) + ":" + jstr(e) }
+    // the full t_start map sits immediately after `queries` so that when the
+    // driver's 2000-char tail window truncates the line, what is lost is the
+    // (reconstructible) head of these two maps, not the forensic fields
+    val ts = results.map(r => jstr(r.name) + ":" + r.tStartMs).mkString("{", ",", "}")
+    val errs = results.collect { case QResult(n, _, Some(e), _) => jstr(n) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.filter(_.err.isEmpty).map(_.sec).sum
     // NOT the f-interpolator: String.format uses the default locale, and a
@@ -86,19 +128,24 @@ object Bench {
     // mid-timed-pass eviction forensics: "entry@consumer" occurrences
     val sh = selfHeals.map { case (e, c) => jstr(s"$e@$c") }.mkString("[", ",", "]")
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""t_start":$ts,""" +
       s""""errors":$errs,"failed":${results.count(_.err.isDefined)},""" +
       s""""gc_sec":$gc3,"persistent_rdds":$persistentRdds,""" +
       s""""storage_bytes":$storageBytes,""" +
-      s""""regressions":${renderRegs(regs)},""" +
+      s""""regressions":${renderRegs(regs, confirm)},""" +
       s""""warm_shared_sec":${math.round(warmSharedSec * 1000) / 1000.0},""" +
       s""""rewarm_sec":$rw,"cache_selfheals":$sh,""" +
       s""""sf":${jstr(sfDir)}}"""
   }
 
-  private def renderRegs(regs: Seq[(String, Double, Double)]): String =
+  /** `name:[timed, pin]` or `name:[timed, pin, confirm]` when a confirm
+    * reading exists — the r13 contract shape. */
+  private def renderRegs(regs: Seq[(String, Double, Double)],
+      confirm: Map[String, Double] = Map.empty): String =
     regs.map { case (n, sec, pin) =>
-      jstr(n) + ":[" + math.round(sec * 100) / 100.0 + "," +
-        math.round(pin * 100) / 100.0 + "]"
+      val base = math.round(sec * 100) / 100.0 + "," + math.round(pin * 100) / 100.0
+      val tail = confirm.get(n).map(c => "," + math.round(c * 100) / 100.0).getOrElse("")
+      jstr(n) + ":[" + base + tail + "]"
     }.mkString("{", ",", "}")
 
   /** Compact trailer printed AFTER the full contract line. The driver's
@@ -106,19 +153,39 @@ object Bench {
     * entries the full `queries` map alone overflows that window and the
     * headline `"metric"/"value"` prefix is cut off (BENCH_r07/r08: parsed
     * null). This line carries the headline numbers plus only the slowest
-    * queries, sized to always survive the tail truncation. */
+    * queries, sized to always survive the tail truncation. Timing forensics
+    * ride along compactly: `t0` (suite wall-clock start, epoch ms),
+    * `ckpt_sec` (offset of every 10th query's start from t0 — with the
+    * per-query durations this localizes any contention window's absolute
+    * time-of-day), `reg_t_start` (exact epoch-ms start of each breached
+    * query), and `gc_sec`/`rewarm_max` (the two adjudication fields that
+    * previously lived only in the truncatable full line). */
   private[graft] def renderSummary(results: Seq[QResult], sfDir: String,
       regs: Seq[(String, Double, Double)],
-      selfHeals: Seq[(String, String)] = Nil): String = {
+      selfHeals: Seq[(String, String)] = Nil,
+      confirm: Map[String, Double] = Map.empty,
+      gcSec: Double = 0.0,
+      rewarmed: Seq[(String, Double)] = Nil): String = {
     val ok = results.filter(_.err.isEmpty)
     val slow = ok.sortBy(-_.sec).take(10)
       .map(r => jstr(r.name) + ":" + math.round(r.sec * 100) / 100.0)
       .mkString("{", ",", "}")
     val sh = selfHeals.map { case (e, c) => jstr(s"$e@$c") }.mkString("[", ",", "]")
+    val t0 = results.headOption.map(_.tStartMs).getOrElse(0L)
+    val ckpt = results.zipWithIndex.collect { case (r, i) if i % 10 == 0 =>
+      math.round((r.tStartMs - t0) / 100.0) / 10.0 }.mkString("[", ",", "]")
+    val regTs = results.filter(r => regs.exists(_._1 == r.name))
+      .map(r => jstr(r.name) + ":" + r.tStartMs).mkString("{", ",", "}")
+    val rwMax = rewarmed.sortBy(-_._2).headOption
+      .map { case (n, s) => "{" + jstr(n) + ":" + math.round(s * 1000) / 1000.0 + "}" }
+      .getOrElse("{}")
     s"""{"metric":"total","value":${ok.map(_.sec).sum},"unit":"sec",""" +
       s""""n_queries":${results.size},"failed":${results.count(_.err.isDefined)},""" +
-      s""""slowest":$slow,"regressions":${renderRegs(regs)},""" +
+      s""""gc_sec":${math.round(gcSec * 1000) / 1000.0},""" +
+      s""""slowest":$slow,"regressions":${renderRegs(regs, confirm)},""" +
+      s""""reg_t_start":$regTs,""" +
       s""""cache_selfheals":$sh,""" +
+      s""""t0":$t0,"ckpt_sec":$ckpt,"rewarm_max":$rwMax,""" +
       s""""sf":${jstr(sfDir)}}"""
   }
 
@@ -170,18 +237,36 @@ object Bench {
     } catch { case _: Exception => None }
     val pins =
       if (pinSf.exists(t => sfDir.split('/').contains(t))) loadPins(pinsPath)
-      else Map.empty[String, Double]
+      else {
+        // a silently-disabled alarm is indistinguishable from a clean run;
+        // say WHY the pins were skipped so a corrupted/renamed pins file or
+        // an off-scale run is visible in the run log (ADVICE r12)
+        val why = pinSf match {
+          case None => s"pins file '$pinsPath' unreadable or missing its \"_sf\" tag"
+          case Some(t) => s"pins tagged '$t' but run dir is '$sfDir'"
+        }
+        System.err.println(s"[bench] REGRESSION ALARM DISABLED: $why")
+        Map.empty[String, Double]
+      }
     val gc0 = gcMillis()
     val results = runSuite(spark, sfDir, queries)
     val gcSec = (gcMillis() - gc0) / 1e3
     val selfHeals = PlanCache.drainSelfHeals()
     val regs = regressions(results, pins)
+    // confirm pass: one re-timing per breached query, so the artifact itself
+    // distinguishes "transient window" from "persistent regression"
+    val confirm = confirmRegs(spark, sfDir, queries, regs)
+    // post-suite actions (storage-info walk, rendering) must not attribute
+    // their self-heals to the last confirm query (ADVICE r12)
+    PlanCache.setConsumer("post_suite")
+    val confirmHeals = PlanCache.drainSelfHeals()
     val storage = spark.sparkContext.getRDDStorageInfo
       .map(i => i.memSize + i.diskSize).sum
+    val allHeals = selfHeals ++ confirmHeals
     println(renderJson(results, sfDir, gcSec,
       spark.sparkContext.getPersistentRDDs.size, storage, regs, warmSharedSec,
-      warmed, selfHeals))
-    println(renderSummary(results, sfDir, regs, selfHeals))
+      warmed, allHeals, confirm))
+    println(renderSummary(results, sfDir, regs, allHeals, confirm, gcSec, warmed))
     spark.stop()
   }
 }

@@ -35,8 +35,11 @@ object PlanCache {
   def setConsumer(label: String): Unit = consumer = label
 
   /** Drain and return all self-heal events recorded since the last drain,
-    * as (entry, consumer) pairs in occurrence order. */
-  def drainSelfHeals(): Seq[(String, String)] = synchronized {
+    * as (entry, consumer) pairs in occurrence order. Guards on the SAME
+    * monitor as [[recordSelfHeal]] (the log itself) — draining under the
+    * PlanCache object monitor would let a concurrent self-heal mutate the
+    * buffer mid-toList (ADVICE r12). */
+  def drainSelfHeals(): Seq[(String, String)] = selfHealLog.synchronized {
     val out = selfHealLog.toList
     selfHealLog.clear()
     out

@@ -38,6 +38,7 @@ class BenchSpec extends AnyFunSuite {
       "q_broken" -> 0.1)
     val regs = Bench.regressions(rs, pins)
     assert(regs == Seq(("q_slow", 7.29, 1.93)), regs.toString)
+    // no confirm reading -> the [timed, pin] shape (pre-r13 compatible)
     val json = Bench.renderJson(rs, sfDir, 0.0, 0, 0L, regs, warmSharedSec = 1.234,
       rewarmed = Seq("q14_pairs" -> 0.2345), selfHeals = Seq("qa_corpus" -> "q30_qa"))
     assert(json.contains("\"regressions\":{\"q_slow\":[7.29,1.93]}"), json)
@@ -47,6 +48,40 @@ class BenchSpec extends AnyFunSuite {
     val summary = Bench.renderSummary(rs, sfDir, regs, Seq("qa_corpus" -> "q30_qa"))
     assert(summary.contains("\"regressions\":{\"q_slow\":[7.29,1.93]}"), summary)
     assert(summary.contains("\"cache_selfheals\":[\"qa_corpus@q30_qa\"]"), summary)
+  }
+
+  test("confirm pass: breached queries re-time once and emit [timed,pin,confirm]") {
+    val qs = Seq(
+      "q_slow" -> ((s: SparkSession, d: String) => Tables.region(s, d)),
+      "q_fine" -> ((s: SparkSession, d: String) => Tables.region(s, d)))
+    val regs = Seq(("q_slow", 7.29, 1.93))
+    val confirm = Bench.confirmRegs(spark, sfDir, qs, regs)
+    assert(confirm.keySet == Set("q_slow"), confirm.toString) // only breaches re-run
+    assert(confirm("q_slow") >= 0.0, "confirm of a working query must be a wall time")
+    val rs = Seq(Bench.QResult("q_slow", 7.29, None, 1700000000000L),
+      Bench.QResult("q_fine", 1.0, None, 1700000010000L))
+    val json = Bench.renderJson(rs, sfDir, 0.0, 0, 0L, regs, 0.0, Nil, Nil,
+      confirm = Map("q_slow" -> 1.889))
+    assert(json.contains("\"regressions\":{\"q_slow\":[7.29,1.93,1.89]}"), json)
+    val summary = Bench.renderSummary(rs, sfDir, regs,
+      confirm = Map("q_slow" -> 1.889), gcSec = 0.5,
+      rewarmed = Seq("a" -> 0.1, "q14_pairs" -> 0.42))
+    assert(summary.contains("\"regressions\":{\"q_slow\":[7.29,1.93,1.89]}"), summary)
+    assert(summary.contains("\"reg_t_start\":{\"q_slow\":1700000000000}"), summary)
+    assert(summary.contains("\"gc_sec\":0.5"), summary)
+    assert(summary.contains("\"rewarm_max\":{\"q14_pairs\":0.42}"), summary)
+  }
+
+  test("timestamps: full line carries per-query t_start; summary t0 + ckpt offsets") {
+    val rs = (0 until 25).map(i =>
+      Bench.QResult(f"q$i%02d", 0.1, None, 1700000000000L + i * 1000L))
+    val json = Bench.renderJson(rs, sfDir, 0.0, 0, 0L, Nil, 0.0, Nil, Nil)
+    assert(json.contains("\"t_start\":{\"q00\":1700000000000,"), json)
+    assert(json.contains("\"q24\":1700000024000}"), json)
+    val summary = Bench.renderSummary(rs, sfDir, Nil)
+    assert(summary.contains("\"t0\":1700000000000"), summary)
+    // every 10th query start as offset-from-t0 seconds: q00, q10, q20
+    assert(summary.contains("\"ckpt_sec\":[0.0,10.0,20.0]"), summary)
   }
 
   test("self-heal forensics: an external unpersist of a cached entry is recorded") {
