@@ -15,7 +15,15 @@ import graft.model._
 object Lineage {
 
   /** Canonical column edges from extracted lineage (A11). Dedup key mirrors
-    * the reference: (df, target, sorted sources) — lineage_postprocess.py:106-118. */
+    * the reference: (df, target, sorted sources) — lineage_postprocess.py:106-118.
+    *
+    * Dedup keeps the FIRST occurrence in plan-walk order (r13): the prior
+    * `dropDuplicates` delegates to a `first()` aggregate whose surviving
+    * `reason` is whatever row the shuffle read first — deterministic for a
+    * fixed local relation but unspecified under repartitioning. The
+    * explicit ordinal window pins the semantics ("earliest plan node wins",
+    * the reference's insertion-order dict behavior) so the q25 DuckDB
+    * oracle can recompose the exact rows from the raw plan-node dump. */
   def edges(spark: SparkSession, lineages: Seq[ScriptLineage]): Dataset[Edge] = {
     import spark.implicits._
     val raw = for {
@@ -30,8 +38,15 @@ object Lineage {
       }
       Edge(sl.script, df.name, cd.name, srcDf, srcCol, cd.transformation)
     }
-    spark.createDataset(raw)
-      .dropDuplicates("script", "df", "targetCol", "srcDf", "srcCol")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("script", "df", "targetCol", "srcDf", "srcCol")
+      .orderBy(col("ord"))
+    spark.createDataset(raw.zipWithIndex.map { case (e, i) => (e, i.toLong) })
+      .select(col("_1.*"), col("_2").as("ord"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("ord", "rn")
+      .as[Edge]
   }
 
   /** Writer→reader stitching on shared (already-normalized) asset paths (A12):

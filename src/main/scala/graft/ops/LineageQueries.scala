@@ -148,6 +148,39 @@ object LineageQueries {
       p.right_cols, p.ord))
     s.createDataFrame(s.sparkContext.parallelize(partRows, 1), partSchema)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/aux_corpus_parts")
+    // aux_plan_cols (r13, VERDICT r12 directive #3): the RAW plan-walk
+    // provenance rows — one row per (df node, column, source) with the
+    // walk ordinals — from which the q25 oracle recomposes the canonical
+    // edge table entirely in DuckDB (source split at the first '.', then
+    // first-occurrence dedup on the 5-part key). This moves A11's edge
+    // derivation under the driver's rows+schema+hash gate; the dumped
+    // provenance itself stays pinned by LineageSpec's golden assertions.
+    val planColSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("script",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("df_ord",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("df",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("col_ord",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("col",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("src_ord",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("transformation",
+        org.apache.spark.sql.types.StringType)))
+    val planColRows = for {
+      sl <- ls
+      (d, di) <- sl.dfs.zipWithIndex
+      (c, ci) <- d.columns.zipWithIndex
+      (src, si) <- c.sources.zipWithIndex
+    } yield org.apache.spark.sql.Row(sl.script, di, d.name, ci, c.name, si,
+      src, c.transformation)
+    s.createDataFrame(s.sparkContext.parallelize(planColRows, 1), planColSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/aux_plan_cols")
   }
 
   /** DuckDB SQL re-deriving a retrieval top-k from the aux vector dump:
@@ -183,11 +216,46 @@ object LineageQueries {
         freshDump(out, "q28_corpus_docs").isDefined)
       .map(out => retrievalOracle(out, qid, k)))
 
+  /** q25: the canonical edge table itself. The plan walk that produces the
+    * provenance rows is not SQL-expressible, but the DERIVATION from those
+    * rows to edges is — the dynamic oracle recomposes all 130 edges in
+    * DuckDB from the aux_plan_cols dump: split each source at its FIRST
+    * '.' into (srcDf, srcCol) (no dot → unqualified column, srcDf=''),
+    * then keep the first occurrence in walk order per
+    * (script, df, targetCol, srcDf, srcCol) — exactly Lineage.edges. The
+    * dumped provenance rows stay under LineageSpec's golden pins, so a
+    * silent drift in EITHER the walk (spec) or the edge derivation
+    * (this oracle) now fails a hard gate. */
   val lineageEdges: Q = Q(
     "q25_lineage_edges",
     (s, dir) => Lineage.edges(s, lineages(s, dir)).toDF()
       .orderBy("script", "df", "targetCol", "srcDf", "srcCol"),
-    None)
+    None,
+    oracleDyn = Some(() => sys.props.get("graft.oracle.outdir")
+      .filter(out => freshDump(out, "aux_plan_cols").isDefined)
+      .map { out =>
+        s"""WITH n AS (
+          SELECT script, df, col AS tc,
+            CASE WHEN strpos(source, '.') > 0
+                 THEN substring(source, 1, strpos(source, '.') - 1)
+                 ELSE '' END AS sd,
+            CASE WHEN strpos(source, '.') > 0
+                 THEN substring(source, strpos(source, '.') + 1,
+                                length(source))
+                 ELSE source END AS sc,
+            transformation AS reason, df_ord, col_ord, src_ord
+          FROM read_parquet('$out/aux_plan_cols/*.parquet')
+        ), d AS (
+          SELECT n.*, row_number() OVER (
+            PARTITION BY script, df, tc, sd, sc
+            ORDER BY df_ord, col_ord, src_ord) AS rn
+          FROM n
+        )
+        SELECT script, df, tc AS "targetCol", sd AS "srcDf", sc AS "srcCol",
+               reason
+        FROM d WHERE rn = 1
+        ORDER BY script, df, tc, sd, sc"""
+      }))
 
   /** q26's dynamic oracle: DuckDB re-runs the writer→reader stitch
     * (stitch_repo.py:21-28 — trailing-slash normalization, equi-join on the
