@@ -78,7 +78,11 @@ object FpStress {
     // operands are exact by construction: register max + a harmonic sum
     // capped at 2^53; geometry-independence here certifies the register
     // aggregation, not the arithmetic)
-    "q240_hll_distinct")
+    "q240_hll_distinct",
+    // round-13 (VERDICT r12 directive #6): the DKW rank-error audit's
+    // sample-quantile/exact-rank double comparisons (q247) and the MMR
+    // greedy's λ-blended relevance/redundancy scores (q249)
+    "q247_sample_quantiles", "q249_mmr_rerank")
 
   /** 2-decimal deterministic jitter in [0, 0.96], keyed by (row key, copy) —
     * keeps every jittered double a 2-decimal value so the round(sum, p)

@@ -49,7 +49,14 @@ object PairSweep {
     // hash pair expansion over the SELECTED fingerprints, hub-capped; the
     // selection thins postings to ~2/(w+1) density so growth should track
     // match mass, not corpus pairs)
-    "q238_winnowing_overlap")
+    "q238_winnowing_overlap",
+    // round-13 (VERDICT r12 directive #5): the two newest pair-volume
+    // operators — sorted-neighborhood (q245: candidates EXACTLY n·(w−1)
+    // per pass, so growth must track rows, not pairs) and label
+    // propagation (q246: per-round cost |E|-bounded over the q14 pair
+    // universe; rm -rf target alone won't reset it — its PlanCache entry
+    // keys on the corpus fingerprint, so the big-dir run builds fresh)
+    "q245_sorted_neighborhood", "q246_label_propagation")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -2106,7 +2106,13 @@ object CorpusOps {
     * FP shape: counts exact; Σc² in DECIMAL(38,0)/HUGEINT (the q203 wrap
     * rule — c² passes 2^63 at ~3e9 docs per (shard, source)); top_share
     * and hhi are one division each on exact inputs; majority ties break by
-    * source name.
+    * source name. Scale bound (ADVICE r12): hhi's sum_sq→double cast is
+    * correctly rounded in Spark (decimal→double) but not in DuckDB
+    * (HUGEINT→double) above 2^53 — last-ulp drift becomes possible once
+    * Σc² exceeds ~9e15, i.e. ≥ ~10^8 docs in one (shard, source) cell.
+    * Exact at every tested sf. Substitution if that scale is oracled:
+    * quantize the quotient in integer space first (the q240 technique —
+    * FLOOR(sum_sq·10^9 / n_docs²) < 2^53 casts exactly in both engines).
     *
     * Distributed shape: the assignment frame joins source on doc_id (the
     * scan's own key), then |shards|×|sources| cells drive everything —

@@ -105,15 +105,19 @@ object Dedup {
         s"$dir/documents.parquet") {
       val ngr = rareShingleRows(s, dir)
       val sizes = ngr.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // each index row carries its doc's rare-set size (broadcast of the
-      // doc-count-sized table), which buys two things: the SIZE-RATIO
-      // prefilter at the self-join — J(A,B) ≤ min/max, so jaccard ≥ 0.5 is
-      // impossible when one rare set is more than twice the other, and those
-      // collision rows are dropped BEFORE the pair aggregation (the q87
-      // length-prefilter argument; provably result-preserving, oracle kept
-      // unfiltered) — and na/nb riding the aggregation as constants-per-key,
-      // replacing the two post-agg joins
-      val ngrN = ngr.join(broadcast(sizes), "doc_id")
+      // each index row carries its doc's rare-set size, which buys two
+      // things: the SIZE-RATIO prefilter at the self-join — J(A,B) ≤
+      // min/max, so jaccard ≥ 0.5 is impossible when one rare set is more
+      // than twice the other, and those collision rows are dropped BEFORE
+      // the pair aggregation (the q87 length-prefilter argument; provably
+      // result-preserving, oracle kept unfiltered) — and na/nb riding the
+      // aggregation as constants-per-key, replacing the two post-agg joins.
+      // NO broadcast hint: `sizes` is doc-count-proportional (billions of
+      // rows at 100 TB — a driver OOM as a forced broadcast). The join is
+      // co-keyed on doc_id with the aggregate that produced `sizes`, so it
+      // reuses the groupBy's hash partitioning; AQE still picks a broadcast
+      // at small sf where the frame fits under the threshold.
+      val ngrN = ngr.join(sizes, "doc_id")
       val pairs = ngrN.as("a").join(ngrN.as("b"),
           col("a.ngram") === col("b.ngram") && col("a.doc_id") < col("b.doc_id")
             && col("a.n") <= lit(2) * col("b.n")
@@ -1000,7 +1004,9 @@ object Dedup {
           < lit((frac * 1000000L).toLong))
       val ng = sampled(ngramRows(s, dir), "doc_id")
       val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val ngN = ng.join(broadcast(sizes), "doc_id")
+      // no broadcast hint on the doc-count-sized frame (see q14's note):
+      // co-keyed shuffle join at scale, AQE-broadcast when small
+      val ngN = ng.join(sizes, "doc_id")
       val truth = ngN.as("a").join(ngN.as("b"),
           col("a.ngram") === col("b.ngram") && col("a.doc_id") < col("b.doc_id")
             && col("a.n") <= lit(2) * col("b.n")
@@ -1412,7 +1418,8 @@ object Dedup {
     (s, dir) => {
       val ng = ngramRows(s, dir)
       val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val ngN = ng.join(broadcast(sizes), "doc_id")
+      // no broadcast hint on the doc-count-sized frame (see q14's note)
+      val ngN = ng.join(sizes, "doc_id")
       // the shared-shingle pair universe with EXACT jaccard, unfiltered —
       // q144's truth join without the ≥0.5 cut (the curve's low buckets
       // are the point; no size-ratio prune, it would bias them)
@@ -1677,10 +1684,14 @@ object Dedup {
         .join(sh.select(col("doc_id").as("doc_a"), col("ngram")), Seq("doc_a"))
         .join(sh.select(col("doc_id").as("doc_b"), col("ngram")), Seq("doc_b", "ngram"))
         .groupBy("doc_a", "doc_b", "n_passes").agg(count(lit(1)).as("inter"))
+      // no broadcast hints: `sizes` is doc-count-proportional (q14's note);
+      // `inter` is candidate-bounded (n·(w−1) per pass) and both joins key
+      // on a doc id, so at scale these are co-keyed shuffle joins and AQE
+      // broadcasts the small side at tested sf on its own
       inter
-        .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a"))),
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
           Seq("doc_a"))
-        .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b"))),
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
           Seq("doc_b"))
         .withColumn("j_pm",
           expr("CAST((inter * 1000) div (n_a + n_b - inter) AS BIGINT)"))
@@ -1728,10 +1739,110 @@ object Dedup {
       JOIN sizes sb ON i.doc_b = sb.doc_id
       WHERE (i.inter * 1000) // (sa.n + sb.n - i.inter) >= $snmFloorPm"""))
 
+  // ---- q251: MinHash estimator-error audit ---------------------------------
+  /** q251: how accurate is the 16-hash MinHash estimate itself? q144 grades
+    * the LSH CANDIDATE SET (recall/precision of who collides); this grades
+    * the ESTIMATOR (how far agree/16 sits from the true Jaccard) — the
+    * number that decides how many hashes a production dedup needs before
+    * trusting `est_jaccard ≥ τ` as a verdict rather than a prefilter. Per
+    * LSH candidate pair: estimated Jaccard (signature agreement / 16) vs
+    * EXACT shingle Jaccard over the identical trigram universe, both
+    * quantized to permille in integer space; rolled up per agreement level
+    * (the estimator's entire support — at most 17 output rows) as pair
+    * count, mean exact Jaccard, mean |error| and max |error|.
+    *
+    * FP shape: everything integer until two final divisions of exact
+    * BIGINTs (j_pm ≤ 1000, counts ≪ 2^40 — both sums < 2^53, so the double
+    * casts are value-exact in both engines; the q240 discipline).
+    *
+    * Distributed shape: candidates from the cached signature table's band
+    * self-join (the q15 path — collision-bounded, never all-pairs); exact
+    * intersections via two candidate-bounded joins against the shared
+    * all-shingle posting table (the q245 verify idiom); the rollup is a
+    * ≤17-group aggregate. No doc-count frame carries a broadcast hint. */
+  val minhashEstimatorError: Q = Q(
+    "q251_minhash_estimator_error",
+    (s, dir) => {
+      val sigs = corpusSigs(s, dir)
+      val bandRows = bandRowsOf(sigs)
+      val cand = bandRows.as("a").join(bandRows.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val agreed = cand
+        .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), sigAgreement.as("agree"))
+      val sh = ngramRows(s, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = agreed.select("doc_a", "doc_b")
+        .join(sh.select(col("doc_id").as("doc_a"), col("ngram")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("ngram")),
+          Seq("doc_b", "ngram"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      // left join + fill 0: a shared band hash implies a shared argmin
+      // shingle (md5 collisions aside), but the audit must SHOW inter=0
+      // rather than silently drop the pair if that invariant ever breaks
+      val per = agreed
+        .join(inter, Seq("doc_a", "doc_b"), "left").na.fill(0L, Seq("inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .withColumn("est_pm", expr("CAST((agree * 1000) div 16 AS BIGINT)"))
+        .withColumn("j_pm", expr(
+          "CAST((inter * 1000) div (na + nb - inter) AS BIGINT)"))
+      per.groupBy("agree")
+        .agg(count(lit(1)).as("n_pairs"),
+          (sum("j_pm").cast("double") / count(lit(1)).cast("double"))
+            .as("mean_exact_pm"),
+          (sum(abs(col("est_pm") - col("j_pm"))).cast("double")
+            / count(lit(1)).cast("double")).as("mean_abs_err_pm"),
+          max(abs(col("est_pm") - col("j_pm"))).cast("long")
+            .as("max_abs_err_pm"))
+    },
+    Some {
+      s"""WITH $sigCtesSql, cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+      ), agreed AS (
+        SELECT c.doc_a, c.doc_b, CAST($agreeSql AS BIGINT) AS agree
+        FROM cand c
+        JOIN sigs sa ON c.doc_a = sa.doc_id
+        JOIN sigs sb ON c.doc_b = sb.doc_id
+      ), sz AS (
+        SELECT doc_id, CAST(count(1) AS BIGINT) AS n FROM ngr GROUP BY doc_id
+      ), ix AS (
+        SELECT g.doc_a, g.doc_b, CAST(count(1) AS BIGINT) AS inter
+        FROM agreed g
+        JOIN ngr pa ON pa.doc_id = g.doc_a
+        JOIN ngr pb ON pb.doc_id = g.doc_b AND pb.ngram = pa.ngram
+        GROUP BY g.doc_a, g.doc_b
+      ), per AS (
+        SELECT g.agree,
+               CAST((g.agree * 1000) // 16 AS BIGINT) AS est_pm,
+               CAST((COALESCE(ix.inter, 0) * 1000)
+                 // (za.n + zb.n - COALESCE(ix.inter, 0)) AS BIGINT) AS j_pm
+        FROM agreed g
+        LEFT JOIN ix ON ix.doc_a = g.doc_a AND ix.doc_b = g.doc_b
+        JOIN sz za ON za.doc_id = g.doc_a
+        JOIN sz zb ON zb.doc_id = g.doc_b
+      )
+      SELECT agree, CAST(count(1) AS BIGINT) AS n_pairs,
+             CAST(SUM(j_pm) AS DOUBLE) / CAST(count(1) AS DOUBLE)
+               AS mean_exact_pm,
+             CAST(SUM(ABS(est_pm - j_pm)) AS DOUBLE) / CAST(count(1) AS DOUBLE)
+               AS mean_abs_err_pm,
+             CAST(MAX(ABS(est_pm - j_pm)) AS BIGINT) AS max_abs_err_pm
+      FROM per GROUP BY agree"""
+    })
+
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, editDistance,
       incrementalDedup, fuzzyDecontaminate, setSimJoin, substringSpans,
       containmentJoin, cdcChunks, lshEval, dedupReport, memorizationSpans,
       thresholdSweep, templateHubs, methodKappa, lshSCurve, winnowingOverlap,
-      sortedNeighborhood)
+      sortedNeighborhood, minhashEstimatorError)
 }

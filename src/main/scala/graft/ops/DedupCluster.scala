@@ -594,7 +594,11 @@ object DedupCluster {
           Dedup.ngramJaccard.run(s, dir).select("doc_a", "doc_b"), lpaIters))
       }
       val sizes = lab.groupBy("label").agg(count(lit(1)).as("csize"))
-      lab.join(broadcast(sizes), "label")
+      // no broadcast hint: community count is node-proportional in the
+      // worst case (every doc its own label) — a forced broadcast is a
+      // driver OOM at 100 TB. The join is co-keyed on `label` with the
+      // groupBy above; AQE broadcasts when the frame is actually small.
+      lab.join(sizes, "label")
         .select(col("doc_id"), col("label").as("community"), col("csize"),
           when(col("label") === col("prev"), 1L).otherwise(0L).as("converged"))
     },
@@ -634,6 +638,166 @@ object DedupCluster {
       JOIN sizes ON l3.label = sizes.label"""
     })
 
+  // ---- q252: k-core decomposition (bounded peel) ---------------------------
+  private val kcoreK = 2
+  private val kcoreRounds = 4
+
+  /** q252: the k-core of the duplicate-pair graph — iteratively peel nodes
+    * of degree < k until (near-)fixpoint, keeping the dense cores. On a dup
+    * graph the 2-core separates TEMPLATE FAMILIES (mutually-similar doc
+    * groups that survive peeling) from chains/pendants (pairwise accidents
+    * that dissolve) — the signal q219 approximates with raw degree. The
+    * peel is unrolled to a FIXED 4 rounds (the q246 discipline: bounded
+    * plan, no data-dependent fixpoint loop); the semantics are "degrees
+    * after a 4-round k=2 peel", exact whenever the peel converges earlier
+    * (it does on every tested corpus — round 4 removes nothing; the
+    * `stable` flag certifies it row by row).
+    *
+    * Distributed shape: per round one degree aggregate + two node-keyed
+    * semi-joins of the |E|-bounded edge list (never the corpus); the pair
+    * universe is q14's PlanCache-materialized table. At 100 TB a full
+    * coreness decomposition runs more peel rounds of the same shape —
+    * cost is rounds × |E|, never quadratic. */
+  val kcoreDecomposition: Q = Q(
+    "q252_kcore_decomposition",
+    // Each peel round reads its input edge frame THREE times (the degree
+    // aggregate plus both endpoint semi-joins), so a bare 4-round unrolled
+    // plan re-executes the base subtree 3^4 times (measured: 25 s at
+    // sf0.1). Per-round eager checkpoints make every round one small job
+    // over materialized blocks (measured: <1 s); the intermediate barriers
+    // are freed as soon as the final node frame is materialized, and that
+    // frame lives exactly as long as its PlanCache entry (one per
+    // session × dir, node-bounded rows) — the q246 lifecycle.
+    (s, dir) => graft.PlanCache.cached(s, "q252_core", dir,
+        s"$dir/documents.parquet") {
+      val pairs = Dedup.ngramJaccard.run(s, dir).select("doc_a", "doc_b")
+      val e0 = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      def peel(edges: DataFrame): DataFrame = {
+        val alive = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= kcoreK).select("u")
+        edges.join(alive, Seq("u"))
+          .join(alive.withColumnRenamed("u", "v"), Seq("v"))
+          .select("u", "v")
+      }
+      val rounds = Iterator.iterate(graft.Ckpt.eager(e0))(e =>
+        graft.Ckpt.eager(peel(e))).take(kcoreRounds + 1).toSeq
+      val e3 = rounds(kcoreRounds - 1)
+      val e4 = rounds(kcoreRounds)
+      val d3 = e3.groupBy("u").agg(count(lit(1)).as("deg3"))
+      val out = graft.Ckpt.eager(
+        e4.groupBy("u").agg(count(lit(1)).as("degree"))
+          .join(d3, Seq("u"))
+          .select(col("u").as("doc_id"), col("degree"),
+            when(col("degree") === col("deg3"), 1L).otherwise(0L).as("stable")))
+      rounds.foreach(graft.Ckpt.free)
+      out
+    },
+    Some {
+      def round(i: Int, prev: String) =
+        s"""a$i AS (
+        SELECT u FROM $prev GROUP BY u HAVING count(1) >= $kcoreK
+      ), e$i AS (
+        SELECT e.u, e.v FROM $prev e
+        JOIN a$i x ON e.u = x.u JOIN a$i y ON e.v = y.u
+      )"""
+      s"""WITH pairs AS (
+        ${Dedup.ngramJaccard.oracle.get}
+      ), e0 AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+      ), ${round(1, "e0")}, ${round(2, "e1")}, ${round(3, "e2")},
+      ${round(4, "e3")}, d3 AS (
+        SELECT u, CAST(count(1) AS BIGINT) AS deg3 FROM e3 GROUP BY u
+      )
+      SELECT e4.u AS doc_id, CAST(count(1) AS BIGINT) AS degree,
+             CAST(CASE WHEN count(1) = d3.deg3 THEN 1 ELSE 0 END
+               AS BIGINT) AS stable
+      FROM e4 JOIN d3 ON e4.u = d3.u
+      GROUP BY e4.u, d3.deg3"""
+    })
+
+  // ---- q253: degree assortativity of the duplicate-pair graph --------------
+  /** q253: Pearson correlation of endpoint degrees over the dup graph's
+    * directed edge list (both directions — the standard undirected
+    * treatment). Strongly negative assortativity = hub-and-spoke (one
+    * template matched by many one-off docs, q219's shape); positive =
+    * clique-of-clones (q252's cores) — one scalar that says which dedup
+    * topology dominates, and therefore whether canonical-selection (q229)
+    * or template-mining (q213) is the higher-leverage cleanup.
+    *
+    * FP shape: the five moment sums are exact integers in DECIMAL(38,0)
+    * (degrees are counts; HUGEINT in the oracle); numerator/denominator
+    * cross-products stay in decimal and cast to double only at the end.
+    * Scale bound (the q204/q232 class): those casts are value-exact while
+    * n·Σxy < 2^53 — beyond ~10^15 (an |E| ~ 10^11 dup graph with hub
+    * degrees ~10^2) DuckDB's HUGEINT→double rounds differently in the last
+    * ulp; exact at every tested sf. The guarded form (NULL when the
+    * variance term is zero) is identical in both engines.
+    *
+    * Distributed shape: one degree aggregate + two node-keyed joins of the
+    * |E|-bounded edge list, then a single 1-row moment aggregate. */
+  val degreeAssortativity: Q = Q(
+    "q253_degree_assortativity",
+    (s, dir) => {
+      val pairs = Dedup.ngramJaccard.run(s, dir).select("doc_a", "doc_b")
+      val e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+      val de = e.join(deg.select(col("u"), col("deg").as("dx")), Seq("u"))
+        .join(deg.select(col("u").as("v"), col("deg").as("dy")), Seq("v"))
+      de.agg(
+          count(lit(1)).as("n_edges"),
+          sum(col("dx").cast("decimal(18,0)")).as("sx"),
+          sum(col("dy").cast("decimal(18,0)")).as("sy"),
+          sum((col("dx") * col("dy")).cast("decimal(18,0)")).as("sxy"),
+          sum((col("dx") * col("dx")).cast("decimal(18,0)")).as("sxx"),
+          sum((col("dy") * col("dy")).cast("decimal(18,0)")).as("syy"))
+        .select(col("n_edges"),
+          (col("sx").cast("double") / col("n_edges").cast("double"))
+            .as("mean_deg"),
+          expr("""CASE
+            WHEN CAST(n_edges AS DECIMAL(18,0)) * sxx - sx * sx = 0
+              OR CAST(n_edges AS DECIMAL(18,0)) * syy - sy * sy = 0 THEN NULL
+            ELSE CAST(CAST(n_edges AS DECIMAL(18,0)) * sxy - sx * sy AS DOUBLE)
+              / sqrt(CAST(CAST(n_edges AS DECIMAL(18,0)) * sxx - sx * sx AS DOUBLE)
+                   * CAST(CAST(n_edges AS DECIMAL(18,0)) * syy - sy * sy AS DOUBLE))
+            END""").as("assortativity"))
+    },
+    Some {
+      s"""WITH pairs AS (
+        ${Dedup.ngramJaccard.oracle.get}
+      ), e AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+      ), deg AS (
+        SELECT u, CAST(count(1) AS BIGINT) AS deg FROM e GROUP BY u
+      ), de AS (
+        SELECT du.deg AS dx, dv.deg AS dy
+        FROM e JOIN deg du ON e.u = du.u JOIN deg dv ON e.v = dv.u
+      ), m AS (
+        SELECT CAST(count(1) AS BIGINT) AS n_edges,
+               SUM(CAST(dx AS HUGEINT)) AS sx, SUM(CAST(dy AS HUGEINT)) AS sy,
+               SUM(CAST(dx AS HUGEINT) * dy) AS sxy,
+               SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+               SUM(CAST(dy AS HUGEINT) * dy) AS syy
+        FROM de
+      )
+      SELECT n_edges,
+             CAST(sx AS DOUBLE) / CAST(n_edges AS DOUBLE) AS mean_deg,
+             CASE
+               WHEN n_edges * sxx - sx * sx = 0
+                 OR n_edges * syy - sy * sy = 0 THEN NULL
+               ELSE CAST(n_edges * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE)
+                      * CAST(n_edges * syy - sy * sy AS DOUBLE))
+             END AS assortativity
+      FROM m"""
+    })
+
   val all: Seq[Q] = Seq(dedupClusters, dedupPrune, clusterSplit, starComponents,
-    clusterPurity, canonicalPolicy, splitLeakage, labelPropagation)
+    clusterPurity, canonicalPolicy, splitLeakage, labelPropagation,
+    kcoreDecomposition, degreeAssortativity)
 }

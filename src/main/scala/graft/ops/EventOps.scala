@@ -1630,32 +1630,51 @@ object EventOps {
     * rank k) — a different algorithm over a different execution model
     * landing on the identical integers, which is precisely what makes a
     * custom imperative aggregate safe to trust. */
+  /** q241 stage 1 — the hashed item stream (event_type, v): 48-bit md5 of
+    * the user-day key. Works unchanged on a STREAMING events frame (row-
+    * local), which is what lets q254 share it. */
+  private[graft] def kmvItemsOf(events: DataFrame): DataFrame = {
+    val keySql =
+      "md5(concat('kmv|', CAST(user_id AS STRING), '|', CAST(CAST(ts AS DATE) AS STRING)))"
+    events.select(col("event_type"),
+      expr(s"CAST(conv(substring($keySql, 1, 12), 16, 10) AS BIGINT)").as("v"))
+  }
+
+  /** q241 stage 2 — the per-type KMV sketch via the custom
+    * TypedImperativeAggregate. Also the STREAMING state shape for q254:
+    * one ≤ k·8-byte buffer per event type, updated/merged by the identical
+    * aggregate code batch and streaming. */
+  private[graft] def kmvSketchOf(s: SparkSession, items: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    items.groupBy("event_type")
+      .agg(expr(s"kmv_minset(v, $kmvK)").as("sk"))
+      .select(col("event_type"), col("sk.n_held").as("n_held"),
+        col("sk.theta").as("theta"))
+  }
+
+  /** q241 stage 3 — estimate + exact-count audit off a materialized sketch
+    * table (streaming-agnostic: q254 feeds it the streamed registry). */
+  private[graft] def kmvReport(s: SparkSession, sk: DataFrame, dir: String): DataFrame = {
+    val exact = Tables.events(s, dir).groupBy("event_type")
+      .agg(countDistinct(col("user_id"), to_date(col("ts"))).as("n_exact"))
+    sk.join(exact, Seq("event_type"))
+      .withColumn("kmv_estimate",
+        when(col("n_held") < kmvK.toLong, col("n_held")).otherwise(
+          expr(s"CAST((${kmvK - 1} * 281474976710656) div theta AS BIGINT)")))
+      .withColumn("rel_err",
+        (col("kmv_estimate").cast("double") - col("n_exact").cast("double"))
+          / col("n_exact").cast("double"))
+      .select("event_type", "n_exact", "n_held", "theta",
+        "kmv_estimate", "rel_err")
+  }
+
+  /** q254 shares this oracle verbatim (the q248/q78 pattern). */
+  private[graft] def kmvOracle: Option[String] = kmvDistinct.oracle
+
   val kmvDistinct: Q = Q(
     "q241_kmv_distinct",
-    (s, dir) => {
-      graft.functions.VectorFunctions.register(s)
-      val keySql =
-        "md5(concat('kmv|', CAST(user_id AS STRING), '|', CAST(CAST(ts AS DATE) AS STRING)))"
-      val sk = Tables.events(s, dir)
-        .select(col("event_type"),
-          expr(s"CAST(conv(substring($keySql, 1, 12), 16, 10) AS BIGINT)")
-            .as("v"))
-        .groupBy("event_type")
-        .agg(expr(s"kmv_minset(v, $kmvK)").as("sk"))
-        .select(col("event_type"), col("sk.n_held").as("n_held"),
-          col("sk.theta").as("theta"))
-      val exact = Tables.events(s, dir).groupBy("event_type")
-        .agg(countDistinct(col("user_id"), to_date(col("ts"))).as("n_exact"))
-      sk.join(exact, Seq("event_type"))
-        .withColumn("kmv_estimate",
-          when(col("n_held") < kmvK.toLong, col("n_held")).otherwise(
-            expr(s"CAST((${kmvK - 1} * 281474976710656) div theta AS BIGINT)")))
-        .withColumn("rel_err",
-          (col("kmv_estimate").cast("double") - col("n_exact").cast("double"))
-            / col("n_exact").cast("double"))
-        .select("event_type", "n_exact", "n_held", "theta",
-          "kmv_estimate", "rel_err")
-    },
+    (s, dir) => kmvReport(s,
+      kmvSketchOf(s, kmvItemsOf(Tables.events(s, dir))), dir),
     Some(s"""WITH hashed AS (
         SELECT event_type,
                ('0x' || substr(md5('kmv|' || CAST(user_id AS VARCHAR)

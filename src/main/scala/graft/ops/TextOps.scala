@@ -652,7 +652,16 @@ object TextOps {
           // the cross-multiplied numerators in DECIMAL(38,0) (HUGEINT in
           // the oracle): in plain BIGINT, c_sw·N wraps silently in Spark
           // at ~10^10-10^11 total tokens while DuckDB raises — the q136/
-          // q221 silent-wrap-vs-loud-raise divergence class (ADVICE r11)
+          // q221 silent-wrap-vs-loud-raise divergence class (ADVICE r11).
+          // FP-shape scale bound (ADVICE r12): the FINAL tv_in/bc_u →
+          // double casts are correctly rounded in Spark (decimal→double)
+          // but not in DuckDB (HUGEINT→double) once the integer exceeds
+          // 2^53 — i.e. beyond ~10^16 summed cross-products the two
+          // engines can differ in the last ulp of tv/bhattacharyya. Exact
+          // at every tested sf (sums ≤ ~10^12 at sf1). The substitution if
+          // that scale is ever oracled: divide in integer space first
+          // (FLOOR(tv_in·10^9 / (2·n_src·n_tot)) — a quotient < 2^53 casts
+          // exactly in both engines, the q240 technique).
           sum(abs(col("c_sw").cast("decimal(38,0)") * col("n_tot")
             - col("c_w").cast("decimal(38,0)") * col("n_src")))
             .as("tv_in"),
@@ -904,8 +913,95 @@ object TextOps {
       FROM sw JOIN cw ON sw.w = cw.w
       GROUP BY sw.source"""))
 
+  // ---- q255: bigram collocation mining by lift -----------------------------
+  private val collocMinSupport = 5L
+  private val collocTopK = 50
+
+  /** q255: the corpus's top bigram COLLOCATIONS — word pairs that co-occur
+    * far above chance — ranked by lift p(w1w2)/(p(w1)·p(w2)) with a support
+    * floor. This is the phrase-discovery pass that feeds tokenizer vocab
+    * decisions (multi-word units worth single tokens) and q114's phrase
+    * dictionary; q54 ranks n-grams by raw count (frequency ≠ association —
+    * "of the" tops counts, named entities top lift). Lift is a monotone
+    * transform of PMI, so it ranks identically while needing NO ln() —
+    * the q116 log-free discipline.
+    *
+    * FP shape: all counts exact BIGINTs far under 2^53, so every cast is
+    * value-exact; lift is the fixed five-op IEEE chain
+    * (c2/Nb) / ((c1a/Nu)·(c1b/Nu)) written identically in both engines —
+    * correctly-rounded ops in the same order are bit-identical.
+    *
+    * Distributed shape: one token explode (shared shape with q116: doc-
+    * partitioned lead() for bigrams, two map-side-combined count
+    * aggregates); scoring joins each support-floored bigram to the two
+    * unigram counts (token-keyed shuffles); the two 1-row totals broadcast
+    * (the q104 scalar pattern). The top-k is orderBy+limit — Spark's
+    * distributed TakeOrdered, never a single-task global sort — and only
+    * the 50 survivors see a row_number. */
+  val collocationLift: Q = Q(
+    "q255_collocation_lift",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+      val bigrams = toks
+        .withColumn("w2", lead("w1", 1).over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+        .filter(col("w2").isNotNull)
+      val uni = toks.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        .filter(col("c2") >= collocMinSupport)
+      val nu = toks.agg(count(lit(1)).as("nu"))
+      val nb = bigrams.agg(count(lit(1)).as("nb"))
+      val lift = (col("c2").cast("double") / col("nb").cast("double")) /
+        ((col("c1a").cast("double") / col("nu").cast("double"))
+          * (col("c1b").cast("double") / col("nu").cast("double")))
+      val top = bi
+        .join(uni.select(col("w1"), col("c1").as("c1a")), Seq("w1"))
+        .join(uni.select(col("w1").as("w2"), col("c1").as("c1b")), Seq("w2"))
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .select(col("w1"), col("w2"), col("c2"), col("c1a"), col("c1b"),
+          lift.as("lift"))
+        .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+        .limit(collocTopK)
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(col("lift").desc, col("w1").asc, col("w2").asc)))
+        .select("rank", "w1", "w2", "c2", "c1a", "c1b", "lift")
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, i AS pos, w[i] AS w1, w[i + 1] AS w2
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             unnest(generate_series(1, len(w))) AS t(i)
+      ), uni AS (
+        SELECT w1, CAST(count(1) AS BIGINT) AS c1 FROM toks GROUP BY w1
+      ), bi AS (
+        SELECT w1, w2, CAST(count(1) AS BIGINT) AS c2 FROM toks
+        WHERE w2 IS NOT NULL GROUP BY w1, w2
+        HAVING count(1) >= $collocMinSupport
+      ), nu AS (
+        SELECT CAST(count(1) AS BIGINT) AS nu FROM toks
+      ), nb AS (
+        SELECT CAST(count(1) AS BIGINT) AS nb FROM toks WHERE w2 IS NOT NULL
+      ), scored AS (
+        SELECT bi.w1, bi.w2, bi.c2, ua.c1 AS c1a, ub.c1 AS c1b,
+               (CAST(bi.c2 AS DOUBLE) / CAST(nb.nb AS DOUBLE))
+                 / ((CAST(ua.c1 AS DOUBLE) / CAST(nu.nu AS DOUBLE))
+                    * (CAST(ub.c1 AS DOUBLE) / CAST(nu.nu AS DOUBLE))) AS lift
+        FROM bi
+        JOIN uni ua ON bi.w1 = ua.w1
+        JOIN uni ub ON bi.w2 = ub.w1
+        CROSS JOIN nu CROSS JOIN nb
+        ORDER BY lift DESC, bi.w1 ASC, bi.w2 ASC
+        LIMIT $collocTopK
+      )
+      SELECT CAST(row_number() OVER (ORDER BY lift DESC, w1 ASC, w2 ASC)
+               AS BIGINT) AS rank,
+             w1, w2, c2, c1a, c1b, lift
+      FROM scored"""))
+
   val all: Seq[Q] = Seq(textQuality, textLangId, tokenCount, docFingerprint,
     repetitionScore, lengthOutliers, robustOutliers, phraseSearch,
     bigramSurprisal, gopherRules, quantileNorm, kwicConcordance,
-    sourceDivergence, langConfusion, ngramDiversity, codeDetect, hapaxProfile)
+    sourceDivergence, langConfusion, ngramDiversity, codeDetect, hapaxProfile,
+    collocationLift)
 }

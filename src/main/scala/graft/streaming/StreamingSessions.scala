@@ -920,9 +920,35 @@ object StreamingSessions {
     },
     graft.ops.Analytics.countMin.oracle)
 
+  /** q254: STREAMING KMV sketch maintenance — the third classic mergeable
+    * sketch brought to streaming parity (HLL q244, count-min q248, KMV
+    * here), completing the batch/streaming sketch matrix. The per-type
+    * k-minimum-values state is maintained by the SAME custom Catalyst
+    * [[graft.functions.KmvMinSet]] TypedImperativeAggregate as batch q241,
+    * running inside a complete-mode streaming aggregation over 4 real
+    * micro-batches: Spark's state store carries the ≤ k·8-byte serialized
+    * buffer per event type, and each micro-batch flows through the
+    * aggregate's own update/merge — the exact code path a production
+    * always-on cardinality dashboard runs. Because the sketch is a pure
+    * function of the input SET (order- and duplicate-insensitive by
+    * construction), the streamed registry is bit-identical to the batch
+    * sketch, so the estimate/audit tail and the DuckDB oracle are shared
+    * with q241 verbatim — the parity is a property of the shared stage
+    * code, not a coincidence. */
+  val streamingKmv: Q = Q(
+    "q254_streaming_kmv",
+    (s, dir) => {
+      val sk = streamToArtifact(s, dir, "kmvreg", "events",
+        p => graft.ops.EventOps.kmvSketchOf(s,
+          graft.ops.EventOps.kmvItemsOf(eventsStream(s, p))),
+        splitSourceFiles = 4)
+      graft.ops.EventOps.kmvReport(s, sk, dir)
+    },
+    graft.ops.EventOps.kmvOracle)
+
   val all: Seq[Q] =
     Seq(streamingSessions, streamingDedup, streamingHopping,
       streamingIntervalJoin, streamingOuterJoin, streamingQuota,
       streamingEnrich, streamingUpsert, streamingWmDedup, streamingDupRate,
-      streamingLshRegistry, streamingHll, streamingCountMin)
+      streamingLshRegistry, streamingHll, streamingCountMin, streamingKmv)
 }

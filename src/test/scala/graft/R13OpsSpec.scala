@@ -1,0 +1,135 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral coverage for the round-13 operators (q251–q255): planted
+  * synthetic corpora with hand-computable answers driven through the
+  * REGISTERED query entries (the driver's code path), plus batch/streaming
+  * parity on real testdata.
+  */
+class R13OpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** Corpus whose q14 near-dup pair graph is exactly a triangle plus an
+    * isolated duplicate pair: docs 1–3 verbatim copies of a 15-word
+    * template (pairwise J=1 → edges (1,2),(1,3),(2,3)), docs 4–5 verbatim
+    * copies of a disjoint 5-word text (edge (4,5)), doc 6 all-singleton
+    * shingles (df=1 → no rare shingles → no pairs). */
+  private lazy val graphDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r13_graph").toString
+    val tmpl = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13 t14 t15"
+    val pair = "p1 p2 p3 p4 p5"
+    Seq(
+      (1L, tmpl, "en", "srcA", 60L),
+      (2L, tmpl, "en", "srcA", 60L),
+      (3L, tmpl, "en", "srcA", 60L),
+      (4L, pair, "en", "srcB", 14L),
+      (5L, pair, "en", "srcB", 14L),
+      (6L, "u1 u2 u3 u4 u5 u6 u7", "en", "srcB", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Corpus whose only support-floored bigram is (a, b): doc 1 alternates
+    * "a b" five times (bigrams (a,b)×5, (b,a)×4), doc 2 is "c"×5
+    * ((c,c)×4 — under the floor of 5). */
+  private lazy val collocDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r13_colloc").toString
+    Seq(
+      (1L, "a b a b a b a b a b", "en", "srcA", 19L),
+      (2L, "c c c c c", "en", "srcA", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q251 estimator error: verbatim dupes land at agree=16 with zero error") {
+    // On graphDir every LSH candidate pair joins two VERBATIM copies
+    // (identical shingle sets → identical signatures → agree=16, exact
+    // J=1000‰, error 0); no cross-template candidates can exist because
+    // disjoint shingle sets cannot share an argmin. Rows collapse to the
+    // single agree=16 bucket holding all 4 dup pairs: (1,2),(1,3),(2,3),(4,5).
+    val rows = SparkEntry.queries("q251_minhash_estimator_error")(spark, graphDir)
+      .collect()
+    assert(rows.length === 1, rows.mkString("; "))
+    val r = rows.head
+    assert(r.getAs[Long]("agree") === 16L)
+    assert(r.getAs[Long]("n_pairs") === 4L)
+    assert(r.getAs[Double]("mean_exact_pm") === 1000.0)
+    assert(r.getAs[Double]("mean_abs_err_pm") === 0.0)
+    assert(r.getAs[Long]("max_abs_err_pm") === 0L)
+  }
+
+  test("q251 on the real corpus: errors bounded, support covers the estimator range") {
+    val rows = SparkEntry.queries("q251_minhash_estimator_error")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val agree = r.getAs[Long]("agree")
+      assert(agree >= 4L && agree <= 16L, s"agree=$agree outside band floor")
+      assert(r.getAs[Long]("max_abs_err_pm") <= 1000L)
+      assert(r.getAs[Double]("mean_abs_err_pm") >= 0.0)
+    }
+  }
+
+  test("q252 k-core: the triangle survives the 2-core peel, the pendant pair dissolves") {
+    val rows = SparkEntry.queries("q252_kcore_decomposition")(spark, graphDir)
+      .collect().sortBy(_.getAs[Long]("doc_id"))
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L, 3L),
+      rows.mkString("; "))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("degree") === 2L)  // triangle degrees
+      assert(r.getAs[Long]("stable") === 1L)  // round 4 removed nothing
+    }
+  }
+
+  test("q253 assortativity: degree-homogeneous components give r = 1 exactly") {
+    // Triangle (all deg 2) + isolated pair (all deg 1): every directed edge
+    // has dx == dy, so Pearson r is exactly 1.0; n=8 directed edges,
+    // mean degree 14/8.
+    val r = SparkEntry.queries("q253_degree_assortativity")(spark, graphDir)
+      .collect().head
+    assert(r.getAs[Long]("n_edges") === 8L)
+    assert(r.getAs[Double]("mean_deg") === 14.0 / 8.0)
+    assert(r.getAs[Double]("assortativity") === 1.0)
+  }
+
+  test("q254 streaming KMV registry is bit-identical to the batch sketch (q241)") {
+    val batch = SparkEntry.queries("q241_kmv_distinct")(spark, sfDir)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val streamed = SparkEntry.queries("q254_streaming_kmv")(spark, sfDir)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(streamed.nonEmpty)
+    assert(batch === streamed)
+  }
+
+  test("q255 collocation lift: planted pair is the only survivor, lift exact") {
+    val rows = SparkEntry.queries("q255_collocation_lift")(spark, collocDir)
+      .collect()
+    assert(rows.length === 1, rows.mkString("; "))
+    val r = rows.head
+    assert(r.getAs[Int]("rank") === 1)
+    assert(r.getAs[String]("w1") === "a")
+    assert(r.getAs[String]("w2") === "b")
+    assert(r.getAs[Long]("c2") === 5L)   // support: five "a b" bigrams
+    assert(r.getAs[Long]("c1a") === 5L)  // five a's
+    assert(r.getAs[Long]("c1b") === 5L)  // five b's
+    // Nu = 15 tokens, Nb = 13 bigrams; the exact five-op IEEE chain
+    val expected = (5.0 / 13.0) / ((5.0 / 15.0) * (5.0 / 15.0))
+    assert(r.getAs[Double]("lift") === expected)
+  }
+
+  test("q255 on the real corpus: ranked without gaps, all above support floor") {
+    val rows = SparkEntry.queries("q255_collocation_lift")(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(rows.nonEmpty && rows.length <= 50)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq === (1 to rows.length))
+    rows.foreach(r => assert(r.getAs[Long]("c2") >= 5L))
+    // ranking really is by lift (desc) with lexical tie-break
+    val lifts = rows.map(_.getAs[Double]("lift"))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+  }
+}
