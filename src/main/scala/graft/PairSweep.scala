@@ -56,7 +56,11 @@ object PairSweep {
     // propagation (q246: per-round cost |E|-bounded over the q14 pair
     // universe; rm -rf target alone won't reset it — its PlanCache entry
     // keys on the corpus fingerprint, so the big-dir run builds fresh)
-    "q245_sorted_neighborhood", "q246_label_propagation")
+    "q245_sorted_neighborhood", "q246_label_propagation",
+    // late round-13: the unified blocking-quality report (q256 — replays
+    // the exact all-shingle truth join against three candidate sets; the
+    // truth join is the q144 cost class, the grades candidate-bounded)
+    "q256_blocking_quality")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -263,6 +263,44 @@ object Dedup {
       WHERE CAST($agreeSql AS DOUBLE) / CAST($numHashes AS DOUBLE) >= 0.5"""
     })
 
+  /** The DuckDB spelling of the SimHash signature family (words → per-token
+    * md5 digit vectors → per-bit weighted sums → signature + 4×16-bit band
+    * keys), through the `sig` CTE — shared by the q16 oracle and q257's
+    * bit-balance audit so a hash-family change cannot update one and miss
+    * the other (the sigCtesSql discipline). */
+  private[graft] lazy val simhashCtesSql: String = {
+    val sumCols = (0 until 64).map { b =>
+      s"SUM(cnt * (2 * ((dv[${b / 4 + 1}] >> ${b % 4}) & 1) - 1)) AS s$b"
+    }.mkString(",\n          ")
+    // bit 63 is the sign bit: add Long.MinValue instead of 1<<63
+    val simSql = "(CASE WHEN s63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END) + " +
+      (0 until 63).map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ")
+    val keyCols = (0 until 4).map { i =>
+      (16 * i until 16 * (i + 1)).map(b =>
+        s"(CASE WHEN s$b > 0 THEN CAST(${1L << (b - 16 * i)} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ") + s" AS k$i"
+    }.mkString(",\n          ")
+    s"""words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ), tok AS (
+        SELECT doc_id, w, COUNT(1) AS cnt, md5(w) AS h FROM words GROUP BY doc_id, w
+      ), dig AS (
+        SELECT doc_id, cnt,
+          list_transform(range(1, 17), i -> strpos('0123456789abcdef', substr(h, i, 1)) - 1) AS dv
+        FROM tok
+      ), sums AS (
+        SELECT doc_id,
+          $sumCols
+        FROM dig GROUP BY doc_id
+      ), sig AS (
+        SELECT doc_id,
+          $simSql AS simhash,
+          $keyCols
+        FROM sums
+      )"""
+  }
+
   /** 64-bit SimHash per document (weighted per-bit majority over token hashes)
     * + near-dup collision counts via 4×16-bit LSH bands. One row per doc.
     *
@@ -271,32 +309,38 @@ object Dedup {
     * signatures, band keys, Hamming-verified collisions and counts are fully
     * oracled. Band keys are rebuilt from the per-bit sums (nonnegative
     * 16-bit values) rather than by shifting the signed 64-bit signature. */
+  /** The per-(session, dir) cached SimHash signature table
+    * (doc_id, simhash, k0..k3) — shared by q16 and q257's bit audit. */
+  private def simhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", md5(col("w")))
+      // dv: the 16 leading hex-digit values of md5(w) = 64 signature bits
+      .withColumn("dv", expr(
+        "transform(sequence(1, 16), i -> locate(substring(h, i, 1), '0123456789abcdef') - 1)"))
+    val bitSums = (0 until 64).map { b =>
+      sum(expr(s"cnt * (2 * ((dv[${b / 4}] >> ${b % 4}) & 1) - 1)")).as(s"s$b")
+    }
+    val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sim: Column = (0 until 64)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, c) => a.bitwiseOR(c))
+    val bandKeyCols = (0 until 4).map { i =>
+      (16 * i until 16 * (i + 1)).map(b =>
+        when(col(s"s$b") > 0, lit(1L << (b - 16 * i))).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"k$i") // disjoint bits: + ≡ OR, stays in [0, 65535]
+    }
+    // one bounded persisted copy per (session, dir) — see q14's ngr
+    graft.PlanCache.cached(s, "q16_sigs", dir, s"$dir/documents.parquet") {
+      sums.select(col("doc_id") +: sim.as("simhash") +: bandKeyCols: _*)
+    }
+  }
+
   val simhash: Q = Q(
     "q16_dedup_simhash",
     (s, dir) => {
-      val tok = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-        .withColumn("h", md5(col("w")))
-        // dv: the 16 leading hex-digit values of md5(w) = 64 signature bits
-        .withColumn("dv", expr(
-          "transform(sequence(1, 16), i -> locate(substring(h, i, 1), '0123456789abcdef') - 1)"))
-      val bitSums = (0 until 64).map { b =>
-        sum(expr(s"cnt * (2 * ((dv[${b / 4}] >> ${b % 4}) & 1) - 1)")).as(s"s$b")
-      }
-      val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      val sim: Column = (0 until 64)
-        .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce((a, c) => a.bitwiseOR(c))
-      val bandKeyCols = (0 until 4).map { i =>
-        (16 * i until 16 * (i + 1)).map(b =>
-          when(col(s"s$b") > 0, lit(1L << (b - 16 * i))).otherwise(lit(0L)))
-          .reduce(_ + _).as(s"k$i") // disjoint bits: + ≡ OR, stays in [0, 65535]
-      }
-      // one bounded persisted copy per (session, dir) — see q14's ngr
-      val sigs = graft.PlanCache.cached(s, "q16_sigs", dir, s"$dir/documents.parquet") {
-        sums.select(col("doc_id") +: sim.as("simhash") +: bandKeyCols: _*)
-      }
+      val sigs = simhashSigs(s, dir)
       val bandRows = sigs.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("band_idx"), col(s"k$i").as("band_key"))): _*)).as("bk"))
@@ -314,39 +358,10 @@ object Dedup {
           coalesce(col("near_dup_count"), lit(0L)).as("near_dup_count"))
     },
     Some {
-      val sumCols = (0 until 64).map { b =>
-        s"SUM(cnt * (2 * ((dv[${b / 4 + 1}] >> ${b % 4}) & 1) - 1)) AS s$b"
-      }.mkString(",\n          ")
-      // bit 63 is the sign bit: add Long.MinValue instead of 1<<63
-      val simSql = "(CASE WHEN s63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END) + " +
-        (0 until 63).map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
-          .mkString(" + ")
-      val keyCols = (0 until 4).map { i =>
-        (16 * i until 16 * (i + 1)).map(b =>
-          s"(CASE WHEN s$b > 0 THEN CAST(${1L << (b - 16 * i)} AS BIGINT) ELSE 0 END)")
-          .mkString(" + ") + s" AS k$i"
-      }.mkString(",\n          ")
       val bandSelects = (0 until 4)
         .map(i => s"SELECT doc_id, simhash, $i AS band_idx, k$i AS band_key FROM sig")
         .mkString("\n        UNION ALL\n        ")
-      s"""WITH words AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
-      ), tok AS (
-        SELECT doc_id, w, COUNT(1) AS cnt, md5(w) AS h FROM words GROUP BY doc_id, w
-      ), dig AS (
-        SELECT doc_id, cnt,
-          list_transform(range(1, 17), i -> strpos('0123456789abcdef', substr(h, i, 1)) - 1) AS dv
-        FROM tok
-      ), sums AS (
-        SELECT doc_id,
-          $sumCols
-        FROM dig GROUP BY doc_id
-      ), sig AS (
-        SELECT doc_id,
-          $simSql AS simhash,
-          $keyCols
-        FROM sums
-      ), bands AS (
+      s"""WITH $simhashCtesSql, bands AS (
         $bandSelects
       ), pairs AS (
         SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS other
@@ -1839,10 +1854,214 @@ object Dedup {
       FROM per GROUP BY agree"""
     })
 
+  // ---- q256: unified blocking-quality report --------------------------------
+  /** q256: the record-linkage textbook's two blocking metrics — REDUCTION
+    * RATIO (how much of the n·(n−1)/2 pair space the generator prunes) and
+    * PAIRS COMPLETENESS (what fraction of the true ≥0.5-Jaccard pairs its
+    * candidates still contain) — for the repo's three candidate
+    * generators side by side: banded MinHash-LSH (q15's collision set),
+    * 2-pass sorted neighborhood (q245's window pairs), and the
+    * rare-shingle inverted index (q14's collision set). q144 grades LSH
+    * alone and q221 grades method AGREEMENT; this is the RR/PC frontier
+    * that says which generator buys the most recall per candidate — the
+    * number that picks the blocking strategy before a 100 TB run.
+    *
+    * All metrics are exact integers (permille via integer division; truth
+    * from the exact all-shingle Jaccard over the shared posting table).
+    * The candidate universe is the shingle-eligible docs (≥3 words) for
+    * all three methods — SNM windows over the full corpus, then its pairs
+    * are restricted to that universe so the three generators are graded
+    * against the identical truth and denominator.
+    *
+    * Distributed shape: the exact-truth self-join is the one expensive
+    * stage, PlanCache-materialized once per (session, dir) — the same
+    * maintained-materialization cost q144 already pays, shared across
+    * this query's three grades. Everything else is candidate-bounded. */
+  val blockingQuality: Q = Q(
+    "q256_blocking_quality",
+    (s, dir) => {
+      val sh = ngramRows(s, dir)
+      val eligible = sh.select("doc_id").distinct()
+      val truth = graft.PlanCache.cached(s, "q256_truth", dir,
+          s"$dir/documents.parquet") {
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val shN = sh.join(sizes, "doc_id")
+        shN.as("a").join(shN.as("b"),
+            col("a.ngram") === col("b.ngram") && col("a.doc_id") < col("b.doc_id")
+              && col("a.n") <= lit(2) * col("b.n")
+              && col("b.n") <= lit(2) * col("a.n"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("common"),
+            min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
+          .filter(col("common") / (col("na") + col("nb") - col("common")) >= 0.5)
+          .select("doc_a", "doc_b")
+      }
+      // method 1: banded-LSH collisions (q15's candidate stage)
+      val bandRows = bandRowsOf(corpusSigs(s, dir))
+      val lshCand = bandRows.as("a").join(bandRows.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // method 2: 2-pass sorted neighborhood (q245's candidate stage)
+      val docs = Tables.documents(s, dir)
+      val flat = lower(translate(col("text"), " ", ""))
+      val snmCand = snmPairs(snmRanks(docs, substring(flat, 1, snmKeyLen)))
+        .union(snmPairs(snmRanks(docs, substring(reverse(flat), 1, snmKeyLen))))
+      // method 3: rare-shingle inverted-index collisions (q14's stage)
+      val rare = rareShingleRows(s, dir)
+      val rareCand = rare.as("a").join(rare.as("b"),
+          col("a.ngram") === col("b.ngram") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      def grade(name: String, cand0: DataFrame): DataFrame = {
+        val cand = cand0
+          .join(eligible.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+          .join(eligible.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+          .distinct()
+        cand.agg(count(lit(1)).as("n_cand")).crossJoin(
+          cand.join(truth, Seq("doc_a", "doc_b"))
+            .agg(count(lit(1)).as("n_hit")))
+          .select(lit(name).as("method"), col("n_cand"), col("n_hit"))
+      }
+      val universe = eligible.agg(count(lit(1)).as("nu"))
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      grade("lsh_banded", lshCand)
+        .unionByName(grade("snm_2pass", snmCand))
+        .unionByName(grade("rare_shingle", rareCand))
+        .crossJoin(broadcast(universe)).crossJoin(broadcast(nTruth))
+        .select(col("method"), col("n_cand"), col("n_truth"), col("n_hit"),
+          expr("""CASE WHEN n_truth = 0 THEN NULL
+                  ELSE CAST((n_hit * 1000) div n_truth AS BIGINT) END""")
+            .as("pc_pm"),
+          expr("""CAST(1000 - (n_cand * 1000) div ((nu * (nu - 1)) div 2)
+                  AS BIGINT)""").as("rr_pm"))
+    },
+    Some {
+      s"""WITH $sigCtesSql, sz AS (
+        SELECT doc_id, CAST(count(1) AS BIGINT) AS n FROM ngr GROUP BY doc_id
+      ), tp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(1) AS BIGINT) AS c
+        FROM ngr a JOIN ngr b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ), truth AS (
+        SELECT t.doc_a, t.doc_b
+        FROM tp t JOIN sz za ON t.doc_a = za.doc_id
+        JOIN sz zb ON t.doc_b = zb.doc_id
+        WHERE CAST(t.c AS DOUBLE) / CAST(za.n + zb.n - t.c AS DOUBLE) >= 0.5
+      ), elig AS (
+        SELECT DISTINCT doc_id FROM ngr
+      ), lsh_cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+      ), base AS (
+        SELECT doc_id, replace(lower(text), ' ', '') AS flat FROM documents
+      ), k1r AS (
+        SELECT doc_id, row_number() OVER (
+          ORDER BY substring(flat, 1, $snmKeyLen), doc_id) AS r FROM base
+      ), k2r AS (
+        SELECT doc_id, row_number() OVER (
+          ORDER BY substring(reverse(flat), 1, $snmKeyLen), doc_id) AS r FROM base
+      ), snm_cand AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+          SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+                 GREATEST(a.doc_id, b.doc_id) AS doc_b
+          FROM k1r a JOIN k1r b ON b.r > a.r AND b.r <= a.r + ${snmW - 1}
+          UNION ALL
+          SELECT LEAST(a.doc_id, b.doc_id), GREATEST(a.doc_id, b.doc_id)
+          FROM k2r a JOIN k2r b ON b.r > a.r AND b.r <= a.r + ${snmW - 1}
+        ) p
+        JOIN elig ea ON p.doc_a = ea.doc_id
+        JOIN elig eb ON p.doc_b = eb.doc_id
+      ), rare AS (
+        SELECT ngram FROM ngr GROUP BY ngram
+        HAVING count(1) >= 2 AND count(1) <= $maxDf
+      ), rr AS (
+        SELECT n.doc_id, n.ngram FROM ngr n JOIN rare USING (ngram)
+      ), rare_cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM rr a JOIN rr b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+      ), methods AS (
+        SELECT 'lsh_banded' AS method, doc_a, doc_b FROM lsh_cand
+        UNION ALL SELECT 'snm_2pass', doc_a, doc_b FROM snm_cand
+        UNION ALL SELECT 'rare_shingle', doc_a, doc_b FROM rare_cand
+      ), grades AS (
+        SELECT m.method, CAST(count(1) AS BIGINT) AS n_cand,
+               CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_hit
+        FROM methods m
+        LEFT JOIN truth t ON m.doc_a = t.doc_a AND m.doc_b = t.doc_b
+        GROUP BY m.method
+      ), u AS (
+        SELECT CAST(count(1) AS BIGINT) AS nu FROM elig
+      ), nt AS (
+        SELECT CAST(count(1) AS BIGINT) AS n_truth FROM truth
+      )
+      SELECT g.method, g.n_cand, nt.n_truth, g.n_hit,
+             CASE WHEN nt.n_truth = 0 THEN NULL
+                  ELSE CAST((g.n_hit * 1000) // nt.n_truth AS BIGINT) END
+               AS pc_pm,
+             CAST(1000 - (g.n_cand * 1000) // ((u.nu * (u.nu - 1)) // 2)
+               AS BIGINT) AS rr_pm
+      FROM grades g CROSS JOIN u CROSS JOIN nt"""
+    })
+
+  // ---- q257: SimHash bit-balance audit --------------------------------------
+  /** q257: per-bit 1-frequency of the corpus's SimHash signatures — the
+    * sketch-health diagnostic for q16. SimHash's collision bound assumes
+    * each signature bit is ~balanced over the corpus; a bit pinned near
+    * 0‰ or 1000‰ contributes no discrimination, so k biased bits turn the
+    * nominal 64-bit / 6-bit-radius guarantee into a (64−k)-bit one and
+    * inflate band collisions. One row per bit with its 1-count and the
+    * absolute skew from the balanced 500‰ — the table that says whether
+    * the token-hash family is mixing before anyone trusts q16's
+    * near-dup counts at scale.
+    *
+    * Reads the cached q16 signature table (band keys are nonnegative
+    * 16-bit values, so bit extraction never touches the sign bit) and
+    * aggregates 64 × n_docs bits into 64 rows — integer-exact end to end,
+    * grouped on a constant-64 key space. */
+  val simhashBitBalance: Q = Q(
+    "q257_simhash_bit_balance",
+    (s, dir) => {
+      val bits = simhashSigs(s, dir)
+        .select(col("doc_id"), explode(sequence(lit(0), lit(63))).as("bit"),
+          col("k0"), col("k1"), col("k2"), col("k3"))
+        .withColumn("v", expr(
+          """(CASE (bit div 16) WHEN 0 THEN k0 WHEN 1 THEN k1
+                              WHEN 2 THEN k2 ELSE k3 END
+              div CAST(pow(2, bit % 16) AS BIGINT)) % 2"""))
+      bits.groupBy("bit")
+        .agg(count(lit(1)).as("n_docs"), sum("v").as("n_ones"))
+        .select(col("bit").cast("long").as("bit"), col("n_docs"),
+          col("n_ones").cast("long").as("n_ones"),
+          expr("CAST((n_ones * 1000) div n_docs AS BIGINT)").as("ones_pm"),
+          expr("CAST(abs(n_ones * 2000 - n_docs * 1000) div (2 * n_docs) AS BIGINT)")
+            .as("skew_pm"))
+    },
+    Some {
+      s"""WITH $simhashCtesSql, bits AS (
+        SELECT s.doc_id, g.b AS bit,
+               ((CASE (g.b // 16) WHEN 0 THEN s.k0 WHEN 1 THEN s.k1
+                                WHEN 2 THEN s.k2 ELSE s.k3 END
+                 // CAST(2 ** (g.b % 16) AS BIGINT)) % 2) AS v
+        FROM sig s CROSS JOIN (SELECT unnest(range(0, 64)) AS b) g
+      )
+      SELECT CAST(bit AS BIGINT) AS bit,
+             CAST(count(1) AS BIGINT) AS n_docs,
+             CAST(SUM(v) AS BIGINT) AS n_ones,
+             CAST((SUM(v) * 1000) // count(1) AS BIGINT) AS ones_pm,
+             CAST(ABS(SUM(v) * 2000 - count(1) * 1000) // (2 * count(1))
+               AS BIGINT) AS skew_pm
+      FROM bits GROUP BY bit"""
+    })
+
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, editDistance,
       incrementalDedup, fuzzyDecontaminate, setSimJoin, substringSpans,
       containmentJoin, cdcChunks, lshEval, dedupReport, memorizationSpans,
       thresholdSweep, templateHubs, methodKappa, lshSCurve, winnowingOverlap,
-      sortedNeighborhood, minhashEstimatorError)
+      sortedNeighborhood, minhashEstimatorError, blockingQuality,
+      simhashBitBalance)
 }

@@ -122,6 +122,63 @@ class R13OpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("lift") === expected)
   }
 
+  test("q256 blocking quality: all generators recover the planted truth; RR separates them") {
+    val rows = SparkEntry.queries("q256_blocking_quality")(spark, graphDir)
+      .collect().map(r => r.getAs[String]("method") -> r).toMap
+    assert(rows.keySet === Set("lsh_banded", "snm_2pass", "rare_shingle"))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_truth") === 4L) // (1,2),(1,3),(2,3),(4,5)
+      assert(r.getAs[Long]("pc_pm") === 1000L, r.toString) // every truth pair found
+    }
+    // shingle-collision generators propose EXACTLY the 4 true pairs on this
+    // corpus (disjoint shingle sets cannot collide): 6 eligible docs,
+    // 15 possible pairs -> rr = 1000 - 4000/15 = 734
+    Seq("lsh_banded", "rare_shingle").foreach { m =>
+      assert(rows(m).getAs[Long]("n_cand") === 4L, rows(m).toString)
+      assert(rows(m).getAs[Long]("rr_pm") === 734L)
+    }
+    // SNM's fixed window is distribution-blind: on 6 docs with window 4 the
+    // two passes cover the whole pair space -> zero reduction, full recall
+    assert(rows("snm_2pass").getAs[Long]("n_cand") === 15L, rows("snm_2pass").toString)
+    assert(rows("snm_2pass").getAs[Long]("rr_pm") === 0L)
+  }
+
+  test("q257 bit balance reconstructs the signature on a one-doc corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r13_bit").toString
+    Seq((1L, "alpha beta gamma delta", "en", "srcA", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sig = SparkEntry.queries("q16_dedup_simhash")(spark, dir)
+      .collect().head.getAs[Long]("simhash")
+    val bits = SparkEntry.queries("q257_simhash_bit_balance")(spark, dir)
+      .collect().map(r => r.getAs[Long]("bit") -> r).toMap
+    assert(bits.size === 64)
+    val rebuilt = (0 until 64).map { b =>
+      val r = bits(b.toLong)
+      assert(r.getAs[Long]("n_docs") === 1L)
+      val one = r.getAs[Long]("n_ones")
+      assert(one === 0L || one === 1L)
+      assert(r.getAs[Long]("ones_pm") === one * 1000)
+      assert(r.getAs[Long]("skew_pm") === 500L) // a single doc is maximally skewed
+      if (one == 1L) 1L << b else 0L
+    }.reduce(_ | _)
+    assert(rebuilt === sig, f"bit table ${rebuilt}%x != simhash ${sig}%x")
+  }
+
+  test("q257 on the real corpus: 64 balanced-ish bits, consistent counts") {
+    val rows = SparkEntry.queries("q257_simhash_bit_balance")(spark, sfDir)
+      .collect()
+    assert(rows.length === 64)
+    val nDocs = rows.head.getAs[Long]("n_docs")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") === nDocs)
+      val ones = r.getAs[Long]("n_ones")
+      assert(ones >= 0 && ones <= nDocs)
+      assert(r.getAs[Long]("ones_pm") === ones * 1000 / nDocs)
+    }
+  }
+
   test("q255 on the real corpus: ranked without gaps, all above support floor") {
     val rows = SparkEntry.queries("q255_collocation_lift")(spark, sfDir)
       .collect().sortBy(_.getAs[Int]("rank"))
