@@ -82,7 +82,10 @@ object FpStress {
     // round-13 (VERDICT r12 directive #6): the DKW rank-error audit's
     // sample-quantile/exact-rank double comparisons (q247) and the MMR
     // greedy's λ-blended relevance/redundancy scores (q249)
-    "q247_sample_quantiles", "q249_mmr_rerank")
+    "q247_sample_quantiles", "q249_mmr_rerank",
+    // late round-13: the truncated-RBO final division over integer
+    // nano-unit sums (q258 — the q222 no-double-sum discipline)
+    "q258_rbo_agreement")
 
   /** 2-decimal deterministic jitter in [0, 0.96], keyed by (row key, copy) —
     * keeps every jittered double a 2-decimal value so the round(sum, p)

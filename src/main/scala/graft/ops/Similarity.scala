@@ -1460,9 +1460,82 @@ object Similarity {
            FROM sel$t""").mkString(" UNION ALL ")}"""
     })
 
+  // ---- q258: rank-biased overlap between exact and ANN rankings -------------
+  /** Truncated-RBO depth weights at p=0.9, k=5, pre-summed per first-match
+    * depth and quantized to nano-units: a matched (exact, ANN) pair whose
+    * ranks are (ra, rb) joins every prefix from depth max(ra, rb) onward,
+    * so its total contribution is W(m) = Σ_{d=m..5} (1−p)·p^(d−1)/d.
+    * Quantizing W to integers makes the per-query sum ORDER-INDEPENDENT
+    * and engine-exact (the q222 discipline: never sum doubles) — the
+    * literals are computed once here and embedded identically in the
+    * Spark plan and the DuckDB oracle. */
+  private lazy val rboWeightsU: Seq[Long] = {
+    val p = 0.9
+    (1 to 5).map(m => Math.round(
+      (m to 5).map(d => (1 - p) * math.pow(p, d - 1) / d).sum * 1e9)).toSeq
+  }
+
+  /** q258: RANK-BIASED OVERLAP (Webber et al. 2010, truncated at k=5,
+    * p=0.9) between the exact top-5 (q18) and the LSH ANN top-5 (q19) per
+    * query. q195 grades the set (recall@5) and q222 the first hit (MRR);
+    * RBO is the standard TOP-WEIGHTED agreement — a swap at rank 1 costs
+    * more than a swap at rank 5 — i.e. the metric that matches how a
+    * retrieval consumer actually reads the list. Per query: matched-pair
+    * count and rbo5 ∈ [0, ~0.9], 0 for queries whose ANN list shares
+    * nothing with the exact list.
+    *
+    * FP shape: per-pair contributions are exact integer nano-units (one
+    * CASE over max(ra, rb)); the per-query sum stays integer (≤ 5·W(1)·1e9
+    * ≪ 2^53) and ONE final division produces the double — bit-identical
+    * in both engines by construction.
+    *
+    * Distributed shape: both inputs are the already-graded top-5 tables
+    * (≤ 5 rows per query); one (q_id, neighbor)-keyed join, one per-query
+    * aggregate. O(queries · k) end to end. */
+  val annRbo: Q = Q(
+    "q258_rbo_agreement",
+    (s, dir) => {
+      val b = knnBruteForce.run(s, dir).select(col("q_id"),
+        col("neighbor_id"), col("rank").as("ra"))
+      val l = knnLsh.run(s, dir).select(col("q_id"),
+        col("neighbor_id"), col("rank").as("rb"))
+      val wuCase = (1 to 5).map(m =>
+        s"WHEN $m THEN ${rboWeightsU(m - 1)}L").mkString(" ")
+      val matched = b.join(l, Seq("q_id", "neighbor_id"))
+        .withColumn("md", greatest(col("ra"), col("rb")))
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_common"),
+          sum(expr(s"CASE md $wuCase END")).as("wu"))
+      b.select("q_id").distinct()
+        .join(matched, Seq("q_id"), "left")
+        .na.fill(0L, Seq("n_common", "wu"))
+        .select(col("q_id"), col("n_common"),
+          (col("wu").cast("double") / lit(1e9)).as("rbo5"))
+    },
+    Some {
+      val wuCase = (1 to 5).map(m =>
+        s"WHEN $m THEN ${rboWeightsU(m - 1)}").mkString(" ")
+      s"""WITH b AS (
+        SELECT q_id, neighbor_id, rank AS ra FROM (${knnBruteForce.oracle.get})
+      ), l AS (
+        SELECT q_id, neighbor_id, rank AS rb FROM (${knnLsh.oracle.get})
+      ), m AS (
+        SELECT b.q_id, GREATEST(b.ra, l.rb) AS md
+        FROM b JOIN l ON b.q_id = l.q_id AND b.neighbor_id = l.neighbor_id
+      ), w AS (
+        SELECT q_id, CAST(count(1) AS BIGINT) AS n_common,
+               CAST(SUM(CASE md $wuCase END) AS BIGINT) AS wu
+        FROM m GROUP BY q_id
+      )
+      SELECT qb.q_id, CAST(COALESCE(w.n_common, 0) AS BIGINT) AS n_common,
+             CAST(COALESCE(w.wu, 0) AS DOUBLE) / 1000000000.0 AS rbo5
+      FROM (SELECT DISTINCT q_id FROM b) qb
+      LEFT JOIN w ON qb.q_id = w.q_id"""
+    })
+
   val all: Seq[Q] =
     Seq(embeddingNearDup, knnBruteForce, knnLsh, knnIvf, semDedup,
       mutualKnnClusters, hybridRrf, pqEncode, pqAdcTopK, ivfPqTopK,
       truncationRecall, annRecall, annRankQuality, hardNegatives, knnLabelNoise,
-      embeddingStats, mmrRerank)
+      embeddingStats, mmrRerank, annRbo)
 }

@@ -179,6 +179,33 @@ class R13OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q258 RBO matches a driver-side re-derivation from the two rankings") {
+    def ranks(name: String): Map[(Long, Long), Long] =
+      SparkEntry.queries(name)(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")) ->
+          r.getAs[Long]("rank")).toMap
+    val b = ranks("q18_knn_bruteforce")
+    val l = ranks("q19_knn_lsh")
+    // independent recomputation of the quantized depth weights
+    val p = 0.9
+    val wu = (1 to 5).map(m => Math.round(
+      (m to 5).map(d => (1 - p) * math.pow(p, d - 1) / d).sum * 1e9))
+    val expected = b.keys.map(_._1).toSeq.distinct.map { q =>
+      val units = b.collect { case ((`q`, n), ra) if l.contains((q, n)) =>
+        wu((math.max(ra, l((q, n))) - 1).toInt)
+      }
+      q -> (units.size.toLong, units.sum)
+    }.toMap
+    val rows = SparkEntry.queries("q258_rbo_agreement")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("q_id")).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (nc, u) = expected(r.getAs[Long]("q_id"))
+      assert(r.getAs[Long]("n_common") === nc, r.toString)
+      assert(r.getAs[Double]("rbo5") === u.toDouble / 1e9, r.toString)
+      assert(r.getAs[Double]("rbo5") <= 0.40952) // identical-list ceiling Σw_d
+    }
+  }
+
   test("q255 on the real corpus: ranked without gaps, all above support floor") {
     val rows = SparkEntry.queries("q255_collocation_lift")(spark, sfDir)
       .collect().sortBy(_.getAs[Int]("rank"))
