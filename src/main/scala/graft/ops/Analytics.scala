@@ -1255,10 +1255,18 @@ object Analytics {
       val wedges = oriented.as("x").join(oriented.as("y"),
           col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
         .select(col("x.src").as("u"), col("x.dst").as("v"), col("y.dst").as("w"))
-      // close the wedge: the third edge is oriented either v→w or w→v
-      val tri = wedges.join(oriented,
-        (col("src") === col("v") && col("dst") === col("w")) ||
-          (col("src") === col("w") && col("dst") === col("v")))
+      // close the wedge: the third edge is oriented either v→w or w→v.
+      // Canonicalize the oriented edges back to (lexical-lo, lexical-hi)
+      // so the closure is a plain two-column EQUI-join — an OR of the two
+      // orientations is un-hashable and Spark planned it as a
+      // CartesianProduct over all wedges × all edges (caught by the r13
+      // plan gate; quadratic at scale). The wedge build already emits
+      // v < w lexically, so the canonical key matches exactly the same
+      // rows the OR condition did.
+      val closing = oriented.select(
+        least(col("src"), col("dst")).as("v"),
+        greatest(col("src"), col("dst")).as("w"))
+      val tri = wedges.join(closing, Seq("v", "w"))
         .select("u", "v", "w")
       tri.select(explode(array(col("u"), col("v"), col("w"))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n_triangles"))
