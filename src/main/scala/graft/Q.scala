@@ -25,6 +25,22 @@ final case class Q(
   * resulting doubles are 1 ulp off (diagnosed on q122). An exponent suffix
   * forces the DOUBLE parse path, where Java's shortest-round-trip rendering
   * is recovered bit-exactly by DuckDB's correctly-rounded strtod. */
+/** DuckDB-side CTE materialization for oracles whose CTE chains are
+  * referenced more than once per level (unrolled peel/propagation rounds,
+  * shared pair universes): DuckDB's planner may INLINE a multiply-referenced
+  * CTE and re-execute its subtree per reference — q252's 4-round peel paid
+  * the q14 pair-mining CTE 3^4 times (measured 125.6 s at sf0.1 vs 1.1 s
+  * materialized, identical rows). Spark's side of these queries already
+  * materializes the shared frame (PlanCache / eager checkpoint), so the
+  * un-hinted comparison measured DuckDB's inlining heuristic, not the
+  * algorithm. The hint keeps the baseline honest in BOTH directions: we
+  * don't claim a 100× win that is really the oracle re-planning itself.
+  * Applied per-oracle, only where re-evaluation was measured. */
+object OracleSql {
+  def materializeCtes(sql: String): String =
+    sql.replaceAll("\\bAS \\(", "AS MATERIALIZED (")
+}
+
 object SqlLit {
   def double(d: Double): String = {
     require(!d.isNaN && !d.isInfinite, s"non-finite SQL literal: $d")

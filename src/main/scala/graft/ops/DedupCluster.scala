@@ -337,7 +337,8 @@ object DedupCluster {
           when(col("n_scored_pairs") < col("n_pairs"), lit(0.0))
             .otherwise(col("j_min_scored")).as("min_jaccard"))
     },
-    Some(s"""WITH RECURSIVE pairs AS (
+    // CTE materialization (see q229's note; measured 5.7 s vs 0.9 s)
+    Some(graft.OracleSql.materializeCtes(s"""WITH RECURSIVE pairs AS (
         ${Dedup.ngramJaccard.oracle.get}
       ), cc_edges AS (
         SELECT doc_a AS u, doc_b AS v FROM pairs
@@ -387,7 +388,7 @@ object DedupCluster {
              CASE WHEN COALESCE(p.n_scored_pairs, 0)
                     < s.n_members * (s.n_members - 1) // 2
                   THEN 0.0 ELSE p.j_min_scored END AS min_jaccard
-      FROM sizes s LEFT JOIN perc p ON s.component = p.component"""))
+      FROM sizes s LEFT JOIN perc p ON s.component = p.component""")))
 
   // ---- q229: canonical-selection policy comparison ---------------------------
   /** q229: which document each dedup cluster KEEPS under the two standard
@@ -428,7 +429,10 @@ object DedupCluster {
           col("chars_lowest"), col("chars_longest"),
           (col("chars_longest") - col("chars_lowest")).as("chars_delta"))
     },
-    Some(s"""WITH comp AS (
+    // CTE materialization: the recursive component walk is referenced by
+    // several downstream CTEs; un-hinted DuckDB re-executes it per reference
+    // (measured 3.6 s vs 1.0 s at sf0.1, identical rows)
+    Some(graft.OracleSql.materializeCtes(s"""WITH comp AS (
         ${dedupClusters.oracle.get}
       ), sized AS (
         SELECT c.doc_id, c.component, d.n_chars
@@ -452,7 +456,7 @@ object DedupCluster {
              CAST(q.chars_longest - l.chars_lowest AS BIGINT) AS chars_delta
       FROM members m
       JOIN byq q ON m.component = q.component AND q.rn = 1
-      JOIN bylow l ON m.component = l.component"""))
+      JOIN bylow l ON m.component = l.component""")))
 
   // ---- q233: split-leakage comparison --------------------------------------
   /** q233: the measured justification for q69 — how many q14 near-dup
@@ -615,7 +619,10 @@ object DedupCluster {
           FROM s$i)
         WHERE rn = 1
       )"""
-      s"""WITH pairs AS (
+      // CTE materialization: each LPA round references the previous label
+      // CTE and the shared edge list; un-hinted DuckDB re-executes the q14
+      // mining per round (measured 7.2 s vs 1.0 s at sf0.1, identical rows)
+      graft.OracleSql.materializeCtes(s"""WITH pairs AS (
         ${Dedup.ngramJaccard.oracle.get}
       ), nodes AS (
         SELECT doc_a AS u FROM pairs UNION SELECT doc_b AS u FROM pairs
@@ -635,7 +642,7 @@ object DedupCluster {
                AS converged
       FROM l3
       JOIN l2 ON l3.doc_id = l2.doc_id
-      JOIN sizes ON l3.label = sizes.label"""
+      JOIN sizes ON l3.label = sizes.label""")
     })
 
   // ---- q252: k-core decomposition (bounded peel) ---------------------------
@@ -701,7 +708,10 @@ object DedupCluster {
         SELECT e.u, e.v FROM $prev e
         JOIN a$i x ON e.u = x.u JOIN a$i y ON e.v = y.u
       )"""
-      s"""WITH pairs AS (
+      // CTE materialization: the 4-round peel references each round's edge
+      // CTE three times; un-hinted DuckDB re-executes the q14 mining 3^4
+      // times (measured 125.6 s vs 1.1 s at sf0.1, identical rows)
+      graft.OracleSql.materializeCtes(s"""WITH pairs AS (
         ${Dedup.ngramJaccard.oracle.get}
       ), e0 AS (
         SELECT doc_a AS u, doc_b AS v FROM pairs
@@ -715,7 +725,7 @@ object DedupCluster {
              CAST(CASE WHEN count(1) = d3.deg3 THEN 1 ELSE 0 END
                AS BIGINT) AS stable
       FROM e4 JOIN d3 ON e4.u = d3.u
-      GROUP BY e4.u, d3.deg3"""
+      GROUP BY e4.u, d3.deg3""")
     })
 
   // ---- q253: degree assortativity of the duplicate-pair graph --------------

@@ -504,7 +504,11 @@ object Similarity {
         .select(col("vec_id"), col("cell"), col("component"), col("cluster_size"))
     },
     None,
+    // CTE materialization: the CC rounds reference their predecessors
+    // multiply; un-hinted, DuckDB re-inlines the whole assignment subtree
+    // per round (measured 12.8 s vs 0.4 s at sf0.1, identical rows)
     Some(() => IvfIndex.forOracle.map { cents =>
+      graft.OracleSql.materializeCtes(
       ivfOracleBase(cents, recursive = true) + s""", av AS (
         SELECT a.vec_id, a.cell, n.v, n.norm FROM assigned a JOIN n USING (vec_id)
       ), scoredp AS (
@@ -533,7 +537,7 @@ object Similarity {
       SELECT l.vec_id, l.cell, l.component, s.cluster_size
       FROM labeled l
       JOIN (SELECT component, COUNT(*) AS cluster_size
-            FROM labeled GROUP BY component) s USING (component)"""
+            FROM labeled GROUP BY component) s USING (component)""")
     }))
 
   // ---- q139: hybrid retrieval via reciprocal-rank fusion -------------------
@@ -1439,6 +1443,10 @@ object Similarity {
             ORDER BY score DESC, vec_id) AS rn2 FROM r$t)
         WHERE rn2 = 1
       )"""
+      // CTE materialization: each greedy round references all prior sel
+      // CTEs; un-hinted, DuckDB re-inlines the candidate subtree per round
+      // (measured 6.9 s vs 0.35 s at sf0.1, identical rows)
+      graft.OracleSql.materializeCtes(
       s"""$oracleBase, cand AS (
         SELECT q_id, vec_id, cos FROM sims WHERE rn <= $mmrCand
       ), pair AS (
@@ -1457,7 +1465,7 @@ object Similarity {
       ${(1 to mmrK).map(t =>
         s"""SELECT q_id, CAST($t AS BIGINT) AS pick_rank,
                vec_id AS picked_id, cos AS rel_cos, score AS mmr_score
-           FROM sel$t""").mkString(" UNION ALL ")}"""
+           FROM sel$t""").mkString(" UNION ALL ")}""")
     })
 
   // ---- q258: rank-biased overlap between exact and ANN rankings -------------
