@@ -84,8 +84,9 @@ object FpStress {
     // greedy's λ-blended relevance/redundancy scores (q249)
     "q247_sample_quantiles", "q249_mmr_rerank",
     // late round-13: the truncated-RBO final division over integer
-    // nano-unit sums (q258 — the q222 no-double-sum discipline)
-    "q258_rbo_agreement")
+    // nano-unit sums (q258 — the q222 no-double-sum discipline) and the
+    // tf-idf cosine's int64-cast division chain (q259)
+    "q258_rbo_agreement", "q259_tfidf_cosine")
 
   /** 2-decimal deterministic jitter in [0, 0.96], keyed by (row key, copy) —
     * keeps every jittered double a 2-decimal value so the round(sum, p)

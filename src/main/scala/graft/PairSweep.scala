@@ -60,7 +60,11 @@ object PairSweep {
     // late round-13: the unified blocking-quality report (q256 — replays
     // the exact all-shingle truth join against three candidate sets; the
     // truth join is the q144 cost class, the grades candidate-bounded)
-    "q256_blocking_quality")
+    "q256_blocking_quality",
+    // round-13 second wave: the weighted set-similarity join (q259 —
+    // shingle-blocked candidates, full-vector tf-idf verify; the verify
+    // expansion is |cand| × doc terms, the cost this sweep must watch)
+    "q259_tfidf_cosine")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

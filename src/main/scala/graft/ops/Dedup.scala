@@ -2060,11 +2060,136 @@ object Dedup {
       FROM bits GROUP BY bit"""
     })
 
+  // ---- q259: tf-idf weighted cosine near-dup join ----------------------------
+  /** q259's integer idf quantum: weight(t, d) = tf · (Q div df) — the
+    * rational-idf discipline (q68/q91: ln() is not cross-engine
+    * bit-stable), picked so weights stay in BIGINT headroom. */
+  private val tfidfQ = 10000L
+
+  /** q259: WEIGHTED set-similarity join — tf-idf cosine over word vectors,
+    * the member of the dedup taxonomy every other operator here skips:
+    * q14/q111 score UNWEIGHTED shingle sets (a boilerplate term counts as
+    * much as a discriminative one), while tf-idf cosine down-weights
+    * corpus-common vocabulary, the standard near-dup score for templated
+    * text whose variable parts are the rare terms. τ = 0.9 because word-
+    * distribution cosine saturates on a shared-vocabulary corpus (τ=0.5
+    * admits ~20% of ALL candidate pairs at sf0.1 — not a dedup verdict;
+    * 0.9 marks genuine distribution twins, 1431 pairs at sf0.1). Candidates come from
+    * the rare-term inverted index (df ∈ [2, maxDf], the q14 blocking
+    * discipline); the cosine is verified over the FULL weighted vectors
+    * via candidate-bounded posting joins.
+    *
+    * FP shape: weights are exact integers (tf · (10000 div df), identical
+    * integer division in both engines); dot products and squared norms are
+    * exact integer sums in DECIMAL(38,0)/HUGEINT (the q203 wrap rule —
+    * wt² sums pass 2^63 at ~10^5 terms × tf 10^4); the τ = 0.9 threshold
+    * is applied WITHOUT division or sqrt: 100·dot² ≥ 81·na·nb, an exact integer
+    * comparison in both engines at any scale. The display cosine divides
+    * the BIGINT-cast values (int64→double is correctly rounded in both
+    * engines for the full int64 range — unlike HUGEINT→double — so the
+    * one displayed double is bit-identical while the sums fit int64;
+    * exact at every tested sf, bound noted here).
+    *
+    * Distributed shape: one token explode, two keyed aggregates, the
+    * rare-posting self-join for candidates (never all-pairs), and two
+    * doc-keyed posting joins bounded by the candidate set — q245's verify
+    * idiom. No data-sized broadcast. */
+  val tfidfCosine: Q = Q(
+    "q259_tfidf_cosine",
+    (s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dft = tok.groupBy("w").agg(count(lit(1)).as("df"))
+      val wtd = tok.join(dft, "w")
+        .withColumn("wt", col("tf") * expr(s"$tfidfQ div df"))
+        .select("doc_id", "w", "wt")
+      val norms = wtd.groupBy("doc_id")
+        .agg(sum((col("wt") * col("wt")).cast("decimal(38,0)")).as("n2"))
+      // candidates from the RARE-SHINGLE index (q14's blocking, cached):
+      // word-grain rarity does not survive scale on a bounded vocabulary
+      // (at 5k docs every word's df exceeds any useful cutoff — measured:
+      // zero word-blocked candidates at sf0.1), while trigram shingles
+      // stay sparse at every sf. Blocking on shingles + verifying the
+      // weighted WORD vectors is the standard split: candidates cheap and
+      // high-recall, score exact.
+      val rare = rareShingleRows(s, dir)
+      val cand = rare.as("a").join(rare.as("b"),
+          col("a.ngram") === col("b.ngram") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val dots = cand
+        .join(wtd.select(col("doc_id").as("doc_a"), col("w"), col("wt").as("wa")),
+          Seq("doc_a"))
+        .join(wtd.select(col("doc_id").as("doc_b"), col("w"), col("wt").as("wb")),
+          Seq("doc_b", "w"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_shared"),
+          sum((col("wa") * col("wb")).cast("decimal(38,0)")).as("dotd"))
+      dots
+        .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("nad")), Seq("doc_a"))
+        .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nbd")), Seq("doc_b"))
+        .filter(col("dotd") > 0 &&
+          col("dotd") * col("dotd") * lit(100) >= col("nad") * col("nbd") * lit(81))
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          col("dotd").cast("long").as("dot"),
+          col("nad").cast("long").as("na"),
+          col("nbd").cast("long").as("nb"))
+        .withColumn("cos", col("dot").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double")))
+    },
+    Some(s"""WITH tok AS (
+        SELECT doc_id, w, CAST(count(1) AS BIGINT) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ) GROUP BY doc_id, w
+      ), dft AS (
+        SELECT w, CAST(count(1) AS BIGINT) AS df FROM tok GROUP BY w
+      ), wtd AS (
+        SELECT t.doc_id, t.w, t.tf * ($tfidfQ // d.df) AS wt
+        FROM tok t JOIN dft d ON t.w = d.w
+      ), norms AS (
+        SELECT doc_id, SUM(CAST(wt AS HUGEINT) * wt) AS n2
+        FROM wtd GROUP BY doc_id
+      ), docs3 AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+      ), ng AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words)-1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS ngram
+        FROM docs3
+      ), rdf AS (
+        SELECT ngram FROM ng GROUP BY ngram
+        HAVING count(1) >= 2 AND count(1) <= $maxDf
+      ), rr AS (
+        SELECT n.doc_id, n.ngram FROM ng n JOIN rdf USING (ngram)
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM rr a JOIN rr b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+      ), dots AS (
+        SELECT c.doc_a, c.doc_b, CAST(count(1) AS BIGINT) AS n_shared,
+               SUM(CAST(pa.wt AS HUGEINT) * pb.wt) AS dotd
+        FROM cand c
+        JOIN wtd pa ON pa.doc_id = c.doc_a
+        JOIN wtd pb ON pb.doc_id = c.doc_b AND pb.w = pa.w
+        GROUP BY c.doc_a, c.doc_b
+      )
+      SELECT d.doc_a, d.doc_b, d.n_shared,
+             CAST(d.dotd AS BIGINT) AS dot,
+             CAST(na.n2 AS BIGINT) AS na,
+             CAST(nb.n2 AS BIGINT) AS nb,
+             CAST(CAST(d.dotd AS BIGINT) AS DOUBLE)
+               / sqrt(CAST(CAST(na.n2 AS BIGINT) AS DOUBLE)
+                    * CAST(CAST(nb.n2 AS BIGINT) AS DOUBLE)) AS cos
+      FROM dots d
+      JOIN norms na ON d.doc_a = na.doc_id
+      JOIN norms nb ON d.doc_b = nb.doc_id
+      WHERE d.dotd > 0 AND 100 * d.dotd * d.dotd >= 81 * na.n2 * nb.n2"""))
+
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, editDistance,
       incrementalDedup, fuzzyDecontaminate, setSimJoin, substringSpans,
       containmentJoin, cdcChunks, lshEval, dedupReport, memorizationSpans,
       thresholdSweep, templateHubs, methodKappa, lshSCurve, winnowingOverlap,
       sortedNeighborhood, minhashEstimatorError, blockingQuality,
-      simhashBitBalance)
+      simhashBitBalance, tfidfCosine)
 }

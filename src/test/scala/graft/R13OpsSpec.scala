@@ -206,6 +206,27 @@ class R13OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q259 tf-idf cosine: verbatim dupes are exact distribution twins") {
+    val rows = SparkEntry.queries("q259_tfidf_cosine")(spark, graphDir).collect()
+    val pairs = rows.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)), rows.mkString("; "))
+    rows.foreach { r =>
+      val (dot, na, nb) = (r.getAs[Long]("dot"), r.getAs[Long]("na"), r.getAs[Long]("nb"))
+      assert(dot === na && na === nb) // identical word distributions
+      // the displayed cosine is exactly the int64-cast IEEE chain
+      val exp = dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+      assert(r.getAs[Double]("cos") === exp)
+      assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-12)
+    }
+    // template words: df=3 across docs 1-3 -> wt = 1 * (10000 div 3) = 3333,
+    // 15 distinct words -> dot = 15 * 3333^2
+    val t = rows.find(r => r.getAs[Long]("doc_a") == 1L &&
+      r.getAs[Long]("doc_b") == 2L).get
+    assert(t.getAs[Long]("n_shared") === 15L)
+    assert(t.getAs[Long]("dot") === 15L * 3333L * 3333L)
+  }
+
   test("q255 on the real corpus: ranked without gaps, all above support floor") {
     val rows = SparkEntry.queries("q255_collocation_lift")(spark, sfDir)
       .collect().sortBy(_.getAs[Int]("rank"))
