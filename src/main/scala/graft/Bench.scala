@@ -100,6 +100,17 @@ object Bench {
     }.toMap
   }
 
+  /** Confirm-corrected suite total (VERDICT r13 directive #5): the raw
+    * total with each breached query's confirm reading substituted for its
+    * timed one (failed confirms, −1, never substitute). Round-over-round
+    * totals then stay comparable through machine-contention windows without
+    * the manual subtraction that previously lived only in prose (r13: 144.4
+    * raw vs ~124 corrected). Equal to `value` when no breaches occurred. */
+  private[graft] def totalConfirmed(results: Seq[QResult],
+      confirm: Map[String, Double]): Double =
+    results.filter(_.err.isEmpty)
+      .map(r => confirm.get(r.name).filter(_ >= 0).getOrElse(r.sec)).sum
+
   /** The driver-contract JSON line: `queries` maps every query to its
     * seconds (−1 on failure), `errors` maps failed queries to messages,
     * `value` sums only the successful timings. `t_start` maps every query
@@ -127,7 +138,9 @@ object Bench {
       jstr(n) + ":" + math.round(sec * 1000) / 1000.0 }.mkString("{", ",", "}")
     // mid-timed-pass eviction forensics: "entry@consumer" occurrences
     val sh = selfHeals.map { case (e, c) => jstr(s"$e@$c") }.mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""total_confirmed":${totalConfirmed(results, confirm)},""" +
+      s""""queries":$qs,""" +
       s""""t_start":$ts,""" +
       s""""errors":$errs,"failed":${results.count(_.err.isDefined)},""" +
       s""""gc_sec":$gc3,"persistent_rdds":$persistentRdds,""" +
@@ -180,6 +193,7 @@ object Bench {
       .map { case (n, s) => "{" + jstr(n) + ":" + math.round(s * 1000) / 1000.0 + "}" }
       .getOrElse("{}")
     s"""{"metric":"total","value":${ok.map(_.sec).sum},"unit":"sec",""" +
+      s""""total_confirmed":${totalConfirmed(results, confirm)},""" +
       s""""n_queries":${results.size},"failed":${results.count(_.err.isDefined)},""" +
       s""""gc_sec":${math.round(gcSec * 1000) / 1000.0},""" +
       s""""slowest":$slow,"regressions":${renderRegs(regs, confirm)},""" +

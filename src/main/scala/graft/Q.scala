@@ -35,10 +35,46 @@ final case class Q(
   * un-hinted comparison measured DuckDB's inlining heuristic, not the
   * algorithm. The hint keeps the baseline honest in BOTH directions: we
   * don't claim a 100× win that is really the oracle re-planning itself.
-  * Applied per-oracle, only where re-evaluation was measured. */
+  * Applied per-oracle, only where re-evaluation was measured.
+  *
+  * Scope of the rewrite (r14 hardening): only `<ident> AS (` headers whose
+  * balanced-paren body does NOT reference its own name — i.e. genuinely
+  * non-recursive CTEs. The previous blanket `AS (` replace also stamped
+  * MATERIALIZED onto self-referencing CTE headers inside WITH RECURSIVE
+  * blocks (q226's `walk` embedded in q228/q229), which the current DuckDB
+  * tolerates but PostgreSQL — whose grammar DuckDB inherits — rejects;
+  * version-fragile. Recursive CTEs are execution-pinned by the recursion
+  * itself, so skipping them loses no measured materialization. */
 object OracleSql {
-  def materializeCtes(sql: String): String =
-    sql.replaceAll("\\bAS \\(", "AS MATERIALIZED (")
+  private val CteHeader = "([A-Za-z_][A-Za-z0-9_]*)(\\s+AS\\s+)\\(".r
+
+  def materializeCtes(sql: String): String = {
+    val sb = new java.lang.StringBuilder
+    var pos = 0
+    for (m <- CteHeader.findAllMatchIn(sql)) {
+      val name = m.group(1)
+      val open = m.end - 1
+      var depth = 0; var i = open; var endIdx = -1
+      while (i < sql.length && endIdx < 0) {
+        sql.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) endIdx = i
+          case _ =>
+        }
+        i += 1
+      }
+      val body = if (endIdx > open) sql.substring(open + 1, endIdx) else ""
+      val selfRef =
+        ("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+          .findFirstIn(body).isDefined
+      sb.append(sql, pos, m.start)
+      if (selfRef) sb.append(m.matched)
+      else sb.append(name).append(m.group(2)).append("MATERIALIZED (")
+      pos = m.end
+    }
+    sb.append(sql, pos, sql.length)
+    sb.toString
+  }
 }
 
 object SqlLit {

@@ -2081,14 +2081,21 @@ object Dedup {
     *
     * FP shape: weights are exact integers (tf · (10000 div df), identical
     * integer division in both engines); dot products and squared norms are
-    * exact integer sums in DECIMAL(38,0)/HUGEINT (the q203 wrap rule —
-    * wt² sums pass 2^63 at ~10^5 terms × tf 10^4); the τ = 0.9 threshold
-    * is applied WITHOUT division or sqrt: 100·dot² ≥ 81·na·nb, an exact integer
-    * comparison in both engines at any scale. The display cosine divides
-    * the BIGINT-cast values (int64→double is correctly rounded in both
-    * engines for the full int64 range — unlike HUGEINT→double — so the
-    * one displayed double is bit-identical while the sums fit int64;
-    * exact at every tested sf, bound noted here).
+    * computed IN decimal — one operand is cast to DECIMAL(38,0) BEFORE the
+    * multiply, so the product never passes through LongType (a Long×Long
+    * product wraps silently above 2^63 in non-ANSI Spark while the oracle's
+    * HUGEINT does not — the q136/q221 divergence class); sums accumulate in
+    * DECIMAL(38,0)/HUGEINT (wt² sums pass 2^63 at ~10^5 terms × tf 10^4).
+    * The τ = 0.9 threshold is applied WITHOUT division or sqrt:
+    * 100·dot² ≥ 81·na·nb. Scale bound (the q204/q232 class): that squared
+    * comparison is exact while 100·dotd² < 10^38 — i.e. dotd < 10^18.5 —
+    * beyond which Spark's DECIMAL(38,0) product goes NULL (pair silently
+    * dropped) and DuckDB's HUGEINT raises; NOT exact at any scale, exact at
+    * every tested sf with ~10^10 headroom (sf0.1 max dotd ~10^8). The
+    * display cosine divides the BIGINT-cast values (int64→double is
+    * correctly rounded in both engines for the full int64 range — unlike
+    * HUGEINT→double — so the one displayed double is bit-identical while
+    * the sums fit int64; same-class bound).
     *
     * Distributed shape: one token explode, two keyed aggregates, the
     * rare-posting self-join for candidates (never all-pairs), and two
@@ -2105,7 +2112,7 @@ object Dedup {
         .withColumn("wt", col("tf") * expr(s"$tfidfQ div df"))
         .select("doc_id", "w", "wt")
       val norms = wtd.groupBy("doc_id")
-        .agg(sum((col("wt") * col("wt")).cast("decimal(38,0)")).as("n2"))
+        .agg(sum(col("wt").cast("decimal(38,0)") * col("wt")).as("n2"))
       // candidates from the RARE-SHINGLE index (q14's blocking, cached):
       // word-grain rarity does not survive scale on a bounded vocabulary
       // (at 5k docs every word's df exceeds any useful cutoff — measured:
@@ -2125,7 +2132,7 @@ object Dedup {
           Seq("doc_b", "w"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("n_shared"),
-          sum((col("wa") * col("wb")).cast("decimal(38,0)")).as("dotd"))
+          sum(col("wa").cast("decimal(38,0)") * col("wb")).as("dotd"))
       dots
         .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("nad")), Seq("doc_a"))
         .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nbd")), Seq("doc_b"))

@@ -738,7 +738,10 @@ object DedupCluster {
     * or template-mining (q213) is the higher-leverage cleanup.
     *
     * FP shape: the five moment sums are exact integers in DECIMAL(38,0)
-    * (degrees are counts; HUGEINT in the oracle); numerator/denominator
+    * (degrees are counts; HUGEINT in the oracle) — one operand of each
+    * degree product is cast to DECIMAL(38,0) BEFORE the multiply so the
+    * product never passes through LongType (Long×Long wraps silently above
+    * 2^63 in non-ANSI Spark; the q136/q221 class); numerator/denominator
     * cross-products stay in decimal and cast to double only at the end.
     * Scale bound (the q204/q232 class): those casts are value-exact while
     * n·Σxy < 2^53 — beyond ~10^15 (an |E| ~ 10^11 dup graph with hub
@@ -759,20 +762,20 @@ object DedupCluster {
         .join(deg.select(col("u").as("v"), col("deg").as("dy")), Seq("v"))
       de.agg(
           count(lit(1)).as("n_edges"),
-          sum(col("dx").cast("decimal(18,0)")).as("sx"),
-          sum(col("dy").cast("decimal(18,0)")).as("sy"),
-          sum((col("dx") * col("dy")).cast("decimal(18,0)")).as("sxy"),
-          sum((col("dx") * col("dx")).cast("decimal(18,0)")).as("sxx"),
-          sum((col("dy") * col("dy")).cast("decimal(18,0)")).as("syy"))
+          sum(col("dx").cast("decimal(38,0)")).as("sx"),
+          sum(col("dy").cast("decimal(38,0)")).as("sy"),
+          sum(col("dx").cast("decimal(38,0)") * col("dy")).as("sxy"),
+          sum(col("dx").cast("decimal(38,0)") * col("dx")).as("sxx"),
+          sum(col("dy").cast("decimal(38,0)") * col("dy")).as("syy"))
         .select(col("n_edges"),
           (col("sx").cast("double") / col("n_edges").cast("double"))
             .as("mean_deg"),
           expr("""CASE
-            WHEN CAST(n_edges AS DECIMAL(18,0)) * sxx - sx * sx = 0
-              OR CAST(n_edges AS DECIMAL(18,0)) * syy - sy * sy = 0 THEN NULL
-            ELSE CAST(CAST(n_edges AS DECIMAL(18,0)) * sxy - sx * sy AS DOUBLE)
-              / sqrt(CAST(CAST(n_edges AS DECIMAL(18,0)) * sxx - sx * sx AS DOUBLE)
-                   * CAST(CAST(n_edges AS DECIMAL(18,0)) * syy - sy * sy AS DOUBLE))
+            WHEN CAST(n_edges AS DECIMAL(38,0)) * sxx - sx * sx = 0
+              OR CAST(n_edges AS DECIMAL(38,0)) * syy - sy * sy = 0 THEN NULL
+            ELSE CAST(CAST(n_edges AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+              / sqrt(CAST(CAST(n_edges AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)
+                   * CAST(CAST(n_edges AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE))
             END""").as("assortativity"))
     },
     Some {

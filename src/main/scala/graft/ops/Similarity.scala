@@ -23,8 +23,9 @@ import graft.{Q, Tables}
   */
 object Similarity {
 
-  /** vec_id % 50 == 0 → 2% query sample; same modulus in the oracles. */
-  private val queryMod = 50
+  /** vec_id % 50 == 0 → 2% query sample; same modulus in the oracles (and
+    * in q260's streamed query filter — graft-visible for that reason). */
+  private[graft] val queryMod = 50
 
   private def withNorm(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
@@ -112,48 +113,84 @@ object Similarity {
   /** Exact band key + every Hamming-≤2 variant: 1 + 8 + 28 = 37 probes. */
   private val probeMasks: Seq[Long] = probeMasksFor(2)
 
+  /** (vec_id, v, norm, band_idx, band_key) rows for any (vec_id, v, norm)
+    * frame: all 8 band keys in one fused codegen'd loop (VecBandKeys) — the
+    * HOF formulation interpreted two lambdas per plane element, which
+    * dominated the query's wall time; key bit order is most-significant-
+    * first, and per-band computation avoids a 64-bit signature accumulator
+    * (ANSI mode would throw on the sign-bit shift). */
+  private def bandRowsOf(df: DataFrame): DataFrame =
+    df.withColumn("planes", typedLit(lshPlanes))
+      .select(col("vec_id"), col("v"), col("norm"),
+        posexplode(expr(s"vec_band_keys(v, planes, $bandBits)"))
+          .as(Seq("band_idx", "band_key")))
+
+  /** Probe-join a banded QUERY frame against the banded corpus at Hamming
+    * budget `h` and score candidates exactly. The broadcast side is always
+    * the query frame — the serving invariant that holds from q19's batch 2%
+    * sample to q260's streaming micro-batches: the corpus index never moves,
+    * only the (tiny) query side fans out ×|probes|. */
+  private def lshProbeJoin(corpus: DataFrame, qBand: DataFrame, h: Int): DataFrame = {
+    // query side probe budget is the recall/scan-cost dial: these synthetic
+    // embeddings are near-random (5th-neighbor cos ≈ 0.3 → per-bit
+    // collision ≈ 0.6) so they need the full H≤2 budget; clustered
+    // production embeddings reach the same recall at H≤1
+    val probeKeys = expr(probeMasksFor(h).map(m => s"band_key ^ $m")
+      .mkString("array(", ", ", ")"))
+    val q = qBand
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"),
+        col("band_idx").as("q_band_idx"), explode(probeKeys).as("q_probe_key"))
+    // cosine is computed AT the join, so the dedup shuffle moves only
+    // (q_id, vec_id, cos) — never the embedding arrays. A multi-band
+    // duplicate recomputes one codegen'd vec_dot instead of pushing two
+    // vectors through the exchange; duplicates carry identical cos, so
+    // dropDuplicates keeps a well-defined row
+    corpus.join(broadcast(q),
+        col("band_idx") === col("q_band_idx") && col("band_key") === col("q_probe_key")
+          && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (expr("vec_dot(qv, v)") / (col("qn") * col("norm"))).as("cos"))
+      .dropDuplicates("q_id", "vec_id")
+  }
+
+  /** Exact top-5 re-rank inside a candidate set — q18's contract columns. */
+  private def rankTop5(cand: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** Candidate set of the q19 LSH plan at Hamming budget `h` — exposed
     * separately so [[graft.AnnSweep]] can measure candidate volume per
     * budget; `lshTopK(s, dir, 2)` IS q19's production plan. */
   private[graft] def lshCandidates(s: SparkSession, dir: String, h: Int): DataFrame = {
-      val planesCol = typedLit(lshPlanes)
-      // all 8 band keys in one fused codegen'd loop (VecBandKeys) — the HOF
-      // formulation interpreted two lambdas per plane element, which dominated
-      // the query's wall time; key bit order is most-significant-first, and
-      // per-band computation avoids a 64-bit signature accumulator (ANSI mode
-      // would throw on the sign-bit shift)
-      val bandRows = withNorm(s, dir).withColumn("planes", planesCol)
-        .select(col("vec_id"), col("v"), col("norm"),
-          posexplode(expr(s"vec_band_keys(v, planes, $bandBits)"))
-            .as(Seq("band_idx", "band_key")))
-      // query side probe budget is the recall/scan-cost dial: these synthetic
-      // embeddings are near-random (5th-neighbor cos ≈ 0.3 → per-bit
-      // collision ≈ 0.6) so they need the full H≤2 budget; clustered
-      // production embeddings reach the same recall at H≤1
-      val probeKeys = expr(probeMasksFor(h).map(m => s"band_key ^ $m")
-        .mkString("array(", ", ", ")"))
-      val q = bandRows.filter(col("vec_id") % queryMod === 0)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"),
-          col("band_idx").as("q_band_idx"), explode(probeKeys).as("q_probe_key"))
-      // cosine is computed AT the join, so the dedup shuffle moves only
-      // (q_id, vec_id, cos) — never the embedding arrays. A multi-band
-      // duplicate recomputes one codegen'd vec_dot instead of pushing two
-      // vectors through the exchange; duplicates carry identical cos, so
-      // dropDuplicates keeps a well-defined row
-      bandRows.join(broadcast(q),
-          col("band_idx") === col("q_band_idx") && col("band_key") === col("q_probe_key")
-            && col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          (expr("vec_dot(qv, v)") / (col("qn") * col("norm"))).as("cos"))
-        .dropDuplicates("q_id", "vec_id")
+    val bandRows = bandRowsOf(withNorm(s, dir))
+    lshProbeJoin(bandRows, bandRows.filter(col("vec_id") % queryMod === 0), h)
   }
 
-  private[graft] def lshTopK(s: SparkSession, dir: String, h: Int): DataFrame = {
-      val cand = lshCandidates(s, dir, h)
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-      cand.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+  private[graft] def lshTopK(s: SparkSession, dir: String, h: Int): DataFrame =
+    rankTop5(lshCandidates(s, dir, h))
+
+  /** q260's per-micro-batch ANN serving plan: the arriving query batch
+    * (raw embeddings schema) is banded, multi-probed, and exact-re-ranked
+    * against the STATIC corpus band index — exactly q19's physical plan
+    * with the broadcast side swapped from "2% corpus sample" to "this
+    * micro-batch". Batch-side only (foreachBatch): both the broadcast hint
+    * on the query side and the row_number re-rank are batch-only constructs,
+    * which is WHY q260 serves through foreachBatch rather than a naive
+    * stream-static join — that would shuffle/re-plan the corpus index per
+    * batch with the stream as probe side, and could not rank inside
+    * candidates. Each query is served entirely within the micro-batch it
+    * arrives in, so the accumulated append output is batch-order-independent
+    * and equals the q19 batch result over the same query set. */
+  private[graft] def lshServeBatch(s: SparkSession, dir: String,
+      queryBatch: DataFrame, h: Int = 2): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val qn = queryBatch.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("norm", expr("sqrt(vec_dot(v, v))"))
+    rankTop5(lshProbeJoin(bandRowsOf(withNorm(s, dir)), bandRowsOf(qn), h))
   }
 
   /** Random-hyperplane (SimHash-for-vectors) LSH top-k: 64 deterministic

@@ -227,7 +227,8 @@ object StreamingSessions {
       table: String, stream: String => DataFrame,
       mode: String = "complete",
       flushPhases: Seq[String => Unit] = Nil,
-      splitSourceFiles: Int = 0): DataFrame = {
+      splitSourceFiles: Int = 0,
+      batchTransform: DataFrame => DataFrame = identity): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
     // staging/output root is spark-conf-backed (default: this repo's target
     // dir) so a deployment relocates the stream scratch space without a
@@ -333,11 +334,20 @@ object StreamingSessions {
         // result row exactly once, so batches accumulate; update mode emits
         // the CHANGED keys per batch — stamped with the batch id, the
         // accumulated writes form a changelog a compaction view reads back
+        // batchTransform runs batch-side INSIDE foreachBatch — the standard
+        // serving idiom for logic a streaming plan cannot express (broadcast
+        // direction hints, window re-ranks); it sees each micro-batch as a
+        // plain DataFrame and stays fully distributed (q260's per-batch ANN
+        // serve). Correctness requires the transform be per-row-group local
+        // to the batch — here each arriving key is served exactly once, in
+        // its arrival batch.
         val write: (DataFrame, Long) => Unit = mode match {
-          case "update" => (batch, id) =>
-            batch.withColumn("batch_id", lit(id)).write.mode("append").parquet(out)
-          case "append" => (batch, _) => batch.write.mode("append").parquet(out)
-          case _ => (batch, _) => batch.write.mode("overwrite").parquet(out)
+          case "update" => (batch, id) => batchTransform(batch)
+            .withColumn("batch_id", lit(id)).write.mode("append").parquet(out)
+          case "append" => (batch, _) =>
+            batchTransform(batch).write.mode("append").parquet(out)
+          case _ => (batch, _) =>
+            batchTransform(batch).write.mode("overwrite").parquet(out)
         }
         val q = stream(sourcePath).writeStream
           .outputMode(mode)
@@ -946,9 +956,47 @@ object StreamingSessions {
     },
     graft.ops.EventOps.kmvOracle)
 
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** q260: STREAMING ANN serving — the query path the streaming similarity
+    * stack was missing (q236 maintains the collision REGISTRY; this SERVES
+    * top-k): query vectors arrive as 4 real micro-batches (vec_id % 50 = 0,
+    * q19's exact query population), and each micro-batch is served through
+    * [[graft.ops.Similarity.lshServeBatch]] — q19's physical plan verbatim
+    * (band the arriving queries, multi-probe Hamming ≤ 2, broadcast the
+    * banded micro-batch against the static corpus band index, exact cosine
+    * re-rank to top-5) inside foreachBatch. Every query is answered entirely
+    * within its arrival batch, so the appended outputs are batch-order-
+    * independent and their union equals q19's batch answer over the same
+    * query set — q19's oracle applies VERBATIM, and StreamingSpec pins
+    * streamed ≡ batch row-for-row. foreachBatch rather than a naive
+    * stream-static join because serving needs the broadcast DIRECTION pinned
+    * (the tiny query batch moves; the corpus index stays put) and a
+    * per-query row_number re-rank — both batch-only constructs; a
+    * stream-static join would re-plan the corpus side per batch as the
+    * build side and could not rank inside candidates. */
+  val streamingAnnProbe: Q = Q(
+    "q260_streaming_ann_probe",
+    (s, dir) => streamToArtifact(s, dir, "annprobe", "embeddings", { p =>
+      s.readStream.schema(embSchema).parquet(p)
+        .filter(col("vec_id") % graft.ops.Similarity.queryMod === 0)
+    }, mode = "append",
+      // foreachBatch hands each micro-batch on a CLONED SparkSession; build
+      // the serve plan on that session (b.sparkSession), not the outer one —
+      // vec_dot/vec_band_keys registrations on the outer session do not
+      // propagate to a clone created before the batch ran
+      batchTransform = b =>
+        graft.ops.Similarity.lshServeBatch(b.sparkSession, dir, b),
+      splitSourceFiles = 4),
+    graft.ops.Similarity.knnLsh.oracle)
+
   val all: Seq[Q] =
     Seq(streamingSessions, streamingDedup, streamingHopping,
       streamingIntervalJoin, streamingOuterJoin, streamingQuota,
       streamingEnrich, streamingUpsert, streamingWmDedup, streamingDupRate,
-      streamingLshRegistry, streamingHll, streamingCountMin, streamingKmv)
+      streamingLshRegistry, streamingHll, streamingCountMin, streamingKmv,
+      streamingAnnProbe)
 }

@@ -72,6 +72,24 @@ class BenchSpec extends AnyFunSuite {
     assert(summary.contains("\"rewarm_max\":{\"q14_pairs\":0.42}"), summary)
   }
 
+  test("total_confirmed substitutes confirm readings; -1 confirms never substitute") {
+    val rs = Seq(
+      Bench.QResult("q_slow", 9.73, None),   // breached; confirm 1.42
+      Bench.QResult("q_bad", 5.0, None),     // breached; confirm failed (-1)
+      Bench.QResult("q_fine", 1.0, None),
+      Bench.QResult("q_broken", -1.0, Some("boom"))) // failure: in neither total
+    val confirm = Map("q_slow" -> 1.42, "q_bad" -> -1.0)
+    // q_slow substituted, q_bad keeps its timed reading, q_broken excluded
+    assert(math.abs(Bench.totalConfirmed(rs, confirm) - (1.42 + 5.0 + 1.0)) < 1e-9)
+    // no confirms -> identical to the raw successful total
+    assert(math.abs(Bench.totalConfirmed(rs, Map.empty) - (9.73 + 5.0 + 1.0)) < 1e-9)
+    val regs = Seq(("q_slow", 9.73, 2.0), ("q_bad", 5.0, 2.0))
+    val json = Bench.renderJson(rs, sfDir, 0.0, 0, 0L, regs, 0.0, Nil, Nil, confirm)
+    assert(json.contains("\"total_confirmed\":7.42"), json)
+    val summary = Bench.renderSummary(rs, sfDir, regs, confirm = confirm)
+    assert(summary.contains("\"total_confirmed\":7.42"), summary)
+  }
+
   test("timestamps: full line carries per-query t_start; summary t0 + ckpt offsets") {
     val rs = (0 until 25).map(i =>
       Bench.QResult(f"q$i%02d", 0.1, None, 1700000000000L + i * 1000L))

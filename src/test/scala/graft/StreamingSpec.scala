@@ -327,6 +327,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotKeys.toSet === want.toSet)
   }
 
+  test("q260 streaming ANN probe equals the q19 batch top-k row for row") {
+    // The serving contract: every query vector served in its arrival
+    // micro-batch through q19's plan must yield exactly the batch answer —
+    // the streamed union IS q19 over the same query set (4 real source
+    // batches, so at least some queries are served in later batches).
+    // (collected compare, not exceptAll: exceptAll between the parquet-backed
+    // artifact and q19's windowed plan trips INTERNAL_ERROR_ATTRIBUTE_NOT_
+    // FOUND in Spark 4.1's replace-except rewrite; both sides are ≤ top-5 ×
+    // |queries| rows, driver-safe by construction)
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, sfDir)
+        .select("q_id", "neighbor_id", "rank", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._3))
+    val streamed = rows("q260_streaming_ann_probe")
+    val batch = rows("q19_knn_lsh")
+    assert(streamed.length === batch.length)
+    assert(streamed.sameElements(batch),
+      s"streamed/batch top-k diverge: ${streamed.diff(batch).take(3).mkString("; ")}")
+  }
+
   test("q132 a key is re-admitted only after its dedup state is evicted") {
     import spark.implicits._
     val dir = "/root/repo/target/graft_stream_wmdedup"
