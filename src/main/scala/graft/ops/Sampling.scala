@@ -233,10 +233,16 @@ object Sampling {
     * tie-broken total order (frac, source, doc_id).
     *
     * Distributed shape: one source-partitioned rank window + a broadcast
-    * of the |sources|-row size table; the global position is a
-    * row_number over (frac, source, doc_id) — at 100 TB that global sort
-    * becomes a range-partitioned write (the q61/q100 machinery); the
-    * semantic order is what's contracted here. */
+    * of the |sources|-row size table; the global position uses q100's
+    * two-phase bucket rank (r14 — the naive `row_number() OVER (ORDER BY
+    * frac, ...)` serialized the corpus through ONE task, the exact shape
+    * the PlanGates sort gate exists to catch): bucket = ⌊frac·256⌋ is a
+    * monotone prefix of the leading sort key (equal fracs share a bucket,
+    * so bucket ranges are order-aligned), per-bucket counts give exclusive
+    * prefix offsets (≤257-row window), and global_pos = offset +
+    * within-bucket row_number over the full (frac, source, doc_id) key —
+    * identical total order, 256-way parallel. frac is uniform on (0,1] by
+    * construction (k/n_src), so buckets are balanced. */
   val interleavedOrder: Q = Q(
     "q174_interleaved_order",
     (s, dir) => {
@@ -245,11 +251,19 @@ object Sampling {
           Md5Draw.draw(16, lit("ord42"), col("doc_id")).as("draw"))
       val wSrc = Window.partitionBy("source").orderBy(col("draw"), col("doc_id"))
       val sizes = d.groupBy("source").agg(count(lit(1)).as("n_src"))
-      d.withColumn("k", row_number().over(wSrc).cast("long"))
+      val ranked = d.withColumn("k", row_number().over(wSrc).cast("long"))
         .join(broadcast(sizes), "source")
         .withColumn("frac", col("k").cast("double") / col("n_src").cast("double"))
-        .withColumn("global_pos", row_number().over(
-          Window.orderBy(col("frac"), col("source"), col("doc_id"))).cast("long"))
+        .withColumn("fb", floor(col("frac") * 256).cast("long"))
+      val offs = ranked.groupBy("fb").agg(count(lit(1)).as("bn"))
+        .withColumn("off", coalesce(
+          sum("bn").over(Window.orderBy("fb")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("fb", "off")
+      ranked.join(broadcast(offs), Seq("fb"))
+        .withColumn("global_pos", (col("off") + row_number().over(
+          Window.partitionBy("fb")
+            .orderBy(col("frac"), col("source"), col("doc_id")))).cast("long"))
         .select("doc_id", "source", "k", "n_src", "frac", "global_pos")
     },
     Some(s"""WITH d AS (

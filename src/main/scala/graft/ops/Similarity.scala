@@ -607,7 +607,10 @@ object Similarity {
         .withColumn("r_lex", row_number()
           .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
         .select("doc_id", "r_lex")
-      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      // limit(1) after the unique-key filter: semantically a no-op (vec_id
+      // is unique) but it makes the 1-row bound STRUCTURAL, so the
+      // PlanGates broadcast-hint audit proves it instead of trusting it
+      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0).limit(1)
         .select(expr("transform(embedding, x -> cast(x as double))").as("qv"))
       val denseTop = Tables.embeddings(s, dir)
         .select(col("vec_id").as("doc_id"),

@@ -452,11 +452,20 @@ object Spectral {
     * some regions. Reuses the trained weights and their dynamic-literal
     * oracle contract.
     *
-    * Distributed shape: one scoring scan (the q133 expression), one NTILE
-    * window over the doc dimension, a 10-row aggregate. */
+    * Distributed shape (r14): the naive `NTILE(10) OVER (ORDER BY score,
+    * doc_id)` serialized the corpus through ONE task (the PlanGates sort
+    * shape); replaced by q100's two-phase bucket rank — ⌊score·64⌋ is a
+    * monotone quantizer of the leading sort key (equal scores share a
+    * bucket, so bucket ranges are order-aligned), per-bucket counts give
+    * exclusive prefix offsets, global rank = offset + within-bucket
+    * row_number — plus NTILE's closed form from (rank, N): with q = N DIV
+    * 10, r = N % 10, the first r deciles hold q+1 rows, so bucket =
+    * ⌈rank/(q+1)⌉ while rank ≤ r(q+1), else r + ⌈(rank − r(q+1))/q⌉.
+    * Bit-identical to the window NTILE at any N, 64-way parallel. */
   val probeCalibration: Q = Q(
     "q180_probe_calibration",
     (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val w = probeWeights(s, dir)
       val score = lit(w(0)) +
         lit(w(1)) * (col("n_chars").cast("double") / lit(1000.0d)) +
@@ -464,10 +473,23 @@ object Spectral {
       val scored = Tables.documents(s, dir)
         .select(col("doc_id"), score.as("score"),
           when(col("lang") === "en", 1L).otherwise(0L).as("label"))
-      scored
-        .withColumn("bucket", ntile(10).over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("score"), col("doc_id"))).cast("long"))
+        .withColumn("kb", floor(col("score") * 64).cast("long"))
+      val offs = scored.groupBy("kb").agg(count(lit(1)).as("bn"))
+        .withColumn("off", coalesce(
+          sum("bn").over(Window.orderBy("kb")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("kb", "off")
+      val tot = scored.agg(count(lit(1)).as("n_total"))
+      scored.join(broadcast(offs), Seq("kb")).crossJoin(broadcast(tot))
+        .withColumn("rk", col("off") + row_number().over(
+          Window.partitionBy("kb").orderBy(col("score"), col("doc_id"))))
+        .withColumn("qq", expr("n_total DIV 10"))
+        .withColumn("r", expr("n_total % 10"))
+        .withColumn("bucket",
+          when(col("rk") <= col("r") * (col("qq") + 1),
+            expr("(rk + qq) DIV (qq + 1)"))
+          .otherwise(expr("r + (rk - r * (qq + 1) + qq - 1) DIV qq"))
+          .cast("long"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
           // 6 dp: corpus-wide score sums cross the 2^53 conversion boundary

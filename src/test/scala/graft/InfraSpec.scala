@@ -187,4 +187,77 @@ class InfraSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p188.contains("Generate"), s"q188 materializes minutes:\n$p188")
   }
+
+  test("aux dump contract: the schemas and row identities the oracles assume") {
+    // The three aux_* dumps are the ORACLE INPUTS for eight gates (q25/q26/
+    // q28/q29/q30/q44/q183/q184): a silent schema or row drift would fail
+    // those queries with a confusing DuckDB error far from its cause. Pin
+    // the contract here so a deliberate change fails ONE pointed message
+    // (VERDICT r13 directive #4). The counts are the sf0.01 identities the
+    // driver's CORRECTNESS artifact records (130/204/232); the dumps are
+    // metadata-scale (derived from the pipeline scripts, not the tables),
+    // asserted here at sf0.01 — the driver's correctness sf.
+    val out = "/root/repo/target/graft_aux_contract"
+    ops.LineageQueries.dumpRetrievalAux(spark, "/root/testdata/sf0.01", out)
+    def shape(name: String) = spark.read.parquet(s"$out/$name")
+    val planCols = shape("aux_plan_cols")
+    assert(planCols.schema.map(f => f.name -> f.dataType.simpleString) === Seq(
+      "script" -> "string", "df_ord" -> "int", "df" -> "string",
+      "col_ord" -> "int", "col" -> "string", "src_ord" -> "int",
+      "source" -> "string", "transformation" -> "string"))
+    assert(planCols.count() === 130)
+    val parts = shape("aux_corpus_parts")
+    assert(parts.schema.map(f => f.name -> f.dataType.simpleString) === (Seq(
+      "kind", "script", "df", "name", "direction", "format", "path",
+      "expression", "fn", "sources", "group_by", "condition", "left_cols",
+      "right_cols").map(_ -> "string") :+ ("ord" -> "int")))
+    assert(parts.count() === 204)
+    val vecs = shape("aux_qa_vectors")
+    assert(vecs.schema.map(f => f.name -> f.dataType.simpleString) === Seq(
+      "id" -> "string", "v_csv" -> "string"))
+    assert(vecs.count() === 232)
+    // identities the retrieval oracles join on: unique ids, the three named
+    // question vectors present, one fixed embedding dimension throughout
+    assert(vecs.count() === vecs.select("id").distinct().count())
+    for (q <- Seq("question::q29", "question::q44", "question::q30"))
+      assert(vecs.filter(col("id") === q).count() === 1, s"missing $q")
+    val dims = vecs.select(size(split(col("v_csv"), ",")).as("d"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    assert(dims.size === 1, s"mixed vector dims: $dims")
+  }
+
+  test("README's registered-query count matches SparkEntry.queries.size") {
+    // VERDICT r13 nit: the README literal drifted (said 260 when the
+    // registry held 259). Self-maintaining now: this test fails the build
+    // whenever a query lands without the README count moving with it.
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/README.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val m = "ALL (\\d+) registered queries".r.findFirstMatchIn(readme)
+    assert(m.isDefined, "README lost its 'ALL N registered queries' sentence")
+    assert(m.get.group(1).toInt === SparkEntry.queries.size,
+      s"README says ${m.get.group(1)} but the registry holds " +
+        s"${SparkEntry.queries.size} — update README.md's correctness contract")
+  }
+
+  test("materializeCtes hints non-recursive CTEs and skips self-referencing ones") {
+    val sql = """WITH RECURSIVE base AS (
+        SELECT 1 AS x FROM t
+      ), walk AS (
+        SELECT x FROM base
+        UNION ALL
+        SELECT w.x + 1 FROM walk w WHERE w.x < 5
+      ), agg AS (
+        SELECT max(x) AS m FROM walk
+      ) SELECT * FROM agg"""
+    val out = OracleSql.materializeCtes(sql)
+    assert(out.contains("base AS MATERIALIZED ("), out)
+    assert(out.contains("agg AS MATERIALIZED ("), out)
+    // the self-referencing CTE must stay unhinted: PostgreSQL (whose grammar
+    // DuckDB inherits) rejects MATERIALIZED on recursive CTE headers
+    assert(out.contains("walk AS (\n"), out)
+    assert(!out.contains("walk AS MATERIALIZED"), out)
+    // everything else byte-identical (the r14 tuple-append regression class)
+    assert(out.replace(" MATERIALIZED (", " (") === sql)
+  }
 }

