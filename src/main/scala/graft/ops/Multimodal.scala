@@ -173,27 +173,63 @@ object Multimodal {
       }
     }
 
+  /** q117's band-bucket hub cap (r14, VERDICT r13 directive #3): a
+    * (band, value) bucket holding more than this many docs is EXCLUDED from
+    * candidate generation — the q238 `winnowDfCap` idiom applied to the one
+    * pair miner that had no bound. Measured maxima: 390 docs/bucket at
+    * sf0.1, 3 945 at the ~sf1 twin-stress corpus — the default sits above
+    * both, so every published hash and the PairSweep growth numbers are
+    * unchanged; what changes is the WORST CASE: a pathological near-uniform
+    * media corpus (every frame the same letterbox) now yields ≤ cap²/2
+    * candidate pairs per bucket × 9·128 buckets, independent of corpus
+    * size, instead of |corpus|². [[phashBucketAudit]] reports every
+    * bucket's uncapped doc count + capped flag so a production run SEES
+    * what the cap dropped (boilerplate imagery, by construction). */
+  private[graft] val PhashBucketCap = 8192
+
+  /** (doc_id, phash, band, v) — each fingerprint exploded into its
+    * [[PhashBands]] 7-bit band values. */
+  private def phashBands(media: org.apache.spark.sql.Dataset[MediaRow])
+      : org.apache.spark.sql.DataFrame = {
+    import media.sparkSession.implicits._
+    val fps = media.mapPartitions(phashPartition).toDF()
+    fps.select(col("doc_id"), col("phash"),
+      explode(expr(s"transform(sequence(0, ${PhashBands - 1}), " +
+        s"b -> named_struct('band', b, 'v', shiftright(phash, b * $BandBits) % ${1 << BandBits}))")).as("bv"))
+      .select(col("doc_id"), col("phash"), col("bv.band"), col("bv.v"))
+  }
+
+  /** The hub-cap audit: one row per occupied (band, v) bucket with its
+    * UNCAPPED doc count and whether [[phashNearDupOf]] at this cap would
+    * drop it. Zero capped rows at every tested sf (spec-pinned); a capped
+    * row in production is boilerplate imagery the miner deliberately
+    * skips. */
+  private[graft] def phashBucketAudit(media: org.apache.spark.sql.Dataset[MediaRow],
+      cap: Int = PhashBucketCap): org.apache.spark.sql.DataFrame =
+    phashBands(media).groupBy("band", "v")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("capped", col("n_docs") > cap)
+
   /** Near-duplicate media detection by perceptual hash — the image-corpus
     * dedup operator (every large crawled image/video set runs one): compute
     * a dHash per payload, then find all pairs within hamming distance
     * [[HammingMax]]. The pair search is the q16 SimHash shape: explode each
     * fingerprint into [[PhashBands]] band values, equi-join on (band, value)
-    * — candidates are hash-bucket-bounded, never all-pairs — and verify
+    * — candidates are hash-bucket-bounded, never all-pairs, and since r14
+    * also HUB-CAPPED at [[PhashBucketCap]] docs per bucket — and verify
     * survivors exactly with bit_count(xor). Banding is provably complete at
     * this threshold (pigeonhole above); the oracle is the UNFILTERED
-    * quadratic hamming join, so completeness is hash-checked, not assumed.
-    * At web scale the known hot spot is boilerplate imagery collapsing into
-    * one band bucket; the production levers are more/wider bands and a
-    * bucket-size cap (boilerplate removal), same as the text miners. */
-  private[graft] def phashNearDupOf(media: org.apache.spark.sql.Dataset[MediaRow])
-      : org.apache.spark.sql.DataFrame = {
-    import media.sparkSession.implicits._
-    val fps = media.mapPartitions(phashPartition).toDF()
-    val bands = fps.select(col("doc_id"), col("phash"),
-      explode(expr(s"transform(sequence(0, ${PhashBands - 1}), " +
-        s"b -> named_struct('band', b, 'v', shiftright(phash, b * $BandBits) % ${1 << BandBits}))")).as("bv"))
-      .select(col("doc_id"), col("phash"), col("bv.band"), col("bv.v"))
-    bands.as("a").join(bands.as("b"),
+    * quadratic hamming join, so completeness is hash-checked, not assumed
+    * (the cap sits above every tested corpus's max bucket, so the check is
+    * exact at every tested sf; above the cap, dropped pairs are the
+    * documented boilerplate tradeoff, visible via [[phashBucketAudit]]). */
+  private[graft] def phashNearDupOf(media: org.apache.spark.sql.Dataset[MediaRow],
+      cap: Int = PhashBucketCap): org.apache.spark.sql.DataFrame = {
+    val bands = phashBands(media)
+    val keep = bands.groupBy("band", "v").agg(count(lit(1)).as("bdf"))
+      .filter(col("bdf") <= cap).select("band", "v")
+    val kept = bands.join(keep, Seq("band", "v"))
+    kept.as("a").join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
