@@ -94,6 +94,42 @@ object FpStress {
   private def jitter(key: String, i: Int) =
     (pmod(col(key) * 31 + lit(i) * 7, lit(97)).cast("double") / 100.0)
 
+  /** Documents-only DEEP stress corpus for [[PairSweep]]'s sf3/sf10 rungs:
+    * `copies` key-shifted, character-permuted copies of sf0.1 documents
+    * (the five output-heavy pair miners q111/q117/q135/q256/q259 read only
+    * this table). The 10-rotation vowel alphabet of [[build]] yields only
+    * 10 distinct permutations — copies 10 and 20 would be VERBATIM text
+    * twins of copy 0 under different doc_ids, multiplying per-shingle dfs
+    * and faking quadratic candidate growth — so here each copy composes a
+    * vowel-ish rotation (i mod 10) with a disjoint consonant rotation
+    * (i div 10): 100 distinct permutations, every copy a disjoint shingle
+    * set, per-shingle dfs at their sf0.1 values — the honest larger-corpus
+    * shape. Copies 0–9 coincide exactly with [[build]]'s documents (the
+    * consonant rotation is the identity there), so the rungs share a base. */
+  private[graft] def docsCorpus(s: SparkSession, copies: Int): String = {
+    require(copies <= 100, "only 100 distinct composed permutations exist")
+    val dir = s"/root/repo/target/fpstress/docs$copies"
+    val marker = Paths.get(s"$dir/_BUILT_v1")
+    val stamp = s"$srcDir fp=${ops.Artifacts.fingerprint(s, srcDir)}"
+    if (Files.exists(marker) && Files.readString(marker) == stamp) return dir
+    val alpha = "aeiounrstl"
+    val beta = "cdhmpgbfwy"
+    val src = s.read.parquet(s"$srcDir/documents.parquet")
+    (0 until copies).map { i =>
+      val pa = alpha.drop(i % 10) + alpha.take(i % 10)
+      val pb = beta.drop(i / 10 % 10) + beta.take(i / 10 % 10)
+      src.select(
+        (col("doc_id") + i * keyOff).as("doc_id"),
+        translate(col("text"), alpha + beta, pa + pb).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ union _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Files.createDirectories(marker.getParent)
+    Files.writeString(marker, stamp)
+    dir
+  }
+
   private def build(s: SparkSession): Unit = {
     // marker is VERSIONED (bump the suffix whenever the corpus definition
     // changes — v3: events.ts copied in the source's current physical

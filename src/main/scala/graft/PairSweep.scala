@@ -64,7 +64,21 @@ object PairSweep {
     // round-13 second wave: the weighted set-similarity join (q259 —
     // shingle-blocked candidates, full-vector tf-idf verify; the verify
     // expansion is |cand| × doc terms, the cost this sweep must watch)
-    "q259_tfidf_cosine")
+    "q259_tfidf_cosine",
+    // round-14: Fellegi–Sunter linkage (q262 — output mass = the FULL
+    // candidate set, every collision pair scored; candidate-volume-driven
+    // like q144's eval join)
+    "q262_fs_linkage")
+
+  /** The output-heavy miners (VERDICT r13 directive #2): candidate/verify
+    * volume grows with OUTPUT mass, so their 10×-rung ratios (4–9×) sit
+    * well above the row-driven miners' and deserve one more decade of
+    * measurement before "sub-quadratic" is evidence rather than
+    * extrapolation. All five read only `documents`, so the deep rungs run
+    * on [[FpStress.docsCorpus]] (30 and 100 composed-permutation copies =
+    * ~sf3 and ~sf10 — 100× the sf0.1 base). */
+  private val deepQueries = Seq("q111_setsim_join", "q117_phash_neardup",
+    "q135_containment_join", "q256_blocking_quality", "q259_tfidf_cosine")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -85,6 +99,25 @@ object PairSweep {
     }
     val small = "/root/testdata/sf0.1"
     val big = FpStress.corpusDir
+    if (args.contains("deep")) {
+      // DEEP rungs (sf1 → sf3 → sf10 on documents-only corpora): a
+      // sub-quadratic miner must grow ≲ the data ratio times its candidate
+      // superlinearity — ≲9× at the 3× rung, ≲30× at the 10× rung (the
+      // same ×3 allowance the 10×-rung gate uses); quadratic would be 9×
+      // and 100×. Deep rungs go first so their PlanCache builds are cold.
+      val d30 = FpStress.docsCorpus(spark, 30)
+      val d100 = FpStress.docsCorpus(spark, 100)
+      deepQueries.foreach { q =>
+        val t10 = time(big, q)
+        val t30 = time(d30, q)
+        val t100 = time(d100, q)
+        println(f"[pairsweep] DEEP $q sf3/sf1=${t30 / t10}%.1f x (3x rows), " +
+          f"sf10/sf1=${t100 / t10}%.1f x (10x rows) " +
+          (if (t30 / t10 < 9 && t100 / t10 < 30) "(sub-quadratic)"
+           else "(SUPERLINEAR - investigate)"))
+      }
+      spark.stop(); return
+    }
     queries.foreach { q =>
       val s = time(small, q)
       val b = time(big, q)

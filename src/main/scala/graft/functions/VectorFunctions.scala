@@ -183,7 +183,8 @@ object VectorFunctions {
     "vec_l2sq" -> (es => VecL2Sq(es(0), es(1))),
     "vec_band_keys" -> (es => VecBandKeys(es(0), es(1), es(2))),
     "kmv_minset" -> (es => KmvMinSet.build(es)),
-    "kmv_minarray" -> (es => KmvMinArray.build(es)))
+    "kmv_minarray" -> (es => KmvMinArray.build(es)),
+    "priority_topk" -> (es => PriorityTopK.build(es)))
 
   /** Idempotent per-session SQL registration, after which the functions are
     * usable from expr()/spark.sql. */
@@ -218,5 +219,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kmv_minarray"),
       new ExpressionInfo(classOf[KmvMinArray].getName, "kmv_minarray"),
       (es: Seq[Expression]) => KmvMinArray.build(es)))
+    e.injectFunction((
+      FunctionIdentifier("priority_topk"),
+      new ExpressionInfo(classOf[PriorityTopK].getName, "priority_topk"),
+      (es: Seq[Expression]) => PriorityTopK.build(es)))
   }
 }

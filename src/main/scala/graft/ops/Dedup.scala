@@ -2192,11 +2192,215 @@ object Dedup {
       JOIN norms nb ON d.doc_b = nb.doc_id
       WHERE d.dotd > 0 AND 100 * d.dotd * d.dotd >= 81 * na.n2 * nb.n2"""))
 
+  // ---- q262: Fellegi–Sunter record-linkage scoring ---------------------------
+  /** Likelihood-ratio decision thresholds: ratio ≥ 1000 → link,
+    * ratio ≤ 1/1000 → nonlink, in between → the clerical-review band. */
+  private val fsLambda = 1000L
+  /** m/u probabilities are held in exact parts-per-million, clamped to
+    * [1, 999999] so neither a factor nor its complement is ever zero (the
+    * standard ε-floor; documented, identical in both engines). */
+  private val fsPpm = 1000000L
+
+  /** q262: FELLEGI–SUNTER probabilistic record linkage (JASA 1969) — the
+    * DECISION MODEL half of the record-linkage textbook, next to q256's
+    * blocking-quality metrics (candidate generation) and q221's method
+    * agreement: score every blocked candidate pair by the likelihood ratio
+    * Λ = Π_k (γ_k ? m_k/u_k : (1−m_k)/(1−u_k)) over four cheap field
+    * agreements (lang, source, ⌊n_chars/100⌋ length bucket, first token)
+    * and classify link / possible / nonlink at λ = ±10³ — the triage layer
+    * that says which candidates deserve the expensive text verify, priced
+    * entirely from metadata.
+    *
+    * Parameters are ESTIMATED, not assumed, and the estimation is inside
+    * the oracle gate: m_k = P(agree | match) from the q14 exact near-dup
+    * pairs (the labeled matches the corpus already has — the supervised
+    * variant of the classic EM fit), u_k = P(agree | random pair) from the
+    * marginal value frequencies, Σ_v c_v(c_v−1) / n(n−1) — both as exact
+    * ppm integers via DECIMAL(38,0)/HUGEINT cross-multiplied division (one
+    * operand cast BEFORE the multiply, the q259 lesson). The four-factor
+    * products stay ≤ 10^24 < 10^38, exact in both engines; the verdict
+    * comparisons are integer cross-multiplies (num ≥ λ·den). `is_dup`
+    * joins the truth back on, so the output is its own confusion table.
+    *
+    * Distributed shape: candidates are the PlanCache'd rare-shingle
+    * collision pairs (q259's blocking — never all-pairs); fields ride two
+    * candidate-bounded doc joins; the 9 estimated scalars are
+    * dimension-sized 1-row aggregates crossJoined as broadcast scalars.
+    * At 100 TB nothing here is data-proportional except the candidate set
+    * itself. */
+  val fsLinkage: Q = Q(
+    "q262_fs_linkage",
+    (s, dir) => {
+      val fields = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        col("source"), expr("n_chars div 100").as("len_b"),
+        split(col("text"), " ").getItem(0).as("tok1"))
+      val rare = rareShingleRows(s, dir)
+      val cand = rare.as("a").join(rare.as("b"),
+          col("a.ngram") === col("b.ngram") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val withFields = cand
+        .join(fields.select(col("doc_id").as("doc_a"), col("lang").as("la"),
+          col("source").as("sa"), col("len_b").as("ba"), col("tok1").as("ta")), Seq("doc_a"))
+        .join(fields.select(col("doc_id").as("doc_b"), col("lang").as("lb"),
+          col("source").as("sb"), col("len_b").as("bb"), col("tok1").as("tb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("la") === col("lb")).cast("long").as("a_lang"),
+          (col("sa") === col("sb")).cast("long").as("a_source"),
+          (col("ba") === col("bb")).cast("long").as("a_len"),
+          (col("ta") === col("tb")).cast("long").as("a_tok"))
+      // matches: q14's exact rare-shingle Jaccard ≥ 0.5 pairs (PlanCache'd)
+      val m = ngramJaccard.run(s, dir).select("doc_a", "doc_b")
+      val mFlags = m.join(withFields, Seq("doc_a", "doc_b"))
+      def ppm(agreeName: String, totalName: String) =
+        greatest(least(
+          expr(s"CAST(coalesce($agreeName, 0) AS DECIMAL(38,0)) * $fsPpm" +
+            s" div greatest($totalName, 1)"),
+          lit(fsPpm - 1)), lit(1L))
+      val mStats = mFlags.agg(count(lit(1)).as("t"),
+          sum("a_lang").as("c_lang"), sum("a_source").as("c_source"),
+          sum("a_len").as("c_len"), sum("a_tok").as("c_tok"))
+        .select(Seq("lang", "source", "len", "tok").map(f =>
+          ppm(s"c_$f", "t").as(s"m_$f")): _*)
+      // u_k: agreement odds of a uniform random ordered pair — Σ c_v(c_v−1)
+      // over the field's value histogram, against n(n−1) (both in
+      // DECIMAL(38,0) before the multiply: n² overflows Long at ~3e9 docs)
+      def uCol(c: org.apache.spark.sql.DataFrame, f: String) = c
+        .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * (c - 1)")).as("s"),
+          sum("c").as("n"))
+        .select(greatest(least(
+          expr(s"CAST(s * $fsPpm div greatest(CAST(n AS DECIMAL(38,0)) * (n - 1), 1) AS BIGINT)"),
+          lit(fsPpm - 1)), lit(1L)).as(s"u_$f"))
+      val uStats = Seq("lang", "source", "len_b", "tok1").zip(
+        Seq("lang", "source", "len", "tok")).map { case (src, f) =>
+        uCol(fields.groupBy(src).agg(count(lit(1)).as("c")), f)
+      }.reduce(_.crossJoin(_))
+      val scored = withFields
+        .crossJoin(broadcast(mStats))
+        .crossJoin(broadcast(uStats))
+      def factor(flag: String, p: String) =
+        when(col(flag) === 1L, col(p)).otherwise(lit(fsPpm) - col(p))
+      val num = Seq("lang", "source", "len", "tok").map(f =>
+        factor(s"a_$f", s"m_$f")).reduce((x, y) => x.cast("decimal(38,0)") * y)
+      val den = Seq("lang", "source", "len", "tok").map(f =>
+        factor(s"a_$f", s"u_$f")).reduce((x, y) => x.cast("decimal(38,0)") * y)
+      scored
+        .withColumn("num", num.cast("decimal(38,0)"))
+        .withColumn("den", den.cast("decimal(38,0)"))
+        .withColumn("verdict",
+          when(col("num") >= col("den") * fsLambda, "link")
+            .when(col("num") * fsLambda <= col("den"), "nonlink")
+            .otherwise("possible"))
+        .join(m.withColumn("is_dup", lit(1L)), Seq("doc_a", "doc_b"), "left")
+        .withColumn("is_dup", coalesce(col("is_dup"), lit(0L)))
+        .select(col("doc_a"), col("doc_b"), col("a_lang"), col("a_source"),
+          col("a_len"), col("a_tok"), col("verdict"), col("is_dup"),
+          col("m_lang"), col("m_source"), col("m_len"), col("m_tok"),
+          col("u_lang"), col("u_source"), col("u_len"), col("u_tok"))
+    },
+    Some(s"""WITH docs3 AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+      ), ng AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words)-1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS ngram
+        FROM docs3
+      ), rdf AS (
+        SELECT ngram FROM ng GROUP BY ngram
+        HAVING count(1) >= 2 AND count(1) <= $maxDf
+      ), rr AS (
+        SELECT n.doc_id, n.ngram FROM ng n JOIN rdf USING (ngram)
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM rr a JOIN rr b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+      ), fields AS (
+        SELECT doc_id, lang, source, n_chars // 100 AS len_b,
+               string_split(text, ' ')[1] AS tok1
+        FROM documents
+      ), wf AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(fa.lang = fb.lang AS BIGINT) AS a_lang,
+               CAST(fa.source = fb.source AS BIGINT) AS a_source,
+               CAST(fa.len_b = fb.len_b AS BIGINT) AS a_len,
+               CAST(fa.tok1 = fb.tok1 AS BIGINT) AS a_tok
+        FROM cand c
+        JOIN fields fa ON fa.doc_id = c.doc_a
+        JOIN fields fb ON fb.doc_id = c.doc_b
+      ), sz AS (
+        SELECT doc_id, CAST(count(1) AS BIGINT) AS n FROM rr GROUP BY doc_id
+      ), jpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(1) AS BIGINT) AS common
+        FROM rr a JOIN rr b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      ), matches AS (
+        SELECT p.doc_a, p.doc_b
+        FROM jpairs p
+        JOIN sz za ON p.doc_a = za.doc_id
+        JOIN sz zb ON p.doc_b = zb.doc_id
+        WHERE p.common / (za.n + zb.n - p.common) >= 0.5
+      ), mstats AS (
+        SELECT
+          GREATEST(1, LEAST(${fsPpm - 1},
+            CAST(CAST(COALESCE(SUM(a_lang), 0) AS HUGEINT) * $fsPpm
+              // GREATEST(count(1), 1) AS BIGINT))) AS m_lang,
+          GREATEST(1, LEAST(${fsPpm - 1},
+            CAST(CAST(COALESCE(SUM(a_source), 0) AS HUGEINT) * $fsPpm
+              // GREATEST(count(1), 1) AS BIGINT))) AS m_source,
+          GREATEST(1, LEAST(${fsPpm - 1},
+            CAST(CAST(COALESCE(SUM(a_len), 0) AS HUGEINT) * $fsPpm
+              // GREATEST(count(1), 1) AS BIGINT))) AS m_len,
+          GREATEST(1, LEAST(${fsPpm - 1},
+            CAST(CAST(COALESCE(SUM(a_tok), 0) AS HUGEINT) * $fsPpm
+              // GREATEST(count(1), 1) AS BIGINT))) AS m_tok
+        FROM matches JOIN wf USING (doc_a, doc_b)
+      ), u_lang AS (
+        SELECT GREATEST(1, LEAST(${fsPpm - 1},
+          CAST(SUM(CAST(c AS HUGEINT) * (c - 1)) * $fsPpm
+            // GREATEST(SUM(c) * (SUM(c) - 1), 1) AS BIGINT))) AS u_lang
+        FROM (SELECT CAST(count(1) AS BIGINT) AS c FROM fields GROUP BY lang)
+      ), u_source AS (
+        SELECT GREATEST(1, LEAST(${fsPpm - 1},
+          CAST(SUM(CAST(c AS HUGEINT) * (c - 1)) * $fsPpm
+            // GREATEST(SUM(c) * (SUM(c) - 1), 1) AS BIGINT))) AS u_source
+        FROM (SELECT CAST(count(1) AS BIGINT) AS c FROM fields GROUP BY source)
+      ), u_len AS (
+        SELECT GREATEST(1, LEAST(${fsPpm - 1},
+          CAST(SUM(CAST(c AS HUGEINT) * (c - 1)) * $fsPpm
+            // GREATEST(SUM(c) * (SUM(c) - 1), 1) AS BIGINT))) AS u_len
+        FROM (SELECT CAST(count(1) AS BIGINT) AS c FROM fields GROUP BY len_b)
+      ), u_tok AS (
+        SELECT GREATEST(1, LEAST(${fsPpm - 1},
+          CAST(SUM(CAST(c AS HUGEINT) * (c - 1)) * $fsPpm
+            // GREATEST(SUM(c) * (SUM(c) - 1), 1) AS BIGINT))) AS u_tok
+        FROM (SELECT CAST(count(1) AS BIGINT) AS c FROM fields GROUP BY tok1)
+      ), scored AS (
+        SELECT wf.*, m_lang, m_source, m_len, m_tok,
+               u_lang, u_source, u_len, u_tok,
+               (CASE WHEN a_lang = 1 THEN m_lang ELSE $fsPpm - m_lang END)
+                 * CAST(CASE WHEN a_source = 1 THEN m_source ELSE $fsPpm - m_source END AS HUGEINT)
+                 * (CASE WHEN a_len = 1 THEN m_len ELSE $fsPpm - m_len END)
+                 * (CASE WHEN a_tok = 1 THEN m_tok ELSE $fsPpm - m_tok END) AS num,
+               (CASE WHEN a_lang = 1 THEN u_lang ELSE $fsPpm - u_lang END)
+                 * CAST(CASE WHEN a_source = 1 THEN u_source ELSE $fsPpm - u_source END AS HUGEINT)
+                 * (CASE WHEN a_len = 1 THEN u_len ELSE $fsPpm - u_len END)
+                 * (CASE WHEN a_tok = 1 THEN u_tok ELSE $fsPpm - u_tok END) AS den
+        FROM wf CROSS JOIN mstats
+        CROSS JOIN u_lang CROSS JOIN u_source CROSS JOIN u_len CROSS JOIN u_tok
+      )
+      SELECT s.doc_a, s.doc_b, a_lang, a_source, a_len, a_tok,
+             CASE WHEN num >= den * $fsLambda THEN 'link'
+                  WHEN num * $fsLambda <= den THEN 'nonlink'
+                  ELSE 'possible' END AS verdict,
+             CAST(CASE WHEN m.doc_a IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup,
+             m_lang, m_source, m_len, m_tok, u_lang, u_source, u_len, u_tok
+      FROM scored s
+      LEFT JOIN matches m ON s.doc_a = m.doc_a AND s.doc_b = m.doc_b"""))
+
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, editDistance,
       incrementalDedup, fuzzyDecontaminate, setSimJoin, substringSpans,
       containmentJoin, cdcChunks, lshEval, dedupReport, memorizationSpans,
       thresholdSweep, templateHubs, methodKappa, lshSCurve, winnowingOverlap,
       sortedNeighborhood, minhashEstimatorError, blockingQuality,
-      simhashBitBalance, tfidfCosine)
+      simhashBitBalance, tfidfCosine, fsLinkage)
 }

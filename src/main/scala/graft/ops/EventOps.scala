@@ -1706,6 +1706,92 @@ object EventOps {
                - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
       FROM st s JOIN exact e ON s.event_type = e.event_type"""))
 
+  // ---- q263 stages: streaming priority sample (shared batch↔stream) --------
+  /** Sample size (events: ≥1000 rows at every sf, so the τ branch is always
+    * live). */
+  private[graft] val psK = 64
+  private[graft] val psScale = 1L << 30
+
+  /** q263 stage 1 — the weighted item stream (event_id, w, pri): w = exact
+    * cents of the event value (positive-weight items only, the DLT premise),
+    * u = 30-bit md5 of the event id, pri = ⌊w·2^30 / m⌋ exact BIGINT.
+    * Row-local, so it runs unchanged on a STREAMING events frame. */
+  private[graft] def psItemsOf(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    events.select(col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("w"))
+      .filter(col("w") >= 1L)
+      .withColumn("m",
+        expr("CAST(conv(substring(md5(concat('psamp|', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+          % psScale + 1L)
+      .withColumn("pri", expr(s"(w * $psScale) div m"))
+
+  /** q263 stage 2 — the bounded mergeable summary: one global
+    * `priority_topk(pri, event_id, K+1)` row. This is the STREAMING STATE
+    * SHAPE: ≤ (K+1)·16 bytes total, updated/merged by the identical
+    * aggregate code batch and streaming (the q241/q254 KMV pattern applied
+    * to the fourth classic summary). */
+  private[graft] def psSketchOf(s: org.apache.spark.sql.SparkSession,
+      items: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    items.agg(expr(s"priority_topk(pri, event_id, ${psK + 1})").as("top"))
+  }
+
+  /** q263 stage 3 — sample + inverse-probability estimates off a
+    * materialized summary (streaming-agnostic): explode the held array,
+    * τ = the (K+1)-th priority (0 if the stream held ≤ K items), join
+    * weights back by id (sample-bounded), ŵ = max(w, τ), with the
+    * est_total / true_total audit columns — q261's output shape on the
+    * event stream. */
+  private[graft] def psReport(s: org.apache.spark.sql.SparkSession,
+      sk: org.apache.spark.sql.DataFrame, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val items = psItemsOf(Tables.events(s, dir))
+    val entries = sk.select(posexplode(col("top")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).as("rn"), col("e.pri").as("pri"),
+        col("e.id").as("event_id"))
+    val tau = entries.agg(coalesce(
+      max(when(col("rn") === psK + 1, col("pri"))), lit(0L)).as("tau"))
+    val sample = entries.filter(col("rn") <= psK)
+      .join(items.select("event_id", "w"), Seq("event_id"))
+      .crossJoin(broadcast(tau))
+      .withColumn("w_hat", greatest(col("w"), col("tau")))
+    val est = sample.agg(sum("w_hat").cast("long").as("est_total"))
+    val tot = items.agg(sum("w").cast("long").as("true_total"))
+    sample.crossJoin(broadcast(est)).crossJoin(broadcast(tot))
+      .select("event_id", "w", "pri", "tau", "w_hat", "est_total", "true_total")
+  }
+
+  /** q263's DuckDB oracle — the direct batch replay of the identical
+    * integer arithmetic (the streamed summary is a pure function of the
+    * event SET, so batch SQL reproduces it bit-for-bit). */
+  private[graft] def psOracle: Option[String] =
+    Some(s"""WITH items AS (
+        SELECT event_id, CAST(round(value * 100) AS BIGINT) AS w,
+               ('0x' || substr(md5('psamp|' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                 % $psScale + 1 AS m
+        FROM events
+        WHERE CAST(round(value * 100) AS BIGINT) >= 1
+      ), pri AS (
+        SELECT event_id, w, (w * $psScale) // m AS pri FROM items
+      ), ranked AS (
+        SELECT event_id, w, pri,
+               row_number() OVER (ORDER BY pri DESC, event_id) AS rn
+        FROM pri
+      ), tau AS (
+        SELECT COALESCE(MAX(CASE WHEN rn = ${psK + 1} THEN pri END), 0) AS tau
+        FROM ranked WHERE rn <= ${psK + 1}
+      ), sample AS (
+        SELECT event_id, w, pri, tau, GREATEST(w, tau) AS w_hat
+        FROM ranked CROSS JOIN tau WHERE rn <= $psK
+      ), est AS (
+        SELECT CAST(SUM(w_hat) AS BIGINT) AS est_total FROM sample
+      ), tot AS (
+        SELECT CAST(SUM(w) AS BIGINT) AS true_total FROM pri
+      )
+      SELECT event_id, w, pri, tau, w_hat, est_total, true_total
+      FROM sample CROSS JOIN est CROSS JOIN tot""")
+
   // ---- q242: KMV sketch set algebra (audience overlap) ---------------------
 
   /** q242: pairwise audience overlap between event types FROM SKETCHES ONLY

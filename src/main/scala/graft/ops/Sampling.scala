@@ -693,6 +693,83 @@ object Sampling {
       ORDER BY avg_w_micro DESC, doc_id
       LIMIT $dsirTopK"""))
 
+  // ---- q261: priority sampling (weighted corpus subsample) -----------------
+  /** Sample size. 64 keeps a (K+1)-th element at every testdata sf (500+
+    * docs), so the threshold branch is exercised everywhere. */
+  private[graft] val psampK = 64
+  /** Priority scale: u is quantized to 30 bits — u = m/2^30, m ∈ [1, 2^30] —
+    * so pri = w·2^30 div m = ⌊w/u⌋ is an exact BIGINT in both engines. */
+  private[graft] val psampScale = 1L << 30
+
+  /** q261: PRIORITY SAMPLING (Duffield–Lund–Thorup, JACM 2007) — the
+    * weighted subsample-and-estimate primitive for corpus statistics at
+    * 100 TB: draw K documents with probability (roughly) proportional to
+    * token weight, and attach to each the inverse-probability estimate
+    * ŵ_i = max(w_i, τ) (τ = the (K+1)-th largest priority) whose sample sum
+    * estimates ANY weight-subset total with near-optimal variance — the
+    * "compute it on 64 docs, trust the number" layer that q199's Neyman
+    * allocation plans and this query executes. Priorities are exact
+    * integers: u_i is the 30-bit md5 of the doc id (quantized uniform —
+    * documented, identical in both engines), pri_i = ⌊w_i·2^30 / m_i⌋ via
+    * BIGINT integral division, and the sample is the top-K under the total
+    * order (pri DESC, doc_id ASC) — a TakeOrdered head, never a global
+    * sort. τ is floored to the same integer grid, so sample AND estimates
+    * are bit-identical cross-engine. The audit columns est_total (Σ ŵ over
+    * the sample) and true_total (Σ w over the corpus) make the query its
+    * own accuracy eval, the q148 pattern. [[graft.functions.PriorityTopK]]
+    * is this summary's mergeable aggregate form; the streaming twin (q263)
+    * maintains it incrementally over micro-batches. */
+  val prioritySample: Q = Q(
+    "q261_priority_sample",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("w"))
+        .withColumn("m",
+          expr("CAST(conv(substring(md5(concat('psamp|', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+            % psampScale + 1L)
+        .withColumn("pri", expr(s"(w * $psampScale) div m"))
+      val top = docs.orderBy(col("pri").desc, col("doc_id")).limit(psampK + 1)
+      val ranked = top.withColumn("rn", row_number().over(
+        Window.orderBy(col("pri").desc, col("doc_id"))))
+      // τ = the (K+1)-th priority; 0 when the corpus holds ≤ K docs (then
+      // the sample is the corpus and the estimator is exact by construction)
+      val tau = ranked.agg(coalesce(
+        max(when(col("rn") === psampK + 1, col("pri"))), lit(0L)).as("tau"))
+      val sample = ranked.filter(col("rn") <= psampK)
+        .crossJoin(broadcast(tau))
+        .withColumn("w_hat", greatest(col("w"), col("tau")))
+      val est = sample.agg(sum("w_hat").cast("long").as("est_total"))
+      val tot = docs.agg(sum("w").cast("long").as("true_total"))
+      sample.crossJoin(broadcast(est)).crossJoin(broadcast(tot))
+        .select("doc_id", "w", "pri", "tau", "w_hat", "est_total", "true_total")
+    },
+    Some(s"""WITH docs AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+               ('0x' || substr(md5('psamp|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % $psampScale + 1 AS m
+        FROM documents
+      ), pri AS (
+        SELECT doc_id, w, (w * $psampScale) // m AS pri FROM docs
+      ), ranked AS (
+        SELECT doc_id, w, pri,
+               row_number() OVER (ORDER BY pri DESC, doc_id) AS rn
+        FROM pri
+      ), tau AS (
+        SELECT COALESCE(MAX(CASE WHEN rn = ${psampK + 1} THEN pri END), 0) AS tau
+        FROM ranked WHERE rn <= ${psampK + 1}
+      ), sample AS (
+        SELECT doc_id, w, pri, tau,
+               GREATEST(w, tau) AS w_hat
+        FROM ranked CROSS JOIN tau WHERE rn <= $psampK
+      ), est AS (
+        SELECT CAST(SUM(w_hat) AS BIGINT) AS est_total FROM sample
+      ), tot AS (
+        SELECT CAST(SUM(w) AS BIGINT) AS true_total FROM pri
+      )
+      SELECT doc_id, w, pri, tau, w_hat, est_total, true_total
+      FROM sample CROSS JOIN est CROSS JOIN tot"""))
+
   val all: Seq[Q] = Seq(trainSplit, trainOrder, proportionalHoldout, tokenWaterfill, splitManifest, valOovRate,
-    interleavedOrder, temperatureMixture, neymanAllocation, dsirSelection)
+    interleavedOrder, temperatureMixture, neymanAllocation, dsirSelection,
+    prioritySample)
 }

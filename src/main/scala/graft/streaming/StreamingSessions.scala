@@ -956,6 +956,33 @@ object StreamingSessions {
     },
     graft.ops.EventOps.kmvOracle)
 
+  /** q263: STREAMING PRIORITY SAMPLE maintenance — the fourth classic
+    * mergeable summary brought to batch↔stream parity (HLL q244, count-min
+    * q248, KMV q254, weighted sample here): a global
+    * [[graft.functions.PriorityTopK]] TypedImperativeAggregate — the
+    * Duffield–Lund–Thorup priority sample's bounded state, ≤ (K+1)·16
+    * bytes TOTAL — maintained as a complete-mode streaming aggregation
+    * over 4 real micro-batches, then the sample/estimate tail (τ
+    * threshold, ŵ = max(w, τ) inverse-probability estimates, accuracy
+    * audit) runs off the materialized summary. Because the held set is a
+    * pure function of the input SET under (pri DESC, id ASC) — batch
+    * slicing, arrival order and merge shape cannot change a set's top-K —
+    * the streamed summary is bit-identical to the batch aggregate, and the
+    * DuckDB oracle replays the identical integer arithmetic directly over
+    * events. This is the always-on "keep a trustworthy weighted sample of
+    * the firehose" operator: estimates of any value-subset total stay
+    * available at O(K) cost while the stream is unbounded. */
+  val streamingPrioritySample: Q = Q(
+    "q263_streaming_priority_sample",
+    (s, dir) => {
+      val sk = streamToArtifact(s, dir, "psamp", "events",
+        p => graft.ops.EventOps.psSketchOf(s,
+          graft.ops.EventOps.psItemsOf(eventsStream(s, p))),
+        splitSourceFiles = 4)
+      graft.ops.EventOps.psReport(s, sk, dir)
+    },
+    graft.ops.EventOps.psOracle)
+
   private val embSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType)),
@@ -998,5 +1025,5 @@ object StreamingSessions {
       streamingIntervalJoin, streamingOuterJoin, streamingQuota,
       streamingEnrich, streamingUpsert, streamingWmDedup, streamingDupRate,
       streamingLshRegistry, streamingHll, streamingCountMin, streamingKmv,
-      streamingAnnProbe)
+      streamingAnnProbe, streamingPrioritySample)
 }

@@ -54,6 +54,105 @@ class R14OpsSpec extends AnyFunSuite {
       "audit's uncapped count must report the TRUE bucket size")
   }
 
+  test("priority_topk holds the exact top-k under any geometry, ties by id") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    // priorities with deliberate ties: pri = i % 7, ids unique
+    val rows = (1L to 1000L).map(i => (i % 7, i))
+    val expected = rows.sortBy { case (p, id) => (-p, id) }.take(10)
+    for (parts <- Seq(1, 3, 32)) {
+      val got = spark.createDataset(rows).toDF("pri", "id")
+        .repartition(parts)
+        .agg(expr("priority_topk(pri, id, 10)").as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.pri"), col("e.id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === expected, s"geometry $parts-partitions diverged")
+    }
+  }
+
+  test("q261 priority sample: exact size, threshold law, estimator accuracy") {
+    val r = SparkEntry.queries("q261_priority_sample")(spark, sfDir)
+      .collect()
+    assert(r.length === 64)
+    val tau = r.head.getAs[Long]("tau")
+    assert(tau > 0, "500-doc corpus must yield a (K+1)-th priority")
+    // every sampled priority clears the threshold; ŵ = max(w, τ) exactly
+    assert(r.forall(row => row.getAs[Long]("pri") >= tau))
+    assert(r.forall(row => row.getAs[Long]("w_hat") ===
+      math.max(row.getAs[Long]("w"), tau)))
+    // the DLT estimator is unbiased; at K=64 over the ~500-doc corpus one
+    // draw lands well within ±50% (measured ~2% at sf0.001) — a loose
+    // bound that still catches unit/threshold mistakes (which are >2× off)
+    val est = r.head.getAs[Long]("est_total").toDouble
+    val truth = r.head.getAs[Long]("true_total").toDouble
+    assert(math.abs(est - truth) / truth < 0.5,
+      s"estimate $est vs true $truth — outside the sanity band")
+  }
+
+  test("q263 streamed priority sample equals the batch aggregate row-for-row") {
+    val streamed = SparkEntry.queries("q263_streaming_priority_sample")(spark, sfDir)
+    val batch = graft.ops.EventOps.psReport(spark,
+      graft.ops.EventOps.psSketchOf(spark,
+        graft.ops.EventOps.psItemsOf(Tables.events(spark, sfDir))), sfDir)
+    assert(streamed.count() === 64)
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
+  test("q262 FS linkage: decision law recomputes from the output's own columns") {
+    val rows = SparkEntry.queries("q262_fs_linkage")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // the verdict must be a pure function of the emitted flags and the
+    // emitted m/u scalars — recompute Λ driver-side in BigInt and compare
+    rows.foreach { r =>
+      def f(agree: Long, p: Long): BigInt =
+        if (agree == 1L) BigInt(p) else BigInt(1000000L - p)
+      val fields = Seq("lang", "source", "len", "tok")
+      val num = fields.map(k =>
+        f(r.getAs[Long](s"a_$k"), r.getAs[Long](s"m_$k"))).product
+      val den = fields.map(k =>
+        f(r.getAs[Long](s"a_$k"), r.getAs[Long](s"u_$k"))).product
+      val expected =
+        if (num >= den * 1000) "link"
+        else if (num * 1000 <= den) "nonlink"
+        else "possible"
+      assert(r.getAs[String]("verdict") === expected,
+        s"pair (${r.getAs[Long]("doc_a")}, ${r.getAs[Long]("doc_b")})")
+    }
+    // agreement must be MORE likely among matches than random pairs on at
+    // least the textual fields (m > u is what gives agreements positive
+    // weight); and the truth column is exactly q14's pair set
+    val head = rows.head
+    assert(head.getAs[Long]("m_len") > head.getAs[Long]("u_len"))
+    assert(head.getAs[Long]("m_tok") > head.getAs[Long]("u_tok"))
+    val nDup = rows.count(_.getAs[Long]("is_dup") == 1L)
+    assert(nDup.toLong ===
+      SparkEntry.queries("q14_dedup_ngram_jaccard")(spark, sfDir).count(),
+      "is_dup truth must be exactly q14's pair set")
+  }
+
+  test("deep docs corpus: distinct per-copy permutations, lengths preserved") {
+    import org.apache.spark.sql.functions.{col, length => strlen}
+    val dir = FpStress.docsCorpus(spark, 3)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val n0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").count()
+    assert(docs.count() === 3 * n0)
+    // copies carry the SAME doc lengths (translate is length-preserving:
+    // n_chars stays truthful) but pairwise DISTINCT text per copy
+    val byCopy = docs.groupBy((col("doc_id") / 100000000L).cast("long").as("copy"))
+      .agg(org.apache.spark.sql.functions.sum(strlen(col("text"))).as("chars"),
+        org.apache.spark.sql.functions.countDistinct(col("text")).as("texts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(byCopy.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    assert(byCopy.map(_._2).distinct.length === 1, "translate changed lengths")
+    // cross-copy: the same source doc must differ between copies
+    val same = docs.filter(col("doc_id") % 100000000L === 7L)
+      .select("text").collect().map(_.getString(0))
+    assert(same.length === 3 && same.distinct.length === 3,
+      "copies must carry distinct permutations")
+  }
+
   test("q174/q180 two-phase bucket ranks equal the one-task window formulations") {
     import org.apache.spark.sql.expressions.Window
     // q174: registered (two-phase) global_pos vs a direct global window
