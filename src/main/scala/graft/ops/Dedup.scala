@@ -2125,6 +2125,15 @@ object Dedup {
           col("a.ngram") === col("b.ngram") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
+      // verify = two candidate-bounded posting joins; the shuffle volume is
+      // Σ_pairs terms(doc) by construction — the exact-verify data mass.
+      // Measured alternative (r14): one row per pair carrying word→weight
+      // MAPS with a row-local zip is hash-identical but 1.8× slower at
+      // sf0.1 (map build + non-codegen HOF dominates); the row-join form
+      // is the faster plan at every tested sf. The mass itself is the
+      // documented cost: the ~sf10 deep rung's verify spill exceeds an
+      // 80 GB local disk — at production scale this is the stage you
+      // provision shuffle for.
       val dots = cand
         .join(wtd.select(col("doc_id").as("doc_a"), col("w"), col("wt").as("wa")),
           Seq("doc_a"))
