@@ -1983,10 +1983,93 @@ object Analytics {
                        THEN 1 ELSE 0 END AS BIGINT) AS within_dkw
       FROM ranks r, tot t"""))
 
+  // ---- q265: Theil–Sen robust trend of daily event volume ------------------
+  /** q265: the Theil–Sen estimator (median of pairwise slopes) for the
+    * daily event-volume trend — the robust-statistics family member next
+    * to q147's OLS (which one wild day can drag arbitrarily), q173's
+    * Spearman and q110's MAD: breakdown point 29%, so growth/decay of the
+    * ingestion rate is read through spikes and outages instead of being
+    * owned by them. The slope is reported BOTH ways: the median pair's
+    * exact rational (Δcount, Δdays — integers) and the double quotient
+    * (int64→double is value-exact, one correctly-rounded division, so the
+    * double is bit-identical cross-engine); the intercept is the classic
+    * median residual at the reported slope. Selection is a total order
+    * (slope, di, dj) with the lower median at even counts — deterministic,
+    * no averaging of middle elements (which would double-round).
+    *
+    * Distributed shape: the ONLY data-sized work is the map-side-combined
+    * (day) count; the pairwise-slope table is |days|² on the DIMENSION
+    * (epoch days — ~4 k pairs per quarter-year regardless of corpus
+    * size), built as a broadcast range self-join of the day-grain
+    * aggregate, and each median is one rank over that dimension-sized
+    * frame. At 100 TB this costs the same as at 100 MB — the O(n²)-pairs
+    * objection to Theil–Sen does not apply when n is calendar days. */
+  val theilSenTrend: Q = Q(
+    "q265_theilsen_trend",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("d"))
+        .agg(count(lit(1)).as("c"))
+      val pairs = daily.as("i").join(daily.as("j"), col("i.d") < col("j.d"))
+        .select(col("i.d").as("di"), col("j.d").as("dj"),
+          col("i.c").as("ci"), col("j.c").as("cj"))
+        .withColumn("slope",
+          (col("cj") - col("ci")).cast("double")
+            / (col("dj") - col("di")).cast("double"))
+      val np = pairs.agg(count(lit(1)).as("n_pairs"))
+      val med = pairs
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("slope"), col("di"), col("dj"))))
+        .crossJoin(broadcast(np))
+        .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+        .select(col("n_pairs"), col("slope"),
+          (col("cj") - col("ci")).as("slope_num"),
+          (col("dj") - col("di")).as("slope_den"))
+      val nd = daily.agg(count(lit(1)).as("n_days"))
+      val intercept = daily.crossJoin(broadcast(med.select("slope")))
+        .withColumn("resid", col("c").cast("double") - col("slope") * col("d").cast("double"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("resid"), col("d"))))
+        .crossJoin(broadcast(nd))
+        .filter(col("rn") === expr("(n_days + 1) div 2"))
+        .select(col("n_days"), col("resid").as("intercept"))
+      med.crossJoin(broadcast(intercept))
+        .select("n_days", "n_pairs", "slope_num", "slope_den", "slope",
+          "intercept")
+    },
+    Some("""WITH daily AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+               CAST(count(1) AS BIGINT) AS c
+        FROM events GROUP BY 1
+      ), pairs AS (
+        SELECT i.d AS di, j.d AS dj, i.c AS ci, j.c AS cj,
+               CAST(j.c - i.c AS DOUBLE) / CAST(j.d - i.d AS DOUBLE) AS slope
+        FROM daily i JOIN daily j ON i.d < j.d
+      ), np AS (SELECT CAST(count(1) AS BIGINT) AS n_pairs FROM pairs
+      ), med AS (
+        SELECT n_pairs, slope, cj - ci AS slope_num, dj - di AS slope_den
+        FROM (SELECT *, row_number() OVER (ORDER BY slope, di, dj) AS rn
+              FROM pairs) r CROSS JOIN np
+        WHERE rn = (n_pairs + 1) // 2
+      ), nd AS (SELECT CAST(count(1) AS BIGINT) AS n_days FROM daily
+      ), resid AS (
+        SELECT n_days, resid AS intercept
+        FROM (SELECT d.d, nd.n_days,
+                     CAST(d.c AS DOUBLE) - m.slope * CAST(d.d AS DOUBLE) AS resid,
+                     row_number() OVER (
+                       ORDER BY CAST(d.c AS DOUBLE) - m.slope * CAST(d.d AS DOUBLE),
+                                d.d) AS rn
+              FROM daily d CROSS JOIN med m CROSS JOIN nd) r
+        WHERE rn = (n_days + 1) // 2
+      )
+      SELECT n_days, n_pairs, slope_num, slope_den, slope, intercept
+      FROM med CROSS JOIN resid"""))
+
   val all: Seq[Q] = Seq(windowSuite, setOps, rollup, asofJoin, sqlDdl,
     approxDistinct, percentileStats, pivot, unpivot, cube, countMin, nestedAgg,
     histogram, cooccurrence, weightedMedian, trailingWindow, groupingSets,
     equidepthHist, tradePageRank, groupwiseOls, marketShare, triangles,
     chi2Independence, rollingMedian, giniSpend, anovaF, hhiSpend, jackknifeCi,
-    trimmedMean, benfordAudit, lengthQualityCorr, sampleQuantiles)
+    trimmedMean, benfordAudit, lengthQualityCorr, sampleQuantiles,
+    theilSenTrend)
 }

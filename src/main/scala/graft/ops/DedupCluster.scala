@@ -810,7 +810,89 @@ object DedupCluster {
       FROM m"""
     })
 
+  // ---- q264: local clustering coefficient of the dup graph -----------------
+  /** q264: per-node local clustering coefficient over the duplicate-pair
+    * graph — the fourth and last member of the dup-graph topology layer
+    * (components q40, k-core q252, assortativity q253, triangles →
+    * LCC here): lcc(v) = 2·T(v) / d(v)(d(v)−1) in exact per-mille. A node
+    * at lcc ≈ 1000 sits in a clique of clones (q252's cores — safe to
+    * keep one survivor); a high-degree node at lcc ≈ 0 is a TEMPLATE hub
+    * (q219's shape — its neighbors are unrelated to each other, so
+    * keep-lowest-id canonical selection would wrongly collapse distinct
+    * documents). Degree alone cannot tell those apart; this is the
+    * per-node scalar that routes each dup-cluster to the right cleanup.
+    *
+    * Triangle counts use q149's degree-ordered wedge closure (Cohen 2009)
+    * on the dup edge list — orient each edge to its (degree, id)-larger
+    * endpoint, enumerate wedges at out-neighborhoods, close with the
+    * canonical (lo, hi) equi-join (the r13 plan-gate lesson: an OR of
+    * orientations is un-hashable) — O(m^{3/2}) wedges under any skew.
+    * All integers exact; the only division is the final integral
+    * per-mille. Oracle: the UNDIRECTED 3-way enumeration — a different
+    * algorithm landing on identical integers, the q149 gate. */
+  val localClustering: Q = Q(
+    "q264_local_clustering",
+    (s, dir) => {
+      val und = Dedup.ngramJaccard.run(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val e = und.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+      val deg = e.groupBy("u").agg(count(lit(1)).as("d"))
+      val oriented = und
+        .join(deg.select(col("u").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("u").as("b"), col("d").as("db")), Seq("b"))
+        .select(
+          when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+            col("a")).otherwise(col("b")).as("src"),
+          when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+            col("b")).otherwise(col("a")).as("dst"))
+      val wedges = oriented.as("x").join(oriented.as("y"),
+          col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+        .select(col("x.src").as("u"), col("x.dst").as("v"), col("y.dst").as("w"))
+      // und already emits doc_a < doc_b, the canonical (lo, hi) key
+      val tri = wedges.join(und.select(col("a").as("v"), col("b").as("w")),
+        Seq("v", "w"))
+      val triPerNode = tri
+        .select(explode(array(col("u"), col("v"), col("w"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+      deg.select(col("u").as("doc_id"), col("d"))
+        .filter(col("d") >= 2)
+        .join(triPerNode, Seq("doc_id"), "left")
+        .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+        .withColumn("lcc_pm", expr("n_tri * 2000 div (d * (d - 1))"))
+        .select("doc_id", "d", "n_tri", "lcc_pm")
+    },
+    Some {
+      s"""WITH pairs0 AS (
+        ${Dedup.ngramJaccard.oracle.get}
+      ), und AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs0
+      ), e AS (
+        SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+      ), deg AS (
+        SELECT u, CAST(count(1) AS BIGINT) AS d FROM e GROUP BY u
+      ), tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+      ), members AS (
+        SELECT x AS doc_id FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ), tpn AS (
+        SELECT doc_id, CAST(count(1) AS BIGINT) AS n_tri
+        FROM members GROUP BY doc_id
+      )
+      SELECT deg.u AS doc_id, deg.d,
+             CAST(COALESCE(tpn.n_tri, 0) AS BIGINT) AS n_tri,
+             CAST(COALESCE(tpn.n_tri, 0) * 2000 // (deg.d * (deg.d - 1))
+               AS BIGINT) AS lcc_pm
+      FROM deg LEFT JOIN tpn ON deg.u = tpn.doc_id
+      WHERE deg.d >= 2"""
+    })
+
   val all: Seq[Q] = Seq(dedupClusters, dedupPrune, clusterSplit, starComponents,
     clusterPurity, canonicalPolicy, splitLeakage, labelPropagation,
-    kcoreDecomposition, degreeAssortativity)
+    kcoreDecomposition, degreeAssortativity, localClustering)
 }

@@ -769,7 +769,85 @@ object Sampling {
       SELECT doc_id, w, pri, tau, w_hat, est_total, true_total
       FROM sample CROSS JOIN est CROSS JOIN tot"""))
 
+  // ---- q266: stratified priority sample (per-source) -----------------------
+  /** Per-stratum sample size: 16 per source keeps a (K+1)-th element in
+    * every source at every testdata sf (≥ ~100 docs per source). */
+  private[graft] val psampStratK = 16
+
+  /** q266: STRATIFIED priority sampling — q261's estimator drawn
+    * independently within every source, so per-stratum totals come with
+    * their own inverse-probability estimates (the per-SOURCE corpus stats
+    * a mixture rebalance needs, where q261's global sample can starve a
+    * small stratum entirely). This completes the sampling taxonomy the
+    * repo builds: q199 plans the allocation, q80/q137 draw proportional /
+    * largest-remainder holdouts, q261 draws the global weighted sample,
+    * and this is the per-stratum estimator. Same exact-integer priority
+    * family as q261 (the SAME md5 key — a doc's priority is a pure
+    * function of its id, so the global and stratified samples are
+    * consistent views of one permutation); per-source top-K is a
+    * PARTITIONED window rank (never a global sort, never a driver
+    * collect), τ_s is the per-source (K+1)-th priority, ŵ = max(w, τ_s),
+    * and est_src vs true_src audit columns make each stratum its own
+    * accuracy eval. */
+  val stratifiedPrioritySample: Q = Q(
+    "q266_stratified_priority_sample",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("w"))
+        .withColumn("m",
+          expr("CAST(conv(substring(md5(concat('psamp|', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+            % psampScale + 1L)
+        .withColumn("pri", expr(s"(w * $psampScale) div m"))
+      val ranked = docs.withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("pri").desc, col("doc_id"))))
+        .filter(col("rn") <= psampStratK + 1)
+      val tau = ranked.groupBy("source").agg(coalesce(
+        max(when(col("rn") === psampStratK + 1, col("pri"))), lit(0L)).as("tau"))
+      val sample = ranked.filter(col("rn") <= psampStratK)
+        .join(tau, Seq("source"))
+        .withColumn("w_hat", greatest(col("w"), col("tau")))
+      val est = sample.groupBy("source")
+        .agg(sum("w_hat").cast("long").as("est_src"))
+      val tot = docs.groupBy("source").agg(sum("w").cast("long").as("true_src"))
+      sample.join(est, Seq("source")).join(tot, Seq("source"))
+        .select("source", "doc_id", "w", "pri", "tau", "w_hat",
+          "est_src", "true_src")
+    },
+    Some(s"""WITH docs AS (
+        SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+               ('0x' || substr(md5('psamp|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % $psampScale + 1 AS m
+        FROM documents
+      ), pri AS (
+        SELECT doc_id, source, w, (w * $psampScale) // m AS pri FROM docs
+      ), ranked AS (
+        SELECT doc_id, source, w, pri,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY pri DESC, doc_id) AS rn
+        FROM pri
+      ), tau AS (
+        SELECT source,
+               COALESCE(MAX(CASE WHEN rn = ${psampStratK + 1} THEN pri END), 0) AS tau
+        FROM ranked WHERE rn <= ${psampStratK + 1} GROUP BY source
+      ), sample AS (
+        SELECT r.source, r.doc_id, r.w, r.pri, t.tau,
+               GREATEST(r.w, t.tau) AS w_hat
+        FROM ranked r JOIN tau t ON r.source = t.source
+        WHERE r.rn <= $psampStratK
+      ), est AS (
+        SELECT source, CAST(SUM(w_hat) AS BIGINT) AS est_src
+        FROM sample GROUP BY source
+      ), tot AS (
+        SELECT source, CAST(SUM(w) AS BIGINT) AS true_src
+        FROM pri GROUP BY source
+      )
+      SELECT s.source, s.doc_id, s.w, s.pri, s.tau, s.w_hat, e.est_src, t.true_src
+      FROM sample s
+      JOIN est e ON s.source = e.source
+      JOIN tot t ON s.source = t.source"""))
+
   val all: Seq[Q] = Seq(trainSplit, trainOrder, proportionalHoldout, tokenWaterfill, splitManifest, valOovRate,
     interleavedOrder, temperatureMixture, neymanAllocation, dsirSelection,
-    prioritySample)
+    prioritySample, stratifiedPrioritySample)
 }

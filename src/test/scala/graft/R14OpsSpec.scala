@@ -153,6 +153,82 @@ class R14OpsSpec extends AnyFunSuite {
       "copies must carry distinct permutations")
   }
 
+  test("q266 stratified sample: per-source size/threshold laws, consistent with q261") {
+    val rows = SparkEntry.queries("q266_stratified_priority_sample")(spark, sfDir)
+      .collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.length === 16, s"source $src sample size ${rs.length}")
+      val tau = rs.head.getAs[Long]("tau")
+      assert(rs.forall(_.getAs[Long]("tau") === tau))
+      assert(rs.forall(r => r.getAs[Long]("pri") >= tau), s"source $src")
+      assert(rs.forall(r => r.getAs[Long]("w_hat") ===
+        math.max(r.getAs[Long]("w"), tau)))
+      // per-stratum estimator sanity (K=16 → looser than q261's band)
+      val est = rs.head.getAs[Long]("est_src").toDouble
+      val truth = rs.head.getAs[Long]("true_src").toDouble
+      assert(math.abs(est - truth) / truth < 0.9, s"source $src: $est vs $truth")
+    }
+    // one permutation, two views: a doc sampled by BOTH q261 and q266
+    // carries the identical priority (same md5 key family)
+    val global = SparkEntry.queries("q261_priority_sample")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pri")).toMap
+    val both = rows.filter(r => global.contains(r.getAs[Long]("doc_id")))
+    assert(both.nonEmpty, "no overlap between global and stratified samples")
+    both.foreach(r =>
+      assert(r.getAs[Long]("pri") === global(r.getAs[Long]("doc_id"))))
+  }
+
+  test("q264 local clustering equals a driver-side recompute from q14's pairs") {
+    val pairs = SparkEntry.queries("q14_dedup_ngram_jaccard")(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    pairs.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val expected = adj.collect { case (v, ns) if ns.size >= 2 =>
+      val t = ns.toSeq.combinations(2)
+        .count { case Seq(x, y) =>
+          pairs(math.min(x, y) -> math.max(x, y)) }
+      val d = ns.size.toLong
+      (v, d, t.toLong, t.toLong * 2000L / (d * (d - 1)))
+    }.toSet
+    val got = SparkEntry.queries("q264_local_clustering")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+    assert(got.forall { case (_, _, _, lcc) => lcc >= 0 && lcc <= 1000 })
+  }
+
+  test("q265 Theil-Sen equals a driver-side recompute, rational = quotient") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(ts) DIV 86400000000").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val slopes = for {
+      i <- daily.indices; j <- daily.indices if daily(i)._1 < daily(j)._1
+    } yield {
+      val (di, ci) = daily(i); val (dj, cj) = daily(j)
+      ((cj - ci).toDouble / (dj - di).toDouble, di, dj, cj - ci, dj - di)
+    }
+    val sorted = slopes.sortBy(t => (t._1, t._2, t._3))
+    val med = sorted(((sorted.size + 1) / 2) - 1)
+    val resids = daily.map { case (d, c) => (c.toDouble - med._1 * d.toDouble, d) }
+      .sortBy(identity)
+    val intercept = resids(((resids.length + 1) / 2) - 1)._1
+    val r = SparkEntry.queries("q265_theilsen_trend")(spark, sfDir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_days") === daily.length.toLong)
+    assert(row.getAs[Long]("n_pairs") === slopes.size.toLong)
+    assert(row.getAs[Long]("slope_num") === med._4)
+    assert(row.getAs[Long]("slope_den") === med._5)
+    assert(row.getAs[Double]("slope") === med._1)
+    assert(row.getAs[Double]("intercept") === intercept)
+    // the exact rational and the double quotient agree
+    assert(row.getAs[Double]("slope") ===
+      row.getAs[Long]("slope_num").toDouble / row.getAs[Long]("slope_den").toDouble)
+  }
+
   test("q174/q180 two-phase bucket ranks equal the one-task window formulations") {
     import org.apache.spark.sql.expressions.Window
     // q174: registered (two-phase) global_pos vs a direct global window
