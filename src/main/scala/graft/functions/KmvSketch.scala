@@ -6,6 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -42,6 +43,14 @@ case class KmvMinSet(
   with UnaryLike[Expression] {
 
   require(k >= 2, s"kmv_minset needs k >= 2, got $k")
+
+  // analysis-time typing (ADVICE r14, same gap as PriorityTopK): a
+  // non-BIGINT value column must fail analysis, not ClassCastException
+  // inside update()
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kmv_minset requires a BIGINT value column, got ${child.dataType}")
 
   override def nullable: Boolean = false
   override def dataType: DataType = StructType(Seq(
@@ -123,6 +132,11 @@ case class KmvMinArray(
   with UnaryLike[Expression] {
 
   require(k >= 2, s"kmv_minarray needs k >= 2, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kmv_minarray requires a BIGINT value column, got ${child.dataType}")
 
   private val inner = KmvMinSet(child, k)
 

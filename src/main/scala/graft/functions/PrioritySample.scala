@@ -5,6 +5,7 @@ import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.TernaryLike
@@ -45,6 +46,16 @@ case class PriorityTopK(
 
   // third child is the k literal, kept so the expression tree prints it
   override def third: Expression = Literal(k)
+
+  // analysis-time typing (ADVICE r14): a non-BIGINT priority or id column
+  // would otherwise pass analysis and ClassCastException at execution from
+  // update()'s asInstanceOf[Long]
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == LongType && second.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"priority_topk requires BIGINT (pri, id) columns, got " +
+        s"${first.dataType} / ${second.dataType}")
 
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral coverage for the round-15 changes: the per-document blocking
+  * budget on the shared rare-shingle index (VERDICT r15 directive #1 — never
+  * bites at tested sf; bounds a pathological hub document), the q259
+  * disk-bounded sliced verify (row-identical to the one-pass plan by pair
+  * independence), and the analysis-time typing of the custom aggregates
+  * (ADVICE r14).
+  */
+class R15OpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import org.apache.spark.sql.functions._
+
+  test("rare-shingle doc cap never bites on real testdata (audit: zero capped docs)") {
+    val audit = ops.Dedup.rareShingleDocAudit(spark, sfDir)
+    assert(audit.count() > 0)
+    assert(audit.filter(col("capped")).count() === 0,
+      "default cap bit on real testdata — published hashes would change")
+    // cap headroom vs the measured maxima (98 rare shingles/doc at sf0.1 AND
+    // at the 30x/100x composed-permutation deep corpora — per-doc counts
+    // track doc length, not corpus size)
+    assert(ops.Dedup.RareShingleDocCap > 98)
+  }
+
+  test("rare-shingle doc cap bounds a pathological hub document") {
+    import spark.implicits._
+    // one HUB doc shares a distinct rare shingle with each of 40 satellites:
+    // hub text chains 40 3-grams "hi<k> m<k> lo<k>"; satellite k repeats the
+    // k-th 3-gram, so each of those 3-grams has df=2 (rare), and the hub's
+    // rare-shingle set has >= 40 entries while satellites hold ~5 each
+    val hubWords = (0 until 40).flatMap(k => Seq(s"hi$k", s"m$k", s"lo$k"))
+    val hub = (1L, hubWords.mkString(" "))
+    val sats = (0 until 40).map(k =>
+      (100L + k, s"hi$k m$k lo$k hi$k m$k lo$k"))
+    val docs = spark.createDataset(hub +: sats).toDF("doc_id", "text")
+    val uncapped = ops.Dedup.rareShingleRowsOf(docs, cap = Int.MaxValue)
+    val hubRare = uncapped.filter(col("doc_id") === 1L).count()
+    assert(hubRare >= 40L, s"fixture broken: hub holds $hubRare rare shingles")
+    // cap = 8: the hub keeps its 8 RAREST shingles — blocking fan-out bounded
+    val capped = ops.Dedup.rareShingleRowsOf(docs, cap = 8)
+    assert(capped.filter(col("doc_id") === 1L).count() === 8L)
+    // satellites are untouched (each holds fewer than 8 rare shingles)
+    assert(capped.filter(col("doc_id") >= 100L).count() ===
+      uncapped.filter(col("doc_id") >= 100L).count())
+    // determinism: the kept 8 are the lexicographically-first among df-ties
+    // (df asc, shingle asc) — two runs agree exactly
+    val a = capped.filter(col("doc_id") === 1L).collect().map(_.getString(0)).sorted
+    val b = ops.Dedup.rareShingleRowsOf(docs, cap = 8)
+      .filter(col("doc_id") === 1L).collect().map(_.getString(0)).sorted
+    assert(a.toSeq === b.toSeq)
+    // and the audit reports the TRUE uncapped count with the capped flag
+    val audit = ops.Dedup.rareShingleDocAuditOf(docs, cap = 8)
+    val hubRow = audit.filter(col("doc_id") === 1L).head()
+    assert(hubRow.getAs[Long]("n_rare") === hubRare)
+    assert(hubRow.getAs[Boolean]("capped"))
+  }
+
+  test("q259 sliced verify is row-identical to the one-pass plan") {
+    val base = SparkEntry.queries("q259_tfidf_cosine")(spark, sfDir)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    spark.conf.set("graft.q259.verifySlices", "4")
+    try {
+      val sliced = SparkEntry.queries("q259_tfidf_cosine")(spark, sfDir)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(sliced.length === base.length)
+      assert(sliced.toSeq === base.toSeq,
+        "pair-hash slicing changed the verified pair set")
+    } finally spark.conf.unset("graft.q259.verifySlices")
+  }
+
+  test("custom aggregates reject wrong-typed inputs at analysis time") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val df = Seq((1, 2), (3, 4)).toDF("a", "b") // INT columns, not BIGINT
+    for (bad <- Seq("priority_topk(a, b, 5)", "kmv_minset(a, 12)",
+        "kmv_minarray(a, 12)")) {
+      val e = intercept[Exception] { df.selectExpr(bad).collect() }
+      assert(e.getMessage.toLowerCase.contains("bigint")
+          || e.getMessage.toLowerCase.contains("datatype_mismatch"),
+        s"$bad failed with the wrong error: ${e.getMessage.take(200)}")
+    }
+    // and the correctly-typed calls still analyze + run
+    val ok = df.selectExpr("priority_topk(CAST(a AS BIGINT), CAST(b AS BIGINT), 5)",
+      "kmv_minset(CAST(a AS BIGINT), 12)")
+    assert(ok.count() === 1L)
+  }
+}
