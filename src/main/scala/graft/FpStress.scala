@@ -105,7 +105,16 @@ object FpStress {
     * (i div 10): 100 distinct permutations, every copy a disjoint shingle
     * set, per-shingle dfs at their sf0.1 values — the honest larger-corpus
     * shape. Copies 0–9 coincide exactly with [[build]]'s documents (the
-    * consonant rotation is the identity there), so the rungs share a base. */
+    * consonant rotation is the identity there), so the rungs share a base.
+    *
+    * Caveat (ADVICE r14, measured r15): "disjoint" is exact only for
+    * shingles touching at least one of the 20 permuted letters — a token of
+    * only j/k/q/v/x/z/digits/punctuation is a fixed point of translate and
+    * would be shared verbatim across copies. Measured at sf0.1: ZERO of the
+    * 27 213 distinct shingles are fixed points, and the rare-shingle
+    * candidate counts at 30/100 copies are 30.26× / 99.71× the sf0.1 base
+    * (<1% off exact linear — the residual is df-clipping interplay, not
+    * shared shingles), so the distortion is negligible on this corpus. */
   private[graft] def docsCorpus(s: SparkSession, copies: Int): String = {
     require(copies <= 100, "only 100 distinct composed permutations exist")
     val dir = s"/root/repo/target/fpstress/docs$copies"

@@ -78,7 +78,12 @@ object PairSweep {
     * on [[FpStress.docsCorpus]] (30 and 100 composed-permutation copies =
     * ~sf3 and ~sf10 — 100× the sf0.1 base). */
   private val deepQueries = Seq("q111_setsim_join", "q117_phash_neardup",
-    "q135_containment_join", "q256_blocking_quality", "q259_tfidf_cosine")
+    "q135_containment_join", "q256_blocking_quality", "q259_tfidf_cosine",
+    // r15 (VERDICT directive #5): the two r14 graph/linkage operators whose
+    // only growth reading was sf0.1→sf1 — q262's output mass is the FULL
+    // candidate set (the q144 class), q264's wedge closure is O(m^{3/2}) on
+    // duplicate-mass-bounded edges; both read only `documents`
+    "q262_fs_linkage", "q264_local_clustering")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -105,12 +110,32 @@ object PairSweep {
       // superlinearity — ≲9× at the 3× rung, ≲30× at the 10× rung (the
       // same ×3 allowance the 10×-rung gate uses); quadratic would be 9×
       // and 100×. Deep rungs go first so their PlanCache builds are cold.
+      // Optional extra args after "deep" filter the query list (one rung's
+      // re-measurement doesn't have to pay the other four).
+      // q259's sf10 rung runs DISK-BOUNDED (r15): its exact-verify mass is
+      // measured LINEAR (58M → 1.76B → 5.79B intermediate rows at sf1→sf3→
+      // sf10 of this ladder) but the sf10 one-pass overruns an 80 GB local
+      // disk, so THAT RUNG ONLY verifies in SPARK_GRAFT_Q259_SLICES
+      // pair-hash slices (default 8; row-identical by pair independence,
+      // R15OpsSpec). The sf1/sf3 rungs stay one-pass (they fit disk), so
+      // their numbers remain comparable to r14's; the sf10 wall-clock is
+      // recorded WITH the slicing cost (per-slice barrier jobs + the
+      // full-GC nudges that let the ContextCleaner drop slice shuffles —
+      // measured ~6.7× overhead at sf1, the price of an 8× smaller peak
+      // disk footprint) — the honest bounded-disk number.
+      val slices = sys.env.getOrElse("SPARK_GRAFT_Q259_SLICES", "8")
+      val filter = args.filterNot(_ == "deep").toSet
+      val qs = if (filter.isEmpty) deepQueries
+               else deepQueries.filter(filter)
       val d30 = FpStress.docsCorpus(spark, 30)
       val d100 = FpStress.docsCorpus(spark, 100)
-      deepQueries.foreach { q =>
+      qs.foreach { q =>
         val t10 = time(big, q)
         val t30 = time(d30, q)
+        if (q == "q259_tfidf_cosine")
+          spark.conf.set("graft.q259.verifySlices", slices)
         val t100 = time(d100, q)
+        spark.conf.unset("graft.q259.verifySlices")
         println(f"[pairsweep] DEEP $q sf3/sf1=${t30 / t10}%.1f x (3x rows), " +
           f"sf10/sf1=${t100 / t10}%.1f x (10x rows) " +
           (if (t30 / t10 < 9 && t100 / t10 < 30) "(sub-quadratic)"

@@ -71,7 +71,9 @@ object Dedup {
           .as("ngram"))
     }
 
-  private val maxDf = 50 // shingles seen in more docs than this are stop-shingles
+  // shingles seen in more docs than this are stop-shingles (graft-visible:
+  // q268's streaming registry sizes its per-shingle min-set at maxDf + 1)
+  private[graft] val maxDf = 50
 
   /** Per-document BLOCKING BUDGET (VERDICT r15 directive #1, the q117/q238
     * cap idiom applied to the shared rare-shingle index): each doc keeps at
@@ -112,8 +114,12 @@ object Dedup {
 
   /** The budgeted rare-shingle index over an explicit (doc_id, ngram) posting
     * frame — the core of [[rareShingleRows]], exposed for the R15OpsSpec
-    * pathological-corpus test. */
-  private def cappedRareOf(ng: DataFrame, cap: Int): DataFrame = {
+    * pathological-corpus test and for q268's streamed-registry tail (whose
+    * postings, exploded from the registry's exact ≤(maxDf+1)-min doc lists,
+    * re-derive the identical df values, so this single code path guarantees
+    * batch ≡ streamed blocking). */
+  private[graft] def cappedRareOf(ng: DataFrame, cap: Int = RareShingleDocCap)
+      : DataFrame = {
     val rare = ng.groupBy("ngram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
     ng.join(rare, "ngram")
@@ -2328,17 +2334,25 @@ object Dedup {
     * dimension-sized 1-row aggregates crossJoined as broadcast scalars.
     * At 100 TB nothing here is data-proportional except the candidate set
     * itself. */
-  val fsLinkage: Q = Q(
-    "q262_fs_linkage",
-    (s, dir) => {
+  /** The collision-pair generator over a (ngram, doc_id) blocking index —
+    * q262's candidate stage, shared with the streaming registry tail
+    * (q268): pairs sharing ≥ 1 indexed shingle, deduplicated. */
+  private[graft] def candidatesFrom(rareIdx: DataFrame): DataFrame =
+    rareIdx.as("a").join(rareIdx.as("b"),
+        col("a.ngram") === col("b.ngram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+  /** q262's scoring stages GIVEN a candidate frame — shared verbatim by the
+    * streaming variant (q268), whose candidates come from the incrementally
+    * maintained shingle registry instead of the batch blocker. Everything
+    * from field agreement through m/u estimation to the λ verdict lives
+    * here, so batch and streaming provably score identically. */
+  private[graft] def fsScoreOf(s: SparkSession, dir: String,
+      cand: DataFrame): DataFrame = {
       val fields = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
         col("source"), expr("n_chars div 100").as("len_b"),
         split(col("text"), " ").getItem(0).as("tok1"))
-      val rare = rareShingleRows(s, dir)
-      val cand = rare.as("a").join(rare.as("b"),
-          col("a.ngram") === col("b.ngram") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
       val withFields = cand
         .join(fields.select(col("doc_id").as("doc_a"), col("lang").as("la"),
           col("source").as("sa"), col("len_b").as("ba"), col("tok1").as("ta")), Seq("doc_a"))
@@ -2397,7 +2411,11 @@ object Dedup {
           col("a_len"), col("a_tok"), col("verdict"), col("is_dup"),
           col("m_lang"), col("m_source"), col("m_len"), col("m_tok"),
           col("u_lang"), col("u_source"), col("u_len"), col("u_tok"))
-    },
+  }
+
+  val fsLinkage: Q = Q(
+    "q262_fs_linkage",
+    (s, dir) => fsScoreOf(s, dir, candidatesFrom(rareShingleRows(s, dir))),
     Some(s"""WITH docs3 AS (
         SELECT doc_id, string_split(text, ' ') AS words FROM documents
         WHERE len(string_split(text, ' ')) >= 3

@@ -999,9 +999,141 @@ object TextOps {
              w1, w2, c2, c1a, c1b, lift
       FROM scored"""))
 
+  // ---- q267: held-out n-gram LM perplexity filter (VERDICT r15 #4) ---------
+  /** Stupid-backoff discount as an exact rational: 1/α with α = 0.4 → ×2.5,
+    * a value every binary double represents exactly. */
+  private val sbInvAlpha = 2.5
+
+  /** q267 admission gate: mean inverse transition probability ≤ this.
+    * Measured fluent-corpus maxima: 184 / 277 / 488 at sf0.001/0.01/0.1
+    * (the max tracks the rarest in-corpus transition, so it grows slowly
+    * with corpus size); gibberish/shuffled docs land at the backoff/OOV
+    * ceilings — 2.5·T/c1 to 2.5·(T+V), thousands to millions (spec-pinned
+    * with a planted fixture). The gate sits between the modes with ~4×
+    * headroom on the fluent side at tested sfs. */
+  private val lmPassMax = 2000.0
+
+  /** q267: the per-document LM QUALITY FILTER (the CCNet/KenLM perplexity
+    * gate every production corpus pipeline runs) with a HELD-OUT language
+    * model: the corpus is split into two folds by doc_id parity and each
+    * document is scored against the bigram model counted from the OTHER
+    * fold — no self-scoring leak (q116 trains on the full corpus including
+    * the scored doc; this is the held-out form the filter literature
+    * actually uses). Smoothing is STUPID BACKOFF (Brants et al., EMNLP
+    * 2007): per bigram occurrence (w1 → w2), the inverse-probability score
+    *
+    *   r = c1(w1) / c2(w1, w2)                 if the LM fold saw the bigram
+    *     = 2.5 · T / c1(w2)                    else, if it saw the word w2
+    *     = 2.5 · (T + V)                       else (OOV ceiling)
+    *
+    * with c1/c2/T/V counted on the LM fold only and 1/α = 2.5 exact. The
+    * document score is the MEAN of the per-bigram r — the same monotone
+    * perplexity proxy as q116, deliberately log-free: every r is a quotient
+    * of exact integers (correctly-rounded IEEE division in both engines,
+    * both operands ≤ 2^53) rounded to 6 decimals, doc sums re-rounded (the
+    * Pipelines round-sum rule), while ln() differs across engines in the
+    * last ulp. High score = surprising transitions under the held-out LM =
+    * gibberish/shuffled/out-of-domain; the pass flag gates at the fixed
+    * threshold. Composes with q142's Gopher rules and q237's DSIR exactly
+    * like the production stack (perplexity gate → rule battery → mixture).
+    *
+    * Distributed shape: bigram pairs come from a per-row array transform
+    * (one explode, NO per-doc window — cheaper than q116's lead()); LM
+    * counts are two map-side-combined aggregations keyed by (fold, token);
+    * scoring is token-keyed joins of the occurrence stream against those
+    * count tables (left joins — misses ARE the backoff path); T/V are a
+    * 2-row fold dimension, broadcast. Nothing data-sized is broadcast or
+    * collected; every stage is corpus-partitioned. */
+  private[graft] def lmPerplexityOf(docs0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      val docs = docs0
+        .select(col("doc_id"), pmod(col("doc_id"), lit(2)).as("fold"),
+          split(col("text"), " ").as("words"))
+      val toks = docs.select(col("doc_id"), col("fold"),
+        explode(col("words")).as("w"))
+      val bigrams = docs.filter(size(col("words")) >= 2)
+        .select(col("doc_id"), col("fold"), explode(expr(
+          "transform(sequence(0, size(words)-2), " +
+            "i -> named_struct('w1', words[i], 'w2', words[i+1]))")).as("bg"))
+        .select(col("doc_id"), col("fold"), col("bg.w1"), col("bg.w2"))
+      val uni = toks.groupBy("fold", "w").agg(count(lit(1)).as("c1"))
+      val bi = bigrams.groupBy("fold", "w1", "w2").agg(count(lit(1)).as("c2"))
+      // per-fold totals: T = token count, V = vocabulary size (2 rows)
+      val tot = uni.groupBy("fold")
+        .agg(sum("c1").as("t"), count(lit(1)).as("v"))
+      val scored = bigrams
+        .withColumn("lm", lit(1L) - col("fold")) // the OTHER fold is the LM
+        .join(bi.select(col("fold").as("lm"), col("w1"), col("w2"), col("c2")),
+          Seq("lm", "w1", "w2"), "left")
+        .join(uni.select(col("fold").as("lm"), col("w").as("w1"),
+          col("c1").as("c1w1")),
+          Seq("lm", "w1"), "left")
+        .join(uni.select(col("fold").as("lm"), col("w").as("w2"),
+          col("c1").as("c1w2")),
+          Seq("lm", "w2"), "left")
+        .join(broadcast(tot.withColumnRenamed("fold", "lm")), Seq("lm"))
+        .withColumn("r",
+          when(col("c2").isNotNull, round(col("c1w1") / col("c2"), 6))
+            .when(col("c1w2").isNotNull,
+              round(lit(sbInvAlpha) * col("t") / col("c1w2"), 6))
+            .otherwise(round(lit(sbInvAlpha) * (col("t") + col("v")), 6)))
+      scored.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("c2").isNotNull.cast("long")).as("n_hit"),
+          sum((col("c2").isNull && col("c1w2").isNotNull).cast("long"))
+            .as("n_backoff"),
+          (round(sum("r"), 6) / count(lit(1))).as("ppl_proxy"))
+        .withColumn("pass_lm", col("ppl_proxy") <= lmPassMax)
+  }
+
+  val lmPerplexity: Q = Q(
+    "q267_lm_perplexity",
+    (s, dir) => lmPerplexityOf(
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))),
+    Some(s"""WITH d AS (
+        SELECT doc_id, doc_id % 2 AS fold, string_split(text, ' ') AS words
+        FROM documents
+      ), toks AS (
+        SELECT doc_id, fold, unnest(words) AS w FROM d
+      ), bg AS (
+        SELECT doc_id, fold, words[i] AS w1, words[i + 1] AS w2
+        FROM d, unnest(generate_series(1, len(words) - 1)) AS t(i)
+        WHERE len(words) >= 2
+      ), uni AS (
+        SELECT fold, w, CAST(count(1) AS BIGINT) AS c1 FROM toks GROUP BY fold, w
+      ), bi AS (
+        SELECT fold, w1, w2, CAST(count(1) AS BIGINT) AS c2
+        FROM bg GROUP BY fold, w1, w2
+      ), tot AS (
+        SELECT fold, CAST(SUM(c1) AS BIGINT) AS t, CAST(count(1) AS BIGINT) AS v
+        FROM uni GROUP BY fold
+      ), scored AS (
+        SELECT b.doc_id,
+               bi.c2, ua.c1 AS c1w1, ub.c1 AS c1w2,
+               CASE
+                 WHEN bi.c2 IS NOT NULL THEN
+                   ROUND(CAST(ua.c1 AS DOUBLE) / bi.c2, 6)
+                 WHEN ub.c1 IS NOT NULL THEN
+                   ROUND($sbInvAlpha * tot.t / ub.c1, 6)
+                 ELSE ROUND($sbInvAlpha * (tot.t + tot.v), 6)
+               END AS r
+        FROM bg b
+        LEFT JOIN bi ON bi.fold = 1 - b.fold AND bi.w1 = b.w1 AND bi.w2 = b.w2
+        LEFT JOIN uni ua ON ua.fold = 1 - b.fold AND ua.w = b.w1
+        LEFT JOIN uni ub ON ub.fold = 1 - b.fold AND ub.w = b.w2
+        JOIN tot ON tot.fold = 1 - b.fold
+      )
+      SELECT doc_id, CAST(count(1) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             CAST(SUM(CASE WHEN c2 IS NULL AND c1w2 IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_backoff,
+             ROUND(SUM(r), 6) / count(1) AS ppl_proxy,
+             ROUND(SUM(r), 6) / count(1) <= $lmPassMax AS pass_lm
+      FROM scored GROUP BY doc_id"""))
+
   val all: Seq[Q] = Seq(textQuality, textLangId, tokenCount, docFingerprint,
     repetitionScore, lengthOutliers, robustOutliers, phraseSearch,
     bigramSurprisal, gopherRules, quantileNorm, kwicConcordance,
     sourceDivergence, langConfusion, ngramDiversity, codeDetect, hapaxProfile,
-    collocationLift)
+    collocationLift, lmPerplexity)
 }

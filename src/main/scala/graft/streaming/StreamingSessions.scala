@@ -1020,10 +1020,59 @@ object StreamingSessions {
       splitSourceFiles = 4),
     graft.ops.Similarity.knnLsh.oracle)
 
+  /** q268: STREAMING SHINGLE-BLOCKING REGISTRY + Fellegi–Sunter linkage —
+    * the piece that completes the streaming dedup story end-to-end (q236
+    * maintains the LSH band registry; this maintains the EXACT rare-shingle
+    * blocking index q14/q87/q259/q262 all candidate from, then scores the
+    * collision pairs with q262's decision model). The streamed state is one
+    * row per distinct shingle holding (count, the ≤ maxDf+1 SMALLEST
+    * doc_ids) via the [[graft.functions.KmvMinArray]]
+    * TypedImperativeAggregate — the same bounded-buffer discipline as the
+    * sketch matrix (HLL/count-min/KMV/priority), ≤ (maxDf+2)·8 bytes per
+    * shingle regardless of how hot the shingle runs. The bound is EXACT,
+    * not approximate: a shingle that ends with df ≤ maxDf has ALL its
+    * doc_ids among its maxDf+1 smallest (a set's k smallest are a pure
+    * function of the set — arrival order and batch slicing cannot change
+    * them), and a shingle past maxDf is a stop-shingle the blocker drops
+    * anyway, so the registry tail re-derives the batch rare index
+    * bit-for-bit through the SAME [[graft.ops.Dedup.cappedRareOf]] code
+    * path (per-doc budget included). Candidates and the full likelihood
+    * scoring then run through q262's shared stages — batch ≡ streamed is
+    * a property of the shared code, and the q262 oracle applies VERBATIM.
+    * In production the registry is the always-on piece (new docs probe it
+    * per micro-batch; state TTLs by corpus retention) while the m/u fit
+    * replays periodically — exactly this split. */
+  val streamingFsLinkage: Q = Q(
+    "q268_streaming_fs_linkage",
+    (s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val k = graft.ops.Dedup.maxDf + 1
+      val registry = streamToArtifact(s, dir, "shingreg", "documents",
+        p => s.readStream.schema(docsSchema).parquet(p)
+          .select(col("doc_id"), split(col("text"), " ").as("words"))
+          .filter(size(col("words")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            """array_distinct(transform(sequence(0, size(words) - 3),
+               i -> concat(words[i], ' ', words[i + 1], ' ', words[i + 2])))"""))
+            .as("ngram"))
+          .groupBy("ngram")
+          .agg(count(lit(1)).as("df"), expr(s"kmv_minarray(doc_id, $k)").as("mins")),
+        splitSourceFiles = 4)
+      // tail (batch, off the materialized registry): stop-shingles out,
+      // postings back from the exact min-sets, then the SHARED budgeted
+      // blocker + candidate + scoring stages — q262's plan from here on
+      val postings = registry
+        .filter(col("df") >= 2 && col("df") <= graft.ops.Dedup.maxDf)
+        .select(explode(col("mins")).as("doc_id"), col("ngram"))
+      graft.ops.Dedup.fsScoreOf(s, dir,
+        graft.ops.Dedup.candidatesFrom(graft.ops.Dedup.cappedRareOf(postings)))
+    },
+    graft.ops.Dedup.fsLinkage.oracle)
+
   val all: Seq[Q] =
     Seq(streamingSessions, streamingDedup, streamingHopping,
       streamingIntervalJoin, streamingOuterJoin, streamingQuota,
       streamingEnrich, streamingUpsert, streamingWmDedup, streamingDupRate,
       streamingLshRegistry, streamingHll, streamingCountMin, streamingKmv,
-      streamingAnnProbe, streamingPrioritySample)
+      streamingAnnProbe, streamingPrioritySample, streamingFsLinkage)
 }

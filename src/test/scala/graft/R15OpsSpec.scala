@@ -70,6 +70,44 @@ class R15OpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.q259.verifySlices")
   }
 
+  test("q267 LM filter separates fluent text from planted gibberish") {
+    import spark.implicits._
+    // fluent docs: the same sentence shape in both folds, so each fold's LM
+    // has seen every transition of the other fold (n_hit = n_bigrams, score
+    // = mean c1/c2 — small); gibberish docs: tokens NO fold has seen (pure
+    // OOV ceiling) and a shuffled doc (words known, transitions unseen →
+    // backoff path)
+    // 200 fluent docs so each fold's LM holds T ≈ 1200 tokens — enough that
+    // the OOV ceiling 2.5·(T+V) clears the absolute gate, mirroring a real
+    // corpus where the ceiling is millions
+    val fluent = (1L to 200L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog and runs home"))
+    val gibberish = Seq(
+      (1001L, "zxqv jkwp mmvt qqzl xxsw ppfy"), // OOV: no fold knows these
+      (1002L, "dog the over home runs quick and lazy fox jumps the brown"))
+    val out = ops.TextOps.lmPerplexityOf(
+        spark.createDataset(fluent ++ gibberish).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val fluentScores = (1L to 200L).map(out(_).getAs[Double]("ppl_proxy"))
+    val oovScore = out(1001L).getAs[Double]("ppl_proxy")
+    val shufScore = out(1002L).getAs[Double]("ppl_proxy")
+    // fluent docs hit the held-out LM on every bigram and pass the gate
+    assert((1L to 200L).forall(out(_).getAs[Long]("n_hit") ===
+      out(1L).getAs[Long]("n_bigrams")))
+    assert((1L to 200L).forall(out(_).getAs[Boolean]("pass_lm")))
+    // gibberish scores strictly dominate every fluent score; OOV fails the gate
+    assert(oovScore > fluentScores.max * 10,
+      s"OOV doc $oovScore not separated from fluent max ${fluentScores.max}")
+    assert(shufScore > fluentScores.max,
+      s"shuffled doc $shufScore not above fluent max ${fluentScores.max}")
+    assert(!out(1001L).getAs[Boolean]("pass_lm"))
+    // the OOV doc took the ceiling path on every bigram: no hits, no backoff
+    assert(out(1001L).getAs[Long]("n_hit") === 0L)
+    assert(out(1001L).getAs[Long]("n_backoff") === 0L)
+    // the shuffled doc's words are known → backoff, not ceiling
+    assert(out(1002L).getAs[Long]("n_backoff") > 0L)
+  }
+
   test("custom aggregates reject wrong-typed inputs at analysis time") {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)

@@ -348,6 +348,17 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed/batch top-k diverge: ${streamed.diff(batch).take(3).mkString("; ")}")
   }
 
+  test("q268 streamed shingle-registry linkage equals the q262 batch scoring") {
+    // The registry contract: the streamed (df, maxDf+1-min doc set) state,
+    // driven to completion over 4 real micro-batches, re-derives the batch
+    // rare-shingle blocking index bit-for-bit, so the shared scoring stages
+    // produce q262's exact output. exceptAll both ways = set equality.
+    val streamed = SparkEntry.queries("q268_streaming_fs_linkage")(spark, sfDir)
+    val batch = SparkEntry.queries("q262_fs_linkage")(spark, sfDir)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("q132 a key is re-admitted only after its dedup state is evicted") {
     import spark.implicits._
     val dir = "/root/repo/target/graft_stream_wmdedup"
