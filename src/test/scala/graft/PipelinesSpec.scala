@@ -21,33 +21,10 @@ object SparkTestSession {
 class PipelinesSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  /** Documented exceptions to the FactBroadcastHint gate ONLY (the
-    * cartesian and single-partition-sort gates admit none): every entry is
-    * an explicit broadcast() of the QUERY-WORKLOAD MODEL — the vec_id % 50
-    * sample (2% of the embeddings corpus) standing in for the arriving
-    * query set of a retrieval service. In production the broadcast side is
-    * the query workload (bounded per serving window — q260 serves the same
-    * plan per micro-batch), not a corpus fraction; the harness models that
-    * workload as a corpus sample because the testdata has no separate query
-    * table. Structurally boundable hints (q139's 1-row probe via limit(1),
-    * Dedup's top-50-hub / 256-row / 1-row broadcasts behind aggregates or
-    * limits) are NOT excepted — the gate proves them. */
-  private val broadcastHintExceptions: Map[String, String] = Map(
-    "q17_dedup_embedding" -> "2% query-sample broadcast (workload model)",
-    "q18_knn_bruteforce" -> "2% query-sample broadcast (workload model)",
-    "q19_knn_lsh" -> "2% query-sample broadcast, banded ×37 probes",
-    "q34_knn_ivf" -> "2% query-sample broadcast (workload model)",
-    "q156_pq_adc_topk" -> "2% query-sample broadcast (workload model)",
-    "q157_ivfpq_topk" -> "2% query-sample broadcast (workload model)",
-    "q159_truncation_recall" -> "2% query-sample broadcast ×3 dim budgets",
-    "q195_ann_recall" -> "2% query-sample broadcast (eval of q19)",
-    "q222_ann_rank_quality" -> "2% query-sample broadcast (eval of q19)",
-    "q224_hard_negatives" -> "2% query-sample broadcast (workload model)",
-    "q225_knn_label_noise" -> "2% query-sample broadcast (workload model)",
-    "q258_rbo_agreement" -> "2% query-sample broadcast (eval of q18/q19)",
-    "q66_range_join" -> ("promo-interval table: 1/400 key sample ×≤4 day " +
-      "bins — models an external promotions DIMENSION (at 100 TB the promo " +
-      "list is a small side table, not an orders derivative)"))
+  /** The documented FactBroadcastHint exceptions live in
+    * [[PlanGates.broadcastHintExceptions]] (main source, r15) so the
+    * PlanGateAudit CLI at sf0.01/sf0.1 enforces the SAME map as this spec. */
+  private def broadcastHintExceptions = PlanGates.broadcastHintExceptions
 
   test("every declared query runs, returns rows, and passes the plan gates") {
     // mechanized anti-pattern gates (r13 cartesian; r14 the other two
