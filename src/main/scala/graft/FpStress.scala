@@ -86,7 +86,11 @@ object FpStress {
     // late round-13: the truncated-RBO final division over integer
     // nano-unit sums (q258 — the q222 no-double-sum discipline) and the
     // tf-idf cosine's int64-cast division chain (q259)
-    "q258_rbo_agreement", "q259_tfidf_cosine")
+    "q258_rbo_agreement", "q259_tfidf_cosine",
+    // round-15: the held-out LM filter's round-sum score (q267 — per-bigram
+    // exact-integer quotients rounded to 6dp, per-doc sums re-rounded; the
+    // fold split is doc_id parity, stable under the key shifts)
+    "q267_lm_perplexity")
 
   /** 2-decimal deterministic jitter in [0, 0.96], keyed by (row key, copy) —
     * keeps every jittered double a 2-decimal value so the round(sum, p)
