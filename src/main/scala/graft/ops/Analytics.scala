@@ -2001,9 +2001,37 @@ object Analytics {
     * (day) count; the pairwise-slope table is |days|² on the DIMENSION
     * (epoch days — ~4 k pairs per quarter-year regardless of corpus
     * size), built as a broadcast range self-join of the day-grain
-    * aggregate, and each median is one rank over that dimension-sized
-    * frame. At 100 TB this costs the same as at 100 MB — the O(n²)-pairs
-    * objection to Theil–Sen does not apply when n is calendar days. */
+    * aggregate. Each median SELECTION runs as a two-phase bucket rank
+    * (ADVICE r14: the naive row_number() over the whole pair frame is one
+    * task — dimension-sized today, but |days|² is quadratic in calendar
+    * span, ~6.6 M pairs in one task for a 10-year corpus): 256 value-range
+    * buckets (monotone in the leading sort key, so bucket ranges are
+    * order-aligned), per-bucket counts give the exclusive prefix offsets
+    * (≤257-row window), only the bucket CONTAINING the target rank is then
+    * ranked. Selection order (value, tie keys) is unchanged, so the output
+    * is bit-identical to the one-task formulation the oracle keeps. */
+  private def lowerMedianRow(df: DataFrame, value: String,
+      ties: Seq[String]): DataFrame = {
+    val stats = df.agg(min(col(value)).as("mn"), max(col(value)).as("mx"),
+      count(lit(1)).as("n_rows"))
+    val b = df.crossJoin(broadcast(stats))
+      .withColumn("fb", when(col("mx") <= col("mn"), lit(0L)).otherwise(
+        least(floor((col(value) - col("mn")) / (col("mx") - col("mn")) * 256),
+          lit(255)).cast("long")))
+    val offs = b.groupBy("fb").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(
+        sum("bn").over(Window.orderBy("fb")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(stats.select(expr("(n_rows + 1) div 2").as("k"))))
+      .filter(col("off") < col("k") && col("k") <= col("off") + col("bn"))
+      .select(col("fb"), col("off"), col("k"))
+    b.join(broadcast(offs), Seq("fb"))
+      .withColumn("rn", row_number().over(Window.partitionBy("fb")
+        .orderBy(col(value) +: ties.map(col): _*)))
+      .filter(col("off") + col("rn") === col("k"))
+      .drop("fb", "off", "k", "rn", "mn", "mx")
+  }
+
   val theilSenTrend: Q = Q(
     "q265_theilsen_trend",
     (s, dir) => {
@@ -2016,22 +2044,15 @@ object Analytics {
         .withColumn("slope",
           (col("cj") - col("ci")).cast("double")
             / (col("dj") - col("di")).cast("double"))
-      val np = pairs.agg(count(lit(1)).as("n_pairs"))
-      val med = pairs
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("slope"), col("di"), col("dj"))))
-        .crossJoin(broadcast(np))
-        .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      val med = lowerMedianRow(pairs, "slope", Seq("di", "dj"))
+        .withColumnRenamed("n_rows", "n_pairs")
         .select(col("n_pairs"), col("slope"),
           (col("cj") - col("ci")).as("slope_num"),
           (col("dj") - col("di")).as("slope_den"))
-      val nd = daily.agg(count(lit(1)).as("n_days"))
-      val intercept = daily.crossJoin(broadcast(med.select("slope")))
+      val resids = daily.crossJoin(broadcast(med.select("slope")))
         .withColumn("resid", col("c").cast("double") - col("slope") * col("d").cast("double"))
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("resid"), col("d"))))
-        .crossJoin(broadcast(nd))
-        .filter(col("rn") === expr("(n_days + 1) div 2"))
+      val intercept = lowerMedianRow(resids, "resid", Seq("d"))
+        .withColumnRenamed("n_rows", "n_days")
         .select(col("n_days"), col("resid").as("intercept"))
       med.crossJoin(broadcast(intercept))
         .select("n_days", "n_pairs", "slope_num", "slope_den", "slope",
