@@ -68,7 +68,11 @@ object PairSweep {
     // round-14: Fellegi–Sunter linkage (q262 — output mass = the FULL
     // candidate set, every collision pair scored; candidate-volume-driven
     // like q144's eval join)
-    "q262_fs_linkage")
+    "q262_fs_linkage",
+    // round-15: the streamed shingle-registry form of q262 (q268 — the
+    // registry build is row-linear, the tail replays q262's candidate-mass
+    // cost; same sweep class)
+    "q268_streaming_fs_linkage")
 
   /** The output-heavy miners (VERDICT r13 directive #2): candidate/verify
     * volume grows with OUTPUT mass, so their 10×-rung ratios (4–9×) sit
