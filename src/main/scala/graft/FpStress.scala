@@ -90,7 +90,14 @@ object FpStress {
     // round-15: the held-out LM filter's round-sum score (q267 — per-bigram
     // exact-integer quotients rounded to 6dp, per-doc sums re-rounded; the
     // fold split is doc_id parity, stable under the key shifts)
-    "q267_lm_perplexity")
+    "q267_lm_perplexity",
+    // late round-15: the domain weights built on q267's round-sum score via
+    // floor(score·10^6) (q270 — the floor is the one double step;
+    // everything after is integer). q269 is deliberately NOT here: its
+    // published stream artifact is fingerprint-shared across geometries, so
+    // a second-geometry run would re-read rather than re-aggregate —
+    // StreamingSpec's both-ways set equality is its geometry evidence
+    "q270_domain_reweight")
 
   /** 2-decimal deterministic jitter in [0, 0.96], keyed by (row key, copy) —
     * keeps every jittered double a 2-decimal value so the round(sum, p)

@@ -211,7 +211,12 @@ object PlanGateAudit {
     spark.sparkContext.setLogLevel("ERROR")
     var bad = 0
     var excepted = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // dev-only subset knob (same contract as Verify's): unset = full audit
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1)))
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         df.count() // finalize AQE

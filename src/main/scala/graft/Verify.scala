@@ -23,7 +23,13 @@ object Verify {
     System.setProperty("graft.oracle.outdir", new java.io.File(outDir).getAbsolutePath)
     System.setProperty("graft.oracle.runstart", System.currentTimeMillis().toString)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-only subset knob: SPARK_GRAFT_ONLY=q269_x,q270_y dumps just those
+    // queries (plus their oracles) for a fast pre-flight; the driver never
+    // sets it, so its runs remain the full dump
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String) = only.forall(_.contains(name))
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -32,12 +38,13 @@ object Verify {
     }
     // aux dump for the dump-derived retrieval oracles (after the loop so the
     // q28 metadata dump the oracle joins is already on disk)
-    try ops.LineageQueries.dumpRetrievalAux(spark, sfDir, outDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] aux_qa_vectors failed: ${e.getMessage}")
-    }
+    if (only.isEmpty)
+      try ops.LineageQueries.dumpRetrievalAux(spark, sfDir, outDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] aux_qa_vectors failed: ${e.getMessage}")
+      }
     def q(s: String): String = Json.str(s)
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -1906,14 +1906,14 @@ object Analytics {
     * Complements q113 (exact equi-depth at fixed cost per boundary): this
     * is the o(N)-communication path a 100 TB profile runs first, with the
     * exact audit as its acceptance harness at test scale. */
-  val sampleQuantiles: Q = Q(
-    "q247_sample_quantiles",
-    (s, dir) => {
+  /** Shared q247/q269 estimator+audit tail: per-mille quantile estimates
+    * from a ≤ [[sqK]]-row uniform `sample` of (doc_id, n_chars) plus the
+    * exact rank-band/DKW audit against the full `docs` frame. Extracted
+    * verbatim from q247 so the streamed summary (q269) provably runs the
+    * SAME estimator code — the batch↔stream parity-by-shared-stages rule. */
+  private[graft] def quantileAuditOf(s: SparkSession, sample: DataFrame,
+      docs: DataFrame): DataFrame = {
       import s.implicits._
-      val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
-      val sample = docs
-        .withColumn("h", md5(concat(lit("sq|"), col("doc_id").cast("string"))))
-        .orderBy("h").limit(sqK) // TakeOrdered: per-partition k, driver merge
       // k-row bounded windows (k ≤ 256): rank within the sample + actual k
       val ranked = sample
         .withColumn("sr", row_number().over(
@@ -1945,6 +1945,16 @@ object Analytics {
           expr("CAST(dev_num div n_tot AS BIGINT)").as("err_pm"),
           when(col("dev_num") <= lit(sqDkwPm.toLong) * col("n_tot"), 1L)
             .otherwise(0L).as("within_dkw"))
+  }
+
+  val sampleQuantiles: Q = Q(
+    "q247_sample_quantiles",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+      val sample = docs
+        .withColumn("h", md5(concat(lit("sq|"), col("doc_id").cast("string"))))
+        .orderBy("h").limit(sqK) // TakeOrdered: per-partition k, driver merge
+      quantileAuditOf(s, sample, docs)
     },
     Some(s"""WITH sample AS (
         SELECT doc_id, n_chars FROM documents
@@ -1982,6 +1992,96 @@ object Analytics {
                             <= $sqDkwPm * t.n_tot
                        THEN 1 ELSE 0 END AS BIGINT) AS within_dkw
       FROM ranks r, tot t"""))
+
+  // ---- q269 stages: streaming quantile-sample maintenance ------------------
+  /** 2^48, the domain of the 12-hex-digit md5 prefix hash. */
+  private val sqsHashMod = 281474976710656L
+
+  /** q269 stage 1 — the row-local sample-candidate stream: each doc maps to
+    * a 48-bit uniform hash h of its id and priority pri = 2^48 − h, so the
+    * top-[[sqK]] under [[graft.functions.PriorityTopK]]'s total order
+    * (pri DESC, id ASC) are exactly the bottom-k by (h ASC, doc_id ASC) —
+    * q247's deterministic-uniform-sample shape in the integer form the
+    * bounded aggregate carries. Row-local: runs unchanged on a STREAMING
+    * documents frame. */
+  private[graft] def sqsItemsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      (lit(sqsHashMod) - expr("CAST(conv(substring(md5(concat('squant|', " +
+        "CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT)")).as("pri"))
+
+  /** q269 stage 2 — the bounded mergeable summary: one global
+    * `priority_topk(pri, doc_id, sqK)` row — ≤ k·16 bytes of state however
+    * large the corpus, updated/merged by the identical aggregate code batch
+    * and streaming. This is the quantile sketch's streaming state shape. */
+  private[graft] def sqsSketchOf(s: SparkSession, items: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    items.agg(expr(s"priority_topk(pri, doc_id, $sqK)").as("top"))
+  }
+
+  /** q269 stage 3 — quantile estimates off a materialized summary
+    * (streaming-agnostic): the ≤ k held doc_ids join back to the corpus for
+    * their values (the k-row side is the broadcast side), then the shared
+    * [[quantileAuditOf]] tail produces the per-mille estimates and the
+    * exact rank-band/DKW audit — q247's estimator verbatim, so streamed ≡
+    * batch is a property of shared code, not a coincidence. */
+  private[graft] def sqsReport(s: SparkSession, sk: DataFrame,
+      dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+    // the aggregate's contract bounds the exploded summary at k entries and
+    // doc_id is unique on both join sides, so the joined sample is ≤ k rows
+    // BY CONSTRUCTION — the explicit limit(k) on each frame states that
+    // bound IN the plan (no row is ever dropped), so the plan gates can
+    // prove the broadcast side and the in-sample window are k-row, not
+    // fact-proportional — q247's limit idiom
+    val held = sk.select(explode(col("top")).as("e"))
+      .select(col("e.id").as("doc_id")).limit(sqK)
+    quantileAuditOf(s,
+      broadcast(held).join(docs, Seq("doc_id")).limit(sqK), docs)
+  }
+
+  /** q269's DuckDB oracle — the direct batch replay of the identical
+    * selection (bottom-[[sqK]] by the 48-bit id hash; the streamed summary
+    * is a pure function of the doc SET, so batch SQL reproduces the sample
+    * exactly) followed by q247's estimator/audit SQL verbatim. */
+  private[graft] def sqsOracle: Option[String] =
+    Some(s"""WITH sample AS (
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY ('0x' || substr(md5('squant|' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT,
+                 doc_id
+        LIMIT $sqK
+      ), ranked AS (
+        SELECT n_chars, doc_id,
+               CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS sr,
+               CAST(count(1) OVER () AS BIGINT) AS kk
+        FROM sample
+      ), grid AS (
+        SELECT CAST(unnest([${sqPs.mkString(", ")}]) AS BIGINT) AS p_pm
+      ), est AS (
+        SELECT g.p_pm, r.n_chars AS est_value, r.sr AS sample_rank,
+               r.kk AS sample_k
+        FROM ranked r JOIN grid g
+          ON r.sr = greatest(CAST(1 AS BIGINT), (g.p_pm * r.kk + 999) // 1000)
+      ), tot AS (
+        SELECT CAST(count(1) AS BIGINT) AS n_tot FROM documents
+      ), ranks AS (
+        SELECT e.p_pm, e.est_value, e.sample_rank, e.sample_k,
+          CAST(sum(CASE WHEN d.n_chars < e.est_value THEN 1 ELSE 0 END)
+            AS BIGINT) AS rank_lo,
+          CAST(sum(CASE WHEN d.n_chars <= e.est_value THEN 1 ELSE 0 END)
+            AS BIGINT) AS rank_hi
+        FROM est e, documents d
+        GROUP BY e.p_pm, e.est_value, e.sample_rank, e.sample_k
+      )
+      SELECT r.p_pm, r.est_value, r.sample_rank, r.sample_k,
+             r.rank_lo, r.rank_hi, t.n_tot,
+             CAST(greatest(r.p_pm * t.n_tot - 1000 * r.rank_hi,
+                           1000 * r.rank_lo - r.p_pm * t.n_tot, 0)
+                  // t.n_tot AS BIGINT) AS err_pm,
+             CAST(CASE WHEN greatest(r.p_pm * t.n_tot - 1000 * r.rank_hi,
+                                     1000 * r.rank_lo - r.p_pm * t.n_tot, 0)
+                            <= $sqDkwPm * t.n_tot
+                       THEN 1 ELSE 0 END AS BIGINT) AS within_dkw
+      FROM ranks r, tot t""")
 
   // ---- q265: Theil–Sen robust trend of daily event volume ------------------
   /** q265: the Theil–Sen estimator (median of pairwise slopes) for the

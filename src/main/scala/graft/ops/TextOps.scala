@@ -1086,11 +1086,9 @@ object TextOps {
         .withColumn("pass_lm", col("ppl_proxy") <= lmPassMax)
   }
 
-  val lmPerplexity: Q = Q(
-    "q267_lm_perplexity",
-    (s, dir) => lmPerplexityOf(
-      Tables.documents(s, dir).select(col("doc_id"), col("text"))),
-    Some(s"""WITH d AS (
+  /** q267's scored-bigram CTE chain (`d` … `scored`), shared verbatim with
+    * q270's oracle so both replay the identical held-out-LM arithmetic. */
+  private val lmScoredCtesSql: String = s"""d AS (
         SELECT doc_id, doc_id % 2 AS fold, string_split(text, ' ') AS words
         FROM documents
       ), toks AS (
@@ -1122,7 +1120,13 @@ object TextOps {
         LEFT JOIN uni ua ON ua.fold = 1 - b.fold AND ua.w = b.w1
         LEFT JOIN uni ub ON ub.fold = 1 - b.fold AND ub.w = b.w2
         JOIN tot ON tot.fold = 1 - b.fold
-      )
+      )"""
+
+  val lmPerplexity: Q = Q(
+    "q267_lm_perplexity",
+    (s, dir) => lmPerplexityOf(
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))),
+    Some(s"""WITH $lmScoredCtesSql
       SELECT doc_id, CAST(count(1) AS BIGINT) AS n_bigrams,
              CAST(SUM(CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
              CAST(SUM(CASE WHEN c2 IS NULL AND c1w2 IS NOT NULL THEN 1 ELSE 0 END)
@@ -1131,9 +1135,114 @@ object TextOps {
              ROUND(SUM(r), 6) / count(1) <= $lmPassMax AS pass_lm
       FROM scored GROUP BY doc_id"""))
 
+  // ---- q270: DoReMi-style domain reweighting from held-out LM excess -------
+  /** Uniform-mixture share of the q270 weight: the final mixture is
+    * (1 − α)·uniform + α·(excess/Σexcess) with α = [[drAlphaPpm]]/10^6 —
+    * DoReMi's trust-region mix that keeps every domain sampled. */
+  private[graft] val drAlphaPpm = 500000L
+
+  /** Deterministic clamp on the per-doc score before ppm scaling: keeps
+    * floor(score·10^6) < 2^53 (double-exact integer range) even for
+    * ceiling-dominated docs in extreme corpora, where q267's OOV ceiling
+    * 2.5·(T+V) can exceed 10^10. Never binds at tested sfs (measured
+    * corpus max 488 at sf0.1; even the planted-gibberish ceiling is ~10^7)
+    * — spec-pinned, same idiom as the q117/q238 caps. */
+  private[graft] val drClampMax = 2.0e9
+
+  /** q270: DOMAIN REWEIGHTING from measured LM signal — the DoReMi-family
+    * (Xie et al., 2023) data-mixture step that turns q267's held-out
+    * perplexity scores into per-source sampling weights: domains whose
+    * mean score EXCEEDS the corpus baseline (harder / more surprising
+    * under the held-out LM — DoReMi's excess-loss signal) get
+    * proportionally more of the α mass, mixed with a uniform floor so no
+    * domain starves. Completes the mixture toolbox: q52/q232 SAMPLE given
+    * weights, q237 selects by importance ratio — this COMPUTES the weights.
+    *
+    * Exactness: per-doc scores enter as floor(score·10^6) BIGINTs (the
+    * q217 ppm idiom — double→integer once, then every mean/baseline/
+    * excess/weight is integer arithmetic: `div` here ≡ `//` in DuckDB on
+    * the non-negative operands), with per-source sums carried in
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so no intermediate can wrap
+    * at any corpus size (the q259/q253 overflow lesson applied at design
+    * time). Weights are ppm integers; Σ weights ≤ 10^6 with the deficit
+    * < n_sources + 1 from floor rounding — deterministic in both engines.
+    *
+    * Distributed shape: per-doc scoring is q267's corpus-partitioned plan
+    * verbatim; everything after it is one map-side-combined groupBy on
+    * `source` plus source-count-sized (≤ dimension) broadcast scalars —
+    * zero additional data-sized shuffles, nothing fact-proportional on
+    * the driver. */
+  private[graft] def domainReweightOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val perDoc = lmPerplexityOf(docs.select("doc_id", "text"))
+      .select(col("doc_id"),
+        floor(least(col("ppl_proxy"), lit(drClampMax)) * 1000000.0)
+          .cast("long").as("ppl_ppm"))
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+    val bySrc = perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ppl_ppm").cast("decimal(28,0)")).as("sum_ppm"))
+      .withColumn("mean_ppl_ppm", expr("CAST(sum_ppm div n_docs AS BIGINT)"))
+    val base = bySrc
+      .agg(sum(col("sum_ppm")).as("ts"), sum(col("n_docs")).as("tn"),
+        count(lit(1)).as("n_sources"))
+      .select(expr("CAST(ts div tn AS BIGINT)").as("baseline_ppm"),
+        col("n_sources"))
+    val ex = bySrc.crossJoin(broadcast(base))
+      .withColumn("excess_ppm",
+        greatest(col("mean_ppl_ppm") - col("baseline_ppm"), lit(0L)))
+    val tot = ex.agg(sum(col("excess_ppm").cast("decimal(28,0)"))
+      .as("sum_excess"))
+    ex.crossJoin(broadcast(tot))
+      .withColumn("weight_ppm",
+        expr(s"CAST((${1000000L - drAlphaPpm} div n_sources) + " +
+          s"CASE WHEN sum_excess > 0 THEN CAST(($drAlphaPpm * " +
+          "CAST(excess_ppm AS DECIMAL(28,0))) div sum_excess AS BIGINT) " +
+          s"ELSE $drAlphaPpm div n_sources END AS BIGINT)"))
+      .select("source", "n_docs", "mean_ppl_ppm", "baseline_ppm",
+        "excess_ppm", "weight_ppm")
+  }
+
+  val domainReweight: Q = Q(
+    "q270_domain_reweight",
+    (s, dir) => domainReweightOf(
+      Tables.documents(s, dir).select("doc_id", "source", "text")),
+    Some(s"""WITH $lmScoredCtesSql, per_doc AS (
+        SELECT doc_id,
+               CAST(FLOOR(LEAST(ROUND(SUM(r), 6) / count(1), 2000000000.0)
+                 * 1000000.0) AS BIGINT) AS ppl_ppm
+        FROM scored GROUP BY doc_id
+      ), src AS (
+        SELECT d.source, CAST(count(1) AS BIGINT) AS n_docs,
+               SUM(CAST(p.ppl_ppm AS HUGEINT)) AS sum_ppm
+        FROM per_doc p JOIN documents d USING (doc_id) GROUP BY d.source
+      ), base AS (
+        SELECT SUM(sum_ppm) // SUM(n_docs) AS baseline_ppm,
+               CAST(count(1) AS BIGINT) AS n_sources
+        FROM src
+      ), ex AS (
+        SELECT s.source, s.n_docs,
+               CAST(s.sum_ppm // s.n_docs AS BIGINT) AS mean_ppl_ppm,
+               CAST(b.baseline_ppm AS BIGINT) AS baseline_ppm, b.n_sources,
+               GREATEST(CAST(s.sum_ppm // s.n_docs AS BIGINT)
+                 - CAST(b.baseline_ppm AS BIGINT), 0) AS excess_ppm
+        FROM src s CROSS JOIN base b
+      ), exc_tot AS (
+        SELECT SUM(CAST(excess_ppm AS HUGEINT)) AS sum_excess FROM ex
+      )
+      SELECT e.source, e.n_docs, e.mean_ppl_ppm, e.baseline_ppm,
+             CAST(e.excess_ppm AS BIGINT) AS excess_ppm,
+             CAST((${1000000L - drAlphaPpm} // e.n_sources) +
+                  CASE WHEN t.sum_excess > 0
+                       THEN (CAST($drAlphaPpm AS HUGEINT) * e.excess_ppm)
+                            // t.sum_excess
+                       ELSE $drAlphaPpm // e.n_sources END
+               AS BIGINT) AS weight_ppm
+      FROM ex e CROSS JOIN exc_tot t"""))
+
   val all: Seq[Q] = Seq(textQuality, textLangId, tokenCount, docFingerprint,
     repetitionScore, lengthOutliers, robustOutliers, phraseSearch,
     bigramSurprisal, gopherRules, quantileNorm, kwicConcordance,
     sourceDivergence, langConfusion, ngramDiversity, codeDetect, hapaxProfile,
-    collocationLift, lmPerplexity)
+    collocationLift, lmPerplexity, domainReweight)
 }

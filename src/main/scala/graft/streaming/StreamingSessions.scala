@@ -983,6 +983,37 @@ object StreamingSessions {
     },
     graft.ops.EventOps.psOracle)
 
+  /** q269: STREAMING QUANTILE-SAMPLE maintenance — the FIFTH classic
+    * mergeable summary brought to batch↔stream parity (HLL q244, count-min
+    * q248, KMV q254, priority sample q263, quantile sketch here): the
+    * sample-based quantile summary (the bottom-k-by-uniform-hash sample
+    * q247 profiles with) is maintained as ONE global
+    * [[graft.functions.PriorityTopK]] row (pri = 2^48 − hash, so the held
+    * set IS the bottom-k by hash — ≤ k·16 bytes of state forever) inside a
+    * complete-mode streaming aggregation over 4 real micro-batches, then
+    * the estimate tail — q247's estimator/audit stages VERBATIM via
+    * [[graft.ops.Analytics.quantileAuditOf]] — runs off the materialized
+    * summary: per-mille quantile estimates of the document-length
+    * distribution with the exact rank-band/DKW audit. Because the held set
+    * is a pure function of the input SET under (pri DESC, id ASC), batch
+    * slicing and arrival order cannot change it, so the streamed summary
+    * is bit-identical to the batch sample and the DuckDB oracle replays
+    * the identical selection directly. This is the always-on "live
+    * length-distribution dashboard" operator: any quantile of an unbounded
+    * stream stays available at O(k) cost, with the estimator's error
+    * audited exactly at test scale. */
+  val streamingSampleQuantiles: Q = Q(
+    "q269_streaming_sample_quantiles",
+    (s, dir) => {
+      val sk = streamToArtifact(s, dir, "squant", "documents",
+        p => graft.ops.Analytics.sqsSketchOf(s,
+          graft.ops.Analytics.sqsItemsOf(
+            s.readStream.schema(docsSchema).parquet(p))),
+        splitSourceFiles = 4)
+      graft.ops.Analytics.sqsReport(s, sk, dir)
+    },
+    graft.ops.Analytics.sqsOracle)
+
   private val embSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType)),
@@ -1074,5 +1105,6 @@ object StreamingSessions {
       streamingIntervalJoin, streamingOuterJoin, streamingQuota,
       streamingEnrich, streamingUpsert, streamingWmDedup, streamingDupRate,
       streamingLshRegistry, streamingHll, streamingCountMin, streamingKmv,
-      streamingAnnProbe, streamingPrioritySample, streamingFsLinkage)
+      streamingAnnProbe, streamingPrioritySample, streamingFsLinkage,
+      streamingSampleQuantiles)
 }

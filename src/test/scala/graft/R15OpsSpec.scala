@@ -6,8 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * budget on the shared rare-shingle index (VERDICT r15 directive #1 — never
   * bites at tested sf; bounds a pathological hub document), the q259
   * disk-bounded sliced verify (row-identical to the one-pass plan by pair
-  * independence), and the analysis-time typing of the custom aggregates
-  * (ADVICE r14).
+  * independence), the analysis-time typing of the custom aggregates
+  * (ADVICE r14), the q267 held-out LM filter's mode separation, and the
+  * q270 DoReMi domain-reweighting mix built on it.
   */
 class R15OpsSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -106,6 +107,42 @@ class R15OpsSpec extends AnyFunSuite {
     assert(out(1001L).getAs[Long]("n_backoff") === 0L)
     // the shuffled doc's words are known → backoff, not ceiling
     assert(out(1002L).getAs[Long]("n_backoff") > 0L)
+  }
+
+  test("q270 shifts the alpha mass onto the high-excess domain (DoReMi mix)") {
+    import spark.implicits._
+    // two domains: "clean" docs are the same fluent sentence in both folds
+    // (every transition known to the held-out LM — scores tiny); "noisy"
+    // docs alternate unseen-token gibberish per fold (OOV-ceiling scores).
+    // The corpus baseline sits between, so ONLY noisy carries excess → its
+    // weight is the uniform floor PLUS the whole alpha mass.
+    val clean = (1L to 40L).map(i =>
+      (i, "clean", "the quick brown fox jumps over the lazy dog and runs home"))
+    val noisy = (101L to 110L).map(i =>
+      (i, "noisy", s"zzq$i xxv$i jjw$i qqk$i vvx$i"))
+    val out = ops.TextOps.domainReweightOf(
+        spark.createDataset(clean ++ noisy).toDF("doc_id", "source", "text"))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out.keySet === Set("clean", "noisy"))
+    val (c, n) = (out("clean"), out("noisy"))
+    assert(c.getAs[Long]("n_docs") === 40L && n.getAs[Long]("n_docs") === 10L)
+    // clean is below the corpus baseline → zero excess → uniform floor only
+    assert(c.getAs[Long]("excess_ppm") === 0L)
+    assert(c.getAs[Long]("weight_ppm") === (1000000L - ops.TextOps.drAlphaPpm) / 2)
+    // noisy owns the entire alpha mass on top of its floor
+    assert(n.getAs[Long]("excess_ppm") > 0L)
+    assert(n.getAs[Long]("weight_ppm") ===
+      (1000000L - ops.TextOps.drAlphaPpm) / 2 + ops.TextOps.drAlphaPpm)
+    // weights sum to 1e6 less only floor-rounding deficit (< n_sources + 1)
+    val sum = c.getAs[Long]("weight_ppm") + n.getAs[Long]("weight_ppm")
+    assert(sum <= 1000000L && sum > 1000000L - 3)
+    // the ppm clamp never binds at tested sfs: the REAL corpus max score is
+    // orders of magnitude under it (measured 488 at sf0.1), and even this
+    // fixture's OOV-ceiling scores stay under the clamp
+    assert(ops.TextOps.lmPerplexityOf(
+        spark.createDataset(clean ++ noisy).toDF("doc_id", "source", "text")
+          .select("doc_id", "text"))
+      .agg(max("ppl_proxy")).head.getDouble(0) < ops.TextOps.drClampMax)
   }
 
   test("custom aggregates reject wrong-typed inputs at analysis time") {

@@ -359,6 +359,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("q269 streamed quantile summary equals the batch sample (5th summary)") {
+    // Parity by shared stages: the streamed priority_topk summary, driven
+    // over 4 real micro-batches, must hold EXACTLY the batch bottom-k by
+    // hash, so the shared quantileAuditOf tail reproduces the batch report
+    // bit-for-bit. exceptAll both ways = set equality.
+    val streamed =
+      SparkEntry.queries("q269_streaming_sample_quantiles")(spark, sfDir)
+    val batch = ops.Analytics.sqsReport(spark,
+      ops.Analytics.sqsSketchOf(spark, ops.Analytics.sqsItemsOf(
+        Tables.documents(spark, sfDir))), sfDir)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    // and the estimator is inside its DKW gate on the real corpus
+    import org.apache.spark.sql.functions.col
+    assert(streamed.filter(col("within_dkw") === 0L).count() === 0)
+  }
+
   test("q132 a key is re-admitted only after its dedup state is evicted") {
     import spark.implicits._
     val dir = "/root/repo/target/graft_stream_wmdedup"
