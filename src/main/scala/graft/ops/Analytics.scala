@@ -2186,11 +2186,86 @@ object Analytics {
       SELECT n_days, n_pairs, slope_num, slope_den, slope, intercept
       FROM med CROSS JOIN resid"""))
 
+  // ---- q273: one-pass Poisson bootstrap CI ---------------------------------
+  private val pbReps = 32
+
+  /** Poisson(1) CDF P(X ≤ j) for j = 0..8 at the 48-bit md5-draw scale
+    * (⌊cdf·16¹²⌋ as 12-hex-digit literals, computed once from the exact
+    * series Σ e⁻¹/i! at 60-digit precision). A uniform 12-hex draw u gives
+    * the replicate weight k = #{ j : u ≥ t_j } — the inverse-CDF transform
+    * as NINE STRING COMPARES (same-length lowercase hex orders identically
+    * to its numeric value in both engines, the q247 bottom-k idiom without
+    * even a conv()). The tail k ≥ 9 collapses to 9: P = 1 − cdf(8) ≈
+    * 1.1·10⁻⁶ per (doc, replicate), and both engines apply the identical
+    * truncation, so the estimates stay bit-identical while the statistical
+    * bias is far below the CI's own resolution. */
+  private val pbCdfHex = Seq(
+    "5e2d58d8b3bc", "bc5ab1b16779", "eb715e1dc158", "fb23979734a2",
+    "ff1025f59174", "ffd90f3ba405", "fffa8b71fc72", "ffff540c0914",
+    "ffffed1f4aa8")
+
+  /** q273: one-pass Poisson bootstrap of a corpus-level metric (mean document
+    * length) — the RESAMPLING uncertainty estimate next to q136's jackknife.
+    * The classical bootstrap is unaffordable at 100 TB (R full resampling
+    * passes); the Poisson bootstrap (Chamandy et al., "Estimating Uncertainty
+    * for Massive Data Streams", Google 2012) observes that a size-n resample
+    * is, per document, R independent Poisson(1) multiplicities — so ALL R
+    * replicates ride ONE scan: each doc contributes (replicate, k, k·n_chars)
+    * for k = inverse-CDF(md5(doc, rep)) and the rest is a 32-group sum. Where
+    * the jackknife linearizes (delete-a-group variance), the bootstrap
+    * resamples — it remains valid for non-smooth statistics, which is why a
+    * corpus card wants both. Every replicate mean is an exact integer pair
+    * (Σ k·n_chars, Σ k) plus one per-mille integral division, so the 32-row
+    * result is bit-identical cross-engine; the CI is read off the replicate
+    * spread (spec pins the planted-fixture law; the draws themselves are the
+    * [[Md5Draw]] contract).
+    *
+    * Distributed shape: one projected scan explodes ×R=32 BEFORE the partial
+    * aggregation, so the map-side combine collapses each partition to ≤ 32
+    * rows and the shuffle is 32 rows total, corpus-size-independent. No
+    * resampled copy of the data ever materializes — that is the entire point
+    * of the Poisson formulation at scale. The ×32 row inflation is CPU-only
+    * and embarrassingly parallel; nothing here is fact-proportional past the
+    * scan. Products go through DECIMAL(38,0) before the multiply (q259
+    * lesson: Σ k·n_chars·1000 wraps a BIGINT only past ~9000 TB of text, but
+    * the cast makes the bound 10³⁸ instead of an engine-dependent wrap). */
+  val poissonBootstrap: Q = Q(
+    "q273_poisson_bootstrap",
+    (s, dir) => {
+      val drawn = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          explode(expr(s"sequence(0, ${pbReps - 1})")).as("rep"))
+        .withColumn("draw", Md5Draw.draw(12, lit("boot"), col("doc_id"), col("rep")))
+        .withColumn("k",
+          pbCdfHex.map(t => when(col("draw") >= lit(t), 1L).otherwise(0L))
+            .reduce(_ + _))
+      drawn
+        .groupBy(col("rep").cast("long").as("replicate"))
+        .agg(sum("k").as("n_eff"), sum(col("k") * col("n_chars")).as("w_chars"))
+        .select(col("replicate"), col("n_eff"), col("w_chars"),
+          expr("CAST(CAST(w_chars AS DECIMAL(38,0)) * 1000" +
+            " DIV greatest(n_eff, 1) AS BIGINT)").as("mean_permille"))
+    },
+    Some(s"""WITH r AS (
+        SELECT CAST(unnest(range(0, $pbReps)) AS BIGINT) AS rep
+      ), d AS (
+        SELECT r.rep, doc.n_chars,
+               ${pbCdfHex.map(t =>
+                 s"(CASE WHEN ${Md5Draw.drawSql(12, "'boot'", "doc.doc_id", "r.rep")}" +
+                 s" >= '$t' THEN 1 ELSE 0 END)").mkString("\n               + ")} AS k
+        FROM documents doc CROSS JOIN r
+      )
+      SELECT rep AS replicate, CAST(SUM(k) AS BIGINT) AS n_eff,
+             CAST(SUM(k * n_chars) AS BIGINT) AS w_chars,
+             CAST(CAST(SUM(k * n_chars) AS HUGEINT) * 1000
+               // GREATEST(CAST(SUM(k) AS BIGINT), 1) AS BIGINT) AS mean_permille
+      FROM d GROUP BY rep"""))
+
   val all: Seq[Q] = Seq(windowSuite, setOps, rollup, asofJoin, sqlDdl,
     approxDistinct, percentileStats, pivot, unpivot, cube, countMin, nestedAgg,
     histogram, cooccurrence, weightedMedian, trailingWindow, groupingSets,
     equidepthHist, tradePageRank, groupwiseOls, marketShare, triangles,
     chi2Independence, rollingMedian, giniSpend, anovaF, hhiSpend, jackknifeCi,
     trimmedMean, benfordAudit, lengthQualityCorr, sampleQuantiles,
-    theilSenTrend)
+    theilSenTrend, poissonBootstrap)
 }

@@ -2348,21 +2348,33 @@ object Dedup {
     * maintained shingle registry instead of the batch blocker. Everything
     * from field agreement through m/u estimation to the λ verdict lives
     * here, so batch and streaming provably score identically. */
+  /** Per-doc comparison fields for the linkage decision models (q262's FS
+    * scoring, q272's EM fit, q268's streamed registry tail): lang, source,
+    * a 100-char length bucket, and the first token. */
+  private[graft] def linkFieldsOf(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      col("source"), expr("n_chars div 100").as("len_b"),
+      split(col("text"), " ").getItem(0).as("tok1"))
+
+  /** Candidate pairs decorated with the four 0/1 field-agreement flags —
+    * two candidate-bounded doc joins, shared by q262 and q272. */
+  private[graft] def agreementFlagsOf(cand: DataFrame,
+      fields: DataFrame): DataFrame =
+    cand
+      .join(fields.select(col("doc_id").as("doc_a"), col("lang").as("la"),
+        col("source").as("sa"), col("len_b").as("ba"), col("tok1").as("ta")), Seq("doc_a"))
+      .join(fields.select(col("doc_id").as("doc_b"), col("lang").as("lb"),
+        col("source").as("sb"), col("len_b").as("bb"), col("tok1").as("tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("la") === col("lb")).cast("long").as("a_lang"),
+        (col("sa") === col("sb")).cast("long").as("a_source"),
+        (col("ba") === col("bb")).cast("long").as("a_len"),
+        (col("ta") === col("tb")).cast("long").as("a_tok"))
+
   private[graft] def fsScoreOf(s: SparkSession, dir: String,
       cand: DataFrame): DataFrame = {
-      val fields = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
-        col("source"), expr("n_chars div 100").as("len_b"),
-        split(col("text"), " ").getItem(0).as("tok1"))
-      val withFields = cand
-        .join(fields.select(col("doc_id").as("doc_a"), col("lang").as("la"),
-          col("source").as("sa"), col("len_b").as("ba"), col("tok1").as("ta")), Seq("doc_a"))
-        .join(fields.select(col("doc_id").as("doc_b"), col("lang").as("lb"),
-          col("source").as("sb"), col("len_b").as("bb"), col("tok1").as("tb")), Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          (col("la") === col("lb")).cast("long").as("a_lang"),
-          (col("sa") === col("sb")).cast("long").as("a_source"),
-          (col("ba") === col("bb")).cast("long").as("a_len"),
-          (col("ta") === col("tb")).cast("long").as("a_tok"))
+      val fields = linkFieldsOf(s, dir)
+      val withFields = agreementFlagsOf(cand, fields)
       // matches: q14's exact rare-shingle Jaccard ≥ 0.5 pairs (PlanCache'd)
       val m = ngramJaccard.run(s, dir).select("doc_a", "doc_b")
       val mFlags = m.join(withFields, Seq("doc_a", "doc_b"))
@@ -2413,10 +2425,11 @@ object Dedup {
           col("u_lang"), col("u_source"), col("u_len"), col("u_tok"))
   }
 
-  val fsLinkage: Q = Q(
-    "q262_fs_linkage",
-    (s, dir) => fsScoreOf(s, dir, candidatesFrom(rareShingleRows(s, dir))),
-    Some(s"""WITH docs3 AS (
+  /** The shared oracle CTE chain for the linkage candidate set and its four
+    * agreement flags (docs3 → ng → rdf → rr → cand → fields → wf) — the SQL
+    * mirror of [[candidatesFrom]] ∘ [[agreementFlagsOf]], used verbatim by
+    * q262 and q272 so both models score the identical comparison space. */
+  private def fsWfCtes: String = s"""docs3 AS (
         SELECT doc_id, string_split(text, ' ') AS words FROM documents
         WHERE len(string_split(text, ' ')) >= 3
       ), ng AS (
@@ -2444,7 +2457,12 @@ object Dedup {
         FROM cand c
         JOIN fields fa ON fa.doc_id = c.doc_a
         JOIN fields fb ON fb.doc_id = c.doc_b
-      ), sz AS (
+      )"""
+
+  val fsLinkage: Q = Q(
+    "q262_fs_linkage",
+    (s, dir) => fsScoreOf(s, dir, candidatesFrom(rareShingleRows(s, dir))),
+    Some(s"""WITH $fsWfCtes, sz AS (
         SELECT doc_id, CAST(count(1) AS BIGINT) AS n FROM rr GROUP BY doc_id
       ), jpairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(1) AS BIGINT) AS common
@@ -2514,11 +2532,186 @@ object Dedup {
       FROM scored s
       LEFT JOIN matches m ON s.doc_a = m.doc_a AND s.doc_b = m.doc_b"""))
 
+  // ---- q272: unsupervised EM fit of the FS parameters -----------------------
+  private val emIters = 3
+  private val emInitP = 100000L // P(match) prior 0.1 — classic FS/EM start
+  private val emInitM = 900000L // P(agree | match) init 0.9
+  private val emInitU = 100000L // P(agree | nonmatch) init 0.1
+  private val emFields = Seq("lang", "source", "len", "tok")
+
+  /** q272: UNSUPERVISED Fellegi–Sunter parameter estimation via the classic
+    * EM fit (Winkler 1988; Dempster–Laird–Rubin) over the 2⁴ field-agreement
+    * patterns — the other half of the record-linkage decision model: q262
+    * estimates m from pairs a truth set already labels; q272 needs NO labels,
+    * recovering (p, m_k, u_k) from the marginal pattern counts alone — the
+    * production situation where linkage is deployed precisely because no
+    * truth set exists.
+    *
+    * The E-step posterior w_γ = p·Πm / (p·Πm + (1−p)·Πu) and the M-step
+    * reweighted means run entirely in exact ppm integers: every probability
+    * is a BIGINT in [1, 10⁶−1] (clamped like q262's ppm estimates, so no
+    * factor or denominator can hit zero), the 5-factor products pass through
+    * DECIMAL(38,0)/HUGEINT (≤ 10³⁰; ×10⁶ ≤ 10³⁶ < 10³⁸), and each division
+    * is a positive integral DIV — quantizing the posterior to ppm once per
+    * round, identically in both engines, so three unrolled EM rounds are
+    * bit-reproducible cross-engine (the q133 fixed-iteration discipline).
+    *
+    * Distributed shape: the ONLY data-proportional work is one 16-group
+    * aggregation over the candidate agreement flags (map-side combined; the
+    * candidates are q259's blocking — never all-pairs). The pattern table is
+    * ≤ 16 rows BY CONSTRUCTION (2⁴ flag combinations), PlanCache'd +
+    * checkpointed so the three EM rounds — each a crossJoin of 16 rows with
+    * a 1-row broadcast parameter frame and a full re-aggregation — never
+    * re-touch the corpus. At 100 TB the EM itself costs the same 3×16 rows
+    * it costs here; output is ≤ 16 rows. */
+  /** The ≤ 2⁴-row agreement-pattern table (n per flag combination) — q272's
+    * only data-proportional stage, exposed as a seam so the EM fit below is
+    * testable on planted pattern mixes. */
+  private[graft] def patternsOf(flags: DataFrame): DataFrame =
+    flags.groupBy("a_lang", "a_source", "a_len", "a_tok")
+      .agg(count(lit(1)).as("n"))
+
+  /** Three unrolled ppm-integer EM rounds over a pattern table (see
+    * [[emLinkage]]) → final per-pattern posterior + fitted parameters. */
+  private[graft] def emFitOf(s: SparkSession, pat: DataFrame): DataFrame = {
+      def clampPpm(c: Column): Column =
+        greatest(least(c, lit(fsPpm - 1)), lit(1L))
+      val init = s.range(1).select(
+        (lit(emInitP).as("p") +: emFields.flatMap(f =>
+          Seq(lit(emInitM).as(s"m_$f"), lit(emInitU).as(s"u_$f")))): _*)
+      // E-step columns: the 5-factor match/nonmatch likelihoods and the
+      // ppm-quantized posterior w
+      def withScores(df: DataFrame): DataFrame = {
+        val num = emFields.map(f =>
+            when(col(s"a_$f") === 1L, col(s"m_$f"))
+              .otherwise(lit(fsPpm) - col(s"m_$f")))
+          .foldLeft(col("p").cast("decimal(38,0)"))(
+            (x, y) => (x * y).cast("decimal(38,0)"))
+        val den0 = emFields.map(f =>
+            when(col(s"a_$f") === 1L, col(s"u_$f"))
+              .otherwise(lit(fsPpm) - col(s"u_$f")))
+          .foldLeft((lit(fsPpm) - col("p")).cast("decimal(38,0)"))(
+            (x, y) => (x * y).cast("decimal(38,0)"))
+        df.withColumn("num", num).withColumn("den0", den0)
+          .withColumn("w",
+            expr(s"CAST(num * $fsPpm DIV greatest(num + den0, 1) AS BIGINT)"))
+      }
+      // M-step: posterior-weighted means back to the 9 ppm parameters
+      def mStep(w: DataFrame): DataFrame = {
+        val aggs =
+          clampPpm(expr("CAST(sum(CAST(n AS DECIMAL(38,0)) * w)" +
+            " DIV greatest(sum(n), 1) AS BIGINT)")).as("p") +:
+          emFields.flatMap(f => Seq(
+            clampPpm(expr(s"CAST(sum(CAST(n AS DECIMAL(38,0)) * w * a_$f)" +
+              s" * $fsPpm DIV greatest(sum(CAST(n AS DECIMAL(38,0)) * w), 1)" +
+              " AS BIGINT)")).as(s"m_$f"),
+            clampPpm(expr(s"CAST(sum(CAST(n AS DECIMAL(38,0)) * ($fsPpm - w)" +
+              s" * a_$f) * $fsPpm DIV greatest(sum(CAST(n AS DECIMAL(38,0))" +
+              s" * ($fsPpm - w)), 1) AS BIGINT)")).as(s"u_$f")))
+        w.agg(aggs.head, aggs.tail: _*)
+      }
+      val fin = (1 to emIters).foldLeft(init)((p, _) =>
+        mStep(withScores(pat.crossJoin(broadcast(p)))))
+      val scored = withScores(pat.crossJoin(broadcast(fin)))
+      val mnum = emFields.map(f =>
+          when(col(s"a_$f") === 1L, col(s"m_$f"))
+            .otherwise(lit(fsPpm) - col(s"m_$f")))
+        .reduce((x, y) => x.cast("decimal(38,0)") * y)
+      val uden = emFields.map(f =>
+          when(col(s"a_$f") === 1L, col(s"u_$f"))
+            .otherwise(lit(fsPpm) - col(s"u_$f")))
+        .reduce((x, y) => x.cast("decimal(38,0)") * y)
+      scored
+        .withColumn("mnum", mnum.cast("decimal(38,0)"))
+        .withColumn("uden", uden.cast("decimal(38,0)"))
+        .select(col("a_lang"), col("a_source"), col("a_len"), col("a_tok"),
+          col("n"), col("w").as("w_ppm"),
+          when(col("mnum") >= col("uden") * fsLambda, "link")
+            .when(col("mnum") * fsLambda <= col("uden"), "nonlink")
+            .otherwise("possible").as("verdict"),
+          col("p").as("p_ppm"),
+          col("m_lang"), col("m_source"), col("m_len"), col("m_tok"),
+          col("u_lang"), col("u_source"), col("u_len"), col("u_tok"))
+  }
+
+  val emLinkage: Q = Q(
+    "q272_em_linkage",
+    (s, dir) => {
+      val flags = agreementFlagsOf(
+        candidatesFrom(rareShingleRows(s, dir)), linkFieldsOf(s, dir))
+      val pat = graft.PlanCache.cached(s, "q272_pat", dir,
+          s"$dir/documents.parquet") {
+        graft.Ckpt.eager(patternsOf(flags))
+      }
+      emFitOf(s, pat)
+    },
+    Some {
+      def numSql(kind: String) =
+        s"CAST(${if (kind == "m") "p" else s"$fsPpm - p"} AS HUGEINT)" +
+          emFields.map(f =>
+            s" * (CASE WHEN a_$f = 1 THEN ${kind}_$f" +
+              s" ELSE $fsPpm - ${kind}_$f END)").mkString
+      def prodSql(kind: String) = emFields.map(f =>
+          s"(CASE WHEN a_$f = 1 THEN ${kind}_$f" +
+            s" ELSE $fsPpm - ${kind}_$f END)")
+        .reduceLeft((x, y) => s"CAST($x AS HUGEINT) * $y")
+      def mU(f: String) =
+        s"""
+               GREATEST(1, LEAST(${fsPpm - 1},
+                 CAST(SUM(CAST(n AS HUGEINT) * w * a_$f) * $fsPpm
+                   // GREATEST(SUM(CAST(n AS HUGEINT) * w), 1) AS BIGINT)))
+                 AS m_$f,
+               GREATEST(1, LEAST(${fsPpm - 1},
+                 CAST(SUM(CAST(n AS HUGEINT) * ($fsPpm - w) * a_$f) * $fsPpm
+                   // GREATEST(SUM(CAST(n AS HUGEINT) * ($fsPpm - w)), 1)
+                   AS BIGINT))) AS u_$f"""
+      def round(i: Int, prev: String) =
+        s"""w$i AS (
+        SELECT pat.*, p,
+               ${emFields.map(f => s"m_$f, u_$f").mkString(", ")},
+               CAST(${numSql("m")} AS HUGEINT) AS num,
+               CAST(${numSql("u")} AS HUGEINT) AS den0
+        FROM pat CROSS JOIN $prev
+      ), ww$i AS (
+        SELECT *, CAST(num * $fsPpm // GREATEST(num + den0, 1) AS BIGINT) AS w
+        FROM w$i
+      ), p$i AS (
+        SELECT GREATEST(1, LEAST(${fsPpm - 1},
+                 CAST(SUM(CAST(n AS HUGEINT) * w)
+                   // GREATEST(SUM(n), 1) AS BIGINT))) AS p,${emFields.map(mU).mkString(",")}
+        FROM ww$i
+      )"""
+      graft.OracleSql.materializeCtes(s"""WITH $fsWfCtes, pat AS (
+        SELECT a_lang, a_source, a_len, a_tok, CAST(count(1) AS BIGINT) AS n
+        FROM wf GROUP BY 1, 2, 3, 4
+      ), p0 AS (
+        SELECT CAST($emInitP AS BIGINT) AS p,
+               ${emFields.map(f => s"CAST($emInitM AS BIGINT) AS m_$f," +
+                 s" CAST($emInitU AS BIGINT) AS u_$f").mkString(",\n               ")}
+      ), ${round(1, "p0")}, ${round(2, "p1")}, ${round(3, "p2")}, wfin AS (
+        SELECT pat.*, p,
+               ${emFields.map(f => s"m_$f, u_$f").mkString(", ")},
+               CAST(${numSql("m")} AS HUGEINT) AS num,
+               CAST(${numSql("u")} AS HUGEINT) AS den0,
+               CAST(${prodSql("m")} AS HUGEINT) AS mnum,
+               CAST(${prodSql("u")} AS HUGEINT) AS uden
+        FROM pat CROSS JOIN p3
+      )
+      SELECT a_lang, a_source, a_len, a_tok, n,
+             CAST(num * $fsPpm // GREATEST(num + den0, 1) AS BIGINT) AS w_ppm,
+             CASE WHEN mnum >= uden * $fsLambda THEN 'link'
+                  WHEN mnum * $fsLambda <= uden THEN 'nonlink'
+                  ELSE 'possible' END AS verdict,
+             p AS p_ppm,
+             m_lang, m_source, m_len, m_tok, u_lang, u_source, u_len, u_tok
+      FROM wfin""")
+    })
+
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, editDistance,
       incrementalDedup, fuzzyDecontaminate, setSimJoin, substringSpans,
       containmentJoin, cdcChunks, lshEval, dedupReport, memorizationSpans,
       thresholdSweep, templateHubs, methodKappa, lshSCurve, winnowingOverlap,
       sortedNeighborhood, minhashEstimatorError, blockingQuality,
-      simhashBitBalance, tfidfCosine, fsLinkage)
+      simhashBitBalance, tfidfCosine, fsLinkage, emLinkage)
 }

@@ -570,6 +570,17 @@ object DedupCluster {
     step(prev).join(prev.withColumnRenamed("label", "prev"), "doc_id")
   }
 
+  /** The PlanCache'd, eagerly-checkpointed LPA label frame over the q14 pair
+    * graph — ONE materialization per (session, dir), shared by q246 (the
+    * partition itself) and q271 (its modularity). The eager checkpoint
+    * collapses the ~50-operator 3-round plan to one LogicalRDD (see the
+    * lifecycle note on [[labelPropagation]]). */
+  private[graft] def lpaCached(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(s, "q246_lpa", dir, s"$dir/documents.parquet") {
+      graft.Ckpt.eager(lpaLabelFrame(
+        Dedup.ngramJaccard.run(s, dir).select("doc_a", "doc_b"), lpaIters))
+    }
+
   /** q246: communities on the verified near-dup graph (q14's PlanCache-shared
     * pair table) via [[lpaLabels]] with [[lpaIters]] fixed rounds. Where
     * q40's connected components fuse everything reachable, LPA requires a
@@ -592,11 +603,7 @@ object DedupCluster {
       // The barrier RDD lives exactly as long as the PlanCache entry (one
       // per session × dir, node-bounded rows), the maintained-
       // materialization lifecycle, so no per-invocation leak.
-      val lab = graft.PlanCache.cached(s, "q246_lpa", dir,
-          s"$dir/documents.parquet") {
-        graft.Ckpt.eager(lpaLabelFrame(
-          Dedup.ngramJaccard.run(s, dir).select("doc_a", "doc_b"), lpaIters))
-      }
+      val lab = lpaCached(s, dir)
       val sizes = lab.groupBy("label").agg(count(lit(1)).as("csize"))
       // no broadcast hint: community count is node-proportional in the
       // worst case (every doc its own label) — a forced broadcast is a
@@ -607,8 +614,24 @@ object DedupCluster {
           when(col("label") === col("prev"), 1L).otherwise(0L).as("converged"))
     },
     Some {
-      def round(i: Int, prevL: String) =
-        s"""s$i AS (
+      graft.OracleSql.materializeCtes(s"""WITH ${lpaOracleCtes}, sizes AS (
+        SELECT label, CAST(count(1) AS BIGINT) AS csize FROM l3 GROUP BY label
+      )
+      SELECT l3.doc_id, l3.label AS community, sizes.csize,
+             CAST(CASE WHEN l3.label = l2.label THEN 1 ELSE 0 END AS BIGINT)
+               AS converged
+      FROM l3
+      JOIN l2 ON l3.doc_id = l2.doc_id
+      JOIN sizes ON l3.label = sizes.label""")
+    })
+
+  /** The shared oracle CTE chain for the LPA partition — pairs (q14's exact
+    * near-dup SQL), the undirected+self-vote edge list, and the three label
+    * rounds l1..l3 (l2 doubles as `prev` for q246's convergence flag). Used
+    * by q246 and q271 so both oracles replay the IDENTICAL partition. */
+  private def lpaOracleCtes: String = {
+    def round(i: Int, prevL: String) =
+      s"""s$i AS (
         SELECT e.u, l.label, count(1) AS c
         FROM edges e JOIN $prevL l ON l.doc_id = e.v
         GROUP BY e.u, l.label
@@ -619,10 +642,11 @@ object DedupCluster {
           FROM s$i)
         WHERE rn = 1
       )"""
-      // CTE materialization: each LPA round references the previous label
-      // CTE and the shared edge list; un-hinted DuckDB re-executes the q14
-      // mining per round (measured 7.2 s vs 1.0 s at sf0.1, identical rows)
-      graft.OracleSql.materializeCtes(s"""WITH pairs AS (
+    // CTE materialization (applied by each caller): each LPA round references
+    // the previous label CTE and the shared edge list; un-hinted DuckDB
+    // re-executes the q14 mining per round (measured 7.2 s vs 1.0 s at sf0.1,
+    // identical rows)
+    s"""pairs AS (
         ${Dedup.ngramJaccard.oracle.get}
       ), nodes AS (
         SELECT doc_a AS u FROM pairs UNION SELECT doc_b AS u FROM pairs
@@ -634,15 +658,91 @@ object DedupCluster {
         SELECT u, u AS v FROM nodes
       ), l0 AS (
         SELECT u AS doc_id, u AS label FROM nodes
-      ), ${round(1, "l0")}, ${round(2, "l1")}, ${round(3, "l2")}, sizes AS (
-        SELECT label, CAST(count(1) AS BIGINT) AS csize FROM l3 GROUP BY label
+      ), ${round(1, "l0")}, ${round(2, "l1")}, ${round(3, "l2")}"""
+  }
+
+  // ---- q271: modularity of the LPA partition --------------------------------
+  /** q271: Newman–Girvan modularity of q246's label-propagation partition on
+    * the verified near-dup graph — the partition-quality number that says
+    * whether the communities are real structure or chance: Q = Σ_c [ e_c/m −
+    * (d_c/2m)² ] (fraction of edges inside community c minus the fraction a
+    * degree-preserving random rewiring would put there). q246 reports the
+    * partition, q252/q264 its density — this is the figure of merit that
+    * validates them, and the number a template-mining report quotes before
+    * anyone trusts "community = template family".
+    *
+    * Exactness: per-community contribution scaled by 4m² is the integer
+    * 4m·e_c − d_c², published as exact ppm via the positive-shift floor
+    * division (num + 4m²)·10⁶ DIV 4m² − 10⁶ — both operands positive (|num|
+    * ≤ 4m² since e_c ≤ m, d_c ≤ 2m), so Spark's truncating DIV and DuckDB's
+    * flooring // agree (the q136 idiom); products go through DECIMAL(38,0)/
+    * HUGEINT before multiplying (the q259 lesson — m² wraps a BIGINT at
+    * ~3·10⁹ edges), and 4m²·10⁶ ≤ 10³⁸ holds to m = 1.5·10¹⁵ edges.
+    *
+    * Distributed shape: the label frame is the SAME PlanCache'd+checkpointed
+    * materialization q246 serves (one build per session × dir); on top of it,
+    * one |E|-row degree aggregate, two node-keyed joins of the pair table to
+    * labels (candidate-bounded — never all-pairs), and a community-keyed
+    * rollup. m is a 1-row broadcast scalar. Nothing is fact-proportional past
+    * the pair table itself; no global sort, no cartesian. */
+  val modularity: Q = Q(
+    "q271_modularity",
+    (s, dir) => {
+      val pairs = Dedup.ngramJaccard.run(s, dir).select("doc_a", "doc_b")
+      val lab = lpaCached(s, dir).select(col("doc_id"), col("label"))
+      val mCnt = pairs.agg(count(lit(1)).cast("decimal(38,0)").as("m"))
+      val deg = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+      val byComm = lab.join(deg, Seq("doc_id"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_nodes"), sum("deg").as("d_sum"))
+      val eIn = pairs
+        .join(lab.select(col("doc_id").as("doc_a"), col("label").as("la")),
+          Seq("doc_a"))
+        .join(lab.select(col("doc_id").as("doc_b"), col("label").as("lb")),
+          Seq("doc_b"))
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_in"))
+      // left join: a community whose every edge crosses outward has e_c = 0
+      // but still owes its degree penalty — it must not drop from the sum
+      byComm.join(eIn, Seq("label"), "left")
+        .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+        .crossJoin(broadcast(mCnt))
+        .select(col("label").as("community"), col("n_nodes"), col("e_in"),
+          col("d_sum"),
+          expr("CAST((4 * m * e_in - CAST(d_sum AS DECIMAL(38,0)) * d_sum" +
+            " + 4 * m * m) * 1000000 DIV (4 * m * m) AS BIGINT)" +
+            " - 1000000").as("q_ppm"))
+    },
+    Some {
+      graft.OracleSql.materializeCtes(s"""WITH ${lpaOracleCtes}, deg AS (
+        SELECT u AS doc_id, CAST(count(1) AS BIGINT) AS deg FROM (
+          SELECT doc_a AS u FROM pairs
+          UNION ALL
+          SELECT doc_b AS u FROM pairs)
+        GROUP BY u
+      ), mm AS (
+        SELECT CAST(count(1) AS HUGEINT) AS m FROM pairs
+      ), bc AS (
+        SELECT l.label, CAST(count(1) AS BIGINT) AS n_nodes,
+               CAST(SUM(d.deg) AS BIGINT) AS d_sum
+        FROM l3 l JOIN deg d USING (doc_id) GROUP BY l.label
+      ), ein AS (
+        SELECT la.label, CAST(count(1) AS BIGINT) AS e_in
+        FROM pairs p
+        JOIN l3 la ON p.doc_a = la.doc_id
+        JOIN l3 lb ON p.doc_b = lb.doc_id
+        WHERE la.label = lb.label
+        GROUP BY la.label
       )
-      SELECT l3.doc_id, l3.label AS community, sizes.csize,
-             CAST(CASE WHEN l3.label = l2.label THEN 1 ELSE 0 END AS BIGINT)
-               AS converged
-      FROM l3
-      JOIN l2 ON l3.doc_id = l2.doc_id
-      JOIN sizes ON l3.label = sizes.label""")
+      SELECT bc.label AS community, bc.n_nodes,
+             CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in, bc.d_sum,
+             CAST((4 * mm.m * COALESCE(ein.e_in, 0)
+                 - CAST(bc.d_sum AS HUGEINT) * bc.d_sum
+                 + 4 * mm.m * mm.m) * 1000000
+               // (4 * mm.m * mm.m) AS BIGINT) - 1000000 AS q_ppm
+      FROM bc LEFT JOIN ein ON bc.label = ein.label CROSS JOIN mm""")
     })
 
   // ---- q252: k-core decomposition (bounded peel) ---------------------------
@@ -894,5 +994,5 @@ object DedupCluster {
 
   val all: Seq[Q] = Seq(dedupClusters, dedupPrune, clusterSplit, starComponents,
     clusterPurity, canonicalPolicy, splitLeakage, labelPropagation,
-    kcoreDecomposition, degreeAssortativity, localClustering)
+    kcoreDecomposition, degreeAssortativity, localClustering, modularity)
 }

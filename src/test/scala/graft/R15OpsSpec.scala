@@ -145,6 +145,107 @@ class R15OpsSpec extends AnyFunSuite {
       .agg(max("ppl_proxy")).head.getDouble(0) < ops.TextOps.drClampMax)
   }
 
+  test("q271 modularity agrees with an exact BigInt recomputation from the graph") {
+    val out = SparkEntry.queries("q271_modularity")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // independent recomputation: exact rational modularity from the collected
+    // pair list + the SAME label frame, in BigInt driver algebra
+    val pairs = ops.Dedup.ngramJaccard.run(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = ops.DedupCluster.lpaCached(spark, sfDir)
+      .select("doc_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = BigInt(pairs.length)
+    val eIn = pairs.groupBy { case (a, b) =>
+      if (labels(a) == labels(b)) Some(labels(a)) else None
+    }.collect { case (Some(c), ps) => c -> BigInt(ps.length) }
+    val dSum = pairs.flatMap { case (a, b) => Seq(labels(a), labels(b)) }
+      .groupBy(identity).map { case (c, xs) => c -> BigInt(xs.length) }
+    // row-level: every community's e_in/d_sum matches the exact recount
+    for (r <- out) {
+      val c = r.getAs[Long]("community")
+      assert(BigInt(r.getAs[Long]("e_in")) === eIn.getOrElse(c, BigInt(0)))
+      assert(BigInt(r.getAs[Long]("d_sum")) === dSum(c))
+    }
+    assert(out.map(_.getAs[Long]("d_sum")).sum === 2 * pairs.length)
+    // global: Σ q_ppm is the exact Q·1e6 up to one floor unit per community
+    // (toSeq: mapping the key SET would dedupe equal contributions)
+    val exactPpmNum = dSum.toSeq.map { case (c, d) =>
+      (4 * m * eIn.getOrElse(c, BigInt(0)) - d * d) * 1000000
+    }.sum
+    val exactPpm = exactPpmNum.toDouble / (4 * m * m).toDouble
+    val summed = out.map(_.getAs[Long]("q_ppm")).sum.toDouble
+    assert(math.abs(summed - exactPpm) <= out.length.toDouble,
+      s"sum(q_ppm)=$summed vs exact $exactPpm")
+    // the LPA partition on a near-dup graph is real structure, not chance
+    assert(summed > 0.0, "modularity of the template partition should be > 0")
+  }
+
+  test("q272 EM separates a planted match/nonmatch pattern mix without labels") {
+    import spark.implicits._
+    // 100 all-agree pairs (the matches) + 900 all-disagree pairs: EM must
+    // recover p ≈ 0.1 and drive the all-agree posterior to ~1, all-disagree
+    // to ~0 — from the pattern counts ALONE (no truth column anywhere)
+    val flags = spark.createDataset(
+        (1L to 100L).map(i => (i, i + 10000L, 1L, 1L, 1L, 1L)) ++
+        (1L to 900L).map(i => (i + 20000L, i + 30000L, 0L, 0L, 0L, 0L)))
+      .toDF("doc_a", "doc_b", "a_lang", "a_source", "a_len", "a_tok")
+    val fit = ops.Dedup.emFitOf(spark, ops.Dedup.patternsOf(flags))
+      .collect().map(r => (r.getAs[Long]("a_lang"), r.getAs[Long]("a_source"),
+        r.getAs[Long]("a_len"), r.getAs[Long]("a_tok")) -> r).toMap
+    assert(fit.size === 2)
+    val hit = fit((1L, 1L, 1L, 1L))
+    val miss = fit((0L, 0L, 0L, 0L))
+    assert(hit.getAs[Long]("n") === 100L && miss.getAs[Long]("n") === 900L)
+    assert(hit.getAs[Long]("w_ppm") >= 999000L,
+      s"all-agree posterior ${hit.getAs[Long]("w_ppm")} should be ~1e6")
+    assert(miss.getAs[Long]("w_ppm") <= 1000L,
+      s"all-disagree posterior ${miss.getAs[Long]("w_ppm")} should be ~0")
+    assert(hit.getAs[String]("verdict") === "link")
+    assert(miss.getAs[String]("verdict") === "nonlink")
+    val p = hit.getAs[Long]("p_ppm")
+    assert(p >= 90000L && p <= 110000L, s"fitted p_ppm $p should be ~100000")
+    // every fitted parameter respects the open-interval ppm clamp
+    for (f <- Seq("lang", "source", "len", "tok"); k <- Seq("m", "u")) {
+      val v = hit.getAs[Long](s"${k}_$f")
+      assert(v >= 1L && v <= 999999L)
+      // and m_k > u_k: agreement is evidence FOR a match in this mix
+      assert(hit.getAs[Long](s"m_$f") > hit.getAs[Long](s"u_$f"))
+    }
+  }
+
+  test("q273 Poisson bootstrap: replicate law, exactness, and determinism") {
+    val out = SparkEntry.queries("q273_poisson_bootstrap")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("replicate") ->
+        (r.getAs[Long]("n_eff"), r.getAs[Long]("w_chars"),
+         r.getAs[Long]("mean_permille"))).toMap
+    assert(out.keySet === (0L until 32L).toSet)
+    val docs = Tables.documents(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum("n_chars")).head()
+    val (n, chars) = (docs.getLong(0), docs.getLong(1))
+    val trueMean = chars.toDouble / n
+    for ((rep, (nEff, wChars, meanPm)) <- out) {
+      // Poisson(1) replicate mass: n_eff ~ N ± sd √N (6σ band — the draws
+      // are fixed md5 arithmetic, so this can never flake)
+      assert(math.abs(nEff - n) <= 6 * math.sqrt(n.toDouble) + 1,
+        s"replicate $rep n_eff=$nEff vs corpus $n")
+      // the permille mean is EXACTLY the integral division of its own sums
+      assert(meanPm === wChars * 1000L / math.max(nEff, 1L))
+      // and each resampled mean stays near the corpus mean
+      assert(math.abs(meanPm / 1000.0 - trueMean) <= 0.35 * trueMean,
+        s"replicate $rep mean ${meanPm / 1000.0} vs corpus $trueMean")
+    }
+    // deterministic: a second run is bit-identical
+    val again = SparkEntry.queries("q273_poisson_bootstrap")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("replicate") ->
+        (r.getAs[Long]("n_eff"), r.getAs[Long]("w_chars"),
+         r.getAs[Long]("mean_permille"))).toMap
+    assert(again === out)
+  }
+
   test("custom aggregates reject wrong-typed inputs at analysis time") {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
