@@ -97,7 +97,14 @@ object FpStress {
     // published stream artifact is fingerprint-shared across geometries, so
     // a second-geometry run would re-read rather than re-aggregate —
     // StreamingSpec's both-ways set equality is its geometry evidence
-    "q270_domain_reweight")
+    "q270_domain_reweight",
+    // round-15 second wave: the k-center greedy's FLOOR((x−c)²·1e9)
+    // quantized distances (q274 — the per-dim product is the one double
+    // step; the argmax chain that picks the centers is integer, so the
+    // cross-geometry compare certifies the whole 8-round selection).
+    // q271/q272/q273 are deliberately NOT here: pure integer/ppm pipelines
+    // with no floating step anywhere
+    "q274_kcenter_coreset")
 
   /** 2-decimal deterministic jitter in [0, 0.96], keyed by (row key, copy) —
     * keeps every jittered double a 2-decimal value so the round(sum, p)

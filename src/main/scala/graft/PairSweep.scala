@@ -72,7 +72,17 @@ object PairSweep {
     // round-15: the streamed shingle-registry form of q262 (q268 — the
     // registry build is row-linear, the tail replays q262's candidate-mass
     // cost; same sweep class)
-    "q268_streaming_fs_linkage")
+    "q268_streaming_fs_linkage",
+    // round-15 second wave: modularity (q271 — two pair-table⋈labels joins
+    // + a community rollup on top of the SHARED q246 LPA materialization,
+    // so growth must track |E|) and the unsupervised EM fit (q272 — its
+    // only data-proportional stage is the 16-group flag aggregation over
+    // q262's candidate mass; everything after is 16 rows)
+    "q271_modularity", "q272_em_linkage",
+    // round-15 second wave: the coverage greedy (q275 — K=8 anti-join +
+    // count passes over the posting index, so growth must track posting
+    // rows; the covered frame is shingle-bounded)
+    "q275_maxcover_select")
 
   /** The output-heavy miners (VERDICT r13 directive #2): candidate/verify
     * volume grows with OUTPUT mass, so their 10×-rung ratios (4–9×) sit

@@ -2429,7 +2429,10 @@ object Dedup {
     * agreement flags (docs3 → ng → rdf → rr → cand → fields → wf) — the SQL
     * mirror of [[candidatesFrom]] ∘ [[agreementFlagsOf]], used verbatim by
     * q262 and q272 so both models score the identical comparison space. */
-  private def fsWfCtes: String = s"""docs3 AS (
+  /** The rare-shingle posting-index oracle chain alone (docs3 → ng → rdf →
+    * rr) — the SQL mirror of [[rareShingleRows]], shared by [[fsWfCtes]]
+    * and q275's coverage greedy. */
+  private def rareIdxCtes: String = s"""docs3 AS (
         SELECT doc_id, string_split(text, ' ') AS words FROM documents
         WHERE len(string_split(text, ' ')) >= 3
       ), ng AS (
@@ -2441,7 +2444,9 @@ object Dedup {
         HAVING count(1) >= 2 AND count(1) <= $maxDf
       ), rr AS (
         SELECT n.doc_id, n.ngram FROM ng n JOIN rdf USING (ngram)
-      ), cand AS (
+      )"""
+
+  private def fsWfCtes: String = s"""$rareIdxCtes, cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM rr a JOIN rr b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
       ), fields AS (
@@ -2707,11 +2712,110 @@ object Dedup {
       FROM wfin""")
     })
 
+  // ---- q275: greedy max-coverage selection ---------------------------------
+  private val mcK = 8
+
+  /** q275: greedy max-coverage selection over the rare-shingle postings —
+    * the SUBMODULAR data-selection primitive (Nemhauser–Wolsey–Fisher's
+    * (1−1/e)-greedy; the facility-location/coverage objective behind
+    * CRAIG-class subset selection): K = 8 rounds, each picking the document
+    * covering the most NOT-yet-covered rare shingles (tie → smallest
+    * doc_id). q274's k-center picks the SPREAD (metric diversity in
+    * embedding space); q275 picks the COVER (combinatorial coverage of the
+    * lexical universe) — the two canonical, complementary greedy selectors
+    * a curation pipeline runs side by side. Output: the selection order
+    * with marginal gains and the running covered count; the gain column is
+    * non-increasing — the visible certificate of submodularity.
+    *
+    * Exactness: everything is set algebra on (ngram, doc_id) postings and
+    * BIGINT counts — no floating point anywhere; the (gain DESC, doc_id)
+    * argmax is a total order, so the 8 picks are bit-identical
+    * cross-engine.
+    *
+    * Distributed shape: the inherent K-pass greedy — per round, one
+    * shingle-keyed LEFT ANTI join of the (PlanCache-shared, doc-capped)
+    * posting index against the covered-shingle frame, a map-side-combined
+    * per-doc count, and a TakeOrdered(1); the covered frame (≤ distinct
+    * rare shingles, ONE column) advances via union+distinct under Ckpt,
+    * freed round-over-round. Driver holds K single-row probes. Never
+    * all-pairs, never a global sort. */
+  val maxCoverSelect: Q = Q(
+    "q275_maxcover_select",
+    (s, dir) => {
+      import s.implicits._
+      val idx = rareShingleRows(s, dir)
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var covered: DataFrame = null
+      var cum = 0L
+      try {
+        for (t <- 0 until mcK) {
+          val picked = sel.map(_._2)
+          val unpicked =
+            if (picked.isEmpty) idx
+            else idx.filter(!col("doc_id").isin(picked.toSeq: _*))
+          val rem =
+            if (covered == null) unpicked
+            else unpicked.join(covered, Seq("ngram"), "left_anti")
+          val top = rem.groupBy("doc_id").agg(count(lit(1)).as("gain"))
+            .orderBy(col("gain").desc, col("doc_id").asc).limit(1).head()
+          cum += top.getLong(1)
+          sel += ((t.toLong, top.getLong(0), top.getLong(1), cum))
+          if (t < mcK - 1) {
+            val own = idx.filter(col("doc_id") === top.getLong(0)).select("ngram")
+            val nxt = graft.Ckpt.eager(
+              (if (covered == null) own else covered.union(own)).distinct())
+            if (covered != null) graft.Ckpt.free(covered)
+            covered = nxt
+          }
+        }
+      } finally if (covered != null) graft.Ckpt.free(covered)
+      sel.toSeq.toDF("round", "doc_id", "gain", "covered_cum")
+    },
+    Some {
+      def round(t: Int) = {
+        val gainSrc =
+          if (t == 0) "rr"
+          else s"""(SELECT rr.doc_id, rr.ngram FROM rr
+            LEFT JOIN cov${t - 1} c ON rr.ngram = c.ngram
+            WHERE c.ngram IS NULL
+              AND rr.doc_id NOT IN (SELECT doc_id FROM pk${t - 1}))"""
+        val pick = s"""g$t AS (
+        SELECT doc_id, CAST(count(1) AS BIGINT) AS gain
+        FROM $gainSrc x GROUP BY doc_id
+      ), r$t AS (
+        SELECT doc_id, gain FROM g$t ORDER BY gain DESC, doc_id LIMIT 1
+      ), pk$t AS (
+        ${if (t == 0) s"SELECT doc_id FROM r0"
+          else s"SELECT doc_id FROM pk${t - 1} UNION SELECT doc_id FROM r$t"}
+      )"""
+        val cov =
+          if (t == mcK - 1) ""
+          else if (t == 0) s""", cov0 AS (
+        SELECT DISTINCT ngram FROM rr JOIN r0 USING (doc_id)
+      )"""
+          else s""", cov$t AS (
+        SELECT ngram FROM cov${t - 1}
+        UNION
+        SELECT rr.ngram FROM rr JOIN r$t USING (doc_id)
+      )"""
+        pick + cov
+      }
+      graft.OracleSql.materializeCtes(s"""WITH $rareIdxCtes,
+      ${(0 until mcK).map(round).mkString(",\n      ")}, sel AS (
+        ${(0 until mcK).map(t =>
+          s"SELECT $t AS round, doc_id, gain FROM r$t")
+          .mkString("\n        UNION ALL ")}
+      )
+      SELECT CAST(round AS BIGINT) AS round, doc_id, gain,
+             CAST(SUM(gain) OVER (ORDER BY round) AS BIGINT) AS covered_cum
+      FROM sel""")
+    })
+
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, editDistance,
       incrementalDedup, fuzzyDecontaminate, setSimJoin, substringSpans,
       containmentJoin, cdcChunks, lshEval, dedupReport, memorizationSpans,
       thresholdSweep, templateHubs, methodKappa, lshSCurve, winnowingOverlap,
       sortedNeighborhood, minhashEstimatorError, blockingQuality,
-      simhashBitBalance, tfidfCosine, fsLinkage, emLinkage)
+      simhashBitBalance, tfidfCosine, fsLinkage, emLinkage, maxCoverSelect)
 }

@@ -1581,9 +1581,128 @@ object Similarity {
       LEFT JOIN w ON qb.q_id = w.q_id"""
     })
 
+  // ---- q274: k-center greedy coreset ---------------------------------------
+  private val kcK = 8
+
+  /** q274: k-center greedy (farthest-point) coreset selection over the
+    * embeddings — the diversity-maximizing data-selection primitive (the
+    * 2-approximation to the k-center objective, Gonzalez 1985; the core of
+    * coreset/active-learning selection à la Sener & Savarese 2018): seed
+    * with the smallest vec_id, then K−1 times pick the point FARTHEST from
+    * its nearest already-chosen center. Where q249's MMR diversifies a
+    * relevance ranking and q121's SemDeDup prunes redundancy, k-center
+    * picks the cover — the K docs that jointly span the corpus, with the
+    * selection-time covering radius as the coverage certificate (the law:
+    * radii are non-increasing in the round).
+    *
+    * Exactness: per-dim distance terms are the fixed-shape double
+    * (x_d−c_d)²·10⁹ FLOOR-quantized into BIGINTs before summing (the
+    * q199/q179 quantization rule — NO double→DECIMAL cast of arbitrary
+    * doubles), so every distance is an exact integer in both engines and
+    * argmax + tie-break (largest quantized distance, then smallest vec_id)
+    * is a total order — the 8 selected ids are bit-identical cross-engine.
+    *
+    * Distributed shape: the inherent T-pass structure of the greedy — per
+    * round, ONE corpus-long-form join against the new center's 64-row
+    * broadcast vector, an elementwise LEAST against the checkpointed
+    * (vec_id, mind2q) frame (2 columns, node-sized, freed round-over-round
+    * via Ckpt), and a TakeOrdered(1) argmax (distributed top-1, never a
+    * one-task sort). Driver holds only K−1 single-row probes. At 100 TB:
+    * K scans of the projected vectors, K node-sized shuffles — no
+    * all-pairs anything. */
+  val kcenterCoreset: Q = Q(
+    "q274_kcenter_coreset",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding"))
+      val long = emb.select(col("vec_id"),
+        posexplode(expr("transform(embedding, x -> cast(x as double))"))
+          .as(Seq("d", "x")))
+      def d2q(center: Long): DataFrame =
+        long.join(broadcast(
+            long.filter(col("vec_id") === center)
+              .select(col("d"), col("x").as("cx"))), "d")
+          .groupBy("vec_id")
+          .agg(sum(floor((col("x") - col("cx")) * (col("x") - col("cx"))
+            * lit(1e9))).as("d2q"))
+      val seed = emb.agg(min("vec_id")).head.getLong(0)
+      val sel = scala.collection.mutable.ArrayBuffer((0L, seed, 0L))
+      var mind = graft.Ckpt.eager(d2q(seed).withColumnRenamed("d2q", "mind2q"))
+      try {
+        for (t <- 1 until kcK) {
+          val top = mind.orderBy(col("mind2q").desc, col("vec_id").asc)
+            .limit(1).head()
+          sel += ((t.toLong, top.getLong(0), top.getLong(1)))
+          if (t < kcK - 1) {
+            val nxt = graft.Ckpt.eager(mind.join(d2q(top.getLong(0)), "vec_id")
+              .select(col("vec_id"),
+                least(col("mind2q"), col("d2q")).as("mind2q")))
+            graft.Ckpt.free(mind)
+            mind = nxt
+          }
+        }
+      } finally graft.Ckpt.free(mind)
+      sel.toSeq.toDF("round", "vec_id", "radius2_q")
+        .join(emb.select("vec_id", "label"), Seq("vec_id"), "left")
+        .select(col("round"), col("vec_id"), col("label"), col("radius2_q"))
+    },
+    Some {
+      def dist(mdPrev: String, centerCte: String, out: String) =
+        s"""$out AS (
+        SELECT m.vec_id, LEAST(m.mind2q, dd.d2q) AS mind2q
+        FROM $mdPrev m JOIN (
+          SELECT l.vec_id,
+                 CAST(SUM(CAST(FLOOR((l.x - c.cx) * (l.x - c.cx) * 1e9)
+                   AS BIGINT)) AS BIGINT) AS d2q
+          FROM long l JOIN (
+            SELECT ll.d, ll.x AS cx FROM long ll JOIN $centerCte r
+              ON ll.vec_id = r.cid) c ON l.d = c.d
+          GROUP BY l.vec_id) dd ON m.vec_id = dd.vec_id
+      )"""
+      def pick(mdCte: String, out: String) =
+        s"""$out AS (
+        SELECT vec_id AS cid, mind2q AS rad FROM $mdCte
+        ORDER BY mind2q DESC, vec_id LIMIT 1
+      )"""
+      val rounds = (1 until kcK).map { t =>
+        pick(s"md${t - 1}", s"r$t") +
+          (if (t < kcK - 1) ",\n      " + dist(s"md${t - 1}", s"r$t", s"md$t")
+           else "")
+      }.mkString(",\n      ")
+      val selRows = (s"SELECT 0 AS round, c0.cid AS vec_id," +
+        s" CAST(0 AS BIGINT) AS radius2_q FROM c0") +:
+        (1 until kcK).map(t =>
+          s"SELECT $t AS round, cid AS vec_id, rad AS radius2_q FROM r$t")
+      graft.OracleSql.materializeCtes(s"""WITH e AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+      ), dims AS (
+        SELECT unnest(range(1, 65)) AS d
+      ), long AS (
+        SELECT vec_id, d, v[d] AS x FROM e CROSS JOIN dims
+      ), c0 AS (
+        SELECT MIN(vec_id) AS cid FROM e
+      ), md0 AS (
+        SELECT l.vec_id,
+               CAST(SUM(CAST(FLOOR((l.x - c.cx) * (l.x - c.cx) * 1e9)
+                 AS BIGINT)) AS BIGINT) AS mind2q
+        FROM long l JOIN (
+          SELECT ll.d, ll.x AS cx FROM long ll JOIN c0 ON ll.vec_id = c0.cid) c
+          ON l.d = c.d
+        GROUP BY l.vec_id
+      ), $rounds, sel AS (
+        ${selRows.mkString("\n        UNION ALL ")}
+      )
+      SELECT CAST(s.round AS BIGINT) AS round, s.vec_id, e.label, s.radius2_q
+      FROM sel s LEFT JOIN e ON s.vec_id = e.vec_id""")
+    })
+
   val all: Seq[Q] =
     Seq(embeddingNearDup, knnBruteForce, knnLsh, knnIvf, semDedup,
       mutualKnnClusters, hybridRrf, pqEncode, pqAdcTopK, ivfPqTopK,
       truncationRecall, annRecall, annRankQuality, hardNegatives, knnLabelNoise,
-      embeddingStats, mmrRerank, annRbo)
+      embeddingStats, mmrRerank, annRbo, kcenterCoreset)
 }

@@ -246,6 +246,74 @@ class R15OpsSpec extends AnyFunSuite {
     assert(again === out)
   }
 
+  test("q274 k-center greedy matches an exact driver recomputation; radii non-increasing") {
+    val out = SparkEntry.queries("q274_kcenter_coreset")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("round"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("radius2_q"))).sortBy(_._1)
+    assert(out.length === 8)
+    assert(out.head._1 === 0L && out.head._3 === 0L)
+    // covering radius is non-increasing in the round (the k-center law)
+    val radii = out.tail.map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"radii not monotone: ${radii.mkString(",")}")
+    // independent recomputation: collect the (tiny at this sf) embedding
+    // table and replay the greedy with the same FLOOR((x-c)^2 * 1e9)
+    // quantization in plain Scala doubles/Longs
+    val vecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    def d2q(a: Array[Double], b: Array[Double]): Long =
+      a.zip(b).map { case (x, c) =>
+        math.floor((x - c) * (x - c) * 1e9).toLong }.sum
+    val byId = vecs.toMap
+    var centers = List(vecs.head._1)
+    var mind = vecs.map { case (id, v) =>
+      id -> d2q(v, byId(centers.head)) }.toMap
+    val expect = scala.collection.mutable.ArrayBuffer((0L, vecs.head._1, 0L))
+    for (t <- 1 until 8) {
+      val (cid, rad) = mind.toSeq.maxBy { case (id, d) => (d, -id) }
+      expect += ((t.toLong, cid, rad))
+      centers ::= cid
+      mind = mind.map { case (id, d) =>
+        id -> math.min(d, d2q(byId(id), byId(cid))) }
+    }
+    assert(out.toSeq === expect.toSeq)
+  }
+
+  test("q275 max-coverage greedy matches an exact driver replay; gains non-increasing") {
+    val out = SparkEntry.queries("q275_maxcover_select")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("round"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("gain"), r.getAs[Long]("covered_cum"))).sortBy(_._1)
+    assert(out.length === 8)
+    // submodularity: marginal gains are non-increasing; cum is their prefix sum
+    val gains = out.map(_._3)
+    assert(gains.zip(gains.tail).forall { case (a, b) => b <= a },
+      s"gains not monotone: ${gains.mkString(",")}")
+    assert(out.map(_._4).toSeq === gains.scanLeft(0L)(_ + _).tail.toSeq)
+    // independent replay: collect the capped posting index (small at this
+    // sf) and run the greedy with plain Scala sets
+    val postings = ops.Dedup.rareShingleRowsOf(
+        Tables.documents(spark, sfDir).select("doc_id", "text"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val byDoc = postings.groupBy(_._2).map { case (d, xs) =>
+      d -> xs.map(_._1).toSet }
+    var covered = Set.empty[String]
+    var picked = Set.empty[Long]
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var cum = 0L
+    for (t <- 0 until 8) {
+      val (doc, gain) = byDoc.view.filterKeys(!picked.contains(_)).toSeq
+        .map { case (d, sh) => d -> (sh -- covered).size.toLong }
+        .maxBy { case (d, g) => (g, -d) }
+      cum += gain
+      expect += ((t.toLong, doc, gain, cum))
+      picked += doc
+      covered ++= byDoc(doc)
+    }
+    assert(out.toSeq === expect.toSeq)
+  }
+
   test("custom aggregates reject wrong-typed inputs at analysis time") {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
