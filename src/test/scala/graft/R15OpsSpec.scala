@@ -246,6 +246,29 @@ class R15OpsSpec extends AnyFunSuite {
     assert(again === out)
   }
 
+  test("q272's unsupervised posterior concentrates on q262's truth-labeled dups") {
+    // cross-model consistency: the EM fit never sees a label, yet its
+    // per-pattern posterior must be much higher on the pairs q262's truth
+    // column marks as exact near-dups than on the rest — the evidence that
+    // the unsupervised fit recovered the same signal the supervised one
+    // was given
+    val w = SparkEntry.queries("q272_em_linkage")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("a_lang"), r.getAs[Long]("a_source"),
+        r.getAs[Long]("a_len"), r.getAs[Long]("a_tok")) ->
+        r.getAs[Long]("w_ppm")).toMap
+    val pairs = SparkEntry.queries("q262_fs_linkage")(spark, sfDir)
+      .select("a_lang", "a_source", "a_len", "a_tok", "is_dup")
+      .collect().map(r => (w((r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))), r.getLong(4)))
+    val dupW = pairs.collect { case (wp, 1L) => wp }
+    val nonW = pairs.collect { case (wp, 0L) => wp }
+    assert(dupW.nonEmpty && nonW.nonEmpty)
+    val dupMean = dupW.sum.toDouble / dupW.length
+    val nonMean = nonW.sum.toDouble / nonW.length
+    assert(dupMean > 5 * nonMean,
+      s"posterior fails to separate: dup mean $dupMean vs non-dup $nonMean")
+  }
+
   test("q274 k-center greedy matches an exact driver recomputation; radii non-increasing") {
     val out = SparkEntry.queries("q274_kcenter_coreset")(spark, sfDir)
       .collect().map(r => (r.getAs[Long]("round"), r.getAs[Long]("vec_id"),
