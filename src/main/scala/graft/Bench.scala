@@ -119,7 +119,9 @@ object Bench {
       gcSec: Double, persistentRdds: Int, storageBytes: Long,
       regs: Seq[(String, Double, Double)], warmSharedSec: Double,
       rewarmed: Seq[(String, Double)], selfHeals: Seq[(String, String)],
-      confirm: Map[String, Double] = Map.empty): String = {
+      confirm: Map[String, Double] = Map.empty,
+      loadBefore: Double = -1.0, loadAfter: Double = -1.0,
+      extBusy: Double = -1.0): String = {
     val qs = results.map(r => jstr(r.name) + ":" + r.sec).mkString("{", ",", "}")
     // the full t_start map sits immediately after `queries` so that when the
     // driver's 2000-char tail window truncates the line, what is lost is the
@@ -148,6 +150,7 @@ object Bench {
       s""""regressions":${renderRegs(regs, confirm)},""" +
       s""""warm_shared_sec":${math.round(warmSharedSec * 1000) / 1000.0},""" +
       s""""rewarm_sec":$rw,"cache_selfheals":$sh,""" +
+      loadProbeJson(loadBefore, loadAfter, extBusy) + "," +
       s""""sf":${jstr(sfDir)}}"""
   }
 
@@ -178,7 +181,9 @@ object Bench {
       selfHeals: Seq[(String, String)] = Nil,
       confirm: Map[String, Double] = Map.empty,
       gcSec: Double = 0.0,
-      rewarmed: Seq[(String, Double)] = Nil): String = {
+      rewarmed: Seq[(String, Double)] = Nil,
+      loadBefore: Double = -1.0, loadAfter: Double = -1.0,
+      extBusy: Double = -1.0): String = {
     val ok = results.filter(_.err.isEmpty)
     val slow = ok.sortBy(-_.sec).take(10)
       .map(r => jstr(r.name) + ":" + math.round(r.sec * 100) / 100.0)
@@ -200,6 +205,7 @@ object Bench {
       s""""reg_t_start":$regTs,""" +
       s""""cache_selfheals":$sh,""" +
       s""""t0":$t0,"ckpt_sec":$ckpt,"rewarm_max":$rwMax,""" +
+      loadProbeJson(loadBefore, loadAfter, extBusy) + "," +
       s""""sf":${jstr(sfDir)}}"""
   }
 
@@ -207,6 +213,62 @@ object Bench {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
       .map(_.getCollectionTime).filter(_ > 0).sum
+  }
+
+  /** 1-minute loadavg (Linux), −1 when unreadable — the r15 VERDICT #2
+    * load precondition: every published bench number carries the machine
+    * load OBSERVED AROUND ITS OWN RUN inside the artifact, so a
+    * noisy-neighbor window (r15: 4–5 external cores moved the matched
+    * pair 1.13×→1.44×) is adjudicable from the JSON alone instead of
+    * from after-the-fact prose. */
+  private[graft] def loadAvg1(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+      java.nio.charset.StandardCharsets.UTF_8).split(" ")(0).toDouble
+    catch { case _: Exception => -1.0 }
+
+  /** Render the load-probe JSON fragment shared by both output lines. */
+  private[graft] def loadProbeJson(before: Double, after: Double,
+      externalBusy: Double): String =
+    s""""load_before":$before,"load_after":$after,""" +
+      s""""external_busy_cores":$externalBusy"""
+
+  private def procStatBusy(): Long =
+    try {
+      val first = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/stat")),
+        java.nio.charset.StandardCharsets.UTF_8).linesIterator.next()
+      // cpu user nice system idle iowait irq softirq steal ... — busy is
+      // everything except idle(3) and iowait(4)
+      val f = first.trim.split("\\s+").drop(1).map(_.toLong)
+      f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
+    } catch { case _: Exception => -1L }
+
+  private def selfJiffies(): Long =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/self/stat")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // fields 14/15 (utime/stime) — count from after the parenthesized comm
+      val rest = txt.substring(txt.lastIndexOf(')') + 2).split(" ")
+      rest(11).toLong + rest(12).toLong
+    } catch { case _: Exception => -1L }
+
+  /** Directly MEASURED external load (the BENCH_NOTES r15 forensic probe,
+    * mechanized per VERDICT r15 #2): sample /proc/stat over `ms`, subtract
+    * this JVM's own jiffies, convert to busy cores (USER_HZ = 100). Run it
+    * BEFORE the suite (cheap, done while otherwise idle) so the artifact
+    * records the noisy-neighbor level that the timings are conditioned on.
+    * −1 when /proc is unreadable. */
+  private[graft] def externalBusyCores(ms: Int = 500): Double = {
+    val b0 = procStatBusy(); val s0 = selfJiffies()
+    if (b0 < 0 || s0 < 0) return -1.0
+    val t0 = System.nanoTime()
+    Thread.sleep(ms.toLong)
+    val dtSec = (System.nanoTime() - t0) / 1e9
+    val db = procStatBusy() - b0
+    val ds = selfJiffies() - s0
+    math.max(0.0, math.round((db - ds) / (100.0 * dtSec) * 100) / 100.0)
   }
 
   def main(args: Array[String]): Unit = {
@@ -262,9 +324,21 @@ object Bench {
         System.err.println(s"[bench] REGRESSION ALARM DISABLED: $why")
         Map.empty[String, Double]
       }
+    // load precondition probe (VERDICT r15 #2): measured EXTERNAL busy
+    // cores + loadavg, recorded inside the artifact; a matched pair
+    // published from a window with external_busy_cores above ~2 must be
+    // marked load-contaminated in BENCH_NOTES rather than adjudicated in
+    // prose after the fact
+    val loadBefore = loadAvg1()
+    val extBusy = externalBusyCores()
+    if (extBusy > 2.0)
+      System.err.println(f"[bench] LOAD PRECONDITION FAILED: $extBusy%.2f " +
+        "external busy cores measured before the timed pass; totals from " +
+        "this run must be published as load-contaminated")
     val gc0 = gcMillis()
     val results = runSuite(spark, sfDir, queries)
     val gcSec = (gcMillis() - gc0) / 1e3
+    val loadAfter = loadAvg1()
     val selfHeals = PlanCache.drainSelfHeals()
     val regs = regressions(results, pins)
     // confirm pass: one re-timing per breached query, so the artifact itself
@@ -279,8 +353,9 @@ object Bench {
     val allHeals = selfHeals ++ confirmHeals
     println(renderJson(results, sfDir, gcSec,
       spark.sparkContext.getPersistentRDDs.size, storage, regs, warmSharedSec,
-      warmed, allHeals, confirm))
-    println(renderSummary(results, sfDir, regs, allHeals, confirm, gcSec, warmed))
+      warmed, allHeals, confirm, loadBefore, loadAfter, extBusy))
+    println(renderSummary(results, sfDir, regs, allHeals, confirm, gcSec,
+      warmed, loadBefore, loadAfter, extBusy))
     spark.stop()
   }
 }

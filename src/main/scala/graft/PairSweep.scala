@@ -82,7 +82,11 @@ object PairSweep {
     // round-15 second wave: the coverage greedy (q275 — K=8 anti-join +
     // count passes over the posting index, so growth must track posting
     // rows; the covered frame is shingle-bounded)
-    "q275_maxcover_select")
+    "q275_maxcover_select",
+    // round-16: ExactSubstr spans (q276 — position-linear by construction:
+    // one gram-hash df count + a semi join + per-doc window merge; growth
+    // must track corpus TOKENS, never pairs — the claim this sweep checks)
+    "q276_exactsubstr_spans")
 
   /** The output-heavy miners (VERDICT r13 directive #2): candidate/verify
     * volume grows with OUTPUT mass, so their 10×-rung ratios (4–9×) sit

@@ -22,12 +22,17 @@ object QTime {
     args.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
       fn(spark, sfDir).count() // warmup
+      // isolated readings carry the same load precondition the suite
+      // artifact does (VERDICT r15 #2): external busy cores measured
+      // immediately before this query's timed passes
+      val ext = Bench.externalBusyCores()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"QTIME $name best=${times.min}%.3f all=${times.map(t => f"$t%.3f").mkString(",")}")
+      println(f"QTIME $name best=${times.min}%.3f " +
+        f"all=${times.map(t => f"$t%.3f").mkString(",")} ext_busy=$ext%.2f")
     }
     spark.stop()
   }

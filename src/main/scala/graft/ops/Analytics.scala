@@ -2101,15 +2101,18 @@ object Analytics {
     * (day) count; the pairwise-slope table is |days|² on the DIMENSION
     * (epoch days — ~4 k pairs per quarter-year regardless of corpus
     * size), built as a broadcast range self-join of the day-grain
-    * aggregate. Each median SELECTION runs as a two-phase bucket rank
-    * (ADVICE r14: the naive row_number() over the whole pair frame is one
-    * task — dimension-sized today, but |days|² is quadratic in calendar
-    * span, ~6.6 M pairs in one task for a 10-year corpus): 256 value-range
-    * buckets (monotone in the leading sort key, so bucket ranges are
+    * aggregate. The SLOPE median (over the |days|² pair frame — quadratic
+    * in calendar span, ~6.6 M pairs in one task for a 10-year corpus) runs
+    * as a two-phase bucket rank (ADVICE r14): 256 value-range buckets
+    * (monotone in the leading sort key, so bucket ranges are
     * order-aligned), per-bucket counts give the exclusive prefix offsets
     * (≤257-row window), only the bucket CONTAINING the target rank is then
-    * ranked. Selection order (value, tie keys) is unchanged, so the output
-    * is bit-identical to the one-task formulation the oracle keeps. */
+    * ranked. The INTERCEPT median ranks day-grain residuals — calendar-
+    * bounded, so a single ordered window is already the right shape. Both
+    * medians are single-row probes, driver-held between the two passes
+    * (the q274/q275 idiom). Selection order (value, tie keys) is unchanged
+    * throughout, so the output is bit-identical to the one-task
+    * formulation the oracle keeps. */
   private def lowerMedianRow(df: DataFrame, value: String,
       ties: Seq[String]): DataFrame = {
     val stats = df.agg(min(col(value)).as("mn"), max(col(value)).as("mx"),
@@ -2135,27 +2138,60 @@ object Analytics {
   val theilSenTrend: Q = Q(
     "q265_theilsen_trend",
     (s, dir) => {
-      val daily = Tables.events(s, dir)
-        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("d"))
-        .agg(count(lit(1)).as("c"))
-      val pairs = daily.as("i").join(daily.as("j"), col("i.d") < col("j.d"))
-        .select(col("i.d").as("di"), col("j.d").as("dj"),
-          col("i.c").as("ci"), col("j.c").as("cj"))
-        .withColumn("slope",
-          (col("cj") - col("ci")).cast("double")
-            / (col("dj") - col("di")).cast("double"))
-      val med = lowerMedianRow(pairs, "slope", Seq("di", "dj"))
-        .withColumnRenamed("n_rows", "n_pairs")
-        .select(col("n_pairs"), col("slope"),
+      // the day-grain aggregate is the ONLY data-sized subtree, and the
+      // two median selections reference it (via pairs/resids and the
+      // bucket-rank's stats/offsets/final-rank passes) ~20 times in one
+      // plan — without materialization each reference re-scans events
+      // (r15 VERDICT #1: the 2.1 s isolated reading was all repeated
+      // scan, not selection work). One PlanCache'd copy (≤ calendar-span
+      // rows) makes every downstream pass dimension-sized.
+      val daily = graft.PlanCache.cached(s, "q265_daily", dir,
+          s"$dir/events.parquet") {
+        Tables.events(s, dir)
+          .groupBy(expr("unix_micros(ts) DIV 86400000000").as("d"))
+          .agg(count(lit(1)).as("c"))
+      }
+      // the pair frame is referenced by the bucket rank's three passes
+      // (stats, bucket offsets, target-bucket rank); one materialized copy
+      // (≤ |days|² rows — dimension-sized) replaces three replays of the
+      // range self-join
+      val pairs = graft.PlanCache.cached(s, "q265_pairs", dir,
+          s"$dir/events.parquet") {
+        daily.as("i").join(daily.as("j"), col("i.d") < col("j.d"))
+          .select(col("i.d").as("di"), col("j.d").as("dj"),
+            col("i.c").as("ci"), col("j.c").as("cj"))
+          .withColumn("slope",
+            (col("cj") - col("ci")).cast("double")
+              / (col("dj") - col("di")).cast("double"))
+      }
+      // the slope median is a single row BY CONSTRUCTION — collect it (the
+      // q274/q275 driver-probe idiom) instead of re-broadcasting its whole
+      // bucket-rank subtree into two more plan references (r15 VERDICT #1:
+      // the former plan re-evaluated the pair-median subtree per consumer)
+      val medRow = lowerMedianRow(pairs, "slope", Seq("di", "dj"))
+        .select(col("n_rows").as("n_pairs"), col("slope"),
           (col("cj") - col("ci")).as("slope_num"),
           (col("dj") - col("di")).as("slope_den"))
-      val resids = daily.crossJoin(broadcast(med.select("slope")))
-        .withColumn("resid", col("c").cast("double") - col("slope") * col("d").cast("double"))
-      val intercept = lowerMedianRow(resids, "resid", Seq("d"))
-        .withColumnRenamed("n_rows", "n_days")
-        .select(col("n_days"), col("resid").as("intercept"))
-      med.crossJoin(broadcast(intercept))
-        .select("n_days", "n_pairs", "slope_num", "slope_den", "slope",
+        .collect().head
+      val slope = medRow.getDouble(1)
+      // the intercept median ranks DAY-grain residuals — calendar-bounded
+      // (≤ span days at ANY corpus size), so one ordered window is the
+      // scale-correct shape here; the two-phase bucket rank stays on the
+      // |days|² pair frame, the side that actually grows quadratically
+      val nd = daily.agg(count(lit(1)).as("n_days"))
+      val icRow = daily
+        .withColumn("resid",
+          col("c").cast("double") - lit(slope) * col("d").cast("double"))
+        .crossJoin(broadcast(nd))
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("resid"), col("d"))))
+        .filter(col("rn") === expr("(n_days + 1) div 2"))
+        .select(col("n_days"), col("resid"))
+        .collect().head
+      import s.implicits._
+      Seq((icRow.getLong(0), medRow.getLong(0), medRow.getLong(2),
+        medRow.getLong(3), slope, icRow.getDouble(1)))
+        .toDF("n_days", "n_pairs", "slope_num", "slope_den", "slope",
           "intercept")
     },
     Some("""WITH daily AS (
@@ -2226,9 +2262,13 @@ object Analytics {
     * resampled copy of the data ever materializes — that is the entire point
     * of the Poisson formulation at scale. The ×32 row inflation is CPU-only
     * and embarrassingly parallel; nothing here is fact-proportional past the
-    * scan. Products go through DECIMAL(38,0) before the multiply (q259
-    * lesson: Σ k·n_chars·1000 wraps a BIGINT only past ~9000 TB of text, but
-    * the cast makes the bound 10³⁸ instead of an engine-dependent wrap). */
+    * scan. Σ k·n_chars ACCUMULATES in DECIMAL(38,0) (ADVICE r15: the cast
+    * must sit inside the SUM — a BIGINT sum recast afterwards has already
+    * wrapped), matching DuckDB's HUGEINT accumulation, so the arithmetic is
+    * exact to 10³⁸ on both engines; the one residual 64-bit surface is the
+    * REPORTED w_chars column itself, which both engines cast to BIGINT
+    * (~9·10¹⁸ ≈ 9000 TB of text — and there Spark nulls while DuckDB
+    * errors, a reporting-width limit, not an accumulation wrap). */
   val poissonBootstrap: Q = Q(
     "q273_poisson_bootstrap",
     (s, dir) => {
@@ -2241,10 +2281,12 @@ object Analytics {
             .reduce(_ + _))
       drawn
         .groupBy(col("rep").cast("long").as("replicate"))
-        .agg(sum("k").as("n_eff"), sum(col("k") * col("n_chars")).as("w_chars"))
-        .select(col("replicate"), col("n_eff"), col("w_chars"),
-          expr("CAST(CAST(w_chars AS DECIMAL(38,0)) * 1000" +
-            " DIV greatest(n_eff, 1) AS BIGINT)").as("mean_permille"))
+        .agg(sum("k").as("n_eff"),
+          sum(col("k").cast("decimal(38,0)") * col("n_chars")).as("w_dec"))
+        .select(col("replicate"), col("n_eff"),
+          col("w_dec").cast("long").as("w_chars"),
+          expr("CAST(w_dec * 1000 DIV greatest(n_eff, 1) AS BIGINT)")
+            .as("mean_permille"))
     },
     Some(s"""WITH r AS (
         SELECT CAST(unnest(range(0, $pbReps)) AS BIGINT) AS rep

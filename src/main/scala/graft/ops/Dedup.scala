@@ -1151,6 +1151,106 @@ object Dedup {
         TRUE AS recall_floor_met
       FROM g"""))
 
+  // ---- q276: ExactSubstr — maximal duplicated-substring removal spans ------
+  /** Span length for the exact-substring dedup: 13 tokens — the q206
+    * memorization grain (a 13-word match is essentially never chance),
+    * giving the two operators one shared definition of "a span worth
+    * worrying about"; the published ExactSubstr uses 50 BPE tokens at
+    * web-corpus doc lengths, and the constant is the only knob. */
+  private[graft] val esK = 13
+
+  /** q276: ExactSubstr-class exact-substring deduplication (Lee et al.
+    * 2022, arXiv:2107.06499 §4.1 — the suffix-array half of the canonical
+    * dedup stack, the companion to q15's MinHash document-level half): for
+    * every document, the MAXIMAL spans of ≥ [[esK]] consecutive tokens
+    * whose text occurs somewhere else in the corpus — the exact regions
+    * the published pipeline REMOVES. q115 finds shared spans only above a
+    * shingle-block threshold and q238's winnowing is a sampled
+    * approximation; this is the exact, complete answer at the k-token
+    * grain, and the row the q163 report card was missing.
+    *
+    * Suffix-array equivalence: a duplicated substring of length ≥ k covers
+    * exactly the positions covered by its length-k windows, and every
+    * length-k window of a duplicated substring is itself duplicated — so
+    * {positions inside some ≥k-token duplicate} = ∪ of duplicated k-gram
+    * windows, and merging overlapping/adjacent marked windows yields the
+    * maximal spans a suffix-array neighbor-LCP scan would report. The
+    * group-by-gram IS the suffix sort's bucket step, distributed.
+    *
+    * Exactness: spans are md5-hashed before any shuffle (the q206 idiom —
+    * 16-byte keys, never text; both engines md5 the identical string);
+    * everything else is integer set algebra and a per-doc
+    * gaps-and-islands merge with a total order (doc_id, pos).
+    *
+    * Distributed shape: one explode (positions × 16-byte hashes, linear in
+    * corpus tokens) → one map-side-combined df count (the "suffix bucket
+    * sort" — the ONLY corpus-wide shuffle, keyed on the hash) → one
+    * left-semi join back → a per-doc window merge (rows per doc ≤ doc
+    * length — partition-parallel). No pair expansion anywhere: candidate
+    * volume is position count, so cost is linear in corpus tokens at any
+    * duplication level — the property that makes ExactSubstr runnable at
+    * 100 TB where a pairwise formulation is not. */
+  val exactSubstrSpans: Q = Q(
+    "q276_exactsubstr_spans",
+    (s, dir) => {
+      val kg = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= esK)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(ws) - $esK), " +
+            s"i -> md5(array_join(slice(ws, i + 1, $esK), ' ')))"))
+          .as(Seq("pos", "h")))
+      // ≥2 occurrences ANYWHERE (another doc or elsewhere in the same doc)
+      // — the ExactSubstr contract is "this text exists twice", not q206's
+      // cross-document document-risk grain
+      val dup = kg.groupBy("h").agg(count(lit(1)).as("nocc"))
+        .filter(col("nocc") >= 2).select("h")
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      kg.join(dup, Seq("h"), "left_semi")
+        .withColumn("brk",
+          when(col("pos") - lag("pos", 1).over(byDoc) <= esK, 0).otherwise(1))
+        .withColumn("island", sum("brk").over(
+          byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "island")
+        .agg(min("pos").as("p0"), max("pos").as("p1"), count(lit(1)).as("n_grams"))
+        .select(col("doc_id"),
+          col("p0").cast("long").as("span_start"),
+          (col("p1") + esK).cast("long").as("span_end"),
+          (col("p1") + esK - col("p0")).cast("long").as("span_tokens"),
+          col("n_grams"))
+    },
+    Some(s"""WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE len(string_split(text, ' ')) >= $esK
+      ), kg AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(ws[i : i + ${esK - 1}], ' ')) AS h
+        FROM (SELECT doc_id, ws,
+                     unnest(range(1, len(ws) - ${esK - 2})) AS i
+              FROM d)
+      ), dup AS (
+        SELECT h FROM kg GROUP BY h HAVING count(1) >= 2
+      ), mk AS (
+        SELECT doc_id, pos FROM kg SEMI JOIN dup USING (h)
+      ), isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         <= $esK
+                    THEN 0 ELSE 1 END AS brk
+        FROM mk
+      ), isl2 AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl
+      )
+      SELECT doc_id,
+             CAST(MIN(pos) AS BIGINT) AS span_start,
+             CAST(MAX(pos) + $esK AS BIGINT) AS span_end,
+             CAST(MAX(pos) + $esK - MIN(pos) AS BIGINT) AS span_tokens,
+             CAST(count(1) AS BIGINT) AS n_grams
+      FROM isl2 GROUP BY doc_id, island"""))
+
   // ---- q163: dedup method report card --------------------------------------
   /** q163: the side-by-side report a pipeline owner reads before choosing a
     * dedup stack — for each method, the candidate-pair count and how many
@@ -1185,11 +1285,22 @@ object Dedup {
           .agg(count(lit(1)).as("n_pairs"),
             countDistinct("doc_b").as("n_docs_dropped"))
           .select(lit(name).as("method"), col("n_pairs"), col("n_docs_dropped"))
+      // the ExactSubstr row (r16): sub-document grain, so the report's
+      // units reinterpret — a "pair" is one maximal removal span, a
+      // "dropped" doc is an EDITED doc (≥1 span removed); that contrast
+      // against the document-drop methods is exactly what the report is
+      // for (ExactSubstr keeps every document, it removes text mass)
+      val es = mat("exactsubstr", exactSubstrSpans.run(s, dir))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct("doc_id").as("n_docs_dropped"))
+        .select(lit(s"exactsubstr_$esK").as("method"), col("n_pairs"),
+          col("n_docs_dropped"))
       Seq(ex,
         pairMethod("ngram_jaccard", ngramJaccard.run(s, dir)),
         pairMethod("minhash_lsh", minhashLsh.run(s, dir)),
         pairMethod("edit_distance", editDistance.run(s, dir)),
-        pairMethod("setsim_ppjoin", setSimJoin.run(s, dir)))
+        pairMethod("setsim_ppjoin", setSimJoin.run(s, dir)),
+        es)
         .reduce(_ unionAll _)
     },
     Some {
@@ -1203,7 +1314,10 @@ object Dedup {
       UNION ALL ${pairSql("ngram_jaccard", ngramJaccard.oracle.get)}
       UNION ALL ${pairSql("minhash_lsh", minhashLsh.oracle.get)}
       UNION ALL ${pairSql("edit_distance", editDistance.oracle.get)}
-      UNION ALL ${pairSql("setsim_ppjoin", setSimJoin.oracle.get)}"""
+      UNION ALL ${pairSql("setsim_ppjoin", setSimJoin.oracle.get)}
+      UNION ALL SELECT 'exactsubstr_$esK' AS method,
+        count(1) AS n_pairs, count(DISTINCT doc_id) AS n_docs_dropped
+      FROM (${exactSubstrSpans.oracle.get})"""
     })
 
   // ---- q206: memorization-span audit (13-gram duplication) -----------------
@@ -2732,43 +2846,67 @@ object Dedup {
     * argmax is a total order, so the 8 picks are bit-identical
     * cross-engine.
     *
-    * Distributed shape: the inherent K-pass greedy — per round, one
-    * shingle-keyed LEFT ANTI join of the (PlanCache-shared, doc-capped)
-    * posting index against the covered-shingle frame, a map-side-combined
-    * per-doc count, and a TakeOrdered(1); the covered frame (≤ distinct
-    * rare shingles, ONE column) advances via union+distinct under Ckpt,
-    * freed round-over-round. Driver holds K single-row probes. Never
-    * all-pairs, never a global sort. */
+    * Distributed shape (r15 VERDICT #1 rework): the covered-shingle set is,
+    * BY CONSTRUCTION, ≤ K·[[RareShingleDocCap]] entries (each pick adds at
+    * most the picked doc's budgeted postings — ≤ 1024 shingles at K=8), so
+    * it is DRIVER-HELD and pushed into the scan as a NOT-IN-SET literal
+    * predicate (Catalyst rewrites the >10-element isin to an O(1)-lookup
+    * InSet inside whole-stage codegen) — the former shingle-keyed anti-join
+    * + union/distinct/checkpoint cycle collapses away. Each round is then
+    * ONE job: scan the (PlanCache-shared, doc-capped) posting index with
+    * the two literal filters, a map-side-combined per-doc aggregate whose
+    * collect_set (≤ cap entries/doc) hands the winner's still-uncovered
+    * shingles back on the SAME TakeOrdered(1) row — no per-round lookup
+    * job, no checkpoints. K jobs total. Never all-pairs, never a global
+    * sort; at 100 TB the per-round cost is exactly one posting-index scan.
+    *
+    * Degenerate-case contract (ADVICE r15): when every unpicked doc's rare
+    * shingles are already covered (or fewer than K docs carry rare
+    * shingles) the round's frame is empty — the loop emits the rounds
+    * picked so far instead of throwing, matching the oracle's CTE chain,
+    * whose empty pick round yields no row and empties every later round.
+    *
+    * Oracle-cap dependency (ADVICE r15): the Spark side consumes the
+    * per-doc-CAPPED index while [[rareIdxCtes]] is uncapped — equality
+    * rests on the standing spec-pinned invariant that the cap never binds
+    * (measured max 98 < 128 at every tested sf; [[rareShingleDocAudit]]).
+    * A production corpus where the cap binds changes which doc wins a
+    * round, not just pair candidates: the greedy then optimizes coverage
+    * of the BUDGETED posting universe — the operator's actual contract. */
   val maxCoverSelect: Q = Q(
     "q275_maxcover_select",
     (s, dir) => {
       import s.implicits._
       val idx = rareShingleRows(s, dir)
       val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
-      var covered: DataFrame = null
+      val covered = scala.collection.mutable.HashSet.empty[String]
       var cum = 0L
-      try {
-        for (t <- 0 until mcK) {
-          val picked = sel.map(_._2)
-          val unpicked =
-            if (picked.isEmpty) idx
-            else idx.filter(!col("doc_id").isin(picked.toSeq: _*))
-          val rem =
-            if (covered == null) unpicked
-            else unpicked.join(covered, Seq("ngram"), "left_anti")
-          val top = rem.groupBy("doc_id").agg(count(lit(1)).as("gain"))
-            .orderBy(col("gain").desc, col("doc_id").asc).limit(1).head()
-          cum += top.getLong(1)
-          sel += ((t.toLong, top.getLong(0), top.getLong(1), cum))
-          if (t < mcK - 1) {
-            val own = idx.filter(col("doc_id") === top.getLong(0)).select("ngram")
-            val nxt = graft.Ckpt.eager(
-              (if (covered == null) own else covered.union(own)).distinct())
-            if (covered != null) graft.Ckpt.free(covered)
-            covered = nxt
-          }
+      var t = 0
+      var exhausted = false
+      while (t < mcK && !exhausted) {
+        val picked = sel.map(_._2)
+        val unpicked =
+          if (picked.isEmpty) idx
+          else idx.filter(!col("doc_id").isin(picked.toSeq: _*))
+        val rem =
+          if (covered.isEmpty) unpicked
+          else unpicked.filter(!col("ngram").isin(covered.toSeq: _*))
+        val top = rem.groupBy("doc_id")
+          .agg(count(lit(1)).as("gain"), collect_set(col("ngram")).as("uncov"))
+          .orderBy(col("gain").desc, col("doc_id").asc)
+          .limit(1).collect().headOption
+        top match {
+          case Some(r) =>
+            cum += r.getLong(1)
+            sel += ((t.toLong, r.getLong(0), r.getLong(1), cum))
+            // the winner's not-yet-covered shingles rode the argmax row;
+            // covered_t = ∪ uncovered-at-pick sets ≡ ∪ all shingles of
+            // picked docs (anything already covered was in the set)
+            covered ++= r.getSeq[String](2)
+          case None => exhausted = true
         }
-      } finally if (covered != null) graft.Ckpt.free(covered)
+        t += 1
+      }
       sel.toSeq.toDF("round", "doc_id", "gain", "covered_cum")
     },
     Some {
@@ -2817,5 +2955,6 @@ object Dedup {
       containmentJoin, cdcChunks, lshEval, dedupReport, memorizationSpans,
       thresholdSweep, templateHubs, methodKappa, lshSCurve, winnowingOverlap,
       sortedNeighborhood, minhashEstimatorError, blockingQuality,
-      simhashBitBalance, tfidfCosine, fsLinkage, emLinkage, maxCoverSelect)
+      simhashBitBalance, tfidfCosine, fsLinkage, emLinkage, maxCoverSelect,
+      exactSubstrSpans)
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
@@ -1584,6 +1584,11 @@ object Similarity {
   // ---- q274: k-center greedy coreset ---------------------------------------
   private val kcK = 8
 
+  /** Candidate-window size for q274's provisional-pick certificate: any
+    * value is CORRECT (the certificate falls back to a refetch), larger
+    * just means fewer jobs; 256 rows × 64 doubles ≈ 128 KB on the driver. */
+  private val kcWindow = 256
+
   /** q274: k-center greedy (farthest-point) coreset selection over the
     * embeddings — the diversity-maximizing data-selection primitive (the
     * 2-approximation to the k-center objective, Gonzalez 1985; the core of
@@ -1602,51 +1607,107 @@ object Similarity {
     * argmax + tie-break (largest quantized distance, then smallest vec_id)
     * is a total order — the 8 selected ids are bit-identical cross-engine.
     *
-    * Distributed shape: the inherent T-pass structure of the greedy — per
-    * round, ONE corpus-long-form join against the new center's 64-row
-    * broadcast vector, an elementwise LEAST against the checkpointed
-    * (vec_id, mind2q) frame (2 columns, node-sized, freed round-over-round
-    * via Ckpt), and a TakeOrdered(1) argmax (distributed top-1, never a
-    * one-task sort). Driver holds only K−1 single-row probes. At 100 TB:
-    * K scans of the projected vectors, K node-sized shuffles — no
-    * all-pairs anything. */
+    * Distributed shape (r15 VERDICT #1 rework): the picked centers are, BY
+    * CONSTRUCTION, ≤ K 64-dim vectors — driver-held state, shipped as a
+    * BROADCAST 1-row frame (not plan literals: literal centers would
+    * change the generated code every round and pay a whole-stage-codegen
+    * recompile per scan; the broadcast keeps the plan — and its compiled
+    * code — IDENTICAL across jobs). A job is a single scan of the
+    * embeddings computing min-over-centers quantized distance as pure
+    * codegen'd arithmetic (zip_with + fold per center, array_min across
+    * centers — no explode, no shuffle; the cross join is a 1-row
+    * broadcast) ending in a TakeOrdered(M=[[kcWindow]]) that carries the
+    * candidates' vectors back. Multiple greedy rounds then advance INSIDE
+    * one window under an exact certificate (the VERDICT-r15 provisional-
+    * pick idiom): the driver tightens each candidate's min-distance
+    * against newly picked centers (replaying the identical quantized
+    * arithmetic on the identical JVM doubles — bit-equal by construction)
+    * and accepts the next argmax while it is ≥ the window's M-th fetched
+    * value; no vector outside the window can beat that bound, because its
+    * CURRENT min-distance is ≤ its fetched one < the bound, and the
+    * (value DESC, vec_id ASC) fetch order settles ties. A failed
+    * certificate just refetches (typically 1–2 jobs total instead of
+    * K−1). Zero checkpoints, zero shuffles; at 100 TB: a handful of
+    * embarrassingly-parallel scans — no all-pairs anything, and the
+    * driver holds only M candidate rows.
+    *
+    * Degenerate-case contract (ADVICE r15): an empty embeddings table
+    * returns an empty frame instead of an NPE, and rounds stop early once
+    * every vector sits at quantized distance 0 from a chosen center
+    * (fewer than K distinct points) — the argmax is restricted to
+    * mind2q > 0 on BOTH engines (in non-degenerate data the max is
+    * positive, so nothing changes), and the oracle's CTE chain then
+    * yields the same shortened selection: an empty pick round empties
+    * every later round's frame exactly as the Spark loop breaks. */
   val kcenterCoreset: Q = Q(
     "q274_kcenter_coreset",
     (s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label").cast("long").as("label"),
-          col("embedding"))
-      val long = emb.select(col("vec_id"),
-        posexplode(expr("transform(embedding, x -> cast(x as double))"))
-          .as(Seq("d", "x")))
-      def d2q(center: Long): DataFrame =
-        long.join(broadcast(
-            long.filter(col("vec_id") === center)
-              .select(col("d"), col("x").as("cx"))), "d")
-          .groupBy("vec_id")
-          .agg(sum(floor((col("x") - col("cx")) * (col("x") - col("cx"))
-            * lit(1e9))).as("d2q"))
-      val seed = emb.agg(min("vec_id")).head.getLong(0)
-      val sel = scala.collection.mutable.ArrayBuffer((0L, seed, 0L))
-      var mind = graft.Ckpt.eager(d2q(seed).withColumnRenamed("d2q", "mind2q"))
-      try {
-        for (t <- 1 until kcK) {
-          val top = mind.orderBy(col("mind2q").desc, col("vec_id").asc)
-            .limit(1).head()
-          sel += ((t.toLong, top.getLong(0), top.getLong(1)))
-          if (t < kcK - 1) {
-            val nxt = graft.Ckpt.eager(mind.join(d2q(top.getLong(0)), "vec_id")
-              .select(col("vec_id"),
-                least(col("mind2q"), col("d2q")).as("mind2q")))
-            graft.Ckpt.free(mind)
-            mind = nxt
-          }
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+      // min-over-centers quantized squared distance: per-dim
+      // floor((x−c)²·1e9) → BIGINT, summed by a left fold (long addition —
+      // order-independent), min across centers — arithmetic IDENTICAL to
+      // the former long-form groupBy(sum) + iterated-least formulation
+      val d2qMin = expr(
+        "array_min(transform(cs, c -> aggregate(zip_with(v, c, " +
+          "(x, cx) -> floor((x - cx) * (x - cx) * 1e9)), " +
+          "CAST(0 AS BIGINT), (acc, term) -> acc + term)))")
+      val seedRow = emb.orderBy(col("vec_id").asc).limit(1).collect().headOption
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long], Long)]
+      val centers = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+      seedRow.foreach { r =>
+        sel += ((r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)), 0L))
+        centers += r.getSeq[Double](2)
+      }
+      // driver replay of d2qMin's per-center term: same JVM doubles, same
+      // operation order (left-assoc multiply, Math.floor→long, long fold)
+      // — bit-equal to the codegen'd column by construction
+      def d2qDriver(v: Seq[Double], c: Seq[Double]): Long = {
+        var i = 0; var acc = 0L
+        while (i < v.length) {
+          val d = v(i) - c(i); acc += math.floor(d * d * 1e9).toLong; i += 1
         }
-      } finally graft.Ckpt.free(mind)
-      sel.toSeq.toDF("round", "vec_id", "radius2_q")
-        .join(emb.select("vec_id", "label"), Seq("vec_id"), "left")
-        .select(col("round"), col("vec_id"), col("label"), col("radius2_q"))
+        acc
+      }
+      final case class Cand(id: Long, label: Option[Long], v: Seq[Double],
+        var w: Long)
+      var cands = Seq.empty[Cand]
+      var bound = 0L // M-th fetched value; 0 ⇒ window held ALL positive rows
+      def refetch(): Unit = {
+        val centersDf = Seq(Tuple1(centers.toSeq)).toDF("cs")
+        val rows = emb.crossJoin(broadcast(centersDf))
+          .select(col("vec_id"), col("label"), col("v"), d2qMin.as("mind2q"))
+          .filter(col("mind2q") > 0)
+          .orderBy(col("mind2q").desc, col("vec_id").asc)
+          .limit(kcWindow).collect()
+        cands = rows.map(r => Cand(r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          r.getSeq[Double](2), r.getLong(3))).toSeq
+        bound = if (rows.length == kcWindow) cands.last.w else 0L
+      }
+      var t = 1
+      var exhausted = seedRow.isEmpty
+      if (!exhausted) refetch()
+      while (t < kcK && !exhausted) {
+        val live = cands.filter(_.w > 0)
+        val best = live.sortBy(c => (-c.w, c.id)).headOption
+        best match {
+          case Some(b) if b.w >= bound =>
+            sel += ((b.id, b.label, b.w))
+            centers += b.v
+            cands = cands.filter(_.id != b.id)
+            cands.foreach(c => c.w = math.min(c.w, d2qDriver(c.v, b.v)))
+            t += 1
+          case Some(_) => refetch() // certificate failed: refresh the window
+          case None if bound > 0 => refetch() // outside rows may still be live
+          case None => exhausted = true // a full view showed no positive dist
+        }
+      }
+      sel.toSeq.zipWithIndex
+        .map { case ((id, lb, rad), rnd) => (rnd.toLong, id, lb, rad) }
+        .toDF("round", "vec_id", "label", "radius2_q")
     },
     Some {
       def dist(mdPrev: String, centerCte: String, out: String) =
@@ -1664,6 +1725,7 @@ object Similarity {
       def pick(mdCte: String, out: String) =
         s"""$out AS (
         SELECT vec_id AS cid, mind2q AS rad FROM $mdCte
+        WHERE mind2q > 0
         ORDER BY mind2q DESC, vec_id LIMIT 1
       )"""
       val rounds = (1 until kcK).map { t =>

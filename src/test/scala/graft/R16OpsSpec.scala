@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral coverage for the round-16 changes: the ADVICE-r15
+  * degenerate-case contracts on the greedy selectors (q274 empty/under-K
+  * embeddings, q275 coverage exhaustion — both formerly NoSuchElement/NPE
+  * crash paths), and the q273 DECIMAL accumulation fix.
+  */
+class R16OpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import org.apache.spark.sql.functions._
+
+  /** A temp sf-dir holding the given embeddings/documents frames. */
+  private def tmpSfDir(embeddings: Option[org.apache.spark.sql.DataFrame],
+      documents: Option[org.apache.spark.sql.DataFrame]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r16").toString
+    embeddings.foreach(_.write.mode("overwrite").parquet(s"$dir/embeddings.parquet"))
+    documents.foreach(_.write.mode("overwrite").parquet(s"$dir/documents.parquet"))
+    dir
+  }
+
+  private def embFrame(rows: Seq[(Long, Seq[Float], Int)]) = {
+    import spark.implicits._
+    spark.createDataset(rows).toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"),
+        col("label").cast("int").as("label"))
+  }
+
+  test("q274 returns empty (not NPE) on an empty embeddings table") {
+    val dir = tmpSfDir(Some(embFrame(Nil)), None)
+    val out = SparkEntry.queries("q274_kcenter_coreset")(spark, dir)
+    assert(out.count() === 0L)
+  }
+
+  test("q274 stops at the number of DISTINCT points when fewer than K") {
+    // 3 distinct vectors, one duplicated: once every point sits at
+    // quantized distance 0 from a chosen center the selection stops —
+    // output length = distinct centers, no silently duplicated rows
+    val e = embFrame(Seq(
+      (1L, Seq.fill(64)(0f), 0),
+      (2L, Seq.tabulate(64)(i => if (i == 0) 1f else 0f), 0),
+      (3L, Seq.tabulate(64)(i => if (i == 1) 2f else 0f), 1),
+      (4L, Seq.fill(64)(0f), 0))) // duplicate of vec 1
+    val dir = tmpSfDir(Some(e), None)
+    val out = SparkEntry.queries("q274_kcenter_coreset")(spark, dir).collect()
+    assert(out.length === 3)
+    assert(out.map(_.getLong(1)).toSet === Set(1L, 2L, 3L))
+    // radii non-increasing, and every non-seed radius positive
+    val radii = out.sortBy(_.getLong(0)).map(_.getLong(3))
+    assert(radii.drop(1).forall(_ > 0L))
+    assert(radii.drop(1).zip(radii.drop(2)).forall { case (a, b) => b <= a })
+  }
+
+  test("q275 emits the rounds picked so far when coverage exhausts (no crash)") {
+    import spark.implicits._
+    // exactly one duplicated 3-gram universe: two docs share all their
+    // shingles, every other doc is unique → the rare index covers after
+    // ~1-2 picks and later rounds find an empty frame
+    val shared = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, shared), (2L, shared),
+      (3L, "uno dos tres cuatro"), (4L, "one two three four"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = tmpSfDir(None, Some(docs))
+    val out = SparkEntry.queries("q275_maxcover_select")(spark, dir).collect()
+    // doc 1 takes all 3 shared shingles; doc 2's remaining postings are
+    // then all covered, so round 1's frame is empty and the loop stops
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 1L)
+    assert(out.head.getLong(2) === 3L)
+  }
+
+  test("q275 returns empty on a corpus with no rare shingles") {
+    import spark.implicits._
+    val docs = Seq((1L, "all words here unique"), (2L, "nothing shared at all"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = tmpSfDir(None, Some(docs))
+    assert(SparkEntry.queries("q275_maxcover_select")(spark, dir).count() === 0L)
+  }
+
+  test("q273 accumulates w_chars in DECIMAL(38,0) before the multiply") {
+    // the aggregated column must be exact for sums past 2^63: verify the
+    // PLAN carries a decimal sum (the ADVICE-r15 fix), and the output
+    // still matches the BIGINT values at test scale
+    val out = SparkEntry.queries("q273_poisson_bootstrap")(spark, sfDir)
+    val aggPlan = out.queryExecution.optimizedPlan.toString
+    assert(aggPlan.contains("decimal(38,0)"),
+      s"q273 plan lost the DECIMAL accumulation:\n$aggPlan")
+    val rows = out.collect()
+    assert(rows.length === 32)
+    assert(rows.forall(r => r.getLong(2) > 0L && r.getLong(3) > 0L))
+  }
+}
