@@ -104,7 +104,13 @@ object FpStress {
     // cross-geometry compare certifies the whole 8-round selection).
     // q271/q272/q273 are deliberately NOT here: pure integer/ppm pipelines
     // with no floating step anywhere
-    "q274_kcenter_coreset")
+    "q274_kcenter_coreset",
+    // round-16 (VERDICT r15 directive #4): the k-means fit (q277 — the
+    // FLOOR(x·10⁶) quantization is the one double step; the compare
+    // certifies the whole 4-iteration assignment/update chain — argmin
+    // ties, per-dim sums, floor-div — across geometries) and the balanced
+    // sampler built on its centroids (q278)
+    "q277_kmeans_centroids", "q278_cluster_balanced_sample")
 
   /** 2-decimal deterministic jitter in [0, 0.96], keyed by (row key, copy) —
     * keeps every jittered double a 2-decimal value so the round(sum, p)

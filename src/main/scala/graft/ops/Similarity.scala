@@ -1762,9 +1762,200 @@ object Similarity {
       FROM sel s LEFT JOIN e ON s.vec_id = e.vec_id""")
     })
 
+  // ---- q277/q278: deterministic Lloyd's k-means + balanced sampling --------
+  private val kmK = 8
+  private val kmT = 4
+  private val kmSample = 32
+
+  /** Quantization scale AND domain shift for the k-means integer
+    * arithmetic: coordinates become floor(x·10⁶)+10⁶ — exact BIGINTs, and
+    * NON-NEGATIVE (|x| < 1 for these embeddings), so the centroid update's
+    * integer division means the same thing in both engines (Spark div
+    * truncates toward zero, DuckDB // floors — identical on non-negative
+    * operands; the uniform shift cancels in every distance). */
+  private val kmShift = 1000000L
+
+  /** The quantized-embedding frame shared by q277/q278 (one PlanCache'd
+    * copy per (session, dir)). */
+  private def kmXq(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(s, "q277_xq", dir, s"$dir/embeddings.parquet") {
+      Tables.embeddings(s, dir).select(col("vec_id"),
+        col("label").cast("long").as("label"),
+        expr(s"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) " +
+          s"* $kmShift) AS BIGINT) + $kmShift)").as("xq"))
+    }
+
+  /** Argmin-cluster assignment against a driver-held centroid table —
+    * q274's broadcast-1-row-frame idiom (plan and generated code identical
+    * across iterations), argmin + smallest-cid tie via array_position of
+    * the min (first index of the minimum = lowest cid among ties, the q34
+    * ordering). One scan, no shuffle. */
+  private def kmAssign(s: SparkSession, xq: DataFrame,
+      cents: Seq[Seq[Long]]): DataFrame = {
+    import s.implicits._
+    val cs = Seq(Tuple1(cents)).toDF("cs")
+    xq.crossJoin(broadcast(cs))
+      .withColumn("ds", expr("transform(cs, c -> aggregate(zip_with(xq, c, " +
+        "(x, cx) -> (x - cx) * (x - cx)), CAST(0 AS BIGINT), (a, t) -> a + t))"))
+      .withColumn("cid",
+        (expr("array_position(ds, array_min(ds))") - 1).cast("long"))
+      .drop("cs", "ds")
+  }
+
+  /** [[kmT]] Lloyd iterations, integer-exact end to end: seeds are the
+    * [[kmK]] smallest vec_ids' quantized vectors; each iteration is ONE
+    * job — assignment (broadcast centroids, zero shuffle) feeding a
+    * map-side-combined 65-aggregate groupBy (count + 64 per-dim sums →
+    * ≤ kmK rows shuffled); the driver holds only the kmK×64 centroid
+    * table (the q34 codebook-sized collect) and floor-divides the sums.
+    * An empty cluster carries its centroid forward (both engines).
+    * Returns (final centroids, final sizes), shifted domain. Per-dim sums
+    * stay under 2⁶³ to ~4.6·10¹² vectors per cluster — beyond any corpus
+    * under discussion; past that the update sum takes the q259
+    * DECIMAL(38,0) treatment. */
+  private def kmFit(s: SparkSession, dir: String): (Seq[Seq[Long]], Seq[Long]) = {
+    val xq = kmXq(s, dir)
+    var cents: Seq[Seq[Long]] = xq.orderBy(col("vec_id").asc).limit(kmK)
+      .collect().map(_.getSeq[Long](2)).toSeq
+    var sizes = Seq.fill(cents.length)(0L)
+    val aggs = count(lit(1)).as("n") +:
+      (0 until 64).map(d => sum(element_at(col("xq"), d + 1)).as(s"s$d"))
+    for (_ <- 0 until kmT) {
+      val rows = kmAssign(s, xq, cents).groupBy("cid")
+        .agg(aggs.head, aggs.tail: _*).collect()
+      val byCid = rows.map(r => r.getLong(0) -> r).toMap
+      sizes = cents.indices.map(c =>
+        byCid.get(c.toLong).map(_.getLong(1)).getOrElse(0L))
+      cents = cents.indices.map { c =>
+        byCid.get(c.toLong) match {
+          case Some(r) =>
+            val n = r.getLong(1)
+            Seq.tabulate(64)(d => r.getLong(2 + d) / n)
+          case None => cents(c)
+        }
+      }
+    }
+    (cents, sizes)
+  }
+
+  /** The oracle's CTE chain replaying the fit: long-form quantized
+    * coordinates, seed centroids, then [[kmT]] unrolled
+    * assignment/update/carry-forward rounds (a_t/u_t/c_t). */
+  private def kmCtes: String = {
+    def iter(t: Int): String = {
+      val prev = s"c${t - 1}"
+      s"""a$t AS (
+        SELECT vec_id, cid FROM (
+          SELECT l.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY l.vec_id
+                   ORDER BY SUM((l.x - c.cx) * (l.x - c.cx)), c.cid) AS rn
+          FROM long l JOIN $prev c ON l.d = c.d
+          GROUP BY l.vec_id, c.cid)
+        WHERE rn = 1
+      ), u$t AS (
+        SELECT a.cid, l.d, CAST(SUM(l.x) // count(1) AS BIGINT) AS cx,
+               CAST(count(1) AS BIGINT) AS n
+        FROM long l JOIN a$t a ON l.vec_id = a.vec_id
+        GROUP BY a.cid, l.d
+      ), c$t AS (
+        SELECT p.cid, p.d, COALESCE(u.cx, p.cx) AS cx
+        FROM $prev p LEFT JOIN u$t u ON p.cid = u.cid AND p.d = u.d
+      )"""
+    }
+    s"""e AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(FLOOR(x * $kmShift) AS BIGINT) + $kmShift) AS xq
+        FROM embeddings
+      ), dims AS (SELECT unnest(range(1, 65)) AS d
+      ), long AS (SELECT vec_id, d, xq[d] AS x FROM e CROSS JOIN dims
+      ), seeds AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM e ORDER BY vec_id LIMIT $kmK
+      ), c0 AS (
+        SELECT s.cid, l.d, l.x AS cx FROM long l JOIN seeds s USING (vec_id)
+      ), ${(1 to kmT).map(iter).mkString(",\n      ")}"""
+  }
+
+  /** q277: deterministic distributed k-means (Lloyd's, fixed [[kmT]]
+    * iterations, [[kmK]] clusters) over the embeddings — the general
+    * embedding-space clustering the mixture-curation selectors sit on
+    * (VERDICT r15 "what's missing" #2): q34 trains an IVF quantizer as an
+    * offline artifact; this is the in-plan, fully-oracled fit whose
+    * centroids/sizes feed density equalization (q278), complementing
+    * q274's spread and q275's coverage. All arithmetic is scaled-integer
+    * (the q131 idiom): quantize once, then every distance, comparison and
+    * centroid division is exact BIGINT algebra — bit-identical
+    * cross-engine and across parallelism geometries (FpStress member).
+    * Output: the final centroid table in long form (cluster_id, d,
+    * centroid_q, size_n) — [[kmK]]·64 rows. */
+  val kmeansCentroids: Q = Q(
+    "q277_kmeans_centroids",
+    (s, dir) => {
+      import s.implicits._
+      val (cents, sizes) = kmFit(s, dir)
+      cents.indices.flatMap(c => (0 until 64).map(d =>
+        (c.toLong, d.toLong, cents(c)(d) - kmShift, sizes(c))))
+        .toDF("cluster_id", "d", "centroid_q", "size_n")
+    },
+    Some {
+      graft.OracleSql.materializeCtes(s"""WITH $kmCtes
+      SELECT c.cid AS cluster_id, CAST(c.d - 1 AS BIGINT) AS d,
+             CAST(c.cx - $kmShift AS BIGINT) AS centroid_q,
+             CAST(COALESCE(z.n, 0) AS BIGINT) AS size_n
+      FROM c$kmT c LEFT JOIN (SELECT cid, n FROM u$kmT WHERE d = 1) z
+        USING (cid)""")
+    })
+
+  /** q278: cluster-balanced deterministic sampling — the density
+    * EQUALIZATION selector on top of q277's fit: assign every vector to
+    * its final centroid, then keep the [[kmSample]] lowest md5-draw
+    * members per cluster (the q247 bottom-k idiom, partitioned). Where
+    * raw uniform sampling reproduces the corpus's density skew, this
+    * draws the same mass from every k-means cell — the standard
+    * cluster-balanced curation step (and the integer-exact relative of
+    * q52's mixture and q270's reweighting, which it composes with).
+    *
+    * Distributed shape: one assignment scan (broadcast centroids), one
+    * per-cluster window over ≤ cluster-size rows (kmK partitions), output
+    * ≤ kmK·kmSample rows. Nothing corpus-proportional crosses the
+    * shuffle except the (cid, draw) sort keys. */
+  val clusterBalancedSample: Q = Q(
+    "q278_cluster_balanced_sample",
+    (s, dir) => {
+      val (cents, _) = kmFit(s, dir)
+      kmAssign(s, kmXq(s, dir), cents)
+        .withColumn("draw", Md5Draw.draw(12, lit("kmsample"), col("vec_id")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("cid").orderBy(col("draw"), col("vec_id")))
+          .cast("long"))
+        .filter(col("rk") <= kmSample)
+        .select(col("cid").as("cluster_id"), col("vec_id"), col("label"),
+          col("rk"))
+    },
+    Some {
+      graft.OracleSql.materializeCtes(s"""WITH $kmCtes, a5 AS (
+        SELECT vec_id, cid FROM (
+          SELECT l.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY l.vec_id
+                   ORDER BY SUM((l.x - c.cx) * (l.x - c.cx)), c.cid) AS rn
+          FROM long l JOIN c$kmT c ON l.d = c.d
+          GROUP BY l.vec_id, c.cid)
+        WHERE rn = 1
+      )
+      SELECT cluster_id, vec_id, label, rk FROM (
+        SELECT a.cid AS cluster_id, a.vec_id, e.label,
+               CAST(row_number() OVER (PARTITION BY a.cid
+                 ORDER BY ${Md5Draw.drawSql(12, "'kmsample'", "a.vec_id")},
+                          a.vec_id) AS BIGINT) AS rk
+        FROM a5 a JOIN e ON a.vec_id = e.vec_id)
+      WHERE rk <= $kmSample""")
+    })
+
   val all: Seq[Q] =
     Seq(embeddingNearDup, knnBruteForce, knnLsh, knnIvf, semDedup,
       mutualKnnClusters, hybridRrf, pqEncode, pqAdcTopK, ivfPqTopK,
       truncationRecall, annRecall, annRankQuality, hardNegatives, knnLabelNoise,
-      embeddingStats, mmrRerank, annRbo, kcenterCoreset)
+      embeddingStats, mmrRerank, annRbo, kcenterCoreset, kmeansCentroids,
+      clusterBalancedSample)
 }

@@ -83,6 +83,46 @@ class R16OpsSpec extends AnyFunSuite {
     assert(SparkEntry.queries("q275_maxcover_select")(spark, dir).count() === 0L)
   }
 
+  test("q277 k-means: cluster masses partition the corpus; assignment is the argmin") {
+    val cents = SparkEntry.queries("q277_kmeans_centroids")(spark, sfDir).collect()
+    assert(cents.length === 8 * 64)
+    val sizes = cents.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(3)).distinct).toMap
+    // one size per cluster, and the masses partition the corpus exactly
+    assert(sizes.values.forall(_.length === 1))
+    val nVec = Tables.embeddings(spark, sfDir).count()
+    assert(sizes.values.map(_.head).sum === nVec)
+    // driver argmin replay on one vector: its assigned cluster under the
+    // published centroids must be the (distance, cid)-minimal one
+    val emb = Tables.embeddings(spark, sfDir)
+      .orderBy("vec_id").limit(1).collect().head
+    val xq = emb.getSeq[Float](1).map(x =>
+      math.floor(x.toDouble * 1000000).toLong)
+    val cent = cents.groupBy(_.getLong(0)).view.mapValues(rs =>
+      rs.sortBy(_.getLong(1)).map(_.getLong(2))).toMap
+    val d2 = cent.map { case (cid, cq) =>
+      cid -> xq.zip(cq).map { case (x, c) => (x - c) * (x - c) }.sum }
+    val best = d2.toSeq.sortBy { case (cid, d) => (d, cid) }.head._1
+    // the corpus-side assignment is not in q277's output; q278 carries it
+    val asg = SparkEntry.queries("q278_cluster_balanced_sample")(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") === emb.getLong(0))
+      .collect()
+    // the smallest vec_id draws into its cluster's sample at this corpus
+    // size or not at all; when present its cluster must equal the replay
+    asg.headOption.foreach(r => assert(r.getLong(0) === best))
+  }
+
+  test("q278 keeps at most kmSample rows per cluster, ranks dense from 1") {
+    val out = SparkEntry.queries("q278_cluster_balanced_sample")(spark, sfDir)
+      .collect()
+    val byC = out.groupBy(_.getLong(0))
+    assert(byC.values.forall(_.length <= 32))
+    byC.values.foreach { rows =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq ===
+        (1L to rows.length.toLong))
+    }
+  }
+
   test("q273 accumulates w_chars in DECIMAL(38,0) before the multiply") {
     // the aggregated column must be exact for sums past 2^63: verify the
     // PLAN carries a decimal sum (the ADVICE-r15 fix), and the output
