@@ -110,7 +110,8 @@ object FpStress {
     // certifies the whole 4-iteration assignment/update chain — argmin
     // ties, per-dim sums, floor-div — across geometries) and the balanced
     // sampler built on its centroids (q278)
-    "q277_kmeans_centroids", "q278_cluster_balanced_sample")
+    "q277_kmeans_centroids", "q278_cluster_balanced_sample",
+    "q279_cluster_quality")
 
   /** 2-decimal deterministic jitter in [0, 0.96], keyed by (row key, copy) —
     * keeps every jittered double a 2-decimal value so the round(sum, p)

@@ -1251,6 +1251,69 @@ object Dedup {
              CAST(count(1) AS BIGINT) AS n_grams
       FROM isl2 GROUP BY doc_id, island"""))
 
+  /** One materialized copy of q276's span table per (session, dir) — the
+    * production shape (the removal mask is computed once, consumed by the
+    * dedup pass, the report card and the impact report); the q163 method
+    * row shares this entry. */
+  private def exactSubstrSpanRows(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(s, "q163_exactsubstr", dir,
+      s"$dir/documents.parquet")(exactSubstrSpans.run(s, dir))
+
+  /** q280: what ExactSubstr removal would DO to the corpus — per source,
+    * the document hit rate and the removed-token mass (absolute and ppm of
+    * the source's token mass). This is the go/no-go summary a pipeline
+    * owner reads next to q163's method row before enabling span removal:
+    * maximal spans never overlap (q276 merges them), so Σ span_tokens IS
+    * the exact removed mass. Sources with only short (< [[esK]]-token)
+    * docs still contribute their full token mass to the denominator.
+    *
+    * Ppm numerators ride DECIMAL(38,0)·10⁶ (Spark) / HUGEINT (DuckDB) —
+    * the q273 discipline; every reported column is BIGINT.
+    *
+    * Distributed shape: a per-doc roll-up of the materialized span table
+    * (≤ one row per doc) left-joined onto the doc-grain projection, then a
+    * per-source aggregate — nothing beyond q276's own chain ever runs. */
+  val exactSubstrImpact: Q = Q(
+    "q280_exactsubstr_impact",
+    (s, dir) => {
+      val spans = exactSubstrSpanRows(s, dir)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("nw"))
+      val perDoc = spans.groupBy("doc_id")
+        .agg(sum("span_tokens").as("dup_tokens"), count(lit(1)).as("n_spans"))
+      docs.join(perDoc, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_spans").isNotNull, 1L).otherwise(0L)).as("n_docs_hit"),
+          sum(coalesce(col("dup_tokens"), lit(0L))).as("dup_tokens"),
+          sum(col("nw")).as("total_tokens"))
+        .select(col("source"), col("n_docs"), col("n_docs_hit"),
+          col("dup_tokens"), col("total_tokens"),
+          expr("CAST(CAST(dup_tokens AS DECIMAL(38,0)) * 1000000" +
+            " DIV total_tokens AS BIGINT)").as("dup_ppm"))
+    },
+    Some(s"""WITH sp AS (
+        ${exactSubstrSpans.oracle.get}
+      ), d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+        FROM documents
+      ), pd AS (
+        SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
+               CAST(count(1) AS BIGINT) AS n_spans
+        FROM sp GROUP BY doc_id
+      )
+      SELECT d.source, CAST(count(1) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN pd.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_docs_hit,
+             CAST(SUM(COALESCE(pd.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+             CAST(SUM(d.nw) AS BIGINT) AS total_tokens,
+             CAST(CAST(SUM(COALESCE(pd.dup_tokens, 0)) AS HUGEINT) * 1000000
+               // SUM(d.nw) AS BIGINT) AS dup_ppm
+      FROM d LEFT JOIN pd USING (doc_id)
+      GROUP BY d.source"""))
+
   // ---- q163: dedup method report card --------------------------------------
   /** q163: the side-by-side report a pipeline owner reads before choosing a
     * dedup stack — for each method, the candidate-pair count and how many
@@ -2960,5 +3023,5 @@ object Dedup {
       thresholdSweep, templateHubs, methodKappa, lshSCurve, winnowingOverlap,
       sortedNeighborhood, minhashEstimatorError, blockingQuality,
       simhashBitBalance, tfidfCosine, fsLinkage, emLinkage, maxCoverSelect,
-      exactSubstrSpans)
+      exactSubstrSpans, exactSubstrImpact)
 }

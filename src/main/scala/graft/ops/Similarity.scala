@@ -1799,6 +1799,9 @@ object Similarity {
         "(x, cx) -> (x - cx) * (x - cx)), CAST(0 AS BIGINT), (a, t) -> a + t))"))
       .withColumn("cid",
         (expr("array_position(ds, array_min(ds))") - 1).cast("long"))
+      // the assigned distance rides along for the SSE consumers (q279);
+      // by definition it equals the distance to the assigned centroid
+      .withColumn("mind2", expr("array_min(ds)"))
       .drop("cs", "ds")
   }
 
@@ -1952,10 +1955,81 @@ object Similarity {
       WHERE rk <= $kmSample""")
     })
 
+  /** q279: cluster-quality report over q277's fit — per cluster, its mass,
+    * its exact quantized within-cluster SSE (the k-means objective: the
+    * number Lloyd's minimizes, reported as the audit that a re-run/re-seed
+    * can be compared against), its majority label with count, and purity
+    * in per-mille — the supervision-free + label-aligned quality pair a
+    * curation owner reads before trusting q278's balanced sample. The
+    * masses here are the PUBLISHED fit's (one fresh assignment against the
+    * final centroids — q278's sampling population); q277's size_n is the
+    * 4th update's mass, and the two differ wherever Lloyd's has not
+    * converged — reading them side by side is the convergence check. All
+    * integer: SSE terms are the assignment's own quantized distances
+    * (≤ ~2.6·10¹⁴ each), accumulated in DECIMAL(38,0) on the Spark side /
+    * HUGEINT in DuckDB; the REPORTED sse_q column is BIGINT (exact to
+    * ~3.5·10⁴ corpus-spanning vectors per cluster at these magnitudes —
+    * the q273 reporting-width note applies past that).
+    *
+    * Distributed shape: one assignment scan (broadcast centroids, the
+    * mind2 column is the assigned distance by definition), one
+    * map-side-combined (cid) aggregate and one (cid,label) aggregate with
+    * a kmK-partition argmax window — ≤ kmK·|labels| rows ever shuffle. */
+  val clusterQuality: Q = Q(
+    "q279_cluster_quality",
+    (s, dir) => {
+      val (cents, _) = kmFit(s, dir)
+      val asg = kmAssign(s, kmXq(s, dir), cents)
+      val base = asg.groupBy("cid").agg(count(lit(1)).as("size_n"),
+        sum(col("mind2").cast("decimal(38,0)")).as("sse_dec"))
+      val top = asg.groupBy("cid", "label").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("cid").orderBy(col("n").desc, col("label").asc)))
+        .filter(col("rn") === 1)
+        .select(col("cid"), col("label").as("top_label"),
+          col("n").as("top_label_n"))
+      base.join(top, Seq("cid"))
+        .select(col("cid").as("cluster_id"), col("size_n"),
+          col("sse_dec").cast("long").as("sse_q"),
+          col("top_label"), col("top_label_n"),
+          expr("CAST(top_label_n * 1000 DIV size_n AS BIGINT)")
+            .as("purity_pm"))
+    },
+    Some {
+      graft.OracleSql.materializeCtes(s"""WITH $kmCtes, a5 AS (
+        SELECT vec_id, cid FROM (
+          SELECT l.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY l.vec_id
+                   ORDER BY SUM((l.x - c.cx) * (l.x - c.cx)), c.cid) AS rn
+          FROM long l JOIN c$kmT c ON l.d = c.d
+          GROUP BY l.vec_id, c.cid)
+        WHERE rn = 1
+      ), sse AS (
+        SELECT a.cid, CAST(count(1) // 64 AS BIGINT) AS size_n,
+               CAST(SUM((l.x - c.cx) * (l.x - c.cx)) AS BIGINT) AS sse_q
+        FROM long l
+        JOIN a5 a ON l.vec_id = a.vec_id
+        JOIN c$kmT c ON c.cid = a.cid AND c.d = l.d
+        GROUP BY a.cid
+      ), lab AS (
+        SELECT cid, label AS top_label, n AS top_label_n FROM (
+          SELECT a.cid, e.label, CAST(count(1) AS BIGINT) AS n,
+                 row_number() OVER (PARTITION BY a.cid
+                   ORDER BY count(1) DESC, e.label) AS rn
+          FROM a5 a JOIN e ON a.vec_id = e.vec_id
+          GROUP BY a.cid, e.label)
+        WHERE rn = 1
+      )
+      SELECT s.cid AS cluster_id, s.size_n, s.sse_q,
+             l.top_label, l.top_label_n,
+             CAST(l.top_label_n * 1000 // s.size_n AS BIGINT) AS purity_pm
+      FROM sse s JOIN lab l ON s.cid = l.cid""")
+    })
+
   val all: Seq[Q] =
     Seq(embeddingNearDup, knnBruteForce, knnLsh, knnIvf, semDedup,
       mutualKnnClusters, hybridRrf, pqEncode, pqAdcTopK, ivfPqTopK,
       truncationRecall, annRecall, annRankQuality, hardNegatives, knnLabelNoise,
       embeddingStats, mmrRerank, annRbo, kcenterCoreset, kmeansCentroids,
-      clusterBalancedSample)
+      clusterBalancedSample, clusterQuality)
 }

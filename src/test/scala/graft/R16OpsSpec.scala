@@ -123,6 +123,35 @@ class R16OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q279 masses partition the corpus and bound q278; q280 conserves token mass") {
+    val q = SparkEntry.queries("q279_cluster_quality")(spark, sfDir).collect()
+    // q279 evaluates the PUBLISHED fit (one fresh assignment against the
+    // final centroids), so its masses partition the corpus — they need NOT
+    // equal q277's size_n, which is the mass of the 4th update that
+    // produced those centroids (Lloyd's is not converged after 4 rounds)
+    assert(q.map(_.getLong(1)).sum ===
+      Tables.embeddings(spark, sfDir).count())
+    q.foreach { r =>
+      assert(r.getLong(5) >= 0L && r.getLong(5) <= 1000L)
+      assert(r.getLong(4) <= r.getLong(1), "majority count exceeds mass")
+    }
+    // q278 samples the same final assignment: per cluster min(32, mass)
+    val byC = SparkEntry.queries("q278_cluster_balanced_sample")(spark, sfDir)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    q.foreach { r =>
+      assert(byC.getOrElse(r.getLong(0), 0L) === math.min(32L, r.getLong(1)))
+    }
+    val imp = SparkEntry.queries("q280_exactsubstr_impact")(spark, sfDir).collect()
+    imp.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(4), "removed mass exceeds token mass")
+      assert(r.getLong(2) <= r.getLong(1), "hit docs exceed docs")
+    }
+    // conservation vs q276: per-corpus removed mass and hit-doc count agree
+    val spans = SparkEntry.queries("q276_exactsubstr_spans")(spark, sfDir).collect()
+    assert(imp.map(_.getLong(3)).sum === spans.map(_.getLong(3)).sum)
+    assert(imp.map(_.getLong(2)).sum === spans.map(_.getLong(0)).distinct.length.toLong)
+  }
+
   test("q273 accumulates w_chars in DECIMAL(38,0) before the multiply") {
     // the aggregated column must be exact for sums past 2^63: verify the
     // PLAN carries a decimal sum (the ADVICE-r15 fix), and the output
