@@ -27,6 +27,26 @@ class BenchSpec extends AnyFunSuite {
     assert(total >= 0.0, json)
   }
 
+  test("load probes land in both JSON lines; external cores are measurable") {
+    val rs = Seq(Bench.QResult("ok", 0.5, None))
+    val json = Bench.renderJson(rs, sfDir, 0.0, 0, 0L, Nil, 0.0, Nil, Nil,
+      Map.empty, loadBefore = 1.25, loadAfter = 3.5, extBusy = 0.75)
+    assert(json.contains("\"load_before\":1.25"), json)
+    assert(json.contains("\"load_after\":3.5"), json)
+    assert(json.contains("\"external_busy_cores\":0.75"), json)
+    val summary = Bench.renderSummary(rs, sfDir, Nil,
+      loadBefore = 1.25, loadAfter = 3.5, extBusy = 0.75)
+    assert(summary.contains("\"external_busy_cores\":0.75"), summary)
+    // default (unprobed) renders -1.0, never an absent field
+    val bare = Bench.renderJson(rs, sfDir, 0.0, 0, 0L, Nil, 0.0, Nil, Nil)
+    assert(bare.contains("\"external_busy_cores\":-1.0"), bare)
+    // the probe itself: non-negative on this Linux box, and self time is
+    // excluded (an idle-probe reading can't be the whole machine)
+    val ext = Bench.externalBusyCores(ms = 200)
+    assert(ext >= 0.0)
+    assert(ext <= Runtime.getRuntime.availableProcessors.toDouble)
+  }
+
   test("regression alarm: pinned queries over 2x and 0.5s flag; others don't") {
     val rs = Seq(
       Bench.QResult("q_slow", 7.29, None),     // pinned 1.93 -> 3.8x, flags

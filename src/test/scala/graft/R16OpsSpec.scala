@@ -152,6 +152,23 @@ class R16OpsSpec extends AnyFunSuite {
     assert(imp.map(_.getLong(2)).sum === spans.map(_.getLong(0)).distinct.length.toLong)
   }
 
+  test("q276 spans are maximal: disjoint, non-adjacent, each >= k tokens") {
+    val spans = SparkEntry.queries("q276_exactsubstr_spans")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.nonEmpty, "fixture corpus lost its planted duplicates")
+    spans.foreach { case (_, s, e, tok) =>
+      assert(e - s === tok); assert(tok >= 13L)
+    }
+    // maximality: within a doc, consecutive spans are separated (a merge
+    // would have fused touching or overlapping windows)
+    spans.groupBy(_._1).values.foreach { ss =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) => assert(s2 > e1)
+        case _ =>
+      }
+    }
+  }
+
   test("q273 accumulates w_chars in DECIMAL(38,0) before the multiply") {
     // the aggregated column must be exact for sums past 2^63: verify the
     // PLAN carries a decimal sum (the ADVICE-r15 fix), and the output
