@@ -861,9 +861,13 @@ object Analytics {
     val s = t0.sparkSession
     val t = t0.filter(col("v").isNotNull)
       val vc = t.groupBy("v").agg(count(lit(1)).as("cnt"))
-      val boundsRow = t.agg(min("v").as("lo"), max("v").as("hi")).head()
+      // n rides the bounds aggregate (count of the already-null-filtered
+      // rows ≡ Σ cnt — the former post-checkpoint Σ job, fused away r16)
+      val boundsRow = t.agg(min("v").as("lo"), max("v").as("hi"),
+        count(lit(1)).as("n")).head()
       val lo = if (boundsRow.isNullAt(0)) 0.0 else boundsRow.getDouble(0)
       val hi = if (boundsRow.isNullAt(1)) 0.0 else boundsRow.getDouble(1)
+      val n = boundsRow.getLong(2)
       // order-aligned equi-width pre-range (q90's bin expression: the exact
       // IEEE sequence is irrelevant here — ranges only parallelize the walk
       // — but it must be monotone in v, which floor of a monotone map is)
@@ -883,28 +887,28 @@ object Analytics {
       // extraction outputs are ≤k rows BY CONSTRUCTION, so they collect and
       // re-enter as broadcast local relations — the returned plan is a
       // k-row join, nothing data-proportional left in it
+      def asLocal(df: DataFrame): DataFrame =
+        s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+      if (n == 0L) {
+        import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+        return s.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField("bucket", LongType),
+            StructField("lo_value", DoubleType),
+            StructField("hi_value", DoubleType),
+            StructField("n_rows", LongType))))
+      }
       val cumCk = graft.Ckpt.eager(rb.join(broadcast(roff), "rng")
         .withColumn("cum", col("off") + sum("cnt").over(wRng))
         .withColumn("cum_prev", col("cum") - col("cnt")))
       try {
-        def asLocal(df: DataFrame): DataFrame =
-          s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
-        val n = cumCk.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
-        if (n == 0L) {
-          import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
-          s.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-            StructType(Seq(StructField("bucket", LongType),
-              StructField("lo_value", DoubleType),
-              StructField("hi_value", DoubleType),
-              StructField("n_rows", LongType))))
-        } else {
+        {
           // lo boundary of bucket i sits at rank ⌈i·n/k⌉+1 ∈ (cum_prev, cum]
           // ⇔ i ∈ [i_lo, i_hi]; DIV truncates toward zero, so the
           // cum_prev=0 case (where the argument goes negative) is an
           // explicit branch. (cum·k stays far under 2^63 for any feasible
           // row count: n < 2^58 even at k=32.)
-          val los = asLocal(cumCk.select(col("v"), explode(expr(
+          val losMarks = cumCk.select(col("v"), explode(expr(
               s"""sequence(
                    CASE WHEN cum_prev = 0 THEN CAST(0 AS BIGINT)
                         ELSE ((cum_prev - 1) * $k) DIV $n + 1 END,
@@ -914,15 +918,22 @@ object Analytics {
               .as("bucket"))
             .filter(col("bucket") <= expr(s"((cum - 1) * $k) DIV $n")
               && col("bucket") <= k - 1)
-            .select(col("bucket"), col("v").as("lo_value")))
+            .select(col("bucket"), col("v"), lit("lo").as("side"))
           // hi boundary of bucket j−1 sits at rank ⌈j·n/k⌉ ∈ (cum_prev, cum]
-          val his = asLocal(cumCk.select(col("v"), explode(expr(
+          val hisMarks = cumCk.select(col("v"), explode(expr(
               s"""sequence((cum_prev * $k) DIV $n + 1,
                    greatest((cum_prev * $k) DIV $n + 1,
                      least(CAST($k AS BIGINT), (cum * $k) DIV $n)))"""))
               .as("j"))
             .filter(col("j") <= expr(s"(cum * $k) DIV $n") && col("j") <= k)
-            .select((col("j") - 1).as("bucket"), col("v").as("hi_value")))
+            .select((col("j") - 1).as("bucket"), col("v"), lit("hi").as("side"))
+          // both boundary extractions in ONE collect (they read the same
+          // checkpointed cum table; the union halves the job count — r16)
+          val marks = asLocal(losMarks.unionAll(hisMarks))
+          val los = marks.filter(col("side") === "lo")
+            .select(col("bucket"), col("v").as("lo_value"))
+          val his = marks.filter(col("side") === "hi")
+            .select(col("bucket"), col("v").as("hi_value"))
           los.join(his, "bucket")
             .withColumn("n_rows",
               expr(s"((bucket + 1) * $n + ${k - 1}) DIV $k")
@@ -935,9 +946,13 @@ object Analytics {
 
   val equidepthHist: Q = Q(
     "q113_equidepth_hist",
+    // the projected column is read by two of the plan's jobs (bounds+n,
+    // then the cum build); one PlanCache'd copy per (session, dir) keeps
+    // the parquet scan out of both (r16 — the q265 treatment)
     (s, dir) => equidepthOf(
-      Tables.lineitem(s, dir).select(col("l_extendedprice").as("v")),
-      edBuckets),
+      graft.PlanCache.cached(s, "q113_v", dir, s"$dir/lineitem.parquet") {
+        Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
+      }, edBuckets),
     Some(s"""WITH r AS (
         SELECT l_extendedprice AS v,
                ROW_NUMBER() OVER (ORDER BY l_extendedprice) - 1 AS rn0,

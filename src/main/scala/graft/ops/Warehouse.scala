@@ -874,11 +874,17 @@ object Warehouse {
       val parent = Tables.table(s, dir, pt)
         .filter(col(pk).isNotNull)
         .groupBy(col(pk).as("k")).agg(count(lit(1)).as("cb"))
-      val sides = child.agg(sum("ca").as("n_child"), count(lit(1)).as("ndv_child"))
-        .crossJoin(parent.agg(sum("cb").as("n_parent"), count(lit(1)).as("ndv_parent")))
-      val actual = child.join(parent, "k")
-        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("actual_rows"))
-      sides.crossJoin(actual)
+      // ONE pass over the two count frames (r16): a full-outer key join
+      // feeds every statistic of the edge — totals/ndv per side (count/sum
+      // over that side's non-null rows ≡ the former per-side aggregates)
+      // and the matched Σ ca·cb (null on either side ⇒ the product is null
+      // and the sum skips it ≡ the former inner join) — where the previous
+      // shape re-computed each side's groupBy twice (sides + actual)
+      val joined = child.join(parent, Seq("k"), "full_outer")
+        .agg(sum("ca").as("n_child"), count(col("ca")).as("ndv_child"),
+          sum("cb").as("n_parent"), count(col("cb")).as("ndv_parent"),
+          coalesce(sum(col("ca") * col("cb")), lit(0L)).as("actual_rows"))
+      joined
         .select(lit(s"$ct.$ck->$pt.$pk").as("edge"),
           col("n_child"), col("n_parent"), col("ndv_child"), col("ndv_parent"),
           col("actual_rows"),
