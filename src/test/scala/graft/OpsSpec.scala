@@ -1734,7 +1734,7 @@ class OpsSpec extends AnyFunSuite {
     val got = SparkEntry.queries("q163_dedup_report")(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got.keySet === Set("exact", "ngram_jaccard", "minhash_lsh",
-      "edit_distance", "setsim_ppjoin"))
+      "edit_distance", "setsim_ppjoin", "exactsubstr_13"))
     val groups = SparkEntry.queries("q13_dedup_exact")(spark, sfDir).collect()
       .map(_.getLong(2)).filter(_ >= 2)
     assert(got("exact") === ((groups.map(k => k * (k - 1) / 2).sum, groups.map(_ - 1).sum)))
@@ -1747,6 +1747,12 @@ class OpsSpec extends AnyFunSuite {
     assert(got("minhash_lsh") === pairStats("q15_dedup_minhash_lsh"))
     assert(got("edit_distance") === pairStats("q87_dedup_edit_distance"))
     assert(got("setsim_ppjoin") === pairStats("q111_setsim_join"))
+    // the r16 sub-document row: "pairs" = maximal removal spans, "dropped"
+    // = edited docs (>=1 span) — reconciled against q276's own output
+    val spans = SparkEntry.queries("q276_exactsubstr_spans")(spark, sfDir)
+      .collect().map(_.getLong(0))
+    assert(got("exactsubstr_13") ===
+      ((spans.length.toLong, spans.distinct.length.toLong)))
   }
 
   test("q162 KWIC equals a driver context recompute") {
