@@ -1775,14 +1775,20 @@ object Similarity {
     * operands; the uniform shift cancels in every distance). */
   private val kmShift = 1000000L
 
+  /** The quantization projection over any embeddings-shaped frame —
+    * shared verbatim by the batch fit/assign path and q281's streamed
+    * micro-batch assignment (batch ≡ stream by shared code). */
+  private[graft] def kmXqOf(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+      col("label").cast("long").as("label"),
+      expr(s"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) " +
+        s"* $kmShift) AS BIGINT) + $kmShift)").as("xq"))
+
   /** The quantized-embedding frame shared by q277/q278 (one PlanCache'd
     * copy per (session, dir)). */
   private def kmXq(s: SparkSession, dir: String): DataFrame =
     graft.PlanCache.cached(s, "q277_xq", dir, s"$dir/embeddings.parquet") {
-      Tables.embeddings(s, dir).select(col("vec_id"),
-        col("label").cast("long").as("label"),
-        expr(s"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) " +
-          s"* $kmShift) AS BIGINT) + $kmShift)").as("xq"))
+      kmXqOf(Tables.embeddings(s, dir))
     }
 
   /** Argmin-cluster assignment against a driver-held centroid table —
@@ -1790,7 +1796,7 @@ object Similarity {
     * across iterations), argmin + smallest-cid tie via array_position of
     * the min (first index of the minimum = lowest cid among ties, the q34
     * ordering). One scan, no shuffle. */
-  private def kmAssign(s: SparkSession, xq: DataFrame,
+  private[graft] def kmAssign(s: SparkSession, xq: DataFrame,
       cents: Seq[Seq[Long]]): DataFrame = {
     import s.implicits._
     val cs = Seq(Tuple1(cents)).toDF("cs")
@@ -1816,7 +1822,7 @@ object Similarity {
     * stay under 2⁶³ to ~4.6·10¹² vectors per cluster — beyond any corpus
     * under discussion; past that the update sum takes the q259
     * DECIMAL(38,0) treatment. */
-  private def kmFit(s: SparkSession, dir: String): (Seq[Seq[Long]], Seq[Long]) = {
+  private[graft] def kmFit(s: SparkSession, dir: String): (Seq[Seq[Long]], Seq[Long]) = {
     val xq = kmXq(s, dir)
     var cents: Seq[Seq[Long]] = xq.orderBy(col("vec_id").asc).limit(kmK)
       .collect().map(_.getSeq[Long](2)).toSeq
@@ -1954,6 +1960,25 @@ object Similarity {
         FROM a5 a JOIN e ON a.vec_id = e.vec_id)
       WHERE rk <= $kmSample""")
     })
+
+  /** The full-corpus assignment oracle (vec_id, label, cluster_id, mind2q)
+    * against q277's published fit — consumed VERBATIM by q281's streamed
+    * assignment: per-row assignment against a driver-held centroid table
+    * is row-local, so arrival batching cannot change it and the appended
+    * micro-batch outputs union to exactly this batch answer. */
+  private[graft] def kmeansAssignOracle: String =
+    graft.OracleSql.materializeCtes(s"""WITH $kmCtes, asg AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT l.vec_id, c.cid,
+               CAST(SUM((l.x - c.cx) * (l.x - c.cx)) AS BIGINT) AS d2,
+               row_number() OVER (PARTITION BY l.vec_id
+                 ORDER BY SUM((l.x - c.cx) * (l.x - c.cx)), c.cid) AS rn
+        FROM long l JOIN c$kmT c ON l.d = c.d
+        GROUP BY l.vec_id, c.cid)
+      WHERE rn = 1
+    )
+    SELECT a.vec_id, e.label, a.cid AS cluster_id, a.d2 AS mind2q
+    FROM asg a JOIN e ON a.vec_id = e.vec_id""")
 
   /** q279: cluster-quality report over q277's fit — per cluster, its mass,
     * its exact quantized within-cluster SSE (the k-means objective: the

@@ -1100,11 +1100,44 @@ object StreamingSessions {
     },
     graft.ops.Dedup.fsLinkage.oracle)
 
+  /** q281: STREAMING k-means assignment — the serving path of the q277
+    * family (q277 fits offline; q278/q279 consume the fit batch-side; this
+    * assigns ARRIVING vectors), completing batch ≡ stream for the
+    * clustering stack the way q268 did for linkage and q269 for quantile
+    * samples. The model is the production-shaped offline artifact: the fit
+    * runs ONCE before the stream starts (the driver-held kmK×64 integer
+    * centroid table), then each of 4 real micro-batches is assigned inside
+    * foreachBatch through [[graft.ops.Similarity.kmAssign]] — the
+    * IDENTICAL quantization + broadcast-centroid argmin code path the
+    * batch queries use (on the per-batch cloned session, the q260 lesson).
+    * Assignment is row-local given the centroids, so arrival batching
+    * cannot change any row and the appended outputs union to exactly the
+    * batch assignment — the oracle is the batch replay VERBATIM
+    * ([[graft.ops.Similarity.kmeansAssignOracle]]). In production this is
+    * the always-on router that tags incoming documents with their cluster
+    * (feeding q278's balanced reservoirs per cell) while the fit replays
+    * periodically — exactly this split. */
+  val streamingKmeansAssign: Q = Q(
+    "q281_streaming_kmeans_assign",
+    (s, dir) => {
+      val cents = graft.ops.Similarity.kmFit(s, dir)._1
+      streamToArtifact(s, dir, "kmassign", "embeddings", { p =>
+        s.readStream.schema(embSchema).parquet(p)
+      }, mode = "append",
+        batchTransform = b =>
+          graft.ops.Similarity.kmAssign(b.sparkSession,
+              graft.ops.Similarity.kmXqOf(b), cents)
+            .select(col("vec_id"), col("label"),
+              col("cid").as("cluster_id"), col("mind2").as("mind2q")),
+        splitSourceFiles = 4)
+    },
+    Some(graft.ops.Similarity.kmeansAssignOracle))
+
   val all: Seq[Q] =
     Seq(streamingSessions, streamingDedup, streamingHopping,
       streamingIntervalJoin, streamingOuterJoin, streamingQuota,
       streamingEnrich, streamingUpsert, streamingWmDedup, streamingDupRate,
       streamingLshRegistry, streamingHll, streamingCountMin, streamingKmv,
       streamingAnnProbe, streamingPrioritySample, streamingFsLinkage,
-      streamingSampleQuantiles)
+      streamingSampleQuantiles, streamingKmeansAssign)
 }

@@ -359,6 +359,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("q281 streamed k-means assignment equals the batch assignment row for row") {
+    // The router contract: assignment against the driver-held centroid
+    // table is row-local, so each vector's (cluster, quantized distance)
+    // is identical whether it arrives in batch 0 or batch 3 — the appended
+    // union over 4 real micro-batches must equal the batch assignment of
+    // the whole corpus through the SAME kmAssign code path.
+    val streamed = SparkEntry.queries("q281_streaming_kmeans_assign")(spark, sfDir)
+      .select("vec_id", "cluster_id", "mind2q").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val cents = ops.Similarity.kmFit(spark, sfDir)._1
+    val batch = ops.Similarity.kmAssign(spark,
+        ops.Similarity.kmXqOf(Tables.embeddings(spark, sfDir)), cents)
+      .select("vec_id", "cid", "mind2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(streamed.length === batch.length)
+    assert(streamed.sameElements(batch))
+  }
+
   test("q269 streamed quantile summary equals the batch sample (5th summary)") {
     // Parity by shared stages: the streamed priority_topk summary, driven
     // over 4 real micro-batches, must hold EXACTLY the batch bottom-k by
