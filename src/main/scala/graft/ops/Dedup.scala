@@ -1314,6 +1314,68 @@ object Dedup {
       FROM d LEFT JOIN pd USING (doc_id)
       GROUP BY d.source"""))
 
+  /** q282: ExactSubstr REMOVAL — the rewrite pass itself (the operator the
+    * published pipeline actually runs after q276 finds the spans): every
+    * document with its duplicated ≥[[esK]]-token spans excised, plus the
+    * before/after token counts. q276 detects, q280 reports the damage,
+    * q282 produces the cleaned corpus — the complete stack. A fully
+    * duplicated document comes back with empty clean_text (and is counted,
+    * not dropped) on BOTH engines; sub-[[esK]]-token docs pass through
+    * untouched.
+    *
+    * Distributed shape: one position explode of the corpus (linear in
+    * tokens), a (doc, pos)-keyed LEFT ANTI join against the exploded span
+    * ranges (maximal spans are disjoint per doc, so the range explosion is
+    * exactly the removed mass), and a per-doc re-assembly (array_sort of
+    * (pos, token) structs — partition-local, ≤ doc length per group). The
+    * output is corpus-sized BY DEFINITION — it IS the rewritten corpus; at
+    * 100 TB this runs as the write-side of the curation pass, one scan in,
+    * one scan out, nothing pairwise anywhere. */
+  val exactSubstrClean: Q = Q(
+    "q282_exactsubstr_clean",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val toks = docs.select(col("doc_id"),
+        posexplode(col("ws")).as(Seq("pos", "w")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("w"))
+      val rem = exactSubstrSpanRows(s, dir).select(col("doc_id"),
+        explode(expr("sequence(span_start, span_end - 1)")).as("pos"))
+      val agg = toks.join(rem, Seq("doc_id", "pos"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_after"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w")), " ").as("clean_text"))
+      docs.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens_before"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_tokens_after"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+    },
+    Some(s"""WITH sp AS (
+        ${exactSubstrSpans.oracle.get}
+      ), d AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      ), toks AS (
+        SELECT doc_id, i - 1 AS pos, ws[i] AS w
+        FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM d)
+      ), rem AS (
+        SELECT doc_id, unnest(range(span_start, span_end)) AS pos FROM sp
+      ), kept AS (
+        SELECT t.doc_id, t.pos, t.w FROM toks t LEFT JOIN rem r
+          ON t.doc_id = r.doc_id AND t.pos = r.pos
+        WHERE r.pos IS NULL
+      ), agg AS (
+        SELECT doc_id, CAST(count(1) AS BIGINT) AS n_after,
+               string_agg(w, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id
+      )
+      SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tokens_before,
+             CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_tokens_after,
+             COALESCE(a.clean_text, '') AS clean_text
+      FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id"""))
+
   // ---- q163: dedup method report card --------------------------------------
   /** q163: the side-by-side report a pipeline owner reads before choosing a
     * dedup stack — for each method, the candidate-pair count and how many
@@ -3023,5 +3085,5 @@ object Dedup {
       thresholdSweep, templateHubs, methodKappa, lshSCurve, winnowingOverlap,
       sortedNeighborhood, minhashEstimatorError, blockingQuality,
       simhashBitBalance, tfidfCosine, fsLinkage, emLinkage, maxCoverSelect,
-      exactSubstrSpans, exactSubstrImpact)
+      exactSubstrSpans, exactSubstrImpact, exactSubstrClean)
 }

@@ -169,6 +169,29 @@ class R16OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q282 removal conserves mass against q280 and q276") {
+    val clean = SparkEntry.queries("q282_exactsubstr_clean")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // removed token mass == the impact report's dup_tokens == span mass
+    val imp = SparkEntry.queries("q280_exactsubstr_impact")(spark, sfDir)
+      .collect().map(_.getLong(3)).sum
+    assert(clean.map(c => c._2 - c._3).sum === imp)
+    // every doc present exactly once; untouched docs round-trip their text
+    assert(clean.map(_._1).distinct.length === clean.length)
+    val spanned = SparkEntry.queries("q276_exactsubstr_spans")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    clean.filterNot(c => spanned(c._1)).foreach { c =>
+      assert(c._2 === c._3); assert(c._4 === texts(c._1))
+    }
+    // cleaned text token count matches the reported n_tokens_after
+    clean.filter(c => spanned(c._1)).take(50).foreach { c =>
+      val n = if (c._4.isEmpty) 0 else c._4.split(" ", -1).length
+      assert(n.toLong === c._3, s"doc ${c._1}")
+    }
+  }
+
   test("q273 accumulates w_chars in DECIMAL(38,0) before the multiply") {
     // the aggregated column must be exact for sums past 2^63: verify the
     // PLAN carries a decimal sum (the ADVICE-r15 fix), and the output
