@@ -33,13 +33,42 @@ object Bench {
   final case class QResult(name: String, sec: Double, err: Option[String],
       tStartMs: Long = 0L)
 
+  /** Per-checkpoint-block external-load trace (VERDICT r16 #5): the r16
+    * probe sampled external busy cores ONCE before the suite, so a
+    * transient mid-suite neighbor (the BENCH_r16 q105–q108 window) was
+    * invisible to it and only the confirm pass caught the contamination.
+    * This trace snapshots /proc/stat + /proc/self/stat at every ckpt_sec
+    * boundary (the existing every-10th-query grid) — NO sleeps: each
+    * block's own duration is the sampling window — and converts the
+    * deltas to external busy cores per block, so a flagged query's
+    * artifact entry carries the load it actually ran under. */
+  private[graft] final class LoadTrace {
+    private val marks =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    def mark(): Unit =
+      marks += ((System.nanoTime(), procStatBusy(), selfJiffies()))
+    /** External busy cores per inter-mark block; −1 where /proc was
+      * unreadable at either end. */
+    def blocks: Seq[Double] =
+      marks.toSeq.sliding(2).collect {
+        case scala.collection.Seq((t0, b0, s0), (t1, b1, s1)) =>
+          val dt = (t1 - t0) / 1e9
+          if (b0 < 0 || s0 < 0 || b1 < 0 || s1 < 0 || dt <= 0) -1.0
+          else math.max(0.0,
+            math.round((b1 - b0 - (s1 - s0)) / (100.0 * dt) * 100) / 100.0)
+      }.toSeq
+  }
+
   /** One timed pass over `queries`; a throwing query yields err=Some and is
     * never silently folded into the timings. `consumerPrefix` labels
-    * PlanCache self-heal events (""=timed pass, "confirm:"=confirm pass). */
+    * PlanCache self-heal events (""=timed pass, "confirm:"=confirm pass).
+    * `trace`, when non-null, is marked at every 10th query boundary plus
+    * suite end — the ckpt_sec grid — giving the per-block load readings. */
   private[graft] def runSuite(spark: SparkSession, sfDir: String,
       queries: Seq[(String, (SparkSession, String) => DataFrame)],
-      consumerPrefix: String = ""): Seq[QResult] =
-    queries.map { case (name, fn) =>
+      consumerPrefix: String = "", trace: LoadTrace = null): Seq[QResult] = {
+    val rs = queries.zipWithIndex.map { case ((name, fn), i) =>
+      if (trace != null && i % 10 == 0) trace.mark()
       // label PlanCache self-heal events with the query that paid for them
       // (the q111-q115 forensics: a mid-timed-pass eviction shows up as
       // "entry@query" in the JSON's cache_selfheals, adjudicating the slow
@@ -56,6 +85,9 @@ object Bench {
           wall0)
       }
     }
+    if (trace != null && queries.nonEmpty) trace.mark()
+    rs
+  }
 
   private def jstr(s: String): String = Json.str(s)
 
@@ -121,7 +153,8 @@ object Bench {
       rewarmed: Seq[(String, Double)], selfHeals: Seq[(String, String)],
       confirm: Map[String, Double] = Map.empty,
       loadBefore: Double = -1.0, loadAfter: Double = -1.0,
-      extBusy: Double = -1.0): String = {
+      extBusy: Double = -1.0,
+      extBusyBlocks: Seq[Double] = Nil): String = {
     val qs = results.map(r => jstr(r.name) + ":" + r.sec).mkString("{", ",", "}")
     // the full t_start map sits immediately after `queries` so that when the
     // driver's 2000-char tail window truncates the line, what is lost is the
@@ -151,7 +184,24 @@ object Bench {
       s""""warm_shared_sec":${math.round(warmSharedSec * 1000) / 1000.0},""" +
       s""""rewarm_sec":$rw,"cache_selfheals":$sh,""" +
       loadProbeJson(loadBefore, loadAfter, extBusy) + "," +
+      extBusyJson(results, regs, extBusyBlocks) + "," +
       s""""sf":${jstr(sfDir)}}"""
+  }
+
+  /** Per-block load fields (VERDICT r16 #5): `ext_busy_blocks` aligns with
+    * the ckpt_sec grid (block i covers queries 10i..10i+9 of the timed
+    * pass), `reg_ext_busy` stamps each REGRESSION-flagged query with the
+    * external busy cores measured over its own block — the mechanical
+    * attribution that previously needed the confirm pass + prose. */
+  private[graft] def extBusyJson(results: Seq[QResult],
+      regs: Seq[(String, Double, Double)],
+      extBusyBlocks: Seq[Double]): String = {
+    val blk = extBusyBlocks.mkString("[", ",", "]")
+    val blockOf = results.zipWithIndex.map { case (r, i) => r.name -> i / 10 }.toMap
+    val regBusy = regs.flatMap { case (n, _, _) =>
+      blockOf.get(n).flatMap(extBusyBlocks.lift).map(b => jstr(n) + ":" + b)
+    }.mkString("{", ",", "}")
+    s""""ext_busy_blocks":$blk,"reg_ext_busy":$regBusy"""
   }
 
   /** `name:[timed, pin]` or `name:[timed, pin, confirm]` when a confirm
@@ -183,7 +233,8 @@ object Bench {
       gcSec: Double = 0.0,
       rewarmed: Seq[(String, Double)] = Nil,
       loadBefore: Double = -1.0, loadAfter: Double = -1.0,
-      extBusy: Double = -1.0): String = {
+      extBusy: Double = -1.0,
+      extBusyBlocks: Seq[Double] = Nil): String = {
     val ok = results.filter(_.err.isEmpty)
     val slow = ok.sortBy(-_.sec).take(10)
       .map(r => jstr(r.name) + ":" + math.round(r.sec * 100) / 100.0)
@@ -206,6 +257,7 @@ object Bench {
       s""""cache_selfheals":$sh,""" +
       s""""t0":$t0,"ckpt_sec":$ckpt,"rewarm_max":$rwMax,""" +
       loadProbeJson(loadBefore, loadAfter, extBusy) + "," +
+      extBusyJson(results, regs, extBusyBlocks) + "," +
       s""""sf":${jstr(sfDir)}}"""
   }
 
@@ -336,8 +388,10 @@ object Bench {
         "external busy cores measured before the timed pass; totals from " +
         "this run must be published as load-contaminated")
     val gc0 = gcMillis()
-    val results = runSuite(spark, sfDir, queries)
+    val trace = new LoadTrace
+    val results = runSuite(spark, sfDir, queries, "", trace)
     val gcSec = (gcMillis() - gc0) / 1e3
+    val extBlocks = trace.blocks
     val loadAfter = loadAvg1()
     val selfHeals = PlanCache.drainSelfHeals()
     val regs = regressions(results, pins)
@@ -353,9 +407,9 @@ object Bench {
     val allHeals = selfHeals ++ confirmHeals
     println(renderJson(results, sfDir, gcSec,
       spark.sparkContext.getPersistentRDDs.size, storage, regs, warmSharedSec,
-      warmed, allHeals, confirm, loadBefore, loadAfter, extBusy))
+      warmed, allHeals, confirm, loadBefore, loadAfter, extBusy, extBlocks))
     println(renderSummary(results, sfDir, regs, allHeals, confirm, gcSec,
-      warmed, loadBefore, loadAfter, extBusy))
+      warmed, loadBefore, loadAfter, extBusy, extBlocks))
     spark.stop()
   }
 }

@@ -111,7 +111,11 @@ object FpStress {
     // ties, per-dim sums, floor-div — across geometries) and the balanced
     // sampler built on its centroids (q278)
     "q277_kmeans_centroids", "q278_cluster_balanced_sample",
-    "q279_cluster_quality")
+    "q279_cluster_quality",
+    // round-17 (VERDICT r16 directive #1): the k-center-SEEDED fit — the
+    // compare certifies the composed chain (q274's double-domain greedy
+    // feeding q277's integer Lloyd loop) across geometries
+    "q283_kmeans_kcenter_seeded")
 
   /** 2-decimal deterministic jitter in [0, 0.96], keyed by (row key, copy) —
     * keeps every jittered double a 2-decimal value so the round(sum, p)

@@ -86,7 +86,12 @@ object PairSweep {
     // round-16: ExactSubstr spans (q276 — position-linear by construction:
     // one gram-hash df count + a semi join + per-doc window merge; growth
     // must track corpus TOKENS, never pairs — the claim this sweep checks)
-    "q276_exactsubstr_spans")
+    "q276_exactsubstr_spans",
+    // round-17: the keep-first policy variant (q284 — same explode, one
+    // min-(doc_id,pos) aggregate instead of the count; the same
+    // position-linear claim, checked independently because its join
+    // carries the first_occ struct where q276's is a bare semi join)
+    "q284_exactsubstr_keepfirst")
 
   /** The output-heavy miners (VERDICT r13 directive #2): candidate/verify
     * volume grows with OUTPUT mass, so their 10×-rung ratios (4–9×) sit

@@ -2183,31 +2183,47 @@ object Analytics {
       // q274/q275 driver-probe idiom) instead of re-broadcasting its whole
       // bucket-rank subtree into two more plan references (r15 VERDICT #1:
       // the former plan re-evaluated the pair-median subtree per consumer)
-      val medRow = lowerMedianRow(pairs, "slope", Seq("di", "dj"))
+      val medOpt = lowerMedianRow(pairs, "slope", Seq("di", "dj"))
         .select(col("n_rows").as("n_pairs"), col("slope"),
           (col("cj") - col("ci")).as("slope_num"),
           (col("dj") - col("di")).as("slope_den"))
-        .collect().head
-      val slope = medRow.getDouble(1)
-      // the intercept median ranks DAY-grain residuals — calendar-bounded
-      // (≤ span days at ANY corpus size), so one ordered window is the
-      // scale-correct shape here; the two-phase bucket rank stays on the
-      // |days|² pair frame, the side that actually grows quadratically
-      val nd = daily.agg(count(lit(1)).as("n_days"))
-      val icRow = daily
-        .withColumn("resid",
-          col("c").cast("double") - lit(slope) * col("d").cast("double"))
-        .crossJoin(broadcast(nd))
-        .withColumn("rn",
-          row_number().over(Window.orderBy(col("resid"), col("d"))))
-        .filter(col("rn") === expr("(n_days + 1) div 2"))
-        .select(col("n_days"), col("resid"))
-        .collect().head
+        .collect().headOption
       import s.implicits._
-      Seq((icRow.getLong(0), medRow.getLong(0), medRow.getLong(2),
-        medRow.getLong(3), slope, icRow.getDouble(1)))
+      def empty = Seq.empty[(Long, Long, Long, Long, Double, Double)]
         .toDF("n_days", "n_pairs", "slope_num", "slope_den", "slope",
           "intercept")
+      medOpt match {
+        // ADVICE r16: an empty events table or single-day corpus yields
+        // ZERO pairs — return the empty frame (the oracle's med CTE is
+        // empty, so its med × resid cross join is too), not a
+        // NoSuchElementException
+        case None => empty
+        case Some(medRow) =>
+          val slope = medRow.getDouble(1)
+          // the intercept median ranks DAY-grain residuals —
+          // calendar-bounded (≤ span days at ANY corpus size), so one
+          // ordered window is the scale-correct shape here; the two-phase
+          // bucket rank stays on the |days|² pair frame, the side that
+          // actually grows quadratically
+          val nd = daily.agg(count(lit(1)).as("n_days"))
+          val icOpt = daily
+            .withColumn("resid",
+              col("c").cast("double") - lit(slope) * col("d").cast("double"))
+            .crossJoin(broadcast(nd))
+            .withColumn("rn",
+              row_number().over(Window.orderBy(col("resid"), col("d"))))
+            .filter(col("rn") === expr("(n_days + 1) div 2"))
+            .select(col("n_days"), col("resid"))
+            .collect().headOption
+          icOpt match {
+            case None => empty // unreachable when pairs ≠ ∅; same contract
+            case Some(icRow) =>
+              Seq((icRow.getLong(0), medRow.getLong(0), medRow.getLong(2),
+                medRow.getLong(3), slope, icRow.getDouble(1)))
+                .toDF("n_days", "n_pairs", "slope_num", "slope_den", "slope",
+                  "intercept")
+          }
+      }
     },
     Some("""WITH daily AS (
         SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,

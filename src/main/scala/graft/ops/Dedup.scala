@@ -846,10 +846,24 @@ object Dedup {
     * boilerplate-removal pass wants anyway), the same df-bounding lever
     * q14 applies; left OFF here so the registered query stays exact and
     * every emitted span is verifiable. */
-  private[graft] def substringSpansOf(docs0: DataFrame, k: Int = SpanK): DataFrame = {
+  private[graft] def substringSpansOf(docs0: DataFrame, k: Int = SpanK): DataFrame =
+    substringSpansOfWords(
+      docs0.select(col("doc_id"), split(col("text"), " ").as("w")), k)
+
+  /** [[substringSpansOf]] over a pre-tokenized (doc_id, w) frame — the
+    * registered q115 feeds it the PlanCache'd [[docWords]] projection
+    * (VERDICT r16 #3, the q113 treatment: at these corpus sizes the
+    * query's wall clock is scan + split + scheduling constants, so the
+    * one projection every substring-grain operator starts from is
+    * materialized once per (session, dir) and shared — the production
+    * shape, where tokenization runs once per corpus, not once per
+    * report). The join itself keeps the window TEXT as its key: the r17
+    * probe measured the md5/semi-join/window/grouped reformulations at
+    * 1.0–2.1× of this plan (the data volumes are duplicate-mass-bounded
+    * already), so the no-hashing-assumption contract stays. */
+  private[graft] def substringSpansOfWords(words: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wins = docs0
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val wins = words
       .filter(size(col("w")) >= k)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(w) - $k), i -> concat_ws(' ', slice(w, i + 1, $k)))")))
@@ -868,10 +882,22 @@ object Dedup {
       .select("doc_a", "doc_b", "a_start", "b_start", "span_len")
   }
 
+  /** One materialized tokenization of the corpus per (session, dir) — the
+    * (doc_id, whitespace-token array) projection every substring-grain
+    * operator (q115's window index, q276/q284's k-gram explode) opens
+    * with. Splitting is cheap but at report-suite granularity it re-runs
+    * per consumer; one shared copy is the production shape (tokenize
+    * once, analyze many) and, at test scale, removes the scan+split
+    * constant from every consumer's wall clock (VERDICT r16 #3). */
+  private[graft] def docWords(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(s, "docs_words", dir, s"$dir/documents.parquet") {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+    }
+
   val substringSpans: Q = Q(
     "q115_substring_spans",
-    (s, dir) => substringSpansOf(
-      Tables.documents(s, dir).select(col("doc_id"), col("text"))),
+    (s, dir) => substringSpansOfWords(docWords(s, dir), SpanK),
     Some(s"""WITH words AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
       ), wins AS (
@@ -1190,34 +1216,47 @@ object Dedup {
     * volume is position count, so cost is linear in corpus tokens at any
     * duplication level — the property that makes ExactSubstr runnable at
     * 100 TB where a pairwise formulation is not. */
+  /** The exploded k-gram frame (doc_id, pos, md5 16-byte gram hash) shared
+    * by q276 and q284 — linear in corpus tokens, never materialized. */
+  private def esKgrams(s: SparkSession, dir: String): DataFrame =
+    docWords(s, dir)
+      .select(col("doc_id"), col("w").as("ws"))
+      .filter(size(col("ws")) >= esK)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(ws) - $esK), " +
+          s"i -> md5(array_join(slice(ws, i + 1, $esK), ' ')))"))
+        .as(Seq("pos", "h")))
+
+  /** Gaps-and-islands merge of marked gram-start positions into maximal
+    * token spans (shared by q276/q284): positions ≤ [[esK]] apart chain
+    * into one island; a span covers [min pos, max pos + k). Per-doc
+    * window — partition-parallel, ≤ doc length rows per group. */
+  private def esIslands(marked: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    marked
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= esK, 0).otherwise(1))
+      .withColumn("island", sum("brk").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("p0"), max("pos").as("p1"), count(lit(1)).as("n_grams"))
+      .select(col("doc_id"),
+        col("p0").cast("long").as("span_start"),
+        (col("p1") + esK).cast("long").as("span_end"),
+        (col("p1") + esK - col("p0")).cast("long").as("span_tokens"),
+        col("n_grams"))
+  }
+
   val exactSubstrSpans: Q = Q(
     "q276_exactsubstr_spans",
     (s, dir) => {
-      val kg = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= esK)
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(0, size(ws) - $esK), " +
-            s"i -> md5(array_join(slice(ws, i + 1, $esK), ' ')))"))
-          .as(Seq("pos", "h")))
+      val kg = esKgrams(s, dir)
       // ≥2 occurrences ANYWHERE (another doc or elsewhere in the same doc)
       // — the ExactSubstr contract is "this text exists twice", not q206's
       // cross-document document-risk grain
       val dup = kg.groupBy("h").agg(count(lit(1)).as("nocc"))
         .filter(col("nocc") >= 2).select("h")
-      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-      kg.join(dup, Seq("h"), "left_semi")
-        .withColumn("brk",
-          when(col("pos") - lag("pos", 1).over(byDoc) <= esK, 0).otherwise(1))
-        .withColumn("island", sum("brk").over(
-          byDoc.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy("doc_id", "island")
-        .agg(min("pos").as("p0"), max("pos").as("p1"), count(lit(1)).as("n_grams"))
-        .select(col("doc_id"),
-          col("p0").cast("long").as("span_start"),
-          (col("p1") + esK).cast("long").as("span_end"),
-          (col("p1") + esK - col("p0")).cast("long").as("span_tokens"),
-          col("n_grams"))
+      esIslands(kg.join(dup, Seq("h"), "left_semi"))
     },
     Some(s"""WITH d AS (
         SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -1376,6 +1415,75 @@ object Dedup {
              COALESCE(a.clean_text, '') AS clean_text
       FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id"""))
 
+  /** q284: ExactSubstr KEEP-FIRST-OCCURRENCE policy (VERDICT r16 "what's
+    * missing" #3): q276/q282 excise EVERY copy of a duplicated span — the
+    * published tool's semantics (Lee et al. 2022 delete both occurrences);
+    * several production pipelines instead dedup (keep one copy). This is
+    * that policy at the k-gram grain: a gram-start position is removable
+    * iff its [[esK]]-gram occurs ≥ 2 times in the corpus AND this
+    * occurrence is not the GLOBALLY FIRST one (min (doc_id, pos) over the
+    * gram's occurrences — (doc_id, pos) is unique per gram row, so the
+    * argmin is a total order and both engines mark the identical set).
+    * Marked positions merge into maximal removal spans exactly like q276,
+    * so the output is q276-shaped and the two tables diff directly: every
+    * q284 span sits inside a q276 span (marked₍₂₈₄₎ ⊆ marked₍₂₇₆₎, and an
+    * island chain of a subset is a chain of the superset — R17OpsSpec
+    * pins the containment and the mass inequality), every duplicated gram
+    * keeps its first occurrence unmarked somewhere in the corpus, and a
+    * pair of identical documents loses only the larger-doc_id copy.
+    *
+    * Distributed shape: q276's explode + ONE map-side-combined aggregate
+    * per gram hash (count + min-(doc_id,pos) struct — still 16-byte keys,
+    * still the only corpus-wide shuffle) + the same per-doc island merge;
+    * position-linear at any duplication level, like q276. */
+  val exactSubstrKeepFirst: Q = Q(
+    "q284_exactsubstr_keepfirst",
+    (s, dir) => {
+      val kg = esKgrams(s, dir)
+      val dupFirst = kg.groupBy("h")
+        .agg(count(lit(1)).as("nocc"),
+          min(struct(col("doc_id"), col("pos"))).as("first_occ"))
+        .filter(col("nocc") >= 2)
+        .select("h", "first_occ")
+      esIslands(kg.join(dupFirst, Seq("h"))
+        .filter(struct(col("doc_id"), col("pos")) =!= col("first_occ"))
+        .select("doc_id", "pos"))
+    },
+    Some(s"""WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE len(string_split(text, ' ')) >= $esK
+      ), kg AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(ws[i : i + ${esK - 1}], ' ')) AS h
+        FROM (SELECT doc_id, ws,
+                     unnest(range(1, len(ws) - ${esK - 2})) AS i
+              FROM d)
+      ), mk AS (
+        SELECT doc_id, pos FROM (
+          SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+                 count(1) OVER (PARTITION BY h) AS nocc
+          FROM kg)
+        WHERE nocc >= 2 AND rn >= 2
+      ), isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         <= $esK
+                    THEN 0 ELSE 1 END AS brk
+        FROM mk
+      ), isl2 AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl
+      )
+      SELECT doc_id,
+             CAST(MIN(pos) AS BIGINT) AS span_start,
+             CAST(MAX(pos) + $esK AS BIGINT) AS span_end,
+             CAST(MAX(pos) + $esK - MIN(pos) AS BIGINT) AS span_tokens,
+             CAST(count(1) AS BIGINT) AS n_grams
+      FROM isl2 GROUP BY doc_id, island"""))
+
   // ---- q163: dedup method report card --------------------------------------
   /** q163: the side-by-side report a pipeline owner reads before choosing a
     * dedup stack — for each method, the candidate-pair count and how many
@@ -1420,12 +1528,20 @@ object Dedup {
           countDistinct("doc_id").as("n_docs_dropped"))
         .select(lit(s"exactsubstr_$esK").as("method"), col("n_pairs"),
           col("n_docs_dropped"))
+      // the policy-comparison row (r17): same grain as exactsubstr, but
+      // under the keep-first-occurrence policy — reading the two rows
+      // side by side is the delete-all vs dedup policy decision
+      val esKf = mat("exactsubstr_keepfirst", exactSubstrKeepFirst.run(s, dir))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct("doc_id").as("n_docs_dropped"))
+        .select(lit(s"exactsubstr_keepfirst_$esK").as("method"),
+          col("n_pairs"), col("n_docs_dropped"))
       Seq(ex,
         pairMethod("ngram_jaccard", ngramJaccard.run(s, dir)),
         pairMethod("minhash_lsh", minhashLsh.run(s, dir)),
         pairMethod("edit_distance", editDistance.run(s, dir)),
         pairMethod("setsim_ppjoin", setSimJoin.run(s, dir)),
-        es)
+        es, esKf)
         .reduce(_ unionAll _)
     },
     Some {
@@ -1442,7 +1558,10 @@ object Dedup {
       UNION ALL ${pairSql("setsim_ppjoin", setSimJoin.oracle.get)}
       UNION ALL SELECT 'exactsubstr_$esK' AS method,
         count(1) AS n_pairs, count(DISTINCT doc_id) AS n_docs_dropped
-      FROM (${exactSubstrSpans.oracle.get})"""
+      FROM (${exactSubstrSpans.oracle.get})
+      UNION ALL SELECT 'exactsubstr_keepfirst_$esK' AS method,
+        count(1) AS n_pairs, count(DISTINCT doc_id) AS n_docs_dropped
+      FROM (${exactSubstrKeepFirst.oracle.get})"""
     })
 
   // ---- q206: memorization-span audit (13-gram duplication) -----------------
@@ -3085,5 +3204,6 @@ object Dedup {
       thresholdSweep, templateHubs, methodKappa, lshSCurve, winnowingOverlap,
       sortedNeighborhood, minhashEstimatorError, blockingQuality,
       simhashBitBalance, tfidfCosine, fsLinkage, emLinkage, maxCoverSelect,
-      exactSubstrSpans, exactSubstrImpact, exactSubstrClean)
+      exactSubstrSpans, exactSubstrImpact, exactSubstrClean,
+      exactSubstrKeepFirst)
 }

@@ -1622,10 +1622,13 @@ object Similarity {
     * pick idiom): the driver tightens each candidate's min-distance
     * against newly picked centers (replaying the identical quantized
     * arithmetic on the identical JVM doubles — bit-equal by construction)
-    * and accepts the next argmax while it is ≥ the window's M-th fetched
-    * value; no vector outside the window can beat that bound, because its
-    * CURRENT min-distance is ≤ its fetched one < the bound, and the
-    * (value DESC, vec_id ASC) fetch order settles ties. A failed
+    * and accepts the next argmax while it is STRICTLY above the window's
+    * M-th fetched value (ADVICE r16: an outside vector can TIE the bound,
+    * and the global tie-break could prefer its smaller vec_id — on a tie
+    * the loop refetches, and the first pick after each refetch is the
+    * fetch-ordered global argmax, accepted unconditionally); no vector
+    * outside the window can beat a strict bound, because its CURRENT
+    * min-distance is ≤ its fetched one ≤ the bound. A failed
     * certificate just refetches (typically 1–2 jobs total instead of
     * K−1). Zero checkpoints, zero shuffles; at 100 TB: a handful of
     * embarrassingly-parallel scans — no all-pairs anything, and the
@@ -1639,128 +1642,163 @@ object Similarity {
     * positive, so nothing changes), and the oracle's CTE chain then
     * yields the same shortened selection: an empty pick round empties
     * every later round's frame exactly as the Spark loop breaks. */
+  /** The k-center greedy selection itself, extracted so q283 can seed
+    * Lloyd's from it (VERDICT r16 #1): returns one (vec_id, label,
+    * quantized covering radius) per round, in pick order.
+    *
+    * Certificate tie rule (ADVICE r16): a provisional pick is accepted
+    * only on STRICT b.w > bound — an outside-window vector can TIE the
+    * M-th fetched value, and if an in-window candidate is tightened down
+    * to exactly the bound while an outside vector sits at the same
+    * quantized distance with a smaller vec_id, the oracle's global
+    * (mind2q DESC, vec_id ASC) argmax picks the outside row. On a tie the
+    * loop refetches instead; the FIRST accept after each refetch is
+    * unconditional (the fresh window's top row IS the engine-ordered
+    * global argmax over all rows, ties included), which also bounds the
+    * refetch count — every refetch advances at least one round even when
+    * ≥ M rows tie at the max. */
+  private[graft] def kcSelect(s: SparkSession, dir: String): Seq[(Long, Option[Long], Long)] = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    // min-over-centers quantized squared distance: per-dim
+    // floor((x−c)²·1e9) → BIGINT, summed by a left fold (long addition —
+    // order-independent), min across centers — arithmetic IDENTICAL to
+    // the former long-form groupBy(sum) + iterated-least formulation
+    val d2qMin = expr(
+      "array_min(transform(cs, c -> aggregate(zip_with(v, c, " +
+        "(x, cx) -> floor((x - cx) * (x - cx) * 1e9)), " +
+        "CAST(0 AS BIGINT), (acc, term) -> acc + term)))")
+    val seedRow = emb.orderBy(col("vec_id").asc).limit(1).collect().headOption
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long], Long)]
+    val centers = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+    seedRow.foreach { r =>
+      sel += ((r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)), 0L))
+      centers += r.getSeq[Double](2)
+    }
+    // driver replay of d2qMin's per-center term: same JVM doubles, same
+    // operation order (left-assoc multiply, Math.floor→long, long fold)
+    // — bit-equal to the codegen'd column by construction
+    def d2qDriver(v: Seq[Double], c: Seq[Double]): Long = {
+      var i = 0; var acc = 0L
+      while (i < v.length) {
+        val d = v(i) - c(i); acc += math.floor(d * d * 1e9).toLong; i += 1
+      }
+      acc
+    }
+    final case class Cand(id: Long, label: Option[Long], v: Seq[Double],
+      var w: Long)
+    var cands = Seq.empty[Cand]
+    var bound = 0L // M-th fetched value; 0 ⇒ window held ALL positive rows
+    var fresh = false // window untouched since fetch ⇒ its top row is exact
+    def refetch(): Unit = {
+      val centersDf = Seq(Tuple1(centers.toSeq)).toDF("cs")
+      val rows = emb.crossJoin(broadcast(centersDf))
+        .select(col("vec_id"), col("label"), col("v"), d2qMin.as("mind2q"))
+        .filter(col("mind2q") > 0)
+        .orderBy(col("mind2q").desc, col("vec_id").asc)
+        .limit(kcWindow).collect()
+      cands = rows.map(r => Cand(r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getSeq[Double](2), r.getLong(3))).toSeq
+      bound = if (rows.length == kcWindow) cands.last.w else 0L
+      fresh = true
+    }
+    var t = 1
+    var exhausted = seedRow.isEmpty
+    if (!exhausted) refetch()
+    while (t < kcK && !exhausted) {
+      val live = cands.filter(_.w > 0)
+      val best = live.sortBy(c => (-c.w, c.id)).headOption
+      best match {
+        case Some(b) if fresh || b.w > bound =>
+          sel += ((b.id, b.label, b.w))
+          centers += b.v
+          cands = cands.filter(_.id != b.id)
+          cands.foreach(c => c.w = math.min(c.w, d2qDriver(c.v, b.v)))
+          fresh = false
+          t += 1
+        case Some(_) => refetch() // tie or failed certificate: refresh
+        case None if bound > 0 => refetch() // outside rows may still be live
+        case None => exhausted = true // a full view showed no positive dist
+      }
+    }
+    sel.toSeq
+  }
+
   val kcenterCoreset: Q = Q(
     "q274_kcenter_coreset",
     (s, dir) => {
       import s.implicits._
-      val emb = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label").cast("long").as("label"),
-          expr("transform(embedding, x -> cast(x as double))").as("v"))
-      // min-over-centers quantized squared distance: per-dim
-      // floor((x−c)²·1e9) → BIGINT, summed by a left fold (long addition —
-      // order-independent), min across centers — arithmetic IDENTICAL to
-      // the former long-form groupBy(sum) + iterated-least formulation
-      val d2qMin = expr(
-        "array_min(transform(cs, c -> aggregate(zip_with(v, c, " +
-          "(x, cx) -> floor((x - cx) * (x - cx) * 1e9)), " +
-          "CAST(0 AS BIGINT), (acc, term) -> acc + term)))")
-      val seedRow = emb.orderBy(col("vec_id").asc).limit(1).collect().headOption
-      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long], Long)]
-      val centers = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
-      seedRow.foreach { r =>
-        sel += ((r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)), 0L))
-        centers += r.getSeq[Double](2)
-      }
-      // driver replay of d2qMin's per-center term: same JVM doubles, same
-      // operation order (left-assoc multiply, Math.floor→long, long fold)
-      // — bit-equal to the codegen'd column by construction
-      def d2qDriver(v: Seq[Double], c: Seq[Double]): Long = {
-        var i = 0; var acc = 0L
-        while (i < v.length) {
-          val d = v(i) - c(i); acc += math.floor(d * d * 1e9).toLong; i += 1
-        }
-        acc
-      }
-      final case class Cand(id: Long, label: Option[Long], v: Seq[Double],
-        var w: Long)
-      var cands = Seq.empty[Cand]
-      var bound = 0L // M-th fetched value; 0 ⇒ window held ALL positive rows
-      def refetch(): Unit = {
-        val centersDf = Seq(Tuple1(centers.toSeq)).toDF("cs")
-        val rows = emb.crossJoin(broadcast(centersDf))
-          .select(col("vec_id"), col("label"), col("v"), d2qMin.as("mind2q"))
-          .filter(col("mind2q") > 0)
-          .orderBy(col("mind2q").desc, col("vec_id").asc)
-          .limit(kcWindow).collect()
-        cands = rows.map(r => Cand(r.getLong(0),
-          if (r.isNullAt(1)) None else Some(r.getLong(1)),
-          r.getSeq[Double](2), r.getLong(3))).toSeq
-        bound = if (rows.length == kcWindow) cands.last.w else 0L
-      }
-      var t = 1
-      var exhausted = seedRow.isEmpty
-      if (!exhausted) refetch()
-      while (t < kcK && !exhausted) {
-        val live = cands.filter(_.w > 0)
-        val best = live.sortBy(c => (-c.w, c.id)).headOption
-        best match {
-          case Some(b) if b.w >= bound =>
-            sel += ((b.id, b.label, b.w))
-            centers += b.v
-            cands = cands.filter(_.id != b.id)
-            cands.foreach(c => c.w = math.min(c.w, d2qDriver(c.v, b.v)))
-            t += 1
-          case Some(_) => refetch() // certificate failed: refresh the window
-          case None if bound > 0 => refetch() // outside rows may still be live
-          case None => exhausted = true // a full view showed no positive dist
-        }
-      }
-      sel.toSeq.zipWithIndex
+      kcSelect(s, dir).zipWithIndex
         .map { case ((id, lb, rad), rnd) => (rnd.toLong, id, lb, rad) }
         .toDF("round", "vec_id", "label", "radius2_q")
     },
     Some {
-      def dist(mdPrev: String, centerCte: String, out: String) =
-        s"""$out AS (
+      graft.OracleSql.materializeCtes(s"""WITH ${kcSelCtes("")}
+      SELECT CAST(s.round AS BIGINT) AS round, s.vec_id, e.label, s.radius2_q
+      FROM sel s LEFT JOIN e ON s.vec_id = e.vec_id""")
+    })
+
+  /** The greedy-selection CTE chain of q274's oracle, prefix-parameterized
+    * so q283 can embed it next to the k-means CTE chain without name
+    * clashes: defines ${p}e/${p}dims/${p}long (double coordinates),
+    * ${p}c0/${p}md0/${p}r1..r{K−1} (the unrolled greedy rounds) and
+    * ${p}sel(round, vec_id, radius2_q). With p="" this is the chain q274
+    * has shipped since r15. */
+  private def kcSelCtes(p: String): String = {
+    def dist(mdPrev: String, centerCte: String, out: String) =
+      s"""$out AS (
         SELECT m.vec_id, LEAST(m.mind2q, dd.d2q) AS mind2q
         FROM $mdPrev m JOIN (
           SELECT l.vec_id,
                  CAST(SUM(CAST(FLOOR((l.x - c.cx) * (l.x - c.cx) * 1e9)
                    AS BIGINT)) AS BIGINT) AS d2q
-          FROM long l JOIN (
-            SELECT ll.d, ll.x AS cx FROM long ll JOIN $centerCte r
+          FROM ${p}long l JOIN (
+            SELECT ll.d, ll.x AS cx FROM ${p}long ll JOIN $centerCte r
               ON ll.vec_id = r.cid) c ON l.d = c.d
           GROUP BY l.vec_id) dd ON m.vec_id = dd.vec_id
       )"""
-      def pick(mdCte: String, out: String) =
-        s"""$out AS (
+    def pick(mdCte: String, out: String) =
+      s"""$out AS (
         SELECT vec_id AS cid, mind2q AS rad FROM $mdCte
         WHERE mind2q > 0
         ORDER BY mind2q DESC, vec_id LIMIT 1
       )"""
-      val rounds = (1 until kcK).map { t =>
-        pick(s"md${t - 1}", s"r$t") +
-          (if (t < kcK - 1) ",\n      " + dist(s"md${t - 1}", s"r$t", s"md$t")
-           else "")
-      }.mkString(",\n      ")
-      val selRows = (s"SELECT 0 AS round, c0.cid AS vec_id," +
-        s" CAST(0 AS BIGINT) AS radius2_q FROM c0") +:
-        (1 until kcK).map(t =>
-          s"SELECT $t AS round, cid AS vec_id, rad AS radius2_q FROM r$t")
-      graft.OracleSql.materializeCtes(s"""WITH e AS (
+    val rounds = (1 until kcK).map { t =>
+      pick(s"${p}md${t - 1}", s"${p}r$t") +
+        (if (t < kcK - 1) ",\n      " +
+          dist(s"${p}md${t - 1}", s"${p}r$t", s"${p}md$t")
+         else "")
+    }.mkString(",\n      ")
+    val selRows = (s"SELECT 0 AS round, ${p}c0.cid AS vec_id," +
+      s" CAST(0 AS BIGINT) AS radius2_q FROM ${p}c0") +:
+      (1 until kcK).map(t =>
+        s"SELECT $t AS round, cid AS vec_id, rad AS radius2_q FROM ${p}r$t")
+    s"""${p}e AS (
         SELECT vec_id, CAST(label AS BIGINT) AS label,
                CAST(embedding AS DOUBLE[]) AS v
         FROM embeddings
-      ), dims AS (
+      ), ${p}dims AS (
         SELECT unnest(range(1, 65)) AS d
-      ), long AS (
-        SELECT vec_id, d, v[d] AS x FROM e CROSS JOIN dims
-      ), c0 AS (
-        SELECT MIN(vec_id) AS cid FROM e
-      ), md0 AS (
+      ), ${p}long AS (
+        SELECT vec_id, d, v[d] AS x FROM ${p}e CROSS JOIN ${p}dims
+      ), ${p}c0 AS (
+        SELECT MIN(vec_id) AS cid FROM ${p}e
+      ), ${p}md0 AS (
         SELECT l.vec_id,
                CAST(SUM(CAST(FLOOR((l.x - c.cx) * (l.x - c.cx) * 1e9)
                  AS BIGINT)) AS BIGINT) AS mind2q
-        FROM long l JOIN (
-          SELECT ll.d, ll.x AS cx FROM long ll JOIN c0 ON ll.vec_id = c0.cid) c
+        FROM ${p}long l JOIN (
+          SELECT ll.d, ll.x AS cx FROM ${p}long ll JOIN ${p}c0
+            ON ll.vec_id = ${p}c0.cid) c
           ON l.d = c.d
         GROUP BY l.vec_id
-      ), $rounds, sel AS (
+      ), $rounds, ${p}sel AS (
         ${selRows.mkString("\n        UNION ALL ")}
-      )
-      SELECT CAST(s.round AS BIGINT) AS round, s.vec_id, e.label, s.radius2_q
-      FROM sel s LEFT JOIN e ON s.vec_id = e.vec_id""")
-    })
+      )"""
+  }
 
   // ---- q277/q278: deterministic Lloyd's k-means + balanced sampling --------
   private val kmK = 8
@@ -1769,10 +1807,11 @@ object Similarity {
 
   /** Quantization scale AND domain shift for the k-means integer
     * arithmetic: coordinates become floor(x·10⁶)+10⁶ — exact BIGINTs, and
-    * NON-NEGATIVE (|x| < 1 for these embeddings), so the centroid update's
-    * integer division means the same thing in both engines (Spark div
-    * truncates toward zero, DuckDB // floors — identical on non-negative
-    * operands; the uniform shift cancels in every distance). */
+    * non-negative for these embeddings (|x| < 1; the uniform shift cancels
+    * in every distance). The centroid update no longer DEPENDS on the
+    * non-negativity: it divides with Math.floorDiv, which equals DuckDB's
+    * `//` for all operands (ADVICE r16 — truncate-toward-zero '/' only
+    * matched on the non-negative domain). */
   private val kmShift = 1000000L
 
   /** The quantization projection over any embeddings-shaped frame —
@@ -1822,10 +1861,22 @@ object Similarity {
     * stay under 2⁶³ to ~4.6·10¹² vectors per cluster — beyond any corpus
     * under discussion; past that the update sum takes the q259
     * DECIMAL(38,0) treatment. */
-  private[graft] def kmFit(s: SparkSession, dir: String): (Seq[Seq[Long]], Seq[Long]) = {
+  private[graft] def kmFit(s: SparkSession, dir: String): (Seq[Seq[Long]], Seq[Long]) =
+    kmFitSeeded(s, dir, kmXq(s, dir).orderBy(col("vec_id").asc).limit(kmK)
+      .collect().map(_.getSeq[Long](2)).toSeq)
+
+  /** The Lloyd loop itself, seed-agnostic (q277 seeds by smallest vec_id,
+    * q283 by q274's k-center greedy). Centroid division is
+    * Math.floorDiv — the oracle's `//` floors for ALL operands (ADVICE
+    * r16: plain Long '/' truncates toward zero, so parity formerly rested
+    * on the undocumented |x| ≤ 1 shifted-domain assumption; floorDiv
+    * retires the assumption — a component < −1 now produces the SAME
+    * negative shifted coordinate on both engines instead of a silent
+    * divergence). */
+  private[graft] def kmFitSeeded(s: SparkSession, dir: String,
+      seeds: Seq[Seq[Long]]): (Seq[Seq[Long]], Seq[Long]) = {
     val xq = kmXq(s, dir)
-    var cents: Seq[Seq[Long]] = xq.orderBy(col("vec_id").asc).limit(kmK)
-      .collect().map(_.getSeq[Long](2)).toSeq
+    var cents: Seq[Seq[Long]] = seeds
     var sizes = Seq.fill(cents.length)(0L)
     val aggs = count(lit(1)).as("n") +:
       (0 until 64).map(d => sum(element_at(col("xq"), d + 1)).as(s"s$d"))
@@ -1839,7 +1890,7 @@ object Similarity {
         byCid.get(c.toLong) match {
           case Some(r) =>
             val n = r.getLong(1)
-            Seq.tabulate(64)(d => r.getLong(2 + d) / n)
+            Seq.tabulate(64)(d => Math.floorDiv(r.getLong(2 + d), n))
           case None => cents(c)
         }
       }
@@ -1850,7 +1901,16 @@ object Similarity {
   /** The oracle's CTE chain replaying the fit: long-form quantized
     * coordinates, seed centroids, then [[kmT]] unrolled
     * assignment/update/carry-forward rounds (a_t/u_t/c_t). */
-  private def kmCtes: String = {
+  private def kmCtes: String = kmCtesFrom(
+    s"""seeds AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM e ORDER BY vec_id LIMIT $kmK
+      )""")
+
+  /** [[kmCtes]] with the seeds CTE swapped out — the Lloyd chain is
+    * seed-agnostic exactly like [[kmFitSeeded]]; `seedsCte` must define
+    * seeds(vec_id, cid). */
+  private def kmCtesFrom(seedsCte: String): String = {
     def iter(t: Int): String = {
       val prev = s"c${t - 1}"
       s"""a$t AS (
@@ -1878,10 +1938,7 @@ object Similarity {
         FROM embeddings
       ), dims AS (SELECT unnest(range(1, 65)) AS d
       ), long AS (SELECT vec_id, d, xq[d] AS x FROM e CROSS JOIN dims
-      ), seeds AS (
-        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-        FROM e ORDER BY vec_id LIMIT $kmK
-      ), c0 AS (
+      ), $seedsCte, c0 AS (
         SELECT s.cid, l.d, l.x AS cx FROM long l JOIN seeds s USING (vec_id)
       ), ${(1 to kmT).map(iter).mkString(",\n      ")}"""
   }
@@ -2007,9 +2064,14 @@ object Similarity {
       val asg = kmAssign(s, kmXq(s, dir), cents)
       val base = asg.groupBy("cid").agg(count(lit(1)).as("size_n"),
         sum(col("mind2").cast("decimal(38,0)")).as("sse_dec"))
+      // asc_nulls_last pins the count-tie order to the oracle's (DuckDB
+      // ORDER BY label defaults NULLS LAST; Spark ASC defaults nulls
+      // FIRST — a count tie involving a NULL label formerly diverged,
+      // ADVICE r16)
       val top = asg.groupBy("cid", "label").agg(count(lit(1)).as("n"))
         .withColumn("rn", row_number().over(
-          Window.partitionBy("cid").orderBy(col("n").desc, col("label").asc)))
+          Window.partitionBy("cid").orderBy(col("n").desc,
+            col("label").asc_nulls_last)))
         .filter(col("rn") === 1)
         .select(col("cid"), col("label").as("top_label"),
           col("n").as("top_label_n"))
@@ -2051,10 +2113,64 @@ object Similarity {
       FROM sse s JOIN lab l ON s.cid = l.cid""")
     })
 
+  /** q283: Lloyd's k-means seeded from q274's k-center greedy — the
+    * composition VERDICT r16 #1 asked for: q277's smallest-vec_id seeds
+    * are deterministic but ARBITRARY (on a real 100 TB corpus the first K
+    * ids can land in one dense region and [[kmT]] Lloyd iterations never
+    * recover), while the repo already owns the exact deterministic spread
+    * seeder — Gonzalez farthest-point IS the limiting case of scalable
+    * k-means++ (Arthur & Vassilvitskii 2007 / Bahmani et al. 2012)
+    * seeding. Seed cid = greedy round, so cluster 0 is the min-vec_id
+    * seed and cluster t the t-th farthest pick; the Lloyd loop, update
+    * arithmetic and output shape are [[kmFitSeeded]]/q277's verbatim.
+    * R17OpsSpec asserts the point of the composition on the real corpus:
+    * the spread-seeded fit's SSE (q279's objective, recomputed against
+    * both fits) is ≤ the id-seeded one's.
+    *
+    * Distributed shape: q274's selection jobs (a handful of scan +
+    * TakeOrdered rounds, zero shuffle) + one ≤K-row vector fetch + q277's
+    * per-iteration broadcast-assign/65-aggregate jobs — nothing new
+    * crosses a shuffle; the driver still holds only K×64 ints. The seed
+    * selection runs on the DOUBLE domain with its own 1e9 quantization
+    * (q274's contract, bit-identical cross-engine), the fit on the
+    * shifted-integer domain (q277's) — the only bridge is the K seed
+    * vec_ids. */
+  val kmeansKcSeeded: Q = Q(
+    "q283_kmeans_kcenter_seeded",
+    (s, dir) => {
+      import s.implicits._
+      val seedIds = kcSelect(s, dir).map(_._1)
+      if (seedIds.isEmpty)
+        Seq.empty[(Long, Long, Long, Long)]
+          .toDF("cluster_id", "d", "centroid_q", "size_n")
+      else {
+        // ≤ K rows BY CONSTRUCTION (the q274 driver-state bound)
+        val byId = kmXq(s, dir)
+          .filter(col("vec_id").isin(seedIds: _*))
+          .select(col("vec_id"), col("xq")).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        val (cents, sizes) = kmFitSeeded(s, dir, seedIds.map(byId))
+        cents.indices.flatMap(c => (0 until 64).map(d =>
+          (c.toLong, d.toLong, cents(c)(d) - kmShift, sizes(c))))
+          .toDF("cluster_id", "d", "centroid_q", "size_n")
+      }
+    },
+    Some {
+      graft.OracleSql.materializeCtes(s"""WITH ${kcSelCtes("kc")},
+      ${kmCtesFrom(s"""seeds AS (
+        SELECT vec_id, CAST(round AS BIGINT) AS cid FROM kcsel
+      )""")}
+      SELECT c.cid AS cluster_id, CAST(c.d - 1 AS BIGINT) AS d,
+             CAST(c.cx - $kmShift AS BIGINT) AS centroid_q,
+             CAST(COALESCE(z.n, 0) AS BIGINT) AS size_n
+      FROM c$kmT c LEFT JOIN (SELECT cid, n FROM u$kmT WHERE d = 1) z
+        USING (cid)""")
+    })
+
   val all: Seq[Q] =
     Seq(embeddingNearDup, knnBruteForce, knnLsh, knnIvf, semDedup,
       mutualKnnClusters, hybridRrf, pqEncode, pqAdcTopK, ivfPqTopK,
       truncationRecall, annRecall, annRankQuality, hardNegatives, knnLabelNoise,
       embeddingStats, mmrRerank, annRbo, kcenterCoreset, kmeansCentroids,
-      clusterBalancedSample, clusterQuality)
+      clusterBalancedSample, clusterQuality, kmeansKcSeeded)
 }

@@ -1734,7 +1734,8 @@ class OpsSpec extends AnyFunSuite {
     val got = SparkEntry.queries("q163_dedup_report")(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got.keySet === Set("exact", "ngram_jaccard", "minhash_lsh",
-      "edit_distance", "setsim_ppjoin", "exactsubstr_13"))
+      "edit_distance", "setsim_ppjoin", "exactsubstr_13",
+      "exactsubstr_keepfirst_13"))
     val groups = SparkEntry.queries("q13_dedup_exact")(spark, sfDir).collect()
       .map(_.getLong(2)).filter(_ >= 2)
     assert(got("exact") === ((groups.map(k => k * (k - 1) / 2).sum, groups.map(_ - 1).sum)))
@@ -1753,6 +1754,11 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(got("exactsubstr_13") ===
       ((spans.length.toLong, spans.distinct.length.toLong)))
+    // the r17 policy row: same grain under keep-first
+    val kfSpans = SparkEntry.queries("q284_exactsubstr_keepfirst")(spark, sfDir)
+      .collect().map(_.getLong(0))
+    assert(got("exactsubstr_keepfirst_13") ===
+      ((kfSpans.length.toLong, kfSpans.distinct.length.toLong)))
   }
 
   test("q162 KWIC equals a driver context recompute") {
