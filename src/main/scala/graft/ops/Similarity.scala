@@ -1727,14 +1727,25 @@ object Similarity {
     sel.toSeq
   }
 
-  val kcenterCoreset: Q = Q(
-    "q274_kcenter_coreset",
-    (s, dir) => {
+  /** The PUBLISHED k-center selection — q274's output table, materialized
+    * once per (session, dir) under the PlanCache fingerprint discipline
+    * (r17): the selection is a deterministic function of the corpus, and
+    * both of its consumers (q274's report, q283's seeding) want the SAME
+    * table — computing the greedy per consumer is the report-suite
+    * anti-shape the q34 trained-quantizer artifact already retired for
+    * IVF. The builder runs the driver greedy once; the cached frame is a
+    * K-row local relation. */
+  private def kcSelTable(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(s, "q274_sel", dir, s"$dir/embeddings.parquet") {
       import s.implicits._
       kcSelect(s, dir).zipWithIndex
         .map { case ((id, lb, rad), rnd) => (rnd.toLong, id, lb, rad) }
         .toDF("round", "vec_id", "label", "radius2_q")
-    },
+    }
+
+  val kcenterCoreset: Q = Q(
+    "q274_kcenter_coreset",
+    (s, dir) => kcSelTable(s, dir),
     Some {
       graft.OracleSql.materializeCtes(s"""WITH ${kcSelCtes("")}
       SELECT CAST(s.round AS BIGINT) AS round, s.vec_id, e.label, s.radius2_q
@@ -1955,15 +1966,32 @@ object Similarity {
     * cross-engine and across parallelism geometries (FpStress member).
     * Output: the final centroid table in long form (cluster_id, d,
     * centroid_q, size_n) — [[kmK]]·64 rows. */
-  val kmeansCentroids: Q = Q(
-    "q277_kmeans_centroids",
-    (s, dir) => {
+  /** The PUBLISHED fit — q277's output table, materialized once per
+    * (session, dir) (r17): fit-once/consume-many is this stack's OWN
+    * contract (q281 serves arriving vectors against "the published fit",
+    * q278 samples it, q279 audits it), so the fit table is the artifact
+    * and every consumer reads it instead of re-running 4 Lloyd
+    * iterations per report. Staleness rides the PlanCache corpus
+    * fingerprint like every other shared frame. */
+  private[graft] def kmFitTable(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(s, "q277_fit", dir, s"$dir/embeddings.parquet") {
       import s.implicits._
       val (cents, sizes) = kmFit(s, dir)
       cents.indices.flatMap(c => (0 until 64).map(d =>
         (c.toLong, d.toLong, cents(c)(d) - kmShift, sizes(c))))
         .toDF("cluster_id", "d", "centroid_q", "size_n")
-    },
+    }
+
+  /** Shifted-domain centroid vectors read back from a published fit table
+    * (exact Long round-trip of the −[[kmShift]] the table applies). */
+  private[graft] def centsOfFit(fit: DataFrame): Seq[Seq[Long]] =
+    fit.collect().groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+      rs.sortBy(_.getLong(1)).map(_.getLong(2) + kmShift).toSeq
+    }
+
+  val kmeansCentroids: Q = Q(
+    "q277_kmeans_centroids",
+    (s, dir) => kmFitTable(s, dir),
     Some {
       graft.OracleSql.materializeCtes(s"""WITH $kmCtes
       SELECT c.cid AS cluster_id, CAST(c.d - 1 AS BIGINT) AS d,
@@ -1989,7 +2017,7 @@ object Similarity {
   val clusterBalancedSample: Q = Q(
     "q278_cluster_balanced_sample",
     (s, dir) => {
-      val (cents, _) = kmFit(s, dir)
+      val cents = centsOfFit(kmFitTable(s, dir))
       kmAssign(s, kmXq(s, dir), cents)
         .withColumn("draw", Md5Draw.draw(12, lit("kmsample"), col("vec_id")))
         .withColumn("rk", row_number().over(
@@ -2060,7 +2088,7 @@ object Similarity {
   val clusterQuality: Q = Q(
     "q279_cluster_quality",
     (s, dir) => {
-      val (cents, _) = kmFit(s, dir)
+      val cents = centsOfFit(kmFitTable(s, dir))
       val asg = kmAssign(s, kmXq(s, dir), cents)
       val base = asg.groupBy("cid").agg(count(lit(1)).as("size_n"),
         sum(col("mind2").cast("decimal(38,0)")).as("sse_dec"))
@@ -2137,9 +2165,13 @@ object Similarity {
     * vec_ids. */
   val kmeansKcSeeded: Q = Q(
     "q283_kmeans_kcenter_seeded",
-    (s, dir) => {
+    (s, dir) => graft.PlanCache.cached(s, "q283_fit", dir,
+      s"$dir/embeddings.parquet") {
       import s.implicits._
-      val seedIds = kcSelect(s, dir).map(_._1)
+      // seeds come from the PUBLISHED q274 selection table (one greedy
+      // run per corpus, shared with q274's own report)
+      val seedIds = kcSelTable(s, dir).orderBy(col("round").asc)
+        .collect().map(_.getLong(1)).toSeq
       if (seedIds.isEmpty)
         Seq.empty[(Long, Long, Long, Long)]
           .toDF("cluster_id", "d", "centroid_q", "size_n")

@@ -1120,7 +1120,8 @@ object StreamingSessions {
   val streamingKmeansAssign: Q = Q(
     "q281_streaming_kmeans_assign",
     (s, dir) => {
-      val cents = graft.ops.Similarity.kmFit(s, dir)._1
+      val cents = graft.ops.Similarity.centsOfFit(
+        graft.ops.Similarity.kmFitTable(s, dir))
       streamToArtifact(s, dir, "kmassign", "embeddings", { p =>
         s.readStream.schema(embSchema).parquet(p)
       }, mode = "append",
