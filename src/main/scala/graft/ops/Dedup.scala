@@ -1370,30 +1370,34 @@ object Dedup {
     * output is corpus-sized BY DEFINITION — it IS the rewritten corpus; at
     * 100 TB this runs as the write-side of the curation pass, one scan in,
     * one scan out, nothing pairwise anywhere. */
-  val exactSubstrClean: Q = Q(
-    "q282_exactsubstr_clean",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      val toks = docs.select(col("doc_id"),
-        posexplode(col("ws")).as(Seq("pos", "w")))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("w"))
-      val rem = exactSubstrSpanRows(s, dir).select(col("doc_id"),
-        explode(expr("sequence(span_start, span_end - 1)")).as("pos"))
-      val agg = toks.join(rem, Seq("doc_id", "pos"), "left_anti")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_after"),
-          array_join(transform(
-            array_sort(collect_list(struct(col("pos"), col("w")))),
-            x => x.getField("w")), " ").as("clean_text"))
-      docs.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens_before"))
-        .join(agg, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens_before"),
-          coalesce(col("n_after"), lit(0L)).as("n_tokens_after"),
-          coalesce(col("clean_text"), lit("")).as("clean_text"))
-    },
-    Some(s"""WITH sp AS (
-        ${exactSubstrSpans.oracle.get}
+  /** The rewrite pass shared by q282 (delete-all spans) and q285
+    * (keep-first spans): excise `spans`' token ranges from every document
+    * and re-assemble. See q282's scaladoc for the distributed shape. */
+  private def esCleanFrom(s: SparkSession, dir: String,
+      spans: DataFrame): DataFrame = {
+    val docs = docWords(s, dir).select(col("doc_id"), col("w").as("ws"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(col("ws")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("w"))
+    val rem = spans.select(col("doc_id"),
+      explode(expr("sequence(span_start, span_end - 1)")).as("pos"))
+    val agg = toks.join(rem, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_after"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("clean_text"))
+    docs.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens_before"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_tokens_after"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** The matching DuckDB rewrite chain over a span CTE named `sp`. */
+  private def esCleanSql(spSql: String): String =
+    s"""WITH sp AS (
+        $spSql
       ), d AS (
         SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       ), toks AS (
@@ -1413,7 +1417,12 @@ object Dedup {
       SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tokens_before,
              CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_tokens_after,
              COALESCE(a.clean_text, '') AS clean_text
-      FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id"""))
+      FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
+
+  val exactSubstrClean: Q = Q(
+    "q282_exactsubstr_clean",
+    (s, dir) => esCleanFrom(s, dir, exactSubstrSpanRows(s, dir)),
+    Some(esCleanSql(exactSubstrSpans.oracle.get)))
 
   /** q284: ExactSubstr KEEP-FIRST-OCCURRENCE policy (VERDICT r16 "what's
     * missing" #3): q276/q282 excise EVERY copy of a duplicated span — the
@@ -1483,6 +1492,32 @@ object Dedup {
              CAST(MAX(pos) + $esK - MIN(pos) AS BIGINT) AS span_tokens,
              CAST(count(1) AS BIGINT) AS n_grams
       FROM isl2 GROUP BY doc_id, island"""))
+
+  /** One materialized copy of q284's keep-first span table per (session,
+    * dir) — the cache key matches q163's `mat("exactsubstr_keepfirst")`
+    * entry, so the report and the rewrite share one materialization
+    * exactly as q276's table is shared via `q163_exactsubstr`. */
+  private def exactSubstrKeepFirstRows(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(s, "q163_exactsubstr_keepfirst", dir,
+      s"$dir/documents.parquet")(exactSubstrKeepFirst.run(s, dir))
+
+  /** q285: the keep-first REWRITE — q282's cleaning pass under q284's
+    * policy, completing the policy matrix (detect: q276/q284; report:
+    * q280; rewrite: q282 delete-all / q285 keep-first). The output corpus
+    * retains exactly one copy of every duplicated ≥[[esK]]-token region
+    * at the gram grain: the globally-first occurrence survives in place,
+    * later copies are excised — dedup, not deletion. An identical-doc
+    * pair comes back with the min-doc_id copy byte-identical and the
+    * other cleaned; R17OpsSpec pins that plus the two-sided mass bound
+    * (removed mass = q284's span mass ≤ q282's removed mass).
+    *
+    * Distributed shape: identical to q282 (one position explode, one
+    * (doc,pos) anti-join, per-doc re-assembly) against the PlanCache'd
+    * q284 span table — nothing beyond the shared chains runs. */
+  val exactSubstrKeepFirstClean: Q = Q(
+    "q285_exactsubstr_keepfirst_clean",
+    (s, dir) => esCleanFrom(s, dir, exactSubstrKeepFirstRows(s, dir)),
+    Some(esCleanSql(exactSubstrKeepFirst.oracle.get)))
 
   // ---- q163: dedup method report card --------------------------------------
   /** q163: the side-by-side report a pipeline owner reads before choosing a
@@ -2343,9 +2378,13 @@ object Dedup {
           .join(eligible.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
           .join(eligible.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
           .distinct()
-        cand.agg(count(lit(1)).as("n_cand")).crossJoin(
-          cand.join(truth, Seq("doc_a", "doc_b"))
-            .agg(count(lit(1)).as("n_hit")))
+        // one pass per generator (r17): a left join against the persisted
+        // truth carries a hit flag, so n_cand and n_hit come out of ONE
+        // aggregate — the former two-agg crossJoin evaluated the whole
+        // candidate join twice per method (6 evaluations for 3 grades)
+        cand.join(truth.withColumn("hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
+          .agg(count(lit(1)).as("n_cand"),
+            coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
           .select(lit(name).as("method"), col("n_cand"), col("n_hit"))
       }
       val universe = eligible.agg(count(lit(1)).as("nu"))
@@ -3205,5 +3244,5 @@ object Dedup {
       sortedNeighborhood, minhashEstimatorError, blockingQuality,
       simhashBitBalance, tfidfCosine, fsLinkage, emLinkage, maxCoverSelect,
       exactSubstrSpans, exactSubstrImpact, exactSubstrClean,
-      exactSubstrKeepFirst)
+      exactSubstrKeepFirst, exactSubstrKeepFirstClean)
 }

@@ -187,6 +187,41 @@ class R17OpsSpec extends AnyFunSuite {
     assert(kf.toSeq === Seq((9L, 0L, 20L)))
   }
 
+  test("q285 keep-first rewrite removes exactly q284's mass, never more than q282") {
+    val dir = sfDir
+    def removed(q: String): Long =
+      SparkEntry.queries(q)(spark, dir).collect()
+        .map(r => r.getLong(1) - r.getLong(2)).sum
+    val spanMass284 = SparkEntry.queries("q284_exactsubstr_keepfirst")(spark, dir)
+      .collect().map(_.getLong(3)).sum
+    val rem285 = removed("q285_exactsubstr_keepfirst_clean")
+    // disjoint maximal spans ⇒ removed mass IS the span mass; and the
+    // keep-first policy can never excise more than delete-all does
+    assert(rem285 === spanMass284)
+    assert(rem285 <= removed("q282_exactsubstr_clean"))
+    assert(rem285 > 0L)
+  }
+
+  test("q285 keeps the min-doc_id copy of an identical pair byte-identical") {
+    import spark.implicits._
+    val shared = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((5L, shared), (9L, shared), (7L, "completely different words"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = tmpSfDir(documents = Some(docs))
+    val out = SparkEntry.queries("q285_exactsubstr_keepfirst_clean")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(5L) === ((20L, 20L, shared))) // first occurrence survives intact
+    assert(out(9L) === ((20L, 0L, "")))      // later copy fully excised
+    assert(out(7L)._1 === out(7L)._2)        // untouched doc round-trips
+    // contrast with delete-all: q282 empties BOTH copies
+    val da = SparkEntry.queries("q282_exactsubstr_clean")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(da(5L) === 0L && da(9L) === 0L)
+  }
+
   test("q265 returns an empty frame (not a crash) on empty and single-day events") {
     import spark.implicits._
     val cols = Seq("n_days", "n_pairs", "slope_num", "slope_den", "slope",
