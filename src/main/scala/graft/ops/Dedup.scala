@@ -1370,12 +1370,14 @@ object Dedup {
     * output is corpus-sized BY DEFINITION — it IS the rewritten corpus; at
     * 100 TB this runs as the write-side of the curation pass, one scan in,
     * one scan out, nothing pairwise anywhere. */
-  /** The rewrite pass shared by q282 (delete-all spans) and q285
-    * (keep-first spans): excise `spans`' token ranges from every document
-    * and re-assemble. See q282's scaladoc for the distributed shape. */
+  /** The rewrite pass shared by q282 (delete-all spans), q285 (keep-first
+    * spans) and q287 (decontamination spans over the train slice): excise
+    * `spans`' token ranges from every document passing `docFilter` and
+    * re-assemble. See q282's scaladoc for the distributed shape. */
   private def esCleanFrom(s: SparkSession, dir: String,
-      spans: DataFrame): DataFrame = {
-    val docs = docWords(s, dir).select(col("doc_id"), col("w").as("ws"))
+      spans: DataFrame, docFilter: Column = lit(true)): DataFrame = {
+    val docs = docWords(s, dir).filter(docFilter)
+      .select(col("doc_id"), col("w").as("ws"))
     val toks = docs.select(col("doc_id"),
       posexplode(col("ws")).as(Seq("pos", "w")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("w"))
@@ -1394,12 +1396,13 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
-  /** The matching DuckDB rewrite chain over a span CTE named `sp`. */
-  private def esCleanSql(spSql: String): String =
+  /** The matching DuckDB rewrite chain over a span CTE named `sp`;
+    * `docWhere` restricts the rewritten universe (q287's train slice). */
+  private def esCleanSql(spSql: String, docWhere: String = ""): String =
     s"""WITH sp AS (
         $spSql
       ), d AS (
-        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents$docWhere
       ), toks AS (
         SELECT doc_id, i - 1 AS pos, ws[i] AS w
         FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM d)
@@ -1518,6 +1521,87 @@ object Dedup {
     "q285_exactsubstr_keepfirst_clean",
     (s, dir) => esCleanFrom(s, dir, exactSubstrKeepFirstRows(s, dir)),
     Some(esCleanSql(exactSubstrKeepFirst.oracle.get)))
+
+  /** q286: span-grain EVAL-SET decontamination — the removal-based
+    * benchmark decontamination the published pipelines actually run
+    * (GPT-3 appendix C / Lee et al. 2022 run ExactSubstr against the
+    * benchmarks; PaLM/Llama report the same n-gram-window removal),
+    * where q51 only FLAGS contaminated documents at the 5-gram grain:
+    * for every TRAIN document (q51's universe, doc_id % evalMod ≠ 0),
+    * the maximal spans of ≥ [[esK]] consecutive tokens whose text occurs
+    * anywhere in the EVAL slice (doc_id % evalMod = 0). Same island
+    * algebra as q276, different duplication predicate — membership in
+    * the eval gram set instead of corpus-wide df ≥ 2.
+    *
+    * Distributed shape: BETTER than q276 at 100 TB — the eval side is
+    * small by construction (q51's broadcast argument), so the eval gram
+    * set broadcasts and the corpus streams ONCE through a broadcast semi
+    * join + per-doc island merge: zero corpus-wide shuffles (q276 needs
+    * its one df-count shuffle; this needs none). */
+  val decontamSpans: Q = Q(
+    "q286_decontam_spans",
+    (s, dir) => {
+      val kg = esKgrams(s, dir)
+      val evalGrams = kg.filter(col("doc_id") % CorpusOps.evalMod === 0)
+        .select("h").distinct()
+      esIslands(kg.filter(col("doc_id") % CorpusOps.evalMod =!= 0)
+        .join(broadcast(evalGrams), Seq("h"), "left_semi")
+        .select("doc_id", "pos"))
+    },
+    Some(s"""WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE len(string_split(text, ' ')) >= $esK
+      ), kg AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(ws[i : i + ${esK - 1}], ' ')) AS h
+        FROM (SELECT doc_id, ws,
+                     unnest(range(1, len(ws) - ${esK - 2})) AS i
+              FROM d)
+      ), ev AS (
+        SELECT DISTINCT h FROM kg WHERE doc_id % ${CorpusOps.evalMod} = 0
+      ), mk AS (
+        SELECT doc_id, pos FROM (
+          SELECT kg.doc_id, kg.pos FROM kg SEMI JOIN ev USING (h)
+          WHERE kg.doc_id % ${CorpusOps.evalMod} <> 0)
+      ), isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         <= $esK
+                    THEN 0 ELSE 1 END AS brk
+        FROM mk
+      ), isl2 AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl
+      )
+      SELECT doc_id,
+             CAST(MIN(pos) AS BIGINT) AS span_start,
+             CAST(MAX(pos) + $esK AS BIGINT) AS span_end,
+             CAST(MAX(pos) + $esK - MIN(pos) AS BIGINT) AS span_tokens,
+             CAST(count(1) AS BIGINT) AS n_grams
+      FROM isl2 GROUP BY doc_id, island"""))
+
+  /** One materialized copy of q286's span table per (session, dir) —
+    * consumed by the q287 rewrite. */
+  private def decontamSpanRows(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(s, "q286_spans", dir,
+      s"$dir/documents.parquet")(decontamSpans.run(s, dir))
+
+  /** q287: the DECONTAMINATED TRAINING CORPUS — q282's rewrite chain
+    * driven by q286's contamination spans over the train slice only:
+    * every train document with its eval-overlapping ≥[[esK]]-token spans
+    * excised, before/after counts alongside. This is the artifact a
+    * training run actually consumes (q51 tells you HOW BAD it is, q286
+    * WHERE it is, q287 is the corpus with it gone); eval documents are
+    * not part of the output by definition. Same one-scan-in/one-scan-out
+    * shape as q282/q285. */
+  val decontamClean: Q = Q(
+    "q287_decontam_clean",
+    (s, dir) => esCleanFrom(s, dir, decontamSpanRows(s, dir),
+      col("doc_id") % CorpusOps.evalMod =!= 0),
+    Some(esCleanSql(decontamSpans.oracle.get,
+      s" WHERE doc_id % ${CorpusOps.evalMod} <> 0")))
 
   // ---- q163: dedup method report card --------------------------------------
   /** q163: the side-by-side report a pipeline owner reads before choosing a
@@ -3244,5 +3328,6 @@ object Dedup {
       sortedNeighborhood, minhashEstimatorError, blockingQuality,
       simhashBitBalance, tfidfCosine, fsLinkage, emLinkage, maxCoverSelect,
       exactSubstrSpans, exactSubstrImpact, exactSubstrClean,
-      exactSubstrKeepFirst, exactSubstrKeepFirstClean)
+      exactSubstrKeepFirst, exactSubstrKeepFirstClean,
+      decontamSpans, decontamClean)
 }

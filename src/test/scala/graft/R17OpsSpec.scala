@@ -222,6 +222,43 @@ class R17OpsSpec extends AnyFunSuite {
     assert(da(5L) === 0L && da(9L) === 0L)
   }
 
+  test("q286/q287 excise exactly the eval-overlapping span from a planted train doc") {
+    import spark.implicits._
+    // doc 20 is EVAL (doc_id % 20 == 0); doc 21 embeds 15 of its tokens
+    // (one maximal contaminated span); doc 23 shares nothing
+    val evalTokens = (1 to 15).map(i => s"ev$i")
+    val evalDoc = ("pre " * 0) + evalTokens.mkString(" ") + " post extra tail"
+    val trainHit = "lead in words " + evalTokens.mkString(" ") + " trailing clean words"
+    val docs = Seq((20L, evalDoc), (21L, trainHit),
+      (23L, (1 to 20).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = tmpSfDir(documents = Some(docs))
+    val spans = SparkEntry.queries("q286_decontam_spans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // only the train doc is spanned, exactly over the 15 planted tokens
+    // (positions 3..17 inside trainHit)
+    assert(spans.toSeq === Seq((21L, 3L, 18L)))
+    val out = SparkEntry.queries("q287_decontam_clean")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(!out.contains(20L)) // eval docs are not part of the train corpus
+    assert(out(21L)._2 === out(21L)._1 - 15L)
+    assert(out(21L)._3 === "lead in words trailing clean words")
+    assert(out(23L)._1 === out(23L)._2) // untouched train doc round-trips
+  }
+
+  test("q287 removed mass equals q286's span mass on the real corpus") {
+    val dir = sfDir
+    val spanMass = SparkEntry.queries("q286_decontam_spans")(spark, dir)
+      .collect().map(_.getLong(3)).sum
+    val removed = SparkEntry.queries("q287_decontam_clean")(spark, dir)
+      .collect().map(r => r.getLong(1) - r.getLong(2)).sum
+    assert(removed === spanMass)
+    assert(spanMass > 0L, "fixture corpus should contain some contamination")
+  }
+
   test("q265 returns an empty frame (not a crash) on empty and single-day events") {
     import spark.implicits._
     val cols = Seq("n_days", "n_pairs", "slope_num", "slope_den", "slope",
