@@ -92,6 +92,20 @@ class BenchSpec extends AnyFunSuite {
     assert(summary.contains("\"rewarm_max\":{\"q14_pairs\":0.42}"), summary)
   }
 
+  test("regression alarm adds the recorded warm-suite delta to isolated pins") {
+    // r17 (VERDICT r16 #4): q113/q148/q237 are pinned from ISOLATED quiet
+    // readings; the warm:<query> entry widens only their band so the
+    // sensitive pin doesn't fire permanently inside a warm suite
+    val pins = Map("q_iso" -> 1.0, "warm:q_iso" -> 0.9, "q_plain" -> 1.0)
+    val rs = Seq(Bench.QResult("q_iso", 3.7, None),
+      Bench.QResult("q_plain", 3.7, None))
+    // q_iso band = 2*(1.0+0.9) = 3.8 -> quiet at 3.7; q_plain band = 2.0
+    assert(Bench.regressions(rs, pins).map(_._1) === Seq("q_plain"))
+    // past the widened band the alarm still fires, reporting the BASE pin
+    val rs2 = Seq(Bench.QResult("q_iso", 3.9, None))
+    assert(Bench.regressions(rs2, pins) === Seq(("q_iso", 3.9, 1.0)))
+  }
+
   test("total_confirmed substitutes confirm readings; -1 confirms never substitute") {
     val rs = Seq(
       Bench.QResult("q_slow", 9.73, None),   // breached; confirm 1.42
