@@ -1538,16 +1538,44 @@ object Dedup {
     * set broadcasts and the corpus streams ONCE through a broadcast semi
     * join + per-doc island merge: zero corpus-wide shuffles (q276 needs
     * its one df-count shuffle; this needs none). */
+  /** [[esKgrams]] over an arbitrary (doc_id, text) frame — the stream-side
+    * gram explode (q289 cannot read the PlanCache'd words projection: its
+    * input is the arriving micro-batch). */
+  private[graft] def esKgramsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= esK)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(ws) - $esK), " +
+          s"i -> md5(array_join(slice(ws, i + 1, $esK), ' ')))"))
+        .as(Seq("pos", "h")))
+
+  /** The eval-slice gram set (doc_id % evalMod = 0), from the BATCH table —
+    * the static side of both q286 and q289's stream-static gate. */
+  private[graft] def evalGramSet(s: SparkSession, dir: String): DataFrame =
+    esKgrams(s, dir).filter(col("doc_id") % CorpusOps.evalMod === 0)
+      .select("h").distinct()
+
+  /** Restrict a documents-shaped frame to the TRAIN slice (q51's eval
+    * membership convention) — exported for q289's micro-batch filter. */
+  private[graft] def trainSliceOf(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % CorpusOps.evalMod =!= 0)
+
+  /** q286's span chain over an arbitrary train-doc k-gram frame — shared
+    * verbatim by the batch query and q289's per-micro-batch transform
+    * (span membership depends only on the doc's own text and the STATIC
+    * eval gram set, so batching cannot change a row — the q281 argument). */
+  private[graft] def decontamSpansOf(trainKg: DataFrame,
+      evalGrams: DataFrame): DataFrame =
+    esIslands(trainKg
+      .join(broadcast(evalGrams), Seq("h"), "left_semi")
+      .select("doc_id", "pos"))
+
   val decontamSpans: Q = Q(
     "q286_decontam_spans",
-    (s, dir) => {
-      val kg = esKgrams(s, dir)
-      val evalGrams = kg.filter(col("doc_id") % CorpusOps.evalMod === 0)
-        .select("h").distinct()
-      esIslands(kg.filter(col("doc_id") % CorpusOps.evalMod =!= 0)
-        .join(broadcast(evalGrams), Seq("h"), "left_semi")
-        .select("doc_id", "pos"))
-    },
+    (s, dir) => decontamSpansOf(
+      esKgrams(s, dir).filter(col("doc_id") % CorpusOps.evalMod =!= 0),
+      evalGramSet(s, dir)),
     Some(s"""WITH d AS (
         SELECT doc_id, string_split(text, ' ') AS ws FROM documents
         WHERE len(string_split(text, ' ')) >= $esK
@@ -1602,6 +1630,63 @@ object Dedup {
       col("doc_id") % CorpusOps.evalMod =!= 0),
     Some(esCleanSql(decontamSpans.oracle.get,
       s" WHERE doc_id % ${CorpusOps.evalMod} <> 0")))
+
+  /** q288: contamination impact report — q280's go/no-go summary for the
+    * decontamination stack: per source, the TRAIN-doc count, how many
+    * train docs carry ≥1 eval-overlapping span, the removable token mass
+    * (exact — q286's maximal spans are disjoint), the train token mass,
+    * and the contamination ppm. This is the number a pipeline owner reads
+    * next to q51's flag rate before enabling span removal: q51 says "9%
+    * of docs touch the eval set SOMEWHERE at the 5-gram grain", q288 says
+    * "removing the actual ≥13-token overlaps costs N ppm of training
+    * tokens". Ppm numerators ride DECIMAL(38,0)/HUGEINT (the q273
+    * discipline); every reported column is BIGINT.
+    *
+    * Distributed shape: a per-doc roll-up of the materialized q286 span
+    * table left-joined onto the train-doc projection, then a per-source
+    * aggregate — q280's chain verbatim, restricted to the train slice. */
+  val decontamImpact: Q = Q(
+    "q288_decontam_impact",
+    (s, dir) => {
+      val spans = decontamSpanRows(s, dir)
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") % CorpusOps.evalMod =!= 0)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("nw"))
+      val perDoc = spans.groupBy("doc_id")
+        .agg(sum("span_tokens").as("contam_tokens"), count(lit(1)).as("n_spans"))
+      docs.join(perDoc, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_train_docs"),
+          sum(when(col("n_spans").isNotNull, 1L).otherwise(0L))
+            .as("n_docs_contaminated"),
+          sum(coalesce(col("contam_tokens"), lit(0L))).as("contam_tokens"),
+          sum(col("nw")).as("train_tokens"))
+        .select(col("source"), col("n_train_docs"), col("n_docs_contaminated"),
+          col("contam_tokens"), col("train_tokens"),
+          expr("CAST(CAST(contam_tokens AS DECIMAL(38,0)) * 1000000" +
+            " DIV train_tokens AS BIGINT)").as("contam_ppm"))
+    },
+    Some(s"""WITH sp AS (
+        ${decontamSpans.oracle.get}
+      ), d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+        FROM documents WHERE doc_id % ${CorpusOps.evalMod} <> 0
+      ), pd AS (
+        SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS contam_tokens,
+               CAST(count(1) AS BIGINT) AS n_spans
+        FROM sp GROUP BY doc_id
+      )
+      SELECT d.source, CAST(count(1) AS BIGINT) AS n_train_docs,
+             CAST(SUM(CASE WHEN pd.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_docs_contaminated,
+             CAST(SUM(COALESCE(pd.contam_tokens, 0)) AS BIGINT) AS contam_tokens,
+             CAST(SUM(d.nw) AS BIGINT) AS train_tokens,
+             CAST(CAST(SUM(COALESCE(pd.contam_tokens, 0)) AS HUGEINT) * 1000000
+               // SUM(d.nw) AS BIGINT) AS contam_ppm
+      FROM d LEFT JOIN pd USING (doc_id)
+      GROUP BY d.source"""))
 
   // ---- q163: dedup method report card --------------------------------------
   /** q163: the side-by-side report a pipeline owner reads before choosing a
@@ -3329,5 +3414,5 @@ object Dedup {
       simhashBitBalance, tfidfCosine, fsLinkage, emLinkage, maxCoverSelect,
       exactSubstrSpans, exactSubstrImpact, exactSubstrClean,
       exactSubstrKeepFirst, exactSubstrKeepFirstClean,
-      decontamSpans, decontamClean)
+      decontamSpans, decontamClean, decontamImpact)
 }

@@ -1134,11 +1134,38 @@ object StreamingSessions {
     },
     Some(graft.ops.Similarity.kmeansAssignOracle))
 
+  /** q289: streaming span-grain decontamination gate — q286 as the
+    * always-on INGEST check (the production placement: benchmark overlap
+    * is caught when a document ARRIVES, not in a quarterly batch sweep):
+    * arriving documents stream through the q286 span chain VERBATIM
+    * (`Dedup.decontamSpansOf` over `esKgramsOf` of each micro-batch,
+    * train slice only) against the STATIC eval gram set. A document's
+    * spans depend only on its own text and that static set — row-local
+    * at doc granularity — so arrival batching provably cannot change any
+    * output row and the appended micro-batches union to exactly the
+    * batch q286 table; the oracle is q286's verbatim (the q281
+    * batch-replay contract). Per-batch state: none (the gate is
+    * stateless); the static side is the broadcast eval gram set. */
+  val streamingDecontamGate: Q = Q(
+    "q289_streaming_decontam_gate",
+    (s, dir) => {
+      val evalGrams = graft.ops.Dedup.evalGramSet(s, dir)
+      streamToArtifact(s, dir, "decontam", "documents", { p =>
+        s.readStream.schema(docsSchema).parquet(p)
+      }, mode = "append",
+        batchTransform = b =>
+          graft.ops.Dedup.decontamSpansOf(
+            graft.ops.Dedup.esKgramsOf(graft.ops.Dedup.trainSliceOf(b)),
+            evalGrams),
+        splitSourceFiles = 4)
+    },
+    Some(graft.ops.Dedup.decontamSpans.oracle.get))
+
   val all: Seq[Q] =
     Seq(streamingSessions, streamingDedup, streamingHopping,
       streamingIntervalJoin, streamingOuterJoin, streamingQuota,
       streamingEnrich, streamingUpsert, streamingWmDedup, streamingDupRate,
       streamingLshRegistry, streamingHll, streamingCountMin, streamingKmv,
       streamingAnnProbe, streamingPrioritySample, streamingFsLinkage,
-      streamingSampleQuantiles, streamingKmeansAssign)
+      streamingSampleQuantiles, streamingKmeansAssign, streamingDecontamGate)
 }

@@ -259,6 +259,22 @@ class R17OpsSpec extends AnyFunSuite {
     assert(spanMass > 0L, "fixture corpus should contain some contamination")
   }
 
+  test("q288 impact report reconciles with q286's span table") {
+    val dir = sfDir
+    val spans = SparkEntry.queries("q286_decontam_spans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    val imp = SparkEntry.queries("q288_decontam_impact")(spark, dir).collect()
+    // contamination mass and hit-doc count roll up exactly
+    assert(imp.map(_.getLong(3)).sum === spans.map(_._2).sum)
+    assert(imp.map(_.getLong(2)).sum === spans.map(_._1).distinct.length.toLong)
+    // the denominator is the TRAIN slice only, and ppm is the exact
+    // integer division of the two reported columns
+    imp.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2))
+      assert(r.getLong(5) === r.getLong(3) * 1000000L / r.getLong(4))
+    }
+  }
+
   test("q265 returns an empty frame (not a crash) on empty and single-day events") {
     import spark.implicits._
     val cols = Seq("n_days", "n_pairs", "slope_num", "slope_den", "slope",

@@ -377,6 +377,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("q289 streamed decontam gate equals batch q286 span for span") {
+    // The ingest-gate contract: a document's contamination spans depend
+    // only on its own text and the STATIC eval gram set, so the appended
+    // union over 4 real micro-batches must equal the batch q286 table.
+    // exceptAll both ways = set equality.
+    val streamed = SparkEntry.queries("q289_streaming_decontam_gate")(spark, sfDir)
+    val batch = SparkEntry.queries("q286_decontam_spans")(spark, sfDir)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    assert(batch.count() > 0, "fixture corpus should contain contamination")
+  }
+
   test("q269 streamed quantile summary equals the batch sample (5th summary)") {
     // Parity by shared stages: the streamed priority_topk summary, driven
     // over 4 real micro-batches, must hold EXACTLY the batch bottom-k by
