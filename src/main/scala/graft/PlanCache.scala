@@ -74,26 +74,28 @@ object PlanCache {
     }
   }
 
-  /** The persisted frame for (name, dir), built via `build` on first use or
-    * when `dir`'s backing files changed since the cached copy was built. */
-  def cached(s: SparkSession, name: String, dir: String, fingerprintPath: String)
-      (build: => DataFrame): DataFrame = {
-    // The fingerprint is a recursive filesystem-metadata walk (for qa_*
-    // entries, over the whole sf dir) — run it OUTSIDE the global lock so
-    // concurrent query threads don't serialize on FS round-trips on cache
-    // hits. The lock-free value is trusted only for a pure HIT (entry fp
-    // matches). Any install path re-fingerprints INSIDE the lock: a thread
-    // that stalled between walk and lock would otherwise install an entry
-    // tagged with its stale fp but built (lazily) from the newer files —
-    // unpersisting a fresher entry out from under its consumers, and
-    // serving wrong data to a later caller whose files really do match the
-    // stale fp.
-    val fp = ops.Artifacts.fingerprint(s, fingerprintPath)
+  /** Per-key build monitors: `build` thunks run holding ONLY their own
+    * key's lock (single-flight per entry), never the PlanCache object
+    * monitor — some builders (q274_sel / q277_fit / q283_fit) execute a
+    * full driver-side greedy selection or Lloyd fit (many collect() jobs,
+    * seconds of wall clock), and evaluating those under the global lock
+    * stalled every concurrent PlanCache consumer (streaming micro-batch
+    * threads, parallel verify sessions) for the whole fit (ADVICE r17).
+    * Builders recurse into OTHER entries (q283_fit → q277_xq) — the
+    * dependency graph is a DAG keyed by distinct names, so keyed locks
+    * cannot cycle. */
+  private val buildLocks =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String, String), Object]()
+
+  /** Serve (and self-heal) the installed entry for `key` iff its
+    * fingerprint is `fp`; None on miss/stale. Holds the object monitor
+    * only for the map probe and re-persist. */
+  private def hit(key: (SparkSession, String, String), fp: Long): Option[DataFrame] =
     synchronized {
-      // entries of stopped sessions are unusable; drop them so the map stays
+      // entries of stopped sessions are unusable; drop them so the maps stay
       // bounded by live sessions × queries × dirs
       entries.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
-      val key = (s, name, dir)
+      buildLocks.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
       entries.get(key) match {
         case Some(e) if e.fp == fp =>
           // self-heal: CacheManager uncaches by canonicalized plan, so an
@@ -102,25 +104,46 @@ object PlanCache {
           // entry out from under us — re-persist rather than silently
           // recomputing per action forever
           if (e.df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-            recordSelfHeal(name); e.df.persist()
+            recordSelfHeal(key._2); e.df.persist()
           }
-          e.df
-        case prior =>
-          val freshFp = ops.Artifacts.fingerprint(s, fingerprintPath)
-          prior match {
-            case Some(e) if e.fp == freshFp =>
-              // our lock-free fp was the stale one; the installed entry is
-              // current — serve it untouched
-              if (e.df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-                recordSelfHeal(name); e.df.persist()
-              }
-              e.df
-            case _ =>
-              prior.foreach(_.df.unpersist())
-              val df = build.persist()
-              entries.put(key, Entry(freshFp, df))
-              df
+          Some(e.df)
+        case _ => None
+      }
+    }
+
+  /** The persisted frame for (name, dir), built via `build` on first use or
+    * when `dir`'s backing files changed since the cached copy was built. */
+  def cached(s: SparkSession, name: String, dir: String, fingerprintPath: String)
+      (build: => DataFrame): DataFrame = {
+    // The fingerprint is a recursive filesystem-metadata walk (for qa_*
+    // entries, over the whole sf dir) — run it with no lock held so
+    // concurrent query threads don't serialize on FS round-trips on cache
+    // hits. The lock-free value is trusted only for a pure HIT (entry fp
+    // matches); the install path below re-walks under its key lock.
+    val key = (s, name, dir)
+    hit(key, ops.Artifacts.fingerprint(s, fingerprintPath)) getOrElse {
+      val kl = buildLocks.getOrElseUpdate(key, new Object)
+      kl.synchronized {
+        // re-probe: the thread that held the key lock ahead of us usually
+        // installed exactly the entry we came to build
+        val fpPre = ops.Artifacts.fingerprint(s, fingerprintPath)
+        hit(key, fpPre) getOrElse {
+          val df = build // expensive: collect-driven fits run HERE, holding
+                         // only this entry's key lock
+          synchronized {
+            // Tag with the PRE-build fingerprint: if the backing files
+            // changed while `build` ran, a driver-computed (localized)
+            // frame has the OLD data baked in — fpPre ≠ the files' current
+            // walk, so the very next access sees a stale entry and
+            // rebuilds. Tagging with a post-build walk would serve that
+            // baked stale frame as if fresh (the r17 stale-fp hazard,
+            // inverted for localized builders).
+            entries.get(key).foreach(_.df.unpersist())
+            val p = df.persist()
+            entries.put(key, Entry(fpPre, p))
+            p
           }
+        }
       }
     }
   }

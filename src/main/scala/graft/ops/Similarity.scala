@@ -1819,10 +1819,13 @@ object Similarity {
   /** Quantization scale AND domain shift for the k-means integer
     * arithmetic: coordinates become floor(x·10⁶)+10⁶ — exact BIGINTs, and
     * non-negative for these embeddings (|x| < 1; the uniform shift cancels
-    * in every distance). The centroid update no longer DEPENDS on the
-    * non-negativity: it divides with Math.floorDiv, which equals DuckDB's
-    * `//` for all operands (ADVICE r16 — truncate-toward-zero '/' only
-    * matched on the non-negative domain). */
+    * in every distance). The centroid update divides with truncating Long
+    * '/', which is DuckDB 1.0.0's `//` semantics on integer types for ALL
+    * operands (verified empirically: BIGINT/HUGEINT `-7 // 2 = -3`; `//`
+    * floors only on FLOAT/DOUBLE, and the oracle's SUM(BIGINT)//count is
+    * HUGEINT division). ADVICE r17: the r16 advice's "`//` floors"
+    * premise was false for integers — the floorDiv it prompted was the
+    * divergence; truncation matches on negative domains too. */
   private val kmShift = 1000000L
 
   /** The quantization projection over any embeddings-shaped frame —
@@ -1866,7 +1869,7 @@ object Similarity {
     * job — assignment (broadcast centroids, zero shuffle) feeding a
     * map-side-combined 65-aggregate groupBy (count + 64 per-dim sums →
     * ≤ kmK rows shuffled); the driver holds only the kmK×64 centroid
-    * table (the q34 codebook-sized collect) and floor-divides the sums.
+    * table (the q34 codebook-sized collect) and integer-divides the sums.
     * An empty cluster carries its centroid forward (both engines).
     * Returns (final centroids, final sizes), shifted domain. Per-dim sums
     * stay under 2⁶³ to ~4.6·10¹² vectors per cluster — beyond any corpus
@@ -1877,13 +1880,13 @@ object Similarity {
       .collect().map(_.getSeq[Long](2)).toSeq)
 
   /** The Lloyd loop itself, seed-agnostic (q277 seeds by smallest vec_id,
-    * q283 by q274's k-center greedy). Centroid division is
-    * Math.floorDiv — the oracle's `//` floors for ALL operands (ADVICE
-    * r16: plain Long '/' truncates toward zero, so parity formerly rested
-    * on the undocumented |x| ≤ 1 shifted-domain assumption; floorDiv
-    * retires the assumption — a component < −1 now produces the SAME
-    * negative shifted coordinate on both engines instead of a silent
-    * divergence). */
+    * q283 by q274's k-center greedy). Centroid division is truncating
+    * Long '/' — identical to the oracle's integer `//` (DuckDB truncates
+    * toward zero on BIGINT/HUGEINT; see [[kmShift]]'s scaladoc and the
+    * R17OpsSpec negative-coordinate fixture, whose expected centroid was
+    * cross-checked against DuckDB 1.0.0 running the exact q277 oracle CTE
+    * chain on the same fixture). A component < −1 yields the SAME
+    * negative shifted coordinate on both engines under truncation. */
   private[graft] def kmFitSeeded(s: SparkSession, dir: String,
       seeds: Seq[Seq[Long]]): (Seq[Seq[Long]], Seq[Long]) = {
     val xq = kmXq(s, dir)
@@ -1901,7 +1904,7 @@ object Similarity {
         byCid.get(c.toLong) match {
           case Some(r) =>
             val n = r.getLong(1)
-            Seq.tabulate(64)(d => Math.floorDiv(r.getLong(2 + d), n))
+            Seq.tabulate(64)(d => r.getLong(2 + d) / n)
           case None => cents(c)
         }
       }

@@ -9,7 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * the q274 certificate tie rule (ADVICE r16 medium — the ≥-bound accept
   * retired for strict-> + fresh-window accept; the 260-identical-vectors
   * fixture would spin forever under strict-only and diverge under ≥), the
-  * kmFit floor-division parity fix on negative shifted coordinates, the
+  * kmFit truncating-division parity on negative shifted coordinates
+  * (ADVICE r18: DuckDB integer `//` truncates, it does not floor), the
   * q279 NULL-label tie order, and the q265 empty/single-day contract.
   */
 class R17OpsSpec extends AnyFunSuite {
@@ -105,11 +106,18 @@ class R17OpsSpec extends AnyFunSuite {
       === Seq((0L, 1L), (1L, 2L)))
   }
 
-  test("kmFit centroid division floors on negative shifted coordinates") {
-    // components < −1 push the shifted xq negative (ADVICE r16: Long '/'
-    // truncates toward zero there while the oracle's '//' floors). v8/v9
-    // land in one cluster whose dim-0 sum is odd and negative — the
-    // centroid must be the floorDiv value, one below the truncated one.
+  test("kmFit centroid division truncates (= DuckDB integer //) on " +
+      "negative shifted coordinates") {
+    // components < −1 push the shifted xq negative. ADVICE r17 corrected
+    // ADVICE r16: DuckDB 1.0.0's `//` on BIGINT/HUGEINT TRUNCATES toward
+    // zero (-7//2 = -3; it floors only on FLOAT/DOUBLE), so the oracle's
+    // SUM(x)//count(1) is truncating division and the Spark side must be
+    // plain Long '/', not floorDiv. v8/v9 land in one cluster whose
+    // dim-0 sum is odd and negative — exactly where the two disagree —
+    // and the centroid must be the TRUNCATED value. Cross-checked r18
+    // against DuckDB 1.0.0 executing the verbatim q277 oracle SQL on this
+    // exact fixture parquet: the oracle's cluster-7 d-0 centroid_q is
+    // -3000000 (truncation), NOT floorDiv's -3000001 (BENCH_NOTES r18).
     val e = embFrame((1L to 7L).map(i =>
       (i, Seq.tabulate(64)(d => if (d == 0) 10f * i else 0f), 0)) ++
       Seq((8L, Seq.tabulate(64)(d => if (d == 0) -3.0f else 0f), 0),
@@ -119,8 +127,9 @@ class R17OpsSpec extends AnyFunSuite {
     val xq9 = math.floor(-3.000001f.toDouble * 1e6).toLong
     assert((xq8 + xq9) % 2 != 0 && xq8 + xq9 < 0,
       "fixture must exercise an odd negative sum")
-    val expected = Math.floorDiv(xq8 + xq9, 2)
-    assert(expected !== (xq8 + xq9) / 2, "floorDiv must differ from '/' here")
+    val expected = (xq8 + xq9) / 2
+    assert(expected !== Math.floorDiv(xq8 + xq9, 2),
+      "truncation must differ from floorDiv here")
     val got = SparkEntry.queries("q277_kmeans_centroids")(spark, dir)
       .filter(col("cluster_id") === 7 && col("d") === 0)
       .collect().head.getLong(2)
