@@ -67,9 +67,11 @@ object CorpusOps {
 
   /** Flag training documents sharing ≥1 word 5-gram with the eval slice —
     * the standard benchmark-decontamination check run before training. The
-    * eval side is small by construction, so its distinct shingle set is
-    * broadcast and the corpus streams once; at 100 TB the eval set is still
-    * a few thousand documents, so the broadcast holds. */
+    * eval shingle set rides [[SizeGuard.keySide]]: broadcast while it
+    * proves small, shuffled semi/inner join past the row cap — the modeled
+    * eval slice (doc_id % 20) is PROPORTIONAL to the corpus, so the
+    * formerly unconditional broadcast was a latent 100 TB driver OOM
+    * (VERDICT r17 #2). */
   val decontaminate: Q = Q(
     "q51_decontaminate",
     (s, dir) => {
@@ -80,12 +82,13 @@ object CorpusOps {
           s"""transform(sequence(0, size(words) - $contamN),
              i -> concat_ws(' ', slice(words, i + 1, $contamN)))""")))
           .as("shingle"))
-      val evalShingles = docs.filter(col("doc_id") % evalMod === 0)
-        .select("shingle").distinct()
+      val evalShingles = SizeGuard.keySide(
+        docs.filter(col("doc_id") % evalMod === 0)
+          .select("shingle").distinct())
       val trainDocs = Tables.documents(s, dir)
         .filter(col("doc_id") % evalMod =!= 0).select("doc_id")
       val shared = docs.filter(col("doc_id") % evalMod =!= 0)
-        .join(broadcast(evalShingles), "shingle")
+        .join(evalShingles, "shingle")
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       trainDocs.join(shared, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -1729,8 +1732,9 @@ object CorpusOps {
     * report that decides which SOURCE needs aggressive decontamination
     * before mixing (a high leak_frac source shares provenance with the
     * eval set — dropping flagged docs is not enough, its unflagged
-    * remainder is suspect too). Span hashes join a broadcast eval-side
-    * set (small by construction, the q51 premise).
+    * remainder is suspect too). Span hashes join the eval-side set
+    * through [[SizeGuard.keySide]] (broadcast while provably small,
+    * shuffled past the cap — the q51 discipline).
     *
     * Distributed shape: one explode over train docs → distinct (source,
     * doc, hash) → broadcast semi-join against eval hashes → two keyed
@@ -1745,17 +1749,18 @@ object CorpusOps {
           s"transform(sequence(0, size(ws) - $contamN), i -> md5(array_join(slice(ws, i + 1, $contamN), ' ')))")))
           .as("h"))
       val docs = Tables.documents(s, dir)
-      val evalH = grams(docs.filter(col("doc_id") % evalMod === 0))
-        .select("h").distinct()
+      val evalH = SizeGuard.keySide(
+        grams(docs.filter(col("doc_id") % evalMod === 0))
+          .select("h").distinct())
       val train = grams(docs.filter(col("doc_id") % evalMod =!= 0))
       val perDoc = train
-        .join(broadcast(evalH), Seq("h"), "left_semi")
+        .join(evalH, Seq("h"), "left_semi")
         .groupBy("doc_id", "source").agg(count(lit(1)).as("n_leaked"))
       val spanTot = train.groupBy("source")
         .agg(countDistinct("h").as("n_spans"), countDistinct("doc_id").as("n_docs"))
       val leak = perDoc.groupBy("source")
         .agg(count(lit(1)).as("n_docs_leaky"), sum("n_leaked").as("n_leaked_spans"))
-      val leakSpans = train.join(broadcast(evalH), Seq("h"), "left_semi")
+      val leakSpans = train.join(evalH, Seq("h"), "left_semi")
         .groupBy("source").agg(countDistinct("h").as("n_spans_leaked"))
       spanTot.join(leak, Seq("source"), "left")
         .join(leakSpans, Seq("source"), "left")
@@ -2030,7 +2035,8 @@ object CorpusOps {
     * Distributed shape: ONE scan explodes shingles for all six widths
     * (6× the token volume of one width — at 100 TB run widths in batches
     * if memory-bound, the unioned plan partitions identically); the eval
-    * side stays a few documents' distinct shingles per width (broadcast);
+    * side's per-width distinct shingles join through [[SizeGuard.keySide]]
+    * (broadcast while provably small, shuffled past the cap);
     * flags reduce to distinct (n, doc_id) then a 6-row aggregate. */
   val contamNSweep: Q = Q(
     "q231_contam_n_sweep",
@@ -2046,8 +2052,8 @@ object CorpusOps {
                i -> concat_ws(' ', slice(words, i + 1, $n)))""")))
             .as("shingle"))
       val sh = ns.map(shinglesAt).reduce(_ unionByName _)
-      val evalSh = sh.filter(col("doc_id") % evalMod === 0)
-        .select("n", "shingle").distinct()
+      val evalSh = SizeGuard.keySide(sh.filter(col("doc_id") % evalMod === 0)
+        .select("n", "shingle").distinct())
       val eligible = ns.map(n => base.filter(size(col("words")) >= n)
           .filter(col("doc_id") % evalMod =!= 0)
           .agg(count(lit(1)).as("n_train_docs"))

@@ -1551,10 +1551,15 @@ object Dedup {
         .as(Seq("pos", "h")))
 
   /** The eval-slice gram set (doc_id % evalMod = 0), from the BATCH table —
-    * the static side of both q286 and q289's stream-static gate. */
+    * the static side of both q286 and q289's stream-static gate. Size-
+    * guarded at construction ([[SizeGuard.keySide]]): the modeled eval
+    * slice is 5% of the corpus — proportional — so the hint must not be
+    * unconditional (VERDICT r17 #2); q289 probes once at stream setup and
+    * every micro-batch inherits the decided plan. */
   private[graft] def evalGramSet(s: SparkSession, dir: String): DataFrame =
-    esKgrams(s, dir).filter(col("doc_id") % CorpusOps.evalMod === 0)
-      .select("h").distinct()
+    SizeGuard.keySide(
+      esKgrams(s, dir).filter(col("doc_id") % CorpusOps.evalMod === 0)
+        .select("h").distinct())
 
   /** Restrict a documents-shaped frame to the TRAIN slice (q51's eval
     * membership convention) — exported for q289's micro-batch filter. */
@@ -1568,7 +1573,7 @@ object Dedup {
   private[graft] def decontamSpansOf(trainKg: DataFrame,
       evalGrams: DataFrame): DataFrame =
     esIslands(trainKg
-      .join(broadcast(evalGrams), Seq("h"), "left_semi")
+      .join(evalGrams, Seq("h"), "left_semi")
       .select("doc_id", "pos"))
 
   val decontamSpans: Q = Q(

@@ -1145,7 +1145,9 @@ object StreamingSessions {
     * output row and the appended micro-batches union to exactly the
     * batch q286 table; the oracle is q286's verbatim (the q281
     * batch-replay contract). Per-batch state: none (the gate is
-    * stateless); the static side is the broadcast eval gram set. */
+    * stateless); the static side is the size-guarded eval gram set
+    * (broadcast while provably small — [[graft.ops.SizeGuard]] — probed
+    * once at stream setup). */
   val streamingDecontamGate: Q = Q(
     "q289_streaming_decontam_gate",
     (s, dir) => {
