@@ -949,9 +949,23 @@ object Dedup {
       val shingles = expr(
         """array_distinct(transform(sequence(0, size(words) - 3),
            i -> concat_ws(' ', slice(words, i + 1, 3))))""")
+      // The tokenizing projection is deliberately placed ABOVE the length
+      // filter: written select-then-filter, the analyzed plan contains a
+      // bare Project[doc_id, split(text)] over the relation — canonically
+      // EQUAL to the PlanCache'd docs_words plan — and CacheManager
+      // silently rewires all four of this query's scan legs through that
+      // InMemoryRelation whenever any q115/q276-family query ran earlier
+      // in the suite. At sf1 the deserialized token-array cache is larger
+      // than the parquet text it replaces and partially disk-resident
+      // under a warm 289-query suite, so the four cache reads cost ~12 s
+      // over the fused parquet-scan+split they displaced (BENCH_r17's
+      // warm:q135 premium — mechanism confirmed by plan inspection and
+      // the QTime pre-pass bisection, BENCH_NOTES r18). Filter-first
+      // breaks the plan equality; semantics are unchanged (the filter
+      // commutes with the projection).
       val base = Tables.documents(s, dir)
+        .filter(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), split(col("text"), " ").as("words"))
-        .filter(size(col("words")) >= 3)
       val toks = base.select(col("doc_id"), explode(shingles).as("ngram"))
       val dft = toks.groupBy("ngram").agg(count(lit(1)).as("df"))
       val byRarity = Window.partitionBy("doc_id").orderBy("df", "ngram")
