@@ -115,7 +115,14 @@ object FpStress {
     // round-17 (VERDICT r16 directive #1): the k-center-SEEDED fit — the
     // compare certifies the composed chain (q274's double-domain greedy
     // feeding q277's integer Lloyd loop) across geometries
-    "q283_kmeans_kcenter_seeded")
+    "q283_kmeans_kcenter_seeded",
+    // round-18 (VERDICT r17 #3): the K-sweep rides four id-seeded fits —
+    // the compare certifies each K's quantize/assign/update chain plus the
+    // DECIMAL(38,0) SSE accumulation across geometries. q290 is
+    // deliberately NOT here: md5-window dedup + the q287 rewrite are
+    // integer/string pipelines with no floating step (quality_score's
+    // double is a per-row filter, re-derived identically per geometry)
+    "q291_kmeans_k_sweep")
 
   /** 2-decimal deterministic jitter in [0, 0.96], keyed by (row key, copy) —
     * keeps every jittered double a 2-decimal value so the round(sum, p)

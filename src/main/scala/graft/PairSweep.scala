@@ -91,7 +91,12 @@ object PairSweep {
     // min-(doc_id,pos) aggregate instead of the count; the same
     // position-linear claim, checked independently because its join
     // carries the first_occ struct where q276's is a bare semi join)
-    "q284_exactsubstr_keepfirst")
+    "q284_exactsubstr_keepfirst",
+    // round-18: the composed span-grain cleaning product (q290 — one
+    // md5-window dedup + the shared q287 rewrite chain restricted to
+    // survivors; growth must track corpus TOKENS like q276/q284 — the
+    // composition must not reintroduce a pair-shaped stage)
+    "q290_composed_span_clean")
 
   /** The output-heavy miners (VERDICT r13 directive #2): candidate/verify
     * volume grows with OUTPUT mass, so their 10×-rung ratios (4–9×) sit

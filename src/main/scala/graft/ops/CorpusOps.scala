@@ -386,6 +386,71 @@ object CorpusOps {
         AND doc_id = first_id AND doc_id % $evalMod <> 0
         AND doc_id NOT IN (SELECT doc_id FROM contaminated)"""))
 
+  /** q290: the composed cleaning pipeline at SPAN grain (VERDICT r17
+    * "what's missing" #2) — q57's end-to-end composition with the
+    * flag-grain q51 stage replaced by the REMOVAL-grain q287 rewrite: the
+    * output is the corpus a training run actually consumes. Stages: exact
+    * dedup (keep first md5(text) occurrence) → language filter (en) →
+    * quality floor → eval-slice removal → span-grain decontamination
+    * (every surviving doc with its eval-overlapping ≥13-token spans
+    * excised, q286 semantics). q57 answers "which docs survive"; this
+    * answers "and here is their decontaminated text" — before/after token
+    * counts alongside, so the q288-style mass accounting composes.
+    *
+    * Distributed shape: the survivor set is one scan + one md5-keyed
+    * window (q57's own shape, no contamination anti-join); the rewrite is
+    * the shared q282/q285/q287 chain (one explode, one anti-join against
+    * the PlanCache'd q286 span table, per-doc reassembly) restricted to
+    * survivors by a semi-join BEFORE the explode — the token explode
+    * never runs over dropped documents. Span rows for dropped docs die in
+    * the anti-join by key; nothing corpus-proportional is driver-side. */
+  val composedSpanClean: Q = Q(
+    "q290_composed_span_clean",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val surv = Tables.documents(s, dir)
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("n_words", size(col("words")).cast("long"))
+        .withColumn("stop_n", expr(
+          s"size(filter(words, w -> w IN ${TextOps.inList(TextOps.stopwords)}))").cast("long"))
+        .withColumn("quality_score", TextOps.qualityScore(col("n_words"), col("stop_n")))
+        .withColumn("first_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+        .filter(col("lang") === "en" && col("quality_score") >= qualityFloor
+          && col("doc_id") === col("first_id") && col("doc_id") % evalMod =!= 0)
+        .select(col("doc_id"), col("source"))
+      Dedup.esCleanOver(
+          Dedup.docWords(s, dir)
+            .join(surv.select("doc_id"), Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), col("w").as("ws")),
+          Dedup.decontamSpanRows(s, dir))
+        .join(surv, Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_tokens_before"),
+          col("n_tokens_after"), col("clean_text"))
+    },
+    None,
+    // oracleDyn, not an eager Some: this block reads Dedup.decontamSpans,
+    // and Dedup's own <clinit> reads CorpusOps.evalMod — an eager oracle
+    // here closes an object-initialization cycle (NPE at first touch of
+    // either object). Deferred to dump time the cycle cannot bite.
+    Some(() => Some {
+      // the survivor CTE is q57's filter chain minus its q51 anti-join;
+      // the rewrite chain is q287's verbatim, restricted via SEMI JOIN
+      val survCte = s"""surv AS (
+        SELECT doc_id FROM (
+          SELECT doc_id, lang,
+            ${TextOps.qualityScoreSql} AS quality_score,
+            MIN(doc_id) OVER (PARTITION BY md5(text)) AS first_id
+          FROM documents)
+        WHERE lang = 'en' AND quality_score >= $qualityFloor
+          AND doc_id = first_id AND doc_id % $evalMod <> 0
+      ), """
+      val clean = Dedup.esCleanSql(Dedup.decontamSpans.oracle.get,
+        " SEMI JOIN surv USING (doc_id)", survCte)
+      s"""SELECT c.doc_id, dd.source, c.n_tokens_before, c.n_tokens_after,
+             c.clean_text
+      FROM ($clean) c JOIN documents dd USING (doc_id)"""
+    }))
+
   // ---- q61: Z-order clustering key ---------------------------------------
   private val zBits = 16
 
@@ -2232,7 +2297,8 @@ object CorpusOps {
       FROM cells GROUP BY source"""))
 
   val all: Seq[Q] = Seq(piiRedact, decontaminate, mixtureSample, noveltyScore,
-    ngramTopK, docPack, embedQuantize, cleanPipeline, zorderKey, docChunks,
+    ngramTopK, docPack, embedQuantize, cleanPipeline, composedSpanClean,
+    zorderKey, docChunks,
     bm25Score, tfidfTopTerms, heavyHitters, corpusCard, ksDrift, sourceOverlap,
     nucleusRetention, vocabGrowth, paddingWaste, zipfOctaves, sourceContainment,
     cleaningWaterfall, tokenWaterfall, chunkDedup, driftReport,

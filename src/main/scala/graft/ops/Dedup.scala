@@ -1389,9 +1389,14 @@ object Dedup {
     * `spans`' token ranges from every document passing `docFilter` and
     * re-assemble. See q282's scaladoc for the distributed shape. */
   private def esCleanFrom(s: SparkSession, dir: String,
-      spans: DataFrame, docFilter: Column = lit(true)): DataFrame = {
-    val docs = docWords(s, dir).filter(docFilter)
-      .select(col("doc_id"), col("w").as("ws"))
+      spans: DataFrame, docFilter: Column = lit(true)): DataFrame =
+    esCleanOver(docWords(s, dir).filter(docFilter)
+      .select(col("doc_id"), col("w").as("ws")), spans)
+
+  /** The rewrite chain over an arbitrary (doc_id, ws) docs frame — the
+    * docs universe is the caller's (q282/q285/q287 pass slices of the
+    * corpus; q290 passes the composed-pipeline survivors). */
+  private[graft] def esCleanOver(docs: DataFrame, spans: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       posexplode(col("ws")).as(Seq("pos", "w")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("w"))
@@ -1411,11 +1416,14 @@ object Dedup {
   }
 
   /** The matching DuckDB rewrite chain over a span CTE named `sp`;
-    * `docWhere` restricts the rewritten universe (q287's train slice). */
-  private def esCleanSql(spSql: String, docWhere: String = ""): String =
+    * `docWhere` restricts the rewritten universe (q287's train slice),
+    * `extraCtes` lets a caller prepend CTEs that `docWhere` references
+    * (q290's survivor set). */
+  private[graft] def esCleanSql(spSql: String, docWhere: String = "",
+      extraCtes: String = ""): String =
     s"""WITH sp AS (
         $spSql
-      ), d AS (
+      ), ${extraCtes}d AS (
         SELECT doc_id, string_split(text, ' ') AS ws FROM documents$docWhere
       ), toks AS (
         SELECT doc_id, i - 1 AS pos, ws[i] AS w
@@ -1631,7 +1639,7 @@ object Dedup {
 
   /** One materialized copy of q286's span table per (session, dir) —
     * consumed by the q287 rewrite. */
-  private def decontamSpanRows(s: SparkSession, dir: String): DataFrame =
+  private[graft] def decontamSpanRows(s: SparkSession, dir: String): DataFrame =
     graft.PlanCache.cached(s, "q286_spans", dir,
       s"$dir/documents.parquet")(decontamSpans.run(s, dir))
 

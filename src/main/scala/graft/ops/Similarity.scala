@@ -2202,10 +2202,117 @@ object Similarity {
         USING (cid)""")
     })
 
+  // ---- q291: K-selection sweep for the clustering stack --------------------
+  private val kmSweepKs = Seq(2, 4, 8, 16)
+
+  /** Per-K published fit: K = [[kmK]] IS q277's cached fit table; the other
+    * sweep Ks get their own PlanCache entry (same id-seeded Lloyd chain,
+    * same staleness fingerprint), so the sweep re-reads fits instead of
+    * re-running 4 Lloyd iterations per report. */
+  private def kmFitTableK(s: SparkSession, dir: String, k: Int): DataFrame =
+    if (k == kmK) kmFitTable(s, dir)
+    else graft.PlanCache.cached(s, s"q291_fit_k$k", dir,
+      s"$dir/embeddings.parquet") {
+      import s.implicits._
+      val seeds = kmXq(s, dir).orderBy(col("vec_id").asc).limit(k)
+        .collect().map(_.getSeq[Long](2)).toSeq
+      val (cents, sizes) = kmFitSeeded(s, dir, seeds)
+      cents.indices.flatMap(c => (0 until 64).map(d =>
+        (c.toLong, d.toLong, cents(c)(d) - kmShift, sizes(c))))
+        .toDF("cluster_id", "d", "centroid_q", "size_n")
+    }
+
+  /** One prefixed oracle replay of the id-seeded fit at cluster count `k`
+    * ending in a `${p}sse` CTE (k, sse_q, n_vectors) — [[kmCtesFrom]]'s
+    * chain with every CTE name prefixed so the sweep can unroll several
+    * Ks inside one WITH block. */
+  private def kmSweepCtes(p: String, k: Int): String = {
+    def iter(t: Int): String = {
+      val prev = s"${p}c${t - 1}"
+      s"""${p}a$t AS (
+        SELECT vec_id, cid FROM (
+          SELECT l.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY l.vec_id
+                   ORDER BY SUM((l.x - c.cx) * (l.x - c.cx)), c.cid) AS rn
+          FROM ${p}long l JOIN $prev c ON l.d = c.d
+          GROUP BY l.vec_id, c.cid)
+        WHERE rn = 1
+      ), ${p}u$t AS (
+        SELECT a.cid, l.d, CAST(SUM(l.x) // count(1) AS BIGINT) AS cx,
+               CAST(count(1) AS BIGINT) AS n
+        FROM ${p}long l JOIN ${p}a$t a ON l.vec_id = a.vec_id
+        GROUP BY a.cid, l.d
+      ), ${p}c$t AS (
+        SELECT q.cid, q.d, COALESCE(u.cx, q.cx) AS cx
+        FROM $prev q LEFT JOIN ${p}u$t u ON q.cid = u.cid AND q.d = u.d
+      )"""
+    }
+    s"""${p}e AS (
+        SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(FLOOR(x * $kmShift) AS BIGINT) + $kmShift) AS xq
+        FROM embeddings
+      ), ${p}dims AS (SELECT unnest(range(1, 65)) AS d
+      ), ${p}long AS (SELECT vec_id, d, xq[d] AS x
+                      FROM ${p}e CROSS JOIN ${p}dims
+      ), ${p}seeds AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM ${p}e ORDER BY vec_id LIMIT $k
+      ), ${p}c0 AS (
+        SELECT s.cid, l.d, l.x AS cx
+        FROM ${p}long l JOIN ${p}seeds s USING (vec_id)
+      ), ${(1 to kmT).map(iter).mkString(",\n      ")}, ${p}sse AS (
+        SELECT CAST($k AS BIGINT) AS k,
+               CAST(SUM(mind2) AS BIGINT) AS sse_q,
+               CAST(count(1) AS BIGINT) AS n_vectors
+        FROM (
+          SELECT vec_id, MIN(d2) AS mind2 FROM (
+            SELECT l.vec_id, c.cid,
+                   SUM((l.x - c.cx) * (l.x - c.cx)) AS d2
+            FROM ${p}long l JOIN ${p}c$kmT c ON l.d = c.d
+            GROUP BY l.vec_id, c.cid)
+          GROUP BY vec_id)
+      )"""
+  }
+
+  /** q291: deterministic K-selection report (VERDICT r17 "what's missing"
+    * #3) — the exact quantized k-means objective (q279's SSE, corpus-wide)
+    * for K ∈ {2,4,8,16} id-seeded Lloyd fits, the elbow curve a pipeline
+    * owner reads before trusting kmK=8. Integer-exact end to end: each
+    * fit is [[kmFitSeeded]]'s published-table chain (K=8 rides q277's
+    * cached fit verbatim; the other Ks get their own cached fits), each
+    * SSE is one assignment scan accumulating the row's own assigned
+    * quantized distance in DECIMAL(38,0)/HUGEINT, reported as BIGINT
+    * (exact to ~3.5·10⁴ corpus-spanning vectors — q279's reporting-width
+    * note applies past that).
+    *
+    * Distributed shape: per K, one broadcast-centroid assignment scan
+    * feeding a 2-aggregate global reduce (map-side combined; ONE row per
+    * K crosses the shuffle); fit cost amortizes to zero across reports
+    * via PlanCache. 4 rows out. */
+  val kmeansKSweep: Q = Q(
+    "q291_kmeans_k_sweep",
+    (s, dir) => {
+      val xq = kmXq(s, dir)
+      kmSweepKs.map { k =>
+        val cents = centsOfFit(kmFitTableK(s, dir, k))
+        kmAssign(s, xq, cents)
+          .agg(sum(col("mind2").cast("decimal(38,0)")).as("sse_dec"),
+            count(lit(1)).as("n_vectors"))
+          .select(lit(k.toLong).as("k"),
+            col("sse_dec").cast("long").as("sse_q"), col("n_vectors"))
+      }.reduce(_ unionByName _)
+    },
+    Some {
+      graft.OracleSql.materializeCtes(
+        s"""WITH ${kmSweepKs.map(k => kmSweepCtes(s"k${k}_", k)).mkString(",\n      ")}
+        ${kmSweepKs.map(k => s"SELECT k, sse_q, n_vectors FROM k${k}_sse")
+          .mkString("\n        UNION ALL ")}""")
+    })
+
   val all: Seq[Q] =
     Seq(embeddingNearDup, knnBruteForce, knnLsh, knnIvf, semDedup,
       mutualKnnClusters, hybridRrf, pqEncode, pqAdcTopK, ivfPqTopK,
       truncationRecall, annRecall, annRankQuality, hardNegatives, knnLabelNoise,
       embeddingStats, mmrRerank, annRbo, kcenterCoreset, kmeansCentroids,
-      clusterBalancedSample, clusterQuality, kmeansKcSeeded)
+      clusterBalancedSample, clusterQuality, kmeansKcSeeded, kmeansKSweep)
 }

@@ -98,6 +98,76 @@ class R18OpsSpec extends AnyFunSuite {
     assert(viaBroadcast.nonEmpty)
   }
 
+  test("q290 composes the q57 stages with q287's span rewrite (planted fixture)") {
+    import spark.implicits._
+    val run = (1 to 15).map(i => s"leak$i").mkString(" ")
+    val t1 = "p1 p2 " + run + " q1 q2 q3" // survivor WITH a contaminated span
+    val t7 = (1 to 20).map(i => s"w$i").mkString(" ") // clean survivor
+    val docs = Seq(
+      (20L, run + " ev1 ev2 ev3 ev4 ev5", "en"), // eval slice: gram source
+      (1L, t1, "en"),
+      (2L, t1, "en"),                            // exact dup of 1 → dedup drop
+      (3L, t7.replace("w", "d"), "de"),          // language drop
+      (5L, "the a of", "en"),                    // quality drop (score 0)
+      (7L, t7, "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = tmpSfDir(documents = Some(docs))
+    val out = SparkEntry.queries("q290_composed_span_clean")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // doc 1 survives every filter and loses exactly the 15-token leak span
+    // (gram starts 2..4 merge to one island [2, 17)); doc 7 is untouched;
+    // 2/3/5 fall to dedup/lang/quality; 20 is the eval slice
+    assert(out.keySet === Set(1L, 7L))
+    assert(out(1L) === ((20L, 5L, "p1 p2 q1 q2 q3")))
+    assert(out(7L) === ((20L, 20L, t7)))
+  }
+
+  test("q290 equals q287 restricted to the composed survivor set (real corpus)") {
+    val dir = sfDir
+    val q290 = SparkEntry.queries("q290_composed_span_clean")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val q287 = SparkEntry.queries("q287_decontam_clean")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // every composed row IS the independent q287 rewrite of that doc
+    q290.foreach { case (id, row) =>
+      assert(q287.get(id).contains(row), s"doc $id diverges from q287")
+    }
+    // and the survivor set is q57's plus exactly the q51-contaminated docs
+    // q57 drops at flag grain (q290 keeps them, span-cleaned instead)
+    val q57 = SparkEntry.queries("q57_clean_pipeline")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val contaminated = SparkEntry.queries("q51_decontaminate")(spark, dir)
+      .collect().filter(_.getInt(2) === 1).map(_.getLong(0)).toSet
+    assert(q57.subsetOf(q290.keySet))
+    assert((q290.keySet -- q57).subsetOf(contaminated),
+      "q290-only docs must all be flag-grain contaminated survivors")
+  }
+
+  test("q291 SSE is monotone nonincreasing in K and reconciles with q279 at K=8") {
+    val dir = sfDir
+    val sweep = SparkEntry.queries("q291_kmeans_k_sweep")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(sweep.map(_._1) === Seq(2L, 4L, 8L, 16L))
+    sweep.toSeq.sliding(2).foreach {
+      case scala.collection.Seq((k1, s1, _), (k2, s2, _)) =>
+        assert(s2 <= s1, s"SSE rose from K=$k1 ($s1) to K=$k2 ($s2)")
+      case _ =>
+    }
+    val nVec = Tables.embeddings(spark, dir).count()
+    assert(sweep.forall(_._3 == nVec))
+    // K=8 rides q277's published fit: the sweep's total must equal the sum
+    // of q279's per-cluster SSEs (same fit, same assignment, same integers)
+    val q279Total = SparkEntry.queries("q279_cluster_quality")(spark, dir)
+      .collect().map(_.getLong(2)).sum
+    assert(sweep.find(_._1 == 8L).get._2 === q279Total)
+  }
+
   test("q231 and q215 on the real corpus: both guard paths agree") {
     val dir = sfDir
     def dump(q: String): Set[String] =
