@@ -165,7 +165,8 @@ object Bench {
       confirm: Map[String, Double] = Map.empty,
       loadBefore: Double = -1.0, loadAfter: Double = -1.0,
       extBusy: Double = -1.0,
-      extBusyBlocks: Seq[Double] = Nil): String = {
+      extBusyBlocks: Seq[Double] = Nil,
+      oracleRef: String = "{}"): String = {
     val qs = results.map(r => jstr(r.name) + ":" + r.sec).mkString("{", ",", "}")
     // the full t_start map sits immediately after `queries` so that when the
     // driver's 2000-char tail window truncates the line, what is lost is the
@@ -196,6 +197,7 @@ object Bench {
       s""""rewarm_sec":$rw,"cache_selfheals":$sh,""" +
       loadProbeJson(loadBefore, loadAfter, extBusy) + "," +
       extBusyJson(results, regs, extBusyBlocks) + "," +
+      s""""oracle_ref":$oracleRef,""" +
       s""""sf":${jstr(sfDir)}}"""
   }
 
@@ -245,7 +247,8 @@ object Bench {
       rewarmed: Seq[(String, Double)] = Nil,
       loadBefore: Double = -1.0, loadAfter: Double = -1.0,
       extBusy: Double = -1.0,
-      extBusyBlocks: Seq[Double] = Nil): String = {
+      extBusyBlocks: Seq[Double] = Nil,
+      oracleRef: String = "{}"): String = {
     val ok = results.filter(_.err.isEmpty)
     val slow = ok.sortBy(-_.sec).take(10)
       .map(r => jstr(r.name) + ":" + math.round(r.sec * 100) / 100.0)
@@ -269,8 +272,46 @@ object Bench {
       s""""t0":$t0,"ckpt_sec":$ckpt,"rewarm_max":$rwMax,""" +
       loadProbeJson(loadBefore, loadAfter, extBusy) + "," +
       extBusyJson(results, regs, extBusyBlocks) + "," +
+      s""""oracle_ref":$oracleRef,""" +
       s""""sf":${jstr(sfDir)}}"""
   }
+
+  /** The DuckDB side of the matched pair, raw-embedded from the committed
+    * oracle_times.json (VERDICT r17 #3): the bench artifact itself carries
+    * the oracle suite total AND the oracle run's measurement metadata
+    * (DuckDB version, window timestamp, its own load probes — written by
+    * tools/oracle_timing.py r18+), so a future ratio swing is attributable
+    * in ONE read of BENCH_r{N} instead of cross-session forensics.
+    * Absent/old-format file → {} (the pre-r18 dump had no _total/_meta). */
+  private[graft] def oracleRefJson(path: String): String =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      val tot = "\"_total\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r
+        .findFirstMatchIn(txt).map(_.group(1))
+      val meta = {
+        val at = txt.indexOf("\"_meta\"")
+        if (at < 0) None
+        else {
+          val open = txt.indexOf('{', at)
+          var i = open; var depth = 0; var end = -1
+          while (i < txt.length && end < 0) {
+            txt.charAt(i) match {
+              case '{' => depth += 1
+              case '}' => depth -= 1; if (depth == 0) end = i
+              case _ =>
+            }
+            i += 1
+          }
+          if (open >= 0 && end > open) Some(txt.substring(open, end + 1)) else None
+        }
+      }
+      (tot, meta) match {
+        case (Some(t), Some(m)) => s"""{"total":$t,"meta":$m}"""
+        case (Some(t), None) => s"""{"total":$t}"""
+        case _ => "{}"
+      }
+    } catch { case _: Exception => "{}" }
 
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._
@@ -416,11 +457,14 @@ object Bench {
     val storage = spark.sparkContext.getRDDStorageInfo
       .map(i => i.memSize + i.diskSize).sum
     val allHeals = selfHeals ++ confirmHeals
+    val oracleRef = oracleRefJson(
+      sys.env.getOrElse("SPARK_GRAFT_ORACLE_TIMES", "oracle_times.json"))
     println(renderJson(results, sfDir, gcSec,
       spark.sparkContext.getPersistentRDDs.size, storage, regs, warmSharedSec,
-      warmed, allHeals, confirm, loadBefore, loadAfter, extBusy, extBlocks))
+      warmed, allHeals, confirm, loadBefore, loadAfter, extBusy, extBlocks,
+      oracleRef))
     println(renderSummary(results, sfDir, regs, allHeals, confirm, gcSec,
-      warmed, loadBefore, loadAfter, extBusy, extBlocks))
+      warmed, loadBefore, loadAfter, extBusy, extBlocks, oracleRef))
     spark.stop()
   }
 }

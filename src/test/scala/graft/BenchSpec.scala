@@ -166,6 +166,28 @@ class BenchSpec extends AnyFunSuite {
     assert(unpinned.isEmpty, s"queries without a bench pin: ${unpinned.mkString(", ")}")
   }
 
+  test("oracleRefJson embeds _total/_meta and degrades on old-format/missing files") {
+    // r18 (VERDICT r17 #3): the bench artifact carries the DuckDB side of
+    // the matched pair with its measurement metadata, so a ratio swing is
+    // attributable from BENCH_r{N} alone.
+    val f = java.nio.file.Files.createTempFile("otimes", ".json")
+    java.nio.file.Files.write(f,
+      ("""{"q01_x": 0.031, "_total": 106.7, "_meta": {"duckdb_version": """ +
+        """"v1.0.0", "ts": "2026-08-16T00:00:00+00:00", "ext_busy_cores": 0.05}}""")
+        .getBytes)
+    val ref = Bench.oracleRefJson(f.toString)
+    assert(ref.contains(""""total":106.7"""), ref)
+    assert(ref.contains(""""duckdb_version": "v1.0.0""""), ref)
+    // embedded raw meta must still be valid JSON inside a bench line
+    assert(ref.count(_ == '{') == ref.count(_ == '}'), ref)
+    // pre-r18 dump (no _total/_meta) and missing file → "{}" not a throw
+    val old = java.nio.file.Files.createTempFile("otimes_old", ".json")
+    java.nio.file.Files.write(old, """{"q01_x": 0.031}""".getBytes)
+    assert(Bench.oracleRefJson(old.toString) == "{}")
+    assert(Bench.oracleRefJson("/nonexistent/otimes.json") == "{}")
+    java.nio.file.Files.delete(f); java.nio.file.Files.delete(old)
+  }
+
   test("loadPins parses a flat json map and tolerates a missing file") {
     val f = java.nio.file.Files.createTempFile("pins", ".json")
     java.nio.file.Files.write(f,
