@@ -130,7 +130,7 @@ object PlanCache {
         hit(key, fpPre) getOrElse {
           val df = build // expensive: collect-driven fits run HERE, holding
                          // only this entry's key lock
-          synchronized {
+          val p = synchronized {
             // Tag with the PRE-build fingerprint: if the backing files
             // changed while `build` ran, a driver-computed (localized)
             // frame has the OLD data baked in — fpPre ≠ the files' current
@@ -139,10 +139,21 @@ object PlanCache {
             // baked stale frame as if fresh (the r17 stale-fp hazard,
             // inverted for localized builders).
             entries.get(key).foreach(_.df.unpersist())
-            val p = df.persist()
-            entries.put(key, Entry(fpPre, p))
-            p
+            val p0 = df.persist()
+            entries.put(key, Entry(fpPre, p0))
+            p0
           }
+          // Materialize the blocks NOW (key lock only, not the object
+          // monitor): persist() is lazy, and a consumer that only
+          // broadcast-reads the entry (q287/q288's spans side) never
+          // builds the cache buffers — the entry's first DIRECT reader
+          // then pays the materialization at an unpredictable later
+          // point (the InfraSpec 39→40 cross-pass growth signature) and
+          // every intervening consumer recomputes the chain it was meant
+          // to share. One count here makes install = materialized, the
+          // same contract Bench.rewarm enforces before its timed pass.
+          p.count()
+          p
         }
       }
     }
