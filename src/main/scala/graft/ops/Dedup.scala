@@ -2765,11 +2765,24 @@ object Dedup {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       val dft = tok.groupBy("w").agg(count(lit(1)).as("df"))
-      val wtd = tok.join(dft, "w")
-        .withColumn("wt", col("tf") * expr(s"$tfidfQ div df"))
-        .select("doc_id", "w", "wt")
-      val norms = wtd.groupBy("doc_id")
-        .agg(sum(col("wt").cast("decimal(38,0)") * col("wt")).as("n2"))
+      // The weighted posting table feeds THREE sites of this plan (both
+      // verify legs + the norms aggregate), and each site would otherwise
+      // replay the scan→explode→groupBy→df-join chain (r18 plan audit: 21
+      // parquet scans / 57 Exchanges in the un-shared plan). One bounded
+      // materialized copy per (session, dir) — the q111_pre discipline —
+      // turns that into one chain + three in-memory scans; norms rides the
+      // same entry so its consumers stop replaying the chain too.
+      val wtd = graft.PlanCache.cached(s, "q259_wtd", dir,
+        s"$dir/documents.parquet") {
+        tok.join(dft, "w")
+          .withColumn("wt", col("tf") * expr(s"$tfidfQ div df"))
+          .select("doc_id", "w", "wt")
+      }
+      val norms = graft.PlanCache.cached(s, "q259_norms", dir,
+        s"$dir/documents.parquet") {
+        wtd.groupBy("doc_id")
+          .agg(sum(col("wt").cast("decimal(38,0)") * col("wt")).as("n2"))
+      }
       // candidates from the RARE-SHINGLE index (q14's blocking, cached):
       // word-grain rarity does not survive scale on a bounded vocabulary
       // (at 5k docs every word's df exceeds any useful cutoff — measured:
@@ -2798,8 +2811,22 @@ object Dedup {
       // shuffle footprint mass/K, output the union, row-identical by pair
       // independence. That is how the ~sf10 deep rung (which overran an
       // 80 GB local disk in one pass, BENCH_NOTES r14) gets MEASURED.
-      def verifySlice(candSlice: DataFrame, wtdIn: DataFrame,
-          normsIn: DataFrame): DataFrame = {
+      // The verify intermediate (Σ_pairs terms(doc_a) rows — 58M at sf0.1)
+      // dominates this query when it has to CROSS A SHUFFLE to meet the
+      // doc_b posting leg: Catalyst's size estimate for the aggregated
+      // posting table is far above reality (116k rows ≈ 5 MB at sf0.1), so
+      // it plans a shuffle join and the whole intermediate is hashed by
+      // (doc_b, w). Size-guarding the posting/norm legs (broadcast iff a
+      // counted probe proves them small — the SizeGuard discipline from the
+      // eval-gram family; shuffled join above the cap, so at 100 TB this is
+      // the IDENTICAL plan as before) lets the intermediate flow through
+      // two broadcast hash joins and collapse map-side in the pair
+      // aggregate: the only corpus-scale shuffle left below the cap is the
+      // ≤|cand| pair rows into the final groupBy. Guide §3.1/§2.4.
+      def verifySlice(candSlice: DataFrame, wtdIn0: DataFrame,
+          normsIn0: DataFrame): DataFrame = {
+        val wtdIn = SizeGuard.keySide(wtdIn0)
+        val normsIn = SizeGuard.keySide(normsIn0)
         val dots = candSlice
           .join(wtdIn.select(col("doc_id").as("doc_a"), col("w"), col("wt").as("wa")),
             Seq("doc_a"))
