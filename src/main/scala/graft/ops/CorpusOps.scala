@@ -2117,15 +2117,27 @@ object CorpusOps {
                i -> concat_ws(' ', slice(words, i + 1, $n)))""")))
             .as("shingle"))
       val sh = ns.map(shinglesAt).reduce(_ unionByName _)
-      val evalSh = SizeGuard.keySide(sh.filter(col("doc_id") % evalMod === 0)
-        .select("n", "shingle").distinct())
+      // The guard's counted probe evaluates the key sub-plan once per call
+      // (SizeGuard scaladoc); for this query that sub-plan is the 6-width
+      // explode+distinct — a full extra corpus pass per run (the r18 bench
+      // flagged it: 0.32 s pin → 0.84 s confirmed). One PlanCache'd copy
+      // per (session, dir) makes the probe a warm in-memory count and the
+      // join read the same materialized set. NOTE: keySide's hint must be
+      // the OUTERMOST wrapper — an unconditional broadcast() at the join
+      // site would defeat the guard (the exact r17 "what's wrong" #2).
+      val evalSh = SizeGuard.keySide(
+        graft.PlanCache.cached(s, "q231_evalsh", dir,
+          s"$dir/documents.parquet") {
+          sh.filter(col("doc_id") % evalMod === 0)
+            .select("n", "shingle").distinct()
+        })
       val eligible = ns.map(n => base.filter(size(col("words")) >= n)
           .filter(col("doc_id") % evalMod =!= 0)
           .agg(count(lit(1)).as("n_train_docs"))
           .select(lit(n.toLong).as("n"), col("n_train_docs")))
         .reduce(_ unionByName _)
       val flagged = sh.filter(col("doc_id") % evalMod =!= 0)
-        .join(broadcast(evalSh), Seq("n", "shingle"))
+        .join(evalSh, Seq("n", "shingle"))
         .select("n", "doc_id").distinct()
         .groupBy("n").agg(count(lit(1)).as("n_flagged"))
       eligible.join(flagged, Seq("n"), "left")
