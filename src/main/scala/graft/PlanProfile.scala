@@ -32,19 +32,28 @@ object PlanProfile {
     // warmup identical to Bench: one untimed pass + shared-frame rewarm
     names.foreach { n => SparkEntry.queries(n)(spark, sfDir).count() }
     PlanCache.rewarm(spark)
-    def best2(f: => Unit): Double =
-      (1 to 2).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }.min
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
-      val tBuild = best2 { fn(spark, sfDir) }
-      val tPlan = best2 {
-        fn(spark, sfDir).queryExecution.executedPlan
+      // Time all three phases on ONE frame per iteration (ADVICE r18): the
+      // old split subtracted independently sampled best-of-2 timings, each
+      // with its own fresh builder call, so cross-run noise could drive a
+      // phase negative (silently clamped) and misattribute time between
+      // build/plan/exec. Here the subtraction is within one run: t0→t1 the
+      // builder, t1→t2 forcing executedPlan on that same frame, t2→t3 the
+      // count — then best-of-2 over the (build, plan, exec) triples.
+      val triples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.queryExecution.executedPlan
+        val t2 = System.nanoTime()
+        df.count()
+        val t3 = System.nanoTime()
+        ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
       }
-      val tExec = best2 { fn(spark, sfDir).count() }
-      println(f"PROF $n build=$tBuild%.3f plan=${math.max(0.0, tPlan - tBuild)}%.3f " +
-        f"exec=${math.max(0.0, tExec - tPlan)}%.3f total=$tExec%.3f")
+      val best = triples.minBy(t => t._1 + t._2 + t._3)
+      println(f"PROF $n build=${best._1}%.3f plan=${best._2}%.3f " +
+        f"exec=${best._3}%.3f total=${best._1 + best._2 + best._3}%.3f")
     }
     spark.stop()
   }

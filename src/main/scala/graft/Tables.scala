@@ -32,11 +32,15 @@ object Tables {
   private def memoized(spark: SparkSession, path: String)
       (read: => DataFrame): DataFrame = {
     val fp = ops.Artifacts.fingerprint(spark, path)
+    // sweep stopped-session entries on EVERY probe, not only on misses
+    // (ADVICE r18): in a hit-only steady state a long-lived JVM would
+    // otherwise hold strong references to stopped SparkSessions and their
+    // analyzed frames forever — PlanCache.hit's discipline, applied here
+    relCache.filterInPlace { case ((sess, _), _) =>
+      !sess.sparkContext.isStopped }
     relCache.get((spark, path)) match {
       case Some((f, df)) if f == fp => df
       case _ =>
-        relCache.filterInPlace { case ((sess, _), _) =>
-          !sess.sparkContext.isStopped }
         val df = read
         relCache.put((spark, path), (fp, df))
         df

@@ -39,13 +39,17 @@ object Artifacts {
   def fingerprint(s: SparkSession, inputPath: String): Long = {
     val p = new Path(inputPath)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    def walk(q: Path): Seq[String] = {
-      val st = fs.getFileStatus(q)
+    // Recurse on the FileStatus objects listStatus already returned instead
+    // of re-statting each child path (ADVICE r18): the old walk paid 2×
+    // metadata RPCs per entry and had a TOCTOU window — a part file deleted
+    // between the list and the stat threw FileNotFoundException, and since
+    // r18 this walk runs on EVERY base-table read (Tables memo), not just
+    // PlanCache installs. Statuses from one listing are self-consistent.
+    def walk(st: org.apache.hadoop.fs.FileStatus): Seq[String] =
       if (st.isDirectory)
-        fs.listStatus(q).sortBy(_.getPath.toString).toSeq.flatMap(c => walk(c.getPath))
+        fs.listStatus(st.getPath).sortBy(_.getPath.toString).toSeq.flatMap(walk)
       else Seq(s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
-    }
-    val listing = walk(p).mkString("\n")
+    val listing = walk(fs.getFileStatus(p)).mkString("\n")
     val hi = scala.util.hashing.MurmurHash3.stringHash(listing).toLong & 0x7fffffffL
     val lo = scala.util.hashing.MurmurHash3.stringHash(listing, 0x5f3759df).toLong & 0xffffffffL
     (hi << 32) | lo
