@@ -184,7 +184,8 @@ object VectorFunctions {
     "vec_band_keys" -> (es => VecBandKeys(es(0), es(1), es(2))),
     "kmv_minset" -> (es => KmvMinSet.build(es)),
     "kmv_minarray" -> (es => KmvMinArray.build(es)),
-    "priority_topk" -> (es => PriorityTopK.build(es)))
+    "priority_topk" -> (es => PriorityTopK.build(es)),
+    "sum_prod_long" -> (es => SumProdLong.build(es)))
 
   /** Idempotent per-session SQL registration, after which the functions are
     * usable from expr()/spark.sql. */
@@ -223,5 +224,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("priority_topk"),
       new ExpressionInfo(classOf[PriorityTopK].getName, "priority_topk"),
       (es: Seq[Expression]) => PriorityTopK.build(es)))
+    e.injectFunction((
+      FunctionIdentifier("sum_prod_long"),
+      new ExpressionInfo(classOf[SumProdLong].getName, "sum_prod_long"),
+      (es: Seq[Expression]) => SumProdLong.build(es)))
   }
 }

@@ -2218,10 +2218,22 @@ object Dedup {
               i -> md5(concat('wfp|', words[i], ' ', words[i + 1],
                               ' ', words[i + 2])))""")))
         .toDF("doc_id", "p", "h")
-      val fps = grams
-        .withColumn("sel", min(struct(col("h"), (-col("p")).as("np")))
-          .over(w))
-        .select(col("doc_id"), col("sel.h").as("fp")).distinct()
+      // The selected-fingerprint table feeds FOUR sites of this plan
+      // (per-doc counts, the hub filter, and both sides of the pair
+      // expansion); un-shared, each site replayed the whole
+      // scan→explode→window→distinct chain — 7 parquet scans / 7 Window
+      // passes in the r19 plan audit, none reused (the exchanges sit BELOW
+      // the per-site aggregates, so even AQE exchange reuse could not
+      // collapse the window re-runs). One bounded materialized copy per
+      // (session, dir) — the q111_pre/q14_ngr discipline (guide §2.4):
+      // 1 chain + 4 in-memory scans, fingerprint-keyed for staleness.
+      val fps = graft.PlanCache.cached(s, "q238_fps", dir,
+        s"$dir/documents.parquet") {
+        grams
+          .withColumn("sel", min(struct(col("h"), (-col("p")).as("np")))
+            .over(w))
+          .select(col("doc_id"), col("sel.h").as("fp")).distinct()
+      }
       val perDoc = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
       val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= winnowDfCap).select("fp")
@@ -2761,6 +2773,8 @@ object Dedup {
   val tfidfCosine: Q = Q(
     "q259_tfidf_cosine",
     (s, dir) => {
+      // for sum_prod_long (the exact long-register pair aggregate below)
+      graft.functions.VectorFunctions.register(s)
       val tok = Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
@@ -2781,7 +2795,7 @@ object Dedup {
       val norms = graft.PlanCache.cached(s, "q259_norms", dir,
         s"$dir/documents.parquet") {
         wtd.groupBy("doc_id")
-          .agg(sum(col("wt").cast("decimal(38,0)") * col("wt")).as("n2"))
+          .agg(expr("sum_prod_long(wt, wt)").as("n2"))
       }
       // candidates from the RARE-SHINGLE index (q14's blocking, cached):
       // word-grain rarity does not survive scale on a bounded vocabulary
@@ -2790,11 +2804,9 @@ object Dedup {
       // stay sparse at every sf. Blocking on shingles + verifying the
       // weighted WORD vectors is the standard split: candidates cheap and
       // high-recall, score exact.
-      val rare = rareShingleRows(s, dir)
-      val cand = rare.as("a").join(rare.as("b"),
-          col("a.ngram") === col("b.ngram") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      // the shared collision-pair entry (identical frame to the old inline
+      // self-join + distinct — see [[linkageCandidates]])
+      val cand = linkageCandidates(s, dir)
       // verify = two candidate-bounded posting joins; the shuffle volume is
       // Σ_pairs terms(doc) by construction — the exact-verify data mass.
       // Measured alternative (r14): one row per pair carrying word→weight
@@ -2823,18 +2835,26 @@ object Dedup {
       // two broadcast hash joins and collapse map-side in the pair
       // aggregate: the only corpus-scale shuffle left below the cap is the
       // ≤|cand| pair rows into the final groupBy. Guide §3.1/§2.4.
-      def verifySlice(candSlice: DataFrame, wtdIn0: DataFrame,
-          normsIn0: DataFrame): DataFrame = {
-        val wtdIn = SizeGuard.keySide(wtdIn0)
-        val normsIn = SizeGuard.keySide(normsIn0)
+      // keySide is applied ONCE per input frame at the call sites below
+      // (ADVICE r18): the hint rides the frame per the keySide contract, so
+      // the sliced path no longer pays the limit-bounded counted probe 2K
+      // times over the same localCheckpointed wtdM/normsM
+      def verifySlice(candSlice: DataFrame, wtdIn: DataFrame,
+          normsIn: DataFrame): DataFrame = {
         val dots = candSlice
           .join(wtdIn.select(col("doc_id").as("doc_a"), col("w"), col("wt").as("wa")),
             Seq("doc_a"))
           .join(wtdIn.select(col("doc_id").as("doc_b"), col("w"), col("wt").as("wb")),
             Seq("doc_b", "w"))
           .groupBy("doc_a", "doc_b")
+          // Σ wa·wb via [[graft.functions.SumProdLong]] (VERDICT r18 #6):
+          // same DECIMAL(38,0) result as sum(CAST(wa AS DECIMAL(38,0))*wb)
+          // — SumProdLongSpec proves equality across both overflow
+          // boundaries — but the 25M-row update path runs in a LONG
+          // register (long mult + guarded add) instead of per-row 128-bit
+          // decimal multiply-adds, escaping to decimal exactly when needed
           .agg(count(lit(1)).as("n_shared"),
-            sum(col("wa").cast("decimal(38,0)") * col("wb")).as("dotd"))
+            expr("sum_prod_long(wa, wb)").as("dotd"))
         dots
           .join(normsIn.select(col("doc_id").as("doc_a"), col("n2").as("nad")), Seq("doc_a"))
           .join(normsIn.select(col("doc_id").as("doc_b"), col("n2").as("nbd")), Seq("doc_b"))
@@ -2848,7 +2868,7 @@ object Dedup {
             sqrt(col("na").cast("double") * col("nb").cast("double")))
       }
       val slices = s.conf.getOption("graft.q259.verifySlices").map(_.toInt).getOrElse(1)
-      if (slices <= 1) verifySlice(cand, wtd, norms)
+      if (slices <= 1) verifySlice(cand, SizeGuard.keySide(wtd), SizeGuard.keySide(norms))
       else {
         // Disk-bounded mode (PairSweep deep rungs only): materialize the
         // shared inputs once (eager localCheckpoint — candidate ids, the
@@ -2865,8 +2885,8 @@ object Dedup {
         // blocks leak until that GC — acceptable for a one-shot harness
         // run, never the suite path.
         val candM = cand.localCheckpoint(true)
-        val wtdM = wtd.localCheckpoint(true)
-        val normsM = norms.localCheckpoint(true)
+        val wtdM = SizeGuard.keySide(wtd.localCheckpoint(true))
+        val normsM = SizeGuard.keySide(norms.localCheckpoint(true))
         val parts = (0 until slices).map { i =>
           verifySlice(
             candM.filter(pmod(xxhash64(col("doc_a"), col("doc_b")), lit(slices)) === i),
@@ -2958,6 +2978,19 @@ object Dedup {
     * dimension-sized 1-row aggregates crossJoined as broadcast scalars.
     * At 100 TB nothing here is data-proportional except the candidate set
     * itself. */
+  /** The batch rare-shingle collision-pair set — THE candidate universe of
+    * the whole linkage/verify family (q259's cosine verify, q262's FS
+    * scoring, q272's EM patterns all open with exactly this frame), written
+    * out three times per suite pass as an inline self-join + distinct over
+    * the q14_ngr entry (~0.4 s each at sf0.1). One bounded materialized
+    * copy per (session, dir) — |cand| pair rows (1.13 M × two BIGINTs at
+    * sf0.1), duplicate-mass-bounded, never all-pairs (guide §2.4). Also the
+    * subject of R19OpsSpec's m ⊆ cand subset proof. */
+  private[graft] def linkageCandidates(s: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(s, "linkage_cand", dir, s"$dir/documents.parquet") {
+      candidatesFrom(rareShingleRows(s, dir))
+    }
+
   /** The collision-pair generator over a (ngram, doc_id) blocking index —
     * q262's candidate stage, shared with the streaming registry tail
     * (q268): pairs sharing ≥ 1 indexed shingle, deduplicated. */
@@ -3001,7 +3034,17 @@ object Dedup {
       val withFields = agreementFlagsOf(cand, fields)
       // matches: q14's exact rare-shingle Jaccard ≥ 0.5 pairs (PlanCache'd)
       val m = ngramJaccard.run(s, dir).select("doc_a", "doc_b")
-      val mFlags = m.join(withFields, Seq("doc_a", "doc_b"))
+      // m ⊆ cand BY CONSTRUCTION: q14's pairs are mined from the SAME
+      // q14_ngr rare index as candidatesFrom (same self-join condition
+      // a.doc_id < b.doc_id, plus filters that only REMOVE pairs), so the
+      // old `m ⋈ withFields` inner join selected exactly m's rows — and
+      // re-derived the whole 10⁶-pair candidate chain a second time to do
+      // it (the plan's second scan→explode→self-join replay, guide §2.4).
+      // Computing the four flags directly over the ≤|m| matched pairs is
+      // row-identical (same `fields`, same flag expressions) and two
+      // broadcast-sized joins instead of a corpus chain. R19OpsSpec pins
+      // the subset property; the oracle gate re-proves the estimates.
+      val mFlags = agreementFlagsOf(m, fields)
       def ppm(agreeName: String, totalName: String) =
         greatest(least(
           expr(s"CAST(coalesce($agreeName, 0) AS DECIMAL(38,0)) * $fsPpm" +
@@ -3014,17 +3057,34 @@ object Dedup {
           ppm(s"c_$f", "t").as(s"m_$f")): _*)
       // u_k: agreement odds of a uniform random ordered pair — Σ c_v(c_v−1)
       // over the field's value histogram, against n(n−1) (both in
-      // DECIMAL(38,0) before the multiply: n² overflows Long at ~3e9 docs)
-      def uCol(c: org.apache.spark.sql.DataFrame, f: String) = c
+      // DECIMAL(38,0) before the multiply: n² overflows Long at ~3e9 docs).
+      // ONE pass over `fields` for all four histograms (guide §2.2/§2.4):
+      // the old form ran four separate groupBy aggregations — four document
+      // scans and four shuffles — crossJoined pairwise. Exploding each doc
+      // to four (field, value) rows keys every histogram in one aggregate;
+      // values are cast to string (injective for BIGINT len_b, identity for
+      // the rest; the per-field groupings — null groups included — are
+      // unchanged) and the four u_k land in one conditional-aggregation
+      // pivot. Empty-corpus edge: the old per-field global agg produced
+      // s=n=NULL → least/greatest skip nulls → u = fsPpm−1; coalesce
+      // replicates that here (no histogram rows → max() is NULL).
+      val fv = fields.select(explode(array(
+          struct(lit("lang").as("f"), col("lang").cast("string").as("v")),
+          struct(lit("source").as("f"), col("source").cast("string").as("v")),
+          struct(lit("len").as("f"), col("len_b").cast("string").as("v")),
+          struct(lit("tok").as("f"), col("tok1").cast("string").as("v")))).as("x"))
+        .select(col("x.f").as("f"), col("x.v").as("v"))
+      val uRows = fv.groupBy("f", "v").agg(count(lit(1)).as("c"))
+        .groupBy("f")
         .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * (c - 1)")).as("s"),
           sum("c").as("n"))
-        .select(greatest(least(
+        .select(col("f"), greatest(least(
           expr(s"CAST(s * $fsPpm div greatest(CAST(n AS DECIMAL(38,0)) * (n - 1), 1) AS BIGINT)"),
-          lit(fsPpm - 1)), lit(1L)).as(s"u_$f"))
-      val uStats = Seq("lang", "source", "len_b", "tok1").zip(
-        Seq("lang", "source", "len", "tok")).map { case (src, f) =>
-        uCol(fields.groupBy(src).agg(count(lit(1)).as("c")), f)
-      }.reduce(_.crossJoin(_))
+          lit(fsPpm - 1)), lit(1L)).as("u"))
+      val uCols = Seq("lang", "source", "len", "tok").map(f =>
+        coalesce(max(when(col("f") === f, col("u"))), lit(fsPpm - 1))
+          .as(s"u_$f"))
+      val uStats = uRows.agg(uCols.head, uCols.tail: _*)
       val scored = withFields
         .crossJoin(broadcast(mStats))
         .crossJoin(broadcast(uStats))
@@ -3090,7 +3150,7 @@ object Dedup {
 
   val fsLinkage: Q = Q(
     "q262_fs_linkage",
-    (s, dir) => fsScoreOf(s, dir, candidatesFrom(rareShingleRows(s, dir))),
+    (s, dir) => fsScoreOf(s, dir, linkageCandidates(s, dir)),
     Some(s"""WITH $fsWfCtes, sz AS (
         SELECT doc_id, CAST(count(1) AS BIGINT) AS n FROM rr GROUP BY doc_id
       ), jpairs AS (
@@ -3267,7 +3327,7 @@ object Dedup {
     "q272_em_linkage",
     (s, dir) => {
       val flags = agreementFlagsOf(
-        candidatesFrom(rareShingleRows(s, dir)), linkFieldsOf(s, dir))
+        linkageCandidates(s, dir), linkFieldsOf(s, dir))
       val pat = graft.PlanCache.cached(s, "q272_pat", dir,
           s"$dir/documents.parquet") {
         graft.Ckpt.eager(patternsOf(flags))
